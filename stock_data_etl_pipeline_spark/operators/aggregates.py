@@ -1,0 +1,39 @@
+"""Aggregation operators.
+
+Parity targets (reference, /root/reference/):
+- A1 group-by-state count zero-filled across the full state enum:
+  services/api/serializers.py:313-368 (DB-side aggregation, never in-memory:
+  services/api/views/bulk_queue_runs.py:118-122)
+- A2/A5 counts: trivial df.count()
+- A4 distinct values: queue_for_delta.py:232,261
+
+Scale notes: groupBy on a low-cardinality key is a partial (map-side)
+aggregation followed by a tiny shuffle — the canonical cheap Spark agg.
+The zero-fill join is against a literal DataFrame of the enum domain:
+broadcast by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def group_count_zerofill(df: DataFrame, key: str, domain: Sequence[str],
+                         count_col: str = "n") -> DataFrame:
+    """Count rows per ``key`` value, zero-filling every value in ``domain``
+    (including values absent from ``df``), ordered by ``key``.
+
+    Mirrors the reference's stats serializer: all 8 states always present
+    in the payload, 0 when no runs (serializers.py:354-368).
+    """
+    spark = df.sparkSession
+    domain_df = spark.createDataFrame([(v,) for v in domain], [key])
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias(count_col))
+    # left outer join can only broadcast the right (non-preserved) side;
+    # counts is post-aggregation and at most |domain| distinct keys big.
+    return (domain_df.join(F.broadcast(counts), key, "left")
+            .na.fill({count_col: 0})
+            .orderBy(key))

@@ -1,0 +1,521 @@
+"""Query catalog: every implemented operator as a (spark_builder, oracle_sql)
+pair over the synthetic star schema.
+
+This is the external correctness surface: each entry exercises one operator
+family from SURVEY.md §2 through the public operator modules, and carries an
+ANSI-SQL oracle that DuckDB runs on the same parquet tables. Column names
+are aliased identically on both sides (the driver hash sorts columns by
+name). Float aggregates are rounded on both sides so the comparison tests
+semantics, not summation order.
+
+Table mapping (FIXTURES.md §5): orders/lineitem stand in for ingestion
+runs (fact with state/timestamps), customer/part for stocks, nation/region
+for exchanges/sectors, events for the run-state transition stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.normalize import normalize_null_sentinels
+from ..operators.aggregates import group_count_zerofill
+from ..operators.filters import apply_filters
+from ..operators.joins import anti_join, fk_join, semi_join
+from ..operators.merge import merge_upsert
+from ..operators.pagination import keyset_page
+from ..operators.windows import latest_per_group, top_k_per_group
+from ..sources.registry import load_table
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+CATALOG: dict[str, tuple[Builder, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Builder) -> Builder:
+        CATALOG[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Builder]:
+    return {name: fn for name, (fn, _) in CATALOG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in CATALOG.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# Scans + aggregation (S7/A-family). Flagship: TPC-H Q1-shaped pricing
+# summary — scan-heavy, group-by-small-key, the bench headline.
+# ---------------------------------------------------------------------------
+
+@register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 4)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+                 F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+                 F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+# ---------------------------------------------------------------------------
+# Filter surface (P3-P13): declarative lookups compiled to pushdown-able
+# Column predicates. Reference: services/api/filters.py.
+# ---------------------------------------------------------------------------
+
+@register("filter_iexact_segment", """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE upper(c_mktsegment) = upper('building')
+ORDER BY c_custkey
+""")
+def filter_iexact_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P3 iexact: case-insensitive exact match (filters.py:32,59,88-91)
+    c = load_table(spark, sf_dir, "customer")
+    return (apply_filters(c, {"c_mktsegment__iexact": "building"})
+            .select("c_custkey", "c_name", "c_mktsegment")
+            .orderBy("c_custkey"))
+
+
+@register("filter_icontains_name", """
+SELECT p_partkey, p_name
+FROM part
+WHERE upper(p_name) LIKE '%' || upper('WiDgEt') || '%'
+ORDER BY p_partkey
+""")
+def filter_icontains_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P4 icontains: case-insensitive substring (filters.py:36-37,63-64)
+    p = load_table(spark, sf_dir, "part")
+    return (apply_filters(p, {"p_name__icontains": "WiDgEt"})
+            .select("p_partkey", "p_name").orderBy("p_partkey"))
+
+
+@register("filter_range_set_numeric", """
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND o_orderstatus IN ('F', 'P')
+  AND o_totalprice > 5000
+ORDER BY o_orderkey
+""")
+def filter_range_set_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P6 datetime range + P7 set membership + P9 numeric comparison,
+    # conjunctively composed (P10). Reference filters.py:136-180,224.
+    o = load_table(spark, sf_dir, "orders")
+    return (apply_filters(o, [
+                ("o_orderdate", "gte", "1996-01-01"),
+                ("o_orderdate", "lt", "1998-01-01"),
+                ("o_orderstatus", "in", ["F", "P"]),
+                ("o_totalprice", "gt", 5000),
+            ])
+            .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+            .orderBy("o_orderkey"))
+
+
+@register("filter_not_in_terminal", """
+SELECT o_orderkey, o_orderstatus
+FROM orders
+WHERE o_orderstatus NOT IN ('F')
+ORDER BY o_orderkey
+""")
+def filter_not_in_terminal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P7 negation: exclude(state__in=...) — the is_in_progress filter shape
+    # (reference filters.py:146-180, models.py:281-289).
+    o = load_table(spark, sf_dir, "orders")
+    return (apply_filters(o, {"o_orderstatus__not_in": ["F"]})
+            .select("o_orderkey", "o_orderstatus").orderBy("o_orderkey"))
+
+
+@register("filter_null_sentinels", """
+WITH derived AS (
+  SELECT p_partkey,
+         CASE WHEN p_size < 10 THEN ' n/a '
+              WHEN p_size < 20 THEN '-'
+              ELSE p_type END AS raw_val
+  FROM part
+)
+SELECT p_partkey,
+       CASE WHEN upper(trim(raw_val)) IN ('N/A','NA','NULL','NONE','-') THEN NULL
+            ELSE raw_val END AS clean_val,
+       CASE WHEN upper(trim(raw_val)) IN ('N/A','NA','NULL','NONE','-') THEN TRUE
+            ELSE FALSE END AS was_sentinel
+FROM derived
+ORDER BY p_partkey
+""")
+def filter_null_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P11 null-string sentinel normalization (queue_for_delta.py:457-459).
+    p = load_table(spark, sf_dir, "part")
+    raw = (F.when(F.col("p_size") < 10, F.lit(" n/a "))
+            .when(F.col("p_size") < 20, F.lit("-"))
+            .otherwise(F.col("p_type")))
+    d = p.select("p_partkey", raw.alias("raw_val"))
+    clean = normalize_null_sentinels(F.col("raw_val"))
+    return (d.select("p_partkey", clean.alias("clean_val"),
+                     clean.isNull().alias("was_sentinel"))
+            .orderBy("p_partkey"))
+
+
+@register("filter_valid_ticker", """
+SELECT p_partkey,
+       upper(trim(replace(p_brand, '#', ''))) AS candidate,
+       CASE WHEN regexp_full_match(upper(trim(replace(p_brand, '#', ''))),
+                                   '[A-Z0-9]{1,10}') THEN TRUE ELSE FALSE
+       END AS is_valid
+FROM part
+ORDER BY p_partkey
+""")
+def filter_valid_ticker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P13 ticker validation: alnum-only <=10 chars after normalization
+    # (serializers.py:227-242). '#' stripped to make some candidates valid.
+    from ..functions.normalize import normalize_key, valid_ticker
+    p = load_table(spark, sf_dir, "part")
+    cand = F.regexp_replace(F.col("p_brand"), "#", "")
+    return (p.select("p_partkey",
+                     normalize_key(cand).alias("candidate"),
+                     valid_ticker(cand).alias("is_valid"))
+            .orderBy("p_partkey"))
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J6). Dimensions broadcast; fact never shuffles for FK joins.
+# ---------------------------------------------------------------------------
+
+@register("join_revenue_by_nation", """
+SELECT n.n_name AS nation, r.r_name AS region,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       count(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+ORDER BY nation
+""")
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J1+J2: fact -> dim chain, every dim broadcast (select_related shape,
+    # list_views.py:137-157). At 100 TB the orders fact streams through
+    # three broadcast hash joins with zero fact-side shuffle until the agg.
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = fk_join(fk_join(fk_join(o, c, "o_custkey", "c_custkey", "inner"),
+                        n, "c_nationkey", "n_nationkey", "inner"),
+                r, "n_regionkey", "r_regionkey", "inner")
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.col("r_name").alias("region"))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .orderBy("nation"))
+
+
+@register("join_semi_exists", """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = customer.c_custkey AND o.o_orderstatus = 'P')
+ORDER BY c_custkey
+""")
+def join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J3/J5 existence probe -> left-semi (no fact columns materialized).
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (semi_join(c, o, c["c_custkey"] == o["o_custkey"])
+            .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+
+@register("join_anti_not_exists", """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = customer.c_custkey)
+ORDER BY c_custkey
+""")
+def join_anti_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J5 inverse: customers with no runs at all -> left-anti.
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (anti_join(c, o, c["c_custkey"] == o["o_custkey"])
+            .select("c_custkey", "c_name").orderBy("c_custkey"))
+
+
+@register("join_nullsafe_key", """
+WITH a AS (SELECT DISTINCT o_orderstatus,
+                  nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio
+           FROM orders),
+     b AS (SELECT o_orderstatus,
+                  nullif(o_orderpriority, '4-NOT SPECIFIED') AS prio,
+                  count(*) AS n
+           FROM orders GROUP BY 1, 2)
+SELECT a.o_orderstatus AS status, a.prio AS prio, b.n AS n
+FROM a JOIN b ON a.o_orderstatus = b.o_orderstatus
+             AND a.prio IS NOT DISTINCT FROM b.prio
+ORDER BY status, prio NULLS FIRST
+""")
+def join_nullsafe_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4: null-safe composite key — the Delta MERGE predicate shape where
+    # metadata rows have NULL period_end_date (queue_for_delta.py:736-746).
+    # eqNullSafe (SQL <=>) keeps this a hash join, not a nested loop.
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.withColumn(
+        "prio", F.when(F.col("o_orderpriority") == "4-NOT SPECIFIED",
+                       F.lit(None)).otherwise(F.col("o_orderpriority")))
+    a = keyed.select("o_orderstatus", "prio").distinct().alias("a")
+    b = (keyed.groupBy("o_orderstatus", "prio")
+         .agg(F.count(F.lit(1)).alias("n")).alias("b"))
+    cond = ((F.col("a.o_orderstatus") == F.col("b.o_orderstatus"))
+            & F.col("a.prio").eqNullSafe(F.col("b.prio")))
+    return (a.join(b, cond, "inner")
+            .select(F.col("a.o_orderstatus").alias("status"),
+                    F.col("a.prio").alias("prio"), F.col("b.n").alias("n"))
+            .orderBy(F.col("status"), F.col("prio").asc_nulls_first()))
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1-W3) — latest-per-group family.
+# ---------------------------------------------------------------------------
+
+@register("latest_order_per_customer", """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+ORDER BY o_custkey
+""")
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1 latest run per stock (models.py:247-279); o_orderkey is the
+    # deterministic tiebreaker (the reference leans on pk ordering).
+    o = load_table(spark, sf_dir, "orders")
+    return (latest_per_group(o, ["o_custkey"],
+                             [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()])
+            .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+            .orderBy("o_custkey"))
+
+
+@register("latest_done_order_per_customer", """
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM orders
+WHERE o_orderstatus = 'F'
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+ORDER BY o_custkey
+""")
+def latest_done_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W2: latest DONE run per stock (models.py:291-298) — predicate first,
+    # then the same window; filter pushes below the shuffle.
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (latest_per_group(o, ["o_custkey"],
+                             [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()])
+            .select("o_custkey", "o_orderkey", "o_orderdate")
+            .orderBy("o_custkey"))
+
+
+@register("top3_lineitems_per_supplier", """
+SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+       cast(rank AS BIGINT) AS rank
+FROM (
+  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_suppkey
+                            ORDER BY l_extendedprice DESC,
+                                     l_orderkey, l_linenumber) AS rank
+  FROM lineitem)
+WHERE rank <= 3
+ORDER BY l_suppkey, rank
+""")
+def top3_lineitems_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-K per group — generalized W1 (the "first page per entity" shape).
+    li = load_table(spark, sf_dir, "lineitem")
+    return (top_k_per_group(li, ["l_suppkey"],
+                            [F.col("l_extendedprice").desc(),
+                             F.col("l_orderkey"), F.col("l_linenumber")], 3)
+            .select("l_suppkey", "l_orderkey", "l_linenumber",
+                    "l_extendedprice", F.col("rank").cast("long").alias("rank"))
+            .orderBy("l_suppkey", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A5) + grouping sets.
+# ---------------------------------------------------------------------------
+
+EVENT_TYPE_DOMAIN = ["click", "error", "login", "logout", "purchase",
+                     "refund", "signup", "view"]
+
+
+@register("state_counts_zerofill", """
+WITH domain(event_type) AS (
+  VALUES ('click'),('error'),('login'),('logout'),('purchase'),
+         ('refund'),('signup'),('view')
+)
+SELECT d.event_type AS event_type, coalesce(c.n, 0) AS n
+FROM domain d
+LEFT JOIN (SELECT event_type, count(*) AS n FROM events GROUP BY 1) c
+       ON d.event_type = c.event_type
+ORDER BY event_type
+""")
+def state_counts_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1: group-by-state counts zero-filled across the full enum — the
+    # bulk-run stats endpoint (serializers.py:313-368). The domain includes
+    # values absent from the data to prove the zero-fill.
+    e = load_table(spark, sf_dir, "events")
+    return group_count_zerofill(e, "event_type", EVENT_TYPE_DOMAIN)
+
+
+@register("distinct_order_statuses", """
+SELECT DISTINCT o_orderstatus FROM orders ORDER BY o_orderstatus
+""")
+def distinct_order_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A4 distinct values (queue_for_delta.py:232,261).
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus").distinct().orderBy("o_orderstatus")
+
+
+@register("run_stats_matrix", """
+SELECT o_orderpriority AS priority, o_orderstatus AS status,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY priority, status
+""")
+def run_stats_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 generalized: two-level stats matrix (bulk run x state).
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.col("o_orderpriority").alias("priority"),
+                      F.col("o_orderstatus").alias("status"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("priority", "status"))
+
+
+@register("rollup_revenue_region_nation", """
+SELECT coalesce(r.r_name, 'ALL') AS region,
+       coalesce(n.n_name, 'ALL') AS nation,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+ORDER BY region, nation
+""")
+def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hierarchical totals via ROLLUP (north-star extension; built-in).
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+          .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+          .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]))
+    return (j.rollup("r_name", "n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .select(F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region"),
+                    F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+                    "revenue")
+            .orderBy("region", "nation"))
+
+
+# ---------------------------------------------------------------------------
+# Sorts / pagination (O1-O3).
+# ---------------------------------------------------------------------------
+
+@register("keyset_page2", """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+ORDER BY o_orderdate DESC, o_orderkey DESC
+LIMIT 50 OFFSET 50
+""")
+def keyset_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O2 keyset pagination (paginator.py:24-29): page 2 fetched with a real
+    # cursor predicate (strictly-after the last row of page 1), not OFFSET —
+    # the oracle's OFFSET is equivalent because the ordering is total.
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice")
+    order = [("o_orderdate", True), ("o_orderkey", True)]
+    page1 = keyset_page(o, order, cursor=None, page_size=50).collect()
+    last = page1[-1]
+    cursor = [last["o_orderdate"], last["o_orderkey"]]
+    return keyset_page(o, order, cursor=cursor, page_size=50)
+
+
+# ---------------------------------------------------------------------------
+# State-machine / event-stream shapes (M3, §2.10).
+# ---------------------------------------------------------------------------
+
+@register("current_state_per_user", """
+SELECT user_id, event_type AS current_state, ts AS state_ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+""")
+def current_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Run-state progression modeled as an append-only event stream reduced
+    # to current state per entity (SURVEY §2.10): last event wins.
+    e = load_table(spark, sf_dir, "events")
+    return (latest_per_group(e, ["user_id"],
+                             [F.col("ts").desc(), F.col("event_id").desc()])
+            .select("user_id", F.col("event_type").alias("current_state"),
+                    F.col("ts").alias("state_ts"))
+            .orderBy("user_id"))
+
+
+@register("merge_upsert_result", """
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 4 != 0
+), source AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 1000 AS o_totalprice
+  FROM orders WHERE o_orderkey % 3 = 0
+), merged AS (
+  SELECT * FROM source
+  UNION ALL
+  SELECT t.* FROM target t WHERE NOT EXISTS
+    (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+)
+SELECT o_orderstatus AS status, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM merged GROUP BY o_orderstatus ORDER BY status
+""")
+def merge_upsert_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S6/J4/M6: MERGE update_all/insert_all semantics as a relation —
+    # matched keys take source values, unmatched source keys insert,
+    # untouched target rows survive. Aggregated so the check covers the
+    # whole merged relation compactly.
+    o = load_table(spark, sf_dir, "orders")
+    target = (o.filter(F.col("o_orderkey") % 4 != 0)
+               .select("o_orderkey", "o_orderstatus", "o_totalprice"))
+    source = (o.filter(F.col("o_orderkey") % 3 == 0)
+               .select("o_orderkey", F.lit("U").alias("o_orderstatus"),
+                       (F.col("o_totalprice") + 1000).alias("o_totalprice")))
+    merged = merge_upsert(target, source, ["o_orderkey"])
+    return (merged.groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("status"))

@@ -1,0 +1,77 @@
+"""SparkSession factory.
+
+Tuned for the test harness (local[N], single JVM) but every setting is the
+one you'd want on a real cluster too:
+
+- AQE on (runtime re-plan: coalesce post-shuffle partitions, skew-join
+  splitting, dynamic broadcast conversion) — at 100 TB this is what turns a
+  statically mis-sized shuffle into a correctly-sized one.
+- shuffle partitions sized to cores locally; on a cluster AQE's coalesce
+  makes the initial number mostly a ceiling.
+- UTC session timezone so timestamp semantics match the DuckDB oracle and
+  are stable across executor hosts.
+- Arrow enabled for the pandas-UDF slow path.
+
+Delta Lake support is detected, not required: when `delta-spark` is on the
+classpath we use real Delta MERGE; otherwise `sources.managed_table`
+provides a parquet-backed table with the same upsert semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+try:  # pragma: no cover - environment-dependent
+    from delta import configure_spark_with_delta_pip  # type: ignore
+
+    HAS_DELTA = True
+except Exception:  # pragma: no cover
+    configure_spark_with_delta_pip = None
+    HAS_DELTA = False
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(app_name: str = "stock-data-etl-pipeline-spark",
+              cores: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or return the active) SparkSession with engine defaults."""
+    n = cores or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
+        # parquet reader rejects outright; read the raw int64 and convert
+        # (ns -> us integer division) in the source registry.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if HAS_DELTA and configure_spark_with_delta_pip is not None:
+        builder = (
+            builder.config("spark.sql.extensions",
+                           "io.delta.sql.DeltaSparkSessionExtension")
+            .config("spark.sql.catalog.spark_catalog",
+                    "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+        )
+        builder = configure_spark_with_delta_pip(builder)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

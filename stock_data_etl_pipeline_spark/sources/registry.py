@@ -1,0 +1,85 @@
+"""Parquet source registry for the synthetic star schema.
+
+Explicit schemas (no runtime inference) so the scan plan is stable and
+column pruning / predicate pushdown work from the first query. At 100 TB
+these tables would be directories of many files (partitioned by date for
+the facts); `spark.read.parquet` handles both a single file and a
+partitioned directory identically, so nothing here changes at scale.
+
+Mirrors the reference's source surface: the control-plane tables are served
+by Postgres via the ORM (reference services/api/models.py), the lake zone by
+Delta scans (reference services/workers/tasks/update_stock_metadata.py:228-238);
+here both become columnar scans with Catalyst pushdown.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_S = T.StructType
+_F = T.StructField
+
+
+def _schema(*fields: tuple[str, T.DataType]) -> T.StructType:
+    return _S([_F(name, dtype, True) for name, dtype in fields])
+
+
+TABLES: dict[str, T.StructType] = {
+    "region": _schema(("r_regionkey", T.IntegerType()), ("r_name", T.StringType())),
+    "nation": _schema(("n_nationkey", T.IntegerType()), ("n_name", T.StringType()),
+                      ("n_regionkey", T.IntegerType())),
+    "customer": _schema(("c_custkey", T.LongType()), ("c_name", T.StringType()),
+                        ("c_nationkey", T.IntegerType()), ("c_acctbal", T.DoubleType()),
+                        ("c_mktsegment", T.StringType())),
+    "supplier": _schema(("s_suppkey", T.LongType()), ("s_name", T.StringType()),
+                        ("s_nationkey", T.IntegerType()), ("s_acctbal", T.DoubleType())),
+    "part": _schema(("p_partkey", T.LongType()), ("p_name", T.StringType()),
+                    ("p_brand", T.StringType()), ("p_type", T.StringType()),
+                    ("p_size", T.IntegerType()), ("p_retailprice", T.DoubleType())),
+    "orders": _schema(("o_orderkey", T.LongType()), ("o_custkey", T.LongType()),
+                      ("o_orderstatus", T.StringType()), ("o_totalprice", T.DoubleType()),
+                      ("o_orderdate", T.TimestampType()), ("o_orderpriority", T.StringType())),
+    "lineitem": _schema(("l_orderkey", T.LongType()), ("l_partkey", T.LongType()),
+                        ("l_suppkey", T.LongType()), ("l_linenumber", T.IntegerType()),
+                        ("l_quantity", T.DoubleType()), ("l_extendedprice", T.DoubleType()),
+                        ("l_discount", T.DoubleType()), ("l_tax", T.DoubleType()),
+                        ("l_returnflag", T.StringType()), ("l_linestatus", T.StringType()),
+                        ("l_shipdate", T.TimestampType())),
+    # ts is TIMESTAMP(NANOS) in the file — illegal for the Spark parquet
+    # reader — so it's scanned as int64 (spark.sql.legacy.parquet.nanosAsLong)
+    # and converted to a microsecond timestamp in load_table, matching
+    # DuckDB's ns -> us truncation.
+    "events": _schema(("event_id", T.LongType()), ("ts", T.LongType()),
+                      ("user_id", T.LongType()), ("event_type", T.StringType()),
+                      ("value", T.DoubleType()), ("props", T.StringType())),
+    "documents": _schema(("doc_id", T.LongType()), ("text", T.StringType()),
+                         ("lang", T.StringType()), ("source", T.StringType()),
+                         ("n_chars", T.LongType())),
+    "embeddings": _S([_F("vec_id", T.LongType(), True),
+                      _F("embedding", T.ArrayType(T.FloatType(), True), True),
+                      _F("label", T.IntegerType(), True)]),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table with its explicit schema."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(TABLES[name]).parquet(path)
+    if name == "events":
+        from pyspark.sql import functions as F
+        # integer ns -> us division (double division would lose precision
+        # at 1.7e18 ns epoch values)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: list[str] | None = None) -> None:
+    """Register tables as temp views for the SQL API."""
+    for name in names or list(TABLES):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
