@@ -84,6 +84,21 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: Sequence[str],
                             [F.col(marker).desc()]).drop(marker)
 
 
+def merge_insert_only(target: DataFrame, source: DataFrame,
+                      keys: Sequence[str]) -> DataFrame:
+    """WHEN NOT MATCHED INSERT (no update of matched keys) — the reference's
+    atomic get_or_create for dimension rows (M1, stock_ingestion_service
+    .py:142-160): existing keys keep their target row, new keys append."""
+    target, source = align_schemas(target, source)
+    source = source.dropDuplicates(list(keys))
+    marker = "_is_source"
+    tagged = (target.withColumn(marker, F.lit(0))
+              .unionByName(source.withColumn(marker, F.lit(1))))
+    # ascending marker: the TARGET row wins when both sides have the key
+    return latest_per_group(tagged, list(keys),
+                            [F.col(marker).asc()]).drop(marker)
+
+
 def merge_if_changed(target: DataFrame, source: DataFrame, keys: Sequence[str],
                      compare_cols: Sequence[str]) -> DataFrame:
     """M4 semantics: update a matched key only when at least one of

@@ -1,0 +1,235 @@
+"""End-to-end stock ETL data plane: the flagship path of SURVEY §3.1
+re-expressed as one driver-orchestrated Spark job per batch of tickers.
+
+Reference path (/root/reference/): POST /api/ticker/queue -> Celery fetch
+task -> S3 raw JSON -> Polars transform -> delta-rs MERGE -> metadata sync
+(queue_for_fetch.py, queue_for_delta.py, update_stock_metadata.py). The
+queue hops disappear: phases become DataFrame stages and Delta-style
+transaction boundaries, with run-state rows updated per phase so the
+control-plane query surface (runs by state, latest run per stock, bulk
+stats) works identically.
+
+Storage layout under ``root``:
+    bronze/<batch_id>/           raw documents (ticker, run_id, json_str)
+    silver/stocks_unified/       the one wide table, MERGE-maintained,
+                                 partitioned by record_type
+    control/{stocks,exchanges,sectors,ingestion_runs,bulk_queue_runs}/
+
+Scale: per-batch work is one narrow transform + one partition-pruned merge;
+control tables are tiny relative to silver and merge on key-disjoint rows.
+The reference serializes silver writes (delta worker concurrency=1); here a
+batch IS the serialization unit, and Structured Streaming's foreachBatch
+(streaming/ingest.py) gives the same guarantee for continuous ingest.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.normalize import normalize_key
+from ..operators.merge import merge_insert_only, merge_upsert
+from ..operators.windows import first_row_per_group
+from ..schemas import (
+    EXCHANGES,
+    INGESTION_RUNS,
+    SECTORS,
+    SILVER_KEY_COLUMNS,
+    STOCKS,
+)
+from ..sources.managed_table import ManagedTable
+from ..state_machine import IngestionState, new_run_row, runs_dataframe, transition
+from .stock_transform import transform_stock_json
+
+
+def _now() -> datetime:
+    return datetime.now(tz=timezone.utc).replace(tzinfo=None)
+
+
+class StockLake:
+    """The engine's table root: control plane + silver lake + bronze zone."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        self.silver = ManagedTable(spark, os.path.join(root, "silver/stocks_unified"),
+                                   partition_by=["record_type"])
+        self.stocks = ManagedTable(spark, os.path.join(root, "control/stocks"))
+        self.exchanges = ManagedTable(spark, os.path.join(root, "control/exchanges"))
+        self.sectors = ManagedTable(spark, os.path.join(root, "control/sectors"))
+        self.runs = ManagedTable(spark, os.path.join(root, "control/ingestion_runs"))
+        self.bulk_runs = ManagedTable(spark, os.path.join(root, "control/bulk_queue_runs"))
+
+    # -- control-plane helpers ---------------------------------------------
+    def _read_or_empty(self, tbl: ManagedTable, schema) -> DataFrame:
+        if tbl.exists():
+            return tbl.read()
+        return self.spark.createDataFrame([], schema)
+
+    def read_runs(self) -> DataFrame:
+        return self._read_or_empty(self.runs, INGESTION_RUNS)
+
+    def read_stocks(self) -> DataFrame:
+        return self._read_or_empty(self.stocks, STOCKS)
+
+    def get_or_create_stocks(self, tickers: list[str]) -> DataFrame:
+        """M1 for stocks: ticker-keyed insert-only merge; tickers normalized
+        strip().upper() at the boundary (models.py:172-181)."""
+        ts = _now()
+        norm = sorted({t.strip().upper() for t in tickers})
+        fresh = self.spark.createDataFrame(
+            [(str(uuid.uuid4()), t, None, None, None, None, None, None, None,
+              None, None, ts, ts) for t in norm], STOCKS)
+        merged = merge_insert_only(self.read_stocks(), fresh, ["ticker"])
+        self.stocks.overwrite(merged)
+        return merged
+
+    def get_or_create_dim(self, tbl: ManagedTable, schema, names: list[str],
+                          normalize: bool) -> DataFrame:
+        """M1 for exchanges (normalize=True: stored UPPER+trimmed,
+        models.py:61-70) and sectors (normalize=False: case-preserved,
+        matched case-insensitively, models.py:83-92)."""
+        ts = _now()
+        current = self._read_or_empty(tbl, schema)
+        seen: dict[str, str] = {}
+        for n in names:
+            if n is None or not n.strip():
+                continue
+            stored = n.strip().upper() if normalize else n.strip()
+            seen.setdefault(stored.upper(), stored)
+        fresh = self.spark.createDataFrame(
+            [(str(uuid.uuid4()), stored, ts, ts) for stored in seen.values()],
+            schema).withColumn("match_key", normalize_key(F.col("name")))
+        cur_keyed = current.withColumn("match_key", normalize_key(F.col("name")))
+        merged = merge_insert_only(cur_keyed, fresh, ["match_key"]).drop("match_key")
+        tbl.overwrite(merged)
+        return merged
+
+    # -- the flagship path --------------------------------------------------
+    def ingest_batch(self, docs: list[tuple[str, str]],
+                     requested_by: str | None = None) -> dict:
+        """Run the full pipeline for a batch of (ticker, raw_json) docs.
+
+        Returns {"batch_id", "run_ids", "n_silver_rows"}. Each phase updates
+        the run-state rows exactly like the reference's task chain (§3.1):
+        QUEUED_FOR_FETCH -> FETCHING -> FETCHED -> QUEUED_FOR_DELTA ->
+        DELTA_RUNNING -> DELTA_FINISHED -> DONE, then metadata sync.
+        """
+        batch_id = uuid.uuid4().hex[:12]
+        tickers = [t for t, _ in docs]
+        stocks = self.get_or_create_stocks(tickers)
+        tick_to_stock = {r["ticker"]: r["id"]
+                         for r in stocks.select("ticker", "id").collect()}
+
+        # M2: one new run per ticker (batch insert; active-run guard is
+        # enforced by queue_for_fetch for the interactive path).
+        rows = [new_run_row(tick_to_stock[t.strip().upper()], t.strip().upper(),
+                            requested_by=requested_by) for t in tickers]
+        run_ids = [r["id"] for r in rows]
+        runs = merge_upsert(self.read_runs(), runs_dataframe(self.spark, rows), ["id"])
+
+        # fetch phase (the HTTP fetch itself is the caller's concern here —
+        # docs arrive as payloads; sources/fetch.py covers the pull path)
+        runs = transition(runs, run_ids, IngestionState.FETCHING)
+
+        # bronze landing (S2): columnar raw zone, one dir per batch
+        bronze_path = os.path.join(self.root, "bronze", batch_id)
+        raw = self.spark.createDataFrame(
+            [(t.strip().upper(), rid, payload)
+             for (t, payload), rid in zip(docs, run_ids)],
+            "ticker string, run_id string, json_str string")
+        raw.write.mode("overwrite").parquet(bronze_path)
+        runs = transition(runs, run_ids, IngestionState.FETCHED,
+                          raw_data_uri=bronze_path)
+        runs = transition(runs, run_ids, IngestionState.QUEUED_FOR_DELTA)
+
+        # silver transform + merge (S3/S4/F8-F10/S5/S6)
+        runs = transition(runs, run_ids, IngestionState.DELTA_RUNNING)
+        bronze = self.spark.read.parquet(bronze_path)
+        wide = transform_stock_json(bronze)
+        self.silver.merge(wide, SILVER_KEY_COLUMNS)
+        n_silver = self.silver.read().count()
+        runs = transition(runs, run_ids, IngestionState.DELTA_FINISHED,
+                          processed_data_uri=self.silver.path)
+        runs = transition(runs, run_ids, IngestionState.DONE)
+        self.runs.overwrite(runs)
+
+        # M4: metadata sync back into the stocks control table
+        self.sync_stock_metadata()
+        return {"batch_id": batch_id, "run_ids": run_ids,
+                "n_silver_rows": n_silver}
+
+    # -- metadata sync (M4) -------------------------------------------------
+    def sync_stock_metadata(self) -> DataFrame:
+        """S7 pushdown read of metadata rows + changed-fields-only update of
+        stocks, resolving exchange/sector through dim get-or-create
+        (update_stock_metadata.py:195-469)."""
+        silver = self.silver.read()
+        meta_cols = [c for c in
+                     ("name", "country", "subindustry", "morningstar_sector",
+                      "morningstar_industry", "industry", "description",
+                      "sector", "exchange") if c in silver.columns]
+        if not meta_cols:
+            return self.read_stocks()
+        # predicate reaches the scan: record_type partition + projection
+        meta = (silver.filter(F.col("record_type") == "metadata")
+                .select("ticker", *[F.col(c).cast("string").alias(c)
+                                    for c in meta_cols]))
+        # W3: single metadata row per ticker, deterministic pick
+        meta = first_row_per_group(meta, ["ticker"], [F.col(c) for c in meta_cols])
+
+        names = [r.asDict() for r in meta.select(
+            *(c for c in ("exchange", "sector") if c in meta.columns)).collect()]
+        exch_df = sect_df = None
+        if "exchange" in meta.columns:
+            exch_df = self.get_or_create_dim(
+                self.exchanges, EXCHANGES,
+                [n.get("exchange") for n in names], normalize=True)
+        if "sector" in meta.columns:
+            sect_df = self.get_or_create_dim(
+                self.sectors, SECTORS,
+                [n.get("sector") for n in names], normalize=False)
+
+        src = meta
+        if exch_df is not None:
+            e = exch_df.select(F.col("id").alias("exchange_id"),
+                               normalize_key(F.col("name")).alias("_ek"))
+            src = (src.withColumn("_ek", normalize_key(F.col("exchange")))
+                   .join(F.broadcast(e), "_ek", "left").drop("_ek", "exchange"))
+        if sect_df is not None:
+            s = sect_df.select(F.col("id").alias("sector_id"),
+                               normalize_key(F.col("name")).alias("_sk"))
+            src = (src.withColumn("_sk", normalize_key(F.col("sector")))
+                   .join(F.broadcast(s), "_sk", "left").drop("_sk", "sector"))
+
+        # Changed-fields-only overlay: a NULL metadata field never clobbers
+        # an existing value (the reference drops null fields from the update
+        # dict, update_stock_metadata.py:256-271), and updated_at moves only
+        # when something actually changed (no spurious cache invalidation,
+        # :292-469).
+        stocks = self.read_stocks()
+        t, s = stocks.alias("t"), src.alias("s")
+        overlay_cols = [c for c in src.columns if c != "ticker"]
+        changed = F.lit(False)
+        for c in overlay_cols:
+            new_val = F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}"))
+            changed = changed | ~new_val.eqNullSafe(F.col(f"t.{c}"))
+        out_cols = []
+        for c in stocks.columns:
+            if c in overlay_cols:
+                out_cols.append(F.coalesce(F.col(f"s.{c}"),
+                                           F.col(f"t.{c}")).alias(c))
+            elif c == "updated_at":
+                out_cols.append(F.when(changed, F.lit(_now()))
+                                .otherwise(F.col("t.updated_at"))
+                                .alias("updated_at"))
+            else:
+                out_cols.append(F.col(f"t.{c}").alias(c))
+        merged = t.join(s, F.col("t.ticker") == F.col("s.ticker"), "left") \
+                  .select(*out_cols)
+        self.stocks.overwrite(merged)
+        return merged

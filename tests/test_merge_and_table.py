@@ -1,0 +1,146 @@
+"""MERGE semantics + ManagedTable storage (reference queue_for_delta.py
+:693-799 — create-or-merge, null-safe keys, idempotency, schema evolution).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_data_etl_pipeline_spark.operators.merge import (
+    align_schemas,
+    merge_if_changed,
+    merge_insert_only,
+    merge_upsert,
+)
+from stock_data_etl_pipeline_spark.sources.managed_table import (
+    ManagedTable,
+    TableExistsError,
+)
+
+
+def df_of(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+SCHEMA = "ticker string, record_type string, period_end_date string, revenue double"
+
+
+def test_update_all_and_insert_all(spark):
+    target = df_of(spark, [("AAPL", "financials", "2024-03", 1.0),
+                           ("AAPL", "financials", "2024-06", 2.0)], SCHEMA)
+    source = df_of(spark, [("AAPL", "financials", "2024-06", 20.0),
+                           ("AAPL", "financials", "2024-09", 3.0)], SCHEMA)
+    out = merge_upsert(target, source,
+                       ["ticker", "record_type", "period_end_date"])
+    got = {r["period_end_date"]: r["revenue"] for r in out.collect()}
+    assert got == {"2024-03": 1.0, "2024-06": 20.0, "2024-09": 3.0}
+
+
+def test_null_key_matches_null_key(spark):
+    # J4: metadata rows carry NULL period_end_date; NULL must match NULL
+    target = df_of(spark, [("AAPL", "metadata", None, 1.0)], SCHEMA)
+    source = df_of(spark, [("AAPL", "metadata", None, 99.0)], SCHEMA)
+    out = merge_upsert(target, source,
+                       ["ticker", "record_type", "period_end_date"])
+    rows = out.collect()
+    assert len(rows) == 1  # updated in place, NOT duplicated
+    assert rows[0]["revenue"] == 99.0
+
+
+def test_merge_idempotent(spark):
+    target = df_of(spark, [("A", "financials", "2024-03", 1.0)], SCHEMA)
+    source = df_of(spark, [("A", "financials", "2024-03", 1.0),
+                           ("B", "financials", "2024-03", 2.0)], SCHEMA)
+    once = merge_upsert(target, source, ["ticker", "record_type", "period_end_date"])
+    twice = merge_upsert(once, source, ["ticker", "record_type", "period_end_date"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_schema_evolution_new_column(spark):
+    target = df_of(spark, [("A", "financials", "2024-03", 1.0)], SCHEMA)
+    source = df_of(spark, [("A", "financials", "2024-06", 2.0, 5.5)],
+                   SCHEMA + ", eps double")
+    out = merge_upsert(target, source, ["ticker", "record_type", "period_end_date"])
+    got = {r["period_end_date"]: r["eps"] for r in out.collect()}
+    assert got == {"2024-03": None, "2024-06": 5.5}
+
+
+def test_source_dedup_last_writer_wins(spark):
+    target = df_of(spark, [], SCHEMA)
+    source = df_of(spark, [("A", "financials", "2024-03", 1.0),
+                           ("A", "financials", "2024-03", 2.0)], SCHEMA)
+    out = merge_upsert(target, source, ["ticker", "record_type", "period_end_date"],
+                       dedup_source_order=[F.col("revenue").desc()])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["revenue"] == 2.0
+
+
+def test_merge_insert_only_keeps_target(spark):
+    target = df_of(spark, [("A", "x", "p", 1.0)], SCHEMA)
+    source = df_of(spark, [("A", "x", "p", 99.0), ("B", "x", "p", 2.0)], SCHEMA)
+    out = merge_insert_only(target, source, ["ticker"])
+    got = {r["ticker"]: r["revenue"] for r in out.collect()}
+    assert got == {"A": 1.0, "B": 2.0}
+
+
+def test_merge_if_changed_equals_upsert_relation(spark):
+    target = df_of(spark, [("A", "x", "p", 1.0), ("B", "x", "p", 2.0)], SCHEMA)
+    source = df_of(spark, [("A", "x", "p", 1.0),   # unchanged
+                           ("B", "x", "p", 20.0),  # changed
+                           ("C", "x", "p", 3.0)], SCHEMA)  # new
+    out = merge_if_changed(target, source, ["ticker"], ["revenue"])
+    got = {r["ticker"]: r["revenue"] for r in out.collect()}
+    assert got == {"A": 1.0, "B": 20.0, "C": 3.0}
+
+
+def test_align_schemas_types(spark):
+    a = df_of(spark, [(1,)], "x long")
+    b = df_of(spark, [(2.5, "s")], "y double, z string")
+    aa, bb = align_schemas(a, b)
+    assert aa.schema == bb.schema
+    assert dict(aa.dtypes) == {"x": "bigint", "y": "double", "z": "string"}
+
+
+# --- ManagedTable ----------------------------------------------------------
+
+def test_table_create_error_mode(spark, tmp_table_dir):
+    t = ManagedTable(spark, tmp_table_dir)
+    df = df_of(spark, [("A", "x", "p", 1.0)], SCHEMA)
+    t.create(df)
+    with pytest.raises(TableExistsError):
+        t.create(df)
+
+
+def test_table_merge_versions_and_time_travel(spark, tmp_table_dir):
+    t = ManagedTable(spark, tmp_table_dir)
+    keys = ["ticker", "record_type", "period_end_date"]
+    t.merge(df_of(spark, [("A", "f", "p1", 1.0)], SCHEMA), keys)
+    t.merge(df_of(spark, [("A", "f", "p1", 5.0),
+                          ("B", "f", "p1", 2.0)], SCHEMA), keys)
+    assert t.latest_version() == 1
+    assert {r["revenue"] for r in t.read().collect()} == {5.0, 2.0}
+    assert {r["revenue"] for r in t.read(version=0).collect()} == {1.0}
+
+
+def test_partitioned_merge_prunes_and_preserves(spark, tmp_table_dir):
+    t = ManagedTable(spark, tmp_table_dir, partition_by=["record_type"])
+    keys = ["ticker", "record_type", "period_end_date"]
+    t.merge(df_of(spark, [("A", "financials", "p1", 1.0),
+                          ("A", "metadata", None, 0.0)], SCHEMA), keys)
+    # batch touches only 'financials'; metadata partition must survive
+    t.merge(df_of(spark, [("A", "financials", "p1", 9.0)], SCHEMA), keys)
+    got = {(r["record_type"], r["period_end_date"]): r["revenue"]
+           for r in t.read().collect()}
+    assert got == {("financials", "p1"): 9.0, ("metadata", None): 0.0}
+
+
+def test_vacuum_drops_old_versions(spark, tmp_table_dir):
+    t = ManagedTable(spark, tmp_table_dir)
+    keys = ["ticker"]
+    for i in range(4):
+        t.merge(df_of(spark, [("A", "f", "p", float(i))], SCHEMA), keys)
+    t.vacuum(keep_last=1)
+    assert t.read().collect()[0]["revenue"] == 3.0
+    with pytest.raises(Exception):
+        t.read(version=0).collect()
