@@ -1,0 +1,229 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each expressed relationally (explode/join/groupBy) rather
+than pairwise-loop, so cost scales with (docs x shingles) and candidate
+pairs — never O(n^2) over the corpus:
+
+- exact:        hash-groupBy on raw text (or md5)
+- fingerprint:  order/dup-insensitive token-set hash
+- ngram-jaccard: inverted index on k-word shingles -> pair intersection
+                 counts -> Jaccard >= tau
+- minhash-LSH:  per-doc minhash signature (md5-based, deterministic),
+                banded; candidates collide on a band -> verify true Jaccard
+- simhash:      per-bit majority hash; near-dups = small Hamming distance,
+                blocked on signature bytes to avoid O(n^2)
+- embedding:    cosine >= tau within blocking buckets
+
+Scale notes: the inverted-index join is the canonical web-dedup shape
+(MinHash/LSH from Broder '97; SimHash from Charikar '02 as used by
+Manku et al. WWW'07). Hot shingles (stop-phrases) explode the join —
+``max_doc_freq`` drops shingles seen in more than N docs, the standard
+frequency cap. All hashing is md5-derived -> deterministic across engines
+and runs (no seed state on executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, shingles, words
+from ..functions.vectors import as_double, cosine
+
+
+# -- exact ------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id document per exact text; adds ``dup_count``.
+    One hash-aggregation — the 100 TB-safe exact dedup."""
+    return (docs.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+def fingerprint_dedup(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Near-exact dedup on the sorted-distinct-token fingerprint (word
+    order / duplication changes collide)."""
+    return (docs.groupBy(fingerprint(text_col).alias("fp"))
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count")))
+
+
+# -- n-gram Jaccard ---------------------------------------------------------
+
+def shingle_index(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3,
+                  max_doc_freq: int | None = None) -> DataFrame:
+    """Inverted index: (shingle, doc_id), distinct. ``max_doc_freq`` drops
+    shingles appearing in more than N docs (hot-key cap)."""
+    idx = (docs.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+           .distinct())
+    if max_doc_freq is not None:
+        hot = (idx.groupBy("shingle").count()
+               .filter(F.col("count") > max_doc_freq).select("shingle"))
+        idx = idx.join(hot, "shingle", "left_anti")
+    return idx
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Pairs (id_a < id_b, jaccard) with shingle-set Jaccard >= threshold.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), computed from the inverted
+    index: only docs sharing >=1 shingle ever meet (candidate generation is
+    the index self-join, not a cross join).
+    """
+    idx = shingle_index(docs, text_col, id_col, k, max_doc_freq)
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") /
+                (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+def minhash_signature(docs: DataFrame, num_hashes: int = 16,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3) -> DataFrame:
+    """(id, mh_0..mh_{H-1}): per-doc minhash under H deterministic hash
+    functions h_i(s) = md5(i || ':' || s) (lexicographic min of the hex
+    digest — uniform, engine-portable, seedless)."""
+    sh = shingles(text_col, k)
+    cols = [F.array_min(F.transform(
+                sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+            .alias(f"mh_{i}") for i in range(num_hashes)]
+    return docs.select(F.col(id_col), *cols).filter(F.size(sh) > 0)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float,
+                      num_hashes: int = 16, bands: int = 4,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3) -> DataFrame:
+    """Banded LSH over the minhash signature: docs colliding on any band
+    become candidates; candidates are verified with the TRUE shingle
+    Jaccard >= threshold (no false positives leave this operator).
+
+    bands * rows = num_hashes; collision prob ~ 1-(1-j^rows)^bands.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signature(docs, num_hashes, text_col, id_col, k)
+    band_rows = []
+    for b in range(bands):
+        band_sig = F.md5(F.concat_ws(
+            "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
+        band_rows.append(sig.select(
+            F.col(id_col), F.lit(b).alias("band"), band_sig.alias("sig")))
+    bands_df = band_rows[0]
+    for br in band_rows[1:]:
+        bands_df = bands_df.unionByName(br)
+    a, b_ = bands_df.alias("a"), bands_df.alias("b")
+    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    verified = ngram_jaccard_pairs(docs, threshold, text_col, id_col, k)
+    return cand.join(verified, ["id_a", "id_b"], "inner")
+
+
+# -- SimHash ----------------------------------------------------------------
+
+SIMHASH_BITS = 16
+
+
+def _word_hash16(w: Column) -> Column:
+    """Deterministic 16-bit hash of a token: first 4 hex digits of md5,
+    decoded positionally (portable to ANSI SQL via instr arithmetic)."""
+    h = F.md5(w)
+    hexdigits = "0123456789abcdef"
+    val = F.lit(0)
+    for i in range(4):
+        digit = F.instr(F.lit(hexdigits), F.substring(h, i + 1, 1)) - 1
+        val = val * 16 + digit
+    return val
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash: bit_j(doc) = majority over tokens of bit_j(h(token)).
+    Near-duplicate docs differ in few bits (Charikar '02)."""
+    ws = words(text_col)
+    tok = docs.select(F.col(id_col), F.explode(ws).alias("w"))
+    tok = tok.withColumn("h", _word_hash16(F.col("w")))
+    aggs = [F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << j)) > 0, 1)
+                  .otherwise(-1)).alias(f"b{j}")
+            for j in range(SIMHASH_BITS)]
+    per_doc = tok.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0)
+    for j in range(SIMHASH_BITS):
+        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return per_doc.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pairs within Hamming distance <= max_hamming, blocked on the high
+    and low signature bytes (a pair within distance d<=... must agree on at
+    least one byte when d < 2 — with 2 blocks any pair differing only
+    inside one byte collides on the other; the standard Manku-style
+    block-and-verify, so the join is on bytes, never all-pairs)."""
+    sig = simhash(docs, text_col, id_col)
+    hi = (F.col("simhash") / F.lit(256)).cast("long")
+    lo = F.col("simhash") % 256
+    blocks = (sig.select(id_col, "simhash", hi.alias("blk"), F.lit("hi").alias("part"))
+              .unionByName(sig.select(id_col, "simhash", lo.alias("blk"),
+                                      F.lit("lo").alias("part"))))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (a.join(b, (F.col("a.part") == F.col("b.part"))
+                   & (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.simhash").alias("sig_a"),
+                    F.col("b.simhash").alias("sig_b"))
+            .distinct())
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cand.withColumn("hamming", ham.cast("long"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# -- embedding cosine -------------------------------------------------------
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id",
+                             block_col: str | None = "label") -> DataFrame:
+    """Pairs with cosine >= threshold. ``block_col`` restricts candidate
+    generation to equal-block pairs (e.g. an LSH bucket or cluster label) —
+    the blocking that keeps this off O(n^2) at scale; pass None for the
+    exhaustive small-corpus variant."""
+    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"),
+                   *( [F.col(block_col)] if block_col else [] ))
+    a, b = v.alias("a"), v.alias("b")
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (a.join(b, cond)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    sim.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

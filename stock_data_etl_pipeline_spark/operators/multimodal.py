@@ -1,0 +1,104 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travels as an opaque ``binary`` column plus a typed metadata struct —
+the lakehouse-native layout (bytes inline for small assets; at 100 TB the
+binary column holds an object-store URI + byte-range instead, same schema).
+Decode / feature-extract / resize / frame-sample run as Arrow-batched
+pandas iterators over ``mapInPandas``: one Python worker per partition,
+whole Arrow record batches in and out, media bytes never round-trip the
+driver.
+
+The actual codec calls need PIL/ffmpeg-class libraries that are not in
+this environment, so the decode kernels are STUBBED: ``decode_image``
+raises NotImplementedError by default, and every operator accepts a
+``kernel=`` override; ``deterministic_fake_features`` is the test/oracle
+kernel (pure byte arithmetic). The Spark-side contract — schema, batch
+shape, partitioning — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType([
+    T.StructField("media_type", T.StringType(), True),   # image|audio|video
+    T.StructField("format", T.StringType(), True),       # png|wav|mp4|...
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("duration_ms", T.LongType(), True),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("content", T.BinaryType(), True),
+    T.StructField("meta", MEDIA_META, True),
+])
+
+
+def attach_media_column(df: DataFrame, bytes_col: str,
+                        media_type: str, fmt: str) -> DataFrame:
+    """Wrap a raw binary column into the standard (content, meta) layout."""
+    return df.withColumn("meta", F.struct(
+        F.lit(media_type).alias("media_type"), F.lit(fmt).alias("format"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )).withColumnRenamed(bytes_col, "content")
+
+
+def decode_image(content: bytes) -> "object":
+    """Real decode kernel — requires an imaging library not present here."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv; inject a kernel= override")
+
+
+def deterministic_fake_features(content: bytes) -> list[int]:
+    """Oracle-checkable stand-in for a feature extractor: pure byte
+    arithmetic [n_bytes, first_byte, last_byte]."""
+    if content is None or len(content) == 0:
+        return [0, -1, -1]
+    return [len(content), content[0], content[-1]]
+
+
+FEATURES_FIELD = T.StructField("features", T.ArrayType(T.LongType()), True)
+
+
+def extract_features(media: DataFrame,
+                     kernel: Callable[[bytes], list[int]] = deterministic_fake_features,
+                     id_col: str = "media_id",
+                     content_col: str = "content") -> DataFrame:
+    """Per-asset feature extraction via mapInPandas (Arrow batches).
+
+    Output schema: (id_col long, features array<long>). The kernel runs
+    per row inside a batch; batches stream per partition, so peak memory
+    is one Arrow batch of media bytes, not the partition.
+    """
+    out_schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False), FEATURES_FIELD])
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "features": [kernel(c) for c in pdf[content_col]],
+            })
+
+    return media.select(id_col, content_col).mapInPandas(op, out_schema)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000,
+                      id_col: str = "media_id") -> DataFrame:
+    """Video frame-sampling plumbing: expand each asset into the frame
+    timestamps to decode ([0, duration) step every_ms) — the decode itself
+    is a kernel like extract_features'. Pure Column ops (sequence+explode),
+    so the expansion happens executor-side."""
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    ts = F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)),
+                    F.lit(every_ms))
+    return (media.withColumn("frame_ts_ms", F.explode(ts))
+            .select(id_col, "frame_ts_ms"))

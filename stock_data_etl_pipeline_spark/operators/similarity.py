@@ -1,0 +1,109 @@
+"""Similarity search (ANN) over an embedding column.
+
+Three tiers, all relational and deterministic:
+
+- brute-force top-k: one codegen'd cosine projection + top-k sort — the
+  exact baseline, linear scan, no shuffle until the final k-row sort.
+- sign-LSH buckets: random-hyperplane LSH (Charikar '02) with anchors
+  drawn deterministically from the corpus itself; equal-bucket probing
+  turns the scan into a partition-pruned subset scan.
+- IVF (inverted-file): k centroids, nearest-centroid assignment, probe
+  the ``nprobe`` closest cells — the classic Faiss IVF layout expressed
+  as two small cross-joins + windows.
+
+At 100 TB the bucket/cell column becomes the table's partition key, so a
+probe reads only matching partitions (partition pruning does the 'index').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine
+from .windows import top_k_per_group
+
+
+def _query_col(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by cosine to ``query_vec``; deterministic tie-break on id.
+    Score rounded so rank order is engine-stable."""
+    q = _query_col(query_vec)
+    scored = emb.select(
+        F.col(id_col),
+        F.round(cosine(as_double(vec_col), q), 6).alias("score"))
+    return (scored.orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k)
+            .withColumn("rank", F.row_number().over(
+                Window.orderBy(F.col("score").desc(), F.col(id_col)))
+                .cast("long")))
+
+
+def sign_lsh_bucket(vec: Column, anchors: list[list[float]]) -> Column:
+    """Bucket id from the sign pattern of dot products against anchor
+    hyperplanes: bit_i = [dot(v, anchor_i) >= 0]."""
+    from ..functions.vectors import dot
+    bucket = F.lit(0)
+    for i, a in enumerate(anchors):
+        d = dot(vec, F.array(*[F.lit(float(x)) for x in a]))
+        bucket = bucket + F.when(d >= 0, F.lit(1 << i)).otherwise(0)
+    return bucket.cast("long")
+
+
+def lsh_topk(emb: DataFrame, query_vec: list[float],
+             anchors: list[list[float]], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """ANN: score only vectors in the query's sign-LSH bucket. Recall trades
+    off with #anchors; the bucket column is the scale-out partition key."""
+    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    bucketed = v.withColumn("bucket", sign_lsh_bucket(F.col("v"), anchors))
+    qb_row = (bucketed.sparkSession.createDataFrame([(query_vec,)], "q array<double>")
+              .select(sign_lsh_bucket(F.col("q"), anchors).alias("b")).collect())
+    qbucket = qb_row[0]["b"]
+    q = _query_col(query_vec)
+    return (bucketed.filter(F.col("bucket") == qbucket)
+            .select(F.col(id_col),
+                    F.round(cosine(F.col("v"), q), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))
+
+
+def assign_centroids(emb: DataFrame, centroids: DataFrame,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     cent_id: str = "centroid_id",
+                     cent_vec: str = "centroid") -> DataFrame:
+    """IVF cell assignment: nearest centroid per vector (broadcast
+    cross-join + top-1 window; centroids are tiny by construction)."""
+    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    c = centroids.select(F.col(cent_id), as_double(cent_vec).alias("c"))
+    scored = (v.crossJoin(F.broadcast(c))
+              .withColumn("sim", F.round(cosine(F.col("v"), F.col("c")), 6)))
+    return (top_k_per_group(scored, [id_col],
+                            [F.col("sim").desc(), F.col(cent_id)], 1)
+            .select(id_col, cent_id, "v"))
+
+
+def ivf_topk(emb: DataFrame, centroids: DataFrame, query_vec: list[float],
+             k: int = 10, nprobe: int = 3,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             cent_id: str = "centroid_id", cent_vec: str = "centroid") -> DataFrame:
+    """IVF ANN: probe the nprobe centroids closest to the query, exact
+    top-k within their cells only."""
+    q = _query_col(query_vec)
+    probe = (centroids
+             .select(F.col(cent_id),
+                     F.round(cosine(as_double(cent_vec), q), 6).alias("csim"))
+             .orderBy(F.col("csim").desc(), F.col(cent_id))
+             .limit(nprobe).select(cent_id))
+    assigned = assign_centroids(emb, centroids, vec_col, id_col,
+                                cent_id, cent_vec)
+    return (assigned.join(F.broadcast(probe), cent_id)
+            .select(F.col(id_col),
+                    F.round(cosine(F.col("v"), q), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col))
+            .limit(k))

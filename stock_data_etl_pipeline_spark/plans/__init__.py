@@ -1,1 +1,2 @@
 from .catalog import CATALOG, oracle_sql, queries  # noqa: F401
+from . import catalog_text  # noqa: F401  (registers its entries on import)

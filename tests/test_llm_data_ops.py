@@ -1,0 +1,159 @@
+"""Unit tests for dedup / similarity / text-analysis / multimodal operators
+(edge cases beyond the duckdb-oracle checks in the catalog)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stock_data_etl_pipeline_spark.functions import text as TX
+from stock_data_etl_pipeline_spark.operators import dedup as DD
+from stock_data_etl_pipeline_spark.operators import multimodal as MM
+from stock_data_etl_pipeline_spark.operators import similarity as SIM
+
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingles_short_doc_empty(spark):
+    df = docs_df(spark, [(1, "one two"), (2, "a b c d")])
+    out = df.select(TX.shingles("text", 3).alias("s")).collect()
+    assert out[0]["s"] == []
+    assert out[1]["s"] == ["a b c", "b c d"]
+
+
+def test_lang_id_und_for_no_markers(spark):
+    df = docs_df(spark, [(1, "zzz qqq xxx"), (2, "the cat is on the mat")])
+    got = {r["doc_id"]: r["l"]
+           for r in df.select("doc_id", TX.lang_id("text").alias("l")).collect()}
+    assert got == {1: "und", 2: "en"}
+
+
+def test_fingerprint_order_and_dup_insensitive(spark):
+    df = docs_df(spark, [(1, "alpha beta gamma"),
+                         (2, "gamma alpha beta alpha"),
+                         (3, "alpha beta delta")])
+    out = DD.fingerprint_dedup(df).collect()
+    groups = {r["doc_id"]: r["dup_count"] for r in out}
+    assert groups == {1: 2, 3: 1}  # 1 and 2 collide, 3 survives alone
+
+
+def test_exact_dedup_counts(spark):
+    df = docs_df(spark, [(1, "same"), (2, "same"), (3, "other")])
+    out = {r["doc_id"]: r["dup_count"] for r in DD.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_jaccard_pairs_finds_near_dup(spark):
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    near = base + " w12"           # one extra word
+    far = "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11"
+    df = docs_df(spark, [(1, base), (2, near), (3, far)])
+    pairs = DD.ngram_jaccard_pairs(df, threshold=0.5, k=3).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+    assert pairs[0]["jaccard"] == pytest.approx(10 / 11, abs=1e-6)
+
+
+def test_minhash_lsh_recalls_identical_docs(spark):
+    # identical shingle sets collide on every band -> guaranteed candidate
+    df = docs_df(spark, [(1, "a b c d e f g"), (2, "a b c d e f g"),
+                         (3, "p q r s t u v")])
+    pairs = DD.minhash_lsh_pairs(df, threshold=0.9, num_hashes=8, bands=4, k=3)
+    assert [(p["id_a"], p["id_b"]) for p in pairs.collect()] == [(1, 2)]
+
+
+def test_max_doc_freq_drops_hot_shingles(spark):
+    rows = [(i, "common phrase here unique%d tail" % i) for i in range(5)]
+    df = docs_df(spark, rows)
+    idx_all = DD.shingle_index(df, k=3)
+    idx_capped = DD.shingle_index(df, k=3, max_doc_freq=3)
+    hot = ("common phrase here",)
+    assert idx_all.filter(F.col("shingle").isin(*hot)).count() == 5
+    assert idx_capped.filter(F.col("shingle").isin(*hot)).count() == 0
+
+
+def test_simhash_identical_and_different(spark):
+    df = docs_df(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")])
+    sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = DD.simhash_pairs(df, max_hamming=0).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+def emb_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_embedding_near_dup_blocked(spark):
+    rows = [(1, [1.0, 0.0], 0), (2, [0.99, 0.01], 0),
+            (3, [1.0, 0.0], 1),  # identical to 1 but different block
+            (4, [0.0, 1.0], 0)]
+    df = emb_df(spark, rows)
+    pairs = DD.embedding_near_dup_pairs(df, threshold=0.95, block_col="label")
+    assert [(p["id_a"], p["id_b"]) for p in pairs.collect()] == [(1, 2)]
+    nopairs = DD.embedding_near_dup_pairs(df, threshold=0.95, block_col=None)
+    assert {(p["id_a"], p["id_b"]) for p in nopairs.collect()} == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_brute_force_topk_rank_and_ties(spark):
+    rows = [(i, [1.0, float(i) / 10], i) for i in range(5)]
+    df = emb_df(spark, rows)
+    out = SIM.brute_force_topk(df, [1.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in out] == [0, 1, 2]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["score"] == pytest.approx(1.0)
+
+
+def test_lsh_topk_prunes_to_bucket(spark):
+    rows = [(1, [1.0, 1.0], 0), (2, [0.9, 1.1], 0), (3, [-1.0, -1.0], 0)]
+    df = emb_df(spark, rows)
+    anchors = [[1.0, 0.0], [0.0, 1.0]]
+    out = SIM.lsh_topk(df, [1.0, 1.0], anchors, k=10)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert 3 not in ids and set(ids) == {1, 2}  # opposite-sign vec pruned
+
+
+def test_ivf_assignment_and_probe(spark):
+    rows = [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0),
+            (3, [0.0, 1.0], 0), (4, [0.1, 1.0], 0)]
+    df = emb_df(spark, rows)
+    cents = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+        "centroid_id long, centroid array<float>")
+    assigned = {r["vec_id"]: r["centroid_id"]
+                for r in SIM.assign_centroids(df, cents).collect()}
+    assert assigned == {1: 100, 2: 100, 3: 200, 4: 200}
+    out = SIM.ivf_topk(df, cents, [1.0, 0.05], k=2, nprobe=1)
+    assert [r["vec_id"] for r in out.collect()] == [1, 2]
+
+
+def test_multimodal_feature_plumbing(spark):
+    df = spark.createDataFrame([(1, b"abc"), (2, b""), (3, None)],
+                               "media_id long, bytes binary")
+    media = MM.attach_media_column(df, "bytes", "image", "raw")
+    assert [f.name for f in media.schema["meta"].dataType.fields] == \
+        ["media_type", "format", "width", "height", "duration_ms"]
+    feats = {r["media_id"]: r["features"]
+             for r in MM.extract_features(media).collect()}
+    assert feats[1] == [3, 97, 99]
+    assert feats[2] == [0, -1, -1]
+    assert feats[3] == [0, -1, -1]
+
+
+def test_decode_stub_raises(spark):
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, b"x")], "media_id long, bytes binary")
+    media = MM.attach_media_column(df, "bytes", "video", "mp4")
+    media = media.withColumn(
+        "meta", F.struct(F.lit("video").alias("media_type"),
+                         F.lit("mp4").alias("format"),
+                         F.lit(None).cast("int").alias("width"),
+                         F.lit(None).cast("int").alias("height"),
+                         F.lit(2500).cast("long").alias("duration_ms")))
+    out = MM.frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000]
