@@ -1,0 +1,78 @@
+"""Catalog entries: event-stream operators (batch + Structured Streaming).
+
+The streaming entries run a REAL streaming query (file source ->
+watermark/agg -> memory sink, availableNow trigger) and return the drained
+result, so the DuckDB oracle checks the streaming semantics against the
+equivalent batch SQL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from ..streaming.events import (
+    hourly_counts,
+    sessionize,
+    streaming_current_state,
+    streaming_hourly_counts,
+)
+from .catalog import register
+
+_HOURLY_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("events_hourly", _HOURLY_ORACLE)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch tumbling window (F.window == date_trunc for tumbling 1h)
+    return hourly_counts(load_table(spark, sf_dir, "events"))
+
+
+@register("streaming_events_hourly", _HOURLY_ORACLE)
+def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the same relation produced by an actual Structured Streaming query
+    return streaming_hourly_counts(
+        spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register("events_sessionization", """
+WITH o AS (SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+m AS (SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL
+                       OR date_diff('second', prev, ts) > 1800 THEN 1
+                  ELSE 0 END AS is_new
+      FROM o),
+s AS (SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM m)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+""")
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based sessions (30 min); lag + running sum of breaks
+    return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@register("streaming_current_state", """
+SELECT user_id, event_type AS current_state, ts AS state_ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id
+""")
+def streaming_current_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # run-state stream reduced to current state per entity, via a real
+    # streaming aggregation (max_by over (ts, event_id))
+    return streaming_current_state(
+        spark, os.path.join(sf_dir, "events.parquet"))

@@ -1,0 +1,129 @@
+"""Event-stream operators: tumbling windows, sessionization, and the
+Structured Streaming variants.
+
+The reference has no true streaming (its 'incremental' behavior is a Celery
+task chain, SURVEY §2.10); these operators are the idiomatic Spark
+restatement of its run-state/event semantics plus the windowed analytics a
+100 TB event pipeline needs. Batch and streaming variants share the same
+aggregation expressions, so the streaming query is oracle-checkable against
+the batch SQL.
+
+Scale notes: windowed streaming aggregation state is bounded by the
+watermark (late rows beyond it are dropped); sessionization in batch is one
+shuffle on user_id + an in-partition sort — the same cost class as
+latest-per-group.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_STREAM_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType(), True),
+    T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as int64
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+])
+
+
+def _as_stream_dir(path: str) -> str:
+    """FileStreamSource wants a directory; wrap a single parquet file in a
+    temp dir via symlink (a real deployment streams a landing directory)."""
+    if os.path.isdir(path):
+        return path
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    os.symlink(path, os.path.join(d, os.path.basename(path)))
+    return d
+
+
+def _hourly_agg(events: DataFrame) -> DataFrame:
+    return (events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value")))
+
+
+def hourly_counts(events: DataFrame) -> DataFrame:
+    """Batch tumbling-window aggregation (1 h) per event type."""
+    return (_hourly_agg(events)
+            .select(F.col("w.start").alias("hour"), "event_type", "n",
+                    "total_value")
+            .orderBy("hour", "event_type"))
+
+
+def streaming_hourly_counts(spark: SparkSession, events_parquet: str,
+                            watermark: str = "2 hours") -> DataFrame:
+    """The same aggregation as a Structured Streaming query: file stream ->
+    watermark -> windowed agg -> in-memory sink, driven to completion with
+    an availableNow trigger. Complete output mode so open windows emit and
+    the result equals the batch relation (append mode would hold back
+    windows above the final watermark).
+
+    On a live source this exact query runs unchanged with
+    ``trigger(processingTime=...)`` + append mode; the watermark bounds
+    state and drops late rows past 2 h.
+    """
+    stream = (spark.readStream.schema(EVENT_STREAM_SCHEMA)
+              .parquet(_as_stream_dir(events_parquet))
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    agg = _hourly_agg(stream.withWatermark("ts", watermark))
+    name = f"hourly_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("w.start").alias("hour"), "event_type", "n",
+                    "total_value")
+            .orderBy("hour", "event_type"))
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800,
+               user_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id") -> DataFrame:
+    """Gap-based sessionization: a session breaks when the inter-event gap
+    exceeds ``gap_seconds``. One row per session with start/end/count.
+
+    lag + running-sum-of-breaks (the standard batch formulation); the
+    streaming twin is ``groupBy(user, session_window(ts, gap))``.
+    """
+    from pyspark.sql import Window
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    run = Window.partitionBy(user_col).orderBy(ts_col, id_col) \
+                .rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col)).over(w).cast("long")
+    tagged = events.withColumn(
+        "_new", F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0))
+    sessions = tagged.withColumn("session_id", F.sum("_new").over(run))
+    return (sessions.groupBy(user_col, "session_id")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.max(ts_col).alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .orderBy(user_col, "session_id"))
+
+
+def streaming_current_state(spark: SparkSession, events_parquet: str) -> DataFrame:
+    """Run-state progression as a stream reduced to current state per
+    entity (SURVEY §2.10): max_by(event_type, (ts, event_id)) per user —
+    the streaming form of W1/latest-per-group, driven to completion via
+    availableNow + complete mode."""
+    stream = (spark.readStream.schema(EVENT_STREAM_SCHEMA)
+              .parquet(_as_stream_dir(events_parquet))
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    agg = (stream.groupBy("user_id")
+           .agg(F.max_by("event_type",
+                         F.struct("ts", "event_id")).alias("current_state"),
+                F.max("ts").alias("state_ts")))
+    name = f"curstate_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id")
