@@ -1,0 +1,73 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly one JSON line:
+  {"metric": "headline_queries_total", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "rows": {...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # scan/agg core
+    "q1_pricing_summary",
+    "join_revenue_by_nation",
+    "rollup_revenue_region_nation",
+    "latest_order_per_customer",
+    "top3_lineitems_per_supplier",
+    "state_counts_zerofill",
+    "keyset_page2",
+    "merge_upsert_result",
+    # event stream
+    "events_hourly",
+    "events_sessionization",
+    # training-data ops
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_topk_cosine",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    import __spark_entry__ as entrymod
+    from stock_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    queries = entrymod.queries()
+
+    # warm the JVM/codegen once on a trivial action so per-query times
+    # measure the queries, not session bring-up
+    spark.range(1).count()
+
+    per_query: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        out = fn(spark, sf_dir)
+        n = len(out.collect())
+        per_query[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    total = round(sum(per_query.values()), 3)
+    print(json.dumps({"metric": "headline_queries_total", "value": total,
+                      "unit": "sec", "queries": per_query, "sf": sf,
+                      "rows": rows}))
+
+
+if __name__ == "__main__":
+    main()

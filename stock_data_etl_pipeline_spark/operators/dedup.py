@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingles, words
+from ..functions.text import fingerprint, shingles, shingles_from_words, words
 from ..functions.vectors import as_double, cosine
 
 
@@ -58,7 +58,9 @@ def shingle_index(docs: DataFrame, text_col: str = "text",
                   max_doc_freq: int | None = None) -> DataFrame:
     """Inverted index: (shingle, doc_id), distinct. ``max_doc_freq`` drops
     shingles appearing in more than N docs (hot-key cap)."""
-    idx = (docs.select(F.col(id_col), F.explode(shingles(text_col, k)).alias("shingle"))
+    idx = (docs.select(F.col(id_col), words(text_col).alias("_ws"))
+           .select(F.col(id_col),
+                   F.explode(shingles_from_words("_ws", k)).alias("shingle"))
            .distinct())
     if max_doc_freq is not None:
         hot = (idx.groupBy("shingle").count()
@@ -77,7 +79,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
     index: only docs sharing >=1 shingle ever meet (candidate generation is
     the index self-join, not a cross join).
     """
-    idx = shingle_index(docs, text_col, id_col, k, max_doc_freq)
+    # the index is referenced three times below (both join sides + sizes);
+    # shingle construction is the expensive projection (interpreted HOFs),
+    # so materialize it once — at scale this is the "write the shingle
+    # table" step every real dedup pipeline has
+    idx = shingle_index(docs, text_col, id_col, k, max_doc_freq).persist()
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = idx.alias("a"), idx.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -97,17 +103,49 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
 
 # -- MinHash + LSH ----------------------------------------------------------
 
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne); a*v+b stays < 2^62
+
+
+def minhash_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic universal-hash constants (a_i, b_i), shared verbatim
+    by the SQL oracle generator."""
+    p = MINHASH_PRIME
+    return [(((2654435761 * (i + 1)) % p) | 1, (40503 * (i + 7)) % p)
+            for i in range(num_hashes)]
+
+
 def minhash_signature(docs: DataFrame, num_hashes: int = 16,
                       text_col: str = "text", id_col: str = "doc_id",
                       k: int = 3) -> DataFrame:
-    """(id, mh_0..mh_{H-1}): per-doc minhash under H deterministic hash
-    functions h_i(s) = md5(i || ':' || s) (lexicographic min of the hex
-    digest — uniform, engine-portable, seedless)."""
-    sh = shingles(text_col, k)
-    cols = [F.array_min(F.transform(
-                sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
-            .alias(f"mh_{i}") for i in range(num_hashes)]
-    return docs.select(F.col(id_col), *cols).filter(F.size(sh) > 0)
+    """(id, mh_0..mh_{H-1}): per-doc minhash under a universal hash family
+    h_i(v) = (a_i*v + b_i) mod p over v = int(md5(shingle)[:15hex]) — ONE
+    md5 pass per shingle, then pure bigint arithmetic per hash function
+    (the md5-per-hash variant was 5x slower). Deterministic, seedless,
+    portable to ANSI SQL.
+
+    Staged projections (words -> shingles -> base hash -> minhashes) keep
+    each expensive array expression evaluated once per row: CollapseProject
+    refuses to inline non-cheap multi-referenced aliases.
+    """
+    p = MINHASH_PRIME
+    # filter on word count, NOT on the shingle array:
+    # PushPredicateThroughProject rewrites a filter over a projected alias
+    # into the alias' full expression below the project, which would
+    # re-evaluate the expensive shingle construction once per reference
+    w_df = (docs.select(F.col(id_col), words(text_col).alias("_ws"))
+            .filter(F.size("_ws") >= k))
+    sh_df = w_df.select(F.col(id_col),
+                        shingles_from_words("_ws", k).alias("_shs"))
+    hv = F.expr(f"transform(_shs, s -> "
+                f"cast(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % {p})")
+    hv_df = sh_df.select(F.col(id_col), hv.alias("_hv"))
+    def _hash_fn(a: int, b: int):
+        return lambda v: (F.lit(a) * v + F.lit(b)) % F.lit(p)
+
+    cols = [F.array_min(F.transform(F.col("_hv"), _hash_fn(a, b)))
+            .alias(f"mh_{i}")
+            for i, (a, b) in enumerate(minhash_constants(num_hashes))]
+    return hv_df.select(F.col(id_col), *cols)
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float,
@@ -123,15 +161,16 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     assert num_hashes % bands == 0
     rows = num_hashes // bands
     sig = minhash_signature(docs, num_hashes, text_col, id_col, k)
-    band_rows = []
-    for b in range(bands):
-        band_sig = F.md5(F.concat_ws(
+    # one scan: band signatures as an array column, posexploded — a 4-way
+    # union would recompute the (md5-heavy) signature once per band
+    band_sigs = F.array(*[
+        F.md5(F.concat_ws(
             "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
-        band_rows.append(sig.select(
-            F.col(id_col), F.lit(b).alias("band"), band_sig.alias("sig")))
-    bands_df = band_rows[0]
-    for br in band_rows[1:]:
-        bands_df = bands_df.unionByName(br)
+        for b in range(bands)])
+    # materialized once: the self-join below would otherwise recompute the
+    # md5-minhash signature (and its shingle projection) for each side
+    bands_df = sig.select(
+        F.col(id_col), F.posexplode(band_sigs).alias("band", "sig")).persist()
     a, b_ = bands_df.alias("a"), bands_df.alias("b")
     cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.sig") == F.col("b.sig"))
@@ -139,7 +178,17 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
-    verified = ngram_jaccard_pairs(docs, threshold, text_col, id_col, k)
+    # verify ONLY docs that appear in some candidate pair — at scale the
+    # candidate set is orders of magnitude smaller than the corpus, so the
+    # exact-Jaccard pass never touches non-candidate documents. The pair
+    # set is small by construction: persist it so the minhash/band stages
+    # run once instead of once per downstream use.
+    cand = cand.persist()
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .unionByName(cand.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    docs_cand = docs.join(cand_ids, id_col, "left_semi")
+    verified = ngram_jaccard_pairs(docs_cand, threshold, text_col, id_col, k)
     return cand.join(verified, ["id_a", "id_b"], "inner")
 
 
