@@ -1,0 +1,63 @@
+"""As-of join: for each left row, the most recent right row strictly
+before it (per key).
+
+Spark has no native as-of join; the scalable formulation is NOT a range
+join (which degenerates to nested loops) but union + window:
+
+    tag left=0 / right=1, sort per key by (ts, tag),
+    carry last right payload forward (ignoreNulls),
+    keep left rows.
+
+One shuffle on the key, in-partition sort — the same cost class as any
+per-key window, independent of time-range density. Tie rule: a right row
+at exactly the left timestamp is NOT matched (strict <) because the left
+row sorts first on the tag; pass ``strict=False`` to include ties.
+
+(`pd.merge_asof` via applyInPandas is the alternative the PySpark guide
+suggests; this version stays JVM-side and handles any column set.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
+              left_ts: str, right_ts: str,
+              right_payload: Sequence[str],
+              prefix: str = "asof_",
+              strict: bool = True) -> DataFrame:
+    """Left as-of join. Output: all left columns + ``prefix``-renamed
+    payload columns from the matched right row (NULL when no prior row).
+    """
+    on = list(on)
+    # left sorts before right at equal ts (tag 0 < 1) => strict '<';
+    # for '<=' sort right first at ties.
+    l_tag, r_tag = (0, 1) if strict else (1, 0)
+    lcols = [c for c in left.columns]
+    payload = F.struct(*[F.col(c) for c in right_payload])
+
+    l_tagged = left.select(
+        *on, F.col(left_ts).alias("_ts"), F.lit(l_tag).alias("_tag"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        F.lit(None).cast(
+            right.select(payload.alias("_p")).schema["_p"].dataType
+        ).alias("_p"))
+    r_tagged = right.select(
+        *on, F.col(right_ts).alias("_ts"), F.lit(r_tag).alias("_tag"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in lcols]).alias("_l"))
+            .schema["_l"].dataType).alias("_l"),
+        payload.alias("_p"))
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (Window.partitionBy(*on).orderBy("_ts", "_tag")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = unioned.withColumn("_match", F.last("_p", ignorenulls=True).over(w))
+    out = carried.filter(F.col("_l").isNotNull())
+    sel = [F.col(f"_l.{c}").alias(c) for c in lcols]
+    sel += [F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_payload]
+    return out.select(*sel)

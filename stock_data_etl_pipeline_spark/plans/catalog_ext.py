@@ -1,0 +1,221 @@
+"""Catalog entries batch 3: the remaining SURVEY §2 shapes plus standard
+OLAP extensions — isnull lookups, pivot, cube, set ops, exact distincts,
+JSON extraction, as-of join, window frames, existence flags, percentiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..operators.filters import apply_filters
+from ..sources.registry import load_table
+from .catalog import register
+
+
+@register("filter_is_completed", """
+WITH runs AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_orderdate END AS completed_at
+  FROM orders
+)
+SELECT o_orderkey, completed_at FROM runs
+WHERE completed_at IS NOT NULL
+ORDER BY o_orderkey
+""")
+def filter_is_completed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P8: is_completed = completed_at IS NOT NULL (reference filters.py:223);
+    # open orders model in-flight runs with a NULL completion timestamp.
+    o = load_table(spark, sf_dir, "orders")
+    runs = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "O", F.lit(None))
+         .otherwise(F.col("o_orderdate")).alias("completed_at"))
+    return (apply_filters(runs, [("completed_at", "isnull", False)])
+            .orderBy("o_orderkey"))
+
+
+@register("pivot_status_by_priority", """
+SELECT o_orderpriority AS priority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+FROM orders GROUP BY o_orderpriority ORDER BY priority
+""")
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pivot: state columns per bulk-run row (the stats matrix, transposed)
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.col("o_orderpriority").alias("priority"))
+            .pivot("o_orderstatus", ["F", "O", "P"])
+            .count()
+            .na.fill(0)
+            .orderBy("priority"))
+
+
+@register("cube_revenue_flags", """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""")
+def cube_revenue_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                    "revenue", "n")
+            .orderBy("returnflag", "linestatus"))
+
+
+@register("set_ops_customers", """
+SELECT c_custkey FROM (
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  EXCEPT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+) ORDER BY c_custkey
+""")
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.7 set operations: INTERSECT / EXCEPT across sub-queries
+    o = load_table(spark, sf_dir, "orders")
+    by = lambda s: (o.filter(F.col("o_orderstatus") == s)  # noqa: E731
+                    .select(F.col("o_custkey").alias("c_custkey")))
+    return (by("F").intersect(by("O")).exceptAll(by("P").distinct())
+            .distinct().orderBy("c_custkey"))
+
+
+@register("distinct_counts_by_flag", """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def distinct_counts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact distinct aggregation (expand + two-phase agg under the hood);
+    # approx_count_distinct is the at-scale variant but has no cross-engine
+    # oracle, so the gate uses the exact form.
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                 F.countDistinct("l_suppkey").alias("n_supps"),
+                 F.countDistinct("l_orderkey").alias("n_orders"))
+            .orderBy("l_returnflag"))
+
+
+@register("json_props_extract", """
+SELECT event_type,
+       sum(json_extract_string(props, '$.k')::BIGINT) AS k_total,
+       count(*) FILTER (WHERE json_extract_string(props, '$.k')::BIGINT > 50) AS k_gt50
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F11/S4: JSON field extraction from a string column (the reference
+    # validates/parses raw JSON payloads; props is the semi-structured tail)
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (e.groupBy("event_type")
+            .agg(F.sum(k).alias("k_total"),
+                 F.count(F.when(k > 50, 1)).alias("k_gt50"))
+            .orderBy("event_type"))
+
+
+@register("asof_purchase_last_view", """
+WITH tagged AS (
+  SELECT user_id, ts AS _ts, 0 AS _tag, event_id, ts,
+         NULL::BIGINT AS v_id, NULL::TIMESTAMP AS v_ts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts AS _ts, 1 AS _tag, NULL, NULL, event_id, ts
+  FROM events WHERE event_type = 'view'
+),
+carried AS (
+  SELECT user_id, _tag, event_id, ts,
+         last_value(v_id IGNORE NULLS) OVER w AS view_event_id,
+         last_value(v_ts IGNORE NULLS) OVER w AS view_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY _ts, _tag
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, ts, view_event_id, view_ts
+FROM carried WHERE _tag = 0
+ORDER BY event_id
+""")
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # custom operator Spark lacks natively: as-of join via union+window
+    # (one shuffle, no range-join nested loop). For each purchase, the
+    # user's most recent strictly-earlier view.
+    e = load_table(spark, sf_dir, "events")
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    views = (e.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_event_id"),
+                     "user_id", F.col("ts").alias("view_ts")))
+    return (asof_join(purchases, views, on=["user_id"],
+                      left_ts="ts", right_ts="view_ts",
+                      right_payload=["view_event_id", "view_ts"], prefix="")
+            .orderBy("event_id"))
+
+
+@register("running_totals_window", """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS 2 PRECEDING), 3) AS moving_avg3
+FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+""")
+def running_totals_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # analytic frames (rowsBetween): running totals + 3-row moving average
+    o = load_table(spark, sf_dir, "orders")
+    base = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = base.rowsBetween(Window.unboundedPreceding, 0)
+    mov = base.rowsBetween(-2, 0)
+    return (o.select("o_custkey", "o_orderkey", "o_orderdate",
+                     F.round(F.sum("o_totalprice").over(run), 2).alias("running_total"),
+                     F.round(F.avg("o_totalprice").over(mov), 3).alias("moving_avg3"))
+            .orderBy("o_custkey", "o_orderdate", "o_orderkey"))
+
+
+@register("existence_flags_by_segment", """
+SELECT c_mktsegment AS segment,
+       bool_or(c_acctbal < 0) AS has_debtors,
+       bool_or(c_acctbal > 9000) AS has_whales,
+       count(*) AS n
+FROM customer GROUP BY c_mktsegment ORDER BY segment
+""")
+def existence_flags_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J5 existence probes as grouped boolean aggregation
+    c = load_table(spark, sf_dir, "customer")
+    return (c.groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(F.bool_or(F.col("c_acctbal") < 0).alias("has_debtors"),
+                 F.bool_or(F.col("c_acctbal") > 9000).alias("has_whales"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("segment"))
+
+
+@register("median_price_by_status", """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+def median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact interpolated percentiles (parity: Spark `percentile` ==
+    # DuckDB quantile_cont); percentile_approx is the 100 TB variant.
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.round(F.percentile("o_totalprice", F.lit(0.5)), 2)
+                 .alias("median_price"),
+                 F.round(F.percentile("o_totalprice", F.lit(0.9)), 2)
+                 .alias("p90_price"))
+            .orderBy("o_orderstatus"))
