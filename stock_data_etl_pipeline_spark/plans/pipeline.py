@@ -163,6 +163,37 @@ class StockLake:
         return {"batch_id": batch_id, "run_ids": run_ids,
                 "n_silver_rows": n_silver}
 
+    # -- raw passthrough (S8) ----------------------------------------------
+    def read_raw_json(self, ticker: str) -> str | None:
+        """S8: serve the latest DONE run's raw document verbatim
+        (reference views/stocks.py:134-353: latest DONE run -> S3 get ->
+        validate JSON -> passthrough). Returns None when the ticker has no
+        DONE run; raises ValueError when the stored payload is not valid
+        JSON (the reference's 502-corrupt-object path)."""
+        import json as _json
+
+        from ..operators.windows import latest_per_group
+        t = ticker.strip().upper()
+        runs = self.read_runs().filter(
+            (F.col("ticker") == t) & (F.col("state") == IngestionState.DONE))
+        latest = latest_per_group(
+            runs, ["ticker"],
+            [F.col("created_at").desc(), F.col("id").desc()]).collect()
+        if not latest:
+            return None
+        run = latest[0]
+        raw = (self.spark.read.parquet(run["raw_data_uri"])
+               .filter((F.col("run_id") == run["id"]) & (F.col("ticker") == t))
+               .select("json_str").collect())
+        if not raw:
+            return None
+        payload = raw[0]["json_str"]
+        try:
+            _json.loads(payload)
+        except (ValueError, TypeError) as exc:
+            raise ValueError(f"stored raw document for {t} is not valid JSON") from exc
+        return payload
+
     # -- metadata sync (M4) -------------------------------------------------
     def sync_stock_metadata(self) -> DataFrame:
         """S7 pushdown read of metadata rows + changed-fields-only update of
