@@ -8,23 +8,24 @@ plain parquet so the engine runs anywhere:
     tbl.create(df)                      # mode=error first write (S5)
     tbl.merge(batch, keys=[...])        # null-safe upsert (S6/J4/M6)
     tbl.read()                          # latest snapshot, pushdown-able (S7)
-    tbl.read(version=3)                 # time-travel lite
+    tbl.read(version=3)                 # time travel
+    tbl.vacuum(keep_last=2)             # drop unreferenced data dirs
 
-Layout: ``<path>/v=<n>/...parquet`` per version plus a ``_LATEST`` pointer
-file written last — readers resolve the pointer, so a crashed writer leaves
-only an orphan directory, never a torn table (single-writer discipline per
-table, which the reference also imposes: delta worker concurrency=1,
+Layout — manifest-per-version, like a miniature Delta transaction log:
+
+    <path>/_LATEST                      atomic pointer {"version": N}
+    <path>/manifests/v=N.json           {partition-key -> data dir} map
+    <path>/data/<uuid>/                 immutable per-partition parquet dirs
+
+A merge rewrites ONLY the partitions the source batch touches: untouched
+partitions keep their existing data directories, and the new manifest
+simply re-references them — version commit cost is O(touched data +
+one small JSON), not O(table). This is the same idea as Delta's MERGE
+(join finds touched files, only those rewrite, the log re-references the
+rest). Readers resolve _LATEST then the manifest, so a crashed writer
+leaves only orphan data dirs — never a torn table. Single-writer per
+table, which the reference also imposes (delta worker concurrency=1,
 /root/reference/services/workers/tasks/queue_for_delta.py:21-23).
-
-Scale notes: with ``partition_by`` set and the partition columns part of
-the merge key, the merge join runs only against the partitions the source
-batch touches (partition-pruned anti join) — the same file-pruning idea as
-Delta's MERGE (inner-join to find touched files, rewrite those). This
-fallback still copies untouched partitions forward into the new version
-(simple, crash-safe); real Delta (used automatically when available) keeps
-untouched files in place via the transaction log. Partition the silver
-table by low-cardinality record_type and cluster by ticker within files
-for row-group skipping.
 """
 
 from __future__ import annotations
@@ -33,16 +34,24 @@ import json
 import os
 import shutil
 import time
+import uuid
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.merge import align_schemas, merge_upsert
 
+_ALL = "__all__"  # manifest key for unpartitioned tables
+
 
 class TableExistsError(RuntimeError):
     pass
+
+
+def _part_key(values: dict) -> str:
+    return json.dumps(values, sort_keys=True, default=str)
 
 
 class ManagedTable:
@@ -52,7 +61,7 @@ class ManagedTable:
         self.path = path
         self.partition_by = list(partition_by)
 
-    # -- pointer management -------------------------------------------------
+    # -- pointer / manifest -------------------------------------------------
     @property
     def _pointer(self) -> str:
         return os.path.join(self.path, "_LATEST")
@@ -64,23 +73,42 @@ class ManagedTable:
         with open(self._pointer) as fh:
             return json.load(fh)["version"]
 
-    def _version_dir(self, version: int) -> str:
-        return os.path.join(self.path, f"v={version:06d}")
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, "manifests", f"v={version:06d}.json")
 
-    def _commit(self, version: int, meta: dict) -> None:
+    def _read_manifest(self, version: int) -> dict[str, str]:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)["partitions"]
+
+    def _commit(self, version: int, partitions: dict[str, str], meta: dict) -> None:
+        os.makedirs(os.path.dirname(self._manifest_path(version)), exist_ok=True)
+        with open(self._manifest_path(version), "w") as fh:
+            json.dump({"partitions": partitions,
+                       "committed_at": time.time(), **meta}, fh)
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "committed_at": time.time(), **meta}, fh)
-        os.replace(tmp, self._pointer)  # atomic pointer swap
+            json.dump({"version": version}, fh)
+        os.replace(tmp, self._pointer)  # atomic pointer swap, commit point
 
     # -- write paths --------------------------------------------------------
-    def _write(self, df: DataFrame, version: int, meta: dict) -> None:
-        out = self._version_dir(version)
-        w = df.write.mode("overwrite")
-        if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
-        w.parquet(out)
-        self._commit(version, meta)
+    def _write_partition_dirs(self, df: DataFrame) -> dict[str, str]:
+        """Write df as one immutable data dir per partition value; the
+        partition columns stay IN the data (no directory encoding), so each
+        dir is independently readable and schema evolution is per-dir."""
+        out: dict[str, str] = {}
+        if not self.partition_by:
+            d = f"data/{uuid.uuid4().hex[:16]}"
+            df.write.mode("overwrite").parquet(os.path.join(self.path, d))
+            return {_ALL: d}
+        values = [r.asDict() for r in df.select(*self.partition_by).distinct().collect()]
+        for v in values:
+            pred = reduce(lambda a, b: a & b,
+                          [F.col(k).eqNullSafe(F.lit(val)) for k, val in v.items()])
+            d = f"data/{uuid.uuid4().hex[:16]}"
+            df.filter(pred).write.mode("overwrite").parquet(
+                os.path.join(self.path, d))
+            out[_part_key(v)] = d
+        return out
 
     def create(self, df: DataFrame, mode: str = "error") -> None:
         """First write. mode='error' mirrors delta-rs mode=error (S5)."""
@@ -90,59 +118,92 @@ class ManagedTable:
             if mode == "ignore":
                 return
         os.makedirs(self.path, exist_ok=True)
-        self._write(df, (self.latest_version() + 1) if self.exists() else 0,
-                    {"op": "create"})
+        version = self.latest_version() + 1 if self.exists() else 0
+        self._commit(version, self._write_partition_dirs(df), {"op": "create"})
 
     def overwrite(self, df: DataFrame) -> None:
         if not self.exists():
             self.create(df)
         else:
-            self._write(df, self.latest_version() + 1, {"op": "overwrite"})
+            self._commit(self.latest_version() + 1,
+                         self._write_partition_dirs(df), {"op": "overwrite"})
 
     def merge(self, source: DataFrame, keys: Sequence[str],
               dedup_source_order: Sequence[Column] | None = None) -> None:
         """Null-safe update_all/insert_all upsert; creates on first call.
 
-        With partition_by set and the partition columns part of the merge
-        key, only partitions present in the source are read and rewritten.
+        Only partitions present in the source are read, merged and
+        rewritten; every other partition's data dir carries over into the
+        new manifest untouched. Partition columns must be part of the merge
+        key for this pruning to be sound (they are for the silver table:
+        record_type ⊂ (ticker, record_type, period_end_date)); otherwise
+        the merge falls back to a full-table rewrite.
         """
         if not self.exists():
             self.create(source if dedup_source_order is None
                         else source.dropDuplicates(list(keys)))
             return
-        target = self.read()
-        next_version = self.latest_version() + 1
-        prunable = [p for p in self.partition_by if p in keys]
-        if prunable and self.partition_by == prunable:
+        version = self.latest_version()
+        manifest = dict(self._read_manifest(version))
+        prunable = bool(self.partition_by) and all(
+            p in keys for p in self.partition_by)
+
+        if not self.partition_by:
+            merged = merge_upsert(self.read(), source, keys, dedup_source_order)
+            new_parts = self._write_partition_dirs(merged)
+        elif prunable:
             touched = [r.asDict() for r in
-                       source.select(*prunable).distinct().collect()]
-            pred = F.lit(False)
-            for t in touched:
-                row_match = F.lit(True)
-                for k, v in t.items():
-                    row_match = row_match & F.col(k).eqNullSafe(F.lit(v))
-                pred = pred | row_match
-            touched_target = target.filter(pred)
-            merged_touched = merge_upsert(touched_target, source, keys,
+                       source.select(*self.partition_by).distinct().collect()]
+            touched_keys = {_part_key(v) for v in touched}
+            # pruning is by manifest key: only dirs whose partition value
+            # appears in the source batch are read and merged
+            existing_dirs = [d for pk, d in manifest.items() if pk in touched_keys]
+            target = (self._read_dirs(existing_dirs) if existing_dirs
+                      else source.limit(0))
+            merged_touched = merge_upsert(target, source, keys,
                                           dedup_source_order)
-            untouched = target.filter(~pred)
-            untouched, merged_touched = align_schemas(untouched, merged_touched)
-            merged = untouched.unionByName(merged_touched)
+            new_parts = dict(manifest)  # untouched dirs re-referenced as-is
+            new_parts.update(self._write_partition_dirs(merged_touched))
         else:
-            merged = merge_upsert(target, source, keys, dedup_source_order)
-        self._write(merged, next_version, {"op": "merge", "keys": list(keys)})
+            merged = merge_upsert(self.read(), source, keys, dedup_source_order)
+            new_parts = self._write_partition_dirs(merged)
+        self._commit(version + 1, new_parts,
+                     {"op": "merge", "keys": list(keys)})
 
     # -- read path ----------------------------------------------------------
+    def _read_dirs(self, dirs: Sequence[str]) -> DataFrame:
+        dfs = [self.spark.read.parquet(os.path.join(self.path, d)) for d in dirs]
+        out = dfs[0]
+        for df in dfs[1:]:
+            a, b = align_schemas(out, df)  # per-dir schema evolution
+            out = a.unionByName(b)
+        return out
+
     def read(self, version: int | None = None) -> DataFrame:
         v = self.latest_version() if version is None else version
-        return self.spark.read.parquet(self._version_dir(v))
+        manifest = self._read_manifest(v)
+        if not manifest:
+            raise ValueError(f"empty table manifest at version {v}")
+        return self._read_dirs(sorted(manifest.values()))
 
     def vacuum(self, keep_last: int = 2) -> None:
-        """Drop version directories older than the newest ``keep_last``."""
+        """Drop manifests older than the newest ``keep_last`` versions and
+        every data dir no surviving manifest references."""
         latest = self.latest_version()
-        for name in os.listdir(self.path):
-            if name.startswith("v="):
-                v = int(name.split("=")[1])
-                if v <= latest - keep_last:
-                    shutil.rmtree(os.path.join(self.path, name),
+        keep_versions = [v for v in range(max(0, latest - keep_last + 1),
+                                          latest + 1)
+                         if os.path.exists(self._manifest_path(v))]
+        referenced: set[str] = set()
+        for v in keep_versions:
+            referenced.update(self._read_manifest(v).values())
+        mdir = os.path.join(self.path, "manifests")
+        for name in os.listdir(mdir):
+            v = int(name.split("=")[1].split(".")[0])
+            if v not in keep_versions:
+                os.remove(os.path.join(mdir, name))
+        data_root = os.path.join(self.path, "data")
+        if os.path.isdir(data_root):
+            for name in os.listdir(data_root):
+                if f"data/{name}" not in referenced:
+                    shutil.rmtree(os.path.join(data_root, name),
                                   ignore_errors=True)

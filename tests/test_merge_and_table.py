@@ -135,6 +135,22 @@ def test_partitioned_merge_prunes_and_preserves(spark, tmp_table_dir):
     assert got == {("financials", "p1"): 9.0, ("metadata", None): 0.0}
 
 
+def test_partitioned_merge_reuses_untouched_dirs(spark, tmp_table_dir):
+    # the manifest design's point: a merge touching one partition must
+    # RE-REFERENCE the other partitions' data dirs, not rewrite them
+    t = ManagedTable(spark, tmp_table_dir, partition_by=["record_type"])
+    keys = ["ticker", "record_type", "period_end_date"]
+    t.merge(df_of(spark, [("A", "financials", "p1", 1.0),
+                          ("A", "metadata", None, 0.0)], SCHEMA), keys)
+    m0 = t._read_manifest(0)
+    t.merge(df_of(spark, [("A", "financials", "p1", 9.0)], SCHEMA), keys)
+    m1 = t._read_manifest(1)
+    meta_key = [k for k in m0 if "metadata" in k][0]
+    fin_key = [k for k in m0 if "financials" in k][0]
+    assert m1[meta_key] == m0[meta_key]   # untouched: same immutable dir
+    assert m1[fin_key] != m0[fin_key]     # touched: new dir
+
+
 def test_vacuum_drops_old_versions(spark, tmp_table_dir):
     t = ManagedTable(spark, tmp_table_dir)
     keys = ["ticker"]
