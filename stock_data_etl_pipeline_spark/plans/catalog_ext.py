@@ -203,6 +203,19 @@ def existence_flags_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("segment"))
 
 
+@register("approx_distinct_and_quantiles", None)  # sketch results have no
+def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-engine oracle (HLL/KLL are engine-specific) -> rows-only check.
+    # These are the at-scale variants of distinct_counts_by_flag /
+    # median_price_by_status: one pass, bounded memory, mergeable state.
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                 F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000))
+                 .alias("approx_median_price"))
+            .orderBy("l_returnflag"))
+
+
 @register("median_price_by_status", """
 SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,

@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): invariants the oracle can't state.
+
+Strategy sizes are tiny because each example pays Spark job latency; the
+point is randomized STRUCTURE (ragged arrays, weird values, random merge
+batches), not volume.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from stock_data_etl_pipeline_spark.operators.merge import merge_upsert
+from stock_data_etl_pipeline_spark.plans.stock_transform import transform_stock_json
+
+SLOW = settings(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+metric_value = st.one_of(
+    st.integers(min_value=-10**12, max_value=10**12),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.sampled_from(["N/A", "na", " NULL ", "-", "none"]),
+    st.none(),
+)
+
+
+@st.composite
+def raw_doc(draw):
+    n_periods = draw(st.integers(min_value=0, max_value=4))
+    periods = [f"202{i}-0{(i % 9) + 1}" for i in range(n_periods)]
+    metrics = draw(st.dictionaries(
+        st.sampled_from(["revenue", "cogs", "eps", "fcf"]),
+        st.lists(metric_value, min_size=0, max_size=n_periods + 2),
+        max_size=3))
+    quarterly = {"period_end_date": periods, **metrics}
+    doc = {"data": {"financials": {"quarterly": quarterly},
+                    "metadata": {"name": draw(st.sampled_from(["A", "B", None]))}}}
+    if draw(st.booleans()):
+        doc["data"]["financials"]["ttm"] = {
+            "period_end_date": "TTM",
+            **{k: draw(metric_value) for k in metrics}}
+    return doc
+
+
+@SLOW
+@given(doc=raw_doc())
+def test_transform_row_grain_invariants(spark, doc):
+    raw = spark.createDataFrame([("T", json.dumps(doc))],
+                                "ticker string, json_str string")
+    out = transform_stock_json(raw).collect()
+    n_periods = len(doc["data"]["financials"]["quarterly"]["period_end_date"])
+    fin = [r for r in out if r["record_type"] == "financials"]
+    ttm = [r for r in out if r["record_type"] == "ttm"]
+    meta = [r for r in out if r["record_type"] == "metadata"]
+    # one financials row per period, ttm only when periods exist, one meta
+    assert len(fin) == n_periods
+    assert len(ttm) == (1 if "ttm" in doc["data"]["financials"]
+                        and n_periods > 0 else 0)
+    assert len(meta) == 1
+    if ttm:
+        # TTM period substitution: equals the LAST quarterly period
+        assert ttm[0]["period_end_date"] == \
+            doc["data"]["financials"]["quarterly"]["period_end_date"][-1]
+    # key invariant: (ticker, record_type, period) unique
+    keys = [(r["ticker"], r["record_type"], r["period_end_date"]) for r in out]
+    assert len(keys) == len(set(keys))
+
+
+rows = st.lists(
+    st.tuples(st.integers(0, 5),
+              st.sampled_from(["x", "y", None]),
+              st.floats(0, 100, allow_nan=False)),
+    min_size=0, max_size=8)
+
+
+@SLOW
+@given(target=rows, source=rows)
+def test_merge_upsert_properties(spark, target, source):
+    schema = "k long, p string, v double"
+    t = spark.createDataFrame(target, schema)
+    s = spark.createDataFrame(source, schema).dropDuplicates(["k", "p"])
+    merged = merge_upsert(t, s, ["k", "p"])
+    got = {(r["k"], r["p"]): r["v"] for r in merged.collect()}
+    # keys = union of both key sets (null-safe)
+    tkeys = {(k, p) for k, p, _ in target}
+    skeys = {(r["k"], r["p"]) for r in s.collect()}
+    assert set(got) == tkeys | skeys
+    # source wins on overlap
+    for r in s.collect():
+        assert got[(r["k"], r["p"])] == r["v"]
+    # idempotency
+    again = {(r["k"], r["p"]): r["v"]
+             for r in merge_upsert(merged, s, ["k", "p"]).collect()}
+    assert again == got
