@@ -56,8 +56,12 @@ class StockLake:
     def __init__(self, spark: SparkSession, root: str) -> None:
         self.spark = spark
         self.root = root
+        # partition by low-cardinality record_type; cluster files by
+        # (ticker, period_end_date) for row-group skipping — the Z-ORDER
+        # layout SURVEY §4 calls for
         self.silver = ManagedTable(spark, os.path.join(root, "silver/stocks_unified"),
-                                   partition_by=["record_type"])
+                                   partition_by=["record_type"],
+                                   cluster_by=["ticker", "period_end_date"])
         self.stocks = ManagedTable(spark, os.path.join(root, "control/stocks"))
         self.exchanges = ManagedTable(spark, os.path.join(root, "control/exchanges"))
         self.sectors = ManagedTable(spark, os.path.join(root, "control/sectors"))

@@ -56,10 +56,17 @@ def _part_key(values: dict) -> str:
 
 class ManagedTable:
     def __init__(self, spark: SparkSession, path: str,
-                 partition_by: Sequence[str] = ()) -> None:
+                 partition_by: Sequence[str] = (),
+                 cluster_by: Sequence[str] = ()) -> None:
+        """``cluster_by``: sort rows within files on these columns at write
+        time (Z-ORDER-lite) — parquet row-group min/max stats then let
+        point/range reads on those columns skip row groups, the analog of
+        the reference's OPTIMIZE/Z-ORDER on (ticker, period_end_date)
+        (SURVEY §4 index-backed access paths)."""
         self.spark = spark
         self.path = path
         self.partition_by = list(partition_by)
+        self.cluster_by = list(cluster_by)
 
     # -- pointer / manifest -------------------------------------------------
     @property
@@ -96,6 +103,10 @@ class ManagedTable:
         partition columns stay IN the data (no directory encoding), so each
         dir is independently readable and schema evolution is per-dir."""
         out: dict[str, str] = {}
+        if self.cluster_by:
+            cols = [c for c in self.cluster_by if c in df.columns]
+            if cols:
+                df = df.sortWithinPartitions(*cols)
         if not self.partition_by:
             d = f"data/{uuid.uuid4().hex[:16]}"
             df.write.mode("overwrite").parquet(os.path.join(self.path, d))
@@ -109,6 +120,28 @@ class ManagedTable:
                 os.path.join(self.path, d))
             out[_part_key(v)] = d
         return out
+
+    def optimize(self, target_partitions: int = 1) -> None:
+        """Compaction (the OPTIMIZE analog): rewrite every partition of
+        the CURRENT version into ``target_partitions`` files (clustered if
+        cluster_by is set) and commit as a new version. Streaming
+        micro-batch merges produce many small files; this folds them."""
+        if not self.exists():
+            return
+        version = self.latest_version()
+        manifest = self._read_manifest(version)
+        new_parts: dict[str, str] = {}
+        for pk, d in manifest.items():
+            df = self.spark.read.parquet(os.path.join(self.path, d)) \
+                .coalesce(target_partitions)
+            if self.cluster_by:
+                cols = [c for c in self.cluster_by if c in df.columns]
+                if cols:
+                    df = df.sortWithinPartitions(*cols)
+            nd = f"data/{uuid.uuid4().hex[:16]}"
+            df.write.mode("overwrite").parquet(os.path.join(self.path, nd))
+            new_parts[pk] = nd
+        self._commit(version + 1, new_parts, {"op": "optimize"})
 
     def create(self, df: DataFrame, mode: str = "error") -> None:
         """First write. mode='error' mirrors delta-rs mode=error (S5)."""
