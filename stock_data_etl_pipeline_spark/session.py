@@ -57,6 +57,13 @@ def get_spark(app_name: str = "stock-data-etl-pipeline-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan split size. Default 128m leaves a ~20 MB single-file table
+        # as ONE scan task regardless of cores (4x slower q1 locally).
+        # 4m parallelizes small single-file tables across local cores; on
+        # a real cluster with TB-scale multi-file tables set this back up
+        # (SPARK_GRAFT_MAX_PARTITION_BYTES=134217728) to avoid task flood.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4194304"))
         # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
         # parquet reader rejects outright; read the raw int64 and convert
         # (ns -> us integer division) in the source registry.
