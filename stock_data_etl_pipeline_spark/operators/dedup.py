@@ -254,6 +254,27 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
             .select("id_a", "id_b", "hamming"))
 
 
+def simhash64(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Production-width (64-bit) SimHash using xxhash64 token hashes —
+    drastically fewer spurious collisions than the 16-bit oracle-portable
+    variant; Spark-only (xxhash64 has no cross-engine twin)."""
+    ws = words(text_col)
+    tok = docs.select(F.col(id_col), F.explode(ws).alias("w"))
+    tok = tok.withColumn("h", F.xxhash64("w"))
+    aggs = [F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
+                  .otherwise(-1)).alias(f"b{j}") for j in range(64)]
+    per_doc = tok.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(64):
+        # shiftleft wraps bit 63 into the sign bit (1 << 63 would overflow
+        # a Python->Spark long literal)
+        bit = F.shiftleft(F.lit(1).cast("long"), j)
+        sig = sig.bitwiseOR(F.when(F.col(f"b{j}") > 0, bit)
+                            .otherwise(F.lit(0).cast("long")))
+    return per_doc.select(F.col(id_col), sig.alias("simhash64"))
+
+
 # -- embedding cosine -------------------------------------------------------
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float,

@@ -81,6 +81,15 @@ def test_simhash_identical_and_different(spark):
     assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
 
 
+def test_simhash64_width_and_similarity(spark):
+    df = docs_df(spark, [(1, "a b c d e"), (2, "a b c d e"), (3, "v w x y z")])
+    sigs = {r["doc_id"]: r["simhash64"] for r in DD.simhash64(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    # full 64-bit usage: at least one signature needs the high bits
+    assert any(abs(s) > (1 << 32) for s in sigs.values())
+
+
 def emb_df(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
 

@@ -1,0 +1,27 @@
+"""Stateful streaming dedup: within-batch, cross-batch, cross-run."""
+
+from __future__ import annotations
+
+from stock_data_etl_pipeline_spark.streaming.dedup import streaming_dedup
+
+
+def _land(spark, path, rows):
+    (spark.createDataFrame(rows, "doc_id long, key string, text string")
+     .coalesce(1).write.mode("append").parquet(path))
+
+
+def test_streaming_dedup_state(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    cp = str(tmp_path / "cp")
+
+    # run 1: duplicate keys inside one drain -> one survivor per key
+    _land(spark, src, [(1, "ka", "a1"), (2, "kb", "b1"), (3, "ka", "a2")])
+    out1 = streaming_dedup(spark, src, cp).collect()
+    assert sorted({r["key"] for r in out1}) == ["ka", "kb"]
+    assert len(out1) == 2
+
+    # run 2: new files repeat an old key and add a new one; state in the
+    # checkpoint drops the repeat across RUNS
+    _land(spark, src, [(4, "ka", "a3"), (5, "kc", "c1")])
+    out2 = streaming_dedup(spark, src, cp).collect()
+    assert [(r["doc_id"], r["key"]) for r in out2] == [(5, "kc")]
