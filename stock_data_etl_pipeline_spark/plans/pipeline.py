@@ -53,9 +53,15 @@ def _now() -> datetime:
 class StockLake:
     """The engine's table root: control plane + silver lake + bronze zone."""
 
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(self, spark: SparkSession, root: str,
+                 on_run_failed=None) -> None:
+        """``on_run_failed(run_id, ticker, error_code, error_message)`` is
+        invoked after a FAILED transition commits — the reference's
+        on-commit Discord notification hook (stock_ingestion_service.py:
+        250-252,336-370) as a driver callback."""
         self.spark = spark
         self.root = root
+        self.on_run_failed = on_run_failed
         # partition by low-cardinality record_type; cluster files by
         # (ticker, period_end_date) for row-group skipping — the Z-ORDER
         # layout SURVEY §4 calls for
@@ -154,18 +160,86 @@ class StockLake:
         # silver transform + merge (S3/S4/F8-F10/S5/S6)
         runs = transition(runs, run_ids, IngestionState.DELTA_RUNNING)
         bronze = self.spark.read.parquet(bronze_path)
-        wide = transform_stock_json(bronze)
-        self.silver.merge(wide, SILVER_KEY_COLUMNS)
-        n_silver = self.silver.read().count()
-        runs = transition(runs, run_ids, IngestionState.DELTA_FINISHED,
-                          processed_data_uri=self.silver.path)
-        runs = transition(runs, run_ids, IngestionState.DONE)
+        # S4 failure path: structurally invalid documents fail their run
+        # with the reference's INVALID_DATA_FORMAT code instead of
+        # poisoning the batch (queue_for_delta.py:463-470).
+        from .stock_transform import parse_raw
+        validity = {r["run_id"]: r["is_valid"]
+                    for r in parse_raw(bronze).select("run_id", "is_valid")
+                    .collect()}
+        bad_ids = [rid for rid in run_ids if not validity.get(rid, False)]
+        ok_ids = [rid for rid in run_ids if rid not in set(bad_ids)]
+        if bad_ids:
+            runs = transition(
+                runs, bad_ids, IngestionState.FAILED,
+                error_code="INVALID_DATA_FORMAT",
+                error_message="payload is not a JSON object with a 'data' key")
+        if ok_ids:
+            wide = transform_stock_json(bronze)
+            self.silver.merge(wide, SILVER_KEY_COLUMNS)
+        n_silver = self.silver.read().count() if self.silver.exists() else 0
+        if ok_ids:
+            runs = transition(runs, ok_ids, IngestionState.DELTA_FINISHED,
+                              processed_data_uri=self.silver.path)
+            runs = transition(runs, ok_ids, IngestionState.DONE)
         self.runs.overwrite(runs)
+        if bad_ids and self.on_run_failed is not None:
+            id_to_ticker = dict(zip(run_ids,
+                                    (t.strip().upper() for t, _ in docs)))
+            for rid in bad_ids:
+                self.on_run_failed(rid, id_to_ticker[rid],
+                                   "INVALID_DATA_FORMAT",
+                                   "payload is not a JSON object with a 'data' key")
 
         # M4: metadata sync back into the stocks control table
         self.sync_stock_metadata()
         return {"batch_id": batch_id, "run_ids": run_ids,
                 "n_silver_rows": n_silver}
+
+    def fetch_and_ingest(self, tickers: list[str], transport,
+                         requested_by: str | None = None) -> dict:
+        """The complete §3.1 chain including fetch: pull every ticker's
+        document through the (executor-parallel) fetch operator, FAIL the
+        runs of tickers whose fetch errored — with the taxonomy code as
+        error_code, exactly like the reference maps API errors to run
+        failures (queue_for_fetch.py:310-405) — and ingest the rest."""
+        from ..sources.fetch import fetch_tickers
+        norm = [t.strip().upper() for t in tickers]
+        tick_df = self.spark.createDataFrame([(t,) for t in norm],
+                                             "ticker string")
+        results = {r["ticker"]: r for r in
+                   fetch_tickers(tick_df, transport).collect()}
+        ok = [(t, results[t]["json_str"]) for t in norm
+              if results[t]["error_code"] is None]
+        failed = [(t, results[t]["error_code"]) for t in norm
+                  if results[t]["error_code"] is not None]
+
+        out = self.ingest_batch(ok, requested_by=requested_by) if ok else \
+            {"batch_id": None, "run_ids": [], "n_silver_rows":
+             (self.silver.read().count() if self.silver.exists() else 0)}
+
+        failed_run_ids = []
+        if failed:
+            stocks = self.get_or_create_stocks([t for t, _ in failed])
+            sid = {r["ticker"]: r["id"] for r in
+                   stocks.select("ticker", "id").collect()}
+            rows = [new_run_row(sid[t], t, requested_by=requested_by)
+                    for t, _ in failed]
+            runs = merge_upsert(self.read_runs(),
+                                runs_dataframe(self.spark, rows), ["id"])
+            for row, (t, code) in zip(rows, failed):
+                runs = transition(runs, row["id"], IngestionState.FAILED,
+                                  error_code=code,
+                                  error_message=f"fetch failed for {t}: {code}")
+                failed_run_ids.append(row["id"])
+            self.runs.overwrite(runs)
+            if self.on_run_failed is not None:
+                for row, (t, code) in zip(rows, failed):
+                    self.on_run_failed(row["id"], t, code,
+                                       f"fetch failed for {t}: {code}")
+        out["failed"] = dict(failed)
+        out["failed_run_ids"] = failed_run_ids
+        return out
 
     # -- raw passthrough (S8) ----------------------------------------------
     def read_raw_json(self, ticker: str) -> str | None:
@@ -203,6 +277,8 @@ class StockLake:
         """S7 pushdown read of metadata rows + changed-fields-only update of
         stocks, resolving exchange/sector through dim get-or-create
         (update_stock_metadata.py:195-469)."""
+        if not self.silver.exists():
+            return self.read_stocks()
         silver = self.silver.read()
         meta_cols = [c for c in
                      ("name", "country", "subindustry", "morningstar_sector",
