@@ -20,6 +20,7 @@ provides a parquet-backed table with the same upsert semantics.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -64,6 +65,12 @@ def get_spark(app_name: str = "stock-data-etl-pipeline-spark",
         # (SPARK_GRAFT_MAX_PARTITION_BYTES=134217728) to avoid task flood.
         .config("spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4194304"))
+        # session-catalog warehouse for bucketed tables; keep it out of
+        # the repo working directory
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               os.path.join(tempfile.gettempdir(),
+                                            "spark_graft_warehouse")))
         # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
         # parquet reader rejects outright; read the raw int64 and convert
         # (ns -> us integer division) in the source registry.
