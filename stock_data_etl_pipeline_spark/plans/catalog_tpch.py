@@ -48,6 +48,32 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(10))
 
 
+@register("q1_pricing_summary_sql", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SQL-API surface: same engine, same Catalyst plan — queries can be
+    # written as SQL over the registered views (sources.register_views)
+    from ..sources.registry import register_views
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+
+
 @register("q5_local_supplier_volume", """
 SELECT n.n_name AS nation,
        round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue

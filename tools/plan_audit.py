@@ -1,0 +1,56 @@
+"""Physical-plan audit over the whole catalog.
+
+For every query: executes it at the given SF and reports plan properties —
+scan pushdown (PushedFilters non-empty where a scan-level filter exists),
+pruned ReadSchema, join strategies, shuffle-exchange count, codegen spans.
+Regression radar: a query suddenly losing pushdown or gaining exchanges
+shows up as a diff in this report.
+
+Usage: python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as entrymod
+    from stock_data_etl_pipeline_spark.session import get_spark
+
+    spark = get_spark()
+    rows = []
+    for name, fn in entrymod.queries().items():
+        try:
+            df = fn(spark, sf_dir)
+            df.collect()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            rows.append((name, f"ERROR {type(e).__name__}: {e}"))
+            continue
+        pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
+        scans = plan.count("Scan parquet") + plan.count("FileScan parquet")
+        props = {
+            "scans": scans,
+            "pushed": pushed,
+            "bhj": plan.count("BroadcastHashJoin"),
+            "smj": plan.count("SortMergeJoin"),
+            "exch": plan.count("Exchange ") - plan.count("ReusedExchange"),
+            "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        }
+        rows.append((name, " ".join(f"{k}={v}" for k, v in props.items())))
+    width = max(len(n) for n, _ in rows)
+    for name, info in rows:
+        print(f"{name:<{width}}  {info}")
+    errs = [n for n, i in rows if i.startswith("ERROR")]
+    print(f"\n{len(rows)} queries, {len(errs)} errors" + (f": {errs}" if errs else ""))
+    return 1 if errs else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
