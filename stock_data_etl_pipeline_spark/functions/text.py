@@ -114,6 +114,34 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+HASH_PRIME = 2147483647  # 2^31-1; word/shingle hashes live below this
+HASH_BASE = 131
+
+
+def word_hashes(words_col: str) -> Column:
+    """Per-token 31-bit hash: int(md5[:15hex]) mod p — one md5 per TOKEN
+    (not per shingle), portable to ANSI SQL."""
+    return F.expr(
+        f"transform({words_col}, w -> "
+        f"cast(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) % {HASH_PRIME})")
+
+
+def shingle_hashes_from_word_hashes(wh_col: str, k: int = 3) -> Column:
+    """k-word shingle hashes by polynomial combination of word hashes
+    (h = fold(h*B + w mod p)) — no shingle strings are ever built, so the
+    shingle stage is pure bigint arithmetic and the inverted index joins
+    on 8-byte keys instead of strings. Distinct, order-preserving within
+    the window; docs shorter than k give an empty array."""
+    expr = f"{wh_col}[i]"
+    for j in range(1, k):
+        expr = f"(({expr}) * {HASH_BASE} + {wh_col}[i+{j}]) % {HASH_PRIME}"
+    return F.expr(f"""
+        CASE WHEN size({wh_col}) >= {k}
+             THEN array_distinct(transform(
+                  sequence(0, size({wh_col}) - {k}), i -> {expr}))
+             ELSE array() END""").cast("array<bigint>")
+
+
 def shingles_from_words(words_col: str, k: int = 3) -> Column:
     """Same shingle set, built from an already-materialized words column by
     direct subscripting — ~1.5x faster than the slice() form (no per-shingle

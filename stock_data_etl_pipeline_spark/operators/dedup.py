@@ -27,7 +27,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, shingles, shingles_from_words, words
+from ..functions.text import (
+    fingerprint,
+    shingle_hashes_from_word_hashes,
+    shingles,
+    shingles_from_words,
+    word_hashes,
+    words,
+)
 from ..functions.vectors import as_double, cosine
 
 
@@ -58,9 +65,15 @@ def shingle_index(docs: DataFrame, text_col: str = "text",
                   max_doc_freq: int | None = None) -> DataFrame:
     """Inverted index: (shingle, doc_id), distinct. ``max_doc_freq`` drops
     shingles appearing in more than N docs (hot-key cap)."""
+    # hash-based index: shingles are 31-bit polynomial hashes of word
+    # hashes (one md5 per TOKEN), so no shingle strings are built and the
+    # self-join shuffles 8-byte keys. Staged projections per the
+    # multi-reference alias rule (see minhash_signature).
     idx = (docs.select(F.col(id_col), words(text_col).alias("_ws"))
+           .select(F.col(id_col), word_hashes("_ws").alias("_wh"))
            .select(F.col(id_col),
-                   F.explode(shingles_from_words("_ws", k)).alias("shingle"))
+                   F.explode(shingle_hashes_from_word_hashes("_wh", k))
+                   .alias("shingle"))
            .distinct())
     if max_doc_freq is not None:
         hot = (idx.groupBy("shingle").count()
@@ -134,11 +147,9 @@ def minhash_signature(docs: DataFrame, num_hashes: int = 16,
     # re-evaluate the expensive shingle construction once per reference
     w_df = (docs.select(F.col(id_col), words(text_col).alias("_ws"))
             .filter(F.size("_ws") >= k))
-    sh_df = w_df.select(F.col(id_col),
-                        shingles_from_words("_ws", k).alias("_shs"))
-    hv = F.expr(f"transform(_shs, s -> "
-                f"cast(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % {p})")
-    hv_df = sh_df.select(F.col(id_col), hv.alias("_hv"))
+    hv_df = (w_df.select(F.col(id_col), word_hashes("_ws").alias("_wh"))
+             .select(F.col(id_col),
+                     shingle_hashes_from_word_hashes("_wh", k).alias("_hv")))
     def _hash_fn(a: int, b: int):
         return lambda v: (F.lit(a) * v + F.lit(b)) % F.lit(p)
 

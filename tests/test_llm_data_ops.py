@@ -68,9 +68,13 @@ def test_max_doc_freq_drops_hot_shingles(spark):
     df = docs_df(spark, rows)
     idx_all = DD.shingle_index(df, k=3)
     idx_capped = DD.shingle_index(df, k=3, max_doc_freq=3)
-    hot = ("common phrase here",)
-    assert idx_all.filter(F.col("shingle").isin(*hot)).count() == 5
-    assert idx_capped.filter(F.col("shingle").isin(*hot)).count() == 0
+    # 'common phrase here' appears in all 5 docs (shingles are hashes now,
+    # so assert via per-shingle doc frequency, not the string)
+    freq_all = idx_all.groupBy("shingle").count()
+    assert freq_all.filter(F.col("count") == 5).count() == 1
+    freq_capped = idx_capped.groupBy("shingle").count()
+    assert freq_capped.filter(F.col("count") > 3).count() == 0
+    assert idx_capped.count() == idx_all.count() - 5
 
 
 def test_simhash_identical_and_different(spark):
