@@ -113,6 +113,29 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("revenue").desc(), "nation"))
 
 
+@register("q17_small_quantity_revenue", """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    # decorrelated into an aggregate + join — the rewrite Catalyst's
+    # subquery decorrelation performs; expressed directly so the plan is
+    # explicit: one small per-key aggregate broadcast against the fact.
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    thresholds = (li.groupBy("l_partkey")
+                  .agg((F.avg("l_quantity") * 0.2).alias("qty_threshold")))
+    j = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+           .join(thresholds, "l_partkey")
+           .filter(F.col("l_quantity") < F.col("qty_threshold")))
+    return j.agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+
+
 @register("q18_large_volume_customer", """
 SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
        round(sum(l.l_quantity), 2) AS total_qty
