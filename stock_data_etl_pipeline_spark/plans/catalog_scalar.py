@@ -1,0 +1,124 @@
+"""Catalog entries: scalar-function surface (F6-F8) + outer joins +
+streaming session windows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.windows import latest_per_group
+from ..sources.registry import load_table
+from .catalog import register
+
+
+@register("scalar_uri_parse", """
+WITH uris AS (
+  SELECT doc_id, 's3://raw-docs/' || source || '/' || doc_id || '.json' AS uri
+  FROM documents
+)
+SELECT doc_id, uri,
+       regexp_extract(uri, '^s3://([^/]+)/', 1) AS bucket,
+       regexp_extract(uri, '^s3://[^/]+/(.+)$', 1) AS key
+FROM uris ORDER BY doc_id
+""")
+def scalar_uri_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F7: S3-URI scheme/bucket/key parsing via regexp_extract (the
+    # reference parses raw_data_uri in queue_for_delta.py:369-379)
+    d = load_table(spark, sf_dir, "documents")
+    uri = F.concat(F.lit("s3://raw-docs/"), F.col("source"),
+                   F.lit("/"), F.col("doc_id").cast("string"), F.lit(".json"))
+    return (d.select("doc_id", uri.alias("uri"))
+            .select("doc_id", "uri",
+                    F.regexp_extract("uri", r"^s3://([^/]+)/", 1).alias("bucket"),
+                    F.regexp_extract("uri", r"^s3://[^/]+/(.+)$", 1).alias("key"))
+            .orderBy("doc_id"))
+
+
+@register("scalar_time_functions", """
+SELECT extract(year FROM o_orderdate)::BIGINT AS y,
+       extract(month FROM o_orderdate)::BIGINT AS m,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY 1, 2 ORDER BY y, m
+""")
+def scalar_time_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F5/F6: calendar decomposition of event-time (year/month buckets)
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").cast("long").alias("y"),
+                      F.month("o_orderdate").cast("long").alias("m"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("y", "m"))
+
+
+@register("left_join_latest_order", """
+WITH latest AS (
+  SELECT o_custkey, o_orderkey, o_orderdate
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+)
+SELECT c.c_custkey, c.c_name, l.o_orderkey AS last_orderkey,
+       l.o_orderdate AS last_orderdate
+FROM customer c LEFT JOIN latest l ON l.o_custkey = c.c_custkey
+ORDER BY c.c_custkey
+""")
+def left_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # outer-join surface: every customer row survives; customers without
+    # orders carry NULLs (the list-endpoint's select_related shape when
+    # the related row is absent)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    latest = latest_per_group(o, ["o_custkey"],
+                              [F.col("o_orderdate").desc(),
+                               F.col("o_orderkey").desc()])
+    return (c.join(latest, c["c_custkey"] == latest["o_custkey"], "left")
+            .select("c_custkey", "c_name",
+                    F.col("o_orderkey").alias("last_orderkey"),
+                    F.col("o_orderdate").alias("last_orderdate"))
+            .orderBy("c_custkey"))
+
+
+@register("streaming_session_windows", """
+WITH o AS (SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+m AS (SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL
+                       OR date_diff('second', prev, ts) > 1800 THEN 1
+                  ELSE 0 END AS is_new
+      FROM o),
+s AS (SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM m)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_start
+""")
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Structured Streaming's native session_window (30 min gap), drained
+    # with availableNow into memory (complete mode) — proven equivalent to
+    # the batch lag-based sessionization oracle. NOTE: session_window's
+    # "end" is last_event + gap, so the comparable columns are
+    # (start, count), not end.
+    import uuid as _uuid
+
+    from ..streaming.events import EVENT_STREAM_SCHEMA, _as_stream_dir
+    stream = (spark.readStream.schema(EVENT_STREAM_SCHEMA)
+              .parquet(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    agg = (stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select("user_id",
+                    F.col("session_window.start").alias("session_start"),
+                    "n_events")
+            .orderBy("user_id", "session_start"))
