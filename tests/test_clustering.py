@@ -1,0 +1,44 @@
+"""Iterative operators: near-dup connected components, k-means-lite."""
+
+from __future__ import annotations
+
+import pytest
+
+from stock_data_etl_pipeline_spark.operators.clustering import (
+    cluster_near_dups,
+    kmeans_lite,
+)
+
+
+def test_cluster_near_dups_components(spark):
+    # components: {1,2,3} (chained), {7,9}; 5 appears in no pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in cluster_near_dups(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+
+def test_cluster_transitive_merge(spark):
+    # two chains merged by a late edge -> single component rooted at min id
+    pairs = spark.createDataFrame(
+        [(10, 11), (20, 21), (11, 20)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in cluster_near_dups(pairs).collect()}
+    assert set(got.values()) == {10}
+
+
+def test_kmeans_lite_separates_clusters(spark):
+    # two obvious clusters around (1,0) and (0,1); seeds at vec_id 0 and 40
+    rows = ([(i, [1.0 + 0.01 * i, 0.0], 0) for i in range(0, 5)]
+            + [(40 + i, [0.0, 1.0 + 0.01 * i], 0) for i in range(0, 5)])
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = kmeans_lite(df, iterations=2, seed_stride=40).collect()
+    assert [r["centroid_id"] for r in out] == [0, 40]
+    assert {r["n_members"] for r in out} == {5}
+    c0 = out[0]["centroid"]
+    assert c0[0] == pytest.approx(1.02, abs=1e-6)  # mean of 1.00..1.04
+    assert c0[1] == 0.0
+    # determinism across runs
+    again = kmeans_lite(df, iterations=2, seed_stride=40).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
