@@ -69,6 +69,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # defensive for sessions not built by session.get_spark (e.g. the
+        # harness driver's): nanosAsLong is a runtime-settable SQL conf;
+        # the explicit LongType schema below is what actually makes the
+        # TIMESTAMP(NANOS) column readable, this only guards inference
+        # paths (e.g. streaming schema checks)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.schema(TABLES[name]).parquet(path)
     if name == "events":
         from pyspark.sql import functions as F
