@@ -239,17 +239,26 @@ def simhash(docs: DataFrame, text_col: str = "text",
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                   text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Pairs within Hamming distance <= max_hamming, blocked on the high
-    and low signature bytes (a pair within distance d<=... must agree on at
-    least one byte when d < 2 — with 2 blocks any pair differing only
-    inside one byte collides on the other; the standard Manku-style
-    block-and-verify, so the join is on bytes, never all-pairs)."""
+    """Pairs within Hamming distance <= max_hamming, Manku-style
+    block-and-verify (WWW'07): split the signature into max_hamming+1
+    equal bit-blocks; by pigeonhole, any pair within distance d <=
+    max_hamming agrees exactly on at least one block, so the equi-join on
+    (block_index, block_value) has COMPLETE recall and is never all-pairs.
+    Candidates are then verified with the exact Hamming distance."""
+    n_blocks = max_hamming + 1
+    assert SIMHASH_BITS % n_blocks == 0, (
+        f"SIMHASH_BITS={SIMHASH_BITS} must divide into {n_blocks} blocks")
+    width = SIMHASH_BITS // n_blocks
+    mask = (1 << width) - 1
     sig = simhash(docs, text_col, id_col)
-    hi = (F.col("simhash") / F.lit(256)).cast("long")
-    lo = F.col("simhash") % 256
-    blocks = (sig.select(id_col, "simhash", hi.alias("blk"), F.lit("hi").alias("part"))
-              .unionByName(sig.select(id_col, "simhash", lo.alias("blk"),
-                                      F.lit("lo").alias("part"))))
+    # one scan, posexplode of the block array (vs an n_blocks-way union
+    # recomputing the signature aggregation per block)
+    block_arr = F.array(*[
+        F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+        for i in range(n_blocks)])
+    blocks = sig.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(block_arr).alias("part", "blk"))
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (a.join(b, (F.col("a.part") == F.col("b.part"))
                    & (F.col("a.blk") == F.col("b.blk"))

@@ -37,10 +37,14 @@ def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     scored = emb.select(
         F.col(id_col),
         F.round(cosine(as_double(vec_col), q), 6).alias("score"))
+    # rank runs AFTER limit(k), so the window sees only k rows; the
+    # constant partition key keeps WindowExec off its "No Partition
+    # Defined" warning path (it is single-partition either way, by design)
     return (scored.orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k)
             .withColumn("rank", F.row_number().over(
-                Window.orderBy(F.col("score").desc(), F.col(id_col)))
+                Window.partitionBy(F.lit(0))
+                .orderBy(F.col("score").desc(), F.col(id_col)))
                 .cast("long")))
 
 

@@ -112,7 +112,7 @@ def distinct_counts_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("json_props_extract", """
 SELECT event_type,
-       sum(json_extract_string(props, '$.k')::BIGINT) AS k_total,
+       sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_total,
        count(*) FILTER (WHERE json_extract_string(props, '$.k')::BIGINT > 50) AS k_gt50
 FROM events GROUP BY event_type ORDER BY event_type
 """)

@@ -52,8 +52,9 @@ m AS (SELECT user_id, ts, event_id,
                   ELSE 0 END AS is_new
       FROM o),
 s AS (SELECT user_id, ts, event_id,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
       FROM m)
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events
