@@ -96,9 +96,13 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000,
     """Video frame-sampling plumbing: expand each asset into the frame
     timestamps to decode ([0, duration) step every_ms) — the decode itself
     is a kernel like extract_features'. Pure Column ops (sequence+explode),
-    so the expansion happens executor-side."""
-    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
-    ts = F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)),
-                    F.lit(every_ms))
+    so the expansion happens executor-side. Assets with NULL or
+    non-positive duration have no frames in [0, duration) and emit no
+    rows (explode of an empty array drops the row)."""
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0)).cast("long")
+    ts = F.when(dur > 0,
+                F.sequence(F.lit(0).cast("long"), dur - 1,
+                           F.lit(every_ms).cast("long"))
+                ).otherwise(F.array().cast("array<bigint>"))
     return (media.withColumn("frame_ts_ms", F.explode(ts))
             .select(id_col, "frame_ts_ms"))

@@ -123,16 +123,21 @@ WHERE p.p_brand = 'Brand#13'
 """)
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q17 shape: correlated scalar subquery (per-part average)
-    # decorrelated into an aggregate + join — the rewrite Catalyst's
-    # subquery decorrelation performs; expressed directly so the plan is
-    # explicit: one small per-key aggregate broadcast against the fact.
+    # decorrelated into an aggregate + join. The per-part average only
+    # matters for the brand-filtered parts, so the fact is semi-joined to
+    # the (broadcast) filtered part dim FIRST — the threshold aggregate
+    # runs over that small slice, not the whole fact, and the resulting
+    # per-key threshold table is small enough to broadcast back. At 100x
+    # this avoids a full-fact shuffle whose output is mostly discarded.
     li = load_table(spark, sf_dir, "lineitem")
-    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
-    thresholds = (li.groupBy("l_partkey")
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_brand") == "Brand#13").select("p_partkey"))
+    brand_li = li.join(
+        F.broadcast(p), li["l_partkey"] == p["p_partkey"], "left_semi")
+    thresholds = (brand_li.groupBy("l_partkey")
                   .agg((F.avg("l_quantity") * 0.2).alias("qty_threshold")))
-    j = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-           .join(thresholds, "l_partkey")
-           .filter(F.col("l_quantity") < F.col("qty_threshold")))
+    j = (brand_li.join(F.broadcast(thresholds), "l_partkey")
+         .filter(F.col("l_quantity") < F.col("qty_threshold")))
     return j.agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
 
 

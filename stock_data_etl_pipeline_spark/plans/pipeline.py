@@ -42,7 +42,13 @@ from ..schemas import (
     STOCKS,
 )
 from ..sources.managed_table import ManagedTable
-from ..state_machine import IngestionState, new_run_row, runs_dataframe, transition
+from ..state_machine import (
+    IngestionState,
+    is_terminal_col,
+    new_run_row,
+    runs_dataframe,
+    transition,
+)
 from .stock_transform import transform_stock_json
 
 
@@ -119,39 +125,77 @@ class StockLake:
         tbl.overwrite(merged)
         return merged
 
+    def _active_run_ids(self, tickers: list[str]) -> dict[str, str]:
+        """ticker -> id of an existing non-terminal run — the reference's
+        partial-unique-constraint skip/409 path (models.py:386-399,
+        stock_ingestion_service.py:268-334) as a batch lookup."""
+        if not tickers or not self.runs.exists():
+            return {}
+        rows = (self.read_runs()
+                .filter(F.col("ticker").isin(tickers)
+                        & ~is_terminal_col(F.col("state")))
+                .select("ticker", "id").collect())
+        return {r["ticker"]: r["id"] for r in rows}
+
     # -- the flagship path --------------------------------------------------
     def ingest_batch(self, docs: list[tuple[str, str]],
                      requested_by: str | None = None) -> dict:
-        """Run the full pipeline for a batch of (ticker, raw_json) docs.
+        """Run the full pipeline for a batch of (ticker, raw_json) docs
+        whose payloads are already in driver memory (the interactive POST
+        path); executor-fetched payloads take ``fetch_and_ingest``.
 
-        Returns {"batch_id", "run_ids", "n_silver_rows"}. Each phase updates
-        the run-state rows exactly like the reference's task chain (§3.1):
-        QUEUED_FOR_FETCH -> FETCHING -> FETCHED -> QUEUED_FOR_DELTA ->
-        DELTA_RUNNING -> DELTA_FINISHED -> DONE, then metadata sync.
+        Returns {"batch_id", "run_ids", "skipped", "n_silver_rows"}. Each
+        phase updates the run-state rows exactly like the reference's task
+        chain (§3.1): QUEUED_FOR_FETCH -> FETCHING -> FETCHED ->
+        QUEUED_FOR_DELTA -> DELTA_RUNNING -> DELTA_FINISHED -> DONE, then
+        metadata sync.
         """
+        # M2 batch form: dedupe tickers within the batch (first payload
+        # wins) and skip stocks that already have a non-terminal run —
+        # mirrors queue_for_fetch's created=False path, preserving the
+        # one-active-run-per-stock invariant for the batch path too.
+        uniq: dict[str, str] = {}
+        for t, payload in docs:
+            uniq.setdefault(t.strip().upper(), payload)
+        skipped = self._active_run_ids(list(uniq))
+        todo = {t: p for t, p in uniq.items() if t not in skipped}
+        if not todo:
+            return {"batch_id": None, "run_ids": [], "skipped": skipped,
+                    "n_silver_rows": (self.silver.read().count()
+                                      if self.silver.exists() else 0)}
+        raw_src = self.spark.createDataFrame(
+            list(todo.items()), "ticker string, json_str string")
+        out = self._ingest_raw(raw_src, list(todo), requested_by)
+        out["skipped"] = skipped
+        return out
+
+    def _ingest_raw(self, raw_src: DataFrame, tickers: list[str],
+                    requested_by: str | None = None) -> dict:
+        """Shared ingest core over a (ticker, json_str) relation. Payloads
+        never pass through the driver: the bronze landing is a join of the
+        source relation to the (tiny, broadcast) ticker->run_id map,
+        written to parquet straight from executors. ``tickers`` must be
+        normalized and deduplicated by the caller."""
         batch_id = uuid.uuid4().hex[:12]
-        tickers = [t for t, _ in docs]
         stocks = self.get_or_create_stocks(tickers)
         tick_to_stock = {r["ticker"]: r["id"]
                          for r in stocks.select("ticker", "id").collect()}
 
-        # M2: one new run per ticker (batch insert; active-run guard is
-        # enforced by queue_for_fetch for the interactive path).
-        rows = [new_run_row(tick_to_stock[t.strip().upper()], t.strip().upper(),
-                            requested_by=requested_by) for t in tickers]
+        # M2: one new run per ticker (batch insert; the active-run guard
+        # ran in the caller)
+        rows = [new_run_row(tick_to_stock[t], t, requested_by=requested_by)
+                for t in tickers]
         run_ids = [r["id"] for r in rows]
         runs = merge_upsert(self.read_runs(), runs_dataframe(self.spark, rows), ["id"])
 
-        # fetch phase (the HTTP fetch itself is the caller's concern here —
-        # docs arrive as payloads; sources/fetch.py covers the pull path)
         runs = transition(runs, run_ids, IngestionState.FETCHING)
 
         # bronze landing (S2): columnar raw zone, one dir per batch
         bronze_path = os.path.join(self.root, "bronze", batch_id)
-        raw = self.spark.createDataFrame(
-            [(t.strip().upper(), rid, payload)
-             for (t, payload), rid in zip(docs, run_ids)],
-            "ticker string, run_id string, json_str string")
+        rid_map = self.spark.createDataFrame(
+            [(r["ticker"], r["id"]) for r in rows], "ticker string, run_id string")
+        raw = (raw_src.join(F.broadcast(rid_map), "ticker")
+               .select("ticker", "run_id", "json_str"))
         raw.write.mode("overwrite").parquet(bronze_path)
         runs = transition(runs, run_ids, IngestionState.FETCHED,
                           raw_data_uri=bronze_path)
@@ -184,8 +228,7 @@ class StockLake:
             runs = transition(runs, ok_ids, IngestionState.DONE)
         self.runs.overwrite(runs)
         if bad_ids and self.on_run_failed is not None:
-            id_to_ticker = dict(zip(run_ids,
-                                    (t.strip().upper() for t, _ in docs)))
+            id_to_ticker = {r["id"]: r["ticker"] for r in rows}
             for rid in bad_ids:
                 self.on_run_failed(rid, id_to_ticker[rid],
                                    "INVALID_DATA_FORMAT",
@@ -202,21 +245,38 @@ class StockLake:
         document through the (executor-parallel) fetch operator, FAIL the
         runs of tickers whose fetch errored — with the taxonomy code as
         error_code, exactly like the reference maps API errors to run
-        failures (queue_for_fetch.py:310-405) — and ingest the rest."""
+        failures (queue_for_fetch.py:310-405) — and ingest the rest.
+
+        Only (ticker, error_code) rows ever cross to the driver; the
+        fetched payloads flow from the fetch executors into the bronze
+        parquet directly (the reference's per-worker stream-to-S3 shape,
+        queue_for_fetch.py:408-474 — never through a coordinator), so
+        driver memory is independent of batch payload volume."""
         from ..sources.fetch import fetch_tickers
-        norm = [t.strip().upper() for t in tickers]
+        norm = list(dict.fromkeys(t.strip().upper() for t in tickers))
         tick_df = self.spark.createDataFrame([(t,) for t in norm],
                                              "ticker string")
-        results = {r["ticker"]: r for r in
-                   fetch_tickers(tick_df, transport).collect()}
-        ok = [(t, results[t]["json_str"]) for t in norm
-              if results[t]["error_code"] is None]
-        failed = [(t, results[t]["error_code"]) for t in norm
-                  if results[t]["error_code"] is not None]
+        # persisted: the status collect and the bronze landing both read
+        # it, and the fetch must not re-run (side-effecting transport)
+        fetched = fetch_tickers(tick_df, transport).persist()
+        status = {r["ticker"]: r["error_code"] for r in
+                  fetched.select("ticker", "error_code").collect()}
+        ok = [t for t in norm if status.get(t) is None]
+        failed = [(t, status[t]) for t in norm if status.get(t) is not None]
 
-        out = self.ingest_batch(ok, requested_by=requested_by) if ok else \
-            {"batch_id": None, "run_ids": [], "n_silver_rows":
-             (self.silver.read().count() if self.silver.exists() else 0)}
+        skipped = self._active_run_ids(ok)
+        todo = [t for t in ok if t not in skipped]
+        if todo:
+            # inner join to the run-id map inside _ingest_raw drops
+            # skipped tickers; no payload filter needed driver-side
+            ok_src = (fetched.filter(F.col("error_code").isNull())
+                      .select("ticker", "json_str"))
+            out = self._ingest_raw(ok_src, todo, requested_by=requested_by)
+        else:
+            out = {"batch_id": None, "run_ids": [], "n_silver_rows":
+                   (self.silver.read().count() if self.silver.exists() else 0)}
+        out["skipped"] = skipped
+        fetched.unpersist()
 
         failed_run_ids = []
         if failed:

@@ -23,9 +23,17 @@ simply re-references them — version commit cost is O(touched data +
 one small JSON), not O(table). This is the same idea as Delta's MERGE
 (join finds touched files, only those rewrite, the log re-references the
 rest). Readers resolve _LATEST then the manifest, so a crashed writer
-leaves only orphan data dirs — never a torn table. Single-writer per
-table, which the reference also imposes (delta worker concurrency=1,
-/root/reference/services/workers/tasks/queue_for_delta.py:21-23).
+leaves only orphan data dirs — never a torn table.
+
+Concurrency: commit is compare-and-swap. The per-version manifest file is
+created with O_EXCL, so of two writers that both computed against version
+N, exactly one creates ``v=N+1.json``; the loser raises
+ConcurrentModificationError before the pointer moves — surfacing the
+conflict the way the reference does (partial unique constraint ->
+IntegrityError -> 409, /root/reference/services/api/models.py:386-399 and
+views/ingestion_runs.py:95-114; its delta worker additionally serializes
+writes, queue_for_delta.py:21-23). The loser's data dirs become orphans
+for vacuum, never part of the table.
 """
 
 from __future__ import annotations
@@ -48,6 +56,11 @@ _ALL = "__all__"  # manifest key for unpartitioned tables
 
 class TableExistsError(RuntimeError):
     pass
+
+
+class ConcurrentModificationError(RuntimeError):
+    """Another writer committed the version this operation targeted
+    (Delta's ConcurrentModificationException / the reference's 409)."""
 
 
 def _part_key(values: dict) -> str:
@@ -89,10 +102,21 @@ class ManagedTable:
 
     def _commit(self, version: int, partitions: dict[str, str], meta: dict) -> None:
         os.makedirs(os.path.dirname(self._manifest_path(version)), exist_ok=True)
-        with open(self._manifest_path(version), "w") as fh:
-            json.dump({"partitions": partitions,
-                       "committed_at": time.time(), **meta}, fh)
-        tmp = self._pointer + ".tmp"
+        try:
+            # CAS: O_EXCL create of the version manifest. Both of two racing
+            # writers computed against version-1; only the first create
+            # succeeds, the other surfaces the conflict (no blind overwrite,
+            # no silently orphaned winner).
+            with open(self._manifest_path(version), "x") as fh:
+                json.dump({"partitions": partitions,
+                           "committed_at": time.time(), **meta}, fh)
+        except FileExistsError:
+            raise ConcurrentModificationError(
+                f"{self.path}: version {version} was committed by another "
+                f"writer since this operation read the table") from None
+        # writer-unique tmp name: a losing writer's leftover tmp must never
+        # collide with the winner's pointer swap
+        tmp = f"{self._pointer}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
             json.dump({"version": version}, fh)
         os.replace(tmp, self._pointer)  # atomic pointer swap, commit point

@@ -170,3 +170,20 @@ def test_frame_sample_plan(spark):
                          F.lit(2500).cast("long").alias("duration_ms")))
     out = MM.frame_sample_plan(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in out] == [0, 1000, 2000]
+
+
+def test_frame_sample_skips_zero_and_null_duration(spark):
+    df = spark.createDataFrame(
+        [(1, b"x", 2500), (2, b"y", 0), (3, b"z", None)],
+        "media_id long, bytes binary, dur long")
+    media = MM.attach_media_column(df, "bytes", "video", "mp4")
+    media = media.withColumn(
+        "meta", F.struct(F.lit("video").alias("media_type"),
+                         F.lit("mp4").alias("format"),
+                         F.lit(None).cast("int").alias("width"),
+                         F.lit(None).cast("int").alias("height"),
+                         F.col("dur").alias("duration_ms")))
+    out = MM.frame_sample_plan(media, every_ms=1000).collect()
+    # zero/NULL-duration media contribute NO frame rows (nothing to decode)
+    assert sorted((r["media_id"], r["frame_ts_ms"]) for r in out) == \
+        [(1, 0), (1, 1000), (1, 2000)]

@@ -160,3 +160,36 @@ def test_vacuum_drops_old_versions(spark, tmp_table_dir):
     assert t.read().collect()[0]["revenue"] == 3.0
     with pytest.raises(Exception):
         t.read(version=0).collect()
+
+
+def test_concurrent_writers_one_winner_one_conflict(spark, tmp_table_dir):
+    # two handles race from the same base version: the writer that commits
+    # second must surface the conflict (reference: partial unique
+    # constraint -> IntegrityError -> 409), never silently orphan the
+    # winner's commit
+    from stock_data_etl_pipeline_spark.sources.managed_table import (
+        ConcurrentModificationError,
+    )
+    t1 = ManagedTable(spark, tmp_table_dir)
+    t2 = ManagedTable(spark, tmp_table_dir)
+    t1.create(df_of(spark, [("AAPL", "financials", "2024-03", 1.0)], SCHEMA))
+
+    src1 = df_of(spark, [("AAPL", "financials", "2024-06", 2.0)], SCHEMA)
+    src2 = df_of(spark, [("MSFT", "financials", "2024-06", 3.0)], SCHEMA)
+
+    # interleave: while t1's merge is mid-flight (after it read the base
+    # version, before its commit), t2 commits the same next version
+    orig = t1._write_partition_dirs
+
+    def racy(df):
+        t2.merge(src2, ["ticker", "record_type", "period_end_date"])
+        return orig(df)
+
+    t1._write_partition_dirs = racy
+    with pytest.raises(ConcurrentModificationError):
+        t1.merge(src1, ["ticker", "record_type", "period_end_date"])
+
+    # the winner's commit is intact and the loser changed nothing
+    rows = {r["ticker"] for r in t1.read().collect()}
+    assert rows == {"AAPL", "MSFT"}
+    assert t1.latest_version() == 1

@@ -99,3 +99,44 @@ def test_dim_get_or_create_case_rules(spark, tmp_path):
     stocks = {r["ticker"]: r for r in lake.stocks.read().collect()}
     assert stocks["AAPL"]["sector_id"] == stocks["MSFT"]["sector_id"]
     assert stocks["AAPL"]["exchange_id"] == stocks["MSFT"]["exchange_id"]
+
+
+def test_batch_dedupes_tickers_first_payload_wins(spark, tmp_path):
+    lake = StockLake(spark, str(tmp_path / "lake"))
+    doc2 = json.loads(json.dumps(DOC))
+    doc2["data"]["metadata"]["name"] = "Second Payload"
+    res = lake.ingest_batch([("AAPL", json.dumps(DOC)),
+                             (" aapl ", json.dumps(doc2))])
+    # one run, one stock; the first payload's metadata won
+    assert len(res["run_ids"]) == 1
+    assert lake.read_stocks().count() == 1
+    assert lake.stocks.read().collect()[0]["name"] == "Apple Inc"
+    assert lake.runs.read().count() == 1
+
+
+def test_batch_skips_stocks_with_active_run(spark, tmp_path):
+    from stock_data_etl_pipeline_spark.state_machine import (
+        new_run_row,
+        runs_dataframe,
+    )
+    lake = StockLake(spark, str(tmp_path / "lake"))
+    lake.ingest_batch([("AAPL", json.dumps(DOC))])
+    # plant a non-terminal run for MSFT (as if another request is mid-flight)
+    stocks = lake.get_or_create_stocks(["MSFT"])
+    sid = {r["ticker"]: r["id"] for r in stocks.collect()}
+    active = new_run_row(sid["MSFT"], "MSFT")
+    lake.runs.overwrite(lake.read_runs().unionByName(
+        runs_dataframe(spark, [active])))
+
+    res = lake.ingest_batch([("MSFT", json.dumps(DOC)),
+                             ("GOOG", json.dumps(DOC))])
+    # MSFT skipped (created=False path, existing run id reported);
+    # GOOG ingested
+    assert res["skipped"] == {"MSFT": active["id"]}
+    assert len(res["run_ids"]) == 1
+    runs = {(r["ticker"], r["state"]) for r in lake.runs.read().collect()}
+    # MSFT's planted run is untouched (still the only MSFT run, still
+    # queued); GOOG went through to DONE
+    assert ("MSFT", S.QUEUED_FOR_FETCH) in runs
+    assert ("MSFT", S.DONE) not in runs
+    assert ("GOOG", S.DONE) in runs

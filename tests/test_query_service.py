@@ -76,3 +76,42 @@ def test_latest_run_for_stock(spark, tmp_path):
     assert newest["state"] == S.FAILED  # the most recent AAPL run
     done = latest_run_for_stock(lake, "AAPL", only_done=True).collect()[0]
     assert done["state"] == S.DONE
+
+
+def test_opaque_cursor_round_trip_and_reverse(spark, tmp_path):
+    import datetime
+
+    import pytest
+
+    from stock_data_etl_pipeline_spark.operators.pagination import (
+        InvalidCursorError,
+        decode_cursor,
+        encode_cursor,
+        keyset_page,
+        page_cursor,
+    )
+
+    # token round-trips every cursor-able type exactly
+    vals = [datetime.datetime(2024, 3, 1, 12, 30, 15, 123456),
+            datetime.date(2024, 3, 1), 42, 1.5, "run-id", None, True]
+    assert decode_cursor(encode_cursor(vals)) == vals
+    with pytest.raises(InvalidCursorError):
+        decode_cursor("not!a@cursor")
+
+    df = spark.createDataFrame([(i, f"r{i:02d}") for i in range(10)],
+                               "seq long, id string")
+    order = [("seq", True), ("id", False)]  # seq DESC, id ASC
+
+    # forward walk with opaque tokens: pages partition the relation
+    p1 = keyset_page(df, order, page_size=4).collect()
+    tok = page_cursor(p1[-1], order)
+    assert isinstance(tok, str)
+    p2 = keyset_page(df, order, cursor=tok, page_size=4).collect()
+    assert [r["seq"] for r in p1] == [9, 8, 7, 6]
+    assert [r["seq"] for r in p2] == [5, 4, 3, 2]
+
+    # backward from p2's first row recovers exactly p1, in base order
+    back_tok = page_cursor(p2[0], order)
+    back = keyset_page(df, order, cursor=back_tok, page_size=4,
+                       reverse=True).collect()
+    assert [r["seq"] for r in back] == [9, 8, 7, 6]
