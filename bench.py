@@ -36,6 +36,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_topk_cosine",
     "text_quality",
+    # corpus statistics
+    "corpus_tfidf_top_terms",
+    "corpus_contamination_overlap",
 ]
 
 

@@ -17,3 +17,13 @@ from .pagination import keyset_page  # noqa: F401
 from .similarity import brute_force_topk, ivf_topk, lsh_topk  # noqa: F401
 from .skew import salted_join  # noqa: F401
 from .windows import first_row_per_group, latest_per_group, top_k_per_group  # noqa: F401
+from .clustering import cluster_near_dups, kmeans_lite  # noqa: F401
+from .corpus import (  # noqa: F401
+    bigram_counts,
+    contamination_overlap,
+    deterministic_sample,
+    redact_pii,
+    tfidf_top_terms,
+    vocab_top_terms,
+)
+from .pagination import decode_cursor, encode_cursor, page_cursor  # noqa: F401

@@ -4,3 +4,4 @@ from . import catalog_streaming  # noqa: F401
 from . import catalog_ext  # noqa: F401
 from . import catalog_tpch  # noqa: F401
 from . import catalog_scalar  # noqa: F401
+from . import catalog_corpus  # noqa: F401

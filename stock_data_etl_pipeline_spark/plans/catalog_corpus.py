@@ -1,0 +1,122 @@
+"""Catalog entries: corpus-statistics operators (operators/corpus.py) —
+vocabulary, bigrams, TF-IDF, deterministic sampling, benchmark
+contamination, PII redaction. Oracles share the exact tokenization and
+md5/shingle-hash arithmetic of the text/dedup oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import corpus as CP
+from ..sources.registry import load_table
+from .catalog import register
+from .catalog_text import _shingle_hash_expr, _WORD_HASHES, _WORDS
+
+
+@register("corpus_vocab_top_terms", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM w)
+SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM tok GROUP BY term
+ORDER BY tf DESC, term LIMIT 100
+""")
+def corpus_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return CP.vocab_top_terms(d, n=100)
+
+
+@register("corpus_bigram_counts", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+pairs AS (SELECT unnest(list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i+1])) AS bigram
+          FROM w)
+SELECT bigram, count(*) AS n
+FROM pairs GROUP BY bigram
+HAVING count(*) >= 5
+ORDER BY n DESC, bigram
+""")
+def corpus_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return CP.bigram_counts(d, min_count=5)
+
+
+@register("corpus_tfidf_top_terms", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM w WHERE len(ws) > 0),
+scored AS (SELECT t.doc_id, t.term, t.tf,
+                  round(t.tf * ln(nd.n_docs / d.df::DOUBLE), 6) AS score
+           FROM tf t JOIN df d USING (term), nd),
+ranked AS (SELECT *, (row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, term))::BIGINT AS rn
+           FROM scored)
+SELECT doc_id, term, tf, score, rn
+FROM ranked WHERE rn <= 3 ORDER BY doc_id, rn
+""")
+def corpus_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return CP.tfidf_top_terms(d, k=3).orderBy("doc_id", "rn")
+
+
+@register("corpus_deterministic_sample", """
+SELECT doc_id, lang, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
+ORDER BY doc_id
+""")
+def corpus_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (CP.deterministic_sample(d, pct=10)
+            .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
+@register("corpus_contamination_overlap", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+wh AS (SELECT doc_id, {_WORD_HASHES} AS whs FROM w),
+sh AS (SELECT doc_id, {_shingle_hash_expr(5)} AS shs FROM wh),
+idx AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh),
+bench AS (SELECT DISTINCT shingle FROM idx
+          JOIN documents USING (doc_id) WHERE source = 'src0'),
+tgt AS (SELECT idx.doc_id, idx.shingle FROM idx
+        JOIN documents USING (doc_id) WHERE source <> 'src0'),
+sizes AS (SELECT doc_id, count(*) AS sz FROM tgt GROUP BY 1),
+hits AS (SELECT doc_id, count(*) AS n_hit FROM tgt
+         WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1)
+SELECT s.doc_id, round(coalesce(h.n_hit, 0) / s.sz::DOUBLE, 6) AS overlap
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+ORDER BY s.doc_id
+""")
+def corpus_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train/test leakage check: every non-src0 doc scored for 5-gram
+    # overlap against the src0 "benchmark" slice
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    rest = d.filter(F.col("source") != "src0")
+    return CP.contamination_overlap(rest, bench, k=5).orderBy("doc_id")
+
+
+_AUG_SUFFIX = "@mail.example dial 555-123-4567"
+
+
+@register("corpus_pii_redact", """
+WITH aug AS (SELECT doc_id,
+       text || ' reach me at user' || doc_id::VARCHAR
+            || '""" + _AUG_SUFFIX + """' AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t,
+           '""" + CP.EMAIL_RE + """', '<EMAIL>', 'g'),
+           '""" + CP.PHONE_RE + """', '<PHONE>', 'g') AS clean
+FROM aug ORDER BY doc_id
+""")
+def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # every row gets a synthetic email+phone appended so the scrub is
+    # exercised on the whole corpus, then redacted; output must be
+    # byte-identical across engines (same RE2-safe patterns)
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(F.col("text"), F.lit(" reach me at user"),
+                   F.col("doc_id").cast("string"), F.lit(_AUG_SUFFIX))
+    return (d.select("doc_id", CP.redact_pii(aug).alias("clean"))
+            .orderBy("doc_id"))
