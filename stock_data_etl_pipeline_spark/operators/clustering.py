@@ -95,7 +95,9 @@ def kmeans_lite(emb: DataFrame, iterations: int = 2, seed_stride: int = 40,
                              F.expr("transform(pm, e -> e.m)").alias("centroid")))
     sizes = (assign_centroids(v, centroids, vec_col="v", id_col=id_col)
              .groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_members")))
-    return (centroids.join(sizes, "centroid_id", "left")
+    # both sides are k rows — broadcast beats the sort-merge join Spark
+    # picks for the post-aggregation relation
+    return (centroids.join(F.broadcast(sizes), "centroid_id", "left")
             .na.fill({"n_members": 0})
             .select("centroid_id",
                     F.expr("transform(centroid, x -> round(x, 6))")

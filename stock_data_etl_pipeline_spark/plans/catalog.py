@@ -464,6 +464,30 @@ def keyset_page2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyset_page(o, order, cursor=cursor, page_size=50)
 
 
+@register("keyset_page_reverse", """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+ORDER BY o_orderdate DESC, o_orderkey DESC
+LIMIT 50
+""")
+def keyset_page_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O2 backward paging with an OPAQUE cursor (DRF CursorPagination
+    # parity): walk forward to page 2, take its FIRST row as a base64
+    # token, page back — which must recover exactly page 1 (the oracle is
+    # the plain first page). Exercises encode/decode + reverse in the
+    # driver gate, timestamps round-tripping through the token.
+    from ..operators.pagination import page_cursor
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice")
+    order = [("o_orderdate", True), ("o_orderkey", True)]
+    page1 = keyset_page(o, order, cursor=None, page_size=50).collect()
+    token = page_cursor(page1[-1], order)
+    page2 = keyset_page(o, order, cursor=token, page_size=50).collect()
+    back_token = page_cursor(page2[0], order)
+    return keyset_page(o, order, cursor=back_token, page_size=50,
+                       reverse=True)
+
+
 # ---------------------------------------------------------------------------
 # State-machine / event-stream shapes (M3, §2.10).
 # ---------------------------------------------------------------------------
