@@ -23,6 +23,7 @@ from .corpus import (  # noqa: F401
     contamination_overlap,
     deterministic_sample,
     redact_pii,
+    stratified_sample,
     tfidf_top_terms,
     vocab_top_terms,
 )

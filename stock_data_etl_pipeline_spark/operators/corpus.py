@@ -106,6 +106,22 @@ def deterministic_sample(docs: DataFrame, pct: int = 10,
     return docs.filter(sample_bucket(id_col) < pct)
 
 
+def stratified_sample(docs: DataFrame, strata: dict[str, int],
+                      strata_col: str = "lang",
+                      id_col: str = "doc_id",
+                      default_pct: int = 0) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-rebalancing shape
+    (e.g. keep 100% of low-resource languages, 10% of English). Same md5
+    bucket as deterministic_sample, so per-stratum samples stay
+    reproducible and nested; strata absent from ``strata`` get
+    ``default_pct``. Pure Column expression: the rate lookup is a literal
+    when-chain, no join."""
+    rate = F.lit(default_pct)
+    for value, pct in sorted(strata.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(rate)
+    return docs.filter(sample_bucket(id_col) < rate)
+
+
 def contamination_overlap(docs: DataFrame, bench: DataFrame, k: int = 5,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:

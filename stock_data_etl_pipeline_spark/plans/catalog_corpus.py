@@ -72,6 +72,21 @@ def corpus_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang", "source").orderBy("doc_id"))
 
 
+@register("corpus_stratified_sample", """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100
+      < CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 80 ELSE 40 END
+ORDER BY doc_id
+""")
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus rebalancing: downsample dominant English hard, keep most of
+    # the low-resource tail — per-stratum rates over the same md5 bucket
+    d = load_table(spark, sf_dir, "documents")
+    return (CP.stratified_sample(d, {"en": 10, "zh": 80}, "lang",
+                                 default_pct=40)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 @register("corpus_contamination_overlap", f"""
 WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
 wh AS (SELECT doc_id, {_WORD_HASHES} AS whs FROM w),

@@ -65,6 +65,32 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"), gap_seconds=1800)
 
 
+@register("streaming_dedup_survivors", """
+WITH keyed AS (SELECT doc_id, md5(text) AS key, text FROM documents),
+min_ids AS (SELECT key, min(doc_id) AS doc_id FROM keyed GROUP BY key)
+SELECT k.doc_id, k.key, k.text
+FROM keyed k JOIN min_ids m ON m.key = k.key AND m.doc_id = k.doc_id
+ORDER BY k.doc_id
+""")
+def streaming_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the custom stateful operator (applyInPandasWithState) run as a REAL
+    # streaming query: documents keyed by md5(text), drained availableNow
+    # through the checkpointed dedup. One coalesced source file -> one
+    # micro-batch, so the min-id survivor rule makes the drain equal the
+    # batch keep-lowest-id dedup — a full hash oracle for a stateful
+    # streaming operator. Cross-batch/cross-run state is pytest-covered
+    # (test_streaming_dedup).
+    import tempfile
+
+    from ..streaming.dedup import streaming_dedup
+    work = tempfile.mkdtemp(prefix="sdedup_")
+    src, cp = os.path.join(work, "src"), os.path.join(work, "cp")
+    d = load_table(spark, sf_dir, "documents")
+    (d.select("doc_id", F.md5("text").alias("key"), "text")
+     .coalesce(1).write.mode("overwrite").parquet(src))
+    return streaming_dedup(spark, src, cp).orderBy("doc_id")
+
+
 @register("streaming_current_state", """
 SELECT user_id, event_type AS current_state, ts AS state_ts
 FROM events

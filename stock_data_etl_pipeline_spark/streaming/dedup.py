@@ -35,15 +35,19 @@ _STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType(), True)])
 
 def _dedup_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
-    already = state.exists
-    emitted = False
-    for pdf in pdfs:
-        if already or emitted or len(pdf) == 0:
-            continue
-        yield pdf.iloc[[0]]  # first occurrence of this key wins
-        emitted = True
-    if emitted and not already:
-        state.update((True,))
+    if state.exists:
+        # key seen in an earlier batch or an earlier RUN: drop everything
+        for _ in pdfs:
+            pass
+        return
+    batch = pd.concat(list(pdfs), ignore_index=True)
+    if len(batch) == 0:
+        return
+    # deterministic survivor: the min-doc_id row of this batch (matches
+    # exact_dedup's keep-lowest-id rule, so the single-batch drain is
+    # oracle-checkable); earlier batches still beat later ones via state
+    yield batch.loc[[batch["doc_id"].idxmin()]]
+    state.update((True,))
 
 
 def streaming_dedup(spark: SparkSession, source_dir: str,

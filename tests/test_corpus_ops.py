@@ -66,3 +66,19 @@ def test_redact_pii_masks_email_and_phone(spark):
     d = docs_of(spark, ["mail bob.smith+x@corp.example.org or 555-123-4567 now"])
     out = d.select(CP.redact_pii("text").alias("t")).collect()[0]["t"]
     assert out == "mail <EMAIL> or <PHONE> now"
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    d = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(400)],
+        "doc_id long, lang string")
+    out = CP.stratified_sample(d, {"en": 0, "zh": 100}, "lang",
+                               default_pct=0).collect()
+    # en fully dropped, zh fully kept
+    assert all(r["lang"] == "zh" for r in out)
+    assert len(out) == 200
+    # a stratum's sample is exactly the deterministic sample at its rate
+    half = CP.stratified_sample(d, {"zh": 30}, "lang", default_pct=0)
+    flat = CP.deterministic_sample(d.filter("lang = 'zh'"), 30)
+    assert sorted(r["doc_id"] for r in half.collect()) == \
+        sorted(r["doc_id"] for r in flat.collect())
