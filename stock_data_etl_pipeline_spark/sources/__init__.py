@@ -6,3 +6,4 @@ from .managed_table import (  # noqa: F401
     TableExistsError,
 )
 from .registry import TABLES, load_table, register_views  # noqa: F401
+from .jsonl import read_jsonl, to_parquet_documents  # noqa: F401
