@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import corpus as CP
+from ..operators import dedup as DD
 from ..sources.registry import load_table
 from .catalog import register
 from .catalog_text import _shingle_hash_expr, _WORD_HASHES, _WORDS
@@ -110,6 +111,81 @@ def corpus_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("source") == "src0")
     rest = d.filter(F.col("source") != "src0")
     return CP.contamination_overlap(rest, bench, k=5).orderBy("doc_id")
+
+
+def _full_curation_sql() -> str:
+    # assembled from the individually-verified fragments: quality formula
+    # (text_quality), idx/jaccard shape (_JACCARD_CTES, here filtered to
+    # the non-benchmark slice), contamination ratio, md5 sampling bucket
+    from ..functions.text import ENGLISH_STOPWORDS
+    stops = ", ".join(repr(s) for s in ENGLISH_STOPWORDS)
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+wh AS (SELECT doc_id, {_WORD_HASHES} AS whs FROM w),
+sh AS (SELECT doc_id, {_shingle_hash_expr(5)} AS shs FROM wh),
+idx0 AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM sh),
+nb AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+idx AS (SELECT i.doc_id, i.shingle FROM idx0 i JOIN nb USING (doc_id)),
+bench AS (SELECT DISTINCT shingle FROM idx0
+          JOIN documents USING (doc_id) WHERE source = 'src0'),
+sizes AS (SELECT doc_id, count(*) AS sz FROM idx GROUP BY 1),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM idx a JOIN idx b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT id_a, id_b, round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b),
+dupes AS (SELECT DISTINCT id_b AS doc_id FROM jac WHERE jaccard >= 0.5),
+hits AS (SELECT doc_id, count(*) AS n_hit FROM idx
+         WHERE shingle IN (SELECT shingle FROM bench) GROUP BY 1),
+cont AS (SELECT s.doc_id,
+                round(coalesce(h.n_hit, 0) / s.sz::DOUBLE, 6) AS overlap
+         FROM sizes s LEFT JOIN hits h USING (doc_id)),
+scored AS (
+  SELECT w.doc_id,
+         round((least(len(ws) / 100.0, 1.0)
+                + least(round(len(list_filter(ws, x -> x IN ({stops})))
+                        / len(ws)::DOUBLE, 4) * 4, 1.0)
+                + round(len(list_distinct(ws)) / len(ws)::DOUBLE, 4)) / 3,
+               4) AS quality
+  FROM w JOIN nb USING (doc_id))
+SELECT s.doc_id, s.quality, coalesce(c.overlap, 0) AS overlap
+FROM scored s LEFT JOIN cont c USING (doc_id)
+WHERE s.quality >= 0.43
+  AND coalesce(c.overlap, 0) < 0.5
+  AND s.doc_id NOT IN (SELECT doc_id FROM dupes)
+  AND ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 50
+ORDER BY s.doc_id
+"""
+
+
+@register("corpus_curation_full", _full_curation_sql())
+def corpus_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the COMPLETE pre-training curation pass, one Catalyst plan over the
+    # non-benchmark slice: quality gate + near-dup removal (keep lowest
+    # id) + benchmark-contamination filter + 50% deterministic sample.
+    # Every stage is an independently-verified operator; this entry
+    # proves they compose without glue code.
+    from ..functions.text import quality_score
+    from ..operators.joins import anti_join
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    rest = d.filter(F.col("source") != "src0")
+
+    pairs = DD.ngram_jaccard_pairs(rest, threshold=0.5, k=5)
+    dupes = F.broadcast(pairs.select(F.col("id_b").alias("doc_id")).distinct())
+    cont = CP.contamination_overlap(rest, bench, k=5)
+    scored = rest.select("doc_id", quality_score("text").alias("quality"))
+
+    kept = (anti_join(scored.filter(F.col("quality") >= 0.43), dupes,
+                      ["doc_id"])
+            .join(cont, "doc_id", "left")
+            .na.fill({"overlap": 0.0})
+            .filter(F.col("overlap") < 0.5)
+            .filter(CP.sample_bucket("doc_id") < 50))
+    return kept.select("doc_id", "quality", "overlap").orderBy("doc_id")
 
 
 _AUG_SUFFIX = "@mail.example dial 555-123-4567"
