@@ -16,7 +16,11 @@ def plan_of(df) -> str:
 
 @pytest.fixture(scope="module")
 def catalog():
-    from stock_data_etl_pipeline_spark.plans import queries
+    # import from plans.catalog, NOT `from plans import queries`: the
+    # package also has a queries.py submodule (the control-plane query
+    # service) which shadows the re-exported function once imported
+    import stock_data_etl_pipeline_spark.plans  # registers all entries
+    from stock_data_etl_pipeline_spark.plans.catalog import queries
     return queries()
 
 
