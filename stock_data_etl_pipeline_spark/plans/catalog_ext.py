@@ -232,3 +232,35 @@ def median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.percentile("o_totalprice", F.lit(0.9)), 2)
                  .alias("p90_price"))
             .orderBy("o_orderstatus"))
+
+
+@register("ntile_quartiles_by_status", """
+SELECT o_orderkey, o_orderstatus,
+       (ntile(4) OVER (PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice, o_orderkey))::BIGINT AS quartile
+FROM orders ORDER BY o_orderkey
+""")
+def ntile_quartiles_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # analytic bucketing: price quartile within each status (the
+    # reference's percentile-style stats endpoints as a window)
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (o.select("o_orderkey", "o_orderstatus",
+                     F.ntile(4).over(w).cast("long").alias("quartile"))
+            .orderBy("o_orderkey"))
+
+
+@register("percent_rank_price", """
+SELECT o_orderkey,
+       round(percent_rank() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice), 6) AS pr
+FROM orders ORDER BY o_orderkey
+""")
+def percent_rank_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank-based relative standing; tie-stable by definition (equal
+    # prices share a rank), rounded for float parity
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return (o.select("o_orderkey",
+                     F.round(F.percent_rank().over(w), 6).alias("pr"))
+            .orderBy("o_orderkey"))
