@@ -211,3 +211,27 @@ def corpus_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("doc_id").cast("string"), F.lit(_AUG_SUFFIX))
     return (d.select("doc_id", CP.redact_pii(aug).alias("clean"))
             .orderBy("doc_id"))
+
+
+@register("multimodal_frame_sample", """
+SELECT doc_id AS media_id,
+       unnest(generate_series(0, n_chars - 1, 50))::BIGINT AS frame_ts_ms
+FROM documents WHERE n_chars > 0
+ORDER BY media_id, frame_ts_ms
+""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frame-sampling plumbing in the gate: documents stand in for media
+    # assets (n_chars as duration_ms); zero/NULL-duration assets emit no
+    # rows — the oracle's WHERE n_chars > 0 is the same contract.
+    from ..operators import multimodal as MM
+    d = load_table(spark, sf_dir, "documents")
+    media = (d.select(F.col("doc_id").alias("media_id"),
+                      F.encode(F.col("text"), "UTF-8").alias("bytes"),
+                      "n_chars"))
+    media = MM.attach_media_column(media, "bytes", "video", "raw")
+    media = media.withColumn(
+        "meta", F.struct(F.col("meta.media_type"), F.col("meta.format"),
+                         F.col("meta.width"), F.col("meta.height"),
+                         F.col("n_chars").alias("duration_ms")))
+    return (MM.frame_sample_plan(media, every_ms=50)
+            .orderBy("media_id", "frame_ts_ms"))

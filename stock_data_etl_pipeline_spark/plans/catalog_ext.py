@@ -264,3 +264,29 @@ def percent_rank_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.select("o_orderkey",
                      F.round(F.percent_rank().over(w), 6).alias("pr"))
             .orderBy("o_orderkey"))
+
+
+@register("salted_join_revenue", """
+SELECT n.n_name AS nation, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name ORDER BY nation
+""")
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skew fallback surfaced in the gate: the orders->customer join run
+    # through 8-way key salting must equal the plain equi-join (the
+    # oracle IS the plain join) — salting changes only the shuffle
+    # distribution, never the result.
+    from ..operators.skew import salted_join
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    j = salted_join(o, c, "o_custkey", salt=8)
+    return (j.join(F.broadcast(n), j["c_nationkey"] == n["n_nationkey"])
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .orderBy("nation"))
