@@ -290,3 +290,40 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("revenue"))
             .orderBy("nation"))
+
+
+@register("gold_cached_revenue", """
+SELECT n.n_name AS nation, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name ORDER BY nation
+""")
+def gold_cached_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C1 in the gate: the same revenue rollup served through the gold
+    # cached-view registry. Two gets must hit one build (the in-query
+    # assertion fails the whole entry if the cache path broke), and the
+    # cached result must still hash-match the plain SQL oracle.
+    from .gold import GoldViews
+
+    def build() -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice")
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey")
+        n = load_table(spark, sf_dir, "nation")
+        return (o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+                .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+                .groupBy(F.col("n_name").alias("nation"))
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+                .orderBy("nation"))
+
+    gold = GoldViews()
+    gold.register("rev_by_nation", build, {"ticker_views"})
+    gold.get("rev_by_nation").count()      # first get: builds + caches
+    out = gold.get("rev_by_nation")        # second get: must be a hit
+    if gold.build_count("rev_by_nation") != 1:
+        raise AssertionError("gold view rebuilt on second get — cache broken")
+    return out
