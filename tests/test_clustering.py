@@ -42,3 +42,16 @@ def test_kmeans_lite_separates_clusters(spark):
     # determinism across runs
     again = kmeans_lite(df, iterations=2, seed_stride=40).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_cluster_long_path_converges(spark):
+    # a 150-edge path needs 149 one-hop rounds; pointer jumping must
+    # collapse it within the default iteration budget (O(log diameter))
+    from stock_data_etl_pipeline_spark.operators.clustering import (
+        cluster_near_dups,
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(150)], "id_a long, id_b long")
+    out = cluster_near_dups(pairs).collect()
+    assert len(out) == 151
+    assert {r["cluster_id"] for r in out} == {0}
