@@ -2,9 +2,11 @@
 
 The reference's control plane lives in Postgres (services/api/models.py);
 this engine keeps control tables in the lake, but when Postgres parity is
-required `spark.read.jdbc` provides it. The JDBC driver jar is not in this
-environment, so the wrappers validate eagerly and raise a clear error
-instead of an opaque ClassNotFoundException.
+required `spark.read.jdbc` provides it. The wrappers validate the driver
+class eagerly and raise a clear error instead of an opaque
+ClassNotFoundException (no Postgres jar ships here); the full read/write/
+partitioned-read/pushdown path is exercised against embedded Derby — the
+JDBC engine inside the Spark distribution — in tests/test_jdbc.py.
 
 Scale notes for real use: always pass ``partition_column/num_partitions/
 lower/upper`` — an unpartitioned JDBC read is a single-task scan through
