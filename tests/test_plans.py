@@ -83,3 +83,27 @@ def test_cluster_near_dups_never_collects_edges(spark):
     )
     src = inspect.getsource(cluster_near_dups)
     assert ".collect(" not in src
+
+
+def test_tpch_sub_decorrelated_shapes(spark, catalog):
+    # the subquery-heavy shapes must decorrelate to broadcast joins:
+    # a SortMergeJoin in q2/q20/q22 means a scalar/semi side stopped
+    # broadcasting and the full-fact shuffle came back
+    for name in ("q2_min_cost_supplier", "q20_part_promotion",
+                 "q22_idle_customers"):
+        df = catalog[name](spark, SF)
+        df.collect()
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_q21_single_stats_aggregate(spark, catalog):
+    # the EXISTS / NOT EXISTS pair must fold into ONE per-order
+    # aggregate, not two extra joins against the fact: exactly one
+    # distinct-count HashAggregate chain and no more than one
+    # orderkey-keyed shuffle-join of fact vs fact
+    df = catalog["q21_waiting_supplier"](spark, SF)
+    df.collect()
+    plan = plan_of(df)
+    assert plan.count("SortMergeJoin") <= 1
