@@ -151,3 +151,75 @@ def redact_pii(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       max_top_bigram_frac: float = 0.18,
+                       max_dup_word_frac: float = 0.6) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. '21 §A1.1): per doc,
+    the fraction of word-bigram occurrences taken by the single most
+    frequent bigram, and the duplicate-word fraction (1 - distinct/total).
+    ``keep`` is the quality-gate verdict under the given thresholds.
+
+    Shape: adjacent-pair expansion (zip_with against the array tail —
+    pure codegen, no Python), one (doc, bigram) count aggregate, then a
+    per-doc max/sum reduce. Both aggregations are map-side combinable and
+    key on doc_id, so at 100 TB this is two combiner-friendly shuffles of
+    token-scale data partitioned by document — no skew beyond document
+    length, which the bigram pre-count already compresses."""
+    ws = words(text_col)
+    base = docs.select(F.col(id_col), ws.alias("ws"))
+    wd = base.select(
+        F.col(id_col),
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"))
+    bg = base.select(
+        F.col(id_col),
+        F.explode(F.filter(
+            F.zip_with("ws", F.slice("ws", 2, F.size("ws")),
+                       lambda x, y: F.concat_ws(" ", x, y)),
+            lambda p: p.contains(" "))).alias("bigram"))
+    bc = bg.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("n"))
+    top = (bc.groupBy(id_col)
+           .agg(F.max("n").alias("top_n"), F.sum("n").alias("total_bg")))
+    out = (wd.join(top, id_col, "left")
+           .select(
+               F.col(id_col),
+               F.coalesce(F.round(F.col("top_n")
+                                  / F.col("total_bg"), 4), F.lit(0.0))
+               .alias("top_bigram_frac"),
+               F.round(1 - F.col("n_distinct") / F.col("n_words"), 4)
+               .alias("dup_word_frac")))
+    return out.withColumn(
+        "keep", (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & (F.col("dup_word_frac") <= max_dup_word_frac))
+
+
+def pack_sequences(docs: DataFrame, budget: int = 256,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   group_col: str = "source") -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end
+    in deterministic (group, id) order and cut into fixed ``budget``-token
+    training sequences; each doc reports the pack it starts in and its
+    token offset inside that pack (GPT-style packing — a doc may span
+    packs; the pack key is (group, pack_id)).
+
+    Shape: token count is a pure projection; the running offset is one
+    cumulative-sum window partitioned by ``group_col``, so packing
+    parallelizes across groups and never sees a global sort. At 100 TB
+    the group is the unit of packing locality (a source shard); a group
+    too large for one task gets sub-sharded upstream by the same
+    deterministic id order."""
+    n_tok = F.size(words(text_col)).cast("long")
+    from pyspark.sql import Window
+    w = (Window.partitionBy(group_col).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return (docs.select(F.col(id_col), F.col(group_col),
+                        n_tok.alias("n_tokens"))
+            .withColumn("cum_before",
+                        F.coalesce(F.sum("n_tokens").over(w),
+                                   F.lit(0).cast("long")))
+            .select(id_col, group_col, "n_tokens",
+                    F.floor(F.col("cum_before") / budget).alias("pack_id"),
+                    (F.col("cum_before") % budget).alias("pack_offset")))

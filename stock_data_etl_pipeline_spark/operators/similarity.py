@@ -111,3 +111,32 @@ def ivf_topk(emb: DataFrame, centroids: DataFrame, query_vec: list[float],
                     F.round(cosine(F.col("v"), q), 6).alias("score"))
             .orderBy(F.col("score").desc(), F.col(id_col))
             .limit(k))
+
+
+def knn_join(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
+             id_col: str = "vec_id", block_col: str = "label") -> DataFrame:
+    """All-pairs k-nearest-neighbors, blocked: for every vector, its k
+    most cosine-similar neighbors within the same ``block_col`` (an LSH
+    bucket, IVF cell or cluster label). The blocking is what keeps the
+    candidate join off O(n^2) at scale — candidates are generated
+    per-block, and the rank window partitions on the query id, so both
+    the join and the window shuffle on bounded keys. Exact within the
+    block; recall across blocks is the blocker's contract (same tradeoff
+    as embedding_near_dup_pairs).
+
+    Deterministic: score rounded to 6 dp, ties broken on neighbor id."""
+    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"),
+                   F.col(block_col))
+    a, b = v.alias("a"), v.alias("b")
+    cand = (a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+                   & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("qid"),
+                    F.col(f"b.{id_col}").alias("nid"),
+                    F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+                    .alias("score")))
+    ranked = cand.withColumn("nn_rank", F.row_number().over(
+        Window.partitionBy("qid")
+        .orderBy(F.col("score").desc(), F.col("nid"))).cast("long"))
+    return (ranked.filter(F.col("nn_rank") <= k)
+            .select(F.col("qid").alias(id_col),
+                    F.col("nid").alias("neighbor_id"), "score", "nn_rank"))

@@ -235,3 +235,62 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("n_chars").alias("duration_ms")))
     return (MM.frame_sample_plan(media, every_ms=50)
             .orderBy("media_id", "frame_ts_ms"))
+
+
+@register("corpus_repetition_filter", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                                            i -> ws[i] || ' ' || ws[i+1])) AS bigram
+       FROM w),
+bc AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+tp AS (SELECT doc_id, max(n) AS top_n, sum(n) AS total_bg FROM bc GROUP BY 1),
+wd AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
+       FROM w)
+SELECT wd.doc_id,
+       coalesce(round(top_n / total_bg::DOUBLE, 4), 0.0) AS top_bigram_frac,
+       round(1 - n_distinct / n_words::DOUBLE, 4)        AS dup_word_frac,
+       (coalesce(round(top_n / total_bg::DOUBLE, 4), 0.0) <= 0.18
+        AND round(1 - n_distinct / n_words::DOUBLE, 4) <= 0.6) AS keep
+FROM wd LEFT JOIN tp ON tp.doc_id = wd.doc_id
+""")
+def corpus_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return CP.repetition_metrics(d)
+
+
+@register("corpus_sequence_pack", f"""
+WITH w AS (SELECT doc_id, source, len({_WORDS}) AS n_tokens FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+      FROM w)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(cum_before / 256) AS BIGINT) AS pack_id,
+       CAST(cum_before % 256 AS BIGINT)        AS pack_offset
+FROM c
+""")
+def corpus_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return CP.pack_sequences(d, budget=256)
+
+
+@register("knn_join_blocked", """
+WITH v AS (SELECT vec_id, label, embedding FROM embeddings),
+cand AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                             b.embedding::DOUBLE[]), 6) AS score
+         FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id),
+r AS (SELECT qid, nid, score,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, nid) AS nn_rank
+      FROM cand)
+SELECT qid AS vec_id, nid AS neighbor_id, score,
+       CAST(nn_rank AS BIGINT) AS nn_rank
+FROM r WHERE nn_rank <= 3
+""")
+def knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_join
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_join(e, k=3)

@@ -82,3 +82,48 @@ def test_stratified_sample_rates_and_determinism(spark):
     flat = CP.deterministic_sample(d.filter("lang = 'zh'"), 30)
     assert sorted(r["doc_id"] for r in half.collect()) == \
         sorted(r["doc_id"] for r in flat.collect())
+
+
+def test_repetition_metrics_flags_loops(spark):
+    d = docs_of(spark, ["a b a b a b",          # top bigram "a b" 3/5
+                        "one two three four five six seven eight nine ten eleven",
+                        "solo"])
+    rows = {r["doc_id"]: r for r in CP.repetition_metrics(d).collect()}
+    assert rows[0]["top_bigram_frac"] == 0.6
+    assert round(rows[0]["dup_word_frac"], 4) == round(1 - 2 / 6, 4)
+    assert not rows[0]["keep"]
+    assert rows[1]["top_bigram_frac"] == 0.1  # all bigrams unique, 1/10
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert rows[1]["keep"]
+    # single word: no bigrams -> 0.0, still judged on dup fraction
+    assert rows[2]["top_bigram_frac"] == 0.0
+    assert rows[2]["keep"]
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    d = spark.createDataFrame(
+        [(0, "s", "w " * 3), (1, "s", "w " * 4), (2, "s", "w " * 2),
+         (3, "t", "w " * 9)],
+        "doc_id long, source string, text string")
+    rows = {r["doc_id"]: r for r in CP.pack_sequences(d, budget=5).collect()}
+    # source s: cum_before 0,3,7 -> packs 0,0,1; offsets 0,3,2
+    assert (rows[0]["pack_id"], rows[0]["pack_offset"]) == (0, 0)
+    assert (rows[1]["pack_id"], rows[1]["pack_offset"]) == (0, 3)
+    assert (rows[2]["pack_id"], rows[2]["pack_offset"]) == (1, 2)
+    # source t packs independently
+    assert (rows[3]["pack_id"], rows[3]["pack_offset"]) == (0, 0)
+
+
+def test_knn_join_blocked_exact_within_block(spark):
+    from stock_data_etl_pipeline_spark.operators.similarity import knn_join
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 0),
+         (4, [1.0, 0.0], 1)],
+        "vec_id long, embedding array<double>, label int")
+    rows = [(r["vec_id"], r["neighbor_id"], r["nn_rank"])
+            for r in knn_join(emb, k=1).collect()]
+    # vec 4 is identical to vec 1 but blocked apart -> never its neighbor
+    assert (1, 2, 1) in rows and (2, 1, 1) in rows
+    assert all(n != 4 for q, n, _ in rows if q != 4)
+    # vec 4 alone in its block: no candidates at all
+    assert all(q != 4 for q, _, _ in rows)
