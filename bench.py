@@ -39,6 +39,13 @@ HEADLINE = [
     # corpus statistics
     "corpus_tfidf_top_terms",
     "corpus_contamination_overlap",
+    # subquery-heavy TPC-H shapes (decorrelation family)
+    "q2_min_cost_supplier",
+    "q21_waiting_supplier",
+    # training-data ops round 2
+    "corpus_repetition_filter",
+    "corpus_sequence_pack",
+    "knn_join_blocked",
 ]
 
 

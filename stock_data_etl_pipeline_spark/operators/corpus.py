@@ -223,3 +223,36 @@ def pack_sequences(docs: DataFrame, budget: int = 256,
             .select(id_col, group_col, "n_tokens",
                     F.floor(F.col("cum_before") / budget).alias("pack_id"),
                     (F.col("cum_before") % budget).alias("pack_offset")))
+
+
+def mixture_sample(docs: DataFrame, weights: dict[str, float],
+                   group_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Data-mixing: per-group keep-rates chosen so the sampled corpus's
+    group distribution matches the target ``weights``, taking the largest
+    volume achievable WITHOUT upsampling: rate_g = cap * w_g / n_g with
+    cap = min_g(n_g / w_g), so the binding group keeps ~everything and
+    every other group downsamples to match the mixture. Groups absent
+    from ``weights`` are dropped. Selection is the deterministic md5
+    bucket (0..9999 here, for fractional rates), so the mix is
+    reproducible across runs and engines and nested under rate increases.
+
+    Shape: one tiny per-group count aggregate, a scalar min, and a
+    broadcast rate join — the fact is touched exactly once, by a pure
+    column-expression filter. The cap group's rate can floor to 9999/10000
+    (float division round-trip), which is the documented epsilon."""
+    spark = docs.sparkSession
+    w_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        f"{group_col} string, w double")
+    counts = (docs.groupBy(group_col)
+              .agg(F.count(F.lit(1)).cast("double").alias("n_g"))
+              .join(w_df, group_col))
+    cap = counts.agg(F.min(F.col("n_g") / F.col("w")).alias("cap"))
+    cuts = (counts.crossJoin(F.broadcast(cap))
+            .select(group_col,
+                    F.floor(F.col("cap") * F.col("w") / F.col("n_g")
+                            * 10000).alias("cut")))
+    bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                     16, 10).cast("long") % 10000)
+    return docs.join(F.broadcast(cuts), group_col).filter(bucket < F.col("cut"))

@@ -124,15 +124,25 @@ def knn_join(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
     block; recall across blocks is the blocker's contract (same tradeoff
     as embedding_near_dup_pairs).
 
-    Deterministic: score rounded to 6 dp, ties broken on neighbor id."""
-    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"),
-                   F.col(block_col))
+    Deterministic: score rounded to 6 dp, ties broken on neighbor id.
+
+    Per-pair cost is ONE dot product, not a full cosine: vectors are
+    L2-normalized once per row (O(n) work), so the O(pairs) inner loop
+    avoids recomputing both norms per candidate — at a 500-per-block
+    corpus that is 3x less array arithmetic on 250k pairs/block."""
+    from ..functions.vectors import dot, norm
+    v = (emb.select(F.col(id_col), as_double(vec_col).alias("v"),
+                    F.col(block_col))
+         .withColumn("_n", norm(F.col("v")))
+         .withColumn("v", F.when(F.col("_n") > 0, F.transform(
+             F.col("v"), lambda x: x / F.col("_n"))))
+         .drop("_n"))
     a, b = v.alias("a"), v.alias("b")
     cand = (a.join(b, (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
                    & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("qid"),
                     F.col(f"b.{id_col}").alias("nid"),
-                    F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+                    F.round(dot(F.col("a.v"), F.col("b.v")), 6)
                     .alias("score")))
     ranked = cand.withColumn("nn_rank", F.row_number().over(
         Window.partitionBy("qid")

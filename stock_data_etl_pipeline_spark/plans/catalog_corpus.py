@@ -294,3 +294,23 @@ def knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_join
     e = load_table(spark, sf_dir, "embeddings")
     return knn_join(e, k=3)
+
+
+@register("corpus_mixture_sample", """
+WITH wts(source, w) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+cnt AS (SELECT d.source, count(*)::DOUBLE AS n_g, any_value(w) AS w
+        FROM documents d JOIN wts USING (source) GROUP BY d.source),
+cap AS (SELECT min(n_g / w) AS cap FROM cnt),
+cut AS (SELECT source, floor(cap * w / n_g * 10000)::BIGINT AS cut
+        FROM cnt, cap)
+SELECT d.doc_id, d.source FROM documents d
+JOIN cut USING (source)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < cut
+ORDER BY d.doc_id
+""")
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data mixing: sample so the kept corpus is 50/30/20 across three
+    # sources, max volume with no upsampling, deterministic md5 buckets
+    d = load_table(spark, sf_dir, "documents")
+    return (CP.mixture_sample(d, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
+            .select("doc_id", "source").orderBy("doc_id"))

@@ -109,3 +109,19 @@ def streaming_current_state_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming aggregation (max_by over (ts, event_id))
     return streaming_current_state(
         spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register("streaming_enriched_segments", """
+SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+       round(sum(e.value), 2) AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_mktsegment, e.event_type
+ORDER BY c.c_mktsegment, e.event_type
+""")
+def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-static join: live events enriched with the customer dim at
+    # stream time, aggregated per segment — equals the batch join relation
+    from ..streaming.events import streaming_enriched_by_segment
+    return streaming_enriched_by_segment(
+        spark, os.path.join(sf_dir, "events.parquet"),
+        load_table(spark, sf_dir, "customer"))

@@ -127,3 +127,31 @@ def streaming_current_state(spark: SparkSession, events_parquet: str) -> DataFra
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name).orderBy("user_id")
+
+
+def streaming_enriched_by_segment(spark: SparkSession, events_parquet: str,
+                                  customers: DataFrame) -> DataFrame:
+    """Stream-static join (SURVEY §2.10): the live event stream enriched
+    with a static dimension at stream time, then aggregated — the
+    standard "events x reference data" streaming shape. The dim is
+    broadcast per micro-batch (Spark re-resolves the static side each
+    trigger, so a refreshed dim table is picked up without restarting);
+    state is only the downstream aggregate's, bounded by group
+    cardinality. Driven to completion with availableNow + complete mode
+    so the result equals the batch join relation."""
+    stream = (spark.readStream.schema(EVENT_STREAM_SCHEMA)
+              .parquet(_as_stream_dir(events_parquet))
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    dim = F.broadcast(
+        customers.select(F.col("c_custkey").alias("user_id"),
+                         "c_mktsegment"))
+    agg = (stream.join(dim, "user_id")
+           .groupBy("c_mktsegment", "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value")))
+    name = f"enriched_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).orderBy("c_mktsegment", "event_type")

@@ -127,3 +127,34 @@ def test_knn_join_blocked_exact_within_block(spark):
     assert all(n != 4 for q, n, _ in rows if q != 4)
     # vec 4 alone in its block: no candidates at all
     assert all(q != 4 for q, _, _ in rows)
+
+
+def test_mixture_sample_matches_target_distribution(spark):
+    import collections
+    d = spark.createDataFrame(
+        [(i, "a" if i < 400 else "b", "t") for i in range(600)],
+        "doc_id long, source string, text string")
+    kept = collections.Counter(
+        r["source"] for r in
+        CP.mixture_sample(d, {"a": 0.5, "b": 0.5},
+                          group_col="source").collect())
+    # b is binding (200 docs at weight .5 -> cap 400): a downsamples to
+    # ~200 and b keeps ~all; proportions within hash-bucket noise
+    assert kept["b"] > 180
+    assert abs(kept["a"] - kept["b"]) < 40
+    # no upsampling ever
+    assert kept["a"] <= 400 and kept["b"] <= 200
+    # deterministic: same call, same sample
+    again = collections.Counter(
+        r["source"] for r in
+        CP.mixture_sample(d, {"a": 0.5, "b": 0.5},
+                          group_col="source").collect())
+    assert kept == again
+
+
+def test_mixture_sample_drops_unweighted_groups(spark):
+    d = spark.createDataFrame(
+        [(1, "a", "t"), (2, "zzz", "t")],
+        "doc_id long, source string, text string")
+    rows = CP.mixture_sample(d, {"a": 1.0}).collect()
+    assert all(r["source"] == "a" for r in rows)
