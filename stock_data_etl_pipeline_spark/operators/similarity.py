@@ -114,22 +114,30 @@ def ivf_topk(emb: DataFrame, centroids: DataFrame, query_vec: list[float],
 
 
 def knn_join(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
-             id_col: str = "vec_id", block_col: str = "label") -> DataFrame:
+             id_col: str = "vec_id", block_col: str = "label",
+             impl: str = "arrow") -> DataFrame:
     """All-pairs k-nearest-neighbors, blocked: for every vector, its k
     most cosine-similar neighbors within the same ``block_col`` (an LSH
     bucket, IVF cell or cluster label). The blocking is what keeps the
     candidate join off O(n^2) at scale — candidates are generated
-    per-block, and the rank window partitions on the query id, so both
-    the join and the window shuffle on bounded keys. Exact within the
-    block; recall across blocks is the blocker's contract (same tradeoff
-    as embedding_near_dup_pairs).
+    per-block only. Exact within the block; recall across blocks is the
+    blocker's contract (same tradeoff as embedding_near_dup_pairs).
 
     Deterministic: score rounded to 6 dp, ties broken on neighbor id.
 
-    Per-pair cost is ONE dot product, not a full cosine: vectors are
-    L2-normalized once per row (O(n) work), so the O(pairs) inner loop
-    avoids recomputing both norms per candidate — at a 500-per-block
-    corpus that is 3x less array arithmetic on 250k pairs/block."""
+    Two implementations with identical results (equality-tested):
+    - ``impl="arrow"`` (default): one ``applyInPandas`` per block — the
+      block's vectors become a numpy matrix and the pairwise scores ONE
+      BLAS matmul (Vn @ Vn.T). This is the legitimate Pandas-UDF case:
+      the inner loop is dense linear algebra Spark expressions can't
+      vectorize. One shuffle on block; per-task memory is O(block^2)
+      scores, which is exactly the blocker's size contract.
+    - ``impl="sql"``: pure relational (self-join + window) — engine-
+      portable, used by the DuckDB-oracle twin and as the semantics
+      reference. Per-pair cost is one dot product over pre-normalized
+      vectors."""
+    if impl == "arrow":
+        return _knn_join_arrow(emb, k, vec_col, id_col, block_col)
     from ..functions.vectors import dot, norm
     v = (emb.select(F.col(id_col), as_double(vec_col).alias("v"),
                     F.col(block_col))
@@ -150,3 +158,50 @@ def knn_join(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
     return (ranked.filter(F.col("nn_rank") <= k)
             .select(F.col("qid").alias(id_col),
                     F.col("nid").alias("neighbor_id"), "score", "nn_rank"))
+
+
+def _knn_join_arrow(emb: DataFrame, k: int, vec_col: str,
+                    id_col: str, block_col: str) -> DataFrame:
+    """Per-block numpy kernel for knn_join: normalize rows once, score
+    all pairs with one matmul, emit each row's top-k by
+    (round(score, 6) desc, neighbor id asc) — the same order contract as
+    the relational implementation."""
+    import numpy as np
+    import pandas as pd
+
+    def topk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf[id_col].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({id_col: np.empty(0, dtype=np.int64),
+                                 "neighbor_id": np.empty(0, dtype=np.int64),
+                                 "score": np.empty(0, dtype=np.float64),
+                                 "nn_rank": np.empty(0, dtype=np.int64)})
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col]])
+        norms = np.linalg.norm(V, axis=1, keepdims=True)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Vn = np.where(norms > 0, V / norms, np.nan)
+        S = np.round(Vn @ Vn.T, 6)
+        np.fill_diagonal(S, -np.inf)
+        S = np.nan_to_num(S, nan=-np.inf)  # zero-norm rows rank last
+        kk = min(k, n - 1)
+        out_q, out_n, out_s, out_r = [], [], [], []
+        for i in range(n):
+            # lexsort: last key is primary -> (-score, id)
+            order = np.lexsort((ids, -S[i]))[:kk]
+            keep = S[i][order] > -np.inf
+            order = order[keep]
+            out_q.append(np.full(len(order), ids[i]))
+            out_n.append(ids[order])
+            out_s.append(S[i][order])
+            out_r.append(np.arange(1, len(order) + 1, dtype=np.int64))
+        return pd.DataFrame({id_col: np.concatenate(out_q),
+                             "neighbor_id": np.concatenate(out_n),
+                             "score": np.concatenate(out_s),
+                             "nn_rank": np.concatenate(out_r)})
+
+    schema = (f"{id_col} long, neighbor_id long, "
+              "score double, nn_rank long")
+    return (emb.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+            .groupBy(block_col).applyInPandas(topk, schema=schema))

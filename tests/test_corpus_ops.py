@@ -158,3 +158,18 @@ def test_mixture_sample_drops_unweighted_groups(spark):
         "doc_id long, source string, text string")
     rows = CP.mixture_sample(d, {"a": 1.0}).collect()
     assert all(r["source"] == "a" for r in rows)
+
+
+def test_knn_join_arrow_equals_sql(spark):
+    import random
+
+    from stock_data_etl_pipeline_spark.operators.similarity import knn_join
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+            for i in range(60)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    key = lambda r: (r["vec_id"], r["neighbor_id"], r["nn_rank"])
+    a = sorted(map(key, knn_join(emb, k=4, impl="arrow").collect()))
+    b = sorted(map(key, knn_join(emb, k=4, impl="sql").collect()))
+    assert a == b
