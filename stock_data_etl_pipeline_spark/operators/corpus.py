@@ -189,7 +189,9 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text",
                F.coalesce(F.round(F.col("top_n")
                                   / F.col("total_bg"), 4), F.lit(0.0))
                .alias("top_bigram_frac"),
-               F.round(1 - F.col("n_distinct") / F.col("n_words"), 4)
+               # empty docs have no word total: NULL, not divide-by-zero
+               F.when(F.col("n_words") > 0,
+                      F.round(1 - F.col("n_distinct") / F.col("n_words"), 4))
                .alias("dup_word_frac")))
     return out.withColumn(
         "keep", (F.col("top_bigram_frac") <= max_top_bigram_frac)

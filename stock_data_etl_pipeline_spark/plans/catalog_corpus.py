@@ -248,9 +248,12 @@ wd AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct
        FROM w)
 SELECT wd.doc_id,
        coalesce(round(top_n / total_bg::DOUBLE, 4), 0.0) AS top_bigram_frac,
-       round(1 - n_distinct / n_words::DOUBLE, 4)        AS dup_word_frac,
+       CASE WHEN n_words > 0
+            THEN round(1 - n_distinct / n_words::DOUBLE, 4) END AS dup_word_frac,
        (coalesce(round(top_n / total_bg::DOUBLE, 4), 0.0) <= 0.18
-        AND round(1 - n_distinct / n_words::DOUBLE, 4) <= 0.6) AS keep
+        AND CASE WHEN n_words > 0
+                 THEN round(1 - n_distinct / n_words::DOUBLE, 4) END <= 0.6)
+       AS keep
 FROM wd LEFT JOIN tp ON tp.doc_id = wd.doc_id
 """)
 def corpus_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -95,3 +95,53 @@ def test_merge_upsert_properties(spark, target, source):
     again = {(r["k"], r["p"]): r["v"]
              for r in merge_upsert(merged, s, ["k", "p"]).collect()}
     assert again == got
+
+
+# -- corpus packing / repetition invariants ---------------------------------
+
+pack_docs = st.lists(
+    st.tuples(st.sampled_from(["s1", "s2", "s3"]),
+              st.integers(min_value=0, max_value=40)),
+    min_size=1, max_size=30)
+
+
+@SLOW
+@given(spec=pack_docs, budget=st.integers(min_value=1, max_value=64))
+def test_pack_sequences_invariants(spark, spec, budget):
+    from stock_data_etl_pipeline_spark.operators.corpus import pack_sequences
+    rows = [(i, src, "w " * n) for i, (src, n) in enumerate(spec)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pack_sequences(d, budget=budget).collect()
+    assert len(out) == len(rows)
+    by_src: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["source"], r["doc_id"])):
+        # offset always inside the pack
+        assert 0 <= r["pack_offset"] < budget
+        # global position is recoverable and strictly layout-consistent:
+        # pack_id * budget + offset == sum of preceding docs' tokens
+        pos = r["pack_id"] * budget + r["pack_offset"]
+        expect = sum(x["n_tokens"] for x in by_src.get(r["source"], []))
+        assert pos == expect
+        by_src.setdefault(r["source"], []).append(r)
+
+
+@SLOW
+@given(texts=st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=12))
+def test_repetition_metrics_bounds(spark, texts):
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        repetition_metrics,
+    )
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    out = repetition_metrics(d, max_top_bigram_frac=0.5,
+                             max_dup_word_frac=0.5).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        if r["top_bigram_frac"] is not None:
+            assert 0.0 <= r["top_bigram_frac"] <= 1.0
+        if r["dup_word_frac"] is not None:
+            assert 0.0 <= r["dup_word_frac"] <= 1.0
+        if r["keep"] is not None:
+            assert r["keep"] == (r["top_bigram_frac"] <= 0.5
+                                 and r["dup_word_frac"] <= 0.5)
