@@ -61,3 +61,37 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     sel = [F.col(f"_l.{c}").alias(c) for c in lcols]
     sel += [F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_payload]
     return out.select(*sel)
+
+
+def interval_join(facts: DataFrame, intervals: DataFrame,
+                  on: Sequence[str], ts: str,
+                  start: str, end: str,
+                  payload: Sequence[str],
+                  prefix: str = "iv_") -> DataFrame:
+    """Point-in-interval join: each fact row matched to the interval(s)
+    of its key with ``start <= ts <= end``. Output: all fact columns +
+    ``prefix``-renamed interval payload (NULL when nothing contains the
+    point — the join is left).
+
+    Scale shape: an equi hash-join on the key with the range predicate as
+    a residual — NOT a cross/range join, because the key carries the
+    locality (per-key interval counts are bounded in the motivating uses:
+    a user's sessions, a ticker's trading halts, an entity's validity
+    epochs). A keyless range join degenerates to nested loops; callers
+    with no key should bucket ``ts`` into coarse bins first and use the
+    bin as the key (the standard binned range-join construction)."""
+    on = list(on)
+    # explicit aliases: intervals are routinely DERIVED from the facts
+    # (sessions from events), so unqualified refs would be ambiguous
+    f = facts.alias("_f")
+    iv = intervals.select(
+        *on, F.col(start).alias("_s"), F.col(end).alias("_e"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload]).alias("_iv")
+    cond = [F.col(f"_f.{k}") == F.col(f"_iv.{k}") for k in on]
+    joined = f.join(
+        iv, cond + [F.col(f"_f.{ts}") >= F.col("_iv._s"),
+                    F.col(f"_f.{ts}") <= F.col("_iv._e")],
+        "left")
+    return joined.select(
+        *[F.col(f"_f.{c}") for c in facts.columns],
+        *[F.col(f"{prefix}{c}") for c in payload])

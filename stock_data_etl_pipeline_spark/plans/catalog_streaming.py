@@ -125,3 +125,41 @@ def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_enriched_by_segment(
         spark, os.path.join(sf_dir, "events.parquet"),
         load_table(spark, sf_dir, "customer"))
+
+
+@register("events_interval_join", """
+WITH o AS (SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+m AS (SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL
+                       OR date_diff('second', prev, ts) > 1800 THEN 1
+                  ELSE 0 END AS is_new
+      FROM o),
+s AS (SELECT user_id, ts, event_id,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+      FROM m),
+iv AS (SELECT user_id, session_id, min(ts) AS session_start,
+              max(ts) AS session_end
+       FROM s GROUP BY user_id, session_id)
+SELECT e.event_id, e.user_id, e.ts,
+       iv.session_id AS iv_session_id,
+       iv.session_start AS iv_session_start
+FROM events e
+LEFT JOIN iv ON iv.user_id = e.user_id
+            AND e.ts BETWEEN iv.session_start AND iv.session_end
+ORDER BY e.event_id, iv_session_id
+""")
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # point-in-interval: each event matched back to the session interval
+    # containing it (keyed range join — hash join on user + residual)
+    from ..operators.asof import interval_join
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts")
+    iv = sessionize(ev, gap_seconds=1800)
+    out = interval_join(ev, iv, on=["user_id"], ts="ts",
+                        start="session_start", end="session_end",
+                        payload=["session_id", "session_start"])
+    return out.orderBy("event_id", "iv_session_id")

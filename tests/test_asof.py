@@ -47,3 +47,36 @@ def test_asof_picks_latest_prior_per_key(spark):
     got = {r["id"]: r["asof_rid"]
            for r in asof_join(left, right, ["k"], "t", "rt", ["rid"]).collect()}
     assert got == {1: 100, 2: 101}
+
+
+def test_interval_join_containment_and_left_nulls(spark):
+    from stock_data_etl_pipeline_spark.operators.asof import interval_join
+    facts = spark.createDataFrame(
+        [(1, "u", 5), (2, "u", 10), (3, "u", 99), (4, "v", 5)],
+        "event_id long, user string, ts long")
+    iv = spark.createDataFrame(
+        [("u", 0, 10, "s1"), ("u", 50, 60, "s2")],
+        "user string, s long, e long, name string")
+    out = {r["event_id"]: r["iv_name"]
+           for r in interval_join(facts, iv, on=["user"], ts="ts",
+                                  start="s", end="e",
+                                  payload=["name"]).collect()}
+    assert out[1] == "s1"
+    assert out[2] == "s1"      # end bound inclusive
+    assert out[3] is None      # between intervals -> left row kept, NULL
+    assert out[4] is None      # other key, no intervals
+
+
+def test_interval_join_on_derived_intervals_no_ambiguity(spark):
+    # the motivating composition: intervals computed FROM the fact table
+    from pyspark.sql import functions as F
+
+    from stock_data_etl_pipeline_spark.operators.asof import interval_join
+    facts = spark.createDataFrame(
+        [(1, "u", 5), (2, "u", 6)], "event_id long, user string, ts long")
+    iv = (facts.groupBy("user")
+          .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+          .withColumn("name", F.lit("span")))
+    out = interval_join(facts, iv, on=["user"], ts="ts",
+                        start="s", end="e", payload=["name"]).collect()
+    assert all(r["iv_name"] == "span" for r in out)
