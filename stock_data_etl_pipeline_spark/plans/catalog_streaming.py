@@ -163,3 +163,13 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                         start="session_start", end="session_end",
                         payload=["session_id", "session_start"])
     return out.orderBy("event_id", "iv_session_id")
+
+
+@register("streaming_dedup_watermarked", """
+SELECT DISTINCT md5(text) AS key FROM documents ORDER BY key
+""")
+def streaming_dedup_watermarked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # native time-horizon streaming dedup; single-batch drain == DISTINCT
+    from ..streaming.dedup import streaming_dedup_watermarked
+    return streaming_dedup_watermarked(
+        spark, os.path.join(sf_dir, "documents.parquet"))

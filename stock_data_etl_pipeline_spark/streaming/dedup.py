@@ -76,3 +76,47 @@ def streaming_dedup(spark: SparkSession, source_dir: str,
     if survivors:
         return spark.createDataFrame(survivors, DOC_SCHEMA)
     return spark.createDataFrame([], DOC_SCHEMA)
+
+
+def streaming_dedup_watermarked(spark: SparkSession, docs_parquet: str,
+                                horizon: str = "1 hour") -> DataFrame:
+    """Time-bounded streaming dedup with the NATIVE operator
+    (``dropDuplicatesWithinWatermark``): duplicates of a key arriving
+    within ``horizon`` of each other are dropped; state for a key is
+    evicted once the watermark passes it — bounded state without a custom
+    stateful function, the right default when dedup only needs a time
+    horizon rather than forever-semantics (that case is
+    ``streaming_dedup`` above, whose state lives until explicitly
+    removed).
+
+    Returns the surviving keys of one availableNow drain. Key-only
+    output on purpose: within a micro-batch WHICH duplicate row survives
+    is arrival-order-dependent, but the surviving key set is exact — a
+    single-batch drain equals batch DISTINCT, which is the oracle."""
+    from pyspark.sql import functions as F
+    from .events import _as_stream_dir
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .parquet(_as_stream_dir(docs_parquet))
+              .select(F.md5("text").alias("key"),
+                      # synthetic event time: docs carry none; offset off
+                      # epoch 0 — the state store's initial watermark is
+                      # 0, and a row AT the watermark is judged late
+                      F.timestamp_seconds(F.col("doc_id") + F.lit(86400))
+                      .alias("ts"))
+              .withWatermark("ts", horizon)
+              .dropDuplicatesWithinWatermark(["key"])
+              .select("key"))
+    import uuid as _uuid
+    name = f"wmdedup_{_uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).orderBy("key")

@@ -25,3 +25,17 @@ def test_streaming_dedup_state(spark, tmp_path):
     _land(spark, src, [(4, "ka", "a3"), (5, "kc", "c1")])
     out2 = streaming_dedup(spark, src, cp).collect()
     assert [(r["doc_id"], r["key"]) for r in out2] == [(5, "kc")]
+
+
+def test_watermarked_dedup_drops_in_batch_duplicates(spark, tmp_path):
+    from stock_data_etl_pipeline_spark.streaming.dedup import (
+        streaming_dedup_watermarked,
+    )
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "same text", "en", "s", 9), (1, "same text", "en", "s", 9),
+         (2, "other", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(src)
+    out = streaming_dedup_watermarked(spark, src).collect()
+    assert len(out) == 2  # duplicate key collapsed, distinct keys kept
