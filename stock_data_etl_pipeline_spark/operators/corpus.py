@@ -77,7 +77,10 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = (docs.filter(F.size(words(text_col)) > 0)
           .agg(F.count(F.lit(1)).alias("n_docs")))
-    scored = (tf.join(F.broadcast(df_), "term")
+    # NO broadcast hint on df_: the vocabulary is unbounded at corpus
+    # scale (100M+ terms), so forcing a broadcast is a scale trap — AQE
+    # broadcasts it at small SF and shuffle-joins on term when it's big
+    scored = (tf.join(df_, "term")
               .crossJoin(F.broadcast(nd))
               .withColumn("score", F.round(
                   F.col("tf") * F.log(F.col("n_docs")
