@@ -261,3 +261,38 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float],
     bucket = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
                      16, 10).cast("long") % 10000)
     return docs.join(F.broadcast(cuts), group_col).filter(bucket < F.col("cut"))
+
+
+def chunk_documents(docs: DataFrame, size: int = 128, overlap: int = 32,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split each document into overlapping token windows (the
+    RAG/pretraining chunking op): chunk i covers tokens
+    [i*stride, i*stride + size) with stride = size - overlap; the last
+    chunk is shorter, and a tail that would sit entirely inside the
+    previous chunk is not emitted. Empty docs emit no chunks.
+
+    Pure column expressions: one sequence + posexplode per doc, the
+    chunk text a slice + join — no Python, no shuffle at all (chunking
+    is embarrassingly parallel; the explode multiplies rows in place)."""
+    assert 0 <= overlap < size
+    stride = size - overlap
+    ws = words(text_col)
+    base = (docs.select(F.col(id_col), ws.alias("_ws"))
+            .withColumn("_n", F.size("_ws"))
+            .filter(F.col("_n") > 0))
+    num = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("_n") - F.lit(overlap))
+               / F.lit(float(stride))).cast("int"))
+    chunks = base.select(
+        F.col(id_col), F.col("_ws"), F.col("_n"),
+        F.posexplode(F.sequence(F.lit(0), num - 1)).alias("chunk_id", "_i"))
+    start = F.col("chunk_id") * stride
+    clen = F.least(F.lit(size), F.col("_n") - start)
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        start.cast("long").alias("start_tok"),
+        clen.cast("long").alias("n_tokens"),
+        F.array_join(F.slice("_ws", start + 1, clen), " ").alias("chunk_text"))

@@ -317,3 +317,25 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (CP.mixture_sample(d, {"src0": 0.5, "src1": 0.3, "src2": 0.2})
             .select("doc_id", "source").orderBy("doc_id"))
+
+
+@register("corpus_chunk_documents", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+b AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),
+c AS (SELECT doc_id, ws, n,
+             unnest(range(0, greatest(1, ceil((n - 8) / 24.0))::BIGINT))
+                 AS chunk_id
+      FROM b)
+SELECT doc_id, chunk_id, (chunk_id * 24)::BIGINT AS start_tok,
+       least(32, n - chunk_id * 24)::BIGINT AS n_tokens,
+       array_to_string(list_slice(ws, chunk_id * 24 + 1,
+                                  chunk_id * 24
+                                  + least(32, n - chunk_id * 24)), ' ')
+           AS chunk_text
+FROM c
+""")
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # overlapping token windows (size 32, overlap 8): the RAG/pretraining
+    # chunking op as a pure explode — no shuffle, no Python
+    d = load_table(spark, sf_dir, "documents")
+    return CP.chunk_documents(d, size=32, overlap=8)

@@ -173,3 +173,22 @@ def test_knn_join_arrow_equals_sql(spark):
     a = sorted(map(key, knn_join(emb, k=4, impl="arrow").collect()))
     b = sorted(map(key, knn_join(emb, k=4, impl="sql").collect()))
     assert a == b
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    d = docs_of(spark, [" ".join(f"w{i}" for i in range(10)), "a b", ""])
+    out = sorted(
+        ((r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tokens"],
+          r["chunk_text"])
+         for r in CP.chunk_documents(d, size=4, overlap=2).collect()))
+    # doc0: 10 tokens, stride 2 -> ceil(8/2)=4 chunks; last is short
+    d0 = [c for c in out if c[0] == 0]
+    assert [(c[1], c[2], c[3]) for c in d0] == [
+        (0, 0, 4), (1, 2, 4), (2, 4, 4), (3, 6, 4)]
+    assert d0[0][4] == "w0 w1 w2 w3"
+    assert d0[-1][4] == "w6 w7 w8 w9"
+    # doc1 shorter than size: one whole-doc chunk; empty doc2: no rows
+    assert [(c[1], c[3], c[4]) for c in out if c[0] == 1] == [(0, 2, "a b")]
+    assert not [c for c in out if c[0] == 2]
+    # overlap: consecutive chunks share exactly `overlap` tokens
+    assert d0[0][4].split()[-2:] == d0[1][4].split()[:2]
