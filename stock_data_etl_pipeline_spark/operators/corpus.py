@@ -296,3 +296,29 @@ def chunk_documents(docs: DataFrame, size: int = 128, overlap: int = 32,
         start.cast("long").alias("start_tok"),
         clen.cast("long").alias("n_tokens"),
         F.array_join(F.slice("_ws", start + 1, clen), " ").alias("chunk_text"))
+
+
+def source_profile(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   group_col: str = "source") -> DataFrame:
+    """Per-source corpus health profile: volume (docs, tokens), document
+    length, exact-duplicate rate, and the fraction passing the Gopher
+    repetition gate — the monitoring table a curation team watches per
+    ingest batch. One pass over the corpus for the volume/dup metrics
+    plus the repetition aggregates, all combiner-friendly, rolled up to
+    one row per source (dashboard-sized output)."""
+    ws = words(text_col)
+    base = docs.select(F.col(id_col), F.col(group_col),
+                       F.size(ws).alias("n_tokens"),
+                       F.md5(F.col(text_col)).alias("fp"))
+    rep = repetition_metrics(docs, text_col, id_col).select(id_col, "keep")
+    j = base.join(rep, id_col)
+    return (j.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+                 F.round(1 - F.countDistinct("fp")
+                         / F.count(F.lit(1)), 4).alias("dup_rate"),
+                 F.round(F.avg(F.col("keep").cast("int")), 4)
+                 .alias("keep_rate"))
+            .orderBy(group_col))

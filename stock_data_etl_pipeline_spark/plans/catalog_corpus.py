@@ -339,3 +339,32 @@ def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chunking op as a pure explode — no shuffle, no Python
     d = load_table(spark, sf_dir, "documents")
     return CP.chunk_documents(d, size=32, overlap=8)
+
+
+@register("corpus_source_profile", f"""
+WITH w AS (SELECT doc_id, source, md5(text) AS fp, {_WORDS} AS ws
+           FROM documents),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                                            i -> ws[i] || ' ' || ws[i+1])) AS bigram
+       FROM w),
+bc AS (SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+tp AS (SELECT doc_id, max(n) AS top_n, sum(n) AS total_bg FROM bc GROUP BY 1),
+rep AS (SELECT w.doc_id,
+               (coalesce(round(top_n / total_bg::DOUBLE, 4), 0.0) <= 0.18
+                AND CASE WHEN len(ws) > 0
+                         THEN round(1 - len(list_distinct(ws))
+                                    / len(ws)::DOUBLE, 4) END <= 0.6) AS keep
+        FROM w LEFT JOIN tp ON tp.doc_id = w.doc_id)
+SELECT source, count(*) AS n_docs,
+       sum(len(ws))::BIGINT AS total_tokens,
+       round(avg(len(ws)), 2) AS avg_tokens,
+       round(1 - count(DISTINCT fp) / count(*)::DOUBLE, 4) AS dup_rate,
+       round(avg(CASE WHEN keep THEN 1 ELSE 0 END), 4) AS keep_rate
+FROM w JOIN rep USING (doc_id)
+GROUP BY source ORDER BY source
+""")
+def corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the per-source health dashboard: volume, length, dup rate, and the
+    # repetition-gate pass rate, one row per source
+    d = load_table(spark, sf_dir, "documents")
+    return CP.source_profile(d)
