@@ -441,3 +441,33 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("numcust"),
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
             .orderBy("c_mktsegment"))
+
+
+@register("q12_priority_classes", """
+SELECT l.l_returnflag AS ship_class,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+""")
+def q12_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape (l_returnflag standing in for l_shipmode): urgent
+    # vs non-urgent line counts per class — both classes counted in ONE
+    # pass via conditional sums, date window pruned at the scan, single
+    # fact-to-orders shuffle.
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy(F.col("l_returnflag").alias("ship_class"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+            .orderBy("ship_class"))
