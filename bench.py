@@ -46,6 +46,8 @@ HEADLINE = [
     "corpus_repetition_filter",
     "corpus_sequence_pack",
     "knn_join_blocked",
+    "corpus_chunk_documents",
+    "events_interval_join",
 ]
 
 
