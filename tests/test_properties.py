@@ -145,3 +145,31 @@ def test_repetition_metrics_bounds(spark, texts):
         if r["keep"] is not None:
             assert r["keep"] == (r["top_bigram_frac"] <= 0.5
                                  and r["dup_word_frac"] <= 0.5)
+
+
+@SLOW
+@given(n=st.integers(min_value=0, max_value=120),
+       size=st.integers(min_value=2, max_value=40),
+       overlap_frac=st.floats(min_value=0.0, max_value=0.9))
+def test_chunk_documents_covers_every_token_once_per_stride(
+        spark, n, size, overlap_frac):
+    from stock_data_etl_pipeline_spark.operators.corpus import chunk_documents
+    overlap = min(int(size * overlap_frac), size - 1)
+    toks = [f"t{i}" for i in range(n)]
+    d = spark.createDataFrame([(0, " ".join(toks))],
+                              "doc_id long, text string")
+    chunks = sorted(chunk_documents(d, size=size, overlap=overlap).collect(),
+                    key=lambda r: r["chunk_id"])
+    if n == 0:
+        assert chunks == []
+        return
+    # every token is covered; chunk starts advance by exactly the stride
+    covered = set()
+    stride = size - overlap
+    for r in chunks:
+        assert r["start_tok"] == r["chunk_id"] * stride
+        assert 0 < r["n_tokens"] <= size
+        got = r["chunk_text"].split()
+        assert got == toks[r["start_tok"]:r["start_tok"] + r["n_tokens"]]
+        covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
+    assert covered == set(range(n))
