@@ -142,6 +142,21 @@ def shingle_hashes_from_word_hashes(wh_col: str, k: int = 3) -> Column:
              ELSE array() END""").cast("array<bigint>")
 
 
+def span_hashes_from_word_hashes(wh_col: str, k: int = 3) -> Column:
+    """Position-ordered k-token span hashes — the same polynomial as
+    shingle_hashes_from_word_hashes but WITHOUT the distinct: one entry
+    per window position, so repeated spans inside a document keep every
+    occurrence (exact-substring dedup counts occurrences, not membership).
+    Docs shorter than k give an empty array."""
+    expr = f"{wh_col}[i]"
+    for j in range(1, k):
+        expr = f"(({expr}) * {HASH_BASE} + {wh_col}[i+{j}]) % {HASH_PRIME}"
+    return F.expr(f"""
+        CASE WHEN size({wh_col}) >= {k}
+             THEN transform(sequence(0, size({wh_col}) - {k}), i -> {expr})
+             ELSE array() END""").cast("array<bigint>")
+
+
 def shingles_from_words(words_col: str, k: int = 3) -> Column:
     """Same shingle set, built from an already-materialized words column by
     direct subscripting — ~1.5x faster than the slice() form (no per-shingle

@@ -298,6 +298,55 @@ def chunk_documents(docs: DataFrame, size: int = 128, overlap: int = 32,
         F.array_join(F.slice("_ws", start + 1, clen), " ").alias("chunk_text"))
 
 
+def duplicate_span_stats(docs: DataFrame, n: int = 8,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         max_dup_frac: float = 0.3) -> DataFrame:
+    """Exact-substring span dedup stats (the fixed-n form of Lee et al.
+    '22, "Deduplicating Training Data Makes Language Models Better"): per
+    document, how many of its n-token windows occur verbatim elsewhere in
+    the corpus — in another document or repeated within the same one.
+    A window is duplicated when its span occurs >= 2 times corpus-wide
+    (all occurrences count, unlike the membership-style shingle index).
+    ``keep`` gates docs at ``dup_frac <= max_dup_frac``; docs shorter
+    than n tokens have no windows and keep=true.
+
+    The suffix-array original finds arbitrary-length >= 50-token spans;
+    this fixed-n variant has identical recall for spans >= n and is
+    expressible as two combiner-friendly aggregations. Spans are the same
+    31-bit polynomial hashes as the dedup inverted index (8-byte keys, no
+    span strings built), position-ordered and NOT distinct. Shape at
+    100 TB: one groupBy(span) count (map-side combinable), one shuffle
+    join of the occurrence list against the per-span totals (one row per
+    distinct span), one groupBy(doc) reduce — token-scale data, bigint
+    keys, no skew beyond natural span hotness, which caps at the totals
+    table's one-row-per-span."""
+    from ..functions.text import span_hashes_from_word_hashes, word_hashes
+    spans = (docs.select(F.col(id_col), words(text_col).alias("_ws"))
+             .select(F.col(id_col), word_hashes("_ws").alias("_wh"))
+             .select(F.col(id_col),
+                     F.explode(span_hashes_from_word_hashes("_wh", n))
+                     .alias("span")))
+    # pre-aggregate to (doc, span, occurrences): compresses within-doc
+    # boilerplate repeats before anything shuffles, and is the stage both
+    # downstream aggregations reuse (persisted, like minhash's band table)
+    dsc = (spans.groupBy(id_col, "span")
+           .agg(F.count(F.lit(1)).alias("cnt")).persist())
+    tot = dsc.groupBy("span").agg(F.sum("cnt").alias("tot"))
+    per = (dsc.join(tot, "span")
+           .groupBy(id_col)
+           .agg(F.sum("cnt").alias("n_spans"),
+                F.sum(F.when(F.col("tot") >= 2, F.col("cnt"))
+                      .otherwise(F.lit(0))).alias("n_dup_spans")))
+    return (docs.select(id_col).join(per, id_col, "left")
+            .na.fill({"n_spans": 0, "n_dup_spans": 0})
+            .withColumn("dup_frac",
+                        F.when(F.col("n_spans") > 0,
+                               F.round(F.col("n_dup_spans")
+                                       / F.col("n_spans"), 6))
+                        .otherwise(F.lit(0.0)))
+            .withColumn("keep", F.col("dup_frac") <= max_dup_frac))
+
+
 def source_profile(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id",
                    group_col: str = "source") -> DataFrame:

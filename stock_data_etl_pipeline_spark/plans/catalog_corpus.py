@@ -368,3 +368,43 @@ def corpus_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repetition-gate pass rate, one row per source
     d = load_table(spark, sf_dir, "documents")
     return CP.source_profile(d)
+
+
+def _span_hash_expr(k: int) -> str:
+    # non-distinct twin of catalog_text._shingle_hash_expr: one hash per
+    # window POSITION, so within-doc repeats keep every occurrence
+    from .catalog_text import _B, _P
+    expr = "whs[i]"
+    for j in range(1, k):
+        expr = f"(({expr}) * {_B} + whs[i+{j}]) % {_P}"
+    return (f"CASE WHEN len(whs) >= {k} THEN "
+            f"list_transform(range(1, greatest(len(whs)-{k-1}, 0)+1), "
+            f"i -> {expr}) ELSE [] END")
+
+
+@register("corpus_span_dedup", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+wh AS (SELECT doc_id, {_WORD_HASHES} AS whs FROM w),
+g AS (SELECT doc_id, unnest({{SPAN}}) AS span FROM wh),
+tot AS (SELECT span, count(*) AS tot FROM g GROUP BY span),
+per AS (SELECT doc_id, count(*)::BIGINT AS n_spans,
+               (count(*) FILTER (WHERE tot >= 2))::BIGINT AS n_dup_spans
+        FROM g JOIN tot USING (span) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(per.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+       CASE WHEN coalesce(per.n_spans, 0) > 0
+            THEN round(per.n_dup_spans / per.n_spans::DOUBLE, 6)
+            ELSE 0.0 END AS dup_frac,
+       CASE WHEN coalesce(per.n_spans, 0) > 0
+            THEN round(per.n_dup_spans / per.n_spans::DOUBLE, 6) <= 0.3
+            ELSE true END AS keep
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY doc_id
+""".replace("{SPAN}", _span_hash_expr(8)))
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-substring span dedup (fixed-n Lee et al. '22): per doc, the
+    # fraction of its 8-token windows occurring verbatim >= 2 times
+    # corpus-wide; keep-gate at 30%
+    d = load_table(spark, sf_dir, "documents")
+    return CP.duplicate_span_stats(d, n=8).orderBy("doc_id")

@@ -192,3 +192,38 @@ def test_chunk_documents_windows_and_tail(spark):
     assert not [c for c in out if c[0] == 2]
     # overlap: consecutive chunks share exactly `overlap` tokens
     assert d0[0][4].split()[-2:] == d0[1][4].split()[:2]
+
+
+def test_span_dedup_cross_doc_and_within_doc(spark):
+    # doc0 and doc1 share their full 4-token span; doc2 repeats its own
+    # span twice; doc3 is unique; doc4 is shorter than n
+    d = docs_of(spark, [
+        "a b c d",              # span abcd occurs in doc0 + doc1
+        "a b c d",
+        "p q r s p q r s",      # spans at pos 0 and 4 are identical
+        "w x y z",              # unique span
+        "too short",            # < n tokens -> no spans, keep
+    ])
+    out = {r["doc_id"]: r for r in
+           CP.duplicate_span_stats(d, n=4, max_dup_frac=0.5).collect()}
+    assert (out[0]["n_spans"], out[0]["n_dup_spans"]) == (1, 1)
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (1, 1)
+    # doc2 has 5 windows of 4 tokens; pos0 (pqrs) and pos4 (pqrs) repeat
+    assert out[2]["n_spans"] == 5
+    assert out[2]["n_dup_spans"] == 2
+    assert out[2]["dup_frac"] == 0.4
+    assert (out[3]["n_dup_spans"], out[3]["keep"]) == (0, True)
+    assert (out[4]["n_spans"], out[4]["dup_frac"], out[4]["keep"]) == \
+        (0, 0.0, True)
+    assert not out[0]["keep"] and not out[1]["keep"]  # dup_frac 1.0 > 0.5
+
+
+def test_span_dedup_counts_bounded(spark):
+    # n_dup_spans <= n_spans and n_spans == max(0, n_tokens - n + 1)
+    texts = ["one two three four five", "one two", "", "a a a a a a"]
+    d = docs_of(spark, texts)
+    for r in CP.duplicate_span_stats(d, n=3).collect():
+        n_tok = len([w for w in texts[r["doc_id"]].split(" ") if w])
+        assert r["n_spans"] == max(0, n_tok - 3 + 1)
+        assert 0 <= r["n_dup_spans"] <= r["n_spans"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
