@@ -48,6 +48,7 @@ HEADLINE = [
     "knn_join_blocked",
     "corpus_chunk_documents",
     "events_interval_join",
+    "corpus_span_dedup",
 ]
 
 

@@ -327,3 +327,55 @@ def gold_cached_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     if gold.build_count("rev_by_nation") != 1:
         raise AssertionError("gold view rebuilt on second get — cache broken")
     return out
+
+
+@register("grouping_sets_revenue", """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       round(sum(l_extendedprice), 2) AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+ORDER BY returnflag, linestatus
+""")
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices): the
+    # (flag x status), per-status, and grand-total slices in ONE pass —
+    # Expand + a single aggregation, not three scans unioned
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupingSets([["l_returnflag", "l_linestatus"],
+                             ["l_linestatus"], []],
+                            "l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+                    "revenue", "n")
+            .orderBy("returnflag", "linestatus"))
+
+
+@register("winsorize_events_value", """
+WITH b AS (SELECT event_type,
+                  round(quantile_cont(value, 0.05), 6) AS lo,
+                  round(quantile_cont(value, 0.95), 6) AS hi
+           FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, b.lo), b.hi) AS value_clipped
+FROM events e JOIN b USING (event_type)
+ORDER BY e.event_id
+""")
+def winsorize_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # percentile winsorization (outlier clipping before model features):
+    # per-group p05/p95 bounds from ONE tiny aggregate, broadcast back,
+    # clip as pure least/greatest codegen — the fact is scanned once and
+    # never shuffles (parity: Spark percentile == DuckDB quantile_cont;
+    # bounds rounded so the interpolated doubles agree across engines)
+    e = load_table(spark, sf_dir, "events")
+    b = (e.groupBy("event_type")
+         .agg(F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+              F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi")))
+    return (e.join(F.broadcast(b), "event_type")
+            .select("event_id", "event_type", "value",
+                    F.least(F.greatest(F.col("value"), F.col("lo")),
+                            F.col("hi")).alias("value_clipped"))
+            .orderBy("event_id"))
