@@ -173,3 +173,21 @@ def streaming_dedup_watermarked_q(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.dedup import streaming_dedup_watermarked
     return streaming_dedup_watermarked(
         spark, os.path.join(sf_dir, "documents.parquet"))
+
+
+@register("streaming_purchase_view_join", """
+SELECT p.user_id, p.event_id AS p_id, p.ts AS p_ts,
+       v.event_id AS v_id, v.ts AS v_ts
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+ORDER BY p_id, v_id
+""")
+def streaming_purchase_view_join_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    # stream-stream interval join: purchases x same-user views within the
+    # preceding hour, both sides watermarked live streams
+    from ..streaming.events import streaming_purchase_view_join
+    return streaming_purchase_view_join(
+        spark, os.path.join(sf_dir, "events.parquet"))

@@ -155,3 +155,50 @@ def streaming_enriched_by_segment(spark: SparkSession, events_parquet: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name).orderBy("c_mktsegment", "event_type")
+
+
+def streaming_purchase_view_join(spark: SparkSession, events_parquet: str,
+                                 watermark: str = "2 hours",
+                                 lookback: str = "1 hour",
+                                 max_files_per_trigger: int | None = None,
+                                 ) -> DataFrame:
+    """Stream-stream interval join (the remaining Structured Streaming
+    operator class): each purchase joined to the same user's views in
+    [purchase_ts - lookback, purchase_ts], both sides live streams.
+
+    Both inputs carry watermarks and the join condition bounds event-time
+    distance, so Spark can size the join state and evict rows older than
+    watermark + lookback — the required shape for an unbounded
+    stream-stream join (an unconstrained one would buffer both streams
+    forever). Inner stream-stream joins emit matches as they are found;
+    append is the only supported output mode and loses nothing. Driven to
+    completion with availableNow, so the drained result equals the batch
+    time-bounded self-join the oracle states."""
+    def side(tag: str, tcol: str):
+        reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        if max_files_per_trigger is not None:
+            # per-file micro-batches: lets tests drive matches ACROSS
+            # batches (one side buffered in join state until the other
+            # arrives) instead of the single-batch drain
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        return (reader.parquet(_as_stream_dir(events_parquet))
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+                .filter(F.col("event_type") == tag)
+                .select(F.col("event_id").alias(f"{tcol[0]}_id"),
+                        "user_id", F.col("ts").alias(tcol))
+                .withWatermark(tcol, watermark))
+    purchases, views = side("purchase", "p_ts"), side("view", "v_ts")
+    j = purchases.join(
+        views,
+        (purchases["user_id"] == views["user_id"])
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner")
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (j.select(purchases["user_id"], "p_id", "p_ts", "v_id", "v_ts")
+         .writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).orderBy("p_id", "v_id")

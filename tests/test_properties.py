@@ -173,3 +173,29 @@ def test_chunk_documents_covers_every_token_once_per_stride(
         assert got == toks[r["start_tok"]:r["start_tok"] + r["n_tokens"]]
         covered.update(range(r["start_tok"], r["start_tok"] + r["n_tokens"]))
     assert covered == set(range(n))
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=12)
+    .map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=8),
+    n=st.integers(min_value=2, max_value=4))
+@SLOW
+def test_span_dedup_equals_bruteforce(spark, texts, n):
+    # tiny alphabet forces real span collisions; brute force counts every
+    # n-token window occurrence corpus-wide in plain Python
+    from collections import Counter
+
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        duplicate_span_stats,
+    )
+    toks = [[w for w in t.split(" ") if w] for t in texts]
+    counts = Counter(tuple(ws[i:i + n])
+                     for ws in toks for i in range(len(ws) - n + 1))
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    for r in duplicate_span_stats(d, n=n).collect():
+        ws = toks[r["doc_id"]]
+        spans = [tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+        assert r["n_spans"] == len(spans)
+        assert r["n_dup_spans"] == sum(1 for s in spans if counts[s] >= 2)

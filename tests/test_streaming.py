@@ -47,3 +47,46 @@ def test_stream_ingest_merges_and_is_exactly_once(spark, tmp_path):
     fin = {r["period_end_date"]: r["revenue"] for r in
            silver.read().filter(F.col("record_type") == "financials").collect()}
     assert fin == {"2024-03": 2.0, "2024-06": 3.0}  # updated + appended
+
+
+def test_stream_stream_join_matches_across_micro_batches(spark, tmp_path):
+    from stock_data_etl_pipeline_spark.streaming.events import (
+        streaming_purchase_view_join,
+    )
+    import time
+
+    src = str(tmp_path / "events_src")
+    os.makedirs(src)
+    base_ns = 1_700_000_000 * 1_000_000_000  # well away from epoch 0
+
+    def ev(eid, offset_s, user, etype):
+        return (eid, base_ns + offset_s * 1_000_000_000, user, etype,
+                1.0, "{}")
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    def land(rows, name):
+        # FileStreamSource lists plain files, not dataset directories:
+        # write to a scratch dir and move the single part file into place
+        import glob
+        import shutil
+        scratch = str(tmp_path / f"_scratch_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(scratch)
+        shutil.move(glob.glob(os.path.join(scratch, "part-*.parquet"))[0],
+                    os.path.join(src, name))
+
+    # batch 1: the views (buffered in join state, no purchase yet)
+    land([ev(1, 0, 7, "view"), ev(2, 600, 7, "view"),
+          ev(3, 0, 8, "view")], "a.parquet")
+    time.sleep(1.1)  # distinct mod times -> deterministic file order
+    # batch 2: purchases; user 7 in-window, user 9 has no views,
+    # user 8's purchase is 2h after the view (outside the 1h lookback)
+    land([ev(10, 1200, 7, "purchase"), ev(11, 7200, 8, "purchase"),
+          ev(12, 1200, 9, "purchase")], "b.parquet")
+
+    out = streaming_purchase_view_join(spark, src,
+                                       max_files_per_trigger=1).collect()
+    got = {(r["p_id"], r["v_id"]) for r in out}
+    # purchase 10 matches both earlier views of user 7 — found only via
+    # state buffered from the first micro-batch
+    assert got == {(10, 1), (10, 2)}
