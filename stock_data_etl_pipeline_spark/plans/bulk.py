@@ -73,14 +73,21 @@ def queue_all_stocks(lake: StockLake, requested_by: str | None = None,
                                     requested_by=requested_by, now=started))
         except Exception:  # noqa: BLE001 — per-stock isolation (reference :258-291)
             errors += 1
+    queued = 0
     if rows:
-        # M5: the whole backfill is ONE set-oriented merge, not N saves
-        runs = merge_upsert(runs, runs_dataframe(lake.spark, rows), ["id"])
-        lake.runs.overwrite(runs)
+        from pyspark.sql import Observation
 
-    # A3: counters derived from the relation, not incremented
-    queued = (runs.filter(F.col("bulk_queue_run_id") == bulk_id).count()
-              if rows else 0)
+        # M5: the whole backfill is ONE set-oriented merge, not N saves.
+        # A3: the queued counter is OBSERVED on the write itself
+        # (df.observe rides the overwrite action) — derived by
+        # aggregation, but with no second scan of the runs relation
+        obs = Observation(f"bulk_{bulk_id[:8]}")
+        runs = (merge_upsert(runs, runs_dataframe(lake.spark, rows), ["id"])
+                .observe(obs, F.sum(
+                    F.when(F.col("bulk_queue_run_id") == bulk_id, 1)
+                    .otherwise(0)).alias("queued")))
+        lake.runs.overwrite(runs)
+        queued = int(obs.get["queued"] or 0)
     completed = _now()
     bulk_df = lake.spark.createDataFrame(
         [(bulk_id, requested_by, total, queued, skipped, errors,
