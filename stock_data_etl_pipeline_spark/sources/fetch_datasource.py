@@ -31,7 +31,12 @@ import json
 import math
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from .fetch import Transport, classify, http_transport
 
@@ -116,3 +121,55 @@ class StockFetchDataSource(DataSource):
 
     def reader(self, schema) -> StockFetchReader:  # noqa: ARG002
         return StockFetchReader(self.options)
+
+
+class StockFetchStreamReader(SimpleDataSourceStreamReader):
+    """Streaming S1: a polling source — every micro-batch re-fetches the
+    ticker list once and emits one row per ticker with the same taxonomy
+    as the batch reader, plus the poll sequence number. The offset is
+    {"poll": n}; replay (readBetweenOffsets) re-runs the fetch, so
+    exactly-once across restarts holds only for deterministic transports
+    (true of any poller over a mutable upstream — downstream dedup by
+    (poll, ticker) is the usual guard, and streaming/dedup.py provides
+    it)."""
+
+    def __init__(self, options: dict) -> None:
+        self.options = options
+
+    def initialOffset(self) -> dict:
+        return {"poll": 0}
+
+    def _poll(self, poll: int):
+        transport = resolve_transport(self.options)
+        opts = _lower(self.options)
+        tickers = list(dict.fromkeys(
+            t.strip().upper() for t in opts.get("tickers", "").split(",")
+            if t.strip()))
+        for t in tickers:
+            code: int | None
+            try:
+                code, body = transport(t)
+            except Exception:  # noqa: BLE001 — transport failures are rows
+                code, body = None, None
+            err = classify(code, body)
+            yield (poll, t, code, err, body if err is None else None)
+
+    def read(self, start: dict):
+        return iter(list(self._poll(start["poll"]))), \
+            {"poll": start["poll"] + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        for poll in range(start["poll"], end["poll"]):
+            yield from self._poll(poll)
+
+
+class StockFetchStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "stock_fetch_stream"
+
+    def schema(self) -> str:
+        return "poll long, " + FETCH_DDL
+
+    def simpleStreamReader(self, schema) -> StockFetchStreamReader:  # noqa: ARG002
+        return StockFetchStreamReader(self.options)

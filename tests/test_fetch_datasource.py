@@ -56,3 +56,22 @@ def test_datasource_matches_mapinpandas_fetch(spark):
     via_map = (fetch_tickers(tick_df, canned_transport({}))
                .orderBy("ticker").collect())
     assert [tuple(r) for r in via_ds] == [tuple(r) for r in via_map]
+
+
+def test_streaming_datasource_polls_per_microbatch(spark, tmp_path):
+    from stock_data_etl_pipeline_spark.sources.fetch_datasource import (
+        StockFetchStreamDataSource,
+    )
+    spark.dataSource.register(StockFetchStreamDataSource)
+    name = "fetch_stream_sink"
+    q = (spark.readStream.format("stock_fetch_stream")
+         .option("tickers", "AAPL,ERR1,MSFT").option("transport", CANNED)
+         .load()
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table(name).collect()
+    # availableNow drains exactly one poll: one row per ticker, poll 0
+    assert {(r["poll"], r["ticker"], r["error_code"]) for r in rows} == {
+        (0, "AAPL", None), (0, "ERR1", "SERVER_ERROR"), (0, "MSFT", None)}
