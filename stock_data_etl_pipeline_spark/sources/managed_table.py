@@ -243,6 +243,68 @@ class ManagedTable:
             raise ValueError(f"empty table manifest at version {v}")
         return self._read_dirs(sorted(manifest.values()))
 
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY analog: one row per surviving version with the
+        operation, commit time and partition count, newest first (the
+        manifest log IS the history — no extra bookkeeping)."""
+        mdir = os.path.join(self.path, "manifests")
+        rows = []
+        for name in sorted(os.listdir(mdir)):
+            v = int(name.split("=")[1].split(".")[0])
+            with open(os.path.join(mdir, name)) as fh:
+                m = json.load(fh)
+            rows.append((v, m.get("op"), float(m.get("committed_at", 0.0)),
+                         len(m.get("partitions", {}))))
+        return self.spark.createDataFrame(
+            rows, "version int, op string, committed_at double, "
+                  "n_partitions int").orderBy(F.col("version").desc())
+
+    def diff(self, from_version: int, to_version: int | None = None,
+             keys: Sequence[str] | None = None) -> DataFrame:
+        """Change-data-feed between two versions: the TO-side image of
+        every inserted/updated key plus the FROM-side image of deleted
+        keys, tagged ``_change_type`` in {insert, update_postimage,
+        delete} — what an incremental consumer applies to stay in sync
+        without re-reading the table. ``keys`` defaults to the last
+        merge's keys recorded in the TO manifest.
+
+        Derived by comparing the two snapshots (null-safe key join +
+        row-image struct comparison), so it is O(both snapshots) — at
+        100 TB a consumer diffs adjacent versions where partition pruning
+        keeps both sides to the touched partitions; the manifest already
+        records exactly which dirs changed."""
+        to_v = self.latest_version() if to_version is None else to_version
+        if keys is None:
+            with open(self._manifest_path(to_v)) as fh:
+                keys = json.load(fh).get("keys")
+            if not keys:
+                raise ValueError(
+                    "diff needs keys= (the target manifest records none)")
+        old, new = self.read(from_version), self.read(to_v)
+        old, new = align_schemas(old, new)
+        cols = new.columns
+        payload = [c for c in cols if c not in keys]
+        o = old.select(F.struct(*keys).alias("_k"),
+                       F.struct(*payload).alias("_old"))
+        n = new.select(F.struct(*keys).alias("_k"),
+                       F.struct(*payload).alias("_new"))
+        j = o.join(n, o["_k"].eqNullSafe(n["_k"]), "full_outer")
+        change = (F.when(o["_k"].isNull(), F.lit("insert"))
+                  .when(n["_k"].isNull(), F.lit("delete"))
+                  .when(~o["_old"].eqNullSafe(n["_new"]),
+                        F.lit("update_postimage")))
+        image = F.when(n["_k"].isNull(), F.struct(o["_k"].alias("k"),
+                                                 o["_old"].alias("p"))) \
+                 .otherwise(F.struct(n["_k"].alias("k"),
+                                     n["_new"].alias("p")))
+        out = (j.withColumn("_change_type", change)
+               .filter(F.col("_change_type").isNotNull())
+               .withColumn("_img", image))
+        return out.select(
+            *[F.col(f"_img.k.{k}").alias(k) for k in keys],
+            *[F.col(f"_img.p.{c}").alias(c) for c in payload],
+            "_change_type")
+
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop manifests older than the newest ``keep_last`` versions and
         every data dir no surviving manifest references."""

@@ -193,3 +193,38 @@ def test_concurrent_writers_one_winner_one_conflict(spark, tmp_table_dir):
     rows = {r["ticker"] for r in t1.read().collect()}
     assert rows == {"AAPL", "MSFT"}
     assert t1.latest_version() == 1
+
+
+def test_history_lists_versions_newest_first(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "h"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.merge(spark.createDataFrame([(2, "b")], "id long, v string"), ["id"])
+    t.optimize()
+    h = t.history().collect()
+    assert [(r["version"], r["op"]) for r in h] == \
+        [(2, "optimize"), (1, "merge"), (0, "create")]
+    assert all(r["n_partitions"] == 1 for r in h)
+
+
+def test_diff_reports_insert_update_delete(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "cdf"))
+    t.create(spark.createDataFrame(
+        [(1, "keep"), (2, "old"), (3, "gone")], "id long, v string"))
+    # v1: id=2 updated, id=4 inserted, id=3 deleted (overwrite expresses
+    # the delete; merge alone never deletes)
+    t.overwrite(spark.createDataFrame(
+        [(1, "keep"), (2, "new"), (4, "fresh")], "id long, v string"))
+    d = {r["id"]: (r["_change_type"], r["v"])
+         for r in t.diff(0, 1, keys=["id"]).collect()}
+    assert d == {2: ("update_postimage", "new"),
+                 3: ("delete", "gone"),
+                 4: ("insert", "fresh")}  # id=1 unchanged -> absent
+
+
+def test_diff_defaults_to_merge_keys_and_latest(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "cdf2"))
+    t.create(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.merge(spark.createDataFrame(
+        [(1, "a2"), (5, "n")], "id long, v string"), ["id"])
+    d = {r["id"]: r["_change_type"] for r in t.diff(0).collect()}
+    assert d == {1: "update_postimage", 5: "insert"}
