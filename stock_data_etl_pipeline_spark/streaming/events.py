@@ -161,7 +161,7 @@ def streaming_purchase_view_join(spark: SparkSession, events_parquet: str,
                                  watermark: str = "2 hours",
                                  lookback: str = "1 hour",
                                  max_files_per_trigger: int | None = None,
-                                 ) -> DataFrame:
+                                 how: str = "inner") -> DataFrame:
     """Stream-stream interval join (the remaining Structured Streaming
     operator class): each purchase joined to the same user's views in
     [purchase_ts - lookback, purchase_ts], both sides live streams.
@@ -173,7 +173,14 @@ def streaming_purchase_view_join(spark: SparkSession, events_parquet: str,
     forever). Inner stream-stream joins emit matches as they are found;
     append is the only supported output mode and loses nothing. Driven to
     completion with availableNow, so the drained result equals the batch
-    time-bounded self-join the oracle states."""
+    time-bounded self-join the oracle states.
+
+    ``how="left_outer"``: purchases with no in-window view emit with NULL
+    view columns — but only once the GLOBAL watermark (the min across
+    BOTH sides) passes the point where a match could still arrive, in a
+    subsequent micro-batch. A side that stops receiving events pins the
+    global watermark and withholds outer results forever — the standard
+    outer-join caveat, covered by the cross-batch pytest."""
     def side(tag: str, tcol: str):
         reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
         if max_files_per_trigger is not None:
@@ -194,7 +201,7 @@ def streaming_purchase_view_join(spark: SparkSession, events_parquet: str,
         (purchases["user_id"] == views["user_id"])
         & (F.col("v_ts") <= F.col("p_ts"))
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}")),
-        "inner")
+        how)
     name = f"ssjoin_{uuid.uuid4().hex[:8]}"
     q = (j.select(purchases["user_id"], "p_id", "p_ts", "v_id", "v_ts")
          .writeStream.outputMode("append")

@@ -90,3 +90,49 @@ def test_stream_stream_join_matches_across_micro_batches(spark, tmp_path):
     # purchase 10 matches both earlier views of user 7 — found only via
     # state buffered from the first micro-batch
     assert got == {(10, 1), (10, 2)}
+
+
+def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
+    from stock_data_etl_pipeline_spark.streaming.events import (
+        streaming_purchase_view_join,
+    )
+    import glob
+    import shutil
+    import time
+
+    src = str(tmp_path / "ev_lo")
+    os.makedirs(src)
+    base_ns = 1_700_000_000 * 1_000_000_000
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+
+    def ev(eid, offset_s, user, etype):
+        return (eid, base_ns + offset_s * 1_000_000_000, user, etype,
+                1.0, "{}")
+
+    def land(rows, name):
+        scratch = str(tmp_path / f"_s_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(scratch)
+        shutil.move(glob.glob(os.path.join(scratch, "part-*.parquet"))[0],
+                    os.path.join(src, name))
+
+    # batch 1: a purchase that will never match
+    land([ev(1, 0, 7, "purchase")], "a.parquet")
+    time.sleep(1.1)
+    # batches 2-3: later events on BOTH sides — the global watermark is
+    # the min across sides, so both must advance for the outer row to
+    # flush; the flush lands in the batch AFTER the advance
+    land([ev(98, 86400, 42, "purchase"), ev(99, 86400, 42, "view")],
+         "b.parquet")
+    time.sleep(1.1)
+    land([ev(101, 172800, 42, "purchase"), ev(100, 172800, 42, "view")],
+         "c.parquet")
+
+    out = streaming_purchase_view_join(
+        spark, src, watermark="10 minutes", max_files_per_trigger=1,
+        how="left_outer").collect()
+    got = {(r["p_id"], r["v_id"]) for r in out}
+    # purchase 1: unmatched -> NULL view, emitted only via watermark flush;
+    # purchases 98/101 match their same-timestamp views
+    assert got == {(1, None), (98, 99), (101, 100)}
