@@ -260,13 +260,17 @@ class ManagedTable:
                   "n_partitions int").orderBy(F.col("version").desc())
 
     def diff(self, from_version: int, to_version: int | None = None,
-             keys: Sequence[str] | None = None) -> DataFrame:
+             keys: Sequence[str] | None = None,
+             include_preimage: bool = False) -> DataFrame:
         """Change-data-feed between two versions: the TO-side image of
         every inserted/updated key plus the FROM-side image of deleted
         keys, tagged ``_change_type`` in {insert, update_postimage,
         delete} — what an incremental consumer applies to stay in sync
         without re-reading the table. ``keys`` defaults to the last
         merge's keys recorded in the TO manifest.
+        ``include_preimage=True`` additionally emits each updated key's
+        FROM-side image as ``update_preimage`` (full Delta CDF row set —
+        required by self-maintainable aggregates, operators/incremental).
 
         Derived by comparing the two snapshots (null-safe key join +
         row-image struct comparison), so it is O(both snapshots) — at
@@ -297,13 +301,19 @@ class ManagedTable:
                                                  o["_old"].alias("p"))) \
                  .otherwise(F.struct(n["_k"].alias("k"),
                                      n["_new"].alias("p")))
-        out = (j.withColumn("_change_type", change)
-               .filter(F.col("_change_type").isNotNull())
-               .withColumn("_img", image))
-        return out.select(
-            *[F.col(f"_img.k.{k}").alias(k) for k in keys],
-            *[F.col(f"_img.p.{c}").alias(c) for c in payload],
-            "_change_type")
+        changed = (j.withColumn("_change_type", change)
+                   .filter(F.col("_change_type").isNotNull()))
+        post = (changed.withColumn("_img", image)
+                .select(*[F.col(f"_img.k.{k}").alias(k) for k in keys],
+                        *[F.col(f"_img.p.{c}").alias(c) for c in payload],
+                        "_change_type"))
+        if not include_preimage:
+            return post
+        pre = (changed.filter(F.col("_change_type") == "update_postimage")
+               .select(*[o["_k"].getField(k).alias(k) for k in keys],
+                       *[o["_old"].getField(c).alias(c) for c in payload],
+                       F.lit("update_preimage").alias("_change_type")))
+        return post.unionByName(pre)
 
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop manifests older than the newest ``keep_last`` versions and

@@ -228,3 +228,40 @@ def test_diff_defaults_to_merge_keys_and_latest(spark, tmp_path):
         [(1, "a2"), (5, "n")], "id long, v string"), ["id"])
     d = {r["id"]: r["_change_type"] for r in t.diff(0).collect()}
     assert d == {1: "update_postimage", 5: "insert"}
+
+
+def test_diff_preimage_rows(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "pre"))
+    t.create(spark.createDataFrame([(1, 10.0)], "id long, x double"))
+    t.overwrite(spark.createDataFrame([(1, 99.0)], "id long, x double"))
+    rows = {(r["_change_type"], r["x"])
+            for r in t.diff(0, 1, keys=["id"],
+                            include_preimage=True).collect()}
+    assert rows == {("update_preimage", 10.0), ("update_postimage", 99.0)}
+
+
+def test_incremental_rollup_equals_recompute(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from stock_data_etl_pipeline_spark.operators.incremental import (
+        incremental_rollup,
+    )
+    t = ManagedTable(spark, str(tmp_path / "ivm"))
+    v0 = [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0), (4, "c", 7.0)]
+    # v1: id2 updated (a: 20->25), id3 deleted (group b vanishes),
+    # id5 inserted into new group d
+    v1 = [(1, "a", 10.0), (2, "a", 25.0), (4, "c", 7.0), (5, "d", 1.0)]
+    schema = "id long, g string, x double"
+    t.create(spark.createDataFrame(v0, schema))
+    t.overwrite(spark.createDataFrame(v1, schema))
+
+    def rollup(df):
+        return df.groupBy("g").agg(F.count(F.lit(1)).alias("n"),
+                                   F.sum("x").alias("x"))
+
+    cdf = t.diff(0, 1, keys=["id"], include_preimage=True)
+    maintained = incremental_rollup(rollup(t.read(0)), cdf, ["g"], ["x"])
+    got = {r["g"]: (r["n"], r["x"]) for r in maintained.collect()}
+    want = {r["g"]: (r["n"], r["x"]) for r in rollup(t.read(1)).collect()}
+    assert got == want
+    assert "b" not in got  # zero-count group retracted away
