@@ -379,3 +379,56 @@ def winsorize_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.least(F.greatest(F.col("value"), F.col("lo")),
                             F.col("hi")).alias("value_clipped"))
             .orderBy("event_id"))
+
+
+@register("incremental_rollup_result", """
+WITH v1 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 5 = 0 THEN floor(o_totalprice) + 100
+              ELSE floor(o_totalprice) END AS p
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_orderstatus, floor(o_totalprice)
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT o_orderstatus, count(*)::BIGINT AS n,
+       sum(p)::BIGINT AS total
+FROM v1 GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+def incremental_rollup_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental view maintenance surfaced in the gate: the rollup is
+    # NOT recomputed from v1 — it is v0's rollup folded with the change
+    # feed between two ManagedTable versions (delete %7, update %5,
+    # insert %11 as new keys), and must equal the oracle's direct v1
+    # aggregation. Integer-valued measures keep the incremental sums
+    # exact and addition-order-independent.
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import incremental_rollup
+    from ..sources.managed_table import ManagedTable
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus",
+                    F.floor("o_totalprice").alias("p"))
+    v1 = (base.filter(F.col("o_orderkey") % 7 != 0)
+          .withColumn("p", F.when(F.col("o_orderkey") % 5 == 0,
+                                  F.col("p") + 100).otherwise(F.col("p")))
+          .unionByName(
+              base.filter(F.col("o_orderkey") % 11 == 0)
+              .withColumn("o_orderkey",
+                          F.col("o_orderkey") + F.lit(10000000))))
+    work = tempfile.mkdtemp(prefix="ivm_")
+    try:
+        t = ManagedTable(spark, work + "/t")
+        t.create(base)
+        t.overwrite(v1)
+        cdf = t.diff(0, 1, keys=["o_orderkey"], include_preimage=True)
+        agg0 = base.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("p").alias("p"))
+        out = incremental_rollup(agg0, cdf, ["o_orderstatus"], ["p"])
+        return (out.select("o_orderstatus", F.col("n").cast("long").alias("n"),
+                           F.col("p").cast("long").alias("total"))
+                .orderBy("o_orderstatus")
+                .localCheckpoint())  # materialize before the table dir dies
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
