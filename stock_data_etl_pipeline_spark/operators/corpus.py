@@ -298,6 +298,57 @@ def chunk_documents(docs: DataFrame, size: int = 128, overlap: int = 32,
         F.array_join(F.slice("_ws", start + 1, clen), " ").alias("chunk_text"))
 
 
+def lm_perplexity(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-doc bigram-LM cross-entropy under the corpus's OWN bigram
+    model with add-1 smoothing (the CCNet-style LM quality signal,
+    self-trained so no external model ships):
+
+        p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)
+        score    = avg over the doc's bigram positions of -log2 p
+
+    High score = the doc's transitions are improbable under the corpus
+    (gibberish / boilerplate-free outlier); low = well-trodden text.
+    Docs with < 2 tokens have no bigram positions and emit NULL.
+
+    Shape: the model IS two count aggregations (bigram, unigram) over
+    the same tokenization; scoring joins each doc's bigram occurrences
+    to the model tables — all combiner-friendly aggregations and
+    equi-joins on token keys, no Python. V (distinct vocabulary) is a
+    1-row broadcast. At 100 TB both model tables are token-scale
+    aggregates, exactly the vocabulary/bigram tables already built by
+    vocab_top_terms/bigram_counts."""
+    ws = words(text_col)
+    base = docs.select(F.col(id_col), ws.alias("_ws"))
+    # per-position bigram occurrences (NOT distinct — each transition
+    # scores); same zip_with tail-pair expansion as repetition_metrics
+    occ = base.select(
+        F.col(id_col),
+        F.explode(F.filter(
+            F.zip_with("_ws", F.slice("_ws", 2, F.size("_ws")),
+                       lambda x, y: F.struct(x.alias("w1"),
+                                             F.concat_ws(" ", x, y)
+                                             .alias("bg"))),
+            lambda p: p["bg"].contains(" "))).alias("_p")) \
+        .select(F.col(id_col), F.col("_p.w1").alias("w1"),
+                F.col("_p.bg").alias("bg"))
+    tok = base.select(F.col(id_col), F.explode("_ws").alias("w"))
+    uni = tok.groupBy(F.col("w").alias("w1")) \
+             .agg(F.count(F.lit(1)).alias("c1"))
+    bi = occ.groupBy(F.col("bg").alias("_bg")) \
+            .agg(F.count(F.lit(1)).alias("c2"))
+    vocab = tok.agg(F.countDistinct("w").alias("v"))
+    scored = (occ.join(bi, occ["bg"] == bi["_bg"])
+              .join(uni, "w1")
+              .crossJoin(F.broadcast(vocab))
+              .withColumn("_nll", -F.log2(
+                  (F.col("c2") + 1) / (F.col("c1") + F.col("v")))))
+    per = scored.groupBy(id_col).agg(
+        F.round(F.avg("_nll"), 6).alias("lm_score"))
+    return (docs.select(id_col).join(per, id_col, "left")
+            .select(id_col, "lm_score"))
+
+
 def duplicate_span_stats(docs: DataFrame, n: int = 8,
                          text_col: str = "text", id_col: str = "doc_id",
                          max_dup_frac: float = 0.3) -> DataFrame:

@@ -408,3 +408,30 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus-wide; keep-gate at 30%
     d = load_table(spark, sf_dir, "documents")
     return CP.duplicate_span_stats(d, n=8).orderBy("doc_id")
+
+
+@register("corpus_lm_perplexity", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+occ AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i+1])) AS bg
+        FROM w),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+uni AS (SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY w),
+bi AS (SELECT bg, count(*) AS c2 FROM occ GROUP BY bg),
+v AS (SELECT count(DISTINCT w) AS v FROM tok),
+per AS (SELECT o.doc_id,
+               round(avg(-log2((bi.c2 + 1) / (uni.c1 + v.v)::DOUBLE)), 6)
+                   AS lm_score
+        FROM occ o JOIN bi USING (bg) JOIN uni USING (w1), v
+        GROUP BY o.doc_id)
+SELECT d.doc_id, per.lm_score
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+""")
+def corpus_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # self-trained bigram-LM cross-entropy per doc (add-1 smoothing):
+    # the CCNet-style LM quality signal without an external model
+    d = load_table(spark, sf_dir, "documents")
+    return CP.lm_perplexity(d).orderBy("doc_id")

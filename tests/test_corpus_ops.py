@@ -227,3 +227,15 @@ def test_span_dedup_counts_bounded(spark):
         assert r["n_spans"] == max(0, n_tok - 3 + 1)
         assert 0 <= r["n_dup_spans"] <= r["n_spans"]
         assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_lm_perplexity_ranks_common_transitions_cheaper(spark):
+    # "a b" dominates the corpus, so doc0 (all a->b transitions) must
+    # score lower cross-entropy than doc2's one-off transitions;
+    # single-token doc has no bigram positions -> NULL
+    d = docs_of(spark, ["a b a b a b", "a b", "x y", "solo"])
+    out = {r["doc_id"]: r["lm_score"]
+           for r in CP.lm_perplexity(d).collect()}
+    assert out[0] < out[2]
+    assert out[3] is None
+    assert all(v is None or v > 0 for v in out.values())
