@@ -49,6 +49,7 @@ HEADLINE = [
     "corpus_chunk_documents",
     "events_interval_join",
     "corpus_span_dedup",
+    "corpus_lm_perplexity",
 ]
 
 

@@ -69,3 +69,32 @@ def incremental_rollup(agg: DataFrame, cdf: DataFrame,
     return apply_rollup_delta(
         agg, rollup_delta(cdf, group_cols, sum_cols, count_col),
         group_cols, sum_cols, count_col)
+
+
+def streaming_maintain_rollup(stream: DataFrame, table,
+                              group_cols: Sequence[str],
+                              sum_cols: Sequence[str],
+                              checkpoint: str,
+                              count_col: str = "n"):
+    """Maintain a rollup ManagedTable from a STREAM of change rows: each
+    micro-batch's deltas fold into the table inside ``foreachBatch`` —
+    the streaming face of incremental_rollup. The checkpoint gives
+    exactly-once batch application across restarts (same contract as the
+    foreachBatch MERGE ingest); the rollup table is group-cardinality
+    sized, so the per-batch overwrite is dashboard-scale, not
+    fact-scale. Returns the started query (caller awaits)."""
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        delta = rollup_delta(batch_df, group_cols, sum_cols, count_col)
+        if table.exists():
+            table.overwrite(apply_rollup_delta(
+                table.read(), delta, group_cols, sum_cols, count_col))
+        else:
+            table.create(delta.select(
+                *group_cols,
+                F.col(f"_d_{count_col}").alias(count_col),
+                *[F.col(f"_d_{c}").alias(c) for c in sum_cols])
+                .filter(F.col(count_col) > 0))
+
+    return (stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

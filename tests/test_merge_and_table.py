@@ -265,3 +265,49 @@ def test_incremental_rollup_equals_recompute(spark, tmp_path):
     want = {r["g"]: (r["n"], r["x"]) for r in rollup(t.read(1)).collect()}
     assert got == want
     assert "b" not in got  # zero-count group retracted away
+
+
+def test_streaming_maintain_rollup_across_batches(spark, tmp_path):
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import functions as F
+
+    from stock_data_etl_pipeline_spark.operators.incremental import (
+        streaming_maintain_rollup,
+    )
+    src = str(tmp_path / "cdf_src")
+    os.makedirs(src)
+    schema = "g string, x double, _change_type string"
+
+    def land(rows, name):
+        scratch = str(tmp_path / f"_s_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(scratch)
+        shutil.move(glob.glob(os.path.join(scratch, "part-*.parquet"))[0],
+                    os.path.join(src, name))
+
+    land([("a", 10.0, "insert"), ("a", 20.0, "insert"),
+          ("b", 5.0, "insert")], "b1.parquet")
+    time.sleep(1.1)
+    # batch 2: a's 20 -> 25 (pre+post), b's only row deleted
+    land([("a", 20.0, "update_preimage"), ("a", 25.0, "update_postimage"),
+          ("b", 5.0, "delete")], "b2.parquet")
+
+    table = ManagedTable(spark, str(tmp_path / "rollup"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_maintain_rollup(stream, table, ["g"], ["x"],
+                                  str(tmp_path / "cp"))
+    q.awaitTermination()
+    got = {r["g"]: (r["n"], r["x"]) for r in table.read().collect()}
+    assert got == {"a": (2, 35.0)}  # b retracted to zero and dropped
+    # restart with same checkpoint: no data -> rollup unchanged
+    q2 = streaming_maintain_rollup(
+        (spark.readStream.schema(schema)
+         .option("maxFilesPerTrigger", 1).parquet(src)),
+        table, ["g"], ["x"], str(tmp_path / "cp"))
+    q2.awaitTermination()
+    assert table.read().count() == 1
