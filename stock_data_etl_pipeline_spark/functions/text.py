@@ -45,6 +45,20 @@ def subword_token_estimate(col: Column | str) -> Column:
     return F.ceil(F.length(c) / F.lit(4.0)).cast("long")
 
 
+# GPT-2-style pre-tokenizer classes, lookahead-free so the same pattern
+# runs under Java regex (Spark) and RE2 (DuckDB): letter runs, digit
+# runs, punctuation runs. BPE merges only ever split WITHIN these.
+PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def pretoken_count(col: Column | str) -> Column:
+    """Number of BPE pre-tokens (the upper bound on merged-token count
+    and the unit BPE training actually sees), as a long."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(PRETOKEN_RE), F.lit(0))) \
+        .cast("long")
+
+
 def _marker_hits(ws: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(ws, lambda w: w.isin(*markers)))
 

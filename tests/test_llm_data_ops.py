@@ -187,3 +187,14 @@ def test_frame_sample_skips_zero_and_null_duration(spark):
     # zero/NULL-duration media contribute NO frame rows (nothing to decode)
     assert sorted((r["media_id"], r["frame_ts_ms"]) for r in out) == \
         [(1, 0), (1, 1000), (1, 2000)]
+
+
+def test_pretoken_count_splits_runs(spark):
+    from stock_data_etl_pipeline_spark.functions.text import pretoken_count
+    d = spark.createDataFrame(
+        [(1, "don't stop123 me!!"), (2, ""), (3, "abc")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n"] for r in
+           d.select("doc_id", pretoken_count("text").alias("n")).collect()}
+    # don|'|t + stop|123 + me|!! -> 7 pre-tokens
+    assert out == {1: 7, 2: 0, 3: 1}
