@@ -432,3 +432,20 @@ def incremental_rollup_result(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint())  # materialize before the table dir dies
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register("metadata_table_stats", """
+SELECT count(*)::BIGINT AS n_rows,
+       min(o_totalprice) AS min_v,
+       max(o_totalprice) AS max_v
+FROM orders
+""")
+def metadata_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # COUNT/MIN/MAX answered from parquet footers alone (no data read),
+    # footer reads parallelized across executors; the oracle recomputes
+    # the same stats by scanning rows
+    import os
+
+    from ..sources.registry import footer_stats
+    return footer_stats(spark, os.path.join(sf_dir, "orders.parquet"),
+                        "o_totalprice")

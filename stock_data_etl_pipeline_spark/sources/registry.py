@@ -90,3 +90,56 @@ def register_views(spark: SparkSession, sf_dir: str,
     """Register tables as temp views for the SQL API."""
     for name in names or list(TABLES):
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def footer_stats(spark, path: str, col: str):
+    """COUNT/MIN/MAX of a numeric column from parquet FOOTERS only — no
+    row data is ever read. This is how lakehouse metadata serves
+    ``SELECT count(*), min(x), max(x)`` (Delta/Iceberg answer from file
+    stats; Spark's own parquet aggregate pushdown does the same but only
+    under the V2 reader, which this repo avoids session-wide for the
+    ns-timestamp handling). File list is discovered driver-side (cheap:
+    names only); footers are read IN PARALLEL on executors via
+    mapPartitions — at 100 TB / ~100k files the footer pass is a few MB
+    of reads total, vs scanning the table.
+
+    Raises if any row group lacks min/max statistics for ``col`` (a
+    stats-less file would silently corrupt the answer; writers here
+    always emit stats)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    files = ([path] if os.path.isfile(path) else
+             sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                              recursive=True)))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    fdf = (spark.createDataFrame([(f,) for f in files], "file string")
+           .repartition(min(len(files), 64)))
+
+    def read_footers(rows):
+        import pyarrow.parquet as pq
+        for r in rows:
+            md = pq.ParquetFile(r["file"]).metadata
+            n, lo, hi = md.num_rows, None, None
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                names = [rg.column(i).path_in_schema
+                         for i in range(rg.num_columns)]
+                st = rg.column(names.index(col)).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError(
+                        f"{r['file']} row group {g}: no min/max stats "
+                        f"for {col}")
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            yield (n, float(lo), float(hi))
+
+    partials = fdf.rdd.mapPartitions(
+        lambda rows: read_footers(rows)).toDF(
+        "n_rows long, min_v double, max_v double")
+    return partials.agg(F.sum("n_rows").alias("n_rows"),
+                        F.min("min_v").alias("min_v"),
+                        F.max("max_v").alias("max_v"))

@@ -57,3 +57,18 @@ def test_salted_join_equals_plain_join(spark):
               for r in salted_join(probe, build, "k", salt=4).collect()}
     assert salted == plain
     assert len(salted) == 902  # 900 hot + k10 + k20
+
+
+def test_footer_stats_multi_file_equals_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from stock_data_etl_pipeline_spark.sources.registry import footer_stats
+    d = str(tmp_path / "multi")
+    df = spark.range(0, 10000).select(
+        (F.col("id") * 3 % 997).cast("double").alias("x"))
+    df.repartition(7).write.parquet(d)  # several part files
+    got = footer_stats(spark, d, "x").collect()[0]
+    want = df.agg(F.count(F.lit(1)).alias("n"), F.min("x"),
+                  F.max("x")).collect()[0]
+    assert (got["n_rows"], got["min_v"], got["max_v"]) == \
+        (want[0], want[1], want[2])
