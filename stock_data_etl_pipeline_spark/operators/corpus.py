@@ -125,6 +125,23 @@ def stratified_sample(docs: DataFrame, strata: dict[str, int],
     return docs.filter(sample_bucket(id_col) < rate)
 
 
+def exact_n_per_stratum(docs: DataFrame, n: int,
+                        strata_col: str = "lang",
+                        id_col: str = "doc_id") -> DataFrame:
+    """EXACTLY min(n, stratum size) docs per stratum, chosen by md5-hash
+    rank — the fixed-budget companion to stratified_sample's percentage
+    rates ("give me 10k eval docs per language"). Hash order makes the
+    pick reproducible across runs/engines AND stable under corpus
+    growth: a selected doc stays selected until n better-ranked hashes
+    arrive in its stratum. One partitioned row_number window — the
+    standard distributed top-n-per-group, no global sort."""
+    from pyspark.sql import Window
+    rank_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(rank_key, id_col)
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n).drop("_rn"))
+
+
 def contamination_overlap(docs: DataFrame, bench: DataFrame, k: int = 5,
                           text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:

@@ -435,3 +435,18 @@ def corpus_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the CCNet-style LM quality signal without an external model
     d = load_table(spark, sf_dir, "documents")
     return CP.lm_perplexity(d).orderBy("doc_id")
+
+
+@register("corpus_exact_n_per_stratum", """
+WITH r AS (SELECT doc_id, lang, source,
+                  (row_number() OVER (PARTITION BY lang
+                     ORDER BY md5(doc_id::VARCHAR), doc_id))::BIGINT AS rn
+           FROM documents)
+SELECT doc_id, lang, source FROM r WHERE rn <= 40 ORDER BY doc_id
+""")
+def corpus_exact_n_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-budget stratified pick: exactly min(40, |stratum|) docs per
+    # language by md5-hash rank (reproducible, growth-stable)
+    d = load_table(spark, sf_dir, "documents")
+    return (CP.exact_n_per_stratum(d, n=40)
+            .select("doc_id", "lang", "source").orderBy("doc_id"))

@@ -239,3 +239,22 @@ def test_lm_perplexity_ranks_common_transitions_cheaper(spark):
     assert out[0] < out[2]
     assert out[3] is None
     assert all(v is None or v > 0 for v in out.values())
+
+
+def test_exact_n_per_stratum_counts_and_stability(spark):
+    d = spark.createDataFrame(
+        [(i, "t", "en" if i % 3 else "zh") for i in range(30)],
+        "doc_id long, text string, lang string")
+    take2 = {r["doc_id"] for r in
+             CP.exact_n_per_stratum(d, 2, strata_col="lang").collect()}
+    from collections import Counter
+    langs = Counter("zh" if i % 3 == 0 else "en" for i in take2)
+    assert langs == {"en": 2, "zh": 2}
+    # nested stability: the 2-per-stratum pick is inside the 5-per pick
+    take5 = {r["doc_id"] for r in
+             CP.exact_n_per_stratum(d, 5, strata_col="lang").collect()}
+    assert take2 <= take5
+    # small stratum: asking for more than exists returns all of it
+    tiny = d.filter("doc_id < 4")  # zh has only 2 docs (0, 3)
+    got = CP.exact_n_per_stratum(tiny, 10, strata_col="lang").count()
+    assert got == 4
