@@ -69,8 +69,17 @@ def resolve_transport(options: dict) -> Transport:
 def canned_transport(options: dict) -> Transport:
     """Deterministic offline transport (tests / air-gapped demo): ticker
     prefixes drive the taxonomy — ERR => 500, GONE => 404, EMPTY => empty
-    body, BAD => invalid JSON, anything else => a minimal valid doc."""
+    body, BAD => invalid JSON, anything else => a minimal valid doc.
+    Option ``spydir``: record each REQUESTED ticker as a file there —
+    executors run in separate processes, so tests observe which tickers
+    the transport was actually asked for (pushdown pruning) via the
+    filesystem, not a driver-side mock."""
+    import os
+    spydir = _lower(options).get("spydir")
+
     def call(ticker: str) -> tuple[int, str]:
+        if spydir:
+            open(os.path.join(spydir, ticker), "w").close()
         if ticker.startswith("ERR"):
             return 500, ""
         if ticker.startswith("GONE"):
@@ -86,6 +95,24 @@ def canned_transport(options: dict) -> Transport:
 class StockFetchReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.options = options
+        self._wanted: set[str] | None = None  # ticker pushdown, None = all
+
+    def pushFilters(self, filters):
+        """DSv2 filter pushdown, the source-side kind that matters here:
+        an equality/IN predicate on ``ticker`` prunes the FETCH LIST
+        itself — the pruned tickers are never requested from the
+        upstream API, not merely dropped post-read. Every other filter
+        is returned as unsupported and evaluated by Spark."""
+        from pyspark.sql.datasource import EqualTo, In
+        unsupported = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("ticker",):
+                self._wanted = {str(f.value).strip().upper()}
+            elif isinstance(f, In) and f.attribute == ("ticker",):
+                self._wanted = {str(v).strip().upper() for v in f.values}
+            else:
+                unsupported.append(f)  # Spark applies these post-scan
+        return unsupported
 
     def partitions(self) -> list[InputPartition]:
         # the parallelism contract: tickers deduped (first wins, like
@@ -94,6 +121,8 @@ class StockFetchReader(DataSourceReader):
         tickers = list(dict.fromkeys(
             t.strip().upper() for t in opts.get("tickers", "").split(",")
             if t.strip()))
+        if self._wanted is not None:
+            tickers = [t for t in tickers if t in self._wanted]
         n = max(1, int(opts.get("numpartitions", "4")))
         size = max(1, math.ceil(len(tickers) / n)) if tickers else 1
         chunks = [tickers[i:i + size] for i in range(0, len(tickers), size)]

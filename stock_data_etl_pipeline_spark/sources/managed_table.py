@@ -315,6 +315,32 @@ class ManagedTable:
                        F.lit("update_preimage").alias("_change_type")))
         return post.unionByName(pre)
 
+    def apply_cdf(self, cdf: DataFrame, keys: Sequence[str]) -> None:
+        """Replication consumer for ``diff``: apply a change feed to THIS
+        table — upsert the insert/update_postimage images, delete the
+        deleted keys — so a replica follows a source table version by
+        version without ever copying unchanged rows. Preimage rows are
+        ignored (they exist for aggregate maintenance, not row state).
+
+        Cost: one merge of the change-set-sized upserts + one anti-join
+        for the deletes, partition-pruned like any merge."""
+        ups = (cdf.filter(F.col("_change_type")
+                          .isin("insert", "update_postimage"))
+               .drop("_change_type"))
+        dels = (cdf.filter(F.col("_change_type") == "delete")
+                .select(*keys))
+        if not self.exists():
+            self.create(ups)
+            return
+        version = self.latest_version()
+        merged = merge_upsert(self.read(), ups, keys)
+        if dels.limit(1).count() > 0:
+            cond = reduce(lambda a, b: a & b,
+                          [merged[k].eqNullSafe(dels[k]) for k in keys])
+            merged = merged.join(dels, cond, "left_anti")
+        self._commit(version + 1, self._write_partition_dirs(merged),
+                     {"op": "apply_cdf", "keys": list(keys)})
+
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop manifests older than the newest ``keep_last`` versions and
         every data dir no surviving manifest references."""

@@ -75,3 +75,22 @@ def test_streaming_datasource_polls_per_microbatch(spark, tmp_path):
     # availableNow drains exactly one poll: one row per ticker, poll 0
     assert {(r["poll"], r["ticker"], r["error_code"]) for r in rows} == {
         (0, "AAPL", None), (0, "ERR1", "SERVER_ERROR"), (0, "MSFT", None)}
+
+
+def test_datasource_pushes_ticker_filter_into_fetch_list(spark, tmp_path):
+    from stock_data_etl_pipeline_spark.sources.fetch_datasource import (
+        StockFetchDataSource,
+    )
+    import os
+    spark.dataSource.register(StockFetchDataSource)
+    spy = str(tmp_path / "spy")
+    os.makedirs(spy)
+    out = (spark.read.format("stock_fetch")
+           .option("tickers", "AAPL,MSFT,GOOG,NFLX")
+           .option("transport", CANNED).option("spydir", spy)
+           .load()
+           .filter("ticker = 'MSFT'").collect())
+    assert [r["ticker"] for r in out] == ["MSFT"]
+    # the pushed filter pruned the fetch list ON THE SOURCE: only MSFT
+    # was ever requested from the transport
+    assert os.listdir(spy) == ["MSFT"]

@@ -311,3 +311,21 @@ def test_streaming_maintain_rollup_across_batches(spark, tmp_path):
         table, ["g"], ["x"], str(tmp_path / "cp"))
     q2.awaitTermination()
     assert table.read().count() == 1
+
+
+def test_apply_cdf_replicates_version_step(spark, tmp_path):
+    src = ManagedTable(spark, str(tmp_path / "src_t"))
+    schema = "id long, v string"
+    src.create(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], schema))
+    src.overwrite(spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], schema))  # upd 2, del 3, ins 4
+
+    replica = ManagedTable(spark, str(tmp_path / "rep_t"))
+    replica.create(src.read(0))
+    replica.apply_cdf(src.diff(0, 1, keys=["id"]), keys=["id"])
+
+    got = sorted(tuple(r) for r in replica.read().collect())
+    want = sorted(tuple(r) for r in src.read(1).collect())
+    assert got == want
+    assert replica.history().collect()[0]["op"] == "apply_cdf"
