@@ -121,3 +121,56 @@ def merge_if_changed(target: DataFrame, source: DataFrame, keys: Sequence[str],
                     .select([F.col(f"s.{c}") for c in source.columns]))
     new_rows = s.join(t, cond, "left_anti")
     return merge_upsert(target, matched_diff.unionByName(new_rows), keys)
+
+
+def scd2_merge(dim: DataFrame, updates: DataFrame, keys: Sequence[str],
+               attrs: Sequence[str], change_ts,
+               from_col: str = "effective_from",
+               to_col: str = "effective_to",
+               current_col: str = "is_current") -> DataFrame:
+    """Slowly-changing-dimension Type 2 merge: for each key whose current
+    row differs (null-safely) from its update image on any of ``attrs``,
+    CLOSE OUT the current row (``effective_to = change_ts``, not current)
+    and APPEND the new version (effective from ``change_ts``, open-ended,
+    current). Unchanged updates are no-ops; unknown keys insert as new
+    current rows. History rows pass through untouched.
+
+    Pure relational: one equi-join of current rows against the (deduped)
+    update batch + unions — the dimension's history never rewrites, so
+    at scale this is change-batch-sized work against the current slice
+    (keep ``is_current`` as a partition column to prune the join)."""
+    ts = F.lit(change_ts)
+    upd = updates.dropDuplicates(list(keys))
+    cur = dim.filter(F.col(current_col))
+    hist = dim.filter(~F.col(current_col))
+    c, u = cur.alias("c"), upd.alias("u")
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(f"c.{k}").eqNullSafe(F.col(f"u.{k}"))
+    differs = F.lit(False)
+    for a in attrs:
+        differs = differs | ~F.col(f"c.{a}").eqNullSafe(F.col(f"u.{a}"))
+    j = c.join(u, cond, "left").withColumn(
+        "_changed", F.when(F.col(f"u.{keys[0]}").isNotNull() & differs,
+                           True).otherwise(False))
+    kept = (j.filter(~F.col("_changed"))
+            .select([F.col(f"c.{x}") for x in dim.columns]))
+    closed = (j.filter(F.col("_changed"))
+              .select(*[F.col(f"c.{x}") for x in keys],
+                      *[F.col(f"c.{a}") for a in attrs],
+                      F.col(f"c.{from_col}").alias(from_col))
+              .withColumn(to_col, ts)
+              .withColumn(current_col, F.lit(False)))
+    new_versions = (u.join(c, cond, "left")
+                    .filter(F.col(f"c.{keys[0]}").isNull() | differs)
+                    .select(*[F.col(f"u.{x}") for x in keys],
+                            *[F.col(f"u.{a}") for a in attrs])
+                    .withColumn(from_col, ts)
+                    .withColumn(to_col, F.lit(None).cast(
+                        dim.schema[to_col].dataType))
+                    .withColumn(current_col, F.lit(True)))
+    cols = dim.columns
+    return (hist.select(cols)
+            .unionByName(kept.select(cols))
+            .unionByName(closed.select(cols))
+            .unionByName(new_versions.select(cols)))

@@ -449,3 +449,39 @@ def metadata_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.registry import footer_stats
     return footer_stats(spark, os.path.join(sf_dir, "orders.parquet"),
                         "o_totalprice")
+
+
+@register("scd2_customer_segments", """
+WITH upd AS (SELECT c_custkey, 'MACHINERY' AS c_mktsegment
+             FROM customer WHERE c_custkey % 10 = 0),
+base AS (SELECT c_custkey, c_mktsegment FROM customer),
+chg AS (SELECT b.c_custkey
+        FROM base b JOIN upd u USING (c_custkey)
+        WHERE b.c_mktsegment <> u.c_mktsegment)
+SELECT b.c_custkey, b.c_mktsegment,
+       DATE '2024-01-01' AS effective_from,
+       CASE WHEN chg.c_custkey IS NOT NULL THEN DATE '2024-06-01' END
+           AS effective_to,
+       chg.c_custkey IS NULL AS is_current
+FROM base b LEFT JOIN chg ON chg.c_custkey = b.c_custkey
+UNION ALL
+SELECT c.c_custkey, 'MACHINERY', DATE '2024-06-01', NULL, true
+FROM chg c
+ORDER BY c_custkey, effective_from
+""")
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD Type 2: a segment-change batch closes out changed current rows
+    # and appends open-ended new versions; the oracle restates the same
+    # close-out/insert union directly
+    from ..operators.merge import scd2_merge
+    import datetime
+    c = load_table(spark, sf_dir, "customer")
+    dim = (c.select("c_custkey", "c_mktsegment")
+           .withColumn("effective_from", F.lit(datetime.date(2024, 1, 1)))
+           .withColumn("effective_to", F.lit(None).cast("date"))
+           .withColumn("is_current", F.lit(True)))
+    upd = (c.filter(F.col("c_custkey") % 10 == 0)
+           .select("c_custkey", F.lit("MACHINERY").alias("c_mktsegment")))
+    out = scd2_merge(dim, upd, ["c_custkey"], ["c_mktsegment"],
+                     datetime.date(2024, 6, 1))
+    return out.orderBy("c_custkey", "effective_from")

@@ -329,3 +329,35 @@ def test_apply_cdf_replicates_version_step(spark, tmp_path):
     want = sorted(tuple(r) for r in src.read(1).collect())
     assert got == want
     assert replica.history().collect()[0]["op"] == "apply_cdf"
+
+
+def test_scd2_merge_close_out_and_versions(spark):
+    import datetime
+
+    from stock_data_etl_pipeline_spark.operators.merge import scd2_merge
+    d0 = datetime.date(2024, 1, 1)
+    d1 = datetime.date(2024, 6, 1)
+    dim = spark.createDataFrame(
+        [(1, "gold", d0, None, True),
+         (2, "silver", d0, None, True),
+         # key 3 already has history: closed row + current row
+         (3, "bronze", d0, d0, False),
+         (3, "gold", d0, None, True)],
+        "k long, tier string, effective_from date, effective_to date, "
+        "is_current boolean")
+    upd = spark.createDataFrame(
+        [(1, "platinum"),   # change -> close out + new version
+         (2, "silver"),     # unchanged -> no-op
+         (4, "new")],       # unknown key -> insert current
+        "k long, tier string")
+    out = scd2_merge(dim, upd, ["k"], ["tier"], d1)
+    rows = {(r["k"], r["tier"]): (r["effective_from"], r["effective_to"],
+                                  r["is_current"])
+            for r in out.collect()}
+    assert rows[(1, "gold")] == (d0, d1, False)        # closed out
+    assert rows[(1, "platinum")] == (d1, None, True)   # new version
+    assert rows[(2, "silver")] == (d0, None, True)     # untouched
+    assert rows[(3, "bronze")] == (d0, d0, False)      # history intact
+    assert rows[(3, "gold")] == (d0, None, True)
+    assert rows[(4, "new")] == (d1, None, True)        # fresh insert
+    assert len(rows) == 6
