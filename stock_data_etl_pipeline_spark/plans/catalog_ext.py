@@ -485,3 +485,29 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scd2_merge(dim, upd, ["c_custkey"], ["c_mktsegment"],
                      datetime.date(2024, 6, 1))
     return out.orderBy("c_custkey", "effective_from")
+
+
+@register("profile_orders_columns", """
+SELECT 'o_orderdate' AS "column", count(*)::BIGINT AS n_rows,
+       (count(*) - count(o_orderdate))::BIGINT AS n_nulls,
+       count(DISTINCT o_orderdate)::BIGINT AS n_distinct,
+       min(o_orderdate)::VARCHAR AS min_s, max(o_orderdate)::VARCHAR AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_orderkey', count(*)::BIGINT, (count(*) - count(o_orderkey))::BIGINT,
+       count(DISTINCT o_orderkey)::BIGINT,
+       min(o_orderkey)::VARCHAR, max(o_orderkey)::VARCHAR FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*)::BIGINT,
+       (count(*) - count(o_orderstatus))::BIGINT,
+       count(DISTINCT o_orderstatus)::BIGINT,
+       min(o_orderstatus), max(o_orderstatus) FROM orders
+ORDER BY "column"
+""")
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-pass per-column data-quality profile (nulls, distincts,
+    # min/max); columns chosen with engine-stable string casts
+    # (bigint/date/string — double formatting differs across engines)
+    from ..operators.aggregates import profile_columns
+    o = load_table(spark, sf_dir, "orders")
+    return profile_columns(o, ["o_orderdate", "o_orderkey", "o_orderstatus"])

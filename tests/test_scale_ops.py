@@ -72,3 +72,17 @@ def test_footer_stats_multi_file_equals_scan(spark, tmp_path):
                   F.max("x")).collect()[0]
     assert (got["n_rows"], got["min_v"], got["max_v"]) == \
         (want[0], want[1], want[2])
+
+
+def test_profile_columns_one_pass_counts(spark):
+    from stock_data_etl_pipeline_spark.operators.aggregates import (
+        profile_columns,
+    )
+    d = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b"), (None, "a")],
+        "k long, v string")
+    out = {r["column"]: r for r in profile_columns(d, ["k", "v"]).collect()}
+    assert (out["k"]["n_rows"], out["k"]["n_nulls"],
+            out["k"]["n_distinct"]) == (4, 1, 2)
+    assert (out["v"]["min_s"], out["v"]["max_s"]) == ("a", "b")
+    assert out["v"]["n_nulls"] == 1
