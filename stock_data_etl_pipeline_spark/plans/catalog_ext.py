@@ -511,3 +511,27 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregates import profile_columns
     o = load_table(spark, sf_dir, "orders")
     return profile_columns(o, ["o_orderdate", "o_orderkey", "o_orderstatus"])
+
+
+@register("unpivot_status_counts", """
+WITH p AS (SELECT o_orderpriority AS priority,
+                  count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+                  count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+                  count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+           FROM orders GROUP BY o_orderpriority)
+SELECT priority, s AS status, n FROM (
+  SELECT priority, 'F' AS s, F AS n FROM p
+  UNION ALL SELECT priority, 'O', O FROM p
+  UNION ALL SELECT priority, 'P', P FROM p
+) WHERE n IS NOT NULL
+ORDER BY priority, status
+""")
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UNPIVOT/melt (the pivot inverse, Spark's native df.unpivot):
+    # wide per-priority status counts back to tidy (priority, status, n)
+    o = load_table(spark, sf_dir, "orders")
+    wide = (o.groupBy(F.col("o_orderpriority").alias("priority"))
+            .pivot("o_orderstatus", ["F", "O", "P"]).count())
+    return (wide.unpivot("priority", ["F", "O", "P"], "status", "n")
+            .filter(F.col("n").isNotNull())
+            .orderBy("priority", "status"))
