@@ -199,3 +199,59 @@ def test_span_dedup_equals_bruteforce(spark, texts, n):
         spans = [tuple(ws[i:i + n]) for i in range(len(ws) - n + 1)]
         assert r["n_spans"] == len(spans)
         assert r["n_dup_spans"] == sum(1 for s in spans if counts[s] >= 2)
+
+
+table_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=7),
+              st.sampled_from(["a", "b", "c", None])),
+    min_size=0, max_size=10).map(
+    lambda rs: list({k: (k, v) for k, v in rs}.values()))  # unique keys
+
+
+@given(v0=table_rows, v1=table_rows)
+@SLOW
+def test_cdf_replication_roundtrip(spark, tmp_path_factory, v0, v1):
+    # replica.apply_cdf(src.diff(0,1)) must reproduce src v1 exactly,
+    # for ANY pair of versions (random inserts/updates/deletes/nulls)
+    from stock_data_etl_pipeline_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    base = tmp_path_factory.mktemp("cdfprop")
+    schema = "k long, v string"
+    src = ManagedTable(spark, str(base / "src"))
+    if not v0:
+        v0 = [(99, "seed")]  # empty create is rejected; seed one row
+    src.create(spark.createDataFrame(v0, schema))
+    src.overwrite(spark.createDataFrame(v1 or [(99, "seed")], schema))
+    rep = ManagedTable(spark, str(base / "rep"))
+    rep.create(src.read(0))
+    rep.apply_cdf(src.diff(0, 1, keys=["k"]), keys=["k"])
+    got = sorted(tuple(r) for r in rep.read().collect())
+    want = sorted(tuple(r) for r in src.read(1).collect())
+    assert got == want
+
+
+@given(dim_rows=table_rows, upd_rows=table_rows)
+@SLOW
+def test_scd2_invariants(spark, dim_rows, upd_rows):
+    import datetime
+
+    from stock_data_etl_pipeline_spark.operators.merge import scd2_merge
+    d0, d1 = datetime.date(2024, 1, 1), datetime.date(2024, 6, 1)
+    dim = spark.createDataFrame(
+        [(k, v, d0, None, True) for k, v in dim_rows] or [(99, "x", d0, None, True)],
+        "k long, v string, effective_from date, effective_to date, "
+        "is_current boolean")
+    upd = spark.createDataFrame(upd_rows or [(99, "x")], "k long, v string")
+    out = scd2_merge(dim, upd, ["k"], ["v"], d1).collect()
+    cur = [r for r in out if r["is_current"]]
+    # exactly one current row per key in dim ∪ updates
+    keys = {r["k"] for r in out}
+    assert sorted(r["k"] for r in cur) == sorted(keys)
+    # current rows are open-ended; closed rows end at the change ts
+    assert all(r["effective_to"] is None for r in cur)
+    assert all(r["effective_to"] == d1
+               for r in out if not r["is_current"])
+    # every closed row has a successor version of the same key
+    cur_keys = {r["k"] for r in cur}
+    assert {r["k"] for r in out if not r["is_current"]} <= cur_keys
