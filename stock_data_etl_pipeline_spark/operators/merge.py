@@ -143,7 +143,10 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, keys: Sequence[str],
     upd = updates.dropDuplicates(list(keys))
     cur = dim.filter(F.col(current_col))
     hist = dim.filter(~F.col(current_col))
-    c, u = cur.alias("c"), upd.alias("u")
+    # match detection via marker columns, NOT key null-ness — the join is
+    # null-safe, so an all-NULL key is a legitimate matched key
+    c = cur.withColumn("_in_dim", F.lit(1)).alias("c")
+    u = upd.withColumn("_in_upd", F.lit(1)).alias("u")
     cond = F.lit(True)
     for k in keys:
         cond = cond & F.col(f"c.{k}").eqNullSafe(F.col(f"u.{k}"))
@@ -151,7 +154,7 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, keys: Sequence[str],
     for a in attrs:
         differs = differs | ~F.col(f"c.{a}").eqNullSafe(F.col(f"u.{a}"))
     j = c.join(u, cond, "left").withColumn(
-        "_changed", F.when(F.col(f"u.{keys[0]}").isNotNull() & differs,
+        "_changed", F.when(F.col("u._in_upd").isNotNull() & differs,
                            True).otherwise(False))
     kept = (j.filter(~F.col("_changed"))
             .select([F.col(f"c.{x}") for x in dim.columns]))
@@ -162,7 +165,7 @@ def scd2_merge(dim: DataFrame, updates: DataFrame, keys: Sequence[str],
               .withColumn(to_col, ts)
               .withColumn(current_col, F.lit(False)))
     new_versions = (u.join(c, cond, "left")
-                    .filter(F.col(f"c.{keys[0]}").isNull() | differs)
+                    .filter(F.col("c._in_dim").isNull() | differs)
                     .select(*[F.col(f"u.{x}") for x in keys],
                             *[F.col(f"u.{a}") for a in attrs])
                     .withColumn(from_col, ts)

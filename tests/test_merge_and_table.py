@@ -348,7 +348,8 @@ def test_scd2_merge_close_out_and_versions(spark):
     upd = spark.createDataFrame(
         [(1, "platinum"),   # change -> close out + new version
          (2, "silver"),     # unchanged -> no-op
-         (4, "new")],       # unknown key -> insert current
+         (4, "new"),        # unknown key -> insert current
+         (None, "nil")],    # NULL key: null-safe match -> plain insert
         "k long, tier string")
     out = scd2_merge(dim, upd, ["k"], ["tier"], d1)
     rows = {(r["k"], r["tier"]): (r["effective_from"], r["effective_to"],
@@ -360,4 +361,5 @@ def test_scd2_merge_close_out_and_versions(spark):
     assert rows[(3, "bronze")] == (d0, d0, False)      # history intact
     assert rows[(3, "gold")] == (d0, None, True)
     assert rows[(4, "new")] == (d1, None, True)        # fresh insert
-    assert len(rows) == 6
+    assert rows[(None, "nil")] == (d1, None, True)     # NULL key inserts
+    assert len(rows) == 7
