@@ -255,3 +255,54 @@ def test_scd2_invariants(spark, dim_rows, upd_rows):
     # every closed row has a successor version of the same key
     cur_keys = {r["k"] for r in cur}
     assert {r["k"] for r in out if not r["is_current"]} <= cur_keys
+
+
+_table_op = st.one_of(
+    st.tuples(st.just("merge"), table_rows),
+    st.tuples(st.just("overwrite"), table_rows),
+    st.tuples(st.just("optimize"), st.none()),
+)
+
+
+@given(ops=st.lists(_table_op, min_size=1, max_size=5))
+@SLOW
+def test_managed_table_matches_model(spark, tmp_path_factory, ops):
+    # model-based storage test: replay a random op sequence against a
+    # plain dict model; after every commit the table must equal the
+    # model, every historical version must time-travel to its snapshot,
+    # and optimize must be a pure no-op on content
+    from stock_data_etl_pipeline_spark.sources.managed_table import (
+        ManagedTable,
+    )
+    t = ManagedTable(spark, str(tmp_path_factory.mktemp("model") / "t"))
+    schema = "k long, v string"
+    model: dict = {99: "seed"}
+    t.create(spark.createDataFrame(list(model.items()), schema))
+    snapshots = [dict(model)]
+
+    def table_state():
+        return {r["k"]: r["v"] for r in t.read().collect()}
+
+    for kind, rows in ops:
+        if kind == "merge":
+            if not rows:
+                continue
+            t.merge(spark.createDataFrame(rows, schema), ["k"])
+            model.update(dict(rows))
+        elif kind == "overwrite":
+            new = dict(rows) or {99: "seed"}
+            t.overwrite(spark.createDataFrame(list(new.items()), schema))
+            model = dict(new)
+        else:
+            t.optimize()
+        snapshots.append(dict(model))
+        assert table_state() == model
+    # time travel: each version reads back as its own snapshot
+    assert t.latest_version() == len(snapshots) - 1
+    for v, snap in enumerate(snapshots):
+        got = {r["k"]: r["v"] for r in t.read(v).collect()}
+        assert got == snap
+    # history is one row per version, newest first
+    hist = t.history().collect()
+    assert [r["version"] for r in hist] == \
+        list(range(len(snapshots) - 1, -1, -1))
