@@ -535,3 +535,48 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (wide.unpivot("priority", ["F", "O", "P"], "status", "n")
             .filter(F.col("n").isNotNull())
             .orderBy("priority", "status"))
+
+
+@register("mad_by_event_type", """
+WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+             FROM events GROUP BY event_type)
+SELECT e.event_type,
+       round(med.med, 6) AS median_value,
+       round(quantile_cont(abs(e.value - med.med), 0.5), 6) AS mad
+FROM events e JOIN med USING (event_type)
+GROUP BY e.event_type, med.med ORDER BY e.event_type
+""")
+def mad_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust dispersion: median absolute deviation per group (the
+    # outlier-detection scale statistic) — two tiny aggregates with a
+    # broadcast join between them; the fact is scanned twice but never
+    # shuffled beyond group keys
+    e = load_table(spark, sf_dir, "events")
+    med = (e.groupBy("event_type")
+           .agg(F.percentile("value", F.lit(0.5)).alias("med")))
+    return (e.join(F.broadcast(med), "event_type")
+            .groupBy("event_type", "med")
+            .agg(F.round(F.percentile(F.abs(F.col("value") - F.col("med")),
+                                      F.lit(0.5)), 6).alias("mad"))
+            .select("event_type", F.round("med", 6).alias("median_value"),
+                    "mad")
+            .orderBy("event_type"))
+
+
+@register("histogram_event_values", """
+SELECT event_type,
+       least(floor(value / 50), 9)::BIGINT AS bucket,
+       count(*) AS n
+FROM events WHERE value >= 0
+GROUP BY 1, 2 ORDER BY event_type, bucket
+""")
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixed-width histogram (10 buckets of 50, top bucket open-ended):
+    # one combiner-friendly aggregation; floor arithmetic is portable
+    # where width_bucket is not
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("long")
+    return (e.filter(F.col("value") >= 0)
+            .groupBy("event_type", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type", "bucket"))
