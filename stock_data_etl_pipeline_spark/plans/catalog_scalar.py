@@ -122,3 +122,60 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("session_window.start").alias("session_start"),
                     "n_events")
             .orderBy("user_id", "session_start"))
+
+
+@register("scalar_string_functions", """
+SELECT c_custkey,
+       upper(c_name) AS up,
+       lpad(c_custkey::VARCHAR, 8, '0') AS padded,
+       replace(c_mktsegment, 'URE', '_') AS translated,
+       levenshtein(c_mktsegment, 'BUILDING') AS dist,
+       substr(md5(c_name), 1, 8) AS name_hash
+FROM customer
+WHERE c_custkey <= 200
+ORDER BY c_custkey
+""")
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F-family breadth: case mapping, padding, replacement, edit
+    # distance, hashing — all codegen'd engine built-ins
+    from ..sources.registry import load_table
+    c = load_table(spark, sf_dir, "customer")
+    return (c.filter(F.col("c_custkey") <= 200)
+            .select("c_custkey",
+                    F.upper("c_name").alias("up"),
+                    F.lpad(F.col("c_custkey").cast("string"), 8, "0")
+                    .alias("padded"),
+                    F.replace(F.col("c_mktsegment"), F.lit("URE"),
+                              F.lit("_")).alias("translated"),
+                    F.levenshtein("c_mktsegment", F.lit("BUILDING"))
+                    .alias("dist"),
+                    F.substring(F.md5("c_name"), 1, 8).alias("name_hash"))
+            .orderBy("c_custkey"))
+
+
+@register("stats_aggregates_by_flag", """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 3) + 0.0 AS qty_price_corr,
+       round(covar_samp(l_quantity, l_discount), 3) + 0.0 AS qty_disc_covar,
+       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       round(skewness(l_extendedprice), 3) + 0.0 AS price_skew
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def stats_aggregates_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the statistical aggregate family (corr/covar/stddev/skewness) —
+    # single-pass streaming moments, all map-side combinable; rounded
+    # to 3dp because the engines' co-moment update orders differ at
+    # ~1e-5 (same class as float-sum ordering, not a semantics gap);
+    # '+ 0.0' normalizes IEEE negative zero on both engines
+    from ..sources.registry import load_table
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg((F.round(F.corr("l_quantity", "l_extendedprice"), 3)
+                  + F.lit(0.0)).alias("qty_price_corr"),
+                 (F.round(F.covar_samp("l_quantity", "l_discount"), 3)
+                  + F.lit(0.0)).alias("qty_disc_covar"),
+                 F.round(F.stddev_samp("l_extendedprice"), 4)
+                 .alias("price_stddev"),
+                 (F.round(F.skewness("l_extendedprice"), 3)
+                  + F.lit(0.0)).alias("price_skew"))
+            .orderBy("l_returnflag"))
