@@ -580,3 +580,54 @@ def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("event_type", bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("event_type", "bucket"))
+
+
+@register("lateral_top_nations", """
+SELECT r.r_name, n.n_name
+FROM region r, LATERAL (SELECT n_name FROM nation
+                        WHERE n_regionkey = r.r_regionkey
+                        ORDER BY n_name LIMIT 2) n
+ORDER BY r_name, n_name
+""")
+def lateral_top_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # correlated LATERAL subquery with per-row ORDER BY/LIMIT — Catalyst
+    # decorrelates it to a partitioned rank, not a per-row re-execution
+    from ..sources.registry import register_views
+    register_views(spark, sf_dir, ["region", "nation"])
+    return spark.sql("""
+        SELECT r.r_name, n.n_name
+        FROM region r, LATERAL (SELECT n_name FROM nation
+                                WHERE n_regionkey = r.r_regionkey
+                                ORDER BY n_name LIMIT 2) n
+        ORDER BY r_name, n_name""")
+
+
+@register("vector_hof_stats", """
+SELECT vec_id,
+       round(list_sum(list_transform(embedding, x -> (x::DOUBLE)
+                                     * (x::DOUBLE))), 4) AS sq_norm,
+       len(list_filter(embedding, x -> x > 0))::BIGINT AS n_positive,
+       round(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 6)
+           AS max_abs
+FROM embeddings
+WHERE vec_id < 200
+ORDER BY vec_id
+""")
+def vector_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # higher-order array functions (aggregate/filter/transform) over the
+    # embedding column — the JVM-side vector math the ANN family builds
+    # on, with no Python in the loop
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"),
+                      lambda x: x.cast("double"))
+    sq = F.aggregate(F.transform(dbl, lambda x: x * x),
+                     F.lit(0.0), lambda a, x: a + x)
+    return (e.filter(F.col("vec_id") < 200)
+            .select("vec_id",
+                    F.round(sq, 4).alias("sq_norm"),
+                    F.size(F.filter(F.col("embedding"),
+                                    lambda x: x > 0)).cast("long")
+                    .alias("n_positive"),
+                    F.round(F.array_max(F.transform(dbl, F.abs)), 6)
+                    .alias("max_abs"))
+            .orderBy("vec_id"))
