@@ -631,3 +631,24 @@ def vector_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.array_max(F.transform(dbl, F.abs)), 6)
                     .alias("max_abs"))
             .orderBy("vec_id"))
+
+
+@register("json_prop_keys", """
+SELECT event_id,
+       array_to_string(list_sort(json_keys(props)), ',') AS keys,
+       len(json_keys(props))::BIGINT AS n_keys
+FROM events WHERE event_id < 500
+ORDER BY event_id
+""")
+def json_prop_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # map-function family over semi-structured props: parse to a map,
+    # enumerate keys (sorted — map iteration order is engine-defined),
+    # count them; stringified so the gate can hash the result
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (e.filter(F.col("event_id") < 500)
+            .select("event_id",
+                    F.array_join(F.array_sort(F.map_keys(m)), ",")
+                    .alias("keys"),
+                    F.size(F.map_keys(m)).cast("long").alias("n_keys"))
+            .orderBy("event_id"))

@@ -191,3 +191,37 @@ def streaming_purchase_view_join_q(spark: SparkSession,
     from ..streaming.events import streaming_purchase_view_join
     return streaming_purchase_view_join(
         spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register("events_hourly_dense", """
+WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, min(hour) AS lo, max(hour) AS hi
+         FROM h GROUP BY event_type),
+grid AS (SELECT s.event_type, unnest(generate_series(s.lo, s.hi,
+                                     INTERVAL 1 HOUR)) AS hour
+         FROM span s)
+SELECT g.event_type, g.hour, coalesce(h.n, 0)::BIGINT AS n
+FROM grid g LEFT JOIN h ON h.event_type = g.event_type
+                       AND h.hour = g.hour
+ORDER BY g.event_type, g.hour
+""")
+def events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-series densification (resample/gap-fill): every hour between
+    # each type's first and last event exists with n=0 where no events
+    # fell — sequence+explode builds the grid, one left join fills it.
+    # The grid is (types x hours)-sized, tiny next to the fact.
+    e = load_table(spark, sf_dir, "events")
+    h = (e.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+         .agg(F.count(F.lit(1)).alias("n")))
+    span = h.groupBy("event_type").agg(F.min("hour").alias("lo"),
+                                       F.max("hour").alias("hi"))
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi",
+                             F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    return (grid.join(h, ["event_type", "hour"], "left")
+            .select("event_type", "hour",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+            .orderBy("event_type", "hour"))
