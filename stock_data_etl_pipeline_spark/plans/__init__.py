@@ -10,3 +10,4 @@ from . import catalog_tpch  # noqa: F401
 from . import catalog_tpch_sub  # noqa: F401
 from . import catalog_scalar  # noqa: F401
 from . import catalog_corpus  # noqa: F401
+from . import catalog_analytics  # noqa: F401

@@ -1,0 +1,356 @@
+"""Catalog entries: behavioral/diagnostic analytics over the synthetic
+tables — ordered funnel, weekly cohort retention, market-basket pairs,
+per-group OLS regression, join-key skew profiling, and blocked fuzzy
+name matching.  Implementations live in ``operators/analytics.py``; each
+entry here is the oracle-checked query twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.analytics import (cohort_retention, frequent_pairs,
+                                   funnel, fuzzy_match, key_skew_profile,
+                                   triangle_stats)
+from ..sources.registry import load_table
+from .catalog import register
+
+# fuzzy-name pair CTEs shared by fuzzy_part_names and the entity-
+# resolution composition below
+_FUZZY_CTES = """
+fn AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+fnb AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM fn),
+fpairs AS (SELECT a.p_name AS name_a, b.p_name AS name_b,
+                  levenshtein(a.p_name, b.p_name) AS dist
+           FROM fnb a JOIN fnb b ON a.blk = b.blk AND a.p_name < b.p_name
+           WHERE levenshtein(a.p_name, b.p_name) <= 2)"""
+
+
+@register("funnel_user_day", """
+WITH ev AS (SELECT user_id || '/' || strftime(ts, '%Y-%m-%d') AS uk,
+                   event_type, ts
+            FROM events),
+s1 AS (SELECT uk, min(ts) AS f FROM ev WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.uk, min(e.ts) AS f FROM ev e JOIN s1 USING (uk)
+       WHERE e.event_type = 'click' AND e.ts >= s1.f GROUP BY 1),
+s3 AS (SELECT e.uk, min(e.ts) AS f FROM ev e JOIN s2 USING (uk)
+       WHERE e.event_type = 'purchase' AND e.ts >= s2.f GROUP BY 1)
+SELECT 1 AS stage, 'view' AS step, (SELECT count(*) FROM s1) AS users
+UNION ALL
+SELECT 2, 'click', (SELECT count(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+ORDER BY stage
+""")
+def funnel_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered funnel view -> click -> purchase within a (user, day) key:
+    # greedy first-occurrence frontiers, one same-key join per step
+    # (operators/analytics.funnel — see its scale notes).  The composite
+    # key is what makes the funnel selective: per-day conversion, not
+    # lifetime conversion.
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        F.concat(F.col("user_id").cast("string"), F.lit("/"),
+                 F.date_format("ts", "yyyy-MM-dd")).alias("uk"),
+        "event_type", "ts")
+    return funnel(keyed, ["view", "click", "purchase"], user_col="uk")
+
+
+@register("cohort_weekly_retention", """
+WITH first AS (SELECT user_id,
+                      CAST(date_trunc('week', min(ts)) AS TIMESTAMP)
+                        AS cohort_week
+               FROM events GROUP BY 1),
+act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+SELECT f.cohort_week,
+       CAST(floor(datediff('day', f.cohort_week, a.week) / 7.0) AS BIGINT)
+         AS week_offset,
+       count(DISTINCT a.user_id) AS active_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+ORDER BY 1, 2
+""")
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly cohorts: first-seen week x activity-week offset, distinct
+    # users.  Monday-start ISO weeks on both engines (Spark date_trunc
+    # and DuckDB date_trunc agree).
+    e = load_table(spark, sf_dir, "events")
+    return cohort_retention(e)
+
+
+@register("basket_part_pairs", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem)
+SELECT a.i AS item_a, b.i AS item_b, count(*) AS support
+FROM oi a JOIN oi b ON a.b = b.b AND a.i < b.i
+GROUP BY 1, 2
+HAVING count(*) >= 2
+ORDER BY support DESC, item_a, item_b
+LIMIT 25
+""")
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # market-basket co-occurrence: parts appearing in the same order,
+    # support >= 2, top 25.  Per-basket self-join bounded by order size
+    # (<= 7 lineitems), a-priori distinct-first — never |parts|^2.
+    li = load_table(spark, sf_dir, "lineitem")
+    return frequent_pairs(li, "l_orderkey", "l_partkey",
+                          min_support=2, k=25)
+
+
+@register("regression_price_on_qty", """
+SELECT l_returnflag,
+       round(covar_pop(l_extendedprice, l_quantity)
+             / var_pop(l_quantity), 3) + 0.0 AS slope,
+       round(avg(l_extendedprice)
+             - covar_pop(l_extendedprice, l_quantity) / var_pop(l_quantity)
+               * avg(l_quantity), 3) + 0.0 AS intercept,
+       round(corr(l_extendedprice, l_quantity), 3) + 0.0 AS r,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
+def regression_price_on_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-group OLS (price ~ qty) from single-pass co-moments:
+    # slope = cov/var, intercept = E[y] - slope*E[x].  All map-side
+    # combinable streaming aggregates; 3dp + '+0.0' per the statistical-
+    # aggregate rounding policy (engines' update order differs ~1e-5,
+    # and round() can emit IEEE -0.0).
+    li = load_table(spark, sf_dir, "lineitem")
+    slope = F.covar_pop("l_extendedprice", "l_quantity") / \
+        F.var_pop("l_quantity")
+    return (li.groupBy("l_returnflag")
+            .agg((F.round(slope, 3) + F.lit(0.0)).alias("slope"),
+                 (F.round(F.avg("l_extendedprice")
+                          - slope * F.avg("l_quantity"), 3)
+                  + F.lit(0.0)).alias("intercept"),
+                 (F.round(F.corr("l_extendedprice", "l_quantity"), 3)
+                  + F.lit(0.0)).alias("r"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("l_returnflag"))
+
+
+@register("skew_profile_partkey", """
+WITH k AS (SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1),
+t AS (SELECT sum(cnt) AS total, avg(cnt) AS mean FROM k)
+SELECT k.key, k.cnt,
+       round(100.0 * k.cnt / t.total, 4) AS pct,
+       round(k.cnt / t.mean, 4) AS skew_x
+FROM k, t
+ORDER BY cnt DESC, key
+LIMIT 10
+""")
+def skew_profile_partkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # heavy-hitter profile of lineitem.l_partkey — the pre-flight
+    # diagnostic for the salted join (operators/skew.py): per-key counts
+    # + broadcast 2-number summary, top 10 hot keys.
+    li = load_table(spark, sf_dir, "lineitem")
+    return key_skew_profile(li, "l_partkey", top=10)
+
+
+@register("fuzzy_part_names", f"""
+WITH {_FUZZY_CTES}
+SELECT name_a, name_b, dist FROM fpairs
+ORDER BY name_a, name_b
+""")
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # blocked Levenshtein self-match on distinct part names; block key =
+    # last token, so the quadratic step runs per noun-block over value-
+    # level distincts, not per row (operators/analytics.fuzzy_match).
+    p = load_table(spark, sf_dir, "part")
+    return fuzzy_match(p, "p_name",
+                       F.element_at(F.split(F.col("_n"), " "), -1),
+                       max_dist=2)
+
+
+@register("entity_clusters_from_fuzzy", f"""
+WITH RECURSIVE {_FUZZY_CTES},
+edges AS (SELECT name_a AS src, name_b AS dst FROM fpairs
+          UNION
+          SELECT name_b AS src, name_a AS dst FROM fpairs),
+walk(nm, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.nm = e.dst
+)
+SELECT nm AS name, min(lbl) AS entity_id
+FROM walk GROUP BY nm ORDER BY nm
+""")
+def entity_clusters_from_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # entity resolution composed from two scale-safe pieces: blocked
+    # Levenshtein pairs (fuzzy_match) -> distributed min-label connected
+    # components (operators/clustering.cluster_near_dups); entity_id =
+    # lexicographically-smallest member name.  The oracle is the
+    # recursive transitive-closure twin of the iterative propagation.
+    from ..operators.clustering import cluster_near_dups
+    p = load_table(spark, sf_dir, "part")
+    pairs = fuzzy_match(p, "p_name",
+                        F.element_at(F.split(F.col("_n"), " "), -1),
+                        max_dist=2)
+    return (cluster_near_dups(pairs, id_a="name_a", id_b="name_b")
+            .select(F.col("doc_id").alias("name"),
+                    F.col("cluster_id").alias("entity_id"))
+            .orderBy("name"))
+
+
+@register("graph_triangle_census", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+e AS (SELECT DISTINCT a.i AS ea, b.i AS eb
+      FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+w AS (SELECT e1.ea AS a, e1.eb AS b, e2.eb AS c
+      FROM e e1 JOIN e e2 ON e1.eb = e2.ea),
+t AS (SELECT * FROM w
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.ea = w.a AND e.eb = w.c))
+SELECT (SELECT count(*) FROM (SELECT ea AS v FROM e
+                              UNION SELECT eb FROM e)) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*) FROM t) AS n_triangles
+""")
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # triangle census of the co-purchase graph (parts = nodes, edges =
+    # co-occurrence in an order): ordered wedge join + semi-join closure,
+    # operators/analytics.triangle_stats.
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+    return triangle_stats(pairs, "pa", "pb")
+
+
+@register("twap_by_user", """
+WITH w AS (SELECT user_id, value,
+                  epoch(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                    - epoch(ts) AS dur
+           FROM events)
+SELECT user_id, round(sum(value * dur) / sum(dur), 4) AS twap
+FROM w WHERE dur IS NOT NULL
+GROUP BY user_id ORDER BY user_id
+""")
+def twap_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-weighted average price per user: each observation weighted by
+    # its holding duration (seconds to the next event, microsecond
+    # precision via double-seconds timestamps).  One per-key window +
+    # one aggregation on the same key — a single shuffle.
+    from pyspark.sql import Window
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = (F.lead(F.col("ts").cast("double")).over(w)
+           - F.col("ts").cast("double"))
+    return (e.select("user_id", "value", dur.alias("dur"))
+            .filter(F.col("dur").isNotNull())
+            .groupBy("user_id")
+            .agg(F.round(F.sum(F.col("value") * F.col("dur"))
+                         / F.sum("dur"), 4).alias("twap"))
+            .orderBy("user_id"))
+
+
+@register("wow_revenue_growth", """
+WITH wk AS (SELECT CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)
+              AS week,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1)
+SELECT week, revenue,
+       round(revenue - lag(revenue) OVER (ORDER BY week), 2) AS delta,
+       round(100.0 * (revenue - lag(revenue) OVER (ORDER BY week))
+             / lag(revenue) OVER (ORDER BY week), 4) AS pct_change
+FROM wk ORDER BY week
+""")
+def wow_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # week-over-week revenue growth: the lag window runs over the
+    # ALREADY-AGGREGATED weekly frame (rows = distinct weeks), so its
+    # single partition is tiny by construction — the heavy lifting is
+    # the partial-aggregated rollup underneath.
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    wk = (o.groupBy(F.date_trunc("week", F.col("o_orderdate"))
+                    .alias("week"))
+          .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    w = Window.orderBy("week")
+    prev = F.lag("revenue").over(w)
+    return (wk.select(
+        "week", "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4)
+        .alias("pct_change"))
+        .orderBy("week"))
+
+
+@register("zscore_outliers_by_type", """
+WITH s AS (SELECT event_type, avg(value) AS m, stddev_pop(value) AS sd
+           FROM events GROUP BY 1)
+SELECT e.event_type, count(*) AS n,
+       CAST(sum(CASE WHEN round(abs((e.value - s.m) / s.sd), 4) >= 2.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(max(abs((e.value - s.m) / s.sd)), 3) AS max_z
+FROM events e JOIN s USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+""")
+def zscore_outliers_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-group z-score outlier counts: group moments broadcast back
+    # onto the rows (two-pass standardization).  The z is rounded to 4dp
+    # BEFORE the threshold compare so the engines' 1e-12-level moment
+    # differences can't flip a boundary row.
+    e = load_table(spark, sf_dir, "events")
+    s = e.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_pop("value").alias("sd"))
+    z = F.abs((F.col("value") - F.col("m")) / F.col("sd"))
+    return (e.join(F.broadcast(s), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.round(z, 4) >= 2.5, 1).otherwise(0))
+                 .cast("long").alias("n_outliers"),
+                 F.round(F.max(z), 3).alias("max_z"))
+            .orderBy("event_type"))
+
+
+@register("dq_orders_constraints", """
+WITH ra AS (SELECT count(*) AS n,
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS nn,
+    CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS rng,
+    CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                   AND o_orderstatus NOT IN ('O', 'F', 'P')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS st
+  FROM orders),
+u AS (SELECT CAST(sum(c) AS BIGINT) AS checked,
+             CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+               AS viol
+      FROM (SELECT o_orderkey, count(*) AS c FROM orders GROUP BY 1)),
+r AS (SELECT
+    CAST((SELECT count(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+      AS viol,
+    CAST((SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL)
+      AS BIGINT) AS checked)
+SELECT 'o_custkey_not_null' AS constraint_name, nn AS violations, n AS checked
+  FROM ra
+UNION ALL
+SELECT 'o_custkey_ref_customer', viol, checked FROM r
+UNION ALL
+SELECT 'o_orderkey_unique', viol, checked FROM u
+UNION ALL
+SELECT 'o_orderstatus_in_set', st, n FROM ra
+UNION ALL
+SELECT 'o_totalprice_in_range', rng, n FROM ra
+ORDER BY constraint_name
+""")
+def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # declarative data-quality suite over orders (operators/quality.py):
+    # three row-level rules folded into ONE aggregation, key uniqueness
+    # as one groupBy, referential integrity as one broadcast anti-join.
+    from ..operators.quality import (RefRule, UniqueRule, dq_check,
+                                     in_range, in_set, not_null)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return dq_check(o, [
+        not_null("o_custkey"),
+        in_range("o_totalprice", lo=0),
+        in_set("o_orderstatus", ("O", "F", "P")),
+        UniqueRule("o_orderkey_unique", ("o_orderkey",)),
+        RefRule("o_custkey_ref_customer", "o_custkey", c, "c_custkey"),
+    ])

@@ -1,0 +1,91 @@
+"""Semantic tests for operators/analytics.py — funnel greediness,
+cohort offsets, pair-support multiplicity, skew math, fuzzy blocking."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from stock_data_etl_pipeline_spark.operators.analytics import (
+    cohort_retention, frequent_pairs, funnel, fuzzy_match,
+    key_skew_profile)
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_funnel_greedy_counts_late_click_ignores_early_only(spark):
+    # u1: click BEFORE first view, plus another click after -> converts.
+    # u2: click ONLY before first view -> stuck at stage 1.
+    # u3: full ordered path.
+    rows = [
+        ("u1", "click", _ts(0)), ("u1", "view", _ts(1)),
+        ("u1", "click", _ts(2)),
+        ("u2", "click", _ts(0)), ("u2", "view", _ts(1)),
+        ("u3", "view", _ts(0)), ("u3", "click", _ts(1)),
+        ("u3", "purchase", _ts(2)),
+    ]
+    e = spark.createDataFrame(rows, "user_id string, event_type string, ts timestamp")
+    got = {r["step"]: r["users"]
+           for r in funnel(e, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_funnel_same_timestamp_qualifies(spark):
+    # an event AT the frontier timestamp counts (>=, not >)
+    e = spark.createDataFrame(
+        [("u", "view", _ts(5)), ("u", "click", _ts(5))],
+        "user_id string, event_type string, ts timestamp")
+    got = {r["step"]: r["users"] for r in funnel(e, ["view", "click"]).collect()}
+    assert got == {"view": 1, "click": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    # first event Mon Jan 1 2024 (week 0); active again 2 weeks later
+    e = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 3)), (1, dt.datetime(2024, 1, 16)),
+         (2, dt.datetime(2024, 1, 10))],
+        "user_id long, ts timestamp")
+    rows = cohort_retention(e).collect()
+    got = {(r["cohort_week"].date().isoformat(), r["week_offset"]):
+           r["active_users"] for r in rows}
+    assert got == {("2024-01-01", 0): 1, ("2024-01-01", 2): 1,
+                   ("2024-01-08", 0): 1}
+
+
+def test_frequent_pairs_multiplicity_and_support(spark):
+    # basket 1 holds item a twice + b once: support(a,b) must be 1 from
+    # that basket (distinct-first), 2 total with basket 2; (a,c) support
+    # 1 falls below min_support=2.
+    rows = [(1, "a"), (1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = frequent_pairs(df, "basket", "item", min_support=2).collect()
+    assert [(r["item_a"], r["item_b"], r["support"]) for r in out] == [
+        ("a", "b", 2)]
+
+
+def test_key_skew_profile_math(spark):
+    # keys: a x6, b x2, c x1, d x1 -> mean 2.5, skew_x(a) = 2.4
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", top=2).collect()
+    assert out[0]["key"] == "a" and out[0]["cnt"] == 6
+    assert abs(out[0]["skew_x"] - 2.4) < 1e-9
+    assert abs(out[0]["pct"] - 60.0) < 1e-9
+    assert out[1]["key"] == "b"
+
+
+def test_fuzzy_match_blocked_and_thresholded(spark):
+    df = spark.createDataFrame(
+        [("red ring",), ("rad ring",), ("red ring",),  # dup collapses
+         ("red bolt",),            # different block, never compared
+         ("crimson ring",)],       # same block, dist > 2
+        "name string")
+    out = fuzzy_match(df, "name",
+                      F.element_at(F.split(F.col("_n"), " "), -1),
+                      max_dist=2).collect()
+    assert [(r["name_a"], r["name_b"], r["dist"]) for r in out] == [
+        ("rad ring", "red ring", 1)]

@@ -1,0 +1,52 @@
+"""Semantic tests for operators/quality.py and the graph/time-series
+analytics added alongside it."""
+
+from __future__ import annotations
+
+from stock_data_etl_pipeline_spark.operators.analytics import triangle_stats
+from stock_data_etl_pipeline_spark.operators.quality import (
+    RefRule, UniqueRule, dq_check, in_range, in_set, matches, not_null)
+
+
+def test_dq_check_all_rule_kinds(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "A", "x1"), (2, -5.0, "A", "x2"),
+         (2, 3.0, "Z", "no"), (None, None, None, None)],
+        "id long, amount double, status string, code string")
+    ref = spark.createDataFrame([(1,), (2,)], "k long")
+    out = dq_check(df, [
+        not_null("id"),
+        in_range("amount", lo=0),
+        in_set("status", ("A", "B")),
+        matches("code", r"^x\d$"),
+        UniqueRule("id_unique", ("id",)),
+        RefRule("id_ref", "id", ref, "k"),
+    ])
+    got = {r["constraint_name"]: (r["violations"], r["checked"])
+           for r in out.collect()}
+    assert got["id_not_null"] == (1, 4)
+    assert got["amount_in_range"] == (1, 4)      # NULL amount not a violation
+    assert got["status_in_set"] == (1, 4)        # 'Z'
+    assert got["code_matches"] == (1, 4)         # 'no'
+    assert got["id_unique"] == (1, 4)            # one extra row for key 2
+    assert got["id_ref"] == (0, 3)               # nulls skipped from checked
+
+
+def test_dq_check_clean_table_reports_zero(spark):
+    df = spark.createDataFrame([(1,), (2,)], "id long")
+    out = dq_check(df, [not_null("id"), UniqueRule("id_unique", ("id",))])
+    assert all(r["violations"] == 0 for r in out.collect())
+
+
+def test_triangle_stats_counts_each_triangle_once(spark):
+    # K4 on {1,2,3,4} = 4 triangles; duplicate + reversed edges collapse
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    df = spark.createDataFrame(edges + [(1, 2)], "x long, y long")
+    row = triangle_stats(df, "x", "y").collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+
+
+def test_triangle_stats_open_wedge_is_not_a_triangle(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "x long, y long")
+    row = triangle_stats(df, "x", "y").collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (3, 2, 0)
