@@ -72,8 +72,10 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     doc-term aggregate as tf, and the per-doc top-k is a partitioned
     window — every stage scales with (docs x terms)."""
     tok = docs.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
+    # persisted: tf feeds BOTH the df aggregate and the scored join —
+    # without it the tokenize+explode+groupBy pipeline runs twice
     tf = (tok.groupBy(id_col, "term")
-          .agg(F.count(F.lit(1)).alias("tf")))
+          .agg(F.count(F.lit(1)).alias("tf")).persist())
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = (docs.filter(F.size(words(text_col)) > 0)
           .agg(F.count(F.lit(1)).alias("n_docs")))
@@ -151,15 +153,19 @@ def contamination_overlap(docs: DataFrame, bench: DataFrame, k: int = 5,
     words have no shingles and emit no row.
 
     Shape: hashed inverted index (8-byte keys) on both sides, distinct
-    benchmark shingle set, semi-join + ratio — the benchmark side is the
-    small one at scale, so the join broadcasts or buckets on shingle."""
+    benchmark shingle set, ONE marked left join + ONE groupBy — sz and
+    n_hit come out of the same aggregation, so the doc index is scanned
+    once (a semi-join + separate size count would tokenize/hash/distinct
+    the whole corpus twice and add a shuffle).  The benchmark side is
+    the small one at scale, so the join broadcasts or buckets on
+    shingle."""
     idx = shingle_index(docs, text_col, id_col, k)
-    bidx = shingle_index(bench, text_col, id_col, k).select("shingle").distinct()
-    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    hits = (idx.join(bidx, "shingle", "left_semi")
-            .groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hit")))
-    return (sizes.join(hits, id_col, "left")
-            .na.fill({"n_hit": 0})
+    bidx = (shingle_index(bench, text_col, id_col, k)
+            .select("shingle").distinct().withColumn("_hit", F.lit(1)))
+    return (idx.join(bidx, "shingle", "left")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("sz"),
+                 F.count("_hit").alias("n_hit"))
             .select(F.col(id_col),
                     F.round(F.col("n_hit") / F.col("sz"), 6).alias("overlap")))
 
