@@ -159,6 +159,75 @@ def minhash_signature(docs: DataFrame, num_hashes: int = 16,
     return hv_df.select(F.col(id_col), *cols)
 
 
+def lsh_band_table(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   k: int = 3) -> DataFrame:
+    """(id, band, sig): the banded-LSH collision table — the PERSISTABLE
+    dedup index.  Stored (e.g. in a ManagedTable partitioned by band),
+    it lets a new batch dedup against an existing corpus by probing
+    (band, sig) without ever recomputing corpus signatures — see
+    incremental_lsh_dedup.
+
+    One scan: band signatures as an array column, posexploded — a
+    bands-way union would recompute the (md5-heavy) minhash signature
+    once per band."""
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sig = minhash_signature(docs, num_hashes, text_col, id_col, k)
+    band_sigs = F.array(*[
+        F.md5(F.concat_ws(
+            "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)])
+    return sig.select(
+        F.col(id_col), F.posexplode(band_sigs).alias("band", "sig"))
+
+
+def incremental_lsh_dedup(batch: DataFrame, corpus: DataFrame,
+                          index: DataFrame, threshold: float,
+                          num_hashes: int = 16, bands: int = 4,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          k: int = 3) -> DataFrame:
+    """Dedup a NEW batch against an already-indexed corpus plus itself,
+    touching corpus text only for verification candidates.
+
+    ``index`` is the corpus' stored band table (lsh_band_table output,
+    typically read back from a ManagedTable) — the corpus' signatures
+    are NOT recomputed.  Work scales with the batch: signatures for
+    batch docs only, an equi-join probe of (band, sig) against the
+    index, a batch-internal collision self-join, then exact-Jaccard
+    verification restricted to candidate documents (corpus text is
+    semi-joined down to the candidate ids before any tokenization).
+    This is the arrival-time shape of corpus dedup at 100 TB: the full
+    quadratic pass happens once, every later batch pays only
+    batch-size work.  Pairs are (id_a < id_b, jaccard >= threshold),
+    at least one side in the batch; no false positives survive.
+    """
+    nb = lsh_band_table(batch, num_hashes, bands,
+                        text_col, id_col, k).persist()
+    probe = (nb.alias("n")
+             .join(index.alias("o"), ["band", "sig"])
+             .filter(F.col(f"n.{id_col}") != F.col(f"o.{id_col}"))
+             .select(F.least(F.col(f"n.{id_col}"),
+                             F.col(f"o.{id_col}")).alias("id_a"),
+                     F.greatest(F.col(f"n.{id_col}"),
+                                F.col(f"o.{id_col}")).alias("id_b")))
+    a, b_ = nb.alias("a"), nb.alias("b")
+    within = (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                     & (F.col("a.sig") == F.col("b.sig"))
+                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .select(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b")))
+    cand = probe.unionByName(within).distinct().persist()
+    cand_ids = (cand.select(F.col("id_a").alias(id_col))
+                .unionByName(cand.select(F.col("id_b").alias(id_col)))
+                .distinct())
+    docs_all = (batch.select(id_col, text_col)
+                .unionByName(corpus.select(id_col, text_col)))
+    docs_cand = docs_all.join(cand_ids, id_col, "left_semi")
+    verified = ngram_jaccard_pairs(docs_cand, threshold, text_col, id_col, k)
+    return cand.join(verified, ["id_a", "id_b"], "inner")
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float,
                       num_hashes: int = 16, bands: int = 4,
                       text_col: str = "text", id_col: str = "doc_id",
@@ -170,18 +239,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     bands * rows = num_hashes; collision prob ~ 1-(1-j^rows)^bands.
     """
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
-    sig = minhash_signature(docs, num_hashes, text_col, id_col, k)
-    # one scan: band signatures as an array column, posexploded — a 4-way
-    # union would recompute the (md5-heavy) signature once per band
-    band_sigs = F.array(*[
-        F.md5(F.concat_ws(
-            "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
-        for b in range(bands)])
-    # materialized once: the self-join below would otherwise recompute the
-    # md5-minhash signature (and its shingle projection) for each side
-    bands_df = sig.select(
-        F.col(id_col), F.posexplode(band_sigs).alias("band", "sig")).persist()
+    bands_df = lsh_band_table(docs, num_hashes, bands,
+                              text_col, id_col, k).persist()
     a, b_ = bands_df.alias("a"), bands_df.alias("b")
     cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.sig") == F.col("b.sig"))
