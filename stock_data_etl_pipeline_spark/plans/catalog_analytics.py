@@ -354,3 +354,38 @@ def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         UniqueRule("o_orderkey_unique", ("o_orderkey",)),
         RefRule("o_custkey_ref_customer", "o_custkey", c, "c_custkey"),
     ])
+
+
+@register("trailing_30d_revenue", """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 2505600 PRECEDING AND CURRENT ROW), 2) AS rev_30d,
+       round(cume_dist() OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice), 6) AS cd_price,
+       nth_value(o_orderkey, 2) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS second_order
+FROM orders
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""")
+def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RANGE-frame analytic windows: per-customer trailing-30-day revenue
+    # (range on epoch seconds — peers at equal timestamps share one
+    # frame, so date ties stay deterministic), cumulative distribution
+    # of order value, and nth_value over the default running frame.
+    # All three windows share the o_custkey partitioning: ONE shuffle,
+    # three in-partition sorts at most.
+    from pyspark.sql import Window
+    o = load_table(spark, sf_dir, "orders")
+    epoch = F.col("o_orderdate").cast("long")
+    w_range = (Window.partitionBy("o_custkey").orderBy(epoch)
+               .rangeBetween(-29 * 86400, 0))
+    w_cd = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    w_nth = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey")
+    return (o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w_range), 2).alias("rev_30d"),
+        F.round(F.cume_dist().over(w_cd), 6).alias("cd_price"),
+        F.nth_value("o_orderkey", 2).over(w_nth).alias("second_order"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey"))
