@@ -29,14 +29,27 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               left_ts: str, right_ts: str,
               right_payload: Sequence[str],
               prefix: str = "asof_",
-              strict: bool = True) -> DataFrame:
+              strict: bool = True,
+              direction: str = "backward") -> DataFrame:
     """Left as-of join. Output: all left columns + ``prefix``-renamed
     payload columns from the matched right row (NULL when no prior row).
+
+    ``direction='backward'`` (default) matches the most recent right row
+    before the left timestamp; ``'forward'`` matches the EARLIEST right
+    row after it (the tick-data "next fill" lookup) — same union+window
+    shape with the frame reversed, so the cost class is identical.
+    ``strict`` excludes an exactly-equal timestamp in either direction.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction!r}")
     on = list(on)
-    # left sorts before right at equal ts (tag 0 < 1) => strict '<';
-    # for '<=' sort right first at ties.
-    l_tag, r_tag = (0, 1) if strict else (1, 0)
+    # tag ordering controls the tie rule: a right row at the left's exact
+    # timestamp is matched iff it sorts INSIDE the left row's frame —
+    # before the left row for backward, after it for forward.
+    if direction == "backward":
+        l_tag, r_tag = (0, 1) if strict else (1, 0)
+    else:
+        l_tag, r_tag = (1, 0) if strict else (0, 1)
     lcols = [c for c in left.columns]
     payload = F.struct(*[F.col(c) for c in right_payload])
 
@@ -54,9 +67,15 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
         payload.alias("_p"))
 
     unioned = l_tagged.unionByName(r_tagged)
-    w = (Window.partitionBy(*on).orderBy("_ts", "_tag")
-         .rowsBetween(Window.unboundedPreceding, 0))
-    carried = unioned.withColumn("_match", F.last("_p", ignorenulls=True).over(w))
+    if direction == "backward":
+        w = (Window.partitionBy(*on).orderBy("_ts", "_tag")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        carry = F.last("_p", ignorenulls=True)
+    else:
+        w = (Window.partitionBy(*on).orderBy("_ts", "_tag")
+             .rowsBetween(0, Window.unboundedFollowing))
+        carry = F.first("_p", ignorenulls=True)
+    carried = unioned.withColumn("_match", carry.over(w))
     out = carried.filter(F.col("_l").isNotNull())
     sel = [F.col(f"_l.{c}").alias(c) for c in lcols]
     sel += [F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_payload]

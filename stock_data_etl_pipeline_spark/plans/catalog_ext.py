@@ -652,3 +652,29 @@ def json_prop_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("keys"),
                     F.size(F.map_keys(m)).cast("long").alias("n_keys"))
             .orderBy("event_id"))
+
+
+@register("asof_view_next_purchase", """
+SELECT e.event_id, e.user_id, e.ts,
+       (SELECT min(p.ts) FROM events p
+        WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+          AND p.ts >= e.ts) AS asof_pts
+FROM events e WHERE e.event_type = 'view'
+ORDER BY e.event_id
+""")
+def asof_view_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FORWARD as-of join: each view matched to the user's next purchase
+    # at-or-after it (direction='forward', strict=False) — the union+
+    # window shape with the frame reversed, one shuffle on the key.
+    # The oracle's correlated min() decorrelates to the same thing.
+    from ..operators.asof import asof_join
+    e = load_table(spark, sf_dir, "events")
+    views = (e.filter(F.col("event_type") == "view")
+             .select("event_id", "user_id", "ts"))
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("pts")))
+    return (asof_join(views, purchases, on=["user_id"],
+                      left_ts="ts", right_ts="pts",
+                      right_payload=["pts"], strict=False,
+                      direction="forward")
+            .orderBy("event_id"))

@@ -179,3 +179,48 @@ def stats_aggregates_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.round(F.skewness("l_extendedprice"), 3)
                   + F.lit(0.0)).alias("price_skew"))
             .orderBy("l_returnflag"))
+
+
+@register("udtf_word_ngrams", """
+WITH w AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x != '') AS ws
+           FROM documents WHERE doc_id < 20),
+n AS (SELECT doc_id, unnest(range(len(ws) - 2)) AS pos, ws
+      FROM w WHERE len(ws) >= 3)
+SELECT doc_id, pos, array_to_string(ws[pos+1:pos+3], ' ') AS ngram
+FROM n ORDER BY doc_id, pos
+""")
+def udtf_word_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UDTF exemplar (PySpark 4): lateral word-trigram expansion over a
+    # 20-doc slice.  The native sequence+posexplode form is the hot-path
+    # choice (corpus.chunk_documents); this entry pins the UDTF API and
+    # its oracle comparability.  Tokenization == functions/text.words.
+    from ..functions.py_udfs import WordNGrams
+    from ..sources.registry import load_table
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.col("doc_id") < 20).select("doc_id", "text"))
+    return (d.lateralJoin(WordNGrams(F.col("text").outer(), F.lit(3)))
+            .select("doc_id", "pos", "ngram")
+            .orderBy("doc_id", "pos"))
+
+
+@register("gmean_price_by_status", """
+SELECT o_orderstatus,
+       round(exp(avg(ln(o_totalprice))), 3) AS gmean_price,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+def gmean_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pandas GROUPED_AGG UDAF exemplar: geometric mean per group.  The
+    # whole group's column ships to one executor as an Arrow batch (no
+    # partial aggregation for pandas UDAFs) — acceptable for one double
+    # per row; the log-sum identity is what the oracle uses natively.
+    from ..functions.py_udfs import gmean
+    from ..sources.registry import load_table
+    o = load_table(spark, sf_dir, "orders")
+    # pandas UDAFs can't share an agg with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — split and rejoin on the tiny key
+    g = (o.groupBy("o_orderstatus")
+         .agg(F.round(gmean("o_totalprice"), 3).alias("gmean_price")))
+    n = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    return g.join(n, "o_orderstatus").orderBy("o_orderstatus")

@@ -80,3 +80,24 @@ def test_interval_join_on_derived_intervals_no_ambiguity(spark):
     out = interval_join(facts, iv, on=["user"], ts="ts",
                         start="s", end="e", payload=["name"]).collect()
     assert all(r["iv_name"] == "span" for r in out)
+
+
+def test_asof_forward_direction_and_ties(spark):
+    import datetime as dt
+    from stock_data_etl_pipeline_spark.operators.asof import asof_join
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "k", t(5)), (2, "k", t(20))], "id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("k", t(5), 50.0), ("k", t(10), 100.0)],
+        "k string, rts timestamp, px double")
+    # inclusive: the t(5) right row matches the t(5) left row
+    got = {r["id"]: r["asof_px"] for r in asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_payload=["px"], strict=False, direction="forward").collect()}
+    assert got == {1: 50.0, 2: None}
+    # strict: the equal-timestamp row is skipped, next one matches
+    got = {r["id"]: r["asof_px"] for r in asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_payload=["px"], strict=True, direction="forward").collect()}
+    assert got == {1: 100.0, 2: None}
