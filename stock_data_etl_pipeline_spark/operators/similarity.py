@@ -37,15 +37,21 @@ def brute_force_topk(emb: DataFrame, query_vec: list[float], k: int = 10,
     scored = emb.select(
         F.col(id_col),
         F.round(cosine(as_double(vec_col), q), 6).alias("score"))
-    # rank runs AFTER limit(k), so the window sees only k rows; the
-    # constant partition key keeps WindowExec off its "No Partition
-    # Defined" warning path (it is single-partition either way, by design)
-    return (scored.orderBy(F.col("score").desc(), F.col(id_col))
-            .limit(k)
-            .withColumn("rank", F.row_number().over(
-                Window.partitionBy(F.lit(0))
-                .orderBy(F.col("score").desc(), F.col(id_col)))
-                .cast("long")))
+    # the heavy part is TakeOrderedAndProject (map-side top-k, no global
+    # sort); rank over the surviving k rows is a broadcast self-join
+    # count — no Window at all, so no single-partition WindowExec stage
+    # (Spark 4's EliminateWindowPartitions folds a constant partition key
+    # back to the warning path, so the lit(0) trick no longer applies).
+    top = (scored.orderBy(F.col("score").desc(), F.col(id_col))
+           .limit(k))
+    other = top.select(F.col("score").alias("score2"),
+                       F.col(id_col).alias("id2"))
+    before = (F.col("score2") > F.col("score")) | (
+        (F.col("score2") == F.col("score")) & (F.col("id2") < F.col(id_col)))
+    return (top.join(F.broadcast(other), before, "left")
+            .groupBy(id_col, "score")
+            .agg((F.count("id2") + 1).cast("long").alias("rank"))
+            .orderBy("rank"))
 
 
 def sign_lsh_bucket(vec: Column, anchors: list[list[float]]) -> Column:

@@ -258,21 +258,26 @@ SELECT week, revenue,
 FROM wk ORDER BY week
 """)
 def wow_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # week-over-week revenue growth: the lag window runs over the
-    # ALREADY-AGGREGATED weekly frame (rows = distinct weeks), so its
-    # single partition is tiny by construction — the heavy lifting is
-    # the partial-aggregated rollup underneath.
-    from pyspark.sql import Window
+    # week-over-week revenue growth over the ALREADY-AGGREGATED weekly
+    # frame (rows = distinct weeks, bounded by the calendar).  lag() is
+    # expressed as a broadcast self-join + max_by (previous existing
+    # week's revenue) rather than a global Window, so no single-partition
+    # WindowExec stage appears — exact lag semantics, gaps included.
     o = load_table(spark, sf_dir, "orders")
     wk = (o.groupBy(F.date_trunc("week", F.col("o_orderdate"))
                     .alias("week"))
           .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
-    w = Window.orderBy("week")
-    prev = F.lag("revenue").over(w)
-    return (wk.select(
+    earlier = wk.select(F.col("week").alias("pweek"),
+                        F.col("revenue").alias("prev_rev"))
+    prev = F.max_by("prev_rev", "pweek")
+    lagged = (wk.join(F.broadcast(earlier),
+                      F.col("pweek") < F.col("week"), "left")
+              .groupBy("week", "revenue")
+              .agg(prev.alias("prev")))
+    return (lagged.select(
         "week", "revenue",
-        F.round(F.col("revenue") - prev, 2).alias("delta"),
-        F.round(100.0 * (F.col("revenue") - prev) / prev, 4)
+        F.round(F.col("revenue") - F.col("prev"), 2).alias("delta"),
+        F.round(100.0 * (F.col("revenue") - F.col("prev")) / F.col("prev"), 4)
         .alias("pct_change"))
         .orderBy("week"))
 
@@ -389,3 +394,59 @@ def trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w_cd), 6).alias("cd_price"),
         F.nth_value("o_orderkey", 2).over(w_nth).alias("second_order"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey"))
+
+
+@register("hourly_value_percentiles", """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(quantile_cont(value, 0.99), 4) AS p99,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def hourly_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the observability rollup: exact interpolated p50/p95/p99 per
+    # (hour, type).  Exact percentile is a sort-based aggregate — fine
+    # per bounded group; percentile_approx (t-digest) is the swap-in
+    # when groups stop fitting (same call shape, no plan change).
+    e = load_table(spark, sf_dir, "events")
+    return (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                      "event_type")
+            .agg(F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+                 F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+                 F.round(F.percentile("value", F.lit(0.99)), 4).alias("p99"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("hour", "event_type"))
+
+
+@register("rank_top_suppliers_with_ties", """
+WITH r AS (SELECT l_suppkey, round(sum(l_extendedprice), 2) AS rev
+           FROM lineitem GROUP BY 1),
+rk AS (SELECT l_suppkey, rev, rank() OVER (ORDER BY rev DESC) AS rnk
+       FROM r)
+SELECT l_suppkey, rev, rnk FROM rk WHERE rnk <= 10
+ORDER BY rnk, l_suppkey
+""")
+def rank_top_suppliers_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-N with TIES (rank(), not row_number()): equal revenues share a
+    # rank and all qualify, so the result can exceed N rows — the
+    # correct semantics for leaderboards.  Scale-safe shape: the cutoff
+    # (10th-highest DISTINCT revenue) comes from a TakeOrderedAndProject
+    # over distinct revenues — no global window over all suppliers —
+    # then only the >= cutoff survivors (a handful of rows) are ranked
+    # via a broadcast self-join count (rank = 1 + #rows strictly above),
+    # avoiding a single-partition WindowExec stage entirely.
+    li = load_table(spark, sf_dir, "lineitem")
+    r = (li.groupBy("l_suppkey")
+         .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev")))
+    cut = (r.select("rev").distinct()
+           .orderBy(F.col("rev").desc()).limit(10)
+           .agg(F.min("rev").alias("cut")))
+    top = r.join(F.broadcast(cut), r["rev"] >= cut["cut"]).drop("cut")
+    other = top.select(F.col("rev").alias("rev2"))
+    rk = (top.join(F.broadcast(other), F.col("rev2") > F.col("rev"), "left")
+          .groupBy("l_suppkey", "rev")
+          .agg((F.count("rev2") + 1).cast("long").alias("rnk")))
+    return (rk.filter(F.col("rnk") <= 10)
+            .orderBy("rnk", "l_suppkey"))
