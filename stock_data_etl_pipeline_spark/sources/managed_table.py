@@ -67,6 +67,52 @@ def _part_key(values: dict) -> str:
     return json.dumps(values, sort_keys=True, default=str)
 
 
+def _stat_val(v):
+    """Canonical JSON-safe form for a min/max stat. ISO strings for
+    date/datetime keep lexicographic order == chronological order, so the
+    same comparison works after the manifest round-trips through JSON."""
+    import datetime
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) \
+            else v.isoformat()
+    return v
+
+
+def _dir_footer_stats(path: str, cols: Sequence[str]) -> dict[str, list]:
+    """Per-column [min, max] over every parquet footer under ``path`` —
+    metadata-only, no row data read. One data dir is one partition of one
+    commit's batch, so this is a handful of footers at commit time (the
+    analog of Delta writing per-file stats into the transaction log).
+    Columns without footer stats (or absent from the file) are omitted —
+    readers treat a missing stat as 'cannot prune'."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    out: dict[str, list] = {}
+    for f in sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                               recursive=True)):
+        md = pq.ParquetFile(f).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            names = [rg.column(i).path_in_schema
+                     for i in range(rg.num_columns)]
+            for c in cols:
+                if c not in names:
+                    continue
+                st = rg.column(names.index(c)).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                lo, hi = _stat_val(st.min), _stat_val(st.max)
+                if c in out:
+                    out[c] = [min(out[c][0], lo), max(out[c][1], hi)]
+                else:
+                    out[c] = [lo, hi]
+    return out
+
+
 class ManagedTable:
     def __init__(self, spark: SparkSession, path: str,
                  partition_by: Sequence[str] = (),
@@ -100,6 +146,13 @@ class ManagedTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)["partitions"]
 
+    def _read_stats(self, version: int) -> dict[str, dict[str, list]]:
+        """Per-partition {col: [min, max]} recorded at commit time; empty
+        for manifests written before stats existed (no pruning, still
+        correct)."""
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh).get("stats", {})
+
     def _commit(self, version: int, partitions: dict[str, str], meta: dict) -> None:
         os.makedirs(os.path.dirname(self._manifest_path(version)), exist_ok=True)
         try:
@@ -122,11 +175,16 @@ class ManagedTable:
         os.replace(tmp, self._pointer)  # atomic pointer swap, commit point
 
     # -- write paths --------------------------------------------------------
-    def _write_partition_dirs(self, df: DataFrame) -> dict[str, str]:
+    def _write_partition_dirs(
+            self, df: DataFrame) -> tuple[dict[str, str], dict[str, dict]]:
         """Write df as one immutable data dir per partition value; the
         partition columns stay IN the data (no directory encoding), so each
-        dir is independently readable and schema evolution is per-dir."""
+        dir is independently readable and schema evolution is per-dir.
+        Returns (partition->dir map, partition->{col: [min,max]} stats over
+        the cluster_by columns, harvested from the freshly-written parquet
+        footers — metadata-only, feeds manifest-level data skipping)."""
         out: dict[str, str] = {}
+        stats: dict[str, dict] = {}
         if self.cluster_by:
             cols = [c for c in self.cluster_by if c in df.columns]
             if cols:
@@ -134,7 +192,7 @@ class ManagedTable:
         if not self.partition_by:
             d = f"data/{uuid.uuid4().hex[:16]}"
             df.write.mode("overwrite").parquet(os.path.join(self.path, d))
-            return {_ALL: d}
+            return {_ALL: d}, {_ALL: self._harvest_stats(d)}
         values = [r.asDict() for r in df.select(*self.partition_by).distinct().collect()]
         for v in values:
             pred = reduce(lambda a, b: a & b,
@@ -143,7 +201,14 @@ class ManagedTable:
             df.filter(pred).write.mode("overwrite").parquet(
                 os.path.join(self.path, d))
             out[_part_key(v)] = d
-        return out
+            stats[_part_key(v)] = self._harvest_stats(d)
+        return out, stats
+
+    def _harvest_stats(self, data_dir: str) -> dict[str, list]:
+        if not self.cluster_by:
+            return {}
+        return _dir_footer_stats(os.path.join(self.path, data_dir),
+                                 self.cluster_by)
 
     def optimize(self, target_partitions: int = 1) -> None:
         """Compaction (the OPTIMIZE analog): rewrite every partition of
@@ -155,6 +220,7 @@ class ManagedTable:
         version = self.latest_version()
         manifest = self._read_manifest(version)
         new_parts: dict[str, str] = {}
+        new_stats: dict[str, dict] = {}
         for pk, d in manifest.items():
             df = self.spark.read.parquet(os.path.join(self.path, d)) \
                 .coalesce(target_partitions)
@@ -165,7 +231,9 @@ class ManagedTable:
             nd = f"data/{uuid.uuid4().hex[:16]}"
             df.write.mode("overwrite").parquet(os.path.join(self.path, nd))
             new_parts[pk] = nd
-        self._commit(version + 1, new_parts, {"op": "optimize"})
+            new_stats[pk] = self._harvest_stats(nd)
+        self._commit(version + 1, new_parts,
+                     {"op": "optimize", "stats": new_stats})
 
     def create(self, df: DataFrame, mode: str = "error") -> None:
         """First write. mode='error' mirrors delta-rs mode=error (S5)."""
@@ -176,14 +244,16 @@ class ManagedTable:
                 return
         os.makedirs(self.path, exist_ok=True)
         version = self.latest_version() + 1 if self.exists() else 0
-        self._commit(version, self._write_partition_dirs(df), {"op": "create"})
+        parts, stats = self._write_partition_dirs(df)
+        self._commit(version, parts, {"op": "create", "stats": stats})
 
     def overwrite(self, df: DataFrame) -> None:
         if not self.exists():
             self.create(df)
         else:
-            self._commit(self.latest_version() + 1,
-                         self._write_partition_dirs(df), {"op": "overwrite"})
+            parts, stats = self._write_partition_dirs(df)
+            self._commit(self.latest_version() + 1, parts,
+                         {"op": "overwrite", "stats": stats})
 
     def merge(self, source: DataFrame, keys: Sequence[str],
               dedup_source_order: Sequence[Column] | None = None) -> None:
@@ -207,7 +277,7 @@ class ManagedTable:
 
         if not self.partition_by:
             merged = merge_upsert(self.read(), source, keys, dedup_source_order)
-            new_parts = self._write_partition_dirs(merged)
+            new_parts, new_stats = self._write_partition_dirs(merged)
         elif prunable:
             touched = [r.asDict() for r in
                        source.select(*self.partition_by).distinct().collect()]
@@ -220,12 +290,15 @@ class ManagedTable:
             merged_touched = merge_upsert(target, source, keys,
                                           dedup_source_order)
             new_parts = dict(manifest)  # untouched dirs re-referenced as-is
-            new_parts.update(self._write_partition_dirs(merged_touched))
+            new_stats = dict(self._read_stats(version))  # stats carry over too
+            parts, stats = self._write_partition_dirs(merged_touched)
+            new_parts.update(parts)
+            new_stats.update(stats)
         else:
             merged = merge_upsert(self.read(), source, keys, dedup_source_order)
-            new_parts = self._write_partition_dirs(merged)
+            new_parts, new_stats = self._write_partition_dirs(merged)
         self._commit(version + 1, new_parts,
-                     {"op": "merge", "keys": list(keys)})
+                     {"op": "merge", "keys": list(keys), "stats": new_stats})
 
     # -- read path ----------------------------------------------------------
     def _read_dirs(self, dirs: Sequence[str]) -> DataFrame:
@@ -242,6 +315,48 @@ class ManagedTable:
         if not manifest:
             raise ValueError(f"empty table manifest at version {v}")
         return self._read_dirs(sorted(manifest.values()))
+
+    def prune_dirs(self, col: str, lo=None, hi=None,
+                   version: int | None = None) -> list[str]:
+        """Data dirs that MIGHT hold rows with ``lo <= col <= hi``, by the
+        manifest's per-dir min/max — Delta-style file skipping, decided
+        from one small JSON with zero data or footer reads. A dir with no
+        recorded stat for ``col`` is always kept (skipping must never be
+        able to drop a matching row)."""
+        v = self.latest_version() if version is None else version
+        manifest = self._read_manifest(v)
+        stats = self._read_stats(v)
+        lo_c = _stat_val(lo) if lo is not None else None
+        hi_c = _stat_val(hi) if hi is not None else None
+        keep = []
+        for pk, d in sorted(manifest.items()):
+            mm = stats.get(pk, {}).get(col)
+            if mm is not None:
+                if hi_c is not None and mm[0] > hi_c:
+                    continue
+                if lo_c is not None and mm[1] < lo_c:
+                    continue
+            keep.append(d)
+        return keep
+
+    def read_where(self, col: str, lo=None, hi=None,
+                   version: int | None = None) -> DataFrame:
+        """Range read with manifest-level data skipping: dirs whose
+        [min, max] for ``col`` cannot intersect [lo, hi] never enter the
+        plan, then the residual filter is applied (and pushed down to the
+        surviving files' row groups — cluster_by writes sorted data, so
+        row-group stats are tight). At 100 TB this is the difference
+        between scanning the table and scanning the handful of data dirs a
+        point/range query actually touches."""
+        dirs = self.prune_dirs(col, lo, hi, version)
+        if not dirs:
+            return self.read(version).filter(F.lit(False))
+        out = self._read_dirs(dirs)
+        if lo is not None:
+            out = out.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(col) <= F.lit(hi))
+        return out
 
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY analog: one row per surviving version with the
@@ -338,8 +453,9 @@ class ManagedTable:
             cond = reduce(lambda a, b: a & b,
                           [merged[k].eqNullSafe(dels[k]) for k in keys])
             merged = merged.join(dels, cond, "left_anti")
-        self._commit(version + 1, self._write_partition_dirs(merged),
-                     {"op": "apply_cdf", "keys": list(keys)})
+        parts, stats = self._write_partition_dirs(merged)
+        self._commit(version + 1, parts,
+                     {"op": "apply_cdf", "keys": list(keys), "stats": stats})
 
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop manifests older than the newest ``keep_last`` versions and

@@ -363,3 +363,64 @@ def test_scd2_merge_close_out_and_versions(spark):
     assert rows[(4, "new")] == (d1, None, True)        # fresh insert
     assert rows[(None, "nil")] == (d1, None, True)     # NULL key inserts
     assert len(rows) == 7
+
+
+def test_manifest_stats_prune_dirs_and_read_where(spark, tmp_path):
+    # Delta-style data skipping: per-dir [min,max] for the cluster_by
+    # column lands in the manifest at commit time (footer-harvested, no
+    # data read); a range read consults ONLY the manifest to drop dirs.
+    t = ManagedTable(spark, str(tmp_path / "skip"),
+                     partition_by=["record_type"],
+                     cluster_by=["period_end_date"])
+    t.create(df_of(spark, [
+        ("AAPL", "financials", "2023-03", 1.0),
+        ("AAPL", "financials", "2023-06", 2.0),
+        ("MSFT", "metadata", "2024-03", 3.0),
+        ("MSFT", "metadata", "2024-06", 4.0)], SCHEMA))
+
+    # disjoint ranges -> each range read prunes to exactly one dir
+    assert len(t.prune_dirs("period_end_date", "2024-01", "2024-12")) == 1
+    assert len(t.prune_dirs("period_end_date", "2023-01", "2023-12")) == 1
+    # stat-covered range touching both dirs keeps both
+    assert len(t.prune_dirs("period_end_date", "2023-05", "2024-05")) == 2
+    # no overlap at all -> zero dirs, empty (but well-formed) result
+    assert len(t.prune_dirs("period_end_date", "2025-01", "2025-12")) == 0
+    assert t.read_where("period_end_date", "2025-01", "2025-12").count() == 0
+
+    got = {r["ticker"] for r in
+           t.read_where("period_end_date", "2024-01", "2024-12").collect()}
+    assert got == {"MSFT"}
+    # residual filter still applies INSIDE the surviving dir
+    one = t.read_where("period_end_date", "2024-04", "2024-12").collect()
+    assert [(r["ticker"], r["period_end_date"]) for r in one] == \
+        [("MSFT", "2024-06")]
+
+
+def test_manifest_stats_carry_over_on_partial_merge(spark, tmp_path):
+    # a merge touching one partition must re-reference the other dir AND
+    # its stats; pruning on the untouched range keeps working
+    t = ManagedTable(spark, str(tmp_path / "skip2"),
+                     partition_by=["record_type"],
+                     cluster_by=["period_end_date"])
+    t.create(df_of(spark, [
+        ("AAPL", "financials", "2023-03", 1.0),
+        ("MSFT", "metadata", "2024-03", 3.0)], SCHEMA))
+    t.merge(df_of(spark, [("AAPL", "financials", "2023-09", 9.0)], SCHEMA),
+            ["ticker", "record_type", "period_end_date"])
+
+    stats = t._read_stats(t.latest_version())
+    assert len(stats) == 2  # untouched metadata partition's stats survived
+    assert len(t.prune_dirs("period_end_date", "2024-01", "2024-12")) == 1
+    # merged partition's stats widened to include the new row
+    fin = t.prune_dirs("period_end_date", "2023-07", "2023-12")
+    assert len(fin) == 1
+    rows = t.read_where("period_end_date", "2023-07", "2023-12").collect()
+    assert [(r["ticker"], r["revenue"]) for r in rows] == [("AAPL", 9.0)]
+
+
+def test_stats_absent_column_never_prunes(spark, tmp_path):
+    # a column with no recorded stat must always be kept (skip-safety)
+    t = ManagedTable(spark, str(tmp_path / "skip3"),
+                     cluster_by=["period_end_date"])
+    t.create(df_of(spark, [("AAPL", "financials", "2023-03", 1.0)], SCHEMA))
+    assert len(t.prune_dirs("revenue", 100.0, 200.0)) == 1
