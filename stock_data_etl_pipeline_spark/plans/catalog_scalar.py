@@ -107,10 +107,8 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (start, count), not end.
     import uuid as _uuid
 
-    from ..streaming.events import EVENT_STREAM_SCHEMA, _as_stream_dir
-    stream = (spark.readStream.schema(EVENT_STREAM_SCHEMA)
-              .parquet(_as_stream_dir(os.path.join(sf_dir, "events.parquet")))
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    from ..streaming.events import event_stream
+    stream = event_stream(spark, os.path.join(sf_dir, "events.parquet"))
     agg = (stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
            .agg(F.count(F.lit(1)).alias("n_events")))
     name = f"sess_{_uuid.uuid4().hex[:8]}"

@@ -80,21 +80,21 @@ def streaming_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # batch keep-lowest-id dedup — a full hash oracle for a stateful
     # streaming operator. Cross-batch/cross-run state is pytest-covered
     # (test_streaming_dedup).
+    import atexit
     import shutil
     import tempfile
 
     from ..streaming.dedup import streaming_dedup
     work = tempfile.mkdtemp(prefix="sdedup_")
-    try:
-        src, cp = os.path.join(work, "src"), os.path.join(work, "cp")
-        d = load_table(spark, sf_dir, "documents")
-        (d.select("doc_id", F.md5("text").alias("key"), "text")
-         .coalesce(1).write.mode("overwrite").parquet(src))
-        # the drain materializes survivors driver-side, so the source and
-        # checkpoint dirs are disposable once it returns
-        return streaming_dedup(spark, src, cp).orderBy("doc_id")
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    # survivors now land executor-side in a parquet dir under `work`, and
+    # the returned DataFrame scans it lazily — so the workspace must
+    # outlive this call; clean up at interpreter exit instead of finally
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src, cp = os.path.join(work, "src"), os.path.join(work, "cp")
+    d = load_table(spark, sf_dir, "documents")
+    (d.select("doc_id", F.md5("text").alias("key"), "text")
+     .coalesce(1).write.mode("overwrite").parquet(src))
+    return streaming_dedup(spark, src, cp).orderBy("doc_id")
 
 
 @register("streaming_current_state", """

@@ -74,9 +74,11 @@ def get_spark(app_name: str = "stock-data-etl-pipeline-spark",
                 os.environ.get("SPARK_GRAFT_WAREHOUSE",
                                os.path.join(tempfile.gettempdir(),
                                             "spark_graft_warehouse")))
-        # events.parquet stores ts as TIMESTAMP(NANOS), which the Spark
-        # parquet reader rejects outright; read the raw int64 and convert
-        # (ns -> us integer division) in the source registry.
+        # Some testdata generations store events.ts as TIMESTAMP(NANOS),
+        # which the Spark parquet reader rejects outright; this conf lets
+        # those files scan as int64 (the registry converts ns -> us). It
+        # has NO effect on timestamp[us] files — the registry reads the
+        # footer and branches (sources/registry.events_ts_unit).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if HAS_DELTA and configure_spark_with_delta_pip is not None:

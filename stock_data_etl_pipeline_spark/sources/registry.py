@@ -48,11 +48,12 @@ TABLES: dict[str, T.StructType] = {
                         ("l_discount", T.DoubleType()), ("l_tax", T.DoubleType()),
                         ("l_returnflag", T.StringType()), ("l_linestatus", T.StringType()),
                         ("l_shipdate", T.TimestampType())),
-    # ts is TIMESTAMP(NANOS) in the file — illegal for the Spark parquet
-    # reader — so it's scanned as int64 (spark.sql.legacy.parquet.nanosAsLong)
-    # and converted to a microsecond timestamp in load_table, matching
-    # DuckDB's ns -> us truncation.
-    "events": _schema(("event_id", T.LongType()), ("ts", T.LongType()),
+    # events.ts storage unit VARIES across testdata generations:
+    # TIMESTAMP(NANOS) (round 1) vs timestamp[us] (round 2+). load_table
+    # reads the parquet footer's logical type and branches — see
+    # events_ts_unit / events_schema. The entry here is the micros variant
+    # (the current files); the nanos variant substitutes LongType for ts.
+    "events": _schema(("event_id", T.LongType()), ("ts", T.TimestampType()),
                       ("user_id", T.LongType()), ("event_type", T.StringType()),
                       ("value", T.DoubleType()), ("props", T.StringType())),
     "documents": _schema(("doc_id", T.LongType()), ("text", T.StringType()),
@@ -64,25 +65,73 @@ TABLES: dict[str, T.StructType] = {
 }
 
 
+# footer-derived ts unit per events file, cached so repeated load_table
+# calls cost one pyarrow metadata read per distinct path (driver-side,
+# a few KB — never touches row data)
+_EVENTS_TS_UNIT: dict[str, str] = {}
+
+
+def events_ts_unit(path: str) -> str:
+    """Storage unit of events.ts from the parquet footer: 'us' | 'ns'.
+
+    Testdata regenerations have flipped between TIMESTAMP(NANOS) and
+    timestamp[us]; trusting a constant silently corrupts every event-time
+    query 1000x (round-2 postmortem), so the footer is authoritative. A
+    plain int64 column (no logical type) is treated as nanos — the only
+    generation that ever shipped raw int64 semantics."""
+    if path not in _EVENTS_TS_UNIT:
+        import glob
+
+        import pyarrow.parquet as pq
+        f = path
+        if not os.path.isfile(f):
+            hits = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                                    recursive=True))
+            if not hits:
+                raise FileNotFoundError(f"no parquet files under {path}")
+            f = hits[0]
+        t = pq.ParquetFile(f).schema_arrow.field("ts").type
+        unit = getattr(t, "unit", None)  # None for plain int64
+        _EVENTS_TS_UNIT[path] = "us" if unit == "us" else "ns"
+    return _EVENTS_TS_UNIT[path]
+
+
+def events_schema(unit: str) -> T.StructType:
+    """Read schema for the events table given the footer ts unit.
+
+    'us' -> native TimestampType scan (pushdown-friendly); 'ns' -> int64
+    scan (Spark's parquet reader rejects TIMESTAMP(NANOS); requires the
+    spark.sql.legacy.parquet.nanosAsLong conf) + convert_events_ts."""
+    if unit == "us":
+        return TABLES["events"]
+    return _S([_F("ts", T.LongType(), True) if f.name == "ts" else f
+               for f in TABLES["events"].fields])
+
+
+def convert_events_ts(df: DataFrame, unit: str) -> DataFrame:
+    """Normalize the scanned ts column to a proper TimestampType."""
+    if unit == "us":
+        return df  # already a timestamp
+    from pyspark.sql import functions as F
+    # integer ns -> us division (double division would lose precision
+    # at 1.7e18 ns epoch values); matches DuckDB's ns -> us truncation
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table with its explicit schema."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {sorted(TABLES)}")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
+    if name != "events":
+        return spark.read.schema(TABLES[name]).parquet(path)
+    unit = events_ts_unit(path)
+    if unit == "ns":
         # defensive for sessions not built by session.get_spark (e.g. the
-        # harness driver's): nanosAsLong is a runtime-settable SQL conf;
-        # the explicit LongType schema below is what actually makes the
-        # TIMESTAMP(NANOS) column readable, this only guards inference
-        # paths (e.g. streaming schema checks)
+        # harness driver's): nanosAsLong is a runtime-settable SQL conf
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.schema(TABLES[name]).parquet(path)
-    if name == "events":
-        from pyspark.sql import functions as F
-        # integer ns -> us division (double division would lose precision
-        # at 1.7e18 ns epoch values)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    df = spark.read.schema(events_schema(unit)).parquet(path)
+    return convert_events_ts(df, unit)
 
 
 def register_views(spark: SparkSession, sf_dir: str,

@@ -52,30 +52,46 @@ def _dedup_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
 
 def streaming_dedup(spark: SparkSession, source_dir: str,
                     checkpoint_dir: str,
-                    key_col: str = "key") -> DataFrame:
+                    key_col: str = "key",
+                    out_dir: str | None = None) -> DataFrame:
     """Drain ``source_dir`` (parquet docs with DOC_SCHEMA) through the
     stateful dedup and return the rows that passed this run. Re-running
-    with the same checkpoint drops keys seen in earlier runs."""
+    with the same checkpoint drops keys seen in earlier runs.
+
+    Survivors land EXECUTOR-SIDE: the foreachBatch sink appends each
+    micro-batch to a per-run parquet directory under ``out_dir``
+    (default ``<checkpoint_dir>_survivors``) — a distributed write, so
+    at 100 TB the survivor set never transits the driver (a real
+    deployment points this at the curated table / MERGE target). The
+    returned DataFrame is a lazy scan of that directory; a per-run
+    subdirectory keeps "rows that passed THIS run" distinct from earlier
+    runs that share the checkpoint."""
+    import os
+
     stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
     deduped = (stream.groupBy(key_col)
                .applyInPandasWithState(_dedup_fn, DOC_SCHEMA, _STATE_SCHEMA,
                                        "append", GroupStateTimeout.NoTimeout))
-    # foreachBatch sink: the memory sink refuses checkpoint recovery, and
-    # cross-run state is the point — batches land in a driver accumulator
-    # (a real deployment writes the survivors table / MERGE here)
-    survivors: list = []
+    base = out_dir or f"{checkpoint_dir.rstrip('/')}_survivors"
+    os.makedirs(base, exist_ok=True)
+    run_id = len([d for d in os.listdir(base) if d.startswith("run_")])
+    run_dir = os.path.join(base, f"run_{run_id:05d}")
 
+    # foreachBatch instead of a plain parquet sink: the stateful operator
+    # needs the checkpoint for cross-run state, and foreachBatch lets a
+    # real deployment swap the append for a MERGE without touching the
+    # dedup logic. The write inside is executor-parallel.
     def sink(batch_df, _epoch: int) -> None:  # noqa: ANN001
-        survivors.extend(batch_df.collect())
+        batch_df.write.mode("append").parquet(run_dir)
 
     q = (deduped.writeStream.foreachBatch(sink)
          .outputMode("append")
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True).start())
     q.awaitTermination()
-    if survivors:
-        return spark.createDataFrame(survivors, DOC_SCHEMA)
-    return spark.createDataFrame([], DOC_SCHEMA)
+    if not os.path.isdir(run_dir):  # no micro-batch fired (empty source)
+        return spark.createDataFrame([], DOC_SCHEMA)
+    return spark.read.schema(DOC_SCHEMA).parquet(run_dir)
 
 
 def streaming_dedup_watermarked(spark: SparkSession, docs_parquet: str,

@@ -24,16 +24,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_STREAM_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType(), True),
-    T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) as int64
-    T.StructField("user_id", T.LongType(), True),
-    T.StructField("event_type", T.StringType(), True),
-    T.StructField("value", T.DoubleType(), True),
-    T.StructField("props", T.StringType(), True),
-])
-
-
 def _as_stream_dir(path: str) -> str:
     """FileStreamSource wants a directory; wrap a single parquet file in a
     temp dir via symlink (a real deployment streams a landing directory)."""
@@ -42,6 +32,24 @@ def _as_stream_dir(path: str) -> str:
     d = tempfile.mkdtemp(prefix="stream_src_")
     os.symlink(path, os.path.join(d, os.path.basename(path)))
     return d
+
+
+def event_stream(spark: SparkSession, events_parquet: str,
+                 max_files_per_trigger: int | None = None) -> DataFrame:
+    """File stream over the events table with ts normalized to a proper
+    TimestampType. The storage unit of ts has varied across testdata
+    generations (TIMESTAMP(NANOS) vs timestamp[us]); the parquet footer is
+    authoritative — see sources.registry.events_ts_unit."""
+    from ..sources.registry import (convert_events_ts, events_schema,
+                                    events_ts_unit)
+    unit = events_ts_unit(events_parquet)
+    if unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(events_schema(unit))
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return convert_events_ts(reader.parquet(_as_stream_dir(events_parquet)),
+                             unit)
 
 
 def _hourly_agg(events: DataFrame) -> DataFrame:
@@ -70,9 +78,7 @@ def streaming_hourly_counts(spark: SparkSession, events_parquet: str,
     ``trigger(processingTime=...)`` + append mode; the watermark bounds
     state and drops late rows past 2 h.
     """
-    stream = (spark.readStream.schema(EVENT_STREAM_SCHEMA)
-              .parquet(_as_stream_dir(events_parquet))
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    stream = event_stream(spark, events_parquet)
     agg = _hourly_agg(stream.withWatermark("ts", watermark))
     name = f"hourly_{uuid.uuid4().hex[:8]}"
     q = (agg.writeStream.outputMode("complete")
@@ -114,9 +120,7 @@ def streaming_current_state(spark: SparkSession, events_parquet: str) -> DataFra
     entity (SURVEY §2.10): max_by(event_type, (ts, event_id)) per user —
     the streaming form of W1/latest-per-group, driven to completion via
     availableNow + complete mode."""
-    stream = (spark.readStream.schema(EVENT_STREAM_SCHEMA)
-              .parquet(_as_stream_dir(events_parquet))
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    stream = event_stream(spark, events_parquet)
     agg = (stream.groupBy("user_id")
            .agg(F.max_by("event_type",
                          F.struct("ts", "event_id")).alias("current_state"),
@@ -139,9 +143,7 @@ def streaming_enriched_by_segment(spark: SparkSession, events_parquet: str,
     state is only the downstream aggregate's, bounded by group
     cardinality. Driven to completion with availableNow + complete mode
     so the result equals the batch join relation."""
-    stream = (spark.readStream.schema(EVENT_STREAM_SCHEMA)
-              .parquet(_as_stream_dir(events_parquet))
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    stream = event_stream(spark, events_parquet)
     dim = F.broadcast(
         customers.select(F.col("c_custkey").alias("user_id"),
                          "c_mktsegment"))
@@ -182,15 +184,10 @@ def streaming_purchase_view_join(spark: SparkSession, events_parquet: str,
     global watermark and withholds outer results forever — the standard
     outer-join caveat, covered by the cross-batch pytest."""
     def side(tag: str, tcol: str):
-        reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
-        if max_files_per_trigger is not None:
-            # per-file micro-batches: lets tests drive matches ACROSS
-            # batches (one side buffered in join state until the other
-            # arrives) instead of the single-batch drain
-            reader = reader.option("maxFilesPerTrigger",
-                                   max_files_per_trigger)
-        return (reader.parquet(_as_stream_dir(events_parquet))
-                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # max_files_per_trigger -> per-file micro-batches: lets tests
+        # drive matches ACROSS batches (one side buffered in join state
+        # until the other arrives) instead of the single-batch drain
+        return (event_stream(spark, events_parquet, max_files_per_trigger)
                 .filter(F.col("event_type") == tag)
                 .select(F.col("event_id").alias(f"{tcol[0]}_id"),
                         "user_id", F.col("ts").alias(tcol))
