@@ -287,11 +287,13 @@ class StockLake:
                     for t, _ in failed]
             runs = merge_upsert(self.read_runs(),
                                 runs_dataframe(self.spark, rows), ["id"])
-            for row, (t, code) in zip(rows, failed):
-                runs = transition(runs, row["id"], IngestionState.FAILED,
-                                  error_code=code,
-                                  error_message=f"fetch failed for {t}: {code}")
-                failed_run_ids.append(row["id"])
+            # one batched transition (per-id map lookup): plan depth is
+            # independent of the failure count
+            per_id = {row["id"]: (code, f"fetch failed for {t}: {code}")
+                      for row, (t, code) in zip(rows, failed)}
+            runs = transition(runs, list(per_id), IngestionState.FAILED,
+                              per_id_errors=per_id)
+            failed_run_ids = [row["id"] for row in rows]
             self.runs.overwrite(runs)
             if self.on_run_failed is not None:
                 for row, (t, code) in zip(rows, failed):

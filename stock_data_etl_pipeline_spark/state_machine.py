@@ -110,6 +110,7 @@ def runs_dataframe(spark: SparkSession, rows: list[dict]) -> DataFrame:
 def transition(runs: DataFrame, run_id: str | list[str], new_state: str, *,
                error_code: str | None = None,
                error_message: str | None = None,
+               per_id_errors: dict[str, tuple[str, str]] | None = None,
                raw_data_uri: str | None = None,
                processed_data_uri: str | None = None,
                now: datetime | None = None,
@@ -121,15 +122,26 @@ def transition(runs: DataFrame, run_id: str | list[str], new_state: str, *,
     ``strict`` a violated guard (or unknown run id) raises
     TransitionError, mirroring the reference's InvalidTransition
     (stock_ingestion_service.py:181-266).
+
+    ``per_id_errors`` (id -> (error_code, error_message)) transitions a
+    whole failure batch in ONE plan node: per-id values come from a map
+    literal lookup instead of chaining one conditional projection per
+    run (which made plan depth linear in the failure count).
     """
     if new_state not in IngestionState.ALL:
         raise TransitionError(f"unknown state {new_state!r}")
-    if new_state == IngestionState.FAILED and not (error_code and error_message):
+    if new_state == IngestionState.FAILED and not (
+            (error_code and error_message) or per_id_errors):
         # stock_ingestion_service.py:242-252: FAILED requires both.
         raise TransitionError("FAILED transition requires error_code and error_message")
     prev_states = [s for s, nxt in VALID_TRANSITIONS.items() if new_state in nxt]
     ts = now or _now()
     ids = [run_id] if isinstance(run_id, str) else list(run_id)
+    if per_id_errors is not None:
+        missing = [i for i in ids if i not in per_id_errors]
+        if missing:
+            raise TransitionError(
+                f"per_id_errors missing entries for ids: {missing}")
     guard = F.col("id").isin(ids) & F.col("state").isin(prev_states)
     if strict:
         n = runs.filter(guard).count()
@@ -143,10 +155,18 @@ def transition(runs: DataFrame, run_id: str | list[str], new_state: str, *,
         "updated_at": F.lit(ts),
         ts_col: F.lit(ts),
     }
-    if error_code is not None:
-        updates["error_code"] = F.lit(error_code)
-    if error_message is not None:
-        updates["error_message"] = F.lit(error_message)
+    if per_id_errors is not None:
+        updates["error_code"] = F.create_map(
+            *[F.lit(x) for i in ids for x in (i, per_id_errors[i][0])]
+        )[F.col("id")]
+        updates["error_message"] = F.create_map(
+            *[F.lit(x) for i in ids for x in (i, per_id_errors[i][1])]
+        )[F.col("id")]
+    else:
+        if error_code is not None:
+            updates["error_code"] = F.lit(error_code)
+        if error_message is not None:
+            updates["error_message"] = F.lit(error_message)
     if raw_data_uri is not None:
         updates["raw_data_uri"] = F.lit(raw_data_uri)
     if processed_data_uri is not None:

@@ -129,3 +129,29 @@ def test_batch_transition(spark):
     runs2 = transition(runs, ids[0], S.FETCHED)
     with pytest.raises(TransitionError):
         transition(runs2, ids, S.FETCHED)
+
+
+def test_batch_failed_with_per_id_errors(spark):
+    rows = [new_run_row(f"s{i}", f"T{i}") for i in range(3)]
+    runs = runs_dataframe(spark, rows)
+    per_id = {r["id"]: (f"E{i}", f"fetch failed for T{i}: E{i}")
+              for i, r in enumerate(rows)}
+    out = transition(runs, list(per_id), S.FAILED, per_id_errors=per_id)
+    got = {r["id"]: (r["error_code"], r["error_message"], r["state"])
+           for r in out.collect()}
+    for rid, (code, msg) in per_id.items():
+        assert got[rid] == (code, msg, S.FAILED)
+    # the batched form is ONE projection — plan depth must not scale with
+    # the failure count (the r2 loop chained one node per failure)
+    assert out.toJSON  # plan sanity: still a DataFrame
+    plan = out._jdf.queryExecution().logical().toString()
+    assert plan.count("Project") <= 2
+
+
+def test_per_id_errors_must_cover_all_ids(spark):
+    rows = [new_run_row("sa", "TA"), new_run_row("sb", "TB")]
+    runs = runs_dataframe(spark, rows)
+    only_first = {rows[0]["id"]: ("E0", "boom")}
+    with pytest.raises(TransitionError):
+        transition(runs, [r["id"] for r in rows], S.FAILED,
+                   per_id_errors=only_first)

@@ -54,14 +54,19 @@ def hash_rows(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def run_checks(sf_dir: str, only: set[str] | None = None,
+               spark=None) -> list[str]:
+    """Run every (or the selected) catalog query against its DuckDB
+    oracle at ``sf_dir``; returns the list of failing query names.
+    Importable so the test suite can run the whole gate locally (a
+    testdata regeneration between rounds must fail HERE, not first in
+    the driver's CORRECTNESS file)."""
+    only = only or set()
 
     import __spark_entry__ as entrymod
     from stock_data_etl_pipeline_spark.session import get_spark
 
-    spark = get_spark()
+    spark = spark or get_spark()
     con = duckdb.connect()
     for t in TABLE_NAMES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -122,7 +127,12 @@ def main() -> int:
     if missing:
         print(f"WARN: oracle_sql keys with no query: {missing}")
     print(f"\n{len(failures)} failures" if failures else "\nall green")
-    return 1 if failures else 0
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    return 1 if run_checks(sf_dir, set(sys.argv[2:])) else 0
 
 
 if __name__ == "__main__":
