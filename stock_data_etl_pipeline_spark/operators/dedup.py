@@ -376,3 +376,32 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float,
                     F.col(f"b.{id_col}").alias("id_b"),
                     sim.alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+# -- canonical selection ----------------------------------------------------
+
+def canonical_keep(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id",
+                   quality_col: str = "n_chars") -> DataFrame:
+    """Per near-dup cluster, keep the single best document by
+    ``quality_col`` (ties -> lowest id); documents in no pair are their
+    own cluster and survive. The curation step AFTER pair generation:
+    min-id keep is arbitrary, production pipelines keep the *best*
+    member (longest / highest quality score) of each duplicate group.
+
+    Cost: the pair-graph clustering (O(log diameter) label-propagation
+    rounds over edges) + one window over docs partitioned by cluster —
+    both shuffle-bounded, nothing driver-sized. Any pair source works
+    (ngram Jaccard, MinHash-LSH, SimHash, embedding cosine)."""
+    from pyspark.sql import Window
+
+    from .clustering import cluster_near_dups
+    clusters = cluster_near_dups(pairs)  # only docs that appear in a pair
+    assigned = (docs.join(clusters, id_col, "left")
+                .withColumn("cluster_id",
+                            F.coalesce("cluster_id", F.col(id_col))))
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.col(quality_col).desc(), F.col(id_col).asc()))
+    return (assigned.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "cluster_id", quality_col))

@@ -42,6 +42,33 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(sf_dir, "events.parquet"))
 
 
+@register("events_hourly_sliding", """
+WITH x AS (SELECT unnest([date_trunc('hour', ts),
+                          date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                      AS window_start,
+                  event_type, value
+           FROM events)
+SELECT window_start, event_type, count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def events_hourly_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HOPPING window (2 h duration, 1 h slide): each event lands in two
+    # overlapping windows — the remaining streaming window class after
+    # tumbling (events_hourly) and session (streaming_session_windows).
+    # F.window replicates each row per containing window before the agg;
+    # the oracle unnests the two window starts per event. Same expression
+    # runs unchanged under readStream + watermark.
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "total_value")
+            .orderBy("window_start", "event_type"))
+
+
 @register("events_sessionization", """
 WITH o AS (SELECT user_id, ts, event_id,
                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -55,3 +55,25 @@ def test_cluster_long_path_converges(spark):
     out = cluster_near_dups(pairs).collect()
     assert len(out) == 151
     assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_canonical_keep_best_per_cluster(spark):
+    from stock_data_etl_pipeline_spark.operators.dedup import canonical_keep
+    # cluster {1,2,3} via pairs, 4 is a singleton; 2 has the longest text
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 50), (4, 7)], "doc_id long, n_chars long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {(r["doc_id"], r["cluster_id"], r["n_chars"])
+           for r in canonical_keep(docs, pairs).collect()}
+    assert got == {(2, 1, 99), (4, 4, 7)}
+
+
+def test_canonical_keep_tie_breaks_to_lowest_id(spark):
+    from stock_data_etl_pipeline_spark.operators.dedup import canonical_keep
+    docs = spark.createDataFrame(
+        [(5, 40), (6, 40)], "doc_id long, n_chars long")
+    pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    got = [(r["doc_id"], r["cluster_id"])
+           for r in canonical_keep(docs, pairs).collect()]
+    assert got == [(5, 5)]
