@@ -27,6 +27,23 @@ def test_streaming_dedup_state(spark, tmp_path):
     assert [(r["doc_id"], r["key"]) for r in out2] == [(5, "kc")]
 
 
+def test_streaming_dedup_sink_is_executor_side(spark, tmp_path):
+    """The survivor set must come back as a parquet scan of the sink
+    directory (distributed write), never a driver-materialized local
+    relation — at 100 TB the survivors are corpus-sized."""
+    src, cp = str(tmp_path / "docs"), str(tmp_path / "cp")
+    _land(spark, src, [(1, "ka", "a1"), (2, "kb", "b1")])
+    out = streaming_dedup(spark, src, cp)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan or "Scan parquet" in plan
+    assert "LocalTableScan" not in plan
+    # and the per-run directory exists next to the checkpoint
+    import os
+    base = f"{cp}_survivors"
+    assert os.path.isdir(base) and any(
+        d.startswith("run_") for d in os.listdir(base))
+
+
 def test_watermarked_dedup_drops_in_batch_duplicates(spark, tmp_path):
     from stock_data_etl_pipeline_spark.streaming.dedup import (
         streaming_dedup_watermarked,
