@@ -19,6 +19,7 @@ from ..streaming.events import (
     sessionize,
     streaming_current_state,
     streaming_hourly_counts,
+    streaming_sliding_counts,
 )
 from .catalog import register
 
@@ -26,6 +27,17 @@ _HOURLY_ORACLE = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+_SLIDING_ORACLE = """
+WITH x AS (SELECT unnest([date_trunc('hour', ts),
+                          date_trunc('hour', ts) - INTERVAL 1 HOUR])
+                      AS window_start,
+                  event_type, value
+           FROM events)
+SELECT window_start, event_type, count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM x GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
@@ -42,16 +54,7 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, os.path.join(sf_dir, "events.parquet"))
 
 
-@register("events_hourly_sliding", """
-WITH x AS (SELECT unnest([date_trunc('hour', ts),
-                          date_trunc('hour', ts) - INTERVAL 1 HOUR])
-                      AS window_start,
-                  event_type, value
-           FROM events)
-SELECT window_start, event_type, count(*) AS n,
-       round(sum(value), 2) AS total_value
-FROM x GROUP BY 1, 2 ORDER BY 1, 2
-""")
+@register("events_hourly_sliding", _SLIDING_ORACLE)
 def events_hourly_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HOPPING window (2 h duration, 1 h slide): each event lands in two
     # overlapping windows — the remaining streaming window class after
@@ -67,6 +70,14 @@ def events_hourly_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n", "total_value")
             .orderBy("window_start", "event_type"))
+
+
+@register("streaming_events_sliding", _SLIDING_ORACLE)
+def streaming_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the same hopping relation produced by a real Structured Streaming
+    # query (watermark + overlapping windows + complete-mode drain)
+    return streaming_sliding_counts(
+        spark, os.path.join(sf_dir, "events.parquet"))
 
 
 @register("events_sessionization", """

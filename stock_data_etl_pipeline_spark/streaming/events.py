@@ -91,6 +91,30 @@ def streaming_hourly_counts(spark: SparkSession, events_parquet: str,
             .orderBy("hour", "event_type"))
 
 
+def streaming_sliding_counts(spark: SparkSession, events_parquet: str,
+                             duration: str = "2 hours", slide: str = "1 hour",
+                             watermark: str = "2 hours") -> DataFrame:
+    """HOPPING-window aggregation as a Structured Streaming query: each
+    event lands in duration/slide overlapping windows (Spark replicates
+    the row per containing window before the agg — state is bounded by
+    watermark x window count). Drained availableNow in complete mode so
+    the result equals the batch hopping relation."""
+    stream = event_stream(spark, events_parquet)
+    agg = (stream.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", duration, slide).alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value")))
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n", "total_value")
+            .orderBy("window_start", "event_type"))
+
+
 def sessionize(events: DataFrame, gap_seconds: int = 1800,
                user_col: str = "user_id", ts_col: str = "ts",
                id_col: str = "event_id") -> DataFrame:
