@@ -52,11 +52,56 @@ _ROUND3_WINDOW = [
 ]
 
 
+def _correctness_status(root: str | None = None) -> tuple[int, dict[str, str]]:
+    """(latest_round, name -> 'green'|'red') from the driver's
+    CORRECTNESS_r*.json artifacts at the repo root; later rounds win."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = root or os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    latest, status = 0, {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        latest = max(latest, int(m.group(1)))
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except Exception:  # noqa: BLE001 — a bad artifact must not break import
+            continue
+        for name, row in data.items():
+            ok = (isinstance(row, dict) and row.get("rows_match")
+                  and row.get("schema_match")
+                  and row.get("hash_match", True) and not row.get("err"))
+            status[name] = "green" if ok else "red"
+    return latest, status
+
+
 def _rotate_window() -> None:
-    missing = [n for n in _ROUND3_WINDOW if n not in CATALOG]
-    if missing:  # a rename would silently shrink the checked window
-        raise KeyError(f"window names not in CATALOG: {missing}")
-    ordered = {n: CATALOG[n] for n in _ROUND3_WINDOW}
+    latest, status = _correctness_status()
+    if latest <= 2:
+        # round 3: the explicit window above (verdict-directed: prove the
+        # events-ts fix, pull TPC-H + corpus into external verification)
+        missing = [n for n in _ROUND3_WINDOW if n not in CATALOG]
+        if missing:  # a rename would silently shrink the checked window
+            raise KeyError(f"window names not in CATALOG: {missing}")
+        ordered = {n: CATALOG[n] for n in _ROUND3_WINDOW}
+    else:
+        # later rounds, self-advancing: queries with a RED driver row
+        # first (prove the fix), then never-driver-checked (in
+        # registration order — earliest families have waited longest),
+        # then green (rows on record). No manual edit needed per round.
+        reg_index = {n: i for i, n in enumerate(CATALOG)}
+
+        def rank(n: str) -> tuple[int, int]:
+            cls = {"red": 0}.get(status.get(n), 1 if n not in status else 2)
+            return (cls, reg_index[n])
+
+        ordered = {n: CATALOG[n] for n in sorted(CATALOG, key=rank)}
     ordered.update((n, v) for n, v in CATALOG.items() if n not in ordered)
     CATALOG.clear()
     CATALOG.update(ordered)
