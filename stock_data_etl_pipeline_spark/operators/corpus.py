@@ -286,6 +286,30 @@ def mixture_sample(docs: DataFrame, weights: dict[str, float],
     return docs.join(F.broadcast(cuts), group_col).filter(bucket < F.col("cut"))
 
 
+def temperature_mixture_sample(docs: DataFrame, temperature: float = 0.5,
+                               group_col: str = "source",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Temperature-scaled mixing: target weights w_g ∝ n_g^T — T < 1
+    flattens a skewed corpus toward uniform (the standard multilingual /
+    multi-source rebalancing rule), T = 1 keeps natural proportions.
+    Delegates to ``mixture_sample``; weights stay UNNORMALIZED — the cap
+    formula is scale-invariant, and skipping the Σ-normalization keeps
+    the float arithmetic bit-identical to the SQL oracle (no
+    summation-order drift). The per-group counts collected here are
+    control-plane sized (one row per source/lang)."""
+    import math
+    counts = (docs.groupBy(group_col)
+              .agg(F.count(F.lit(1)).alias("n_g")).collect())
+    if temperature == 0.5:
+        # sqrt is IEEE correctly-rounded in every engine; pow(x, .5) is
+        # not guaranteed bit-equal to it
+        weights = {r[group_col]: math.sqrt(float(r["n_g"])) for r in counts}
+    else:
+        weights = {r[group_col]: float(r["n_g"]) ** temperature
+                   for r in counts}
+    return mixture_sample(docs, weights, group_col, id_col)
+
+
 def chunk_documents(docs: DataFrame, size: int = 128, overlap: int = 32,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

@@ -319,6 +319,27 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source").orderBy("doc_id"))
 
 
+@register("corpus_temperature_mix", """
+WITH cnt AS (SELECT lang, count(*)::DOUBLE AS n_g
+             FROM documents GROUP BY lang),
+w AS (SELECT lang, n_g, sqrt(n_g) AS w FROM cnt),
+cap AS (SELECT min(n_g / w) AS cap FROM w),
+cut AS (SELECT lang, floor(cap * w / n_g * 10000)::BIGINT AS cut FROM w, cap)
+SELECT d.doc_id, d.lang FROM documents d
+JOIN cut USING (lang)
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < cut
+ORDER BY d.doc_id
+""")
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # temperature-scaled rebalancing (T=0.5) over the skewed lang
+    # distribution: weights ∝ sqrt(n_g) flatten the mix toward uniform
+    # without upsampling; deterministic md5 buckets, fact scanned once
+    d = load_table(spark, sf_dir, "documents")
+    return (CP.temperature_mixture_sample(d, temperature=0.5,
+                                          group_col="lang")
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 @register("corpus_chunk_documents", f"""
 WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
 b AS (SELECT doc_id, ws, len(ws) AS n FROM w WHERE len(ws) > 0),

@@ -258,3 +258,30 @@ def test_exact_n_per_stratum_counts_and_stability(spark):
     tiny = d.filter("doc_id < 4")  # zh has only 2 docs (0, 3)
     got = CP.exact_n_per_stratum(tiny, 10, strata_col="lang").count()
     assert got == 4
+
+def test_temperature_mix_flattens_skew(spark):
+    import collections
+    # 400 'a' vs 100 'b': T=0.5 weights sqrt(400)=20 vs sqrt(100)=10 ->
+    # target 2:1 instead of natural 4:1; b binds (keeps ~all), a
+    # downsamples to ~2x b
+    d = spark.createDataFrame(
+        [(i, "a" if i < 400 else "b", "t") for i in range(500)],
+        "doc_id long, source string, text string")
+    kept = collections.Counter(
+        r["source"] for r in
+        CP.temperature_mixture_sample(d, temperature=0.5,
+                                      group_col="source").collect())
+    assert kept["b"] > 90  # binding group keeps ~everything
+    ratio = kept["a"] / kept["b"]
+    assert 1.6 < ratio < 2.4  # flattened from 4:1 toward 2:1
+
+
+def test_temperature_one_is_natural_mix(spark):
+    d = spark.createDataFrame(
+        [(i, "a" if i < 300 else "b", "t") for i in range(400)],
+        "doc_id long, source string, text string")
+    kept = CP.temperature_mixture_sample(d, temperature=1.0,
+                                         group_col="source").count()
+    # T=1 -> weights proportional to counts -> every rate ~1, all kept
+    # (modulo the documented 9999/10000 floor epsilon)
+    assert kept >= 398
