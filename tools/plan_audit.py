@@ -42,6 +42,12 @@ def main() -> int:
             "smj": plan.count("SortMergeJoin"),
             "exch": plan.count("Exchange ") - plan.count("ReusedExchange"),
             "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
+            # persisted subtrees: a consumer reads the cache, but the
+            # plan STRING repeats the cached child under every
+            # InMemoryTableScan — so a big `scans` next to a nonzero
+            # `inmem` is string inflation, not read amplification
+            "inmem": plan.count("InMemoryTableScan"),
+            "reuse": plan.count("ReusedExchange"),
         }
         rows.append((name, " ".join(f"{k}={v}" for k, v in props.items())))
     width = max(len(n) for n, _ in rows)
