@@ -94,6 +94,85 @@ def streaming_dedup(spark: SparkSession, source_dir: str,
     return spark.read.schema(DOC_SCHEMA).parquet(run_dir)
 
 
+TTL_DOC_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), True),
+    T.StructField("key", T.StringType(), True),
+    T.StructField("ts", T.TimestampType(), True),
+])
+
+_TTL_STATE_SCHEMA = T.StructType([T.StructField("seen_ms", T.LongType(), True)])
+
+
+def _make_ttl_fn(ttl_ms: int):
+    def _fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # no data for the key and the watermark passed admission +
+            # TTL: forget it — the next occurrence is new. THIS bounds
+            # state at 100 TB (NoTimeout state only ever grows).
+            state.remove()
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch) == 0:
+            return
+        # the timeout callback only fires for keys WITHOUT data in a
+        # batch; a key arriving WITH data must check expiry itself
+        # against the watermark Spark computed at batch start
+        wm = state.getCurrentWatermarkMs()
+        expired = state.exists and wm > state.get[0] + ttl_ms
+        if not state.exists or expired:
+            yield batch.loc[[batch["doc_id"].idxmin()]]
+            admitted_ms = int(batch["ts"].max().timestamp() * 1000)
+            # TTL counts from ADMISSION; suppressed repeats do not
+            # refresh it (otherwise a steady duplicate stream would pin
+            # the key alive forever)
+            state.update((admitted_ms,))
+            state.setTimeoutTimestamp(admitted_ms + ttl_ms)
+    return _fn
+
+
+def streaming_dedup_ttl(spark: SparkSession, source_dir: str,
+                        checkpoint_dir: str, ttl: str = "1 hour",
+                        key_col: str = "key",
+                        max_files_per_trigger: int | None = None) -> DataFrame:
+    """Time-bounded stateful dedup: the first occurrence of a key
+    passes; repeats are dropped while the key's state is alive. State
+    expires via ``GroupStateTimeout.EventTimeTimeout`` once the
+    WATERMARK passes admission-time + ttl (suppressed repeats do NOT
+    refresh it) — after that the key re-admits (a re-crawl of a page a
+    month later is a fresh observation, and state stays bounded by the
+    active-key set instead of growing forever).
+
+    Differs from ``dropDuplicatesWithinWatermark`` in keeping an
+    explicit per-key state row (extensible to counts/payloads) and from
+    ``streaming_dedup`` in bounding state. Event-time timeouts only fire
+    when a later micro-batch advances the watermark; the drained
+    single-batch result equals batch keep-lowest-id dedup."""
+    import re as _re
+    m = _re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", ttl.strip())
+    if not m:
+        raise ValueError(f"unparseable ttl {ttl!r}")
+    ttl_ms = int(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600,
+                                "day": 86400}[m.group(2)] * 1000
+    reader = spark.readStream.schema(TTL_DOC_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = (reader.parquet(source_dir)
+              .withWatermark("ts", "0 seconds")
+              .groupBy(key_col)
+              .applyInPandasWithState(_make_ttl_fn(ttl_ms), TTL_DOC_SCHEMA,
+                                      _TTL_STATE_SCHEMA, "append",
+                                      GroupStateTimeout.EventTimeTimeout))
+    import uuid as _uuid
+    name = f"ttldedup_{_uuid.uuid4().hex[:8]}"
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName(name)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_dedup_watermarked(spark: SparkSession, docs_parquet: str,
                                 horizon: str = "1 hour") -> DataFrame:
     """Time-bounded streaming dedup with the NATIVE operator

@@ -56,3 +56,35 @@ def test_watermarked_dedup_drops_in_batch_duplicates(spark, tmp_path):
     ).coalesce(1).write.parquet(src)
     out = streaming_dedup_watermarked(spark, src).collect()
     assert len(out) == 2  # duplicate key collapsed, distinct keys kept
+
+
+def test_streaming_dedup_ttl_readmits_after_expiry(spark, tmp_path):
+    """EventTimeTimeout state TTL: a key repeats inside the TTL -> dropped;
+    the same key seen after the watermark passes last-seen + TTL -> state
+    was evicted, so it re-admits as new. State is bounded by the active
+    key set (the 100 TB requirement the NoTimeout variant lacks)."""
+    import datetime as dt
+
+    from stock_data_etl_pipeline_spark.streaming.dedup import (
+        streaming_dedup_ttl,
+    )
+    src, cp = str(tmp_path / "docs"), str(tmp_path / "cp")
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 0, minute)
+
+    schema = "doc_id long, key string, ts timestamp"
+    # one file per micro-batch (maxFilesPerTrigger=1); event time advances
+    # file to file, carrying the watermark with it
+    (spark.createDataFrame([(1, "ka", t(0)), (2, "ka", t(1))], schema)
+     .coalesce(1).write.mode("append").parquet(src))      # ka admitted once
+    (spark.createDataFrame([(3, "ka", t(30)), (4, "kb", t(30))], schema)
+     .coalesce(1).write.mode("append").parquet(src))      # ka still live -> drop
+    (spark.createDataFrame([(5, "ka", t(50))], schema)
+     .coalesce(1).write.mode("append").parquet(src))      # wm 30 > 1+10min: expired -> re-admit
+    out = streaming_dedup_ttl(spark, src, cp, ttl="10 minutes",
+                              max_files_per_trigger=1).collect()
+    got = sorted((r["doc_id"], r["key"]) for r in out)
+    assert (1, "ka") in got and (4, "kb") in got
+    assert (2, "ka") not in got and (3, "ka") not in got
+    assert (5, "ka") in got, "expired key must re-admit"
