@@ -118,3 +118,40 @@ def kmeans_lite(emb: DataFrame, iterations: int = 2, seed_stride: int = 40,
                     F.expr("transform(centroid, x -> round(x, 6))")
                     .alias("centroid"), "n_members")
             .orderBy("centroid_id"))
+
+
+def logistic_fit(df: DataFrame, feature_cols: list[str], label_col: str,
+                 iterations: int = 2, lr: float = 1.0) -> DataFrame:
+    """Distributed logistic regression by full-batch gradient descent —
+    the "train the quality classifier" op: fit a filter model over corpus
+    features without leaving the engine.
+
+    Same execution shape as ``kmeans_lite``: the weight vector lives on
+    the driver (a handful of scalars), each iteration is ONE aggregate
+    over the data (avg((sigmoid(w·x) - y) * x_j) per feature — map-side
+    combinable, a single shuffle of partial sums), and the updated
+    weights re-enter the next pass as literals. Nothing row-shaped ever
+    reaches the driver, so the fit scales to any corpus the aggregates
+    scale to. The FIXED iteration count makes the whole fit unrollable
+    into plain SQL CTEs, so the oracle is an exact hash — not a
+    tolerance check. Returns (idx, w): idx 0 is the bias.
+
+    At 100 TB: swap full-batch avg for per-partition mini-batches or
+    sampled batches if iteration latency matters; the aggregate shape is
+    unchanged."""
+    w = [0.0] * (len(feature_cols) + 1)
+    for _ in range(iterations):
+        z = F.lit(w[0])
+        for j, c in enumerate(feature_cols, start=1):
+            z = z + F.lit(w[j]) * F.col(c)
+        err = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col(label_col)
+        aggs = [F.avg(err).alias("g0")] + [
+            F.avg(err * F.col(c)).alias(f"g{j}")
+            for j, c in enumerate(feature_cols, start=1)]
+        g = df.agg(*aggs).collect()[0]
+        w = [w[j] - lr * g[f"g{j}"] for j in range(len(w))]
+    spark = df.sparkSession
+    return (spark.createDataFrame([(j, wj) for j, wj in enumerate(w)],
+                                  "idx int, w double")
+            .select("idx", F.round("w", 6).alias("w"))
+            .orderBy("idx"))

@@ -77,3 +77,21 @@ def test_canonical_keep_tie_breaks_to_lowest_id(spark):
     got = [(r["doc_id"], r["cluster_id"])
            for r in canonical_keep(docs, pairs).collect()]
     assert got == [(5, 5)]
+
+
+def test_logistic_fit_learns_separable_direction(spark):
+    from stock_data_etl_pipeline_spark.operators.clustering import (
+        logistic_fit,
+    )
+    # y=1 iff x1 large: after GD the x1 weight must be positive and
+    # dominate; bias pulls negative for the x1<0 class
+    rows = [(1.0, 2.0) if i % 2 == 0 else (0.0, -2.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "y double, x1 double")
+    w = {r["idx"]: r["w"] for r in
+         logistic_fit(df, ["x1"], "y", iterations=8, lr=1.0).collect()}
+    assert w[1] > 0.5, f"feature weight should be strongly positive: {w}"
+    # prediction check: sigmoid(w0 + w1*2) > .5 > sigmoid(w0 - w1*2)
+    import math
+    p_pos = 1 / (1 + math.exp(-(w[0] + w[1] * 2.0)))
+    p_neg = 1 / (1 + math.exp(-(w[0] - w[1] * 2.0)))
+    assert p_pos > 0.8 and p_neg < 0.2
