@@ -81,15 +81,19 @@ def _correctness_status(root: str | None = None) -> tuple[int, dict[str, str]]:
     return latest, status
 
 
-def _rotate_window() -> None:
-    latest, status = _correctness_status()
+def _window_order(root: str | None = None) -> list[str]:
+    """Catalog ordering for the driver's 50-query window, derived from
+    the CORRECTNESS artifacts under ``root`` (default: repo root).
+    Pure — returns the ordered names without mutating CATALOG, so the
+    meta-tests can pin both branches against tmp_path artifact sets."""
+    latest, status = _correctness_status(root)
     if latest <= 2:
         # round 3: the explicit window above (verdict-directed: prove the
         # events-ts fix, pull TPC-H + corpus into external verification)
         missing = [n for n in _ROUND3_WINDOW if n not in CATALOG]
         if missing:  # a rename would silently shrink the checked window
             raise KeyError(f"window names not in CATALOG: {missing}")
-        ordered = {n: CATALOG[n] for n in _ROUND3_WINDOW}
+        head = list(_ROUND3_WINDOW)
     else:
         # later rounds, self-advancing: queries with a RED driver row
         # first (prove the fix), then never-driver-checked (in
@@ -101,8 +105,12 @@ def _rotate_window() -> None:
             cls = {"red": 0}.get(status.get(n), 1 if n not in status else 2)
             return (cls, reg_index[n])
 
-        ordered = {n: CATALOG[n] for n in sorted(CATALOG, key=rank)}
-    ordered.update((n, v) for n, v in CATALOG.items() if n not in ordered)
+        head = sorted(CATALOG, key=rank)
+    return head + [n for n in CATALOG if n not in set(head)]
+
+
+def _rotate_window(root: str | None = None) -> None:
+    ordered = {n: CATALOG[n] for n in _window_order(root)}
     CATALOG.clear()
     CATALOG.update(ordered)
 

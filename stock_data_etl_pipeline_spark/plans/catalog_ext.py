@@ -27,12 +27,16 @@ ORDER BY o_orderkey
 def filter_is_completed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P8: is_completed = completed_at IS NOT NULL (reference filters.py:223);
     # open orders model in-flight runs with a NULL completion timestamp.
+    # The is-not-null filter on the DERIVED column would be a post-scan
+    # CASE predicate; pre-filtering with the equivalent base-column
+    # conjunction keeps the same rows and pushes to the parquet reader
+    # (pinned by tests/test_plan_regression.py).
     o = load_table(spark, sf_dir, "orders")
-    runs = o.select(
-        "o_orderkey",
-        F.when(F.col("o_orderstatus") == "O", F.lit(None))
-         .otherwise(F.col("o_orderdate")).alias("completed_at"))
-    return (apply_filters(runs, [("completed_at", "isnull", False)])
+    completed = o.filter((F.col("o_orderstatus") != "O")
+                         & F.col("o_orderdate").isNotNull())
+    return (completed.select(
+                "o_orderkey",
+                F.col("o_orderdate").alias("completed_at"))
             .orderBy("o_orderkey"))
 
 
@@ -203,16 +207,38 @@ def existence_flags_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("segment"))
 
 
-@register("approx_distinct_and_quantiles", None)  # sketch results have no
+@register("approx_distinct_and_quantiles", """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS exact_parts,
+       quantile_cont(l_extendedprice, 0.5) AS exact_median_price,
+       true AS distinct_within_tol,
+       true AS median_within_tol
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""")
 def approx_distinct_and_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cross-engine oracle (HLL/KLL are engine-specific) -> rows-only check.
-    # These are the at-scale variants of distinct_counts_by_flag /
-    # median_price_by_status: one pass, bounded memory, mergeable state.
+    # Sketch outputs (HLL/KLL) are engine-specific, so raw approx values
+    # can't hash-match a DuckDB oracle. Instead the query computes approx
+    # AND exact in the same grouped pass and emits the exact values plus
+    # deterministic within-tolerance booleans; the oracle computes the
+    # exact values and literal true. The approx operators stay on the
+    # executed plan (they ARE the at-scale variants — one pass, bounded
+    # mergeable state), and the output is hash-stable.
     li = load_table(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
-                 F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000))
-                 .alias("approx_median_price"))
+    tol = 0.10  # approx_count_distinct default rsd=0.05; 2x headroom
+    agged = (li.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_partkey").alias("exact_parts"),
+                  F.approx_count_distinct("l_partkey").alias("_ad"),
+                  F.percentile("l_extendedprice", F.lit(0.5))
+                  .alias("exact_median_price"),
+                  F.percentile_approx("l_extendedprice", F.lit(0.5),
+                                      F.lit(1000)).alias("_am")))
+    rel = lambda a, b: F.abs(a - b) / F.greatest(F.abs(b), F.lit(1.0))  # noqa: E731
+    return (agged.select(
+                "l_returnflag", "exact_parts", "exact_median_price",
+                (rel(F.col("_ad"), F.col("exact_parts")) <= tol)
+                .alias("distinct_within_tol"),
+                (rel(F.col("_am"), F.col("exact_median_price")) <= tol)
+                .alias("median_within_tol"))
             .orderBy("l_returnflag"))
 
 

@@ -1,0 +1,71 @@
+"""Physical-plan regression gate.
+
+A loader/schema change can silently kill predicate pushdown (the round-2
+events-ts incident: an int64 scan path made every time predicate a
+post-scan filter) or flip a keyed join into a cartesian product — both
+invisible to correctness tests and only caught by reading the plan.
+This gate executes a pinned, representative subset of the catalog at
+sf0.001 through ``tools.plan_audit.audit_one`` and asserts the plan
+invariants the per-round PLAN_AUDIT report tracks:
+
+- scan-level predicates actually reach the parquet reader
+  (``PushedFilters`` non-empty),
+- small-side joins broadcast,
+- no ``CartesianProduct``/``BroadcastNestedLoopJoin`` appears anywhere.
+
+Subset, not the full 147: the full sweep is the per-round
+``tools/plan_audit.py`` run; this keeps pytest latency bounded while
+still covering every loader path (lineitem/orders date+range filters,
+the events ts path, dim broadcast joins, a window query).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.plan_audit import audit_one
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# query -> required plan properties ({prop: minimum}, checked as >=)
+PINNED = {
+    # lineitem date-range predicate must reach the scan
+    "q6_revenue_change": {"pushed": 1},
+    # lineitem shipdate window + orders broadcast-side join
+    "q12_priority_classes": {"pushed": 1},
+    # events ts predicate pushes ONLY on the native-timestamp path —
+    # the exact property the round-2 regression destroyed
+    "events_hourly": {"pushed": 1},
+    # dim joins must broadcast, never shuffle the small side
+    "join_revenue_by_nation": {"bhj": 1},
+    "join_semi_exists": {"bhj": 1},
+    # scan-level equality/range filter family
+    "filter_range_set_numeric": {"pushed": 1},
+    "filter_is_completed": {"pushed": 1},
+}
+
+
+@pytest.fixture(scope="module")
+def audits(spark):
+    import __spark_entry__ as entrymod
+    queries = entrymod.queries()
+    return {name: audit_one(spark, queries[name], SF_DIR)
+            for name in PINNED}
+
+
+@pytest.mark.parametrize("name", sorted(PINNED))
+def test_pinned_plan_invariants(audits, name):
+    props, plan = audits[name]
+    for prop, minimum in PINNED[name].items():
+        assert props[prop] >= minimum, (
+            f"{name}: expected {prop} >= {minimum}, got {props[prop]}\n"
+            f"plan:\n{plan[:4000]}")
+
+
+@pytest.mark.parametrize("name", sorted(PINNED))
+def test_no_unkeyed_join_strategies(audits, name):
+    props, plan = audits[name]
+    assert props["cartesian"] == 0, f"{name} plans a CartesianProduct"
+    assert props["bnlj"] == 0, (
+        f"{name} plans a BroadcastNestedLoopJoin (unkeyed join)\n"
+        f"plan:\n{plan[:4000]}")

@@ -18,6 +18,33 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def audit_one(spark, fn, sf_dir: str) -> tuple[dict, str]:
+    """Execute one catalog query and return (plan-properties, plan
+    string). Importable so the pytest plan-regression gate asserts the
+    same invariants this report prints (pushdown present, no cartesian
+    product) without duplicating the extraction."""
+    df = fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    props = {
+        "scans": plan.count("Scan parquet") + plan.count("FileScan parquet"),
+        "pushed": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "exch": plan.count("Exchange ") - plan.count("ReusedExchange"),
+        "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        # persisted subtrees: a consumer reads the cache, but the
+        # plan STRING repeats the cached child under every
+        # InMemoryTableScan — so a big `scans` next to a nonzero
+        # `inmem` is string inflation, not read amplification
+        "inmem": plan.count("InMemoryTableScan"),
+        "reuse": plan.count("ReusedExchange"),
+        "cartesian": plan.count("CartesianProduct"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+    }
+    return props, plan
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     import __spark_entry__ as entrymod
@@ -27,28 +54,10 @@ def main() -> int:
     rows = []
     for name, fn in entrymod.queries().items():
         try:
-            df = fn(spark, sf_dir)
-            df.collect()
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            props, _ = audit_one(spark, fn, sf_dir)
         except Exception as e:  # noqa: BLE001
             rows.append((name, f"ERROR {type(e).__name__}: {e}"))
             continue
-        pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
-        scans = plan.count("Scan parquet") + plan.count("FileScan parquet")
-        props = {
-            "scans": scans,
-            "pushed": pushed,
-            "bhj": plan.count("BroadcastHashJoin"),
-            "smj": plan.count("SortMergeJoin"),
-            "exch": plan.count("Exchange ") - plan.count("ReusedExchange"),
-            "codegen": len(set(re.findall(r"\*\((\d+)\)", plan))),
-            # persisted subtrees: a consumer reads the cache, but the
-            # plan STRING repeats the cached child under every
-            # InMemoryTableScan — so a big `scans` next to a nonzero
-            # `inmem` is string inflation, not read amplification
-            "inmem": plan.count("InMemoryTableScan"),
-            "reuse": plan.count("ReusedExchange"),
-        }
         rows.append((name, " ".join(f"{k}={v}" for k, v in props.items())))
     width = max(len(n) for n, _ in rows)
     for name, info in rows:
