@@ -76,9 +76,10 @@ def events_ts_unit(path: str) -> str:
 
     Testdata regenerations have flipped between TIMESTAMP(NANOS) and
     timestamp[us]; trusting a constant silently corrupts every event-time
-    query 1000x (round-2 postmortem), so the footer is authoritative. A
-    plain int64 column (no logical type) is treated as nanos — the only
-    generation that ever shipped raw int64 semantics."""
+    query 1000x (round-2 postmortem), so the footer is authoritative.
+    Anything other than us/ns (ms, s, or a plain int64 with no logical
+    type) raises — a wrong-unit default is precisely the silent
+    corruption this detector exists to prevent."""
     if path not in _EVENTS_TS_UNIT:
         import glob
 
@@ -92,7 +93,17 @@ def events_ts_unit(path: str) -> str:
             f = hits[0]
         t = pq.ParquetFile(f).schema_arrow.field("ts").type
         unit = getattr(t, "unit", None)  # None for plain int64
-        _EVENTS_TS_UNIT[path] = "us" if unit == "us" else "ns"
+        if unit not in ("us", "ns"):
+            # ms/s (or an int64 column with unknown semantics) must fail
+            # loudly: defaulting to the nanos branch would scan it as
+            # long and divide by 1000 — the exact silent-1000x timeline
+            # corruption this detector exists to prevent
+            raise ValueError(
+                f"events.ts in {f} has unsupported storage unit "
+                f"{unit!r} (arrow type {t}); supported: timestamp[us], "
+                f"timestamp[ns]. Extend events_schema/convert_events_ts "
+                f"before loading this generation.")
+        _EVENTS_TS_UNIT[path] = unit
     return _EVENTS_TS_UNIT[path]
 
 

@@ -50,6 +50,54 @@ def _dedup_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
     state.update((True,))
 
 
+def _alloc_run_dir(base: str) -> str:
+    """Atomically allocate the next ``run_NNNNN`` directory under
+    ``base``. ``makedirs(exist_ok=False)`` is the atomicity primitive:
+    two concurrent (or crash-interleaved) runs sharing ``base`` race to
+    the same number, the loser EEXISTs and retries with the next — so
+    survivor sets from different runs can never interleave in one
+    directory ("rows that passed THIS run" stays exact)."""
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    while True:
+        nxt = len([d for d in os.listdir(base) if d.startswith("run_")])
+        run_dir = os.path.join(base, f"run_{nxt:05d}")
+        try:
+            os.makedirs(run_dir, exist_ok=False)
+            return run_dir
+        except FileExistsError:
+            continue
+
+
+def _drain_to_parquet(stream_df: DataFrame, spark: SparkSession,
+                      checkpoint_dir: str, schema: T.StructType,
+                      out_dir: str | None) -> DataFrame:
+    """Drain a streaming DataFrame (availableNow) through a foreachBatch
+    parquet append into a fresh per-run directory and return a lazy scan
+    of it. The write happens executor-side — survivors never transit the
+    driver — and, unlike a memory sink, the checkpoint is recoverable: a
+    later run against the same checkpoint resumes state instead of
+    throwing, which is the whole cross-run dedup story."""
+    import os
+
+    base = out_dir or f"{checkpoint_dir.rstrip('/')}_survivors"
+    run_dir = _alloc_run_dir(base)
+
+    def sink(batch_df, _epoch: int) -> None:  # noqa: ANN001
+        batch_df.write.mode("append").parquet(run_dir)
+
+    q = (stream_df.writeStream.foreachBatch(sink)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if not any(f.endswith(".parquet")
+               for f in os.listdir(run_dir)):  # empty-source run
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(run_dir)
+
+
 def streaming_dedup(spark: SparkSession, source_dir: str,
                     checkpoint_dir: str,
                     key_col: str = "key",
@@ -65,33 +113,18 @@ def streaming_dedup(spark: SparkSession, source_dir: str,
     deployment points this at the curated table / MERGE target). The
     returned DataFrame is a lazy scan of that directory; a per-run
     subdirectory keeps "rows that passed THIS run" distinct from earlier
-    runs that share the checkpoint."""
-    import os
+    runs that share the checkpoint.
 
+    foreachBatch instead of a plain parquet sink: the stateful operator
+    needs the checkpoint for cross-run state, and foreachBatch lets a
+    real deployment swap the append for a MERGE without touching the
+    dedup logic. The write inside is executor-parallel."""
     stream = spark.readStream.schema(DOC_SCHEMA).parquet(source_dir)
     deduped = (stream.groupBy(key_col)
                .applyInPandasWithState(_dedup_fn, DOC_SCHEMA, _STATE_SCHEMA,
                                        "append", GroupStateTimeout.NoTimeout))
-    base = out_dir or f"{checkpoint_dir.rstrip('/')}_survivors"
-    os.makedirs(base, exist_ok=True)
-    run_id = len([d for d in os.listdir(base) if d.startswith("run_")])
-    run_dir = os.path.join(base, f"run_{run_id:05d}")
-
-    # foreachBatch instead of a plain parquet sink: the stateful operator
-    # needs the checkpoint for cross-run state, and foreachBatch lets a
-    # real deployment swap the append for a MERGE without touching the
-    # dedup logic. The write inside is executor-parallel.
-    def sink(batch_df, _epoch: int) -> None:  # noqa: ANN001
-        batch_df.write.mode("append").parquet(run_dir)
-
-    q = (deduped.writeStream.foreachBatch(sink)
-         .outputMode("append")
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    if not os.path.isdir(run_dir):  # no micro-batch fired (empty source)
-        return spark.createDataFrame([], DOC_SCHEMA)
-    return spark.read.schema(DOC_SCHEMA).parquet(run_dir)
+    return _drain_to_parquet(deduped, spark, checkpoint_dir, DOC_SCHEMA,
+                             out_dir)
 
 
 TTL_DOC_SCHEMA = T.StructType([
@@ -103,7 +136,7 @@ TTL_DOC_SCHEMA = T.StructType([
 _TTL_STATE_SCHEMA = T.StructType([T.StructField("seen_ms", T.LongType(), True)])
 
 
-def _make_ttl_fn(ttl_ms: int):
+def _make_ttl_fn(ttl_ms: int, session_tz: str):
     def _fn(key: tuple, pdfs: Iterator[pd.DataFrame],
             state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
@@ -122,19 +155,32 @@ def _make_ttl_fn(ttl_ms: int):
         expired = state.exists and wm > state.get[0] + ttl_ms
         if not state.exists or expired:
             yield batch.loc[[batch["doc_id"].idxmin()]]
-            admitted_ms = int(batch["ts"].max().timestamp() * 1000)
+            # applyInPandasWithState hands the UDF TZ-NAIVE timestamps
+            # rendered in spark.sql.session.timeZone, while the
+            # watermark is a UTC epoch — localize before .timestamp()
+            # or admission is offset by the tz offset on any non-UTC
+            # session (tests run UTC and would never catch it)
+            ts_max = (batch["ts"]
+                      .dt.tz_localize(session_tz, ambiguous=True,
+                                      nonexistent="shift_forward")
+                      .max())
+            admitted_ms = int(ts_max.timestamp() * 1000)
             # TTL counts from ADMISSION; suppressed repeats do not
             # refresh it (otherwise a steady duplicate stream would pin
-            # the key alive forever)
+            # the key alive forever). Clamp to just past the watermark:
+            # a NEW key whose only data is already late (admission+ttl
+            # <= watermark) would otherwise set a timeout in the past,
+            # and Spark fails the whole query, not just the key.
             state.update((admitted_ms,))
-            state.setTimeoutTimestamp(admitted_ms + ttl_ms)
+            state.setTimeoutTimestamp(max(admitted_ms + ttl_ms, wm + 1))
     return _fn
 
 
 def streaming_dedup_ttl(spark: SparkSession, source_dir: str,
                         checkpoint_dir: str, ttl: str = "1 hour",
                         key_col: str = "key",
-                        max_files_per_trigger: int | None = None) -> DataFrame:
+                        max_files_per_trigger: int | None = None,
+                        out_dir: str | None = None) -> DataFrame:
     """Time-bounded stateful dedup: the first occurrence of a key
     passes; repeats are dropped while the key's state is alive. State
     expires via ``GroupStateTimeout.EventTimeTimeout`` once the
@@ -154,23 +200,23 @@ def streaming_dedup_ttl(spark: SparkSession, source_dir: str,
         raise ValueError(f"unparseable ttl {ttl!r}")
     ttl_ms = int(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600,
                                 "day": 86400}[m.group(2)] * 1000
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
     reader = spark.readStream.schema(TTL_DOC_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = (reader.parquet(source_dir)
               .withWatermark("ts", "0 seconds")
               .groupBy(key_col)
-              .applyInPandasWithState(_make_ttl_fn(ttl_ms), TTL_DOC_SCHEMA,
+              .applyInPandasWithState(_make_ttl_fn(ttl_ms, session_tz),
+                                      TTL_DOC_SCHEMA,
                                       _TTL_STATE_SCHEMA, "append",
                                       GroupStateTimeout.EventTimeTimeout))
-    import uuid as _uuid
-    name = f"ttldedup_{_uuid.uuid4().hex[:8]}"
-    q = (stream.writeStream.outputMode("append")
-         .format("memory").queryName(name)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True).start())
-    q.awaitTermination()
-    return spark.table(name)
+    # executor-side parquet sink (same pattern as streaming_dedup): a
+    # memory sink with a checkpoint throws on the SECOND run against the
+    # same checkpoint — which would make the cross-run bounded-state
+    # story (re-crawl a month later re-admits) untestable end-to-end
+    return _drain_to_parquet(stream, spark, checkpoint_dir, TTL_DOC_SCHEMA,
+                             out_dir)
 
 
 def streaming_dedup_watermarked(spark: SparkSession, docs_parquet: str,

@@ -114,3 +114,23 @@ def test_convert_is_noop_for_us(spark):
     df = spark.createDataFrame([], T.StructType(
         [T.StructField("ts", T.TimestampType(), True)]))
     assert convert_events_ts(df, "us") is df
+
+
+@pytest.mark.parametrize("unit", ["ms", "s", None])
+def test_unknown_storage_unit_raises(tmp_path, unit):
+    """A future generation shipping timestamp[ms]/[s] or a plain int64
+    must fail loudly: defaulting to the nanos branch would scan it as
+    long and divide by 1000 — a silent 1000x timeline corruption."""
+    ts_type = pa.timestamp(unit) if unit else pa.int64()
+    table = pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "ts": pa.array([1_704_067_200_000], pa.int64()).cast(ts_type),
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["view"], pa.string()),
+        "value": pa.array([1.0], pa.float64()),
+        "props": pa.array(["{}"], pa.string()),
+    })
+    path = str(tmp_path / "events.parquet")
+    pq.write_table(table, path, store_schema=False)
+    with pytest.raises(ValueError, match="unsupported storage unit"):
+        events_ts_unit(path)

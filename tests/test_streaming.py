@@ -16,6 +16,25 @@ DOC = {"data": {"financials": {
     "metadata": {"name": "A Corp"}}}
 
 
+def _land_events_ns(src: str, rows, name: str) -> None:
+    """Write one events file with ts as REAL timestamp[ns] (physical
+    int64 + TIMESTAMP(NANOS), the round-1 testdata layout). The loader
+    now refuses plain int64 ts — unit-less semantics are exactly the
+    silent-1000x hazard — so fixtures must carry the logical type."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("ns")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    })
+    pq.write_table(table, os.path.join(src, name), store_schema=False)
+
+
 def _write_bronze(spark, path, rows):
     (spark.createDataFrame(rows, "ticker string, run_id string, json_str string")
      .coalesce(1).write.mode("append").parquet(path))
@@ -62,18 +81,9 @@ def test_stream_stream_join_matches_across_micro_batches(spark, tmp_path):
     def ev(eid, offset_s, user, etype):
         return (eid, base_ns + offset_s * 1_000_000_000, user, etype,
                 1.0, "{}")
-    schema = ("event_id long, ts long, user_id long, event_type string, "
-              "value double, props string")
     def land(rows, name):
-        # FileStreamSource lists plain files, not dataset directories:
-        # write to a scratch dir and move the single part file into place
-        import glob
-        import shutil
-        scratch = str(tmp_path / f"_scratch_{name}")
-        spark.createDataFrame(rows, schema).coalesce(1) \
-            .write.parquet(scratch)
-        shutil.move(glob.glob(os.path.join(scratch, "part-*.parquet"))[0],
-                    os.path.join(src, name))
+        # FileStreamSource lists plain files, not dataset directories
+        _land_events_ns(src, rows, name)
 
     # batch 1: the views (buffered in join state, no purchase yet)
     land([ev(1, 0, 7, "view"), ev(2, 600, 7, "view"),
@@ -96,26 +106,18 @@ def test_stream_stream_left_outer_emits_null_after_watermark(spark, tmp_path):
     from stock_data_etl_pipeline_spark.streaming.events import (
         streaming_purchase_view_join,
     )
-    import glob
-    import shutil
     import time
 
     src = str(tmp_path / "ev_lo")
     os.makedirs(src)
     base_ns = 1_700_000_000 * 1_000_000_000
-    schema = ("event_id long, ts long, user_id long, event_type string, "
-              "value double, props string")
 
     def ev(eid, offset_s, user, etype):
         return (eid, base_ns + offset_s * 1_000_000_000, user, etype,
                 1.0, "{}")
 
     def land(rows, name):
-        scratch = str(tmp_path / f"_s_{name}")
-        spark.createDataFrame(rows, schema).coalesce(1) \
-            .write.parquet(scratch)
-        shutil.move(glob.glob(os.path.join(scratch, "part-*.parquet"))[0],
-                    os.path.join(src, name))
+        _land_events_ns(src, rows, name)
 
     # batch 1: a purchase that will never match
     land([ev(1, 0, 7, "purchase")], "a.parquet")
