@@ -263,3 +263,39 @@ def events_hourly_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "hour",
                     F.coalesce("n", F.lit(0)).cast("long").alias("n"))
             .orderBy("event_type", "hour"))
+
+
+@register("streaming_dedup_ttl_survivors", """
+WITH keyed AS (SELECT event_id AS doc_id,
+                      CAST(user_id AS VARCHAR) || '|' || event_type AS key,
+                      ts
+               FROM events),
+min_ids AS (SELECT key, min(doc_id) AS doc_id FROM keyed GROUP BY key)
+SELECT k.doc_id, k.key, k.ts
+FROM keyed k JOIN min_ids m ON m.key = k.key AND m.doc_id = k.doc_id
+ORDER BY k.doc_id
+""")
+def streaming_dedup_ttl_survivors(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    # the TTL-bounded stateful dedup (EventTimeTimeout state, the
+    # bounded-state variant of streaming_dedup) run as a REAL streaming
+    # query over events keyed by (user, event_type): one coalesced
+    # source file -> one micro-batch, ttl longer than the 30-day
+    # timeline -> no expiry inside the drain, so the survivor set equals
+    # batch keep-lowest-id dedup — a full hash oracle for the
+    # EventTimeTimeout code path. Expiry/re-admission and cross-run
+    # checkpoint recovery are pytest-pinned (test_streaming_dedup).
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.dedup import streaming_dedup_ttl
+    work = tempfile.mkdtemp(prefix="sttldedup_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src, cp = os.path.join(work, "src"), os.path.join(work, "cp")
+    e = load_table(spark, sf_dir, "events")
+    (e.select("event_id",
+              F.concat_ws("|", "user_id", "event_type").alias("key"), "ts")
+     .withColumnRenamed("event_id", "doc_id")
+     .coalesce(1).write.mode("overwrite").parquet(src))
+    return streaming_dedup_ttl(spark, src, cp, ttl="90 days").orderBy("doc_id")

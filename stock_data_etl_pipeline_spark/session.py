@@ -29,6 +29,10 @@ try:  # pragma: no cover - environment-dependent
 
     HAS_DELTA = True
 except Exception:  # pragma: no cover
+    # delta-spark absent: `pip install delta-spark` retried and failed
+    # ("no matching distribution" — no package network in the sandbox)
+    # on 2026-08-13; merge/CDF/time-travel semantics run on the parquet
+    # ManagedTable replica until the package can land.
     configure_spark_with_delta_pip = None
     HAS_DELTA = False
 
