@@ -469,3 +469,56 @@ def source_profile(docs: DataFrame, text_col: str = "text",
                  F.round(F.avg(F.col("keep").cast("int")), 4)
                  .alias("keep_rate"))
             .orderBy(group_col))
+
+
+def global_shuffle(docs: DataFrame, num_shards: int = 8, seed: int = 1,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic, seedable global corpus shuffle — the epoch-order
+    randomization step before training. Every doc gets a pseudo-random
+    ``shuffle_key`` from two rounds of a Lehmer/minstd LCG over its id
+    (modular arithmetic only, so Spark and any SQL engine compute
+    bit-identical keys — no engine-specific hash), a ``shard_id`` =
+    key mod num_shards, and the global order is (shard_id, shuffle_key,
+    id). No global row-numbering window: at 100 TB the shuffle IS the
+    sharded write — ``repartitionByRange(shard_id, shuffle_key)`` +
+    ``write.partitionBy(shard_id)`` streams each shard out sorted, and a
+    training reader consumes shards in order. Changing ``seed`` yields
+    an independent permutation for the next epoch."""
+    m, a = 2147483647, 48271  # minstd: a*m fits comfortably in int64
+    h1 = (F.col(id_col) % m * a + F.lit(seed)) % m
+    h2 = (h1 * a + F.lit(7919)) % m
+    return (docs.select(F.col(id_col),
+                        h2.alias("shuffle_key"),
+                        (h2 % num_shards).cast("int").alias("shard_id"))
+            .orderBy("shard_id", "shuffle_key", id_col))
+
+
+def curriculum_phases(docs: DataFrame, k: int = 4,
+                      text_col: str = "text") -> DataFrame:
+    """Curriculum assembly: bucket the corpus into ``k`` difficulty
+    phases by quality-score quantiles (phase 1 = lowest-quality k-th,
+    phase k = highest) and report per-phase volume — the plan a
+    curriculum-ordered training run consumes (easy->hard or the
+    reverse). Two passes: a 1-row exact-quantile aggregate (broadcast),
+    then one phase-assignment scan + hash agg; thresholds cross the
+    driver as k-1 scalars. At 100 TB swap `percentile` for
+    `approx_percentile` — phase boundaries move within sketch tolerance
+    but the shape (tiny agg + broadcast + one scan) is unchanged."""
+    from ..functions.text import quality_score
+    scored = docs.select(quality_score(text_col).alias("score"),
+                         F.col(text_col))
+    qs = [i / k for i in range(1, k)]
+    th = scored.agg(*[F.percentile("score", F.lit(q)).alias(f"t{i}")
+                      for i, q in enumerate(qs, 1)])
+    phase = F.lit(1)
+    for i in range(1, k):
+        phase = phase + (F.col("score") > F.col(f"t{i}")).cast("int")
+    from ..functions.text import token_count
+    return (scored.crossJoin(F.broadcast(th))
+            .select(phase.alias("phase"), "score",
+                    token_count(text_col).alias("n_tokens"))
+            .groupBy("phase")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("score"), 4).alias("avg_score"),
+                 F.sum("n_tokens").alias("total_tokens"))
+            .orderBy("phase"))

@@ -12,7 +12,7 @@ from ..operators import corpus as CP
 from ..operators import dedup as DD
 from ..sources.registry import load_table
 from .catalog import register
-from .catalog_text import _shingle_hash_expr, _WORD_HASHES, _WORDS
+from .catalog_text import _shingle_hash_expr, _STOPS, _WORD_HASHES, _WORDS
 
 
 @register("corpus_vocab_top_terms", f"""
@@ -471,3 +471,49 @@ def corpus_exact_n_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (CP.exact_n_per_stratum(d, n=40)
             .select("doc_id", "lang", "source").orderBy("doc_id"))
+
+
+@register("corpus_global_shuffle", """
+SELECT doc_id,
+       (((doc_id % 2147483647) * 48271 + 1) % 2147483647 * 48271 + 7919)
+           % 2147483647 AS shuffle_key,
+       CAST(((((doc_id % 2147483647) * 48271 + 1) % 2147483647 * 48271
+              + 7919) % 2147483647) % 8 AS INTEGER) AS shard_id
+FROM documents
+ORDER BY shard_id, shuffle_key, doc_id
+""")
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic seedable epoch shuffle: two minstd-LCG rounds give a
+    # pseudo-random order both engines compute bit-identically (modular
+    # int64 arithmetic only — no engine hash functions)
+    d = load_table(spark, sf_dir, "documents")
+    return CP.global_shuffle(d, num_shards=8, seed=1)
+
+
+@register("corpus_curriculum_phases", f"""
+WITH w AS (SELECT text, {_WORDS} AS ws FROM documents),
+s AS (SELECT round((least(len(ws) / 100.0, 1.0)
+                    + least(round(len(list_filter(ws, x -> x IN ({_STOPS})))
+                            / len(ws)::DOUBLE, 4) * 4, 1.0)
+                    + round(len(list_distinct(ws)) / len(ws)::DOUBLE, 4))
+                   / 3, 4) AS score,
+             len(ws)::BIGINT AS n_tokens
+      FROM w),
+th AS (SELECT quantile_cont(score, 0.25) AS t1,
+              quantile_cont(score, 0.50) AS t2,
+              quantile_cont(score, 0.75) AS t3
+       FROM s)
+SELECT (1 + (score > t1)::INT + (score > t2)::INT + (score > t3)::INT)
+           AS phase,
+       count(*) AS n_docs,
+       round(avg(score), 4) AS avg_score,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM s, th
+GROUP BY 1 ORDER BY phase
+""")
+def corpus_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # curriculum assembly: quality-quantile difficulty phases; exact
+    # percentiles here (oracle parity: quantile_cont == percentile),
+    # approx_percentile at 100 TB
+    d = load_table(spark, sf_dir, "documents")
+    return CP.curriculum_phases(d, k=4)

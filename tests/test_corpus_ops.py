@@ -285,3 +285,44 @@ def test_temperature_one_is_natural_mix(spark):
     # T=1 -> weights proportional to counts -> every rate ~1, all kept
     # (modulo the documented 9999/10000 floor epsilon)
     assert kept >= 398
+
+
+def test_global_shuffle_is_seeded_permutation(spark):
+    from pyspark.sql import functions as F
+
+    from stock_data_etl_pipeline_spark.operators.corpus import global_shuffle
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s1 = global_shuffle(docs, num_shards=8, seed=1).collect()
+    # permutation: every doc exactly once
+    assert sorted(r["doc_id"] for r in s1) == list(range(1000))
+    # sharding: all 8 shards populated, shard = key mod shards
+    assert {r["shard_id"] for r in s1} == set(range(8))
+    assert all(r["shard_id"] == r["shuffle_key"] % 8 for r in s1)
+    # deterministic: same seed -> same order
+    s1b = global_shuffle(docs, num_shards=8, seed=1).collect()
+    assert [r["doc_id"] for r in s1] == [r["doc_id"] for r in s1b]
+    # a different seed -> a different permutation (epoch re-shuffle)
+    s2 = global_shuffle(docs, num_shards=8, seed=2).collect()
+    assert [r["doc_id"] for r in s1] != [r["doc_id"] for r in s2]
+    # keys look shuffled, not id-ordered, within a shard
+    shard0 = [r["doc_id"] for r in s1 if r["shard_id"] == 0]
+    assert shard0 != sorted(shard0)
+    # no global window in the plan (the op must stay shardable)
+    plan = global_shuffle(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_curriculum_phases_partition_the_corpus(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        curriculum_phases,
+    )
+    docs = spark.createDataFrame(
+        [(i, ("word " * (5 + i)).strip()) for i in range(100)],
+        "doc_id long, text string")
+    out = curriculum_phases(docs, k=4).collect()
+    assert [r["phase"] for r in out] == [1, 2, 3, 4]
+    assert sum(r["n_docs"] for r in out) == 100
+    # quality_score is monotone in doc length here, so phase averages
+    # must strictly increase easy -> hard
+    scores = [r["avg_score"] for r in out]
+    assert scores == sorted(scores) and len(set(scores)) == 4
