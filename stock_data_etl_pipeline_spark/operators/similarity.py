@@ -219,3 +219,40 @@ def _knn_join_arrow(emb: DataFrame, k: int, vec_col: str,
               "score double, nn_rank long")
     return (emb.select(F.col(id_col), F.col(vec_col), F.col(block_col))
             .groupBy(block_col).applyInPandas(topk, schema=schema))
+
+
+def embedding_space_profile(emb: DataFrame, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            label_col: str = "label") -> DataFrame:
+    """Per-label embedding-space health profile: member count, centroid
+    norm, and cohesion (mean member distance to the label centroid) —
+    the drift/collapse monitor for an embedding column (a label whose
+    cohesion balloons or centroid norm collapses flags a bad encoder
+    batch or polluted cluster).
+
+    Relational throughout: posexplode to (row, dim) pairs, centroid =
+    per-(label, dim) mean, member distances via the expansion
+    ||x - c||^2 = ||x||^2 - 2<x,c> + ||c||^2 — three hash aggregations
+    over the exploded (n_rows x dim) relation, no driver-side vectors.
+    At 100 TB the explode factor is the (bounded, ~100s) dimension
+    count and every aggregate is map-side-combinable."""
+    ex = emb.select(
+        F.col(id_col), F.col(label_col),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("i", "x"))
+    dim = (ex.groupBy(label_col, "i")
+           .agg(F.avg("x").alias("c")))
+    cnorm = (dim.groupBy(label_col)
+             .agg(F.sum(F.col("c") * F.col("c")).alias("c2")))
+    per_vec = (ex.join(dim, [label_col, "i"])
+               .groupBy(id_col, label_col)
+               .agg(F.sum(F.col("x") * F.col("c")).alias("dot"),
+                    F.sum(F.col("x") * F.col("x")).alias("x2")))
+    dist = F.sqrt(F.greatest(
+        F.col("x2") - 2 * F.col("dot") + F.col("c2"), F.lit(0.0)))
+    return (per_vec.join(cnorm, label_col)
+            .groupBy(label_col)
+            .agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.round(F.sqrt(F.first("c2")), 6).alias("centroid_norm"),
+                 F.round(F.avg(dist), 6).alias("cohesion"))
+            .orderBy(label_col))
