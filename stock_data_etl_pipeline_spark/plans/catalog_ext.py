@@ -704,3 +704,35 @@ def asof_view_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                       right_payload=["pts"], strict=False,
                       direction="forward")
             .orderBy("event_id"))
+
+
+_ZORDER_SQL = """
+WITH p AS (SELECT o_orderkey, o_custkey,
+                  CAST(o_totalprice * 100 AS BIGINT) AS price_c
+           FROM orders),
+b AS (SELECT min(o_custkey) AS lo1, max(o_custkey) AS hi1,
+             min(price_c) AS lo2, max(price_c) AS hi2 FROM p),
+r AS (SELECT o_orderkey,
+             CAST(floor((o_custkey - lo1) * 255 / greatest(hi1 - lo1, 1))
+                  AS BIGINT) AS r1,
+             CAST(floor((price_c - lo2) * 255 / greatest(hi2 - lo2, 1))
+                  AS BIGINT) AS r2
+      FROM p, b)
+SELECT o_orderkey, CAST((((r1 >> 0) & 1) << 0) + (((r2 >> 0) & 1) << 1) + (((r1 >> 1) & 1) << 2) + (((r2 >> 1) & 1) << 3) + (((r1 >> 2) & 1) << 4) + (((r2 >> 2) & 1) << 5) + (((r1 >> 3) & 1) << 6) + (((r2 >> 3) & 1) << 7) + (((r1 >> 4) & 1) << 8) + (((r2 >> 4) & 1) << 9) + (((r1 >> 5) & 1) << 10) + (((r2 >> 5) & 1) << 11) + (((r1 >> 6) & 1) << 12) + (((r2 >> 6) & 1) << 13) + (((r1 >> 7) & 1) << 14) + (((r2 >> 7) & 1) << 15) AS BIGINT) AS zkey
+FROM r ORDER BY zkey, o_orderkey
+"""
+
+
+@register("layout_zorder_orders", _ZORDER_SQL)
+def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Morton (Z-order) clustering key over (customer, price): the file
+    # layout that lets footer min/max stats prune scans on EITHER
+    # column. operators/layout.zorder_key; integer-pure arithmetic so
+    # any engine computes the identical key.
+    from ..operators.layout import zorder_key
+    o = (load_table(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey",
+                 (F.col("o_totalprice") * 100).cast("long")
+                 .alias("price_c")))
+    z = zorder_key(o, ["o_custkey", "price_c"], bits=8)
+    return z.select("o_orderkey", "zkey").orderBy("zkey", "o_orderkey")

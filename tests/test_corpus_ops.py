@@ -326,3 +326,31 @@ def test_curriculum_phases_partition_the_corpus(spark):
     # must strictly increase easy -> hard
     scores = [r["avg_score"] for r in out]
     assert scores == sorted(scores) and len(set(scores)) == 4
+
+
+def test_zorder_key_interleaves_and_localizes(spark):
+    from pyspark.sql import functions as F
+
+    from stock_data_etl_pipeline_spark.operators.layout import zorder_key
+    # a 16x16 grid: zkey must equal the hand-computed Morton number
+    grid = spark.range(256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y"))
+    out = zorder_key(grid, ["x", "y"], bits=4).collect()
+
+    def morton(x, y):
+        z = 0
+        for b in range(4):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    # ranks: x,y in [0,15] scale exactly onto [0,15] for bits=4
+    for r in out:
+        assert r["zkey"] == morton(r["x"], r["y"])
+    # locality: sorting by zkey keeps both coordinates bounded within
+    # any 4-row run (the property that makes footer stats prune)
+    ordered = sorted(out, key=lambda r: r["zkey"])
+    for i in range(0, 256, 4):
+        run = ordered[i:i + 4]
+        assert max(r["x"] for r in run) - min(r["x"] for r in run) <= 1
+        assert max(r["y"] for r in run) - min(r["y"] for r in run) <= 1
