@@ -85,6 +85,18 @@ def get_spark(app_name: str = "stock-data-etl-pipeline-spark",
         # footer and branches (sources/registry.events_ts_unit).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # Streaming state store: RocksDB spills per-key state to local disk
+    # instead of holding it on the JVM heap — the bounded-memory backend
+    # for 100 TB-cardinality stateful dedup/aggregation. Off by default
+    # locally (HDFS-backed in-memory is faster at test scale and state
+    # correctness is backend-independent — tests/test_streaming_dedup
+    # passes under either); it is a runtime conf, so callers can also
+    # flip it per-session before starting a query.
+    if os.environ.get("SPARK_GRAFT_ROCKSDB_STATE") == "1":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
     if HAS_DELTA and configure_spark_with_delta_pip is not None:
         builder = (
             builder.config("spark.sql.extensions",

@@ -179,3 +179,23 @@ def test_run_dir_allocation_is_race_free(tmp_path):
     with ThreadPoolExecutor(max_workers=8) as ex:
         dirs = list(ex.map(lambda _: _alloc_run_dir(base), range(32)))
     assert len(set(dirs)) == 32
+
+
+def test_streaming_dedup_under_rocksdb_state_store(spark, tmp_path):
+    """State semantics must be backend-independent: the same dedup drain
+    under RocksDBStateStoreProvider (the bounded-memory backend for
+    100 TB key cardinalities) yields the same survivors. providerClass
+    is a runtime conf read at query start, so it can flip per-query."""
+    from stock_data_etl_pipeline_spark.streaming.dedup import streaming_dedup
+    src, cp = str(tmp_path / "docs"), str(tmp_path / "cp")
+    _land(spark, src, [(1, "ka", "a1"), (2, "kb", "b1"), (3, "ka", "a2")])
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider")
+    try:
+        out = streaming_dedup(spark, src, cp).collect()
+    finally:
+        spark.conf.set(key, old)
+    assert sorted((r["doc_id"], r["key"]) for r in out) == [(1, "ka"),
+                                                            (2, "kb")]
