@@ -50,6 +50,9 @@ HEADLINE = [
     "events_interval_join",
     "corpus_span_dedup",
     "corpus_lm_perplexity",
+    # round 4: layout + shuffle ops
+    "corpus_global_shuffle",
+    "layout_zorder_orders",
 ]
 
 
