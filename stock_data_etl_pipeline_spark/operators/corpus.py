@@ -522,3 +522,62 @@ def curriculum_phases(docs: DataFrame, k: int = 4,
                  F.round(F.avg("score"), 4).alias("avg_score"),
                  F.sum("n_tokens").alias("total_tokens"))
             .orderBy("phase"))
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = 3,
+               text_col: str = "text") -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules over the corpus:
+    per round, the most frequent adjacent symbol pair (weighted by word
+    frequency, ties broken by pair string) is merged corpus-wide.
+    Output: one row per round — (rank, pair, freq).
+
+    Distributed shape: the working set is the VOCABULARY table
+    (word, count, symbol-string), orders of magnitude smaller than the
+    corpus; each round is one bigram hash-aggregate over it plus a
+    1-row top-pair collect (the same scalar-per-iteration pattern as
+    k-means centroids). At 100 TB: corpus -> word-count table is one
+    shuffle; every merge round after that is vocabulary-sized work.
+
+    Merge application is a single-pass left-to-right non-overlapping
+    delimited string replace — identical semantics in Spark and any SQL
+    engine (the oracle replays the same rounds as unrolled CTEs), and
+    the standard practical approximation of strict leftmost-pair BPE.
+    """
+    w = words(text_col)
+    vocab = (docs.select(F.explode(w).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+             .withColumn(
+                 "sym",
+                 F.concat(F.lit(" "),
+                          F.array_join(
+                              F.regexp_extract_all("word", F.lit("."),
+                                                   F.lit(0)), " "),
+                          F.lit(" ")))
+             .persist())
+    out = []
+    cur = vocab
+    for rank in range(1, n_merges + 1):
+        toks = F.split(F.trim(F.col("sym")), " ")
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                  F.element_at(toks, i + 2)))
+        top = (cur.filter(F.size(toks) >= 2)  # 1-symbol words: no pairs
+               .select("n", F.explode(pairs).alias("pair"))
+               .groupBy("pair").agg(F.sum("n").alias("freq"))
+               .orderBy(F.col("freq").desc(), "pair").limit(1).collect())
+        if not top:
+            break
+        pair, freq = top[0]["pair"], top[0]["freq"]
+        out.append((rank, pair, freq))
+        merged = pair.replace(" ", "")
+        # replace TWICE: a left-to-right non-overlapping pass consumes
+        # the delimiter of the next occurrence (" a b a b " merges only
+        # the first pair), so a second pass sweeps the leftover
+        # alternation — same two-pass semantics in the SQL oracle
+        sym = F.col("sym")
+        for _ in range(2):
+            sym = F.replace(sym, F.lit(f" {pair} "), F.lit(f" {merged} "))
+        cur = cur.withColumn("sym", sym)
+    spark = docs.sparkSession
+    return spark.createDataFrame(out, "rank int, pair string, freq long")

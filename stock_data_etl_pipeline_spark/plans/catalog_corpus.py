@@ -517,3 +517,50 @@ def corpus_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approx_percentile at 100 TB
     d = load_table(spark, sf_dir, "documents")
     return CP.curriculum_phases(d, k=4)
+
+
+def _bpe_sql(k: int = 3) -> str:
+    """Unrolled-CTE oracle for ``bpe_merges`` (same pattern as the
+    k-means fixed-iteration oracle): each round recounts weighted
+    adjacent pairs over the vocabulary, picks the (freq DESC, pair)
+    top-1 as a scalar subquery, and replays the same delimited
+    single-pass replace."""
+    toks = "string_split(trim(sym), ' ')"
+    ctes = [f"""v0 AS (
+  SELECT word, count(*) AS n,
+         ' ' || array_to_string(regexp_extract_all(word, '.'), ' ') || ' '
+             AS sym
+  FROM (SELECT unnest({_WORDS}) AS word FROM documents) GROUP BY word)"""]
+    for r in range(1, k + 1):
+        ctes.append(f"""p{r} AS (
+  SELECT pr AS pair, sum(n) AS freq
+  FROM (SELECT n, unnest(list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1])) AS pr
+        FROM (SELECT n, {toks} AS toks FROM v{r - 1}
+              WHERE len({toks}) >= 2))
+  GROUP BY pr)""")
+        ctes.append(f"""t{r} AS (
+  SELECT pair, freq FROM p{r} ORDER BY freq DESC, pair LIMIT 1)""")
+        if r < k:
+            # two-pass replace, same as the operator: one LTR pass
+            # consumes the next occurrence's delimiter
+            rep = ("replace({s}, ' ' || (SELECT pair FROM t%d) || ' ', "
+                   "' ' || replace((SELECT pair FROM t%d), ' ', '') || ' ')"
+                   % (r, r))
+            twice = rep.format(s=rep.format(s="sym"))
+            ctes.append(f"""v{r} AS (
+  SELECT word, n, {twice} AS sym
+  FROM v{r - 1})""")
+    unions = " UNION ALL ".join(
+        f"SELECT {r} AS rank, pair, CAST(freq AS BIGINT) AS freq FROM t{r}"
+        for r in range(1, k + 1))
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({unions}) ORDER BY rank"
+
+
+@register("corpus_bpe_merges", _bpe_sql(3))
+def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first 3 BPE merge rules learned over the corpus; see
+    # operators/corpus.bpe_merges (vocabulary-table iterations, one
+    # weighted bigram hash-agg + a 1-row top-pair collect per round)
+    d = load_table(spark, sf_dir, "documents")
+    return CP.bpe_merges(d, n_merges=3)

@@ -354,3 +354,23 @@ def test_zorder_key_interleaves_and_localizes(spark):
         run = ordered[i:i + 4]
         assert max(r["x"] for r in run) - min(r["x"] for r in run) <= 1
         assert max(r["y"] for r in run) - min(r["y"] for r in run) <= 1
+
+
+def test_bpe_merges_learns_and_applies(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import bpe_merges
+    # 'abab' x3 + 'ab' x2: round 1 must merge 'a b' (freq 8 = 2 per
+    # 'abab' x3 + 1 per 'ab' x2); round 2 then sees 'ab ab' and merges
+    # it (freq 3) — proving merges feed later rounds
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab ab ab")], "doc_id long, text string")
+    out = bpe_merges(docs, n_merges=2).collect()
+    assert [(r["rank"], r["pair"], r["freq"]) for r in out] == [
+        (1, "a b", 8), (2, "ab ab", 3)]
+
+
+def test_bpe_merges_skips_short_words(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import bpe_merges
+    docs = spark.createDataFrame(
+        [(1, "a b c a b")], "doc_id long, text string")
+    # all words are single chars -> no pairs -> no merges, empty result
+    assert bpe_merges(docs, n_merges=2).collect() == []
