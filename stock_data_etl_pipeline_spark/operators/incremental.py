@@ -98,3 +98,48 @@ def streaming_maintain_rollup(stream: DataFrame, table,
     return (stream.writeStream.foreachBatch(fold)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def _signed(cdf: DataFrame, cols: Sequence[str]) -> DataFrame:
+    w = F.when(F.col("_change_type").isin(*_ADDS), F.lit(1)) \
+         .otherwise(F.lit(-1))
+    return cdf.select(*cols, w.alias("_w"))
+
+
+def join_view_delta(dl: DataFrame, r_old: DataFrame,
+                    l_new: DataFrame, dr: DataFrame,
+                    on: Sequence[str],
+                    view_cols: Sequence[str]) -> DataFrame:
+    """Change set for a maintained INNER equi-join view V = L JOIN R.
+
+    The sequential delta rule: apply the left change against the OLD
+    right side, then the right change against the NEW left side —
+    V2 = V0 + (dL >< R0) + (L1 >< dR) — exact for multisets when delta
+    rows carry +1/-1 weights (insert/update_postimage add,
+    delete/update_preimage retract; an update is a retraction plus an
+    insertion, so moved keys re-join correctly). Both terms are
+    change-set-sized joins: the base view and the big tables are never
+    re-joined. Returns (view_cols..., _dw) with net weights."""
+    on = list(on)
+    view_cols = list(view_cols)
+    d1 = (_signed(dl, [c for c in dl.columns if c != "_change_type"])
+          .join(r_old, on))
+    d2 = l_new.join(
+        _signed(dr, [c for c in dr.columns if c != "_change_type"]), on)
+    return (d1.select(*view_cols, "_w").unionByName(
+                d2.select(*view_cols, "_w"))
+            .groupBy(*view_cols).agg(F.sum("_w").alias("_dw"))
+            .filter(F.col("_dw") != 0))
+
+
+def apply_join_view_delta(view: DataFrame, delta: DataFrame,
+                          view_cols: Sequence[str],
+                          count_col: str = "_n") -> DataFrame:
+    """Fold a join-view change set into the maintained weighted view
+    (rows carry a multiplicity ``count_col``; weight-0 rows drop)."""
+    view_cols = list(view_cols)
+    joined = view.join(delta, view_cols, "full_outer")
+    n = (F.coalesce(F.col(count_col), F.lit(0))
+         + F.coalesce(F.col("_dw"), F.lit(0)))
+    return (joined.select(*view_cols, n.alias(count_col))
+            .filter(F.col(count_col) > 0))
