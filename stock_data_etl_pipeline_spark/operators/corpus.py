@@ -581,3 +581,46 @@ def bpe_merges(docs: DataFrame, n_merges: int = 3,
         cur = cur.withColumn("sym", sym)
     spark = docs.sparkSession
     return spark.createDataFrame(out, "rank int, pair string, freq long")
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 min_words: int = 20, max_words: int = 100_000,
+                 min_mean_wl: float = 3.0, max_mean_wl: float = 10.0,
+                 max_symbol_ratio: float = 0.1,
+                 min_distinct_stopwords: int = 2) -> DataFrame:
+    """Gopher/MassiveText document-quality rule bundle (Rae et al. '21
+    §A1.1) as one projection: word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio (#/ellipsis), and the >=N distinct
+    stopwords requirement. Per-doc rule booleans + the conjunctive
+    ``keep`` — pure Column expressions, zero shuffles (the repetition
+    rules, which need bigram aggregation, live in
+    ``repetition_metrics``; the line-level bullet/ellipsis rules don't
+    apply to this corpus' single-line documents).
+
+    Thresholds are the paper's, parameterized: curation teams re-tune
+    per corpus (min_words defaults to 20 here — the synthetic docs are
+    short — vs the paper's 50)."""
+    from ..functions.text import ENGLISH_STOPWORDS, words
+    c = F.col(text_col)
+    ws = words(c)
+    n = F.size(ws)
+    nf = n.cast("double")
+    mean_wl = (F.length(c) - (n - 1)) / nf
+    symbols = (F.size(F.split(c, "#", -1)) - 1
+               + F.size(F.split(c, "\\.\\.\\.", -1)) - 1)
+    n_stops = F.size(F.array_intersect(
+        F.array_distinct(ws),
+        F.array(*[F.lit(s) for s in sorted(set(ENGLISH_STOPWORDS))])))
+    r_count = (n >= min_words) & (n <= max_words)
+    r_wl = (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl)
+    r_sym = (symbols / nf) <= max_symbol_ratio
+    r_stop = n_stops >= min_distinct_stopwords
+    return docs.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        r_count.alias("ok_word_count"),
+        r_wl.alias("ok_mean_word_len"),
+        r_sym.alias("ok_symbol_ratio"),
+        r_stop.alias("ok_stopwords"),
+        (r_count & r_wl & r_sym & r_stop).alias("keep"))

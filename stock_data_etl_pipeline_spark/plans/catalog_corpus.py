@@ -564,3 +564,28 @@ def corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weighted bigram hash-agg + a 1-row top-pair collect per round)
     d = load_table(spark, sf_dir, "documents")
     return CP.bpe_merges(d, n_merges=3)
+
+
+@register("corpus_gopher_rules", f"""
+WITH w AS (SELECT doc_id, text, {_WORDS} AS ws FROM documents),
+f AS (SELECT doc_id, text, ws, len(ws) AS n,
+             (length(text) - (len(ws) - 1)) / len(ws)::DOUBLE AS mean_wl,
+             (len(string_split(text, '#')) - 1
+              + len(string_split(text, '...')) - 1) / len(ws)::DOUBLE
+                 AS sym_ratio,
+             len(list_intersect(list_distinct(ws), ['a', 'and', 'as', 'at', 'by', 'for', 'in', 'is', 'it', 'of', 'on', 'the', 'to', 'with'])) AS n_stops
+      FROM w)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       (n >= 20 AND n <= 100000) AS ok_word_count,
+       (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_mean_word_len,
+       (sym_ratio <= 0.1) AS ok_symbol_ratio,
+       (n_stops >= 2) AS ok_stopwords,
+       ((n >= 20 AND n <= 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+        AND (sym_ratio <= 0.1) AND (n_stops >= 2)) AS keep
+FROM f ORDER BY doc_id
+""")
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher/MassiveText rule bundle; see operators/corpus.gopher_rules
+    d = load_table(spark, sf_dir, "documents")
+    return CP.gopher_rules(d).orderBy("doc_id")
