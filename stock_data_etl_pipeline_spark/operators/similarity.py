@@ -256,3 +256,77 @@ def embedding_space_profile(emb: DataFrame, vec_col: str = "embedding",
                  F.round(F.sqrt(F.first("c2")), 6).alias("centroid_norm"),
                  F.round(F.avg(dist), 6).alias("cohesion"))
             .orderBy(label_col))
+
+
+def pq_adc_topk(emb: DataFrame, codebook: DataFrame,
+                query_vec: list[float], k: int = 10,
+                m: int = 4, dim: int = 64,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Product-quantization top-k with asymmetric distance computation
+    (ADC, Jegou et al. '11): vectors are encoded as m sub-space codes
+    (argmin codeword per sub-vector); the query stays UNquantized and
+    scores against the per-subspace distance table, so ranking costs
+    m table lookups per vector instead of a full dim-dimensional
+    distance — the memory-bound regime ANN rollouts actually run at
+    100 TB (codes are m bytes vs dim floats per vector).
+
+    ``codebook``: (cid, sub, codeword array<double>) — here supplied
+    deterministically (IVF-style sampled rows split into sub-vectors);
+    k-means-trained codebooks drop in unchanged. Relational shape:
+    posexplode to (row, sub, dim-in-sub), one (row, sub, cid) distance
+    aggregate against the broadcast codebook, min_by argmin, then the
+    ADC sum per row. Distances rounded to 6dp before every comparison
+    so ranking is engine-stable."""
+    sub_d = dim // m
+    ex = emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"))
+    ex = ex.select(id_col, (F.col("i") / sub_d).cast("int").alias("sub"),
+                   (F.col("i") % sub_d).alias("j"), "x")
+    cb = codebook.select(
+        "cid", "sub",
+        F.posexplode(F.col("codeword").cast("array<double>"))
+        .alias("j", "c"))
+    # per-(row, sub, cid) squared L2 against every codeword, then argmin
+    d = (ex.join(F.broadcast(cb), ["sub", "j"])
+         .groupBy(id_col, "sub", "cid")
+         .agg(F.round(F.sum((F.col("x") - F.col("c")) ** 2), 6)
+              .alias("d2")))
+    codes = (d.groupBy(id_col, "sub")
+             .agg(F.min(F.struct("d2", "cid")).alias("_m"))
+             .select(id_col, "sub", F.col("_m.cid").alias("cid")))
+    # query distance table: one row per (sub, cid)
+    qx = [(int(i // sub_d), int(i % sub_d), float(x))
+          for i, x in enumerate(query_vec)]
+    spark = emb.sparkSession
+    qdf = spark.createDataFrame(qx, "sub int, j int, x double")
+    qtab = (qdf.join(cb, ["sub", "j"])
+            .groupBy("sub", "cid")
+            .agg(F.round(F.sum((F.col("x") - F.col("c")) ** 2), 6)
+                 .alias("qd2")))
+    adc = (codes.join(F.broadcast(qtab), ["sub", "cid"])
+           .groupBy(id_col)
+           .agg(F.round(F.sum("qd2"), 6).alias("adc_dist")))
+    return (adc.orderBy("adc_dist", id_col).limit(k)
+            .select(id_col, "adc_dist"))
+
+
+def sampled_codebook(emb: DataFrame, m: int = 4, dim: int = 64,
+                     every: int = 40, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Deterministic PQ codebook: IVF-style sampled rows (id % every
+    == 0) split into m sub-vectors -> (cid, sub, codeword). A k-means-
+    trained codebook (operators/clustering.kmeans_lite per subspace)
+    drops in with the same schema."""
+    sub_d = dim // m
+    ex = (emb.filter(F.col(id_col) % every == 0)
+          .select(F.col(id_col).alias("cid"),
+                  F.posexplode(F.col(vec_col).cast("array<double>"))
+                  .alias("i", "x"))
+          .select("cid", (F.col("i") / sub_d).cast("int").alias("sub"),
+                  (F.col("i") % sub_d).alias("j"), "x"))
+    return (ex.groupBy("cid", "sub")
+            .agg(F.sort_array(F.collect_list(F.struct("j", "x"))).alias("p"))
+            .select("cid", "sub",
+                    F.transform("p", lambda t: t["x"]).alias("codeword")))
