@@ -330,3 +330,61 @@ def sampled_codebook(emb: DataFrame, m: int = 4, dim: int = 64,
             .agg(F.sort_array(F.collect_list(F.struct("j", "x"))).alias("p"))
             .select("cid", "sub",
                     F.transform("p", lambda t: t["x"]).alias("codeword")))
+
+
+def trained_codebook(emb: DataFrame, m: int = 4, dim: int = 64,
+                     every: int = 40, iterations: int = 2,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """PQ codebook TRAINED per subspace with deterministic Lloyd's
+    k-means (operators/clustering.kmeans_lite), seeded from the same
+    sampled rows ``sampled_codebook`` uses — same (cid, sub, codeword)
+    schema, strictly lower quantization error (pinned by
+    tests/test_similarity.py). Each subspace trains independently on
+    its slice; m small k-means runs over (n x dim/m) data, every stage
+    map-side-combinable."""
+    from .clustering import kmeans_lite
+    sub_d = dim // m
+    parts = []
+    for sub in range(m):
+        sl = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"),
+                    sub * sub_d + 1, sub_d).alias("subv"))
+        cents = kmeans_lite(sl, iterations=iterations, seed_stride=every,
+                            vec_col="subv", id_col=id_col)
+        parts.append(cents.select(
+            F.col("centroid_id").alias("cid"),
+            F.lit(sub).alias("sub"),
+            F.col("centroid").alias("codeword")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def quantization_error(emb: DataFrame, codebook: DataFrame,
+                       m: int = 4, dim: int = 64,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> float:
+    """Mean squared quantization error of a PQ codebook over the corpus
+    (sum over subspaces of the assigned codeword's squared distance) —
+    the codebook-quality metric that justifies training cost."""
+    sub_d = dim // m
+    ex = (emb.select(F.col(id_col),
+                     F.posexplode(F.col(vec_col).cast("array<double>"))
+                     .alias("i", "x"))
+          .select(id_col, (F.col("i") / sub_d).cast("int").alias("sub"),
+                  (F.col("i") % sub_d).alias("j"), "x"))
+    cb = codebook.select(
+        "cid", "sub",
+        F.posexplode(F.col("codeword").cast("array<double>"))
+        .alias("j", "c"))
+    d = (ex.join(F.broadcast(cb), ["sub", "j"])
+         .groupBy(id_col, "sub", "cid")
+         .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2")))
+    best = (d.groupBy(id_col, "sub")
+            .agg(F.min("d2").alias("bd2")))
+    row = (best.groupBy(id_col).agg(F.sum("bd2").alias("err"))
+           .agg(F.avg("err").alias("mse")).collect())
+    return float(row[0]["mse"])

@@ -16,3 +16,33 @@ def test_embedding_space_profile_geometry(spark):
     assert abs(out[0]["cohesion"] - 1.0) < 1e-6
     assert abs(out[1]["centroid_norm"] - 5.0) < 1e-6
     assert out[1]["cohesion"] == 0.0
+
+
+def test_trained_codebook_beats_sampled(spark):
+    """k-means-trained PQ codebooks must strictly reduce quantization
+    error vs the sampled codebook they are seeded from (Lloyd's descent
+    property), with the same (cid, sub, codeword) schema so they drop
+    into pq_adc_topk unchanged."""
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        quantization_error,
+        sampled_codebook,
+        trained_codebook,
+    )
+    from stock_data_etl_pipeline_spark.sources.registry import load_table
+    import os
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        import pytest
+        pytest.skip("testdata not present")
+    e = load_table(spark, sf, "embeddings")
+    sampled = sampled_codebook(e, m=4, dim=64, every=40)
+    trained = trained_codebook(e, m=4, dim=64, every=40, iterations=2)
+    assert sampled.columns == trained.columns
+    err_s = quantization_error(e, sampled)
+    err_t = quantization_error(e, trained)
+    assert err_t < err_s, (err_t, err_s)
+    # drop-in: top-k still runs and returns k deterministic rows
+    qv = list(e.filter(e.vec_id == 0).collect()[0]["embedding"])
+    top = pq_adc_topk(e, trained, qv, k=5).collect()
+    assert len(top) == 5
