@@ -143,3 +143,39 @@ def apply_join_view_delta(view: DataFrame, delta: DataFrame,
          + F.coalesce(F.col("_dw"), F.lit(0)))
     return (joined.select(*view_cols, n.alias(count_col))
             .filter(F.col(count_col) > 0))
+
+
+def streaming_maintain_join_view(stream: DataFrame, table,
+                                 right: DataFrame,
+                                 on: Sequence[str],
+                                 view_cols: Sequence[str],
+                                 checkpoint: str,
+                                 count_col: str = "_n"):
+    """Maintain an inner-join view ManagedTable from a STREAM of
+    left-side change rows against a static right side — the streaming
+    face of join_view_delta (one-sided: dL >< R per micro-batch; for
+    two-sided maintenance run batch join_view_delta over both CDFs).
+    Each batch's signed delta folds into the weighted view inside
+    ``foreachBatch``; the checkpoint makes batch application
+    exactly-once across restarts. Per-batch work is change-set x R-key
+    sized, never view-sized re-joins. Returns the started query."""
+    on = list(on)
+    view_cols = list(view_cols)
+
+    def fold(batch_df: DataFrame, _bid: int) -> None:
+        d = (_signed(batch_df,
+                     [c for c in batch_df.columns if c != "_change_type"])
+             .join(right, on)
+             .groupBy(*view_cols).agg(F.sum("_w").alias("_dw"))
+             .filter(F.col("_dw") != 0))
+        if table.exists():
+            table.overwrite(
+                apply_join_view_delta(table.read(), d, view_cols,
+                                      count_col))
+        else:
+            table.create(d.filter(F.col("_dw") > 0)
+                         .withColumnRenamed("_dw", count_col))
+
+    return (stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

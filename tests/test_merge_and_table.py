@@ -469,3 +469,35 @@ def test_incremental_join_view_equals_recompute(spark, tmp_path):
     assert got == exp
     # sanity: the maintained view is non-trivial and covers the moved key
     assert any(r[0] == 2 and r[1] == "k2" for r in got)
+
+
+def test_streaming_maintain_join_view(spark, tmp_path):
+    """Stream of left-side change rows maintains the join view across
+    micro-batches: insert batch, then a retraction batch (delete) —
+    final view equals the join of the net left rows with R."""
+    from pyspark.sql import functions as F
+
+    from stock_data_etl_pipeline_spark.operators.incremental import (
+        streaming_maintain_join_view,
+    )
+    src = str(tmp_path / "chg")
+    schema = "lid long, k string, _change_type string"
+    # batch 1: two inserts
+    (spark.createDataFrame([(1, "k1", "insert"), (2, "k2", "insert")], schema)
+     .coalesce(1).write.mode("append").parquet(src))
+    # batch 2: lid 2 deleted, lid 3 inserted on k1
+    (spark.createDataFrame([(2, "k2", "delete"), (3, "k1", "insert")], schema)
+     .coalesce(1).write.mode("append").parquet(src))
+    right = spark.createDataFrame([("k1", 1.0), ("k2", 2.0)],
+                                  "k string, v double")
+    view = ManagedTable(spark, str(tmp_path / "view"))
+    stream = (spark.readStream
+              .schema("lid long, k string, _change_type string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = streaming_maintain_join_view(
+        stream, view, right, on=["k"], view_cols=["lid", "k", "v"],
+        checkpoint=str(tmp_path / "cp"))
+    q.awaitTermination()
+    got = sorted((r["lid"], r["k"], r["v"], r["_n"])
+                 for r in view.read().collect())
+    assert got == [(1, "k1", 1.0, 1), (3, "k1", 1.0, 1)]
