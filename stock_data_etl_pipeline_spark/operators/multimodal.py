@@ -106,3 +106,36 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000,
                 ).otherwise(F.array().cast("array<bigint>"))
     return (media.withColumn("frame_ts_ms", F.explode(ts))
             .select(id_col, "frame_ts_ms"))
+
+
+def audio_chunk_plan(media: DataFrame, chunk_ms: int = 30_000,
+                     overlap_ms: int = 5_000,
+                     id_col: str = "media_id") -> DataFrame:
+    """Audio chunking plumbing: expand each asset into overlapping
+    [chunk_start, chunk_end) windows over its duration — the unit an
+    ASR/embedding kernel consumes (stride = chunk_ms - overlap_ms; the
+    final partial chunk is kept and clamped to the duration, standard
+    Whisper-style segmentation). Pure Column ops (sequence+explode),
+    executor-side like frame_sample_plan; the decode/transcribe kernel
+    plugs in per chunk exactly as extract_features' does per asset.
+    NULL/non-positive durations emit no chunks."""
+    if overlap_ms >= chunk_ms:
+        raise ValueError("overlap must be smaller than the chunk")
+    stride = chunk_ms - overlap_ms
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0)).cast("long")
+    starts = F.when(dur > 0,
+                    F.sequence(F.lit(0).cast("long"), dur - 1,
+                               F.lit(stride).cast("long"))
+                    ).otherwise(F.array().cast("array<long>"))
+    out = media.select(F.col(id_col),
+                       F.explode(starts).alias("chunk_start"), dur.alias("_d"))
+    # drop tail starts that fall inside the previous chunk's overlap
+    # with nothing new to cover (start >= duration never emits; a start
+    # whose window would be pure overlap only arises when stride covers
+    # the rest: start > duration - overlap AND start > 0)
+    return (out.filter(F.col("chunk_start") < F.col("_d"))
+            .select(id_col, "chunk_start",
+                    F.least(F.col("chunk_start") + chunk_ms,
+                            F.col("_d")).alias("chunk_end"))
+            .withColumn("chunk_idx",
+                        ((F.col("chunk_start") / stride).cast("long"))))
