@@ -378,8 +378,10 @@ def lm_perplexity(docs: DataFrame, text_col: str = "text",
                                              .alias("bg"))),
             lambda p: p["bg"].contains(" "))).alias("_p")) \
         .select(F.col(id_col), F.col("_p.w1").alias("w1"),
-                F.col("_p.bg").alias("bg"))
-    tok = base.select(F.col(id_col), F.explode("_ws").alias("w"))
+                F.col("_p.bg").alias("bg")) \
+        .persist()  # feeds BOTH the bigram model agg and the scoring
+    # join — without it the tokenize+zip_with pipeline runs twice
+    tok = base.select(F.col(id_col), F.explode("_ws").alias("w")).persist()
     uni = tok.groupBy(F.col("w").alias("w1")) \
              .agg(F.count(F.lit(1)).alias("c1"))
     bi = occ.groupBy(F.col("bg").alias("_bg")) \
