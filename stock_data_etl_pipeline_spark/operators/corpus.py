@@ -487,8 +487,12 @@ def global_shuffle(docs: DataFrame, num_shards: int = 8, seed: int = 1,
     training reader consumes shards in order. Changing ``seed`` yields
     an independent permutation for the next epoch."""
     m, a = 2147483647, 48271  # minstd: a*m fits comfortably in int64
-    h1 = (F.col(id_col) % m * a + F.lit(seed)) % m
-    h2 = (h1 * a + F.lit(7919)) % m
+    # pmod, not %: Spark's % keeps the dividend's sign, so a negative id
+    # would produce a negative key/shard (SQL engines' % agrees with
+    # pmod only for non-negative inputs — pmod keeps the oracle exact
+    # for the testdata's non-negative ids AND the op total for any id)
+    h1 = F.pmod(F.pmod(F.col(id_col), m) * a + F.lit(seed), m)
+    h2 = F.pmod(h1 * a + F.lit(7919), m)
     return (docs.select(F.col(id_col),
                         h2.alias("shuffle_key"),
                         (h2 % num_shards).cast("int").alias("shard_id"))

@@ -374,3 +374,16 @@ def test_bpe_merges_skips_short_words(spark):
         [(1, "a b c a b")], "doc_id long, text string")
     # all words are single chars -> no pairs -> no merges, empty result
     assert bpe_merges(docs, n_merges=2).collect() == []
+
+
+def test_global_shuffle_handles_negative_and_sparse_ids(spark):
+    from pyspark.sql import functions as F
+
+    from stock_data_etl_pipeline_spark.operators.corpus import global_shuffle
+    ids = [-5, -1, 0, 3, 1_000_000_007, 2**40]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = global_shuffle(docs, num_shards=8, seed=9).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(ids)
+    for r in out:
+        assert 0 <= r["shard_id"] < 8, r
+        assert r["shuffle_key"] >= 0, r
