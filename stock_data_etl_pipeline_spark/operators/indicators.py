@@ -1,0 +1,221 @@
+"""Time-series / stock-indicator operators over the event stream.
+
+The reference ingests per-ticker time series (services/api/services/
+stock_ingestion_service.py; the TTM-substitution transform in
+services/workers/tasks/). This module supplies the downstream analytics
+a stock pipeline runs on such series, re-expressed as Spark window
+plans over the `events` table (`event_type` plays the symbol,
+`value` the price):
+
+- OHLC bar resampling (candlesticks) — the canonical downsample
+- Bollinger bands (rolling mean ± 2σ, breakout flags)
+- RSI (Wilder-style relative-strength, simple-average variant)
+- truncated EWMA trend (exponential weights over a bounded lookback)
+- LOCF gap-fill over a dense hourly grid (forward-fill)
+- rolling inter-series correlation (pairs analysis)
+- max drawdown (running-peak relative loss)
+
+Scale notes (100 TB): every plan partitions by symbol and shuffles at
+most once onto (symbol) or (symbol, bar) keys; window frames are
+row-bounded so state per partition is O(lookback); the dense grid is
+|symbols| x |hours| — independent of event count. The EWMA uses a
+rank-bounded self-join (40x amplification, linear in bars) instead of
+an unbounded running recurrence so it stays expressible as a pure
+window/join plan — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# bars-per-window constants shared by the plans and their SQL oracles
+BOLL_N = 20
+RSI_N = 14
+EWMA_DECAY = 0.8  # weight ratio between consecutive bars
+EWMA_LOOKBACK = 40  # 0.8^40 ~ 1.3e-4: truncation error below round(…, 6)
+CORR_N = 24
+
+
+def hourly_bars(events: DataFrame) -> DataFrame:
+    """Resample raw ticks into hourly OHLC bars per symbol.
+
+    open/close are tie-broken deterministically on (ts, event_id) via
+    row_number — `min_by`/`arg_min` on a struct key is not portable to
+    every engine, and the window + conditional-agg form costs the same
+    single shuffle: the window partitions by (symbol, bar) and the
+    groupBy reuses that exact partitioning, so Catalyst plans ONE
+    exchange for the whole resample.
+    """
+    e = events.select(
+        "event_type", "ts", "event_id", "value",
+        F.date_trunc("hour", F.col("ts")).alias("hr"))
+    w_a = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "hr").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    r = (e.withColumn("rn_a", F.row_number().over(w_a))
+          .withColumn("rn_d", F.row_number().over(w_d)))
+    return (r.groupBy("event_type", "hr")
+            .agg(F.max(F.when(F.col("rn_a") == 1, F.col("value")))
+                 .alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max(F.when(F.col("rn_d") == 1, F.col("value")))
+                 .alias("close"),
+                 F.count(F.lit(1)).alias("volume"),
+                 F.round(F.avg("value"), 6).alias("avg_value")))
+
+
+def _series_window(n: int) -> Window:
+    return (Window.partitionBy("event_type").orderBy("hr")
+            .rowsBetween(-(n - 1), 0))
+
+
+def bollinger(bars: DataFrame, n: int = BOLL_N) -> DataFrame:
+    """Rolling mean ± 2·stddev bands with breakout flags.
+
+    The flags compare against the ROUNDED band so the boolean is a pure
+    function of the emitted (hash-checked) band values — an unrounded
+    comparison could flip on a last-ulp difference between engines.
+    """
+    w = _series_window(n)
+    ma = F.avg("close").over(w)
+    sd = F.stddev_samp("close").over(w)
+    upper = F.round(ma + 2 * sd, 6)
+    lower = F.round(ma - 2 * sd, 6)
+    return (bars.select("event_type", "hr", "close",
+                        F.round(ma, 6).alias("ma"),
+                        upper.alias("upper_band"),
+                        lower.alias("lower_band"))
+            .withColumn("breakout_up", F.col("close") > F.col("upper_band"))
+            .withColumn("breakout_down", F.col("close") < F.col("lower_band")))
+
+
+def rsi(bars: DataFrame, n: int = RSI_N) -> DataFrame:
+    """Relative Strength Index, simple-moving-average variant.
+
+    RSI = 100 − 100/(1 + avg_gain/avg_loss) over the last ``n`` bars;
+    all-gain windows pin to 100 (exact: the loss terms are exactly 0).
+    The first bar of each symbol has no delta and yields NULL.
+    """
+    w_lag = Window.partitionBy("event_type").orderBy("hr")
+    w = _series_window(n)
+    delta = F.col("close") - F.lag("close").over(w_lag)
+    # greatest() drops NULL operands (both in Spark and ANSI engines),
+    # which would turn the first bar's undefined delta into gain=loss=0
+    # and pin its RSI to 100 — gate on the delta instead so the first
+    # bar stays NULL
+    with_delta = bars.select(
+        "event_type", "hr", "close",
+        F.when(delta.isNotNull(),
+               F.greatest(delta, F.lit(0.0))).alias("gain"),
+        F.when(delta.isNotNull(),
+               F.greatest(-delta, F.lit(0.0))).alias("loss"))
+    ag = F.avg("gain").over(w)
+    al = F.avg("loss").over(w)
+    return with_delta.select(
+        "event_type", "hr", "close",
+        F.round(F.when(al == 0, F.lit(100.0))
+                .otherwise(100.0 - 100.0 / (1.0 + ag / al)), 6).alias("rsi"))
+
+
+def ewma_trend(bars: DataFrame, decay: float = EWMA_DECAY,
+               lookback: int = EWMA_LOOKBACK) -> DataFrame:
+    """Truncated exponentially-weighted moving average of close.
+
+    ewma_t = Σ_{i=0..L-1} decay^i · close_{t-i} / Σ decay^i, via a
+    rank-bounded self-join (cur.rn − L < prev.rn ≤ cur.rn). The join
+    keys on symbol with a rank-range residual — a hash join with L-fold
+    amplification, linear in bars, never quadratic. The recurrence form
+    (ewma = α·x + (1−α)·prev) needs an unbounded running state that
+    neither SQL window frames nor Catalyst express; truncating at
+    decay^L < 1.3e-4 keeps the result identical to 6 dp.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    b = bars.select("event_type", "hr", "close",
+                    F.row_number().over(w).alias("rn"))
+    cur = b.alias("cur")
+    prev = b.alias("prev")
+    joined = cur.join(
+        prev,
+        (F.col("cur.event_type") == F.col("prev.event_type"))
+        & (F.col("prev.rn") > F.col("cur.rn") - lookback)
+        & (F.col("prev.rn") <= F.col("cur.rn")))
+    wgt = F.pow(F.lit(decay), F.col("cur.rn") - F.col("prev.rn"))
+    return (joined.groupBy(F.col("cur.event_type").alias("event_type"),
+                           F.col("cur.hr").alias("hr"),
+                           F.col("cur.close").alias("close"))
+            .agg(F.round(F.sum(F.col("prev.close") * wgt) / F.sum(wgt), 6)
+                 .alias("ewma")))
+
+
+def locf_fill(bars: DataFrame) -> DataFrame:
+    """Forward-fill hourly closes over a dense (symbol × hour) grid.
+
+    The grid spans the GLOBAL [min, max] bar range so every symbol
+    shares one timeline; `gap` marks synthesized rows. The bounds are
+    a 1-row aggregate broadcast into the grid generator — the grid is
+    |symbols| × |hours| rows regardless of event count, and the fill
+    is one running `last(ignorenulls)` window per symbol.
+    """
+    bounds = bars.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    symbols = bars.select("event_type").distinct()
+    grid = (symbols.crossJoin(F.broadcast(bounds))
+            .select("event_type",
+                    F.explode(F.sequence(
+                        F.col("mn"), F.col("mx"),
+                        F.expr("interval 1 hour"))).alias("hr")))
+    joined = grid.join(bars.select("event_type", "hr", "close"),
+                       ["event_type", "hr"], "left")
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return joined.select(
+        "event_type", "hr",
+        F.last("close", ignorenulls=True).over(w).alias("close_filled"),
+        F.col("close").isNull().alias("gap"))
+
+
+def rolling_corr(bars: DataFrame, sym_x: str, sym_y: str,
+                 n: int = CORR_N) -> DataFrame:
+    """Rolling Pearson correlation between two symbols' hourly closes.
+
+    Computed from explicit component sums (n, Σx, Σy, Σxy, Σx², Σy²)
+    rather than an engine-native corr() so the arithmetic — and hence
+    the 6-dp rounding — is identical on any engine running the same
+    formula. Inner join on the hour: only co-observed bars correlate.
+    """
+    x = (bars.filter(F.col("event_type") == sym_x)
+         .select("hr", F.col("close").alias("x")))
+    y = (bars.filter(F.col("event_type") == sym_y)
+         .select("hr", F.col("close").alias("y")))
+    xy = x.join(y, "hr")
+    w = Window.orderBy("hr").rowsBetween(-(n - 1), 0)
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum("x").over(w)
+    sy = F.sum("y").over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    sx2 = F.sum(F.col("x") * F.col("x")).over(w)
+    sy2 = F.sum(F.col("y") * F.col("y")).over(w)
+    num = cnt * sxy - sx * sy
+    den = F.sqrt((cnt * sx2 - sx * sx) * (cnt * sy2 - sy * sy))
+    return xy.select(
+        "hr", "x", "y",
+        F.round(F.when(den > 0, num / den), 6).alias("corr_24h"))
+
+
+def max_drawdown(bars: DataFrame) -> DataFrame:
+    """Max drawdown per symbol: min over t of close_t/peak_t − 1.
+
+    Running peak is an exact (no float summation) window max; the
+    division's operands are identical on any engine, so the quotient
+    is bit-identical. One shuffle onto symbol.
+    """
+    w = (Window.partitionBy("event_type").orderBy("hr")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    peak = F.max("close").over(w)
+    dd = bars.select("event_type",
+                     ((F.col("close") - peak) / peak).alias("dd"))
+    return (dd.groupBy("event_type")
+            .agg(F.round(F.min("dd"), 6).alias("max_drawdown"),
+                 F.count(F.lit(1)).alias("n_bars"))
+            .orderBy("event_type"))

@@ -388,3 +388,56 @@ def quantization_error(emb: DataFrame, codebook: DataFrame,
     row = (best.groupBy(id_col).agg(F.sum("bd2").alias("err"))
            .agg(F.avg("err").alias("mse")).collect())
     return float(row[0]["mse"])
+
+
+def triplet_mining(emb: DataFrame, anchor_stride: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   label_col: str = "label") -> DataFrame:
+    """Mine (anchor, positive, hardest-negative) triplets for
+    contrastive embedding training.
+
+    For each anchor (every ``anchor_stride``-th vector, deterministic):
+    - positive = most cosine-similar SAME-label vector (not itself)
+    - negative = most cosine-similar DIFFERENT-label vector — the
+      "hardest" negative, the one a margin loss learns most from
+    - margin  = pos_score − neg_score (negative margin ⇒ the current
+      embedding space misranks this anchor: mining signal)
+
+    Plan shape: the anchor set (|corpus|/stride rows) broadcasts
+    against ONE corpus scan — candidate generation is linear in the
+    corpus for a fixed anchor budget, never corpus × corpus. At 100 TB
+    you additionally block the negative side with sign_lsh_bucket
+    (hard negatives are by definition near the anchor, so same-bucket
+    probing keeps recall) and partition the corpus on the bucket key;
+    the per-anchor windows below are unchanged.
+
+    Deterministic: scores rounded to 6 dp, rank ties broken on
+    candidate id, anchors chosen by id arithmetic — engine-portable.
+    """
+    v = emb.select(F.col(id_col), F.col(label_col),
+                   as_double(vec_col).alias("v"))
+    anchors = (v.filter(F.pmod(F.col(id_col), F.lit(anchor_stride)) == 0)
+               .select(F.col(id_col).alias("qid"),
+                       F.col(label_col).alias("qlab"),
+                       F.col("v").alias("qv")))
+    cand = (v.join(F.broadcast(anchors), F.col("qid") != F.col(id_col))
+            .select("qid", "qlab", F.col(id_col).alias("nid"),
+                    (F.col(label_col) == F.col("qlab")).alias("same"),
+                    F.round(cosine(F.col("qv"), F.col("v")), 6)
+                    .alias("score")))
+    w = (Window.partitionBy("qid", "same")
+         .orderBy(F.col("score").desc(), F.col("nid")))
+    best = (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    pos = best.filter(F.col("same")).select(
+        "qid", F.col("qlab").alias("anchor_label"),
+        F.col("nid").alias("pos_id"), F.col("score").alias("pos_score"))
+    neg = best.filter(~F.col("same")).select(
+        "qid", F.col("nid").alias("neg_id"),
+        F.col("score").alias("neg_score"))
+    return (pos.join(neg, "qid")
+            .select(F.col("qid").alias("anchor_id"), "anchor_label",
+                    "pos_id", "pos_score", "neg_id", "neg_score",
+                    F.round(F.col("pos_score") - F.col("neg_score"), 6)
+                    .alias("margin"))
+            .orderBy("anchor_id"))

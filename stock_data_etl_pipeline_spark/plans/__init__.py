@@ -11,6 +11,7 @@ from . import catalog_tpch_sub  # noqa: F401
 from . import catalog_scalar  # noqa: F401
 from . import catalog_corpus  # noqa: F401
 from . import catalog_analytics  # noqa: F401
+from . import catalog_stock  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Driver verification window rotation. The external correctness gate checks

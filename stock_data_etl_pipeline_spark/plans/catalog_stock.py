@@ -1,0 +1,223 @@
+"""Catalog entries: stock-style time-series analytics over the event
+stream — the indicator family a stock-data pipeline computes downstream
+of ingestion (the reference ingests per-ticker series and derives
+trailing metrics, e.g. the TTM substitution in
+services/workers/tasks/transform_stock_data.py; these are the standard
+technical-analysis continuations of that series: OHLC resampling,
+Bollinger bands, RSI, EWMA trend, forward-fill, rolling correlation,
+drawdown). `event_type` plays the symbol and `value` the tick price.
+
+Every oracle restates the same hourly-bars CTE so Spark and DuckDB run
+the identical resample + window formulas; outputs are rounded to 6 dp
+in-engine so the hash compare sees one canonical value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import indicators as ind
+from ..sources.registry import load_table
+from .catalog import register
+
+# shared hourly-OHLC CTE for all oracles (tie-break mirrors
+# operators/indicators.hourly_bars: row_number on (ts, event_id))
+_BARS_CTE = """
+WITH e AS (
+  SELECT event_type, ts, event_id, value,
+         date_trunc('hour', ts) AS hr
+  FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, hr
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, hr
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+), bars AS (
+  SELECT event_type, hr,
+         max(CASE WHEN rn_a = 1 THEN value END) AS open,
+         max(value) AS high,
+         min(value) AS low,
+         max(CASE WHEN rn_d = 1 THEN value END) AS close,
+         count(*) AS volume,
+         round(avg(value), 6) AS avg_value
+  FROM r
+  GROUP BY event_type, hr
+)
+"""
+
+
+@register("stock_ohlc_bars", _BARS_CTE + """
+SELECT event_type, hr, open, high, low, close, volume, avg_value
+FROM bars
+ORDER BY event_type, hr
+""")
+def stock_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Candlestick resample: ticks -> hourly OHLC per symbol. ONE
+    # exchange total — the tie-break windows and the aggregate share
+    # the (event_type, hr) partitioning.
+    ev = load_table(spark, sf_dir, "events")
+    return ind.hourly_bars(ev).orderBy("event_type", "hr")
+
+
+@register("stock_bollinger", _BARS_CTE + f"""
+SELECT event_type, hr, close,
+       round(avg(close) OVER w, 6) AS ma,
+       round(avg(close) OVER w + 2 * stddev_samp(close) OVER w, 6)
+         AS upper_band,
+       round(avg(close) OVER w - 2 * stddev_samp(close) OVER w, 6)
+         AS lower_band,
+       close > round(avg(close) OVER w
+                     + 2 * stddev_samp(close) OVER w, 6) AS breakout_up,
+       close < round(avg(close) OVER w
+                     - 2 * stddev_samp(close) OVER w, 6) AS breakout_down
+FROM bars
+WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN {ind.BOLL_N - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_type, hr
+""")
+def stock_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling mean ± 2σ bands; breakout flags compare against the
+    # ROUNDED band so the boolean is a function of emitted values.
+    ev = load_table(spark, sf_dir, "events")
+    return ind.bollinger(ind.hourly_bars(ev)).orderBy("event_type", "hr")
+
+
+@register("stock_rsi", _BARS_CTE + f"""
+, l AS (
+  SELECT event_type, hr, close,
+         close - lag(close) OVER (PARTITION BY event_type
+                                  ORDER BY hr) AS delta
+  FROM bars
+), d AS (
+  SELECT event_type, hr, close,
+         CASE WHEN delta IS NULL THEN NULL
+              ELSE greatest(delta, 0) END AS gain,
+         CASE WHEN delta IS NULL THEN NULL
+              ELSE greatest(-delta, 0) END AS loss
+  FROM l
+)
+SELECT event_type, hr, close,
+       round(CASE WHEN avg(loss) OVER w = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + avg(gain) OVER w
+                                              / avg(loss) OVER w)
+             END, 6) AS rsi
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN {ind.RSI_N - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_type, hr
+""")
+def stock_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wilder-style RSI (simple-average variant); all-gain windows pin
+    # to exactly 100 (loss terms are exactly 0 — no float hazard).
+    ev = load_table(spark, sf_dir, "events")
+    return ind.rsi(ind.hourly_bars(ev)).orderBy("event_type", "hr")
+
+
+@register("stock_ewma_trend", _BARS_CTE + f"""
+, rb AS (
+  SELECT event_type, hr, close,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+  FROM bars
+)
+SELECT cur.event_type, cur.hr, cur.close,
+       round(sum(prev.close * pow({ind.EWMA_DECAY}, cur.rn - prev.rn))
+             / sum(pow({ind.EWMA_DECAY}, cur.rn - prev.rn)), 6) AS ewma
+FROM rb cur JOIN rb prev
+  ON cur.event_type = prev.event_type
+ AND prev.rn > cur.rn - {ind.EWMA_LOOKBACK}
+ AND prev.rn <= cur.rn
+GROUP BY cur.event_type, cur.hr, cur.close
+ORDER BY cur.event_type, cur.hr
+""")
+def stock_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Truncated EWMA via a rank-bounded self-join (linear, 40x
+    # amplification); decay^40 ~ 1e-4 keeps 6-dp identity with the
+    # unbounded recurrence.
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.ewma_trend(ind.hourly_bars(ev))
+            .orderBy("event_type", "hr"))
+
+
+@register("stock_locf_fill", _BARS_CTE + """
+, bounds AS (SELECT min(hr) AS mn, max(hr) AS mx FROM bars),
+grid AS (
+  SELECT s.event_type, h.hr
+  FROM (SELECT DISTINCT event_type FROM bars) s
+  CROSS JOIN (SELECT unnest(generate_series(
+                (SELECT mn FROM bounds), (SELECT mx FROM bounds),
+                INTERVAL 1 HOUR)) AS hr) h
+)
+SELECT g.event_type, g.hr,
+       last_value(b.close IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_filled,
+       b.close IS NULL AS gap
+FROM grid g LEFT JOIN bars b
+  ON g.event_type = b.event_type AND g.hr = b.hr
+ORDER BY g.event_type, g.hr
+""")
+def stock_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Forward-fill over a dense symbol x hour grid; grid size is
+    # independent of event count (|symbols| x |hours|).
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.locf_fill(ind.hourly_bars(ev))
+            .orderBy("event_type", "hr"))
+
+
+@register("stock_rolling_corr", _BARS_CTE + f"""
+, x AS (SELECT hr, close AS x FROM bars WHERE event_type = 'purchase'),
+y AS (SELECT hr, close AS y FROM bars WHERE event_type = 'view'),
+xy AS (SELECT x.hr, x.x, y.y FROM x JOIN y ON x.hr = y.hr)
+SELECT hr, x, y,
+       round(CASE WHEN sqrt(
+                (cast(count(*) OVER w AS DOUBLE) * sum(x*x) OVER w
+                 - sum(x) OVER w * sum(x) OVER w)
+              * (cast(count(*) OVER w AS DOUBLE) * sum(y*y) OVER w
+                 - sum(y) OVER w * sum(y) OVER w)) > 0
+         THEN (cast(count(*) OVER w AS DOUBLE) * sum(x*y) OVER w
+               - sum(x) OVER w * sum(y) OVER w)
+              / sqrt(
+                (cast(count(*) OVER w AS DOUBLE) * sum(x*x) OVER w
+                 - sum(x) OVER w * sum(x) OVER w)
+              * (cast(count(*) OVER w AS DOUBLE) * sum(y*y) OVER w
+                 - sum(y) OVER w * sum(y) OVER w))
+         END, 6) AS corr_24h
+FROM xy
+WINDOW w AS (ORDER BY hr
+             ROWS BETWEEN {ind.CORR_N - 1} PRECEDING AND CURRENT ROW)
+ORDER BY hr
+""")
+def stock_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Rolling Pearson between two symbols from explicit component sums
+    # (identical arithmetic on both engines). The single unpartitioned
+    # window is over BARS (|hours| rows), not ticks — at 100 TB this
+    # row count is fixed by the calendar, and a real deployment keys
+    # it by (pair) for many-pairs parallelism.
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.rolling_corr(ind.hourly_bars(ev), "purchase", "view")
+            .orderBy("hr"))
+
+
+@register("stock_max_drawdown", _BARS_CTE + """
+, dd AS (
+  SELECT event_type,
+         (close - max(close) OVER (PARTITION BY event_type ORDER BY hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         / max(close) OVER (PARTITION BY event_type ORDER BY hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dd
+  FROM bars
+)
+SELECT event_type, round(min(dd), 6) AS max_drawdown,
+       count(*) AS n_bars
+FROM dd
+GROUP BY event_type
+ORDER BY event_type
+""")
+def stock_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Running-peak drawdown; window max is exact (no float summation),
+    # so the quotient is bit-identical across engines.
+    ev = load_table(spark, sf_dir, "events")
+    return ind.max_drawdown(ind.hourly_bars(ev))

@@ -1,0 +1,125 @@
+"""Semantic pins for the stock-indicator operators (operators/
+indicators.py) on a tiny hand-built tick series, independent of the
+DuckDB oracle gate: OHLC tie-breaks, Bollinger band algebra, RSI
+boundary cases (all-gain -> 100), EWMA truncation vs the exact
+recurrence, LOCF density/gap flags, drawdown sign."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from stock_data_etl_pipeline_spark.operators import indicators as ind
+
+
+def _ts(h: int, m: int = 0, s: int = 0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    rows = [
+        # hour 0 of A: open is the (ts, event_id) minimum -> value 10
+        Row(event_type="A", ts=_ts(0, 5), event_id=2, value=11.0),
+        Row(event_type="A", ts=_ts(0, 5), event_id=1, value=10.0),
+        Row(event_type="A", ts=_ts(0, 50), event_id=3, value=14.0),
+        # hour 1 of A: single tick
+        Row(event_type="A", ts=_ts(1, 0), event_id=4, value=12.0),
+        # hour 2 of A: strictly rising within the hour
+        Row(event_type="A", ts=_ts(2, 10), event_id=5, value=13.0),
+        Row(event_type="A", ts=_ts(2, 20), event_id=6, value=15.0),
+        # B: one tick per hour, strictly rising (all-gain RSI)
+        Row(event_type="B", ts=_ts(0), event_id=7, value=1.0),
+        Row(event_type="B", ts=_ts(1), event_id=8, value=2.0),
+        Row(event_type="B", ts=_ts(2), event_id=9, value=3.0),
+        # C: gap at hour 1 (for LOCF), then a crash (for drawdown)
+        Row(event_type="C", ts=_ts(0), event_id=10, value=100.0),
+        Row(event_type="C", ts=_ts(2), event_id=11, value=25.0),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_ohlc_tie_break_and_bounds(ticks):
+    bars = {(r["event_type"], r["hr"].hour): r
+            for r in ind.hourly_bars(ticks).collect()}
+    a0 = bars[("A", 0)]
+    # open tie-broken by event_id at equal ts; close is the latest tick
+    assert a0["open"] == 10.0 and a0["close"] == 14.0
+    assert a0["low"] == 10.0 and a0["high"] == 14.0 and a0["volume"] == 3
+    a1 = bars[("A", 1)]
+    assert (a1["open"] == a1["close"] == a1["low"] == a1["high"] == 12.0
+            and a1["volume"] == 1)
+    assert bars[("A", 2)]["open"] == 13.0 and bars[("A", 2)]["close"] == 15.0
+
+
+def test_bollinger_band_algebra(ticks):
+    rows = ind.bollinger(ind.hourly_bars(ticks)).collect()
+    for r in rows:
+        if r["upper_band"] is None:  # 1-bar window: stddev_samp is NULL
+            continue
+        assert r["upper_band"] >= r["ma"] >= r["lower_band"]
+        assert r["breakout_up"] == (r["close"] > r["upper_band"])
+        assert r["breakout_down"] == (r["close"] < r["lower_band"])
+
+
+def test_rsi_all_gain_pins_to_100(ticks):
+    rows = {(r["event_type"], r["hr"].hour): r["rsi"]
+            for r in ind.rsi(ind.hourly_bars(ticks)).collect()}
+    # B rises every bar -> avg loss exactly 0 -> RSI exactly 100
+    assert rows[("B", 1)] == 100.0 and rows[("B", 2)] == 100.0
+    # first bar of a symbol has no delta -> NULL
+    assert rows[("B", 0)] is None and rows[("A", 0)] is None
+
+
+def test_ewma_matches_exact_recurrence(ticks):
+    out = {(r["event_type"], r["hr"].hour): r["ewma"]
+           for r in ind.ewma_trend(ind.hourly_bars(ticks)).collect()}
+    # closes of A by hour: 14, 12, 15 — exact truncated-EWMA by hand
+    d = ind.EWMA_DECAY
+    for hour, closes in [(0, [14.0]), (1, [14.0, 12.0]),
+                         (2, [14.0, 12.0, 15.0])]:
+        wts = [d ** (len(closes) - 1 - i) for i in range(len(closes))]
+        exact = sum(c * w for c, w in zip(closes, wts)) / sum(wts)
+        assert math.isclose(out[("A", hour)], round(exact, 6),
+                            abs_tol=1e-6)
+
+
+def test_locf_fills_gaps_on_dense_grid(ticks):
+    rows = {(r["event_type"], r["hr"].hour): r
+            for r in ind.locf_fill(ind.hourly_bars(ticks)).collect()}
+    # grid is dense: every symbol has all 3 hours
+    assert len(rows) == 9
+    # C has no hour-1 bar: gap=True, close carried from hour 0
+    c1 = rows[("C", 1)]
+    assert c1["gap"] and c1["close_filled"] == 100.0
+    assert not rows[("C", 0)]["gap"] and not rows[("C", 2)]["gap"]
+    assert rows[("C", 2)]["close_filled"] == 25.0
+
+
+def test_max_drawdown_sign_and_value(ticks):
+    out = {r["event_type"]: r for r in
+           ind.max_drawdown(ind.hourly_bars(ticks)).collect()}
+    # C: peak 100 -> trough 25 = -75%
+    assert out["C"]["max_drawdown"] == -0.75
+    # B strictly rises: drawdown never below 0
+    assert out["B"]["max_drawdown"] == 0.0
+    assert out["A"]["n_bars"] == 3
+
+
+def test_rolling_corr_perfect_on_linear_series(spark):
+    # x and y perfectly linearly related -> corr exactly 1 after round
+    rows = [Row(event_type=t, ts=_ts(h), event_id=h * 10 + i,
+                value=float(v))
+            for h in range(4)
+            for i, (t, v) in enumerate(
+                [("purchase", 10 + 2 * h), ("view", 5 + h)])]
+    bars = ind.hourly_bars(spark.createDataFrame(rows))
+    out = ind.rolling_corr(bars, "purchase", "view").collect()
+    assert len(out) == 4
+    assert out[0]["corr_24h"] is None  # 1-point window: den == 0
+    for r in out[1:]:
+        assert r["corr_24h"] == 1.0

@@ -46,3 +46,31 @@ def test_trained_codebook_beats_sampled(spark):
     qv = list(e.filter(e.vec_id == 0).collect()[0]["embedding"])
     top = pq_adc_topk(e, trained, qv, k=5).collect()
     assert len(top) == 5
+
+
+def test_triplet_mining_semantics(spark):
+    """Hand-built 2-label space: positives/negatives chosen by cosine,
+    hardest negative beats a farther one, margin sign flags misranks."""
+    from pyspark.sql import Row
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        triplet_mining,
+    )
+    rows = [
+        # anchor (id 0, label A) points along +x
+        Row(vec_id=0, label="A", embedding=[1.0, 0.0]),
+        # same-label candidates: id 2 nearly parallel (pos), id 4 off-axis
+        Row(vec_id=2, label="A", embedding=[0.9, 0.1]),
+        Row(vec_id=4, label="A", embedding=[0.5, 0.5]),
+        # different label: id 1 VERY close to anchor (hardest negative),
+        # id 3 orthogonal (easy negative)
+        Row(vec_id=1, label="B", embedding=[0.99, 0.01]),
+        Row(vec_id=3, label="B", embedding=[0.0, 1.0]),
+    ]
+    out = triplet_mining(spark.createDataFrame(rows),
+                         anchor_stride=10).collect()
+    # only id 0 is an anchor (stride 10)
+    assert [r["anchor_id"] for r in out] == [0]
+    t = out[0]
+    assert t["pos_id"] == 2 and t["neg_id"] == 1
+    # the hardest negative is closer than the positive -> negative margin
+    assert t["neg_score"] > t["pos_score"] and t["margin"] < 0
