@@ -221,3 +221,18 @@ def stock_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the quotient is bit-identical across engines.
     ev = load_table(spark, sf_dir, "events")
     return ind.max_drawdown(ind.hourly_bars(ev))
+
+
+@register("streaming_ohlc_bars", _BARS_CTE + """
+SELECT event_type, hr, open, high, low, close, volume, avg_value
+FROM bars
+ORDER BY event_type, hr
+""")
+def streaming_ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The SAME candlestick relation produced by a real Structured
+    # Streaming query (windowed min_by/max_by agg, watermark-bounded
+    # state) — checked against the identical batch bars oracle.
+    import os
+    from ..streaming.events import streaming_ohlc_bars
+    return streaming_ohlc_bars(
+        spark, os.path.join(sf_dir, "events.parquet"))

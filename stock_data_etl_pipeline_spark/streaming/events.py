@@ -230,3 +230,40 @@ def streaming_purchase_view_join(spark: SparkSession, events_parquet: str,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name).orderBy("p_id", "v_id")
+
+
+def streaming_ohlc_bars(spark: SparkSession, events_parquet: str,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Hourly OHLC candlesticks as a Structured Streaming query — the
+    streaming twin of operators/indicators.hourly_bars, producing the
+    same relation (same (ts, event_id) tie-break: ``min_by``/``max_by``
+    on a struct key order lexicographically, which equals the batch
+    row_number ordering).
+
+    min_by/max_by are declarative aggregates, so the whole resample is
+    ONE stateful windowed aggregation — no custom state function; state
+    per (symbol, hour) is a single partial OHLC row, evicted past the
+    watermark. On a live tick feed this query runs unchanged with
+    append mode + processingTime trigger, emitting each bar when its
+    hour closes — exactly how a market-data pipeline builds candles.
+    """
+    stream = event_stream(spark, events_parquet)
+    agg = (stream.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.min_by(F.col("value"),
+                         F.struct("ts", "event_id")).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by(F.col("value"),
+                         F.struct("ts", "event_id")).alias("close"),
+                F.count(F.lit(1)).alias("volume"),
+                F.round(F.avg("value"), 6).alias("avg_value")))
+    name = f"ohlc_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("w.start").alias("hr"), "event_type", "open",
+                    "high", "low", "close", "volume", "avg_value")
+            .orderBy("event_type", "hr"))
