@@ -53,6 +53,9 @@ HEADLINE = [
     # round 4: layout + shuffle ops
     "corpus_global_shuffle",
     "layout_zorder_orders",
+    # round 4: stock-indicator family (tick->bar resample + windows)
+    "stock_ohlc_bars",
+    "stock_ewma_trend",
 ]
 
 

@@ -219,3 +219,51 @@ def max_drawdown(bars: DataFrame) -> DataFrame:
             .agg(F.round(F.min("dd"), 6).alias("max_drawdown"),
                  F.count(F.lit(1)).alias("n_bars"))
             .orderBy("event_type"))
+
+
+ATR_N = 14
+
+
+def atr(bars: DataFrame, n: int = ATR_N) -> DataFrame:
+    """Average True Range: the volatility indicator that uses the full
+    candle. true_range = max(high−low, |high−prev_close|,
+    |low−prev_close|); ATR = rolling mean over ``n`` bars. The first
+    bar of a symbol has no prev_close → NULL true range (excluded from
+    the window average, which both Spark and ANSI engines do for NULL).
+    max/abs/subtraction are float-exact, so only the final mean needs
+    rounding."""
+    w_lag = Window.partitionBy("event_type").orderBy("hr")
+    prev_close = F.lag("close").over(w_lag)
+    tr = F.when(prev_close.isNotNull(), F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - prev_close),
+        F.abs(F.col("low") - prev_close)))
+    w = _series_window(n)
+    with_tr = bars.select("event_type", "hr", "high", "low", "close",
+                          tr.alias("true_range"))
+    return with_tr.select(
+        "event_type", "hr", "close",
+        F.round(F.col("true_range"), 6).alias("true_range"),
+        F.round(F.avg("true_range").over(w), 6).alias("atr"))
+
+
+def cov_matrix(bars: DataFrame) -> DataFrame:
+    """Pairwise covariance of hourly closes across all symbols — the
+    portfolio-risk building block. Self-join on the bar timestamp
+    (co-observed hours only), then one grouped aggregate per ordered
+    pair using the explicit E[xy]−E[x]E[y] form so the arithmetic is
+    engine-portable. |symbols|² pairs × |hours| joined rows — linear in
+    bars for a fixed symbol universe; at scale the join key is the
+    hour, already the bars partition key."""
+    a = bars.select(F.col("event_type").alias("sym_a"), "hr",
+                    F.col("close").alias("xa"))
+    b = bars.select(F.col("event_type").alias("sym_b"), "hr",
+                    F.col("close").alias("xb"))
+    j = a.join(b, "hr")
+    return (j.groupBy("sym_a", "sym_b")
+            .agg(F.count(F.lit(1)).alias("n_obs"),
+                 F.round((F.sum(F.col("xa") * F.col("xb"))
+                          - F.sum("xa") * F.sum("xb")
+                          / F.count(F.lit(1)))
+                         / (F.count(F.lit(1)) - 1), 6).alias("cov"))
+            .orderBy("sym_a", "sym_b"))

@@ -236,3 +236,48 @@ def streaming_ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import streaming_ohlc_bars
     return streaming_ohlc_bars(
         spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register("stock_atr", _BARS_CTE + f"""
+, l AS (
+  SELECT event_type, hr, high, low, close,
+         lag(close) OVER (PARTITION BY event_type ORDER BY hr) AS pc
+  FROM bars
+), t AS (
+  SELECT event_type, hr, close,
+         CASE WHEN pc IS NULL THEN NULL
+              ELSE greatest(high - low, abs(high - pc), abs(low - pc))
+         END AS true_range
+  FROM l
+)
+SELECT event_type, hr, close,
+       round(true_range, 6) AS true_range,
+       round(avg(true_range) OVER (
+         PARTITION BY event_type ORDER BY hr
+         ROWS BETWEEN {ind.ATR_N - 1} PRECEDING AND CURRENT ROW), 6) AS atr
+FROM t
+ORDER BY event_type, hr
+""")
+def stock_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Average True Range — candle-range volatility; first bar has no
+    # prev_close and stays NULL (excluded from the window mean).
+    ev = load_table(spark, sf_dir, "events")
+    return ind.atr(ind.hourly_bars(ev)).orderBy("event_type", "hr")
+
+
+@register("stock_cov_matrix", _BARS_CTE + """
+SELECT a.event_type AS sym_a, b.event_type AS sym_b,
+       count(*) AS n_obs,
+       round((sum(a.close * b.close)
+              - sum(a.close) * sum(b.close) / count(*))
+             / (count(*) - 1), 6) AS cov
+FROM bars a JOIN bars b ON a.hr = b.hr
+GROUP BY a.event_type, b.event_type
+ORDER BY sym_a, sym_b
+""")
+def stock_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full pairwise covariance of hourly closes (portfolio risk): bars
+    # self-joined on the hour, one grouped aggregate per ordered pair,
+    # explicit E[xy]-E[x]E[y]/(n-1) form for engine portability.
+    ev = load_table(spark, sf_dir, "events")
+    return ind.cov_matrix(ind.hourly_bars(ev))

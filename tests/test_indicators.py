@@ -123,3 +123,30 @@ def test_rolling_corr_perfect_on_linear_series(spark):
     assert out[0]["corr_24h"] is None  # 1-point window: den == 0
     for r in out[1:]:
         assert r["corr_24h"] == 1.0
+
+
+def test_atr_true_range_cases(ticks):
+    rows = {(r["event_type"], r["hr"].hour): r
+            for r in ind.atr(ind.hourly_bars(ticks)).collect()}
+    # first bar per symbol: no prev close -> NULL TR and NULL ATR
+    assert rows[("A", 0)]["true_range"] is None
+    assert rows[("A", 0)]["atr"] is None
+    # A hour1: high=low=close=12, prev close 14 -> TR = |12-14| = 2
+    assert rows[("A", 1)]["true_range"] == 2.0
+    # A hour2: high 15 low 13, prev close 12 -> max(2, 3, 1) = 3
+    assert rows[("A", 2)]["true_range"] == 3.0
+    # ATR at hour2 = mean(2, 3); NULL first bar excluded
+    assert rows[("A", 2)]["atr"] == 2.5
+
+
+def test_cov_matrix_symmetry_and_variance(ticks):
+    out = {(r["sym_a"], r["sym_b"]): r
+           for r in ind.cov_matrix(ind.hourly_bars(ticks)).collect()}
+    # symmetric, all ordered pairs present (3 symbols -> 9 pairs)
+    assert len(out) == 9
+    for (a, b), r in out.items():
+        assert r["cov"] == out[(b, a)]["cov"]
+    # diagonal = sample variance; B closes 1,2,3 -> var exactly 1
+    assert out[("B", "B")]["cov"] == 1.0
+    # co-observation counts: A and B share all 3 hours
+    assert out[("A", "B")]["n_obs"] == 3
