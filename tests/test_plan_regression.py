@@ -42,7 +42,24 @@ PINNED = {
     # scan-level equality/range filter family
     "filter_range_set_numeric": {"pushed": 1},
     "filter_is_completed": {"pushed": 1},
+    # stock family: keyed rank-range self-join must stay a hash/merge
+    # join on the symbol key (cartesian/bnlj asserted == 0 below)
+    "stock_ewma_trend": {},
 }
+
+
+def test_ohlc_resample_single_data_exchange(spark):
+    """The tick->bar resample's tie-break windows and aggregate must
+    share ONE hash exchange on (event_type, hr) — a second
+    hashpartitioning means a window/groupBy key drifted and the plan
+    re-shuffles the full tick stream."""
+    import __spark_entry__ as entrymod
+    props, plan = audit_one(
+        spark, entrymod.queries()["stock_ohlc_bars"], SF_DIR)
+    # the AQE plan string appends the pre-adaptive plan after an
+    # "== Initial Plan ==" marker — count only the final plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1, final[:4000]
 
 
 @pytest.fixture(scope="module")
