@@ -392,7 +392,8 @@ def quantization_error(emb: DataFrame, codebook: DataFrame,
 
 def triplet_mining(emb: DataFrame, anchor_stride: int = 10,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   label_col: str = "label") -> DataFrame:
+                   label_col: str = "label",
+                   neg_anchors: list[list[float]] | None = None) -> DataFrame:
     """Mine (anchor, positive, hardest-negative) triplets for
     contrastive embedding training.
 
@@ -406,25 +407,52 @@ def triplet_mining(emb: DataFrame, anchor_stride: int = 10,
     Plan shape: the anchor set (|corpus|/stride rows) broadcasts
     against ONE corpus scan — candidate generation is linear in the
     corpus for a fixed anchor budget, never corpus × corpus. At 100 TB
-    you additionally block the negative side with sign_lsh_bucket
-    (hard negatives are by definition near the anchor, so same-bucket
-    probing keeps recall) and partition the corpus on the bucket key;
-    the per-anchor windows below are unchanged.
+    pass ``neg_anchors`` (sign-LSH hyperplanes): the negative side then
+    joins on the EQUI bucket key instead of broadcasting against the
+    whole corpus — hard negatives are by definition near the anchor, so
+    same-bucket probing keeps recall, and the bucket column becomes the
+    corpus partition key. The per-anchor windows are unchanged; only
+    the negative candidate set shrinks (the blocked result is exact
+    within the bucket — the blocker's standard recall contract, same as
+    knn_join / lsh_topk).
 
     Deterministic: scores rounded to 6 dp, rank ties broken on
     candidate id, anchors chosen by id arithmetic — engine-portable.
     """
     v = emb.select(F.col(id_col), F.col(label_col),
                    as_double(vec_col).alias("v"))
+    if neg_anchors is not None:
+        v = v.withColumn("bucket",
+                         sign_lsh_bucket(F.col("v"), neg_anchors))
     anchors = (v.filter(F.pmod(F.col(id_col), F.lit(anchor_stride)) == 0)
                .select(F.col(id_col).alias("qid"),
                        F.col(label_col).alias("qlab"),
-                       F.col("v").alias("qv")))
-    cand = (v.join(F.broadcast(anchors), F.col("qid") != F.col(id_col))
-            .select("qid", "qlab", F.col(id_col).alias("nid"),
-                    (F.col(label_col) == F.col("qlab")).alias("same"),
-                    F.round(cosine(F.col("qv"), F.col("v")), 6)
-                    .alias("score")))
+                       F.col("v").alias("qv"),
+                       *([F.col("bucket").alias("qbucket")]
+                         if neg_anchors is not None else [])))
+    if neg_anchors is None:
+        cand = (v.join(F.broadcast(anchors), F.col("qid") != F.col(id_col))
+                .select("qid", "qlab", F.col(id_col).alias("nid"),
+                        (F.col(label_col) == F.col("qlab")).alias("same"),
+                        F.round(cosine(F.col("qv"), F.col("v")), 6)
+                        .alias("score")))
+    else:
+        # positives: label-keyed equi-join (the label IS the block);
+        # negatives: bucket-keyed equi-join — both shuffle-joinable at
+        # scale, no broadcast of the corpus anywhere
+        pos_c = (v.join(anchors, (F.col(label_col) == F.col("qlab"))
+                        & (F.col("qid") != F.col(id_col)))
+                 .select("qid", "qlab", F.col(id_col).alias("nid"),
+                         F.lit(True).alias("same"),
+                         F.round(cosine(F.col("qv"), F.col("v")), 6)
+                         .alias("score")))
+        neg_c = (v.join(anchors, (F.col("bucket") == F.col("qbucket"))
+                        & (F.col(label_col) != F.col("qlab")))
+                 .select("qid", "qlab", F.col(id_col).alias("nid"),
+                         F.lit(False).alias("same"),
+                         F.round(cosine(F.col("qv"), F.col("v")), 6)
+                         .alias("score")))
+        cand = pos_c.unionByName(neg_c)
     w = (Window.partitionBy("qid", "same")
          .orderBy(F.col("score").desc(), F.col("nid")))
     best = (cand.withColumn("rn", F.row_number().over(w))

@@ -74,3 +74,31 @@ def test_triplet_mining_semantics(spark):
     assert t["pos_id"] == 2 and t["neg_id"] == 1
     # the hardest negative is closer than the positive -> negative margin
     assert t["neg_score"] > t["pos_score"] and t["margin"] < 0
+
+
+def test_triplet_mining_lsh_blocked_negatives(spark):
+    """Blocked mode: negatives restricted to the anchor's sign-LSH
+    bucket; when the hardest negative shares the bucket, blocked ==
+    exhaustive; a cross-bucket easy negative is excluded."""
+    from pyspark.sql import Row
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        triplet_mining,
+    )
+    rows = [
+        Row(vec_id=0, label="A", embedding=[1.0, 0.0]),
+        Row(vec_id=2, label="A", embedding=[0.9, 0.1]),
+        # hardest negative: same half-space as the anchor
+        Row(vec_id=1, label="B", embedding=[0.99, 0.01]),
+        # easy negative: opposite half-space -> different bucket
+        Row(vec_id=3, label="B", embedding=[-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows)
+    # one hyperplane along +x: bucket = [x >= 0]
+    blocked = triplet_mining(emb, anchor_stride=10,
+                             neg_anchors=[[1.0, 0.0]]).collect()
+    full = triplet_mining(emb, anchor_stride=10).collect()
+    assert len(blocked) == len(full) == 1
+    # the hardest negative lives in the anchor's bucket, so the blocked
+    # result is identical to the exhaustive one
+    assert blocked[0] == full[0]
+    assert blocked[0]["neg_id"] == 1
