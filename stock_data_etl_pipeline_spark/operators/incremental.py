@@ -179,3 +179,105 @@ def streaming_maintain_join_view(stream: DataFrame, table,
     return (stream.writeStream.foreachBatch(fold)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+# ---------------------------------------------------------------------------
+# Incremental OHLC bar maintenance (append-only tick feed).
+#
+# Unlike the retractable sum/count rollup above, OHLC bars fold an
+# APPEND-ONLY stream (ticks are immutable facts), which makes every bar
+# component associative: open/close carry their (ts, event_id) tie-break
+# keys so partial bars from different micro-batches combine exactly —
+# the classic partial-aggregate ("combiner") shape, persisted. At 100 TB
+# the bars table is calendar x symbols sized, so each fold rewrites a
+# dashboard-scale table while reading only the batch's ticks — never the
+# tick history.
+# ---------------------------------------------------------------------------
+
+def ohlc_partial(events: DataFrame) -> DataFrame:
+    """Associative partial OHLC per (event_type, hour): open/close via
+    struct-keyed min_by/max_by, plus the first/last tie-break keys and
+    sum_value so partials re-combine exactly (avg derives at read)."""
+    key = F.struct("ts", "event_id")
+    return (events
+            .withColumn("hr", F.date_trunc("hour", F.col("ts")))
+            .groupBy("event_type", "hr")
+            .agg(F.min_by("value", key).alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max_by("value", key).alias("close"),
+                 F.count(F.lit(1)).alias("volume"),
+                 F.sum("value").alias("sum_value"),
+                 F.min(key).alias("_first"),
+                 F.max(key).alias("_last"))
+            .select("event_type", "hr", "open", "high", "low", "close",
+                    "volume", "sum_value",
+                    F.col("_first.ts").alias("first_ts"),
+                    F.col("_first.event_id").alias("first_id"),
+                    F.col("_last.ts").alias("last_ts"),
+                    F.col("_last.event_id").alias("last_id")))
+
+
+def combine_ohlc_partials(partials: DataFrame) -> DataFrame:
+    """Re-combine partial bars that share (event_type, hr) — associative
+    and commutative, so any batching of the tick stream folds to the
+    same bars as a single-pass aggregate."""
+    fkey = F.struct("first_ts", "first_id")
+    lkey = F.struct("last_ts", "last_id")
+    return (partials.groupBy("event_type", "hr")
+            .agg(F.min_by("open", fkey).alias("open"),
+                 F.max("high").alias("high"),
+                 F.min("low").alias("low"),
+                 F.max_by("close", lkey).alias("close"),
+                 F.sum("volume").alias("volume"),
+                 F.sum("sum_value").alias("sum_value"),
+                 F.min(fkey).alias("_first"),
+                 F.max(lkey).alias("_last"))
+            .select("event_type", "hr", "open", "high", "low", "close",
+                    "volume", "sum_value",
+                    F.col("_first.first_ts").alias("first_ts"),
+                    F.col("_first.first_id").alias("first_id"),
+                    F.col("_last.last_ts").alias("last_ts"),
+                    F.col("_last.last_id").alias("last_id")))
+
+
+def read_ohlc_bars(table) -> DataFrame:
+    """Finalize the maintained bars: derive avg_value = sum/volume (same
+    operands as a direct F.avg, so it equals indicators.hourly_bars)
+    and drop the combine-only tie-break keys."""
+    return (table.read()
+            .select("event_type", "hr", "open", "high", "low", "close",
+                    "volume",
+                    F.round(F.col("sum_value") / F.col("volume"), 6)
+                    .alias("avg_value")))
+
+
+def streaming_maintain_ohlc(stream: DataFrame, table, checkpoint: str):
+    """Maintain an OHLC bars ManagedTable from a live tick stream: each
+    micro-batch folds its partial bars into the table inside
+    ``foreachBatch``.
+
+    Replay-safe (exactly-once effect): the epoch id commits ATOMICALLY
+    with the fold (``overwrite(meta={'epoch': id})``); a replayed batch
+    (foreachBatch is at-least-once after a crash) sees its own epoch in
+    the latest commit meta and skips — folding is NOT idempotent
+    (volume/sum would double-count), so the guard is load-bearing where
+    the MERGE-based ingest can rely on key idempotency instead.
+
+    Returns the started query (caller awaits)."""
+    def fold(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if table.exists():
+            last = table.commit_meta().get("epoch")
+            if last is not None and epoch_id <= last:
+                return  # replayed batch, already folded
+        partial = ohlc_partial(batch_df)
+        if table.exists():
+            partial = combine_ohlc_partials(
+                table.read().unionByName(partial))
+        table.overwrite(partial, meta={"epoch": epoch_id})
+
+    return (stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

@@ -146,6 +146,14 @@ class ManagedTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)["partitions"]
 
+    def commit_meta(self, version: int | None = None) -> dict:
+        """Full commit-manifest record for ``version`` (default latest) —
+        op, committed_at, plus any caller meta attached via
+        ``overwrite(meta=...)`` (e.g. a maintainer's epoch id)."""
+        v = self.latest_version() if version is None else version
+        with open(self._manifest_path(v)) as fh:
+            return json.load(fh)
+
     def _read_stats(self, version: int) -> dict[str, dict[str, list]]:
         """Per-partition {col: [min, max]} recorded at commit time; empty
         for manifests written before stats existed (no pruning, still
@@ -247,13 +255,23 @@ class ManagedTable:
         parts, stats = self._write_partition_dirs(df)
         self._commit(version, parts, {"op": "create", "stats": stats})
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> None:
+        """Full-table replace. ``meta`` keys land in the commit manifest
+        atomically with the data — e.g. a streaming maintainer's epoch
+        id, so replay detection and the fold commit can't diverge."""
         if not self.exists():
             self.create(df)
+            if meta:  # re-commit manifest with the caller's meta attached
+                v = self.latest_version()
+                manifest = dict(self._read_manifest(v))
+                stats = dict(self._read_stats(v))
+                self._commit(v + 1, manifest,
+                             {"op": "overwrite", "stats": stats, **meta})
         else:
             parts, stats = self._write_partition_dirs(df)
             self._commit(self.latest_version() + 1, parts,
-                         {"op": "overwrite", "stats": stats})
+                         {"op": "overwrite", "stats": stats, **meta}
+                         if meta else {"op": "overwrite", "stats": stats})
 
     def merge(self, source: DataFrame, keys: Sequence[str],
               dedup_source_order: Sequence[Column] | None = None) -> None:

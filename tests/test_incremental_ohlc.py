@@ -1,0 +1,87 @@
+"""Incremental OHLC bar maintenance (operators/incremental.py):
+multi-batch folds equal the single-pass batch resample; replayed
+batches are skipped via the epoch committed atomically with the fold."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from stock_data_etl_pipeline_spark.operators import indicators as ind
+from stock_data_etl_pipeline_spark.operators.incremental import (
+    read_ohlc_bars,
+    streaming_maintain_ohlc,
+)
+from stock_data_etl_pipeline_spark.sources.managed_table import ManagedTable
+
+SCHEMA = ("event_id long, ts timestamp, user_id long, event_type string, "
+          "value double")
+
+
+def _ticks(spark):
+    rows = [
+        Row(event_id=i, ts=dt.datetime(2024, 1, 1, h, m), user_id=1,
+            event_type=t, value=float(v))
+        for i, (h, m, t, v) in enumerate([
+            (0, 5, "A", 10.0), (0, 6, "A", 14.0), (0, 7, "B", 5.0),
+            (0, 55, "A", 11.0), (1, 1, "A", 9.0), (1, 2, "B", 6.0),
+            (1, 30, "B", 4.0), (2, 0, "A", 20.0), (2, 59, "B", 7.0),
+        ])
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+@pytest.fixture()
+def maintained(spark, tmp_path):
+    """Drive the maintainer over a 3-file source, one file per batch."""
+    src = str(tmp_path / "src")
+    ticks = _ticks(spark)
+    # three slices -> three micro-batches (maxFilesPerTrigger=1)
+    for i in range(3):
+        (ticks.filter((ticks.event_id % 3) == i).coalesce(1)
+         .write.mode("append" if i else "overwrite")
+         .parquet(os.path.join(src, f"slice={i}")))
+    table = ManagedTable(spark, str(tmp_path / "bars"),
+                         partition_by=["event_type"])
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/slice=*"))
+    q = streaming_maintain_ohlc(stream, table,
+                                str(tmp_path / "cp"))
+    q.awaitTermination()
+    return table, ticks, src
+
+
+def test_multi_batch_fold_equals_batch_resample(maintained):
+    table, ticks, _ = maintained
+    got = {(r["event_type"], r["hr"]): r
+           for r in read_ohlc_bars(table).collect()}
+    want = {(r["event_type"], r["hr"]): r
+            for r in ind.hourly_bars(
+                ticks.withColumn("value", ticks.value)).collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        for c in ("open", "high", "low", "close", "volume", "avg_value"):
+            assert g[c] == w[c], (k, c, g[c], w[c])
+    # epoch of the last fold is recorded in the commit manifest
+    assert table.commit_meta()["epoch"] == 2
+
+
+def test_replayed_epoch_is_skipped(maintained, spark, tmp_path):
+    table, _, src = maintained
+    before = sorted(map(tuple, read_ohlc_bars(table).collect()))
+    v_before = table.latest_version()
+    # a FRESH checkpoint re-delivers old epochs (at-least-once replay);
+    # the epoch guard must skip them — folding is not idempotent
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/slice=*"))
+    q = streaming_maintain_ohlc(stream, table,
+                                str(tmp_path / "cp_replay"))
+    q.awaitTermination()
+    assert table.latest_version() == v_before  # no new commits
+    assert sorted(map(tuple, read_ohlc_bars(table).collect())) == before
