@@ -281,3 +281,41 @@ def stock_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit E[xy]-E[x]E[y]/(n-1) form for engine portability.
     ev = load_table(spark, sf_dir, "events")
     return ind.cov_matrix(ind.hourly_bars(ev))
+
+
+@register("incremental_ohlc_result", _BARS_CTE + """
+SELECT event_type, hr, open, high, low, close, volume, avg_value
+FROM bars
+ORDER BY event_type, hr
+""")
+def incremental_ohlc_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The bars table produced by the INCREMENTAL maintainer (3 forced
+    # micro-batches, epoch-guarded foreachBatch folds into a
+    # ManagedTable) must equal the single-pass batch resample — the
+    # associativity contract, hash-checked against the same bars oracle.
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.incremental import (read_ohlc_bars,
+                                         streaming_maintain_ohlc)
+    from ..sources.managed_table import ManagedTable
+
+    work = tempfile.mkdtemp(prefix="iohlc_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src = os.path.join(work, "src")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    for i in range(3):  # three slices -> three micro-batches
+        (ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i).coalesce(1)
+         .write.mode("overwrite").parquet(os.path.join(src, f"s={i}")))
+    table = ManagedTable(spark, os.path.join(work, "bars"),
+                         partition_by=["event_type"])
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp, user_id long, "
+                      "event_type string, value double")
+              .option("maxFilesPerTrigger", 1).parquet(src + "/s=*"))
+    q = streaming_maintain_ohlc(stream, table, os.path.join(work, "cp"))
+    q.awaitTermination()
+    return read_ohlc_bars(table).orderBy("event_type", "hr")
