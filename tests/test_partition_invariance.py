@@ -26,6 +26,11 @@ QUERIES = [
     "events_sessionization",
     "dedup_canonical_keep",
     "corpus_temperature_mix",
+    # stock family: OHLC tie-breaks and the EWMA rank self-join must
+    # not depend on partition layout
+    "stock_ohlc_bars",
+    "stock_ewma_trend",
+    "embedding_triplet_mining",
 ]
 
 
