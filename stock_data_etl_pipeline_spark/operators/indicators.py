@@ -267,3 +267,60 @@ def cov_matrix(bars: DataFrame) -> DataFrame:
                           / F.count(F.lit(1)))
                          / (F.count(F.lit(1)) - 1), 6).alias("cov"))
             .orderBy("sym_a", "sym_b"))
+
+
+LAG_K = 5
+
+
+def lag_features(bars: DataFrame, k: int = LAG_K) -> DataFrame:
+    """Supervised-learning feature matrix from the bar series: per
+    (symbol, bar), the last ``k`` closes as lag columns plus rolling
+    mean/stddev and the NEXT bar's close as the label — the standard
+    train-matrix extraction for per-symbol forecasting, one window
+    partitioning for every column. Rows without a full lag history or
+    a label (series edges) are dropped so the matrix is dense."""
+    w = Window.partitionBy("event_type").orderBy("hr")
+    wk = _series_window(k)
+    cols = [F.lag("close", i).over(w).alias(f"lag_{i}")
+            for i in range(1, k + 1)]
+    out = bars.select(
+        "event_type", "hr", "close", *cols,
+        F.round(F.avg("close").over(wk), 6).alias(f"mean_{k}"),
+        F.round(F.stddev_samp("close").over(wk), 6).alias(f"std_{k}"),
+        F.lead("close").over(w).alias("label_next_close"))
+    return out.filter(F.col(f"lag_{k}").isNotNull()
+                      & F.col("label_next_close").isNotNull())
+
+
+def momentum_backtest(bars: DataFrame, fast: int = 5,
+                      slow: int = 20) -> DataFrame:
+    """Toy moving-average-crossover backtest per symbol.
+
+    signal_t = sign(ma_fast − ma_slow); the position HELD during bar
+    t+1 is signal_t (entered on the next bar — no look-ahead);
+    bar_return_{t+1} = close_{t+1}/close_t − 1;
+    pnl per symbol = Σ position·bar_return, with trade count and hit
+    rate. All windows share the per-symbol partitioning — the whole
+    backtest is two window passes and one aggregate, no Python loop;
+    at scale symbols parallelize embarrassingly."""
+    w = Window.partitionBy("event_type").orderBy("hr")
+    ma_f = F.avg("close").over(_series_window(fast))
+    ma_s = F.avg("close").over(_series_window(slow))
+    sig = bars.select(
+        "event_type", "hr", "close",
+        F.signum(F.round(ma_f - ma_s, 6)).alias("signal"))
+    pos = sig.select(
+        "event_type", "hr", "close",
+        F.lag("signal").over(w).alias("position"),
+        (F.col("close") / F.lag("close").over(w) - 1.0).alias("bar_ret"))
+    traded = pos.filter(F.col("position").isNotNull()
+                        & F.col("bar_ret").isNotNull())
+    won = (F.col("position") * F.col("bar_ret") > 0).cast("long")
+    active = (F.col("position") != 0).cast("long")
+    return (traded.groupBy("event_type")
+            .agg(F.round(F.sum(F.col("position") * F.col("bar_ret")), 6)
+                 .alias("total_pnl"),
+                 F.sum(active).alias("bars_in_market"),
+                 F.sum(won).alias("winning_bars"),
+                 F.count(F.lit(1)).alias("n_bars"))
+            .orderBy("event_type"))

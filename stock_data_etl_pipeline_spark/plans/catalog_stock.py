@@ -319,3 +319,65 @@ def incremental_ohlc_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = streaming_maintain_ohlc(stream, table, os.path.join(work, "cp"))
     q.awaitTermination()
     return read_ohlc_bars(table).orderBy("event_type", "hr")
+
+
+@register("stock_lag_features", _BARS_CTE + f"""
+, m AS (
+  SELECT event_type, hr, close,
+         {', '.join(f'lag(close, {i}) OVER w AS lag_{i}'
+                    for i in range(1, ind.LAG_K + 1))},
+         round(avg(close) OVER wk, 6) AS mean_{ind.LAG_K},
+         round(stddev_samp(close) OVER wk, 6) AS std_{ind.LAG_K},
+         lead(close) OVER w AS label_next_close
+  FROM bars
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr),
+         wk AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN {ind.LAG_K - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT * FROM m
+WHERE lag_{ind.LAG_K} IS NOT NULL AND label_next_close IS NOT NULL
+ORDER BY event_type, hr
+""")
+def stock_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Train-matrix extraction for per-symbol forecasting: k lag closes
+    # + rolling moments + next-close label, dense rows only. One window
+    # partitioning serves every feature column.
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.lag_features(ind.hourly_bars(ev))
+            .orderBy("event_type", "hr"))
+
+
+@register("stock_momentum_backtest", _BARS_CTE + f"""
+, sig AS (
+  SELECT event_type, hr, close,
+         sign(round(avg(close) OVER wf - avg(close) OVER ws, 6)) AS signal
+  FROM bars
+  WINDOW wf AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         ws AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+), pos AS (
+  SELECT event_type, hr,
+         lag(signal) OVER w AS position,
+         close / lag(close) OVER w - 1.0 AS bar_ret
+  FROM sig
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+), t AS (
+  SELECT * FROM pos
+  WHERE position IS NOT NULL AND bar_ret IS NOT NULL
+)
+SELECT event_type,
+       round(sum(position * bar_ret), 6) AS total_pnl,
+       CAST(sum(CASE WHEN position <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bars_in_market,
+       CAST(sum(CASE WHEN position * bar_ret > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS winning_bars,
+       count(*) AS n_bars
+FROM t GROUP BY event_type ORDER BY event_type
+""")
+def stock_momentum_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MA-crossover backtest: signal lagged one bar (no look-ahead),
+    # position x bar-return folded per symbol — two window passes and
+    # one aggregate, embarrassingly parallel across symbols.
+    ev = load_table(spark, sf_dir, "events")
+    return ind.momentum_backtest(ind.hourly_bars(ev))

@@ -85,3 +85,16 @@ def test_replayed_epoch_is_skipped(maintained, spark, tmp_path):
     q.awaitTermination()
     assert table.latest_version() == v_before  # no new commits
     assert sorted(map(tuple, read_ohlc_bars(table).collect())) == before
+
+
+def test_indicators_compose_over_maintained_bars(maintained):
+    """Downstream indicators read the MAINTAINED bars table unchanged:
+    bollinger over read_ohlc_bars(table) == bollinger over the batch
+    resample (the bars relation is identical, so any indicator in
+    operators/indicators.py composes with incremental maintenance)."""
+    table, ticks, _ = maintained
+    from_table = sorted(
+        map(tuple, ind.bollinger(read_ohlc_bars(table)).collect()))
+    from_batch = sorted(
+        map(tuple, ind.bollinger(ind.hourly_bars(ticks)).collect()))
+    assert from_table == from_batch

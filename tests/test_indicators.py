@@ -150,3 +150,34 @@ def test_cov_matrix_symmetry_and_variance(ticks):
     assert out[("B", "B")]["cov"] == 1.0
     # co-observation counts: A and B share all 3 hours
     assert out[("A", "B")]["n_obs"] == 3
+
+
+def test_lag_features_dense_matrix(spark):
+    # one symbol, closes 1..8 -> with k=2: rows where lag_2 and the
+    # next-close label both exist
+    rows = [Row(event_type="X", ts=_ts(h), event_id=h, value=float(h + 1))
+            for h in range(8)]
+    out = ind.lag_features(ind.hourly_bars(spark.createDataFrame(rows)),
+                           k=2).collect()
+    # bars 0..7 (closes 1..8): need lag_2 (bar>=2) and lead (bar<=6)
+    assert len(out) == 5
+    by_close = {r["close"]: r for r in out}
+    r = by_close[4.0]  # bar 3
+    assert r["lag_1"] == 3.0 and r["lag_2"] == 2.0
+    assert r["label_next_close"] == 5.0
+    assert r["mean_2"] == 3.5  # mean(3, 4)
+
+
+def test_momentum_backtest_long_rising_series(spark):
+    # strictly rising closes -> fast MA >= slow MA, long position,
+    # every in-market bar wins
+    rows = [Row(event_type="X", ts=_ts(h), event_id=h,
+                value=float(10 + h))
+            for h in range(24)]
+    out = ind.momentum_backtest(
+        ind.hourly_bars(spark.createDataFrame(rows))).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["total_pnl"] > 0
+    assert r["winning_bars"] == r["bars_in_market"] > 0
+    assert r["n_bars"] == 23  # first bar has no position/return
