@@ -98,3 +98,34 @@ def test_indicators_compose_over_maintained_bars(maintained):
     from_batch = sorted(
         map(tuple, ind.bollinger(ind.hourly_bars(ticks)).collect()))
     assert from_table == from_batch
+
+
+def test_late_tick_updates_only_its_bar(maintained, spark, tmp_path):
+    """A late tick for an old hour folds into exactly that bar (new
+    min over the combine keys can even move open/low); other bars'
+    rows are untouched — the backfill story of the maintainer."""
+    table, _, src = maintained
+    before = {(r["event_type"], r["hr"]): r
+              for r in read_ohlc_bars(table).collect()}
+    late = spark.createDataFrame(
+        [Row(event_id=999, ts=dt.datetime(2024, 1, 1, 0, 1), user_id=1,
+             event_type="A", value=1.0)], SCHEMA)
+    (late.coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(src, "slice=late")))
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/slice=*"))
+    # same checkpoint dir as the original run: only the NEW file forms
+    # a batch; its epoch advances past the recorded one so it folds
+    q = streaming_maintain_ohlc(stream, table,
+                                str(tmp_path / "cp"))
+    q.awaitTermination()
+    after = {(r["event_type"], r["hr"]): r
+             for r in read_ohlc_bars(table).collect()}
+    key = ("A", dt.datetime(2024, 1, 1, 0))
+    # the late tick is now the earliest and smallest in its hour
+    assert after[key]["open"] == 1.0 and after[key]["low"] == 1.0
+    assert after[key]["volume"] == before[key]["volume"] + 1
+    for k in before:
+        if k != key:
+            assert after[k] == before[k]
