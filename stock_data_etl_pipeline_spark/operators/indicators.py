@@ -324,3 +324,17 @@ def momentum_backtest(bars: DataFrame, fast: int = 5,
                  F.sum(won).alias("winning_bars"),
                  F.count(F.lit(1)).alias("n_bars"))
             .orderBy("event_type"))
+
+
+def rollup_bars(partial_bars: DataFrame, granularity: str) -> DataFrame:
+    """Roll partial bars up to a coarser granularity (hour -> day ->
+    week...) WITHOUT touching ticks: re-truncate the bar timestamp and
+    re-combine — the OHLC combine keys make bars a proper monoid, so
+    hierarchical rollups fold partials exactly like micro-batches do
+    (operators/incremental.combine_ohlc_partials). At 100 TB the daily
+    table derives from the hourly table (|bars| rows), never from the
+    tick history."""
+    from .incremental import combine_ohlc_partials
+    return combine_ohlc_partials(
+        partial_bars.withColumn(
+            "hr", F.date_trunc(granularity, F.col("hr"))))

@@ -381,3 +381,46 @@ def stock_momentum_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one aggregate, embarrassingly parallel across symbols.
     ev = load_table(spark, sf_dir, "events")
     return ind.momentum_backtest(ind.hourly_bars(ev))
+
+
+@register("stock_daily_bars", """
+WITH e AS (
+  SELECT event_type, ts, event_id, value,
+         -- duckdb's day-trunc yields DATE; Spark keeps TIMESTAMP
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY event_type, d
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, d
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, d AS hr,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS volume,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM r
+GROUP BY event_type, d
+ORDER BY event_type, hr
+""")
+def stock_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Daily candles derived from HOURLY PARTIALS (never from ticks) via
+    # the bar monoid's re-combine; the oracle computes daily bars
+    # directly from ticks — equality IS the associativity proof at
+    # external-gate strength. avg rounds once at the day level (the
+    # hourly partials carry raw sum/volume).
+    from ..operators.incremental import ohlc_partial
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    hourly = ohlc_partial(ev)
+    daily = ind.rollup_bars(hourly, "day")
+    return (daily.select("event_type", "hr", "open", "high", "low",
+                         "close", "volume",
+                         F.round(F.col("sum_value") / F.col("volume"), 6)
+                         .alias("avg_value"))
+            .orderBy("event_type", "hr"))
