@@ -299,3 +299,37 @@ def streaming_dedup_ttl_survivors(spark: SparkSession,
      .withColumnRenamed("event_id", "doc_id")
      .coalesce(1).write.mode("overwrite").parquet(src))
     return streaming_dedup_ttl(spark, src, cp, ttl="90 days").orderBy("doc_id")
+
+
+@register("events_sequence_examples", """
+WITH o AS (SELECT user_id, ts, event_id, event_type,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+m AS (SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev IS NULL
+                       OR date_diff('second', prev, ts) > 1800 THEN 1
+                  ELSE 0 END AS is_new
+      FROM o),
+s AS (SELECT user_id, ts, event_id, event_type,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS session_id
+      FROM m),
+x AS (SELECT user_id, session_id, event_id,
+             lag(event_type, 3) OVER ws AS prev_3,
+             lag(event_type, 2) OVER ws AS prev_2,
+             lag(event_type, 1) OVER ws AS prev_1,
+             event_type AS label
+      FROM s
+      WINDOW ws AS (PARTITION BY user_id, session_id
+                    ORDER BY ts, event_id))
+SELECT * FROM x WHERE prev_3 IS NOT NULL
+ORDER BY user_id, session_id, event_id
+""")
+def events_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequence-model training rows: (3 predecessors, next event) within
+    # a session — the sessionization windows reused as-is, zero Python
+    from ..streaming.events import session_sequence_examples
+    return (session_sequence_examples(
+        load_table(spark, sf_dir, "events"), k=3)
+        .orderBy("user_id", "session_id", "event_id"))

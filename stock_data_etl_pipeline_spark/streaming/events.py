@@ -267,3 +267,31 @@ def streaming_ohlc_bars(spark: SparkSession, events_parquet: str,
             .select(F.col("w.start").alias("hr"), "event_type", "open",
                     "high", "low", "close", "volume", "avg_value")
             .orderBy("event_type", "hr"))
+
+
+def session_sequence_examples(events: DataFrame, k: int = 3,
+                              gap_seconds: int = 1800) -> DataFrame:
+    """Next-event-prediction training rows from sessionized activity:
+    for every event with >= ``k`` predecessors in the SAME session,
+    emit (prev_k .. prev_1, label) — the sequence-model training
+    extraction (recsys next-action / behavioral LM) done entirely with
+    the sessionization windows: one shuffle on user, lag columns over
+    (user, session) ordering, no per-session Python.
+
+    At 100 TB sessions are bounded by the gap, so the lag frame state
+    is tiny; the example count is |events| minus session heads."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = (F.col("ts").cast("long")
+           - F.lag(F.col("ts")).over(w).cast("long"))
+    tagged = events.withColumn(
+        "_new", F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0))
+    s = tagged.withColumn("session_id", F.sum("_new").over(run))
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id")
+    lags = [F.lag("event_type", i).over(ws).alias(f"prev_{i}")
+            for i in range(k, 0, -1)]
+    out = s.select("user_id", "session_id", "event_id", *lags,
+                   F.col("event_type").alias("label"))
+    return out.filter(F.col(f"prev_{k}").isNotNull())
