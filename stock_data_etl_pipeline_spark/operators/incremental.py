@@ -242,14 +242,14 @@ def combine_ohlc_partials(partials: DataFrame) -> DataFrame:
 
 
 def read_ohlc_bars(table) -> DataFrame:
-    """Finalize the maintained bars: derive avg_value = sum/volume (same
-    operands as a direct F.avg, so it equals indicators.hourly_bars)
-    and drop the combine-only tie-break keys."""
+    """Finalize the maintained bars: round the carried raw sum to the
+    0.01 tick grid (same grid as indicators.hourly_bars.total_value —
+    a derived AVERAGE would sit on 6-dp rounding knife-edges for
+    power-of-two volumes) and drop the combine-only tie-break keys."""
     return (table.read()
             .select("event_type", "hr", "open", "high", "low", "close",
                     "volume",
-                    F.round(F.col("sum_value") / F.col("volume"), 6)
-                    .alias("avg_value")))
+                    F.round(F.col("sum_value"), 2).alias("total_value")))
 
 
 def streaming_maintain_ohlc(stream: DataFrame, table, checkpoint: str):

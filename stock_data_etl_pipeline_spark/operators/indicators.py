@@ -63,7 +63,12 @@ def hourly_bars(events: DataFrame) -> DataFrame:
                  F.max(F.when(F.col("rn_d") == 1, F.col("value")))
                  .alias("close"),
                  F.count(F.lit(1)).alias("volume"),
-                 F.round(F.avg("value"), 6).alias("avg_value")))
+                 # total, not average: 2-dp ticks keep the sum on the
+                 # 0.01 grid, so round(…, 2) is far from any rounding
+                 # tie. round(avg, 6) was a knife-edge — sum/2^k counts
+                 # (32 ticks/hour at sf0.1) land EXACTLY on x.xxxxxx5
+                 # and Spark/DuckDB break the tie differently.
+                 F.round(F.sum("value"), 2).alias("total_value")))
 
 
 def _series_window(n: int) -> Window:

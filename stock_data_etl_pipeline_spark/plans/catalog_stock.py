@@ -8,8 +8,9 @@ Bollinger bands, RSI, EWMA trend, forward-fill, rolling correlation,
 drawdown). `event_type` plays the symbol and `value` the tick price.
 
 Every oracle restates the same hourly-bars CTE so Spark and DuckDB run
-the identical resample + window formulas; outputs are rounded to 6 dp
-in-engine so the hash compare sees one canonical value.
+the identical resample + window formulas; outputs are rounded in-engine
+(6 dp for derived ratios, the 0.01 tick grid for sums) so the hash
+compare sees one canonical value.
 """
 
 from __future__ import annotations
@@ -42,7 +43,7 @@ WITH e AS (
          min(value) AS low,
          max(CASE WHEN rn_d = 1 THEN value END) AS close,
          count(*) AS volume,
-         round(avg(value), 6) AS avg_value
+         round(sum(value), 2) AS total_value
   FROM r
   GROUP BY event_type, hr
 )
@@ -50,7 +51,7 @@ WITH e AS (
 
 
 @register("stock_ohlc_bars", _BARS_CTE + """
-SELECT event_type, hr, open, high, low, close, volume, avg_value
+SELECT event_type, hr, open, high, low, close, volume, total_value
 FROM bars
 ORDER BY event_type, hr
 """)
@@ -224,7 +225,7 @@ def stock_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("streaming_ohlc_bars", _BARS_CTE + """
-SELECT event_type, hr, open, high, low, close, volume, avg_value
+SELECT event_type, hr, open, high, low, close, volume, total_value
 FROM bars
 ORDER BY event_type, hr
 """)
@@ -284,7 +285,7 @@ def stock_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register("incremental_ohlc_result", _BARS_CTE + """
-SELECT event_type, hr, open, high, low, close, volume, avg_value
+SELECT event_type, hr, open, high, low, close, volume, total_value
 FROM bars
 ORDER BY event_type, hr
 """)
@@ -403,7 +404,7 @@ SELECT event_type, d AS hr,
        min(value) AS low,
        max(CASE WHEN rn_d = 1 THEN value END) AS close,
        count(*) AS volume,
-       round(sum(value) / count(*), 6) AS avg_value
+       round(sum(value), 2) AS total_value
 FROM r
 GROUP BY event_type, d
 ORDER BY event_type, hr
@@ -412,8 +413,8 @@ def stock_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Daily candles derived from HOURLY PARTIALS (never from ticks) via
     # the bar monoid's re-combine; the oracle computes daily bars
     # directly from ticks — equality IS the associativity proof at
-    # external-gate strength. avg rounds once at the day level (the
-    # hourly partials carry raw sum/volume).
+    # external-gate strength. The total rounds once at the day level
+    # (the hourly partials carry the raw sum).
     from ..operators.incremental import ohlc_partial
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value")
@@ -421,6 +422,6 @@ def stock_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ind.rollup_bars(hourly, "day")
     return (daily.select("event_type", "hr", "open", "high", "low",
                          "close", "volume",
-                         F.round(F.col("sum_value") / F.col("volume"), 6)
-                         .alias("avg_value"))
+                         F.round(F.col("sum_value"), 2)
+                         .alias("total_value"))
             .orderBy("event_type", "hr"))

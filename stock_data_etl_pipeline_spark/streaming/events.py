@@ -257,7 +257,7 @@ def streaming_ohlc_bars(spark: SparkSession, events_parquet: str,
                 F.max_by(F.col("value"),
                          F.struct("ts", "event_id")).alias("close"),
                 F.count(F.lit(1)).alias("volume"),
-                F.round(F.avg("value"), 6).alias("avg_value")))
+                F.round(F.sum("value"), 2).alias("total_value")))
     name = f"ohlc_{uuid.uuid4().hex[:8]}"
     q = (agg.writeStream.outputMode("complete")
          .format("memory").queryName(name)
@@ -265,7 +265,7 @@ def streaming_ohlc_bars(spark: SparkSession, events_parquet: str,
     q.awaitTermination()
     return (spark.table(name)
             .select(F.col("w.start").alias("hr"), "event_type", "open",
-                    "high", "low", "close", "volume", "avg_value")
+                    "high", "low", "close", "volume", "total_value")
             .orderBy("event_type", "hr"))
 
 

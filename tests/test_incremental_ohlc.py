@@ -65,7 +65,7 @@ def test_multi_batch_fold_equals_batch_resample(maintained):
     assert set(got) == set(want)
     for k, w in want.items():
         g = got[k]
-        for c in ("open", "high", "low", "close", "volume", "avg_value"):
+        for c in ("open", "high", "low", "close", "volume", "total_value"):
             assert g[c] == w[c], (k, c, g[c], w[c])
     # epoch of the last fold is recorded in the commit manifest
     assert table.commit_meta()["epoch"] == 2
