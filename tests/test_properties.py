@@ -306,3 +306,64 @@ def test_managed_table_matches_model(spark, tmp_path_factory, ops):
     hist = t.history().collect()
     assert [r["version"] for r in hist] == \
         list(range(len(snapshots) - 1, -1, -1))
+
+
+@st.composite
+def tick_batches(draw):
+    """Random tick set randomly partitioned into 1-4 batches; ties in ts
+    (same second) are common by construction to stress the (ts,
+    event_id) tie-break."""
+    n = draw(st.integers(min_value=1, max_value=18))
+    ticks = []
+    for i in range(n):
+        ticks.append({
+            "event_id": i,
+            "sec": draw(st.integers(min_value=0, max_value=7200)),
+            "event_type": draw(st.sampled_from(["A", "B"])),
+            "value": round(draw(st.floats(min_value=0.01, max_value=500,
+                                          allow_nan=False)), 2),
+        })
+    assignment = [draw(st.integers(min_value=0, max_value=3))
+                  for _ in range(n)]
+    return ticks, assignment
+
+
+@SLOW
+@given(spec=tick_batches())
+def test_ohlc_partials_fold_like_single_pass(spark, spec):
+    """THE bar-monoid law, randomized: partial OHLC bars computed per
+    random batch and re-combined equal the single-pass aggregate over
+    all ticks — for any batch assignment, tie-heavy timestamps
+    included. This is what makes incremental maintenance and the
+    daily rollup exact, so it gets the property treatment."""
+    import datetime as dt
+
+    from stock_data_etl_pipeline_spark.operators.incremental import (
+        combine_ohlc_partials,
+        ohlc_partial,
+    )
+    ticks, assignment = spec
+    rows = [{"event_id": t["event_id"],
+             "ts": dt.datetime(2024, 1, 1) + dt.timedelta(seconds=t["sec"]),
+             "event_type": t["event_type"], "value": t["value"]}
+            for t in ticks]
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    full = spark.createDataFrame(rows, schema)
+    single = {(r["event_type"], r["hr"]): r
+              for r in ohlc_partial(full).collect()}
+    parts = []
+    for b in set(assignment):
+        batch = [r for r, a in zip(rows, assignment) if a == b]
+        parts.append(ohlc_partial(spark.createDataFrame(batch, schema)))
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    folded = {(r["event_type"], r["hr"]): r
+              for r in combine_ohlc_partials(union).collect()}
+    assert set(folded) == set(single)
+    for k, s in single.items():
+        f = folded[k]
+        for c in ("open", "high", "low", "close", "volume",
+                  "first_ts", "first_id", "last_ts", "last_id"):
+            assert f[c] == s[c], (k, c, f[c], s[c])
+        assert abs(f["sum_value"] - s["sum_value"]) < 1e-9
