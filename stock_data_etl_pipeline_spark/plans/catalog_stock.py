@@ -425,3 +425,61 @@ def stock_daily_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.round(F.col("sum_value"), 2)
                          .alias("total_value"))
             .orderBy("event_type", "hr"))
+
+
+@register("dq_stock_bars", _BARS_CTE + """
+SELECT 'high_ge_low' AS constraint_name,
+       CAST(sum(CASE WHEN high < low THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations,
+       count(*) AS checked
+FROM bars
+UNION ALL
+SELECT 'open_within_range',
+       CAST(sum(CASE WHEN open > high OR open < low THEN 1 ELSE 0 END)
+            AS BIGINT),
+       count(*)
+FROM bars
+UNION ALL
+SELECT 'close_within_range',
+       CAST(sum(CASE WHEN close > high OR close < low THEN 1 ELSE 0 END)
+            AS BIGINT),
+       count(*)
+FROM bars
+UNION ALL
+SELECT 'volume_positive',
+       CAST(sum(CASE WHEN volume IS NULL OR volume <= 0
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       count(*)
+FROM bars
+UNION ALL
+SELECT bk.constraint_name,
+       CAST(sum(CASE WHEN bk.c > 1 THEN bk.c - 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(bk.c) AS BIGINT)
+FROM (SELECT 'bar_key_unique' AS constraint_name, count(*) AS c
+      FROM bars GROUP BY event_type, hr) bk
+GROUP BY bk.constraint_name
+ORDER BY constraint_name
+""")
+def dq_stock_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the declarative DQ suite (operators/quality.py) applied to the
+    # DERIVED bars relation: candle invariants (OHLC ordering bounds,
+    # positive volume) folded into one aggregation + key uniqueness —
+    # the expectation gate a bar pipeline runs before publishing. All
+    # constraints hold on the resample by construction, and the oracle
+    # re-derives that from ticks independently.
+    from ..operators.quality import RowRule, UniqueRule, dq_check
+    ev = load_table(spark, sf_dir, "events")
+    bars = ind.hourly_bars(ev)
+    out = dq_check(bars, [
+        RowRule("close_within_range",
+                (F.col("close") > F.col("high"))
+                | (F.col("close") < F.col("low"))),
+        RowRule("high_ge_low", F.col("high") < F.col("low")),
+        RowRule("open_within_range",
+                (F.col("open") > F.col("high"))
+                | (F.col("open") < F.col("low"))),
+        RowRule("volume_positive",
+                F.col("volume").isNull() | (F.col("volume") <= 0)),
+        UniqueRule("bar_key_unique", ("event_type", "hr")),
+    ])
+    return out.orderBy("constraint_name")
