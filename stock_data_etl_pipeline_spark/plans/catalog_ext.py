@@ -736,3 +736,62 @@ def layout_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("price_c")))
     z = zorder_key(o, ["o_custkey", "price_c"], bits=8)
     return z.select("o_orderkey", "zkey").orderBy("zkey", "o_orderkey")
+
+
+@register("scd2_point_in_time_join", """
+WITH upd AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 0),
+dim AS (
+  SELECT b.c_custkey, b.c_mktsegment,
+         TIMESTAMP '1992-01-01' AS effective_from,
+         CASE WHEN u.c_custkey IS NOT NULL
+              THEN TIMESTAMP '1996-06-01' END AS effective_to
+  FROM customer b LEFT JOIN upd u ON u.c_custkey = b.c_custkey
+  UNION ALL
+  SELECT c_custkey, 'MACHINERY', TIMESTAMP '1996-06-01', NULL
+  FROM upd
+)
+SELECT d.c_mktsegment AS segment_asof,
+       count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o JOIN dim d
+  ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= d.effective_from
+ AND (d.effective_to IS NULL OR o.o_orderdate < d.effective_to)
+GROUP BY d.c_mktsegment
+ORDER BY segment_asof
+""")
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Point-in-time (as-of) join against SCD2 history: every order is
+    # attributed to the dimension VERSION valid at its order date —
+    # the temporal-correctness join every warehouse needs once dims
+    # keep history. Keyed equi-join on the business key with the
+    # validity-interval residual; versions-per-key is small by
+    # construction, so amplification is bounded and the join stays a
+    # hash/merge join at any scale (never a range cross-join).
+    import datetime
+    c = load_table(spark, sf_dir, "customer")
+    upd = c.filter(F.col("c_custkey") % 10 == 0).select("c_custkey")
+    base = (c.select("c_custkey", "c_mktsegment")
+            .join(upd.withColumn("_chg", F.lit(True)), "c_custkey",
+                  "left")
+            .select("c_custkey", "c_mktsegment",
+                    F.lit("1992-01-01").cast("timestamp")
+                    .alias("effective_from"),
+                    F.when(F.col("_chg"),
+                           F.lit("1996-06-01").cast("timestamp"))
+                    .alias("effective_to")))
+    newver = upd.select(
+        "c_custkey", F.lit("MACHINERY").alias("c_mktsegment"),
+        F.lit("1996-06-01").cast("timestamp").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"))
+    dim = base.unionByName(newver)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    pit = o.join(dim, (o["o_custkey"] == dim["c_custkey"])
+                 & (o["o_orderdate"] >= dim["effective_from"])
+                 & (dim["effective_to"].isNull()
+                    | (o["o_orderdate"] < dim["effective_to"])))
+    return (pit.groupBy(F.col("c_mktsegment").alias("segment_asof"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+            .orderBy("segment_asof"))
