@@ -343,3 +343,115 @@ def rollup_bars(partial_bars: DataFrame, granularity: str) -> DataFrame:
     return combine_ohlc_partials(
         partial_bars.withColumn(
             "hr", F.date_trunc(granularity, F.col("hr"))))
+
+
+ANNUALIZE_BARS = 8760  # hourly bars -> periods per year
+RET_SCALE = 1_000_000  # micro-log-returns: fixed-point unit for exact sums
+PX_SCALE = 10_000  # price/spread fixed-point unit (1e-4 grid)
+
+
+def beta_alpha(bars: DataFrame) -> DataFrame:
+    """CAPM-style risk profile per symbol against the equal-weight
+    market: beta/alpha from an OLS of the symbol's hourly log-returns on
+    the cross-sectional mean return, plus annualized volatility and
+    Sharpe ratio — the portfolio-construction companion to cov_matrix.
+
+    Determinism: float sums over a shuffled relation are reduced in
+    nondeterministic partition order, so a 6-dp rounding of a raw
+    double aggregate can flip between runs (observed once at sf0.01).
+    Instead every return is quantized to an integer number of
+    micro-log-returns and ALL regression moments (n, Σr, Σm, Σrm, Σm²,
+    Σr²) are exact 64-bit integer sums — order-independent, identical
+    on any engine — and only the final scalar formulas run in floating
+    point on those exact values. Log returns bound the magnitude
+    (|ln ratio| ≤ ~16 even across a 1e-4→560 price swing), so the
+    squared-sum stays ≲1e17, inside bigint range; simple returns would
+    overflow on near-zero prices.
+
+    Shape at 100 TB: one window per symbol over bars (calendar-bounded
+    rows), one tiny per-hour market agg broadcast back, one grouped agg
+    per symbol. Nothing scales with tick count.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    lagc = F.lag("close").over(w)
+    ri = F.when((F.col("close") > 0) & (lagc > 0),
+                F.round((F.log("close") - F.log(lagc)) * RET_SCALE, 0)
+                .cast("long"))
+    ret = (bars.select("event_type", "hr", ri.alias("ri"))
+           .filter(F.col("ri").isNotNull()))
+    # per-hour market return: avg of integer-valued summands < 2^53 is
+    # exact in either integer or double accumulation — order-free
+    mkt = (ret.groupBy("hr")
+           .agg(F.round(F.avg("ri"), 0).cast("long").alias("rmi")))
+    j = ret.join(F.broadcast(mkt), "hr")
+    n = F.count(F.lit(1)).cast("double")
+    sr = F.sum("ri").cast("double")
+    sm = F.sum("rmi").cast("double")
+    srm = F.sum(F.col("ri") * F.col("rmi")).cast("double")
+    sm2 = F.sum(F.col("rmi") * F.col("rmi")).cast("double")
+    sr2 = F.sum(F.col("ri") * F.col("ri")).cast("double")
+    s = 1.0 / RET_SCALE
+    beta = F.when(n * sm2 - sm * sm != 0,
+                  (n * srm - sr * sm) / (n * sm2 - sm * sm))
+    # sample variance in integer units; scale by s (and s² under sqrt)
+    var_i = F.when(n > 1, (n * sr2 - sr * sr) / (n * (n - 1)))
+    vol_ann = F.sqrt(var_i) * s * float(ANNUALIZE_BARS) ** 0.5
+    sharpe = F.when(var_i > 0,
+                    (sr / n) / F.sqrt(var_i)
+                    * float(ANNUALIZE_BARS) ** 0.5)
+    return (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_obs"),
+                 F.round(beta, 6).alias("beta"),
+                 F.round((sr / n - beta * (sm / n)) * s, 6).alias("alpha"),
+                 F.round(vol_ann, 6).alias("vol_annual"),
+                 F.round(sharpe, 6).alias("sharpe_annual"))
+            .orderBy("event_type"))
+
+
+def pairs_zscore(bars: DataFrame, sym_x: str, sym_y: str,
+                 n: int = CORR_N) -> DataFrame:
+    """Pairs-trading spread z-score: hedge-ratio OLS of x on y over the
+    full co-observed sample, then the residual spread x − β·y
+    standardized against its own rolling 24-bar mean/stddev. |z| ≥ 2 is
+    the classic entry signal.
+
+    Determinism (same rationale as beta_alpha): the hedge regression
+    runs on prices quantized to a 1e-4 grid so its component sums are
+    exact integers; the spread is itself quantized to the 1e-4 grid so
+    the rolling-window moments are again exact integer sums — the
+    emitted spread/z are pure functions of exact integers, identical
+    across engines and runs. The hedge ratio is ONE scalar row
+    broadcast back over the pair series; the rolling window is over
+    co-observed BARS (calendar-bounded rows, same cost class as
+    rolling_corr — a many-pairs deployment keys the window by pair)."""
+    px = lambda c: F.round(F.col(c) * PX_SCALE, 0).cast("long")  # noqa: E731
+    x = (bars.filter(F.col("event_type") == sym_x)
+         .select("hr", F.col("close").alias("x")))
+    y = (bars.filter(F.col("event_type") == sym_y)
+         .select("hr", F.col("close").alias("y")))
+    xy = (x.join(y, "hr")
+          .select("hr", "x", "y",
+                  px("x").alias("xi"), px("y").alias("yi")))
+    cnt = F.count(F.lit(1)).cast("double")
+    sxy = F.sum(F.col("xi") * F.col("yi")).cast("double")
+    sx = F.sum("xi").cast("double")
+    sy = F.sum("yi").cast("double")
+    sy2 = F.sum(F.col("yi") * F.col("yi")).cast("double")
+    hedge = xy.agg(((cnt * sxy - sx * sy)
+                    / (cnt * sy2 - sy * sy)).alias("beta_h"))
+    # spread on the 1e-4 grid: integer-valued summands for the window
+    si = F.round((F.col("x") - F.col("beta_h") * F.col("y")) * PX_SCALE,
+                 0).cast("long")
+    sp = (xy.crossJoin(F.broadcast(hedge))
+          .select("hr", "x", "y", F.round("beta_h", 6).alias("beta_h"),
+                  si.alias("si")))
+    w = Window.orderBy("hr").rowsBetween(-(n - 1), 0)
+    wn = F.count(F.lit(1)).over(w).cast("double")
+    ss = F.sum("si").over(w).cast("double")
+    ss2 = F.sum(F.col("si") * F.col("si")).over(w).cast("double")
+    var_i = F.when(wn > 1, (wn * ss2 - ss * ss) / (wn * (wn - 1)))
+    z = F.when(var_i > 0, (F.col("si") - ss / wn) / F.sqrt(var_i))
+    return sp.select(
+        "hr", "x", "y", "beta_h",
+        (F.col("si").cast("double") / PX_SCALE).alias("spread"),
+        F.round(z, 6).alias("z_24h"))

@@ -522,3 +522,99 @@ def stock_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("total_value"), 2).alias("total_traded"),
                  F.round(F.avg("abs_ret"), 6).alias("mean_abs_ret"))
             .orderBy("event_type", "hour_of_day"))
+
+
+@register("stock_beta_alpha", _BARS_CTE + """
+, ret AS (
+  SELECT event_type, hr,
+         CASE WHEN close > 0
+               AND lag(close) OVER (PARTITION BY event_type ORDER BY hr) > 0
+              THEN CAST(round((ln(close) - ln(lag(close) OVER (
+                       PARTITION BY event_type ORDER BY hr))) * 1000000,
+                   0) AS BIGINT) END AS ri
+  FROM bars
+), rr AS (SELECT * FROM ret WHERE ri IS NOT NULL),
+mkt AS (SELECT hr, CAST(round(avg(ri), 0) AS BIGINT) AS rmi
+        FROM rr GROUP BY hr),
+j AS (SELECT rr.event_type, rr.ri, mkt.rmi FROM rr JOIN mkt USING (hr)),
+a AS (SELECT event_type, cast(count(*) AS DOUBLE) AS n,
+             cast(cast(sum(ri) AS BIGINT) AS DOUBLE) AS sr,
+             cast(cast(sum(rmi) AS BIGINT) AS DOUBLE) AS sm,
+             cast(cast(sum(ri*rmi) AS BIGINT) AS DOUBLE) AS srm,
+             cast(cast(sum(rmi*rmi) AS BIGINT) AS DOUBLE) AS sm2,
+             cast(cast(sum(ri*ri) AS BIGINT) AS DOUBLE) AS sr2
+      FROM j GROUP BY event_type)
+SELECT event_type, cast(n AS BIGINT) AS n_obs,
+       round(CASE WHEN n*sm2 - sm*sm != 0
+                  THEN (n*srm - sr*sm) / (n*sm2 - sm*sm) END, 6) AS beta,
+       round((sr/n - (CASE WHEN n*sm2 - sm*sm != 0
+                           THEN (n*srm - sr*sm) / (n*sm2 - sm*sm) END)
+                     * (sm/n)) * 0.000001, 6) AS alpha,
+       round(CASE WHEN n > 1
+                  THEN sqrt((n*sr2 - sr*sr) / (n*(n-1))) * 0.000001
+                       * sqrt(8760.0) END, 6) AS vol_annual,
+       round(CASE WHEN n > 1 AND (n*sr2 - sr*sr) / (n*(n-1)) > 0
+                  THEN (sr/n) / sqrt((n*sr2 - sr*sr) / (n*(n-1)))
+                       * sqrt(8760.0) END, 6) AS sharpe_annual
+FROM a ORDER BY event_type
+""")
+def stock_beta_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CAPM beta/alpha vs the equal-weight market + annualized vol and
+    # Sharpe. Returns are quantized to integer micro-log-returns so all
+    # regression moments are EXACT integer sums (order-independent —
+    # float-sum reduction order flipped a 6-dp rounding once between
+    # runs); only the final scalar formulas run in floating point.
+    ev = load_table(spark, sf_dir, "events")
+    return ind.beta_alpha(ind.hourly_bars(ev))
+
+
+@register("stock_pairs_zscore", _BARS_CTE + f"""
+, x AS (SELECT hr, close AS x FROM bars WHERE event_type = 'purchase'),
+y AS (SELECT hr, close AS y FROM bars WHERE event_type = 'view'),
+xy AS (SELECT x.hr, x.x, y.y,
+              CAST(round(x.x * 10000, 0) AS BIGINT) AS xi,
+              CAST(round(y.y * 10000, 0) AS BIGINT) AS yi
+       FROM x JOIN y ON x.hr = y.hr),
+h AS (SELECT (cast(count(*) AS DOUBLE)
+                * cast(cast(sum(xi*yi) AS BIGINT) AS DOUBLE)
+              - cast(cast(sum(xi) AS BIGINT) AS DOUBLE)
+                * cast(cast(sum(yi) AS BIGINT) AS DOUBLE))
+             / (cast(count(*) AS DOUBLE)
+                  * cast(cast(sum(yi*yi) AS BIGINT) AS DOUBLE)
+                - cast(cast(sum(yi) AS BIGINT) AS DOUBLE)
+                  * cast(cast(sum(yi) AS BIGINT) AS DOUBLE)) AS beta_h
+      FROM xy),
+sp AS (SELECT hr, x, y, round(beta_h, 6) AS beta_h,
+              CAST(round((x - beta_h * y) * 10000, 0) AS BIGINT) AS si
+       FROM xy, h)
+SELECT hr, x, y, beta_h,
+       cast(si AS DOUBLE) / 10000 AS spread,
+       round(CASE WHEN (cast(count(*) OVER w AS DOUBLE)
+                          * cast(cast(sum(si*si) OVER w AS BIGINT) AS DOUBLE)
+                        - cast(cast(sum(si) OVER w AS BIGINT) AS DOUBLE)
+                          * cast(cast(sum(si) OVER w AS BIGINT) AS DOUBLE))
+                       / (cast(count(*) OVER w AS DOUBLE)
+                          * (cast(count(*) OVER w AS DOUBLE) - 1)) > 0
+             THEN (si - cast(cast(sum(si) OVER w AS BIGINT) AS DOUBLE)
+                          / cast(count(*) OVER w AS DOUBLE))
+                  / sqrt((cast(count(*) OVER w AS DOUBLE)
+                            * cast(cast(sum(si*si) OVER w AS BIGINT) AS DOUBLE)
+                          - cast(cast(sum(si) OVER w AS BIGINT) AS DOUBLE)
+                            * cast(cast(sum(si) OVER w AS BIGINT) AS DOUBLE))
+                         / (cast(count(*) OVER w AS DOUBLE)
+                            * (cast(count(*) OVER w AS DOUBLE) - 1)))
+             END, 6) AS z_24h
+FROM sp
+WINDOW w AS (ORDER BY hr
+             ROWS BETWEEN {ind.CORR_N - 1} PRECEDING AND CURRENT ROW)
+ORDER BY hr
+""")
+def stock_pairs_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pairs-trading spread z-score: integer-quantized hedge regression
+    # (exact component sums), residual spread on the 1e-4 grid, rolling
+    # 24-bar standardization from exact integer window sums — identical
+    # doubles on both engines, same calendar-bounded window cost class
+    # as stock_rolling_corr.
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.pairs_zscore(ind.hourly_bars(ev), "purchase", "view")
+            .orderBy("hr"))

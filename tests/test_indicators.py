@@ -181,3 +181,75 @@ def test_momentum_backtest_long_rising_series(spark):
     assert r["total_pnl"] > 0
     assert r["winning_bars"] == r["bars_in_market"] > 0
     assert r["n_bars"] == 23  # first bar has no position/return
+
+
+def test_beta_alpha_single_symbol_market(spark):
+    # with ONE symbol the market return IS the symbol's return
+    # (quantized), so beta pins to 1 and alpha to 0
+    rows = [Row(event_type="S", ts=_ts(h), event_id=h, value=float(v))
+            for h, v in enumerate([100.0, 101.0, 99.5, 102.0, 103.5,
+                                   102.8, 104.0, 105.5])]
+    out = ind.beta_alpha(ind.hourly_bars(spark.createDataFrame(rows))) \
+             .collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_obs"] == 7
+    assert r["beta"] == pytest.approx(1.0, abs=1e-6)
+    assert r["alpha"] == pytest.approx(0.0, abs=1e-6)
+    assert r["vol_annual"] > 0 and r["sharpe_annual"] is not None
+
+
+def test_beta_alpha_leveraged_symbol(spark):
+    # Y's log-returns are exactly 2x X's -> market is 1.5x X,
+    # beta_X = 2/3, beta_Y = 4/3; vol_Y = 2 * vol_X
+    import math as m
+    xs = [100.0]
+    for d in [0.01, -0.02, 0.015, 0.03, -0.01, 0.02, -0.005]:
+        xs.append(xs[-1] * m.exp(d))
+    rows = []
+    for h, v in enumerate(xs):
+        rows.append(Row(event_type="X", ts=_ts(h), event_id=2 * h,
+                        value=v))
+        rows.append(Row(event_type="Y", ts=_ts(h), event_id=2 * h + 1,
+                        value=100.0 * (v / 100.0) ** 2))
+    out = {r["event_type"]: r for r in
+           ind.beta_alpha(ind.hourly_bars(spark.createDataFrame(rows)))
+           .collect()}
+    assert out["X"]["beta"] == pytest.approx(2 / 3, abs=1e-4)
+    assert out["Y"]["beta"] == pytest.approx(4 / 3, abs=1e-4)
+    assert out["Y"]["vol_annual"] == pytest.approx(
+        2 * out["X"]["vol_annual"], rel=1e-3)
+
+
+def test_beta_alpha_skips_nonpositive_prices(spark):
+    # a zero close yields no return on either side of it
+    rows = [Row(event_type="Z", ts=_ts(h), event_id=h, value=v)
+            for h, v in enumerate([10.0, 0.0, 12.0, 13.0])]
+    out = ind.beta_alpha(ind.hourly_bars(spark.createDataFrame(rows))) \
+             .collect()
+    assert out[0]["n_obs"] == 1  # only the 12 -> 13 transition survives
+
+
+def test_pairs_zscore_constant_hedged_spread(spark):
+    # y = x/2 exactly -> hedge ratio 2... no: regress x on y gives
+    # beta_h = 2, spread == 0 everywhere, z null (zero variance)
+    rows = []
+    xs = [100.0, 102.0, 101.0, 104.0, 103.0, 106.0]
+    for h, v in enumerate(xs):
+        rows.append(Row(event_type="purchase", ts=_ts(h),
+                        event_id=2 * h, value=v))
+        rows.append(Row(event_type="view", ts=_ts(h),
+                        event_id=2 * h + 1, value=v / 2.0))
+    out = ind.pairs_zscore(ind.hourly_bars(spark.createDataFrame(rows)),
+                           "purchase", "view").collect()
+    assert len(out) == len(xs)
+    for r in out:
+        assert r["beta_h"] == pytest.approx(2.0, abs=1e-6)
+        assert r["spread"] == pytest.approx(0.0, abs=1e-4)
+        assert r["z_24h"] is None  # zero-variance spread
+    # divergence: bump the last x away from the hedge relation
+    rows[-2] = Row(event_type="purchase", ts=_ts(len(xs) - 1),
+                   event_id=2 * (len(xs) - 1), value=xs[-1] + 5.0)
+    out2 = ind.pairs_zscore(ind.hourly_bars(spark.createDataFrame(rows)),
+                            "purchase", "view").orderBy("hr").collect()
+    assert out2[-1]["z_24h"] is not None and out2[-1]["z_24h"] > 1.0
