@@ -630,3 +630,79 @@ def gopher_rules(docs: DataFrame, text_col: str = "text",
         r_sym.alias("ok_symbol_ratio"),
         r_stop.alias("ok_stopwords"),
         (r_count & r_wl & r_sym & r_stop).alias("keep"))
+
+
+def ccnet_buckets(docs: DataFrame, n_buckets: int = 3,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  lang_col: str = "lang") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. '19): per
+    language, rank documents by their self-trained LM score and split
+    them into equal-size head/middle/tail tertiles — the standard
+    quality stratification before keeping head(+middle) for training.
+
+    The score is ``lm_perplexity``'s 6-dp-rounded bigram cross-entropy;
+    docs with no score (fewer than 2 tokens) sink to the tail via a
+    sentinel. The ntile ordering is total (score, then doc_id), so the
+    assignment is deterministic on any engine. Shape at 100 TB: the LM
+    scoring is the dominant cost (token-scale aggs, see lm_perplexity);
+    the bucketing itself is one window per language over doc-scale rows.
+    """
+    from pyspark.sql import Window
+    lm = lm_perplexity(docs, text_col=text_col, id_col=id_col)
+    j = (docs.select(F.col(id_col), F.col(lang_col))
+         .join(lm, id_col, "left"))
+    rank_score = F.coalesce(F.col("lm_score"), F.lit(1e9))
+    w = Window.partitionBy(lang_col).orderBy(rank_score, F.col(id_col))
+    tile = F.ntile(n_buckets).over(w)
+    bucket = (F.when(tile == 1, "head")
+              .when(tile == n_buckets, "tail")
+              .otherwise("middle"))
+    return (j.select(F.col(id_col), F.col(lang_col), "lm_score",
+                     bucket.alias("ppl_bucket"),
+                     (tile < n_buckets).alias("keep"))
+            .orderBy(id_col))
+
+
+def epoch_schedule(docs: DataFrame, budget_multiple: int = 3,
+                   temperature: float = 0.7, max_epochs: float = 4.0,
+                   text_col: str = "text",
+                   group_col: str = "source") -> DataFrame:
+    """Data-constrained epoch allocation (the Muennighoff et al. '23
+    regime): given a token budget of ``budget_multiple``× the corpus,
+    split it across sources proportionally to ``tokens^temperature``
+    (temperature < 1 upweights small sources, the multilingual-mixing
+    rule) and cap every source at ``max_epochs`` repeats — repeating
+    data beyond ~4 epochs stops buying loss.
+
+    Determinism: per-source token counts are exact integer sums; the
+    temperature weights are ROUNDED TO INTEGERS before the Σw
+    normalizer, so the normalizer is again an exact integer sum and
+    every emitted double is a pure function of exact integers (the
+    <0.1% weight quantization is part of the operator's definition).
+    The totals row is one scalar broadcast — no driver round-trip.
+    Shape at 100 TB: one token-count agg over docs, then source-scale
+    arithmetic (tens of rows)."""
+    tok = (docs.select(F.col(group_col),
+                       F.size(words(text_col)).alias("_nt"))
+           .groupBy(group_col)
+           .agg(F.sum("_nt").alias("native_tokens")))
+    wt = tok.withColumn(
+        "_wgt",
+        F.round(F.pow(F.col("native_tokens").cast("double"),
+                      F.lit(temperature)), 0).cast("long"))
+    tot = wt.agg(
+        (F.sum("native_tokens") * budget_multiple).alias("_budget"),
+        F.sum("_wgt").alias("_tw"))
+    j = wt.crossJoin(F.broadcast(tot))
+    desired = (F.col("_budget").cast("double") * F.col("_wgt").cast("double")
+               / F.col("_tw").cast("double"))
+    epochs = F.round(F.least(F.lit(max_epochs),
+                             desired / F.col("native_tokens")), 4)
+    used = F.least(F.lit(max_epochs) * F.col("native_tokens"), desired)
+    return (j.select(
+        group_col, "native_tokens",
+        F.round(desired, 2).alias("desired_tokens"),
+        epochs.alias("epochs"),
+        F.round(used, 2).alias("tokens_used"),
+        (epochs == max_epochs).alias("capped"))
+        .orderBy(group_col))

@@ -589,3 +589,72 @@ def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Gopher/MassiveText rule bundle; see operators/corpus.gopher_rules
     d = load_table(spark, sf_dir, "documents")
     return CP.gopher_rules(d).orderBy("doc_id")
+
+
+@register("corpus_ccnet_buckets", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+occ AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+               unnest(list_transform(range(1, len(ws)),
+                                     i -> ws[i] || ' ' || ws[i+1])) AS bg
+        FROM w),
+tok AS (SELECT doc_id, unnest(ws) AS w FROM w),
+uni AS (SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY w),
+bi AS (SELECT bg, count(*) AS c2 FROM occ GROUP BY bg),
+v AS (SELECT count(DISTINCT w) AS v FROM tok),
+per AS (SELECT o.doc_id,
+               round(avg(-log2((bi.c2 + 1) / (uni.c1 + v.v)::DOUBLE)), 6)
+                   AS lm_score
+        FROM occ o JOIN bi USING (bg) JOIN uni USING (w1), v
+        GROUP BY o.doc_id),
+scored AS (SELECT d.doc_id, d.lang, per.lm_score,
+                  coalesce(per.lm_score, 1000000000.0) AS rs
+           FROM documents d LEFT JOIN per USING (doc_id)),
+t AS (SELECT doc_id, lang, lm_score,
+             ntile(3) OVER (PARTITION BY lang ORDER BY rs, doc_id) AS tile
+      FROM scored)
+SELECT doc_id, lang, lm_score,
+       CASE WHEN tile = 1 THEN 'head' WHEN tile = 3 THEN 'tail'
+            ELSE 'middle' END AS ppl_bucket,
+       tile < 3 AS keep
+FROM t ORDER BY doc_id
+""")
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet head/middle/tail perplexity tertiles per language over the
+    # self-trained bigram-LM score; deterministic total ordering
+    # (score, doc_id), scoreless docs sink to tail via sentinel
+    d = load_table(spark, sf_dir, "documents")
+    return CP.ccnet_buckets(d)
+
+
+@register("corpus_epoch_schedule", f"""
+WITH w AS (SELECT doc_id, source, {_WORDS} AS ws FROM documents),
+tok AS (SELECT source, CAST(sum(len(ws)) AS BIGINT) AS native_tokens
+        FROM w GROUP BY source),
+wt AS (SELECT source, native_tokens,
+              CAST(round(pow(cast(native_tokens AS DOUBLE), 0.7), 0)
+                   AS BIGINT) AS wgt
+       FROM tok),
+tot AS (SELECT CAST(sum(native_tokens) AS BIGINT) * 3 AS budget,
+               CAST(sum(wgt) AS BIGINT) AS tw
+        FROM wt)
+SELECT source, native_tokens,
+       round(cast(budget AS DOUBLE) * cast(wgt AS DOUBLE)
+             / cast(tw AS DOUBLE), 2) AS desired_tokens,
+       round(least(4.0, (cast(budget AS DOUBLE) * cast(wgt AS DOUBLE)
+                         / cast(tw AS DOUBLE)) / native_tokens), 4)
+           AS epochs,
+       round(least(4.0 * native_tokens,
+                   cast(budget AS DOUBLE) * cast(wgt AS DOUBLE)
+                   / cast(tw AS DOUBLE)), 2) AS tokens_used,
+       round(least(4.0, (cast(budget AS DOUBLE) * cast(wgt AS DOUBLE)
+                         / cast(tw AS DOUBLE)) / native_tokens), 4) = 4.0
+           AS capped
+FROM wt, tot ORDER BY source
+""")
+def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # data-constrained epoch allocation: 3x-corpus token budget split by
+    # tokens^0.7 with a 4-epoch repeat cap; integer-rounded weights keep
+    # the normalizer an exact integer sum on both engines
+    d = load_table(spark, sf_dir, "documents")
+    return CP.epoch_schedule(d)

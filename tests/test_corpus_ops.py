@@ -387,3 +387,56 @@ def test_global_shuffle_handles_negative_and_sparse_ids(spark):
     for r in out:
         assert 0 <= r["shard_id"] < 8, r
         assert r["shuffle_key"] >= 0, r
+
+
+def test_ccnet_buckets_orders_by_lm_score(spark):
+    # 9 docs, one lang: three repeat common bigrams heavily (low
+    # cross-entropy -> head), three are rarer, three are 1-token docs
+    # (no score -> sentinel -> tail); tertiles are equal-size
+    common = "the cat sat on the mat " * 5
+    texts = [common, common + "again", common + "anew",
+             "some middling words appear here twice " * 2,
+             "other middling words appear there twice " * 2,
+             "more middling words appear where twice " * 2,
+             "x", "y", "z"]
+    d = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string")
+    rows = {r["doc_id"]: r for r in CP.ccnet_buckets(d).collect()}
+    assert len(rows) == 9
+    buckets = [rows[i]["ppl_bucket"] for i in range(9)]
+    assert buckets.count("head") == buckets.count("middle") \
+        == buckets.count("tail") == 3
+    # the scoreless 1-token docs sit in the tail and are dropped
+    for i in (6, 7, 8):
+        assert rows[i]["lm_score"] is None
+        assert rows[i]["ppl_bucket"] == "tail" and not rows[i]["keep"]
+    # scored docs: every head score <= every middle score
+    head = [rows[i]["lm_score"] for i in range(9)
+            if rows[i]["ppl_bucket"] == "head"]
+    mid = [rows[i]["lm_score"] for i in range(9)
+           if rows[i]["ppl_bucket"] == "middle"]
+    assert max(head) <= min(mid)
+    assert all(rows[i]["keep"] for i in range(9)
+               if rows[i]["ppl_bucket"] in ("head", "middle"))
+
+
+def test_epoch_schedule_caps_and_upweights_small_sources(spark):
+    # big source: 900 tokens; small source: 9 tokens. With a 3x budget
+    # and T=0.7 the small source hits the 4-epoch cap; totals respect
+    # the budget direction (used <= desired, used <= 4x native)
+    rows = [(i, "w " * 9, "big") for i in range(100)]
+    rows.append((1000, "w " * 9, "small"))
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in CP.epoch_schedule(d).collect()}
+    big, small = out["big"], out["small"]
+    assert big["native_tokens"] == 900 and small["native_tokens"] == 9
+    # small source's share under T=0.7 far exceeds 4 epochs -> capped
+    assert small["capped"] and small["epochs"] == 4.0
+    assert small["tokens_used"] == 4.0 * 9
+    # big source absorbs the rest, uncapped, epochs near but under 4
+    assert not big["capped"] and 0 < big["epochs"] < 4.0
+    assert big["tokens_used"] <= big["desired_tokens"]
+    # allocation never exceeds the per-source cap or the global budget
+    assert (big["tokens_used"] + small["tokens_used"]
+            <= 3 * (900 + 9) + 1e-6)
