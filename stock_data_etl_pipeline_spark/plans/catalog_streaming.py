@@ -333,3 +333,22 @@ def events_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (session_sequence_examples(
         load_table(spark, sf_dir, "events"), k=3)
         .orderBy("user_id", "session_id", "event_id"))
+
+
+@register("streaming_hourly_topk", """
+WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY hour
+                     ORDER BY n DESC, event_type) AS INTEGER) AS rnk
+      FROM h)
+SELECT hour, event_type, n, rnk FROM r WHERE rnk <= 3
+ORDER BY hour, rnk
+""")
+def streaming_hourly_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-window heavy hitters: a REAL streaming windowed count drained
+    # availableNow, then ranked — the two-layer top-k shape (the
+    # leaderboard is only final once the window closes)
+    from ..streaming.events import streaming_hourly_topk
+    return streaming_hourly_topk(
+        spark, os.path.join(sf_dir, "events.parquet"))

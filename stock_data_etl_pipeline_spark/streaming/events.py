@@ -295,3 +295,31 @@ def session_sequence_examples(events: DataFrame, k: int = 3,
     out = s.select("user_id", "session_id", "event_id", *lags,
                    F.col("event_type").alias("label"))
     return out.filter(F.col(f"prev_{k}").isNotNull())
+
+
+def streaming_hourly_topk(spark: SparkSession, events_parquet: str,
+                          k: int = 3,
+                          watermark: str = "2 hours") -> DataFrame:
+    """Windowed heavy hitters from a live streaming aggregate: the
+    streaming query maintains per-(window, event_type) counts (state
+    bounded by the watermark); the top-k selection is a rank over the
+    drained aggregate — the standard two-layer shape, since per-window
+    ranking needs the window CLOSED before its leaderboard is final.
+    On a live source the rank layer runs per-trigger on the complete
+    aggregate (or downstream of an append sink once windows expire)."""
+    from pyspark.sql import Window
+    stream = event_stream(spark, events_parquet)
+    agg = _hourly_agg(stream.withWatermark("ts", watermark))
+    name = f"topk_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    w = (Window.partitionBy("w")
+         .orderBy(F.desc("n"), F.col("event_type")))
+    return (spark.table(name)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(F.col("w.start").alias("hour"), "event_type", "n",
+                    "rnk")
+            .orderBy("hour", "rnk"))
