@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.analytics import (cohort_retention, frequent_pairs,
+from ..operators.analytics import (cohort_retention, frequent_pairs, pagerank,
                                    funnel, fuzzy_match, key_skew_profile,
                                    triangle_stats)
 from ..sources.registry import load_table
@@ -450,3 +450,48 @@ def rank_top_suppliers_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
           .agg((F.count("rev2") + 1).cast("long").alias("rnk")))
     return (rk.filter(F.col("rnk") <= 10)
             .orderBy("rnk", "l_suppkey"))
+
+
+@register("graph_pagerank_parts", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+und AS (SELECT DISTINCT a.i AS ea, b.i AS eb
+        FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+e AS (SELECT ea AS src, eb AS dst FROM und
+      UNION ALL SELECT eb, ea FROM und),
+deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+n AS (SELECT count(*) AS nn FROM deg),
+r0 AS (SELECT src AS node, 1000000000000 // nn AS r FROM deg, n),
+base AS (SELECT (1000000000000 * 15 // 100) // nn AS b FROM n),
+s1 AS (SELECT e.dst AS node,
+          CAST(sum(r.r // d.outdeg) AS BIGINT) AS s
+       FROM e JOIN r0 r ON e.src = r.node
+              JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r1 AS (SELECT node, b + (85 * s) // 100 AS r FROM s1, base),
+s2 AS (SELECT e.dst AS node,
+          CAST(sum(r.r // d.outdeg) AS BIGINT) AS s
+       FROM e JOIN r1 r ON e.src = r.node
+              JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r2 AS (SELECT node, b + (85 * s) // 100 AS r FROM s2, base),
+s3 AS (SELECT e.dst AS node,
+          CAST(sum(r.r // d.outdeg) AS BIGINT) AS s
+       FROM e JOIN r2 r ON e.src = r.node
+              JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r3 AS (SELECT node, b + (85 * s) // 100 AS r FROM s3, base)
+SELECT node, r AS rank_e12 FROM r3
+ORDER BY r DESC, node LIMIT 100
+""")
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PageRank over the co-purchase part graph (3 power iterations in
+    # exact fixed-point integer arithmetic — bit-identical on any
+    # engine/partitioning); top-100 hubs by rank.
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+    return pagerank(pairs, "pa", "pb", iters=3)

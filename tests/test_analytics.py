@@ -89,3 +89,30 @@ def test_fuzzy_match_blocked_and_thresholded(spark):
                       max_dist=2).collect()
     assert [(r["name_a"], r["name_b"], r["dist"]) for r in out] == [
         ("rad ring", "red ring", 1)]
+
+
+def test_pagerank_star_graph_exact_integer_semantics(spark):
+    # star: hub 0 <-> leaves 1,2,3. Replicate the fixed-point integer
+    # recurrence in Python and expect BIT-EQUAL ranks from Spark.
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        PR_SCALE, pagerank)
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "pa long, pb long")
+    out = {r["node"]: r["rank_e12"]
+           for r in pagerank(pairs, "pa", "pb", iters=3).collect()}
+
+    deg = {0: 3, 1: 1, 2: 1, 3: 1}
+    edges = [(0, 1), (0, 2), (0, 3), (1, 0), (2, 0), (3, 0)]
+    n = 4
+    r = {v: PR_SCALE // n for v in deg}
+    base = (PR_SCALE * 15 // 100) // n
+    for _ in range(3):
+        s = {v: 0 for v in deg}
+        for src, dst in edges:
+            s[dst] += r[src] // deg[src]
+        r = {v: base + (85 * s[v]) // 100 for v in deg}
+    assert out == r
+    # the hub dominates and leaves tie exactly
+    assert out[0] > out[1] == out[2] == out[3]
+    # mass stays within floor-leak tolerance of the full scale
+    assert abs(sum(out.values()) - PR_SCALE) < 100 * len(deg)
