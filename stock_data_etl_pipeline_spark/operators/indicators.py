@@ -455,3 +455,52 @@ def pairs_zscore(bars: DataFrame, sym_x: str, sym_y: str,
         "hr", "x", "y", "beta_h",
         (F.col("si").cast("double") / PX_SCALE).alias("spread"),
         F.round(z, 6).alias("z_24h"))
+
+
+SHIFT_N = 12  # bars per side of the mean-shift two-sample test
+
+
+def mean_shift_alerts(bars: DataFrame, n: int = SHIFT_N,
+                      threshold: float = 3.0) -> DataFrame:
+    """Change-point detection per symbol: a rolling two-sample test of
+    the last ``n`` bars' mean close against the preceding ``n`` bars'
+    (Welch-style numerator over a pooled-variance denominator). |z| >
+    ``threshold`` flags a level shift — the window-expressible
+    alternative to CUSUM, whose max(0, ·) recurrence cannot be
+    truncated into a bounded frame (same reasoning as the EWMA
+    lookback truncation, but CUSUM's nonlinearity forecloses even
+    that).
+
+    Determinism: closes are quantized to the 1e-4 grid so every window
+    moment is an exact integer sum (n·Σx² ≤ 12·(5.6e6)² ≈ 4e14, well
+    inside both bigint and double-exact range); the z statistic is a
+    fixed arithmetic sequence over those exact integers — identical on
+    any engine. Rows without two full windows are dropped. One shuffle
+    onto symbol; frames are row-bounded (state O(2n))."""
+    ci = F.round(F.col("close") * PX_SCALE, 0).cast("long")
+    b = bars.select("event_type", "hr", ci.alias("ci"))
+    w1 = (Window.partitionBy("event_type").orderBy("hr")
+          .rowsBetween(-(n - 1), 0))
+    w0 = (Window.partitionBy("event_type").orderBy("hr")
+          .rowsBetween(-(2 * n - 1), -n))
+    nn = float(n)
+    s1, q1 = F.sum("ci").over(w1).cast("double"), \
+        F.sum(F.col("ci") * F.col("ci")).over(w1).cast("double")
+    s0, q0 = F.sum("ci").over(w0).cast("double"), \
+        F.sum(F.col("ci") * F.col("ci")).over(w0).cast("double")
+    c1 = F.count(F.lit(1)).over(w1)
+    c0 = F.count(F.lit(1)).over(w0)
+    # within-window sum of squared deviations: Σx² − (Σx)²/n
+    a1, a0 = q1 - s1 * s1 / nn, q0 - s0 * s0 / nn
+    pooled = (a1 + a0) / (2.0 * nn - 2.0)
+    z = F.when(pooled > 0,
+               (s1 / nn - s0 / nn) / F.sqrt(pooled * (2.0 / nn)))
+    out = b.select(
+        "event_type", "hr",
+        (s1 / nn / PX_SCALE).alias("mean_recent"),
+        (s0 / nn / PX_SCALE).alias("mean_prior"),
+        F.round(z, 6).alias("shift_z"),
+        (F.abs(F.round(z, 6)) > threshold).alias("alert"),
+        c1.alias("_c1"), c0.alias("_c0"))
+    return (out.filter((F.col("_c1") == n) & (F.col("_c0") == n))
+            .drop("_c1", "_c0"))

@@ -618,3 +618,55 @@ def stock_pairs_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (ind.pairs_zscore(ind.hourly_bars(ev), "purchase", "view")
             .orderBy("hr"))
+
+
+@register("stock_mean_shift_alerts", _BARS_CTE + f"""
+, ci AS (SELECT event_type, hr,
+                CAST(round(close * 10000, 0) AS BIGINT) AS ci
+         FROM bars),
+m AS (
+  SELECT event_type, hr,
+         count(*) OVER w1 AS c1, count(*) OVER w0 AS c0,
+         cast(cast(sum(ci) OVER w1 AS BIGINT) AS DOUBLE) AS s1,
+         cast(cast(sum(ci*ci) OVER w1 AS BIGINT) AS DOUBLE) AS q1,
+         cast(cast(sum(ci) OVER w0 AS BIGINT) AS DOUBLE) AS s0,
+         cast(cast(sum(ci*ci) OVER w0 AS BIGINT) AS DOUBLE) AS q0
+  FROM ci
+  WINDOW w1 AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN {ind.SHIFT_N - 1} PRECEDING AND CURRENT ROW),
+         w0 AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN {2 * ind.SHIFT_N - 1} PRECEDING
+                         AND {ind.SHIFT_N} PRECEDING)
+)
+SELECT event_type, hr,
+       s1 / {float(ind.SHIFT_N)} / 10000 AS mean_recent,
+       s0 / {float(ind.SHIFT_N)} / 10000 AS mean_prior,
+       round(CASE WHEN ((q1 - s1*s1/{float(ind.SHIFT_N)})
+                        + (q0 - s0*s0/{float(ind.SHIFT_N)}))
+                       / (2.0 * {float(ind.SHIFT_N)} - 2.0) > 0
+             THEN (s1/{float(ind.SHIFT_N)} - s0/{float(ind.SHIFT_N)})
+                  / sqrt(((q1 - s1*s1/{float(ind.SHIFT_N)})
+                          + (q0 - s0*s0/{float(ind.SHIFT_N)}))
+                         / (2.0 * {float(ind.SHIFT_N)} - 2.0)
+                         * (2.0 / {float(ind.SHIFT_N)}))
+             END, 6) AS shift_z,
+       abs(round(CASE WHEN ((q1 - s1*s1/{float(ind.SHIFT_N)})
+                            + (q0 - s0*s0/{float(ind.SHIFT_N)}))
+                           / (2.0 * {float(ind.SHIFT_N)} - 2.0) > 0
+                 THEN (s1/{float(ind.SHIFT_N)} - s0/{float(ind.SHIFT_N)})
+                      / sqrt(((q1 - s1*s1/{float(ind.SHIFT_N)})
+                              + (q0 - s0*s0/{float(ind.SHIFT_N)}))
+                             / (2.0 * {float(ind.SHIFT_N)} - 2.0)
+                             * (2.0 / {float(ind.SHIFT_N)}))
+                 END, 6)) > 3.0 AS alert
+FROM m
+WHERE c1 = {ind.SHIFT_N} AND c0 = {ind.SHIFT_N}
+ORDER BY event_type, hr
+""")
+def stock_mean_shift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rolling two-sample mean-shift detector (CUSUM's window-expressible
+    # cousin): 12-vs-12 bar z-statistic from exact integer window sums,
+    # |z| > 3 flags a level change
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.mean_shift_alerts(ind.hourly_bars(ev))
+            .orderBy("event_type", "hr"))

@@ -253,3 +253,34 @@ def test_pairs_zscore_constant_hedged_spread(spark):
     out2 = ind.pairs_zscore(ind.hourly_bars(spark.createDataFrame(rows)),
                             "purchase", "view").orderBy("hr").collect()
     assert out2[-1]["z_24h"] is not None and out2[-1]["z_24h"] > 1.0
+
+
+def test_mean_shift_alert_fires_on_level_jump(spark):
+    # 12 flat bars at 100, then 12 flat-ish bars at 110 with tiny noise
+    # (pooled variance must be nonzero for a finite z): the last rows
+    # compare an all-110 recent window against an all-100 prior window
+    vals = [100.0] * 12 + [110.0 + (0.001 * (i % 3)) for i in range(12)]
+    # spread over two days to get 24 distinct hourly bars
+    rows = [Row(event_type="J",
+                ts=dt.datetime(2024, 1, 1 + h // 24, h % 24),
+                event_id=h, value=v)
+            for h, v in enumerate(vals)]
+    out = (ind.mean_shift_alerts(ind.hourly_bars(
+        spark.createDataFrame(rows))).orderBy("hr").collect())
+    # only bars with two full 12-bar windows survive: bars 23.. -> 1 row
+    assert len(out) == 1
+    r = out[0]
+    assert r["mean_prior"] == pytest.approx(100.0, abs=1e-3)
+    assert r["mean_recent"] == pytest.approx(110.0, abs=0.01)
+    assert r["alert"] and r["shift_z"] > 3
+
+
+def test_mean_shift_zero_variance_yields_null_z(spark):
+    # perfectly constant series: pooled variance 0 -> z null, no alert
+    rows = [Row(event_type="K", ts=dt.datetime(2024, 1, 1 + h // 24,
+                                               h % 24),
+                event_id=h, value=50.0) for h in range(24)]
+    out = (ind.mean_shift_alerts(ind.hourly_bars(
+        spark.createDataFrame(rows))).collect())
+    assert len(out) == 1
+    assert out[0]["shift_z"] is None and out[0]["alert"] is None
