@@ -469,3 +469,42 @@ def triplet_mining(emb: DataFrame, anchor_stride: int = 10,
                     F.round(F.col("pos_score") - F.col("neg_score"), 6)
                     .alias("margin"))
             .orderBy("anchor_id"))
+
+
+def knn_label_accuracy(emb: DataFrame, anchors: list[list[float]],
+                       k: int = 5, vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       label_col: str = "label") -> DataFrame:
+    """Per-class kNN classification accuracy — the end-to-end quality
+    gate for an embedding space + blocking scheme: every vector is
+    classified by majority vote of its k nearest in-bucket neighbors
+    (sign-LSH blocking, so the blocker is independent of the label
+    being predicted) and scored against its own label.
+
+    Ties in the vote break deterministically (highest count, then
+    smallest label); vectors whose bucket holds no other member get no
+    prediction and drop out — that coverage loss is the blocker's
+    recall contract, same as knn_join. Shape at 100 TB: the candidate
+    generation is knn_join's per-bucket matmul (never O(n²)); the vote
+    and scoring are two hash-aggs on (id, label)-scale rows."""
+    v = (emb.select(F.col(id_col), F.col(label_col),
+                    as_double(vec_col).alias("v"))
+         .withColumn("bucket", sign_lsh_bucket(F.col("v"), anchors)))
+    nn = knn_join(v, k=k, vec_col="v", id_col=id_col, block_col="bucket")
+    nlab = emb.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(label_col).alias("nlab"))
+    votes = (nn.join(nlab, "neighbor_id")
+             .groupBy(id_col, "nlab")
+             .agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.col("nlab"))
+    pred = (votes.withColumn("vr", F.row_number().over(w))
+            .filter(F.col("vr") == 1)
+            .select(F.col(id_col), F.col("nlab").alias("predicted")))
+    scored = pred.join(emb.select(id_col, label_col), id_col)
+    ok = (F.col("predicted") == F.col(label_col)).cast("long")
+    return (scored.groupBy(label_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(ok).alias("n_correct"),
+                 F.round(F.sum(ok) / F.count(F.lit(1)), 6)
+                 .alias("accuracy"))
+            .orderBy(label_col))

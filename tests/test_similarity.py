@@ -102,3 +102,25 @@ def test_triplet_mining_lsh_blocked_negatives(spark):
     # result is identical to the exhaustive one
     assert blocked[0] == full[0]
     assert blocked[0]["neg_id"] == 1
+
+
+def test_knn_label_accuracy_separable_clusters(spark):
+    # two tight clusters on orthogonal axes; one point of label 1 sits
+    # in cluster 0's direction and gets outvoted by its neighbors
+    rows = [
+        (0, [1.0, 0.05], 0), (1, [1.0, -0.05], 0), (2, [1.0, 0.1], 0),
+        (3, [0.05, 1.0], 1), (4, [-0.05, 1.0], 1), (5, [0.1, 1.0], 1),
+        (6, [1.0, 0.0], 1),  # mislabeled straggler
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    # one anchor with all-positive dots -> every vector in bucket 1
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        knn_label_accuracy)
+    out = {r["label"]: r for r in
+           knn_label_accuracy(e, anchors=[[1.0, 1.0]], k=3).collect()}
+    # label 0: all three vote with their own cluster (the straggler is
+    # among their neighbors but carries label 1 -> 2-of-3 majority holds)
+    assert out[0]["n"] == 3 and out[0]["accuracy"] == 1.0
+    # label 1: the straggler is classified 0 -> 3 of 4 correct
+    assert out[1]["n"] == 4 and out[1]["n_correct"] == 3
+    assert out[1]["accuracy"] == 0.75
