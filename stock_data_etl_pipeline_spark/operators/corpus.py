@@ -706,3 +706,27 @@ def epoch_schedule(docs: DataFrame, budget_multiple: int = 3,
         F.round(used, 2).alias("tokens_used"),
         (epochs == max_epochs).alias("capped"))
         .orderBy(group_col))
+
+
+def feature_hash_counts(docs: DataFrame, dim: int = 64,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. '09 / fastText's
+    bucket embedding): every token maps to ``hash(token) mod dim`` and
+    the document becomes sparse (bucket, count) rows — the fixed-width,
+    vocabulary-free text representation for linear models and n-gram
+    classifiers. Collisions are the method's contract, not a bug.
+
+    Tokens use the engine's portable 31-bit md5 word hash (the same
+    keys as the dedup shingle index), so the bucketing is bit-identical
+    on any engine. Shape at 100 TB: tokenize + explode (no shuffle),
+    then ONE map-side-combinable groupBy((doc, bucket)) — the classic
+    wordcount plan; output rows are bounded by docs × dim."""
+    base = docs.select(F.col(id_col), words(text_col).alias("_ws"))
+    from ..functions.text import word_hashes
+    wh = base.select(F.col(id_col), word_hashes("_ws").alias("_wh"))
+    return (wh.select(F.col(id_col), F.explode("_wh").alias("_h"))
+            .select(F.col(id_col), (F.col("_h") % dim).alias("bucket"))
+            .groupBy(id_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(id_col, "bucket"))

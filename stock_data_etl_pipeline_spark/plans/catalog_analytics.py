@@ -495,3 +495,37 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("a.i") < F.col("b.i")))
              .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
     return pagerank(pairs, "pa", "pb", iters=3)
+
+
+@register("events_psi_drift", """
+WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+           FROM events),
+m AS (SELECT event_type,
+             least(9, floor(value / 60.0))::INT AS bucket,
+             (epoch_us(ts) >= (mn + mx) / 2) AS second_half
+      FROM events, b),
+cnt AS (SELECT event_type, bucket,
+               CAST(sum(CASE WHEN NOT second_half THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c0,
+               CAST(sum(CASE WHEN second_half THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c1
+        FROM m GROUP BY event_type, bucket),
+tot AS (SELECT event_type, CAST(sum(c0) AS BIGINT) AS n0,
+               CAST(sum(c1) AS BIGINT) AS n1
+        FROM cnt GROUP BY event_type),
+j AS (SELECT c.*, t.n0, t.n1 FROM cnt c JOIN tot t USING (event_type)),
+s AS (SELECT event_type, max(n0) AS n_first, max(n1) AS n_second,
+             round(sum(((c1+1)/(n1+10.0) - (c0+1)/(n0+10.0))
+                       * ln(((c1+1)/(n1+10.0))
+                            / ((c0+1)/(n0+10.0)))), 6) AS psi
+      FROM j GROUP BY event_type)
+SELECT event_type, n_first, n_second, psi, psi > 0.2 AS drifted
+FROM s ORDER BY event_type
+""")
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # feature-drift monitoring: Population Stability Index of the value
+    # distribution, first vs second half of the timeline, per type;
+    # Laplace-smoothed fixed bins, exact integer counts
+    from ..operators.quality import psi_drift
+    ev = load_table(spark, sf_dir, "events")
+    return psi_drift(ev)

@@ -658,3 +658,18 @@ def corpus_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the normalizer an exact integer sum on both engines
     d = load_table(spark, sf_dir, "documents")
     return CP.epoch_schedule(d)
+
+
+@register("corpus_feature_hash", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+wh AS (SELECT doc_id, {_WORD_HASHES} AS whs FROM w),
+x AS (SELECT doc_id, unnest(whs) % 64 AS bucket FROM wh)
+SELECT doc_id, bucket::BIGINT AS bucket, count(*)::BIGINT AS cnt
+FROM x GROUP BY doc_id, bucket ORDER BY doc_id, bucket
+""")
+def corpus_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hashing-trick featurization: token -> md5-hash mod 64 buckets,
+    # sparse (doc, bucket, count) rows — vocabulary-free fixed-width
+    # text features; one map-side-combinable wordcount-shaped agg
+    d = load_table(spark, sf_dir, "documents")
+    return CP.feature_hash_counts(d, dim=64)

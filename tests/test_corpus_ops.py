@@ -440,3 +440,21 @@ def test_epoch_schedule_caps_and_upweights_small_sources(spark):
     # allocation never exceeds the per-source cap or the global budget
     assert (big["tokens_used"] + small["tokens_used"]
             <= 3 * (900 + 9) + 1e-6)
+
+
+def test_feature_hash_counts_sum_to_tokens_and_collide_consistently(spark):
+    d = docs_of(spark, ["a b a c", "a", ""])
+    rows = CP.feature_hash_counts(d, dim=8).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        assert 0 <= r["bucket"] < 8
+    # counts per doc sum to its token count; empty doc emits nothing
+    assert sum(r["cnt"] for r in per_doc[0]) == 4
+    assert sum(r["cnt"] for r in per_doc[1]) == 1
+    assert 2 not in per_doc
+    # the same token hashes to the same bucket everywhere: doc1's only
+    # token 'a' lands in a bucket that doc0 also counted 'a' into
+    a_bucket = per_doc[1][0]["bucket"]
+    assert any(r["bucket"] == a_bucket and r["cnt"] >= 2
+               for r in per_doc[0])

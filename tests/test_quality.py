@@ -50,3 +50,24 @@ def test_triangle_stats_open_wedge_is_not_a_triangle(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], "x long, y long")
     row = triangle_stats(df, "x", "y").collect()[0]
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (3, 2, 0)
+
+
+def test_psi_drift_flags_shifted_distribution(spark):
+    import datetime as dt
+    from stock_data_etl_pipeline_spark.operators.quality import psi_drift
+    rows = []
+    # 'stable': identical uniform values in both halves -> psi ~ 0
+    # 'shifted': low values first half, high values second -> psi large
+    for i in range(200):
+        first = i < 100
+        ts = dt.datetime(2024, 1, 1 if first else 20, i % 24)
+        rows.append(("stable", ts, float((i % 10) * 60 + 5), i))
+        rows.append(("shifted", ts,
+                     5.0 if first else 595.0, 10_000 + i))
+    e = spark.createDataFrame(
+        [(k, t, v, eid) for k, t, v, eid in rows],
+        "event_type string, ts timestamp, value double, event_id long")
+    out = {r["event_type"]: r for r in psi_drift(e).collect()}
+    assert out["stable"]["psi"] < 0.01 and not out["stable"]["drifted"]
+    assert out["shifted"]["psi"] > 1.0 and out["shifted"]["drifted"]
+    assert out["shifted"]["n_first"] == out["shifted"]["n_second"] == 100
