@@ -155,3 +155,43 @@ def logistic_fit(df: DataFrame, feature_cols: list[str], label_col: str,
                                   "idx int, w double")
             .select("idx", F.round("w", 6).alias("w"))
             .orderBy("idx"))
+
+
+def calibration_table(df: DataFrame, weights: list[float],
+                      feature_cols: list[str], label_col: str = "y",
+                      id_col: str = "doc_id", bins: int = 10) -> DataFrame:
+    """Reliability diagram for a fitted probabilistic classifier:
+    quantile-bin predictions by confidence (ntile over a total order,
+    so every bin holds ~n/bins rows even when scores concentrate — a
+    2-step GD fit puts everything within one fixed-width bucket) and
+    compare mean confidence against the empirical positive rate per
+    bin — the calibration check that should gate any learned quality
+    filter before its scores become keep/drop thresholds.
+
+    ``weights`` are the ROUNDED coefficients the training query emits
+    (bias first) — scoring from the hash-checked artifact keeps the
+    whole table a pure function of already-verified values. Predictions
+    are quantized to 1e-6 so the per-bin sums are exact integers
+    (order-independent); the ntile ordering is total (score, then
+    ``id_col``). One window + one map-side-combinable aggregate."""
+    from pyspark.sql import Window
+    z = F.lit(weights[0])
+    for j, c in enumerate(feature_cols, start=1):
+        z = z + F.lit(weights[j]) * F.col(c)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    pi = F.round(p * 1_000_000, 0).cast("long")
+    scored = df.select(
+        F.col(label_col).cast("long").alias("_y"), pi.alias("_pi"),
+        F.col(id_col).alias("_id"))
+    w = Window.orderBy("_pi", "_id")
+    binned = scored.withColumn("bin", F.ntile(bins).over(w))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("_pi").cast("double")
+                         / F.count(F.lit(1)) / 1_000_000.0, 6)
+                 .alias("avg_conf"),
+                 F.round(F.sum("_y").cast("double")
+                         / F.count(F.lit(1)), 6).alias("frac_pos"))
+            .withColumn("gap", F.round(
+                F.abs(F.col("avg_conf") - F.col("frac_pos")), 6))
+            .orderBy("bin"))

@@ -95,3 +95,22 @@ def test_logistic_fit_learns_separable_direction(spark):
     p_pos = 1 / (1 + math.exp(-(w[0] + w[1] * 2.0)))
     p_neg = 1 / (1 + math.exp(-(w[0] - w[1] * 2.0)))
     assert p_pos > 0.8 and p_neg < 0.2
+
+
+def test_calibration_table_quantile_bins_and_perfect_model(spark):
+    from stock_data_etl_pipeline_spark.operators.clustering import (
+        calibration_table)
+    # weights chosen so p = sigmoid(10*x1 - 5): x1 > 0.5 -> p ~ 1.
+    # labels agree with the model -> every bin is well-calibrated
+    rows = [(i, float(i % 2), (0.2 if i % 2 == 0 else 0.8)) for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, y double, x1 double")
+    out = calibration_table(d, [-5.0, 10.0], ["x1"], "y",
+                            id_col="doc_id", bins=4).collect()
+    assert [r["bin"] for r in out] == [1, 2, 3, 4]
+    assert all(r["n"] == 10 for r in out)  # quantile bins are equal-size
+    # low-confidence bins hold the negatives, high-confidence the
+    # positives; confidence tracks the empirical rate closely
+    assert out[0]["frac_pos"] == 0.0 and out[-1]["frac_pos"] == 1.0
+    for r in out:
+        assert r["gap"] <= 0.05
+        assert r["gap"] == round(abs(r["avg_conf"] - r["frac_pos"]), 6)
