@@ -508,3 +508,46 @@ def knn_label_accuracy(emb: DataFrame, anchors: list[list[float]],
                  F.round(F.sum(ok) / F.count(F.lit(1)), 6)
                  .alias("accuracy"))
             .orderBy(label_col))
+
+
+def ndcg_at_k(emb: DataFrame, query_vec: list[float], query_id: int,
+              query_label: int, k: int = 10, vec_col: str = "embedding",
+              id_col: str = "vec_id",
+              label_col: str = "label") -> DataFrame:
+    """NDCG@k of exact cosine retrieval against label relevance: a
+    neighbor is relevant iff it carries the query's label (binary
+    gains), DCG discounts by log2(rank+1), and the ideal ordering puts
+    every relevant hit first. The rank-weighted companion to
+    ann_recall_at_k — recall says WHETHER the right items surfaced,
+    NDCG says how HIGH.
+
+    The query itself is excluded (self-retrieval is a gimme). The
+    top-k is brute_force_topk's deterministic ranking; the k discount
+    terms are fixed literals, so the score is a pure function of the
+    verified ranking. One scan + top-k, then k-row arithmetic."""
+    import math
+    top = (brute_force_topk(
+        emb.filter(F.col(id_col) != query_id), query_vec, k=k,
+        vec_col=vec_col, id_col=id_col))
+    labs = emb.select(F.col(id_col), F.col(label_col))
+    rel = (top.join(labs, id_col)
+           .select("rank",
+                   (F.col(label_col) == query_label).cast("long")
+                   .alias("rel")))
+    disc = F.lit(1.0) / F.log2(F.col("rank").cast("double") + 1.0)
+    agg = rel.agg(
+        F.sum("rel").alias("n_relevant"),
+        F.sum(F.col("rel") * disc).alias("_dcg"))
+    # ideal DCG for m relevant hits: the first m discount weights
+    ideal = [sum(1.0 / math.log2(i + 2) for i in range(m))
+             for m in range(k + 1)]
+    icol = F.element_at(F.array(*[F.lit(x) for x in ideal]),
+                        (F.col("n_relevant") + 1).cast("int"))
+    return agg.select(
+        F.lit(k).cast("long").alias("k"),
+        F.col("n_relevant"),
+        F.round(F.col("_dcg"), 6).alias("dcg"),
+        F.round(icol, 6).alias("idcg"),
+        F.round(F.when(F.col("n_relevant") > 0,
+                       F.col("_dcg") / icol).otherwise(0.0), 6)
+        .alias("ndcg"))

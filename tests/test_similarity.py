@@ -124,3 +124,28 @@ def test_knn_label_accuracy_separable_clusters(spark):
     # label 1: the straggler is classified 0 -> 3 of 4 correct
     assert out[1]["n"] == 4 and out[1]["n_correct"] == 3
     assert out[1]["accuracy"] == 0.75
+
+
+def test_ndcg_at_k_perfect_and_worst_ordering(spark):
+    from stock_data_etl_pipeline_spark.operators.similarity import ndcg_at_k
+    # query [1,0]; same-label vectors are the closest two -> relevant
+    # hits occupy ranks 1-2 of top-3: ndcg == 1 requires ideal order
+    rows = [
+        (0, [1.0, 0.0], 7),          # query
+        (1, [0.99, 0.1], 7), (2, [0.98, 0.15], 7),   # relevant, closest
+        (3, [0.5, 0.8], 1), (4, [0.1, 0.99], 1),     # irrelevant, far
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    r = ndcg_at_k(e, [1.0, 0.0], 0, 7, k=3).collect()[0]
+    assert r["n_relevant"] == 2
+    assert r["ndcg"] == 1.0  # relevant hits sit at the top -> ideal
+    # flip the geometry: relevant vectors now the farthest -> ndcg < 1
+    rows2 = [
+        (0, [1.0, 0.0], 7),
+        (1, [0.1, 0.99], 7), (2, [0.0, 1.0], 7),     # relevant, far
+        (3, [0.99, 0.1], 1), (4, [0.98, 0.15], 1),   # irrelevant, close
+    ]
+    e2 = spark.createDataFrame(rows2, "vec_id long, embedding array<float>, label int")
+    r2 = ndcg_at_k(e2, [1.0, 0.0], 0, 7, k=3).collect()[0]
+    assert r2["n_relevant"] == 1  # only one relevant inside top-3
+    assert 0 < r2["ndcg"] < 1.0
