@@ -730,3 +730,47 @@ def feature_hash_counts(docs: DataFrame, dim: int = 64,
             .groupBy(id_col, "bucket")
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(id_col, "bucket"))
+
+
+def bm25_search(docs: DataFrame, query_terms: list[str], k: int = 20,
+                k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """BM25 keyword search (Robertson/Lucene idf variant): rank
+    documents for a fixed bag of query terms — the retrieval companion
+    to tfidf_top_terms, and the lexical half of any hybrid
+    (BM25 + embedding) retrieval stack.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf = ln((N−df+0.5)/(df+0.5) + 1).
+
+    The token stream is semi-joined to the query terms BEFORE any
+    aggregation, so tf/df work scales with |matches|, not corpus
+    tokens; dl/avgdl come from one doc-length aggregate. All counts
+    are exact integers; the per-doc score sums ≤ |query| float terms.
+    Top-k by (score, doc_id) is a map-side TakeOrdered."""
+    from pyspark.sql import Window
+    q = F.array(*[F.lit(t) for t in query_terms])
+    base = (docs.select(F.col(id_col), words(text_col).alias("_ws"))
+            .filter(F.size("_ws") > 0))
+    dl = base.select(F.col(id_col), F.size("_ws").cast("long").alias("dl"))
+    n = dl.agg(F.count(F.lit(1)).alias("nd"),
+               F.sum("dl").alias("_sdl"))
+    tok = (base.select(F.col(id_col), F.explode("_ws").alias("term"))
+           .filter(F.array_contains(q, F.col("term"))))
+    tf = (tok.groupBy(id_col, "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("_sdl").cast("double") / F.col("nd")
+    idf = F.log((F.col("nd") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (k1 + 1)
+               / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl)))
+    sc = (tf.join(F.broadcast(df_), "term")
+          .join(dl, id_col)
+          .crossJoin(F.broadcast(n))
+          .groupBy(id_col)
+          .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (sc.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("long")))

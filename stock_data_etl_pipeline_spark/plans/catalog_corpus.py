@@ -673,3 +673,38 @@ def corpus_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text features; one map-side-combinable wordcount-shaped agg
     d = load_table(spark, sf_dir, "documents")
     return CP.feature_hash_counts(d, dim=64)
+
+
+@register("corpus_bm25_search", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+base AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0),
+dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM base),
+n AS (SELECT count(*)::BIGINT AS nd,
+             CAST(sum(dl) AS BIGINT) AS sdl FROM dl),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM base),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM tok WHERE term IN ('spark', 'join', 'scan')
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+sc AS (SELECT tf.doc_id,
+              round(sum(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+                        * tf * (1.2 + 1)
+                        / (tf + 1.2 * (1.0 - 0.75
+                                       + 0.75 * dl
+                                         / (cast(sdl AS DOUBLE) / nd)))),
+                    6) AS score
+       FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n
+       GROUP BY tf.doc_id),
+top AS (SELECT doc_id, score FROM sc
+        ORDER BY score DESC, doc_id LIMIT 20)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+           AS rank
+FROM top
+""")
+def corpus_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 lexical retrieval for a fixed query bag — token stream
+    # semi-joined to the query terms before any aggregation, so work
+    # scales with matches, not corpus tokens
+    d = load_table(spark, sf_dir, "documents")
+    return CP.bm25_search(d, ["spark", "join", "scan"], k=20)

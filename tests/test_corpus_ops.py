@@ -458,3 +458,23 @@ def test_feature_hash_counts_sum_to_tokens_and_collide_consistently(spark):
     a_bucket = per_doc[1][0]["bucket"]
     assert any(r["bucket"] == a_bucket and r["cnt"] >= 2
                for r in per_doc[0])
+
+
+def test_bm25_rewards_rare_terms_and_penalizes_length(spark):
+    d = docs_of(spark, [
+        "rare word here",                  # doc0: has the rare term
+        "common common common",            # doc1: only common terms
+        "rare " + "pad " * 50,             # doc2: rare term, long doc
+        "common rare",                     # doc3: both, short
+    ])
+    out = CP.bm25_search(d, ["rare", "common"], k=10).collect()
+    scores = {r["doc_id"]: r["score"] for r in out}
+    ranks = {r["doc_id"]: r["rank"] for r in out}
+    # 'rare' (df=3) outscores 'common' (df=2)? No: df(rare)=3 > df(common)=2
+    # -> idf(common) > idf(rare); doc3 holds both terms and is shortest
+    assert ranks[3] == 1
+    # length normalization: the padded doc2 scores below the short doc0
+    # for the same single 'rare' hit
+    assert scores[0] > scores[2]
+    # every doc containing a query term appears; ranks are 1..4
+    assert sorted(ranks.values()) == [1, 2, 3, 4]
