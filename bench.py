@@ -56,6 +56,11 @@ HEADLINE = [
     # round 4: stock-indicator family (tick->bar resample + windows)
     "stock_ohlc_bars",
     "stock_ewma_trend",
+    # round 4 session 2: risk/graph/retrieval/drift additions
+    "stock_beta_alpha",
+    "graph_pagerank_parts",
+    "corpus_bm25_search",
+    "events_psi_drift",
 ]
 
 
