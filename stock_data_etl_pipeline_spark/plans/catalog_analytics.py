@@ -529,3 +529,42 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import psi_drift
     ev = load_table(spark, sf_dir, "events")
     return psi_drift(ev)
+
+
+@register("events_outlier_ticks", """
+WITH m1 AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type),
+st AS (SELECT e.event_type, any_value(m1.med) AS med,
+              quantile_cont(abs(e.value - m1.med), 0.5) AS mad
+       FROM events e JOIN m1 USING (event_type)
+       GROUP BY e.event_type),
+z AS (SELECT e.event_id, e.event_type, e.value,
+             round(st.med, 6) AS med, round(st.mad, 6) AS mad,
+             round(abs(e.value - st.med) / (1.4826 * st.mad), 6)
+                 AS abs_z
+      FROM events e JOIN st USING (event_type)
+      WHERE st.mad > 0)
+SELECT event_id, event_type, value, med, mad, abs_z
+FROM z ORDER BY abs_z DESC, event_id LIMIT 50
+""")
+def events_outlier_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust per-tick outlier detection: |value - median| / (1.4826*MAD)
+    # per type — median/MAD resist the very outliers a mean/std z-score
+    # would absorb; per-type stats are a tiny broadcast, the top-50 a
+    # map-side TakeOrdered
+    ev = load_table(spark, sf_dir, "events")
+    med = (ev.groupBy("event_type")
+           .agg(F.percentile("value", F.lit(0.5)).alias("med")))
+    mad = (ev.join(F.broadcast(med), "event_type")
+           .groupBy("event_type")
+           .agg(F.first("med").alias("med"),
+                F.percentile(F.abs(F.col("value") - F.col("med")),
+                             F.lit(0.5)).alias("mad")))
+    z = (ev.join(F.broadcast(mad), "event_type")
+         .filter(F.col("mad") > 0)
+         .select("event_id", "event_type", "value",
+                 F.round("med", 6).alias("med"),
+                 F.round("mad", 6).alias("mad"),
+                 F.round(F.abs(F.col("value") - F.col("med"))
+                         / (1.4826 * F.col("mad")), 6).alias("abs_z")))
+    return z.orderBy(F.col("abs_z").desc(), "event_id").limit(50)
