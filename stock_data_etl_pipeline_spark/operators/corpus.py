@@ -774,3 +774,61 @@ def bm25_search(docs: DataFrame, query_terms: list[str], k: int = 20,
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return (sc.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
             .withColumn("rank", F.row_number().over(w).cast("long")))
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_heavy_hitters(docs: DataFrame, top: int = 20,
+                      depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Count-Min-Sketch heavy hitters with an in-query error audit:
+    build a d×w CMS over term frequencies, read the top terms back out
+    of the sketch, and compare against exact counts — including the
+    ceil(e·N/w) error-bound check that the CMS guarantee promises.
+    The sketch is the mergeable, fixed-size structure a 100 TB
+    streaming counter actually ships between executors; the exact
+    counts exist here only to audit it.
+
+    The d bucket counters are built from the TERM-count table, not the
+    token stream (Σ counts per bucket ≡ counting tokens per bucket,
+    at |vocab| cost instead of |tokens|). Hashes are the portable md5
+    arithmetic (salted per row); every number is an exact integer, so
+    estimates, overcounts and bound booleans hash-match any engine."""
+    tok = docs.select(F.explode(words(text_col)).alias("term"))
+    cnts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    n_tok = cnts.agg(F.sum("cnt").alias("n")).persist()
+
+    def bucket(row: int) -> F.Column:
+        return (F.conv(F.substring(F.md5(F.concat(F.lit(f"cms{row}"),
+                                                  F.col("term"))), 1, 15),
+                       16, 10).cast("long") % width)
+
+    rows = None
+    for r in range(depth):
+        part = cnts.select(F.lit(r).alias("row"),
+                           bucket(r).alias("bucket"), "cnt")
+        rows = part if rows is None else rows.unionByName(part)
+    sketch = (rows.groupBy("row", "bucket")
+              .agg(F.sum("cnt").alias("bcnt")))  # the d x w CMS table
+    top_terms = (cnts.orderBy(F.col("cnt").desc(), "term").limit(top)
+                 .withColumnRenamed("cnt", "true_cnt"))
+    probes = None
+    for r in range(depth):
+        p = top_terms.select("term", "true_cnt",
+                             F.lit(r).alias("row"), bucket(r).alias("bucket"))
+        probes = p if probes is None else probes.unionByName(p)
+    est = (probes.join(F.broadcast(sketch), ["row", "bucket"])
+           .groupBy("term", "true_cnt")
+           .agg(F.min("bcnt").alias("cms_estimate")))
+    # CMS guarantee: overcount <= ceil(e*N/w) w.h.p.; 3 > e keeps the
+    # check integer-exact
+    return (est.crossJoin(F.broadcast(n_tok))
+            .select("term", "true_cnt", "cms_estimate",
+                    (F.col("cms_estimate") - F.col("true_cnt"))
+                    .alias("overcount"),
+                    ((F.col("cms_estimate") - F.col("true_cnt")) * width
+                     <= 3 * F.col("n")).alias("within_bound"))
+            .orderBy(F.col("true_cnt").desc(), "term"))

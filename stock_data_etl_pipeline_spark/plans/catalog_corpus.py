@@ -708,3 +708,38 @@ def corpus_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scales with matches, not corpus tokens
     d = load_table(spark, sf_dir, "documents")
     return CP.bm25_search(d, ["spark", "join", "scan"], k=20)
+
+
+@register("corpus_cms_heavy_hitters", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+tok AS (SELECT unnest(ws) AS term FROM w),
+cnts AS (SELECT term, count(*)::BIGINT AS cnt FROM tok GROUP BY term),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnts),
+rows AS (
+  SELECT r.row, ('0x' || substr(md5('cms' || r.row || term), 1, 15))::BIGINT
+             % 256 AS bucket, cnt
+  FROM cnts, (SELECT unnest([0, 1, 2, 3]) AS row) r),
+sketch AS (SELECT row, bucket, CAST(sum(cnt) AS BIGINT) AS bcnt
+           FROM rows GROUP BY row, bucket),
+top_terms AS (SELECT term, cnt AS true_cnt FROM cnts
+              ORDER BY cnt DESC, term LIMIT 20),
+probes AS (
+  SELECT t.term, t.true_cnt, r.row,
+         ('0x' || substr(md5('cms' || r.row || t.term), 1, 15))::BIGINT
+             % 256 AS bucket
+  FROM top_terms t, (SELECT unnest([0, 1, 2, 3]) AS row) r),
+est AS (SELECT p.term, p.true_cnt, min(s.bcnt) AS cms_estimate
+        FROM probes p JOIN sketch s USING (row, bucket)
+        GROUP BY p.term, p.true_cnt)
+SELECT term, true_cnt, cms_estimate,
+       cms_estimate - true_cnt AS overcount,
+       (cms_estimate - true_cnt) * 256 <= 3 * n AS within_bound
+FROM est, n
+ORDER BY true_cnt DESC, term
+""")
+def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-Min-Sketch heavy hitters with the ceil(e*N/w) error-bound
+    # audit in-query: the mergeable fixed-size counter a streaming
+    # 100 TB pipeline ships, audited against exact counts
+    d = load_table(spark, sf_dir, "documents")
+    return CP.cms_heavy_hitters(d, top=20)

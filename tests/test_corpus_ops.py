@@ -478,3 +478,18 @@ def test_bm25_rewards_rare_terms_and_penalizes_length(spark):
     assert scores[0] > scores[2]
     # every doc containing a query term appears; ranks are 1..4
     assert sorted(ranks.values()) == [1, 2, 3, 4]
+
+
+def test_cms_heavy_hitters_estimates_upper_bound_truth(spark):
+    # heavy term 'x' (60 occurrences) among light noise terms
+    d = docs_of(spark, ["x " * 60, "y z w q r s t u v", "y z " * 3])
+    out = CP.cms_heavy_hitters(d, top=5, width=16).collect()
+    byterm = {r["term"]: r for r in out}
+    assert byterm["x"]["true_cnt"] == 60
+    for r in out:
+        # CMS never undercounts, and the in-query bound must hold here
+        assert r["cms_estimate"] >= r["true_cnt"]
+        assert r["overcount"] == r["cms_estimate"] - r["true_cnt"]
+        assert r["within_bound"]
+    # ordering is by true count desc then term
+    assert out[0]["term"] == "x"
