@@ -832,3 +832,37 @@ def cms_heavy_hitters(docs: DataFrame, top: int = 20,
                     ((F.col("cms_estimate") - F.col("true_cnt")) * width
                      <= 3 * F.col("n")).alias("within_bound"))
             .orderBy(F.col("true_cnt").desc(), "term"))
+
+
+def hash_embedding(docs: DataFrame, dim: int = 16,
+                   buckets: int = CMS_WIDTH // 4,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Signed-random-projection text embedding (Achlioptas ±1 variant,
+    seeded by hashing): project the feature-hash bucket counts through
+    a deterministic ±1 matrix whose entries are md5 parities of
+    (bucket, component) — a pseudo-embedding that needs no model, no
+    floats and no stored matrix, yet preserves cosine structure well
+    enough for LSH-style blocking. The engine-native bridge from the
+    documents table into the ANN operator family.
+
+    Emitted exploded as (doc, component, value) with exact integer
+    values (Σ ±count per component) — hash-stable on any engine. Cost:
+    the feature-hash agg plus a ``dim``-way expansion of the BUCKET
+    table (|docs|·buckets rows, already far smaller than tokens)."""
+    cnts = feature_hash_counts(docs, dim=buckets, text_col=text_col,
+                               id_col=id_col)
+    js = None
+    for j in range(dim):
+        p = cnts.select(F.col(id_col), F.lit(j).alias("component"),
+                        "bucket", "cnt")
+        js = p if js is None else js.unionByName(p)
+    sign = (F.when(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("proj"), F.col("bucket"),
+                           F.lit("_"), F.col("component"))), 1, 15),
+            16, 10).cast("long") % 2 == 0,
+        F.lit(1)).otherwise(F.lit(-1)))
+    return (js.groupBy(id_col, "component")
+            .agg(F.sum(sign * F.col("cnt")).alias("value"))
+            .orderBy(id_col, "component"))

@@ -743,3 +743,30 @@ def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB pipeline ships, audited against exact counts
     d = load_table(spark, sf_dir, "documents")
     return CP.cms_heavy_hitters(d, top=20)
+
+
+@register("corpus_hash_embedding", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+wh AS (SELECT doc_id, {_WORD_HASHES} AS whs FROM w),
+x AS (SELECT doc_id, unnest(whs) % 64 AS bucket FROM wh),
+cnts AS (SELECT doc_id, bucket::BIGINT AS bucket, count(*)::BIGINT AS cnt
+         FROM x GROUP BY doc_id, bucket),
+js AS (SELECT doc_id, j.component, bucket, cnt
+       FROM cnts, (SELECT unnest(range(0, 16)) AS component) j),
+signed AS (SELECT doc_id, component,
+                  CASE WHEN ('0x' || substr(md5('proj' || bucket || '_'
+                                            || component), 1, 15))::BIGINT
+                            % 2 = 0
+                       THEN cnt ELSE -cnt END AS sv
+           FROM js)
+SELECT doc_id, component::BIGINT AS component,
+       CAST(sum(sv) AS BIGINT) AS value
+FROM signed GROUP BY doc_id, component
+ORDER BY doc_id, component
+""")
+def corpus_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # signed-random-projection pseudo-embedding from hashed bucket
+    # counts (±1 matrix seeded by md5 parity) — model-free, all-integer,
+    # the bridge from raw text into the ANN/blocking family
+    d = load_table(spark, sf_dir, "documents")
+    return CP.hash_embedding(d, dim=16, buckets=64)

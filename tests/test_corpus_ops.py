@@ -493,3 +493,16 @@ def test_cms_heavy_hitters_estimates_upper_bound_truth(spark):
         assert r["within_bound"]
     # ordering is by true count desc then term
     assert out[0]["term"] == "x"
+
+
+def test_hash_embedding_deterministic_and_linear(spark):
+    d = docs_of(spark, ["alpha beta gamma", "alpha beta gamma",
+                        "alpha alpha beta beta gamma gamma"])
+    out = CP.hash_embedding(d, dim=8, buckets=16).collect()
+    vecs = {}
+    for r in out:
+        vecs.setdefault(r["doc_id"], {})[r["component"]] = r["value"]
+    assert all(len(v) == 8 for v in vecs.values())
+    # identical text -> identical vector; doubled counts -> doubled vector
+    assert vecs[0] == vecs[1]
+    assert all(vecs[2][j] == 2 * vecs[0][j] for j in range(8))
