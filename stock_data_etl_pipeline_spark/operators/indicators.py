@@ -504,3 +504,41 @@ def mean_shift_alerts(bars: DataFrame, n: int = SHIFT_N,
         c1.alias("_c1"), c0.alias("_c0"))
     return (out.filter((F.col("_c1") == n) & (F.col("_c0") == n))
             .drop("_c1", "_c0"))
+
+
+SEASON_LAG = 24  # hourly bars: one-day seasonality
+
+
+def forecast_eval(bars: DataFrame, season: int = SEASON_LAG) -> DataFrame:
+    """Forecast-baseline evaluation per symbol: score the seasonal-naive
+    predictor (close one season ago) against the naive predictor (last
+    close) by MAE, and report MASE — the scale-free standard that any
+    real forecasting model must beat before it earns a deployment
+    (MASE < 1 means the seasonal structure is real).
+
+    Absolute errors are computed on the 1e-4 integer price grid, so
+    both MAE numerators are exact integer sums; only bars where BOTH
+    predictors are defined score, so the ratio compares like with like.
+    One window per symbol, one grouped agg — calendar-bounded rows."""
+    w = Window.partitionBy("event_type").orderBy("hr")
+    ci = F.round(F.col("close") * PX_SCALE, 0).cast("long")
+    b = bars.select("event_type", "hr", ci.alias("ci"))
+    scored = (b.select(
+        "event_type",
+        F.abs(F.col("ci") - F.lag("ci", season).over(w)).alias("ae_s"),
+        F.abs(F.col("ci") - F.lag("ci", 1).over(w)).alias("ae_n"),
+        F.lag("ci", season).over(w).alias("_chk"))
+        .filter(F.col("_chk").isNotNull()))
+    n = F.count(F.lit(1)).cast("double")
+    mae_s = F.sum("ae_s").cast("double") / n / PX_SCALE
+    mae_n = F.sum("ae_n").cast("double") / n / PX_SCALE
+    mase = F.when(F.sum("ae_n") > 0,
+                  F.sum("ae_s").cast("double")
+                  / F.sum("ae_n").cast("double"))
+    return (scored.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_evals"),
+                 F.round(mae_s, 6).alias("mae_seasonal"),
+                 F.round(mae_n, 6).alias("mae_naive"),
+                 F.round(mase, 6).alias("mase"))
+            .withColumn("seasonal_wins", F.col("mase") < 1.0)
+            .orderBy("event_type"))

@@ -670,3 +670,37 @@ def stock_mean_shift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (ind.mean_shift_alerts(ind.hourly_bars(ev))
             .orderBy("event_type", "hr"))
+
+
+@register("stock_forecast_eval", _BARS_CTE + f"""
+, ci AS (SELECT event_type, hr,
+                CAST(round(close * 10000, 0) AS BIGINT) AS ci
+         FROM bars),
+sc AS (SELECT event_type,
+              abs(ci - lag(ci, {ind.SEASON_LAG}) OVER w) AS ae_s,
+              abs(ci - lag(ci, 1) OVER w) AS ae_n,
+              lag(ci, {ind.SEASON_LAG}) OVER w AS chk
+       FROM ci
+       WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+f AS (SELECT * FROM sc WHERE chk IS NOT NULL),
+a AS (SELECT event_type, count(*)::BIGINT AS n_evals,
+             CAST(sum(ae_s) AS BIGINT) AS ss,
+             CAST(sum(ae_n) AS BIGINT) AS sn
+      FROM f GROUP BY event_type)
+SELECT event_type, n_evals,
+       round(cast(ss AS DOUBLE) / n_evals / 10000, 6) AS mae_seasonal,
+       round(cast(sn AS DOUBLE) / n_evals / 10000, 6) AS mae_naive,
+       round(CASE WHEN sn > 0
+                  THEN cast(ss AS DOUBLE) / cast(sn AS DOUBLE) END, 6)
+           AS mase,
+       round(CASE WHEN sn > 0
+                  THEN cast(ss AS DOUBLE) / cast(sn AS DOUBLE) END, 6)
+           < 1.0 AS seasonal_wins
+FROM a ORDER BY event_type
+""")
+def stock_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # forecast-baseline eval: seasonal-naive vs naive MAE + MASE on the
+    # 1e-4 integer price grid (exact error sums) — the scale-free gate
+    # any forecasting model must beat
+    ev = load_table(spark, sf_dir, "events")
+    return ind.forecast_eval(ind.hourly_bars(ev))

@@ -284,3 +284,20 @@ def test_mean_shift_zero_variance_yields_null_z(spark):
         spark.createDataFrame(rows))).collect())
     assert len(out) == 1
     assert out[0]["shift_z"] is None and out[0]["alert"] is None
+
+
+def test_forecast_eval_perfect_seasonality_wins(spark):
+    # period-3 cycle repeated: seasonal predictor (lag 3) is exact,
+    # naive (lag 1) always misses -> mase == 0, seasonal wins
+    cycle = [100.0, 110.0, 120.0]
+    rows = [Row(event_type="C3", ts=dt.datetime(2024, 1, 1 + h // 24,
+                                                h % 24),
+                event_id=h, value=cycle[h % 3]) for h in range(12)]
+    out = ind.forecast_eval(
+        ind.hourly_bars(spark.createDataFrame(rows)), season=3).collect()
+    r = out[0]
+    assert r["n_evals"] == 9
+    # naive errors cycle (|110-100|, |120-110|, |100-120|) -> avg 40/3
+    assert r["mae_seasonal"] == 0.0
+    assert r["mae_naive"] == pytest.approx(40 / 3, abs=1e-5)
+    assert r["mase"] == 0.0 and r["seasonal_wins"]
