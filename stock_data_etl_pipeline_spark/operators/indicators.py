@@ -542,3 +542,46 @@ def forecast_eval(bars: DataFrame, season: int = SEASON_LAG) -> DataFrame:
                  F.round(mase, 6).alias("mase"))
             .withColumn("seasonal_wins", F.col("mase") < 1.0)
             .orderBy("event_type"))
+
+
+def temporal_split_audit(bars: DataFrame, k: int = LAG_K,
+                         train_frac: float = 0.8) -> DataFrame:
+    """Purged temporal train/test split accounting for the lag-feature
+    matrix: the boundary hour sits at ``train_frac`` of the global
+    distinct-hour timeline; a matrix row (bar with full k-lag history
+    and a next-close label) is TEST if its feature time is at/after the
+    boundary, TRAIN only if its LABEL time is still before the
+    boundary, and PURGED when the label crosses the split — the rows
+    whose inclusion in training silently leaks test-period information
+    (the embargo/purge rule of time-series cross-validation).
+
+    Everything is rank/timestamp comparison — no floats anywhere, so
+    the audit is exact on any engine. One global distinct-hour agg
+    (broadcast scalar boundary), one window per symbol."""
+    hours = bars.select("hr").distinct()
+    n_hours = F.count(F.lit(1))
+    # boundary = first hour of the test period, by global hour rank
+    w_h = Window.orderBy("hr")
+    ranked = hours.select(
+        "hr", F.row_number().over(w_h).alias("_rk"))
+    cut = ranked.crossJoin(
+        F.broadcast(hours.agg(
+            F.ceil(n_hours * train_frac).cast("int").alias("_cut")))) \
+        .filter(F.col("_rk") == F.col("_cut") + 1) \
+        .select(F.col("hr").alias("boundary_hr"))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    rows = (bars.select(
+        "event_type", "hr",
+        F.lag("hr", k).over(w).alias("_lagk"),
+        F.lead("hr").over(w).alias("_label_hr"))
+        .filter(F.col("_lagk").isNotNull()
+                & F.col("_label_hr").isNotNull()))
+    j = rows.crossJoin(F.broadcast(cut))
+    is_test = F.col("hr") >= F.col("boundary_hr")
+    is_train = F.col("_label_hr") < F.col("boundary_hr")
+    return (j.groupBy("event_type", "boundary_hr")
+            .agg(F.sum(is_train.cast("long")).alias("n_train"),
+                 F.sum((~is_train & ~is_test).cast("long"))
+                 .alias("n_purged"),
+                 F.sum(is_test.cast("long")).alias("n_test"))
+            .orderBy("event_type"))

@@ -704,3 +704,36 @@ def stock_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any forecasting model must beat
     ev = load_table(spark, sf_dir, "events")
     return ind.forecast_eval(ind.hourly_bars(ev))
+
+
+@register("stock_temporal_split", _BARS_CTE + f"""
+, hrs AS (SELECT DISTINCT hr FROM bars),
+rk AS (SELECT hr, row_number() OVER (ORDER BY hr) AS r FROM hrs),
+cut AS (SELECT hr AS boundary_hr FROM rk, (SELECT CAST(ceil(count(*) * 0.8)
+             AS INT) AS c FROM hrs) t WHERE r = c + 1),
+rows_ AS (SELECT event_type, hr,
+                 lag(hr, {ind.LAG_K}) OVER w AS lagk,
+                 lead(hr) OVER w AS label_hr
+          FROM bars
+          WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+m AS (SELECT * FROM rows_ WHERE lagk IS NOT NULL
+                            AND label_hr IS NOT NULL)
+SELECT event_type, boundary_hr,
+       CAST(sum(CASE WHEN label_hr < boundary_hr THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN NOT (label_hr < boundary_hr)
+                      AND NOT (hr >= boundary_hr) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purged,
+       CAST(sum(CASE WHEN hr >= boundary_hr THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_test
+FROM m, cut
+GROUP BY event_type, boundary_hr
+ORDER BY event_type
+""")
+def stock_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # purged temporal train/test split accounting for the lag-feature
+    # matrix: rows whose label crosses the boundary are PURGED (the
+    # time-series CV embargo rule); pure rank/timestamp comparisons,
+    # exact on any engine
+    ev = load_table(spark, sf_dir, "events")
+    return ind.temporal_split_audit(ind.hourly_bars(ev))

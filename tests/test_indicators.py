@@ -301,3 +301,22 @@ def test_forecast_eval_perfect_seasonality_wins(spark):
     assert r["mae_seasonal"] == 0.0
     assert r["mae_naive"] == pytest.approx(40 / 3, abs=1e-5)
     assert r["mase"] == 0.0 and r["seasonal_wins"]
+
+
+def test_temporal_split_purges_boundary_crossers(spark):
+    # one symbol, 20 hourly bars, k=2: matrix rows are bars 2..18.
+    # 20 distinct hours -> cut = ceil(16)=16 -> boundary = 17th hour
+    # (index 16). train: label_hr < boundary -> bars 2..14 (label at
+    # bar+1 <= 15 < 16). purged: bar 15 (label 16 crosses). test: bars
+    # 16..18.
+    rows = [Row(event_type="T", ts=dt.datetime(2024, 1, 1 + h // 24,
+                                               h % 24),
+                event_id=h, value=float(h))
+            for h in range(20)]
+    out = ind.temporal_split_audit(
+        ind.hourly_bars(spark.createDataFrame(rows)), k=2).collect()
+    r = out[0]
+    assert r["boundary_hr"].hour == 16
+    assert r["n_train"] == 13 and r["n_purged"] == 1 and r["n_test"] == 3
+    # invariant: every matrix row lands in exactly one class
+    assert r["n_train"] + r["n_purged"] + r["n_test"] == 17
