@@ -1,7 +1,7 @@
 """Full-catalog oracle gate at sf0.001.
 
 Runs every ``queries()`` entry against its DuckDB oracle — the local
-replica of the driver's correctness check over ALL 141 entries, not just
+replica of the driver's correctness check over the ENTIRE catalog (len(CATALOG) entries), not just
 the driver's 50-query window. Exists so a testdata regeneration between
 rounds (the round-2 failure mode: events.ts changed storage unit and 8
 queries silently went red) is caught by ``pytest`` before the driver
