@@ -488,8 +488,9 @@ def dq_stock_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stock_seasonality_profile", _BARS_CTE + """
 , rets AS (
   SELECT event_type, hr, volume, total_value,
-         abs(close / lag(close) OVER (PARTITION BY event_type
-                                      ORDER BY hr) - 1.0) AS abs_ret
+         CAST(round(abs(close / lag(close) OVER (PARTITION BY event_type
+                                                 ORDER BY hr) - 1.0)
+                    * 1000000, 0) AS BIGINT) AS ri
   FROM bars
 )
 SELECT event_type,
@@ -497,7 +498,8 @@ SELECT event_type,
        CAST(sum(volume) AS BIGINT) AS total_volume,
        count(*) AS n_bars,
        round(sum(total_value), 2) AS total_traded,
-       round(avg(abs_ret), 6) AS mean_abs_ret
+       round(cast(cast(sum(ri) AS BIGINT) AS DOUBLE)
+             / count(ri) / 1000000, 6) AS mean_abs_ret
 FROM rets
 GROUP BY event_type, extract(hour FROM hr)
 ORDER BY event_type, hour_of_day
@@ -507,20 +509,24 @@ def stock_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mean absolute bar return (the volatility smile a trading calendar
     # shows). Calendar-bucket re-keying of the bars relation — one
     # extra hash-agg, |symbols| x 24 output rows at any scale.
-    # mean_abs_ret is a ratio off the decimal grid (safe at 6 dp);
-    # money totals stay on the 0.01 sum grid.
+    # mean_abs_ret is quantized to micro-units so its sum is an exact
+    # integer (the fixed-point determinism rule); money totals stay on
+    # the 0.01 sum grid.
     from pyspark.sql import Window
     ev = load_table(spark, sf_dir, "events")
     bars = ind.hourly_bars(ev)
     w = Window.partitionBy("event_type").orderBy("hr")
     r = bars.withColumn(
-        "abs_ret", F.abs(F.col("close") / F.lag("close").over(w) - 1.0))
+        "ri", F.round(F.abs(F.col("close") / F.lag("close").over(w) - 1.0)
+                      * 1_000_000, 0).cast("long"))
     return (r.groupBy("event_type",
                       F.hour("hr").cast("long").alias("hour_of_day"))
             .agg(F.sum("volume").alias("total_volume"),
                  F.count(F.lit(1)).alias("n_bars"),
                  F.round(F.sum("total_value"), 2).alias("total_traded"),
-                 F.round(F.avg("abs_ret"), 6).alias("mean_abs_ret"))
+                 F.round(F.sum("ri").cast("double")
+                         / F.count("ri") / 1_000_000, 6)
+                 .alias("mean_abs_ret"))
             .orderBy("event_type", "hour_of_day"))
 
 
