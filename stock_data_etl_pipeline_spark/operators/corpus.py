@@ -866,3 +866,45 @@ def hash_embedding(docs: DataFrame, dim: int = 16,
     return (js.groupBy(id_col, "component")
             .agg(F.sum(sign * F.col("cnt")).alias("value"))
             .orderBy(id_col, "component"))
+
+
+def phrase_search(docs: DataFrame, phrase_words: list[str],
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact phrase search through the span-hash inverted index — the
+    classic two-phase retrieval: CANDIDATE generation compares each
+    document's position-ordered k-token span hashes against the
+    phrase's hash (pure bigint equality, the same 31-bit polynomial the
+    dedup index uses, so at scale this reads an existing index
+    partitioned by span instead of rescanning text), then a VERIFY
+    phase re-checks candidates against the raw text to eliminate hash
+    collisions. Emits hash occurrences AND the verified flag so the
+    collision layer is observable rather than silently absorbed.
+
+    Only candidate docs are ever re-read in the verify phase — the
+    standard index-then-confirm shape that keeps exact search off a
+    full-text scan."""
+    from ..functions.text import (span_hashes_from_word_hashes,
+                                  word_hashes, words)
+    k = len(phrase_words)
+    phrase = " ".join(phrase_words)
+    # the phrase's own hash, via the same md5 polynomial on a 1-row
+    # literal relation (no Python-side hashing — one engine, one hash)
+    ph = (docs.sparkSession.range(1)
+          .select(F.array(*[F.lit(w) for w in phrase_words]).alias("_ws"))
+          .select(word_hashes("_ws").alias("_wh"))
+          .select(F.element_at(
+              span_hashes_from_word_hashes("_wh", k), 1).alias("phash")))
+    spans = (docs.select(F.col(id_col), words(text_col).alias("_ws"))
+             .select(F.col(id_col), word_hashes("_ws").alias("_wh"))
+             .select(F.col(id_col),
+                     F.explode(span_hashes_from_word_hashes("_wh", k))
+                     .alias("span")))
+    cand = (spans.crossJoin(F.broadcast(ph))
+            .filter(F.col("span") == F.col("phash"))
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hash_hits")))
+    return (cand.join(docs.select(F.col(id_col), F.col(text_col)), id_col)
+            .select(F.col(id_col), "n_hash_hits",
+                    F.col(text_col).contains(phrase).alias("verified"))
+            .orderBy(id_col))

@@ -770,3 +770,30 @@ def corpus_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the bridge from raw text into the ANN/blocking family
     d = load_table(spark, sf_dir, "documents")
     return CP.hash_embedding(d, dim=16, buckets=64)
+
+
+@register("corpus_phrase_search", f"""
+WITH pw AS (SELECT ['key', 'order', 'sort'] AS ws),
+pwh AS (SELECT list_transform(ws, w ->
+            ('0x' || substr(md5(w), 1, 15))::BIGINT % 2147483647) AS whs
+        FROM pw),
+ph AS (SELECT ((whs[1] * 131 + whs[2]) % 2147483647 * 131 + whs[3])
+               % 2147483647 AS phash
+       FROM pwh),
+w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+wh AS (SELECT doc_id, {_WORD_HASHES} AS whs FROM w),
+g AS (SELECT doc_id, unnest({{SPAN}}) AS span FROM wh),
+cand AS (SELECT doc_id, count(*)::BIGINT AS n_hash_hits
+         FROM g, ph WHERE span = phash GROUP BY doc_id)
+SELECT c.doc_id, c.n_hash_hits,
+       contains(d.text, 'key order sort') AS verified
+FROM cand c JOIN documents d USING (doc_id)
+ORDER BY c.doc_id
+""".replace("{{SPAN}}", "{SPAN}").replace(
+    "{SPAN}", _span_hash_expr(3)))
+def corpus_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact phrase search, two-phase: span-hash candidates (the dedup
+    # index's 31-bit polynomial — at scale an existing span-partitioned
+    # index) then raw-text verification of candidates only
+    d = load_table(spark, sf_dir, "documents")
+    return CP.phrase_search(d, ["key", "order", "sort"])

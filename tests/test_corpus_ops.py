@@ -506,3 +506,17 @@ def test_hash_embedding_deterministic_and_linear(spark):
     # identical text -> identical vector; doubled counts -> doubled vector
     assert vecs[0] == vecs[1]
     assert all(vecs[2][j] == 2 * vecs[0][j] for j in range(8))
+
+
+def test_phrase_search_counts_occurrences_and_verifies(spark):
+    d = docs_of(spark, [
+        "a b c d",            # one hit
+        "a b c a b c",        # two hits
+        "b c a",              # phrase words present but not adjacent
+        "x y z",              # no overlap
+    ])
+    out = {r["doc_id"]: r for r in
+           CP.phrase_search(d, ["a", "b", "c"]).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_hash_hits"] == 1 and out[0]["verified"]
+    assert out[1]["n_hash_hits"] == 2 and out[1]["verified"]
