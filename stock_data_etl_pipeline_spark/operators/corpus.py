@@ -908,3 +908,32 @@ def phrase_search(docs: DataFrame, phrase_words: list[str],
             .select(F.col(id_col), "n_hash_hits",
                     F.col(text_col).contains(phrase).alias("verified"))
             .orderBy(id_col))
+
+
+def cv_fold_assignment(docs: DataFrame, k: int = 5,
+                       strat_col: str = "lang",
+                       id_col: str = "doc_id") -> DataFrame:
+    """K-fold cross-validation assignment by portable id hash
+    (reproducible across runs, engines and corpus growth — a doc never
+    changes folds when neighbors arrive), with the balance audit a
+    fold assignment must pass: per-(fold, stratum) counts, each fold's
+    share of the corpus, and a flag when a fold drifts more than 25%
+    from the ideal 1/k. Hash-based folds are binomial, not exact-n —
+    the audit is what makes that tradeoff observable.
+
+    One map-side-combinable count over (fold, stratum); the per-fold
+    totals re-aggregate those counts (stratum-scale rows)."""
+    fold = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15),
+                   16, 10).cast("long") % k).alias("fold")
+    cnt = (docs.select(fold, F.col(strat_col))
+           .groupBy("fold", strat_col)
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.groupBy("fold").agg(F.sum("n").alias("fold_total"))
+    grand = cnt.agg(F.sum("n").alias("_g"))
+    share = F.round(F.col("fold_total").cast("double") / F.col("_g"), 4)
+    return (cnt.join(tot, "fold").crossJoin(F.broadcast(grand))
+            .select("fold", strat_col, "n", "fold_total",
+                    share.alias("fold_share"),
+                    (F.abs(share - 1.0 / k) <= 0.25 / k)
+                    .alias("balanced"))
+            .orderBy("fold", strat_col))

@@ -797,3 +797,26 @@ def corpus_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # index) then raw-text verification of candidates only
     d = load_table(spark, sf_dir, "documents")
     return CP.phrase_search(d, ["key", "order", "sort"])
+
+
+@register("corpus_cv_folds", """
+WITH f AS (SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 5
+               AS fold, lang
+           FROM documents),
+cnt AS (SELECT fold, lang, count(*)::BIGINT AS n FROM f GROUP BY fold, lang),
+tot AS (SELECT fold, CAST(sum(n) AS BIGINT) AS fold_total
+        FROM cnt GROUP BY fold),
+g AS (SELECT CAST(sum(n) AS BIGINT) AS gt FROM cnt)
+SELECT c.fold, c.lang, c.n, t.fold_total,
+       round(cast(t.fold_total AS DOUBLE) / g.gt, 4) AS fold_share,
+       abs(round(cast(t.fold_total AS DOUBLE) / g.gt, 4) - 0.2) <= 0.05
+           AS balanced
+FROM cnt c JOIN tot t USING (fold), g
+ORDER BY c.fold, c.lang
+""")
+def corpus_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reproducible k-fold assignment by portable id hash + the balance
+    # audit (hash folds are binomial, not exact-n — the audit makes
+    # that observable)
+    d = load_table(spark, sf_dir, "documents")
+    return CP.cv_fold_assignment(d, k=5)
