@@ -139,3 +139,59 @@ def audio_chunk_plan(media: DataFrame, chunk_ms: int = 30_000,
                             F.col("_d")).alias("chunk_end"))
             .withColumn("chunk_idx",
                         ((F.col("chunk_start") / stride).cast("long"))))
+
+
+def interleaved_pack(docs, chunk_size: int = 32,
+                     img_every_chars: int = 100,
+                     patch_tokens: int = 16,
+                     text_col: str = "text",
+                     id_col: str = "doc_id"):
+    """Interleaved image-text training-sample assembly (the MMC4/
+    OBELICS document shape): each document's text is chunked, media
+    placeholders are slotted between chunks (image k after chunk k),
+    and the result is a per-document POSITION-ORDERED sequence of
+    (modality, ref, tokens, token_offset) rows — exactly the layout a
+    multimodal dataloader consumes, with the media cell standing in as
+    ``patch_tokens`` sequence positions.
+
+    Real image bytes stay out of this plan on purpose: the sequence
+    table carries REFS, and the (stubbed-codec) media pipeline joins
+    in by ref at materialization — at 100 TB you never shuffle pixels
+    to plan a curriculum. Pure explode + union + one per-doc window;
+    all integers, no Python."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.text import words
+    from .corpus import chunk_documents
+    chunks = chunk_documents(docs, size=chunk_size, overlap=0,
+                             text_col=text_col, id_col=id_col)
+    t = chunks.select(F.col(id_col),
+                      F.col("chunk_id").alias("ref"),
+                      F.col("chunk_id").alias("_k1"),
+                      F.lit(0).alias("_k2"),
+                      F.lit("text").alias("modality"),
+                      F.col("n_tokens").alias("tokens"))
+    imgs = (docs.filter(F.col("n_chars") >= img_every_chars)
+            .select(F.col(id_col),
+                    F.posexplode(F.sequence(
+                        F.lit(0),
+                        F.expr(f"n_chars div {img_every_chars}")
+                        .cast("int") - 1))
+                    .alias("_p", "_v")))
+    i = imgs.select(F.col(id_col),
+                    F.col("_p").cast("long").alias("ref"),
+                    F.col("_p").cast("long").alias("_k1"),
+                    F.lit(1).alias("_k2"),
+                    F.lit("image").alias("modality"),
+                    F.lit(patch_tokens).cast("long").alias("tokens"))
+    u = t.unionByName(i)
+    w = Window.partitionBy(id_col).orderBy("_k1", "_k2")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (u.select(
+        F.col(id_col),
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+        "modality", "ref", "tokens",
+        (F.sum("tokens").over(run) - F.col("tokens")).cast("long")
+        .alias("token_offset"))
+        .orderBy(id_col, "position"))

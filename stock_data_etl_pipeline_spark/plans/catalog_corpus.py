@@ -820,3 +820,39 @@ def corpus_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that observable)
     d = load_table(spark, sf_dir, "documents")
     return CP.cv_fold_assignment(d, k=5)
+
+
+@register("multimodal_interleaved_pack", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+b AS (SELECT doc_id, len(ws) AS n FROM w WHERE len(ws) > 0),
+tc AS (SELECT doc_id, n,
+              unnest(range(0, greatest(1, ceil(n / 32.0))::BIGINT))
+                  AS ref
+       FROM b),
+t AS (SELECT doc_id, ref, ref AS k1, 0 AS k2, 'text' AS modality,
+             least(32, n - ref * 32)::BIGINT AS tokens
+      FROM tc),
+im AS (SELECT doc_id, unnest(range(0, n_chars // 100)) AS ref
+       FROM documents WHERE n_chars >= 100),
+i AS (SELECT doc_id, ref, ref AS k1, 1 AS k2, 'image' AS modality,
+             16::BIGINT AS tokens
+      FROM im),
+u AS (SELECT * FROM t UNION ALL SELECT * FROM i)
+SELECT doc_id,
+       (row_number() OVER wd - 1)::BIGINT AS position,
+       modality, ref, tokens,
+       (CAST(sum(tokens) OVER (wd ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) - tokens)
+           AS token_offset
+FROM u
+WINDOW wd AS (PARTITION BY doc_id ORDER BY k1, k2)
+ORDER BY doc_id, position
+""")
+def multimodal_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interleaved image-text sample assembly (MMC4/OBELICS shape):
+    # text chunks with media placeholders slotted between them, emitted
+    # as position-ordered (modality, ref, tokens, token_offset) rows —
+    # refs only, pixels never shuffle through curriculum planning
+    from ..operators.multimodal import interleaved_pack
+    d = load_table(spark, sf_dir, "documents")
+    return interleaved_pack(d)

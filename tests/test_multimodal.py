@@ -31,3 +31,22 @@ def test_audio_chunk_plan_windows(spark):
     import pytest
     with pytest.raises(ValueError):
         audio_chunk_plan(media, chunk_ms=1000, overlap_ms=1000)
+
+
+def test_interleaved_pack_alternates_and_offsets(spark):
+    from stock_data_etl_pipeline_spark.operators.multimodal import (
+        interleaved_pack)
+    # 70 tokens (3 chunks of 32/32/6), 250 chars -> 2 images
+    tokens = " ".join(f"t{i}" for i in range(70))
+    d = spark.createDataFrame([(1, tokens, 250)],
+                              "doc_id long, text string, n_chars long")
+    out = interleaved_pack(d, chunk_size=32, img_every_chars=100).collect()
+    seq = [(r["position"], r["modality"], r["ref"], r["tokens"],
+            r["token_offset"]) for r in sorted(out,
+                                               key=lambda r: r["position"])]
+    # interleave: chunk0, img0, chunk1, img1, chunk2
+    assert [(m, ref) for _, m, ref, _, _ in seq] == [
+        ("text", 0), ("image", 0), ("text", 1), ("image", 1), ("text", 2)]
+    # token budget: 32 + 16 + 32 + 16 + 6; offsets are running sums
+    assert [t for _, _, _, t, _ in seq] == [32, 16, 32, 16, 6]
+    assert [o for _, _, _, _, o in seq] == [0, 32, 48, 80, 96]
