@@ -568,3 +568,57 @@ def events_outlier_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.abs(F.col("value") - F.col("med"))
                          / (1.4826 * F.col("mad")), 6).alias("abs_z")))
     return z.orderBy(F.col("abs_z").desc(), "event_id").limit(50)
+
+
+@register("events_rfm_segments", """
+WITH mx AS (SELECT max(ts) AS now FROM events),
+base AS (SELECT user_id,
+                CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS frequency,
+                round(sum(CASE WHEN event_type = 'purchase'
+                               THEN value ELSE 0 END), 2) AS monetary,
+                CAST(date_diff('second', max(ts), (SELECT now FROM mx))
+                     AS BIGINT) AS recency_s
+         FROM events GROUP BY user_id),
+scored AS (SELECT *,
+                  ntile(4) OVER (ORDER BY recency_s, user_id) AS r,
+                  ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+                  ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m
+           FROM base)
+SELECT user_id, recency_s, frequency, monetary,
+       CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+       CAST(m AS BIGINT) AS m,
+       CASE WHEN r = 1 AND f = 1 THEN 'champion'
+            WHEN r >= 3 AND f = 1 THEN 'at_risk'
+            WHEN r = 1 AND f >= 3 THEN 'new'
+            ELSE 'regular' END AS segment
+FROM scored ORDER BY user_id
+""")
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # classic RFM segmentation: recency/frequency/monetary quartiles per
+    # user (ntile over total orderings with id tie-breaks — rank-based,
+    # so the segmentation is exact on any engine); quartile 1 = best
+    from pyspark.sql import Window
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now"))
+    base = (ev.crossJoin(F.broadcast(mx))
+            .groupBy("user_id")
+            .agg(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                       .otherwise(0)).alias("frequency"),
+                 F.round(F.sum(F.when(F.col("event_type") == "purchase",
+                                      F.col("value")).otherwise(0.0)), 2)
+                 .alias("monetary"),
+                 (F.unix_timestamp(F.max(F.col("now")))
+                  - F.unix_timestamp(F.max("ts"))).alias("recency_s")))
+    r = F.ntile(4).over(Window.orderBy("recency_s", "user_id"))
+    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id"))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), "user_id"))
+    scored = base.select("user_id", "recency_s", "frequency", "monetary",
+                         r.cast("long").alias("r"),
+                         f.cast("long").alias("f"),
+                         m.cast("long").alias("m"))
+    seg = (F.when((F.col("r") == 1) & (F.col("f") == 1), "champion")
+           .when((F.col("r") >= 3) & (F.col("f") == 1), "at_risk")
+           .when((F.col("r") == 1) & (F.col("f") >= 3), "new")
+           .otherwise("regular"))
+    return (scored.withColumn("segment", seg).orderBy("user_id"))

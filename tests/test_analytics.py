@@ -116,3 +116,23 @@ def test_pagerank_star_graph_exact_integer_semantics(spark):
     assert out[0] > out[1] == out[2] == out[3]
     # mass stays within floor-leak tolerance of the full scale
     assert abs(sum(out.values()) - PR_SCALE) < 100 * len(deg)
+
+
+def test_rfm_segments_rank_semantics(spark):
+    import datetime as dt
+    from stock_data_etl_pipeline_spark.plans.catalog_analytics import (
+        events_rfm_segments)
+    # build a tmp sf-dir shaped events table via a registered loader is
+    # overkill — call the Spark side's logic through the catalog by
+    # pointing at real testdata and checking invariants instead
+    out = events_rfm_segments(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        assert 1 <= r["r"] <= 4 and 1 <= r["f"] <= 4 and 1 <= r["m"] <= 4
+        assert r["segment"] in {"champion", "at_risk", "new", "regular"}
+        if r["segment"] == "champion":
+            assert r["r"] == 1 and r["f"] == 1
+    # quartiles partition users near-evenly
+    from collections import Counter
+    c = Counter(r["r"] for r in out)
+    assert max(c.values()) - min(c.values()) <= 1
