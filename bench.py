@@ -114,9 +114,27 @@ def main() -> None:
         per_query[name] = round(times[len(times) // 2], 3)
 
     total = round(sum(per_query.values()), 3)
-    print(json.dumps({"metric": "headline_queries_total", "value": total,
-                      "unit": "sec", "queries": per_query, "sf": sf,
-                      "rows": rows, "attempts": attempts}))
+    # The driver captures only a bounded TAIL of stdout; round 4's line
+    # (37 queries + a rows dict) overflowed it and BENCH_r04.json recorded
+    # "parsed": null.  Keep stdout to ONE compact line (times only) and
+    # write the full detail — row counts, attempts — to BENCH_LOCAL.json.
+    detail = {"metric": "headline_queries_total", "value": total,
+              "unit": "sec", "queries": per_query, "sf": sf,
+              "rows": rows, "attempts": attempts}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    line_obj = {"metric": "headline_queries_total", "value": total,
+                "unit": "sec", "queries": per_query, "sf": sf}
+    line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > 1900:  # driver tail buffer is 2000 chars — stay under
+        slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1]))
+        while len(line) > 1900 and slowest:
+            slowest.popitem()
+            line_obj["queries"] = slowest
+            line_obj["queries_truncated"] = True
+            line = json.dumps(line_obj, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -129,23 +129,22 @@ def ewma_trend(bars: DataFrame, decay: float = EWMA_DECAY,
     """Truncated exponentially-weighted moving average of close.
 
     ewma_t = Σ_{i=0..L-1} decay^i · close_{t-i} / Σ decay^i, via a
-    rank-bounded self-join (cur.rn − L < prev.rn ≤ cur.rn). The join
-    keys on symbol with a rank-range residual — a hash join with L-fold
-    amplification, linear in bars, never quadratic. The recurrence form
+    BANDED rank self-join (``banded_rank_join``): rank is blocked into
+    width-L bands and each bar equi-joins on (symbol, band ∈ {b, b−1})
+    before the range residual, so every hash-probe bucket holds ≤ L
+    rows — O(L) comparisons per bar, linear in bars at any history
+    length (a plain rank-range join keyed only on symbol probes every
+    same-symbol bar: O(n²) per key). The recurrence form
     (ewma = α·x + (1−α)·prev) needs an unbounded running state that
     neither SQL window frames nor Catalyst express; truncating at
     decay^L < 1.3e-4 keeps the result identical to 6 dp.
     """
+    from .windows import banded_rank_join
+
     w = Window.partitionBy("event_type").orderBy("hr")
     b = bars.select("event_type", "hr", "close",
                     F.row_number().over(w).alias("rn"))
-    cur = b.alias("cur")
-    prev = b.alias("prev")
-    joined = cur.join(
-        prev,
-        (F.col("cur.event_type") == F.col("prev.event_type"))
-        & (F.col("prev.rn") > F.col("cur.rn") - lookback)
-        & (F.col("prev.rn") <= F.col("cur.rn")))
+    joined = banded_rank_join(b, ["event_type"], "rn", lookback)
     wgt = F.pow(F.lit(decay), F.col("cur.rn") - F.col("prev.rn"))
     return (joined.groupBy(F.col("cur.event_type").alias("event_type"),
                            F.col("cur.hr").alias("hr"),

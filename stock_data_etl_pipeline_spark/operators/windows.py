@@ -51,3 +51,39 @@ def first_row_per_group(df: DataFrame, keys: Sequence[str],
     """Arbitrary-but-deterministic single row per group (reference W3:
     'take row(0), warn if more than one')."""
     return latest_per_group(df, keys, tiebreaker)
+
+
+def banded_rank_join(df: DataFrame, keys: Sequence[str], rn: str,
+                     width: int) -> DataFrame:
+    """Bounded-history self-join: every (cur, prev) pair with
+    ``cur.rn - width < prev.rn <= cur.rn``, equi-keyed so each probe
+    touches O(width) rows — never the whole key group.
+
+    A naive rank-range self-join keyed only on ``keys`` degenerates into
+    a hash join whose range predicate is a *post-probe residual*: every
+    row probes every same-key row, O(n²) comparisons per key. Banding
+    fixes the join key, not the output: band ``b = (rn-1) div width``
+    puts any in-range prev row in cur's band or the band before, so
+    exploding cur into probe keys {b, b-1} and equi-joining on
+    ``(keys…, probe = prev_band)`` bounds each hash bucket at ``width``
+    rows. The residual range filter then trims the ≤2·width candidates
+    to the exact window — O(width) work per row, and the join stays a
+    shuffle-partitionable equi-join at any key cardinality.
+
+    Returns the join with sides aliased ``cur`` / ``prev`` (select with
+    ``F.col("cur.x")`` / ``F.col("prev.x")``); the internal ``__band``/
+    ``__probe`` columns are not dropped — project past them.
+    """
+    band = F.floor((F.col(rn) - 1) / width)
+    prev = df.withColumn("__band", band).alias("prev")
+    # each cur row probes its own band and the previous one; a given
+    # (cur, prev) pair matches exactly one probe value, so no dup pairs
+    cur = (df.withColumn("__probe", F.explode(F.array(band, band - 1)))
+             .alias("cur"))
+    cond = F.col("cur.__probe") == F.col("prev.__band")
+    for k in keys:
+        cond = cond & (F.col(f"cur.{k}") == F.col(f"prev.{k}"))
+    cond = (cond
+            & (F.col(f"prev.{rn}") > F.col(f"cur.{rn}") - width)
+            & (F.col(f"prev.{rn}") <= F.col(f"cur.{rn}")))
+    return cur.join(prev, cond)

@@ -122,21 +122,30 @@ def stock_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT event_type, hr, close,
          row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
   FROM bars
+), pb AS (
+  SELECT *, (rn - 1) // {ind.EWMA_LOOKBACK} AS band FROM rb
+), cb AS (
+  SELECT event_type, hr, close, rn,
+         unnest([(rn - 1) // {ind.EWMA_LOOKBACK},
+                 (rn - 1) // {ind.EWMA_LOOKBACK} - 1]) AS probe
+  FROM rb
 )
 SELECT cur.event_type, cur.hr, cur.close,
        round(sum(prev.close * pow({ind.EWMA_DECAY}, cur.rn - prev.rn))
              / sum(pow({ind.EWMA_DECAY}, cur.rn - prev.rn)), 6) AS ewma
-FROM rb cur JOIN rb prev
+FROM cb cur JOIN pb prev
   ON cur.event_type = prev.event_type
+ AND cur.probe = prev.band
  AND prev.rn > cur.rn - {ind.EWMA_LOOKBACK}
  AND prev.rn <= cur.rn
 GROUP BY cur.event_type, cur.hr, cur.close
 ORDER BY cur.event_type, cur.hr
 """)
 def stock_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Truncated EWMA via a rank-bounded self-join (linear, 40x
-    # amplification); decay^40 ~ 1e-4 keeps 6-dp identity with the
-    # unbounded recurrence.
+    # Truncated EWMA via a BANDED rank self-join (equi-join on
+    # (symbol, rank-band) + range residual — O(lookback) probe work per
+    # bar, see operators/windows.py banded_rank_join); decay^40 ~ 1e-4
+    # keeps 6-dp identity with the unbounded recurrence.
     ev = load_table(spark, sf_dir, "events")
     return (ind.ewma_trend(ind.hourly_bars(ev))
             .orderBy("event_type", "hr"))

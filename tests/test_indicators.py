@@ -88,6 +88,47 @@ def test_ewma_matches_exact_recurrence(ticks):
                             abs_tol=1e-6)
 
 
+def test_banded_rank_join_equals_naive_range_join(spark):
+    """banded_rank_join must produce EXACTLY the naive rank-range join's
+    pair set across band boundaries (rn at multiples of width, first
+    band's empty b-1 probe, key isolation). 2 keys x 23 rows, width 7 —
+    ranks cross three band edges."""
+    from stock_data_etl_pipeline_spark.operators.windows import (
+        banded_rank_join)
+
+    width = 7
+    df = spark.createDataFrame(
+        [Row(k=k, rn=i, v=float(10 * i)) for k in ("x", "y")
+         for i in range(1, 24)])
+    banded = {(r["ck"], r["crn"], r["prn"]) for r in banded_rank_join(
+        df, ["k"], "rn", width).select(
+            F.col("cur.k").alias("ck"), F.col("cur.rn").alias("crn"),
+            F.col("prev.rn").alias("prn")).collect()}
+    naive = {(k, c, p) for k in ("x", "y") for c in range(1, 24)
+             for p in range(1, 24) if c - width < p <= c}
+    assert banded == naive
+
+
+def test_ewma_long_series_matches_exact_recurrence(spark):
+    """EWMA over a series LONGER than the lookback band (90 bars vs
+    L=40): the banded join must stitch bands b/b-1 correctly so every
+    bar still sees exactly its trailing-L window."""
+    rows = [Row(event_type="Z", ts=_ts(0) + dt.timedelta(hours=i),
+                event_id=i, value=100.0 + math.sin(i) * 7) for i in
+            range(90)]
+    out = {r["hr"]: r["ewma"] for r in
+           ind.ewma_trend(ind.hourly_bars(spark.createDataFrame(rows)))
+           .collect()}
+    closes = [100.0 + math.sin(i) * 7 for i in range(90)]
+    d, L = ind.EWMA_DECAY, ind.EWMA_LOOKBACK
+    for t in (0, 39, 40, 41, 79, 80, 89):  # band edges + interior
+        window = closes[max(0, t - L + 1):t + 1]
+        wts = [d ** (len(window) - 1 - i) for i in range(len(window))]
+        exact = sum(c * w for c, w in zip(window, wts)) / sum(wts)
+        got = out[_ts(0) + dt.timedelta(hours=t)]
+        assert math.isclose(got, round(exact, 6), abs_tol=2e-6), (t, got)
+
+
 def test_locf_fills_gaps_on_dense_grid(ticks):
     rows = {(r["event_type"], r["hr"].hour): r
             for r in ind.locf_fill(ind.hourly_bars(ticks)).collect()}

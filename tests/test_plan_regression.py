@@ -79,6 +79,19 @@ def test_pinned_plan_invariants(audits, name):
             f"plan:\n{plan[:4000]}")
 
 
+def test_ewma_join_keys_on_rank_band(spark):
+    """The EWMA self-join must equi-key on the rank BAND, not just the
+    symbol: keyed only on event_type, the rank-range predicate becomes
+    a post-probe residual and every bar probes every same-symbol bar —
+    O(n²) comparisons per key at scale (the round-4 finding)."""
+    import __spark_entry__ as entrymod
+    props, plan = audit_one(
+        spark, entrymod.queries()["stock_ewma_trend"], SF_DIR)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "__probe" in final and "__band" in final, (
+        "banded_rank_join band keys missing from the join\n" + final[:4000])
+
+
 @pytest.mark.parametrize("name", sorted(PINNED))
 def test_no_unkeyed_join_strategies(audits, name):
     props, plan = audits[name]
