@@ -172,9 +172,12 @@ def calibration_table(df: DataFrame, weights: list[float],
     (bias first) — scoring from the hash-checked artifact keeps the
     whole table a pure function of already-verified values. Predictions
     are quantized to 1e-6 so the per-bin sums are exact integers
-    (order-independent); the ntile ordering is total (score, then
-    ``id_col``). One window + one map-side-combinable aggregate."""
-    from pyspark.sql import Window
+    (order-independent); the bin ordering is total (score, then
+    ``id_col``) and assigned by ``distributed_ntile`` — range-
+    partitioned local sorts, never a global single-partition window
+    sort over every scored document — then one map-side-combinable
+    aggregate."""
+    from .windows import distributed_ntile
     z = F.lit(weights[0])
     for j, c in enumerate(feature_cols, start=1):
         z = z + F.lit(weights[j]) * F.col(c)
@@ -183,8 +186,7 @@ def calibration_table(df: DataFrame, weights: list[float],
     scored = df.select(
         F.col(label_col).cast("long").alias("_y"), pi.alias("_pi"),
         F.col(id_col).alias("_id"))
-    w = Window.orderBy("_pi", "_id")
-    binned = scored.withColumn("bin", F.ntile(bins).over(w))
+    binned = distributed_ntile(scored, bins, ["_pi", "_id"], out="bin")
     return (binned.groupBy("bin")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("_pi").cast("double")

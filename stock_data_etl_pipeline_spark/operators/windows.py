@@ -53,6 +53,63 @@ def first_row_per_group(df: DataFrame, keys: Sequence[str],
     return latest_per_group(df, keys, tiebreaker)
 
 
+def distributed_ntile(df: DataFrame, n: int, order: Sequence[str | Column],
+                      out: str = "ntile") -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY order)`` without the
+    single-partition sort Spark plans for an empty-partitionBy window.
+
+    An unpartitioned window pulls EVERY row through one task — the
+    whole table sorted on one executor, the round-4 scale finding in
+    RFM segmentation and classifier calibration. This computes the
+    identical bucket assignment distributively:
+
+    1. ``repartitionByRange`` on the order keys — a parallel range
+       shuffle (sampled boundaries), each partition a contiguous slice
+       of the total order; the slice is then ``persist``-pinned so the
+       count pass and the rank pass see the same boundaries.
+    2. ``row_number`` partitioned by ``spark_partition_id()`` — sorts
+       are partition-local.
+    3. Global rank = local rank + preceding partitions' row counts (a
+       numPartitions-sized control-plane collect, like the id-maps
+       elsewhere in this package).
+    4. ntile's exact bucket arithmetic from (rank, N): with
+       ``q, r = divmod(N, n)`` the first ``r`` buckets hold ``q+1``
+       rows, the rest ``q``.
+
+    ``order`` must be a TOTAL order (include a unique tie-break column)
+    — the same requirement Spark's own ntile has for determinism. The
+    result column is INT to match ``F.ntile``.
+    """
+    cols = _cols(order)
+    ranged = df.repartitionByRange(*cols).withColumn(
+        "_dnt_pid", F.spark_partition_id()).persist()
+    counts = {row["_dnt_pid"]: row["cnt"] for row in
+              ranged.groupBy("_dnt_pid").agg(
+                  F.count(F.lit(1)).alias("cnt")).collect()}
+    total, offsets = 0, {}
+    for pid in sorted(counts):
+        offsets[pid] = total
+        total += counts[pid]
+    if total == 0:
+        return df.withColumn(out, F.lit(None).cast("int"))
+    off_expr = F.coalesce(
+        F.create_map(*[F.lit(v) for pid, off in offsets.items()
+                       for v in (pid, off)])[F.col("_dnt_pid")],
+        F.lit(0))
+    w = Window.partitionBy("_dnt_pid").orderBy(*cols)
+    rank = F.row_number().over(w) + off_expr
+    q, r = divmod(total, n)
+    # rank <= r*(q+1): inside the first r (fat) buckets of q+1 rows
+    bucket = F.when(
+        rank <= F.lit(r * (q + 1)),
+        F.floor((rank - 1) / F.lit(q + 1)) + 1,
+    ).otherwise(  # q==0 => r==total, the when-branch always wins
+        F.lit(r) + F.floor((rank - 1 - F.lit(r * (q + 1)))
+                           / F.lit(max(q, 1))) + 1)
+    return (ranged.withColumn(out, bucket.cast("int"))
+            .drop("_dnt_pid"))
+
+
 def banded_rank_join(df: DataFrame, keys: Sequence[str], rn: str,
                      width: int) -> DataFrame:
     """Bounded-history self-join: every (cur, prev) pair with

@@ -596,9 +596,11 @@ FROM scored ORDER BY user_id
 """)
 def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # classic RFM segmentation: recency/frequency/monetary quartiles per
-    # user (ntile over total orderings with id tie-breaks — rank-based,
-    # so the segmentation is exact on any engine); quartile 1 = best
-    from pyspark.sql import Window
+    # user (exact rank-based quartiles over total orderings with id
+    # tie-breaks, so the segmentation is exact on any engine); computed
+    # via distributed_ntile — range-partitioned local sorts, never a
+    # global single-partition window sort; quartile 1 = best
+    from ..operators.windows import distributed_ntile
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.max("ts").alias("now"))
     base = (ev.crossJoin(F.broadcast(mx))
@@ -610,13 +612,15 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("monetary"),
                  (F.unix_timestamp(F.max(F.col("now")))
                   - F.unix_timestamp(F.max("ts"))).alias("recency_s")))
-    r = F.ntile(4).over(Window.orderBy("recency_s", "user_id"))
-    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id"))
-    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), "user_id"))
-    scored = base.select("user_id", "recency_s", "frequency", "monetary",
-                         r.cast("long").alias("r"),
-                         f.cast("long").alias("f"),
-                         m.cast("long").alias("m"))
+    scored = base
+    for col, order in [("r", ["recency_s", "user_id"]),
+                       ("f", [F.desc("frequency"), "user_id"]),
+                       ("m", [F.desc("monetary"), "user_id"])]:
+        scored = distributed_ntile(scored, 4, order, out=col)
+    scored = scored.select("user_id", "recency_s", "frequency", "monetary",
+                           F.col("r").cast("long").alias("r"),
+                           F.col("f").cast("long").alias("f"),
+                           F.col("m").cast("long").alias("m"))
     seg = (F.when((F.col("r") == 1) & (F.col("f") == 1), "champion")
            .when((F.col("r") >= 3) & (F.col("f") == 1), "at_risk")
            .when((F.col("r") == 1) & (F.col("f") >= 3), "new")

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from stock_data_etl_pipeline_spark.operators.analytics import (
@@ -136,3 +137,35 @@ def test_rfm_segments_rank_semantics(spark):
     from collections import Counter
     c = Counter(r["r"] for r in out)
     assert max(c.values()) - min(c.values()) <= 1
+
+
+@pytest.mark.parametrize("n,rows", [
+    (4, 23),   # remainder buckets: 23 = 4*5+3 -> sizes 6,6,6,5
+    (4, 24),   # exact division
+    (10, 7),   # fewer rows than buckets -> bucket == rank
+    (3, 1),    # single row
+])
+def test_distributed_ntile_matches_spark_ntile(spark, n, rows):
+    """distributed_ntile must reproduce F.ntile's bucket assignment
+    bit-for-bit on asc and desc total orders, including the remainder
+    (first r buckets fat) rule and N < n."""
+    from pyspark.sql import Window
+    from stock_data_etl_pipeline_spark.operators.windows import (
+        distributed_ntile)
+    df = spark.createDataFrame(
+        [(i, float((i * 7) % rows)) for i in range(rows)], "id long, v double")
+    for order in ([ "v", "id"], [F.desc("v"), "id"]):
+        want = {r["id"]: r["b"] for r in df.select(
+            "id", F.ntile(n).over(Window.orderBy(*[
+                F.col(c) if isinstance(c, str) else c
+                for c in order])).alias("b")).collect()}
+        got = {r["id"]: r["b"] for r in
+               distributed_ntile(df, n, order, out="b").collect()}
+        assert got == want
+
+
+def test_distributed_ntile_empty_input(spark):
+    from stock_data_etl_pipeline_spark.operators.windows import (
+        distributed_ntile)
+    df = spark.createDataFrame([], "id long, v double")
+    assert distributed_ntile(df, 4, ["v", "id"], out="b").count() == 0
