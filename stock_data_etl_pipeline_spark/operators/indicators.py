@@ -584,3 +584,132 @@ def temporal_split_audit(bars: DataFrame, k: int = LAG_K,
                  .alias("n_purged"),
                  F.sum(is_test.cast("long")).alias("n_test"))
             .orderBy("event_type"))
+
+
+def vwap_daily(events: DataFrame) -> DataFrame:
+    """Volume-weighted average price per (symbol, day).
+
+    The per-tick trade size comes from the semi-structured ``props``
+    tail (``$.k``, an integer) — the classic VWAP the reference's
+    per-ticker series would feed an execution-quality report
+    (services/api/models.py per-stock series; transform parity with
+    TWAP at catalog_analytics.twap_by_user). price·size products stay
+    on the 0.01 grid (2-dp ticks × integer sizes) so the sums are
+    exact; VWAP is one division + round of identical doubles on any
+    engine. A zero-size day yields NULL (0/0). Single hash-agg on
+    (symbol, day) — one shuffle, map-side combinable.
+    """
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (events
+            .select("event_type",
+                    F.date_trunc("day", F.col("ts")).alias("day"),
+                    "value", k.alias("k"))
+            .groupBy("event_type", "day")
+            .agg(F.round(F.when(F.sum("k") > 0,
+                                F.sum(F.col("value") * F.col("k"))
+                                / F.sum("k")), 6).alias("vwap"),
+                 F.sum("k").cast("long").alias("total_qty"),
+                 F.count(F.lit(1)).cast("long").alias("n_ticks")))
+
+
+def realized_vol_daily(bars: DataFrame) -> DataFrame:
+    """Daily realized-volatility estimators per symbol from hourly bars:
+    close-to-close (sum of squared intraday log returns), Parkinson
+    (range-based), and Garman–Klass (range + open-close).
+
+    Determinism: each log term is quantized to a 1e-6 integer grid
+    BEFORE the per-day summation (ln of a rational never lands exactly
+    on a rounding boundary), so the Σterm² aggregates are exact BIGINTs
+    — order-independent under Spark's partial aggregation — and the
+    final sqrt/divide runs on identical scalars in any engine. The
+    2·ln2−1 and 4·ln2 constants are hard-coded literals so both engines
+    use the same double. Intraday returns only (the lag must stay
+    within the day); a day needs ≥1 return for cc, ≥1 bar for the
+    range estimators. Bars with a nonpositive low (degenerate 0.00
+    ticks) are dropped BEFORE the lag window — log-returns are
+    undefined there — mirrored in the oracle's ``WHERE low > 0``.
+    One window + one hash-agg on (symbol, day).
+    """
+    bars = bars.filter(F.col("low") > 0)
+    w = Window.partitionBy("event_type").orderBy("hr")
+    day = F.date_trunc("day", F.col("hr"))
+    b = bars.select(
+        "event_type", "hr", "open", "high", "low", "close",
+        day.alias("day"),
+        F.lag("close").over(w).alias("prev_close"),
+        F.lag(day).over(w).alias("prev_day"))
+    ret_us = F.when(
+        F.col("prev_day") == F.col("day"),
+        F.round(F.log(F.col("close") / F.col("prev_close")) * 1e6, 0)
+        .cast("long"))
+    lhl_us = (F.round(F.log(F.col("high") / F.col("low")) * 1e6, 0)
+              .cast("long"))
+    lco_us = (F.round(F.log(F.col("close") / F.col("open")) * 1e6, 0)
+              .cast("long"))
+    agg = (b.groupBy("event_type", "day")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_bars"),
+                F.count(ret_us).cast("long").alias("n_ret"),
+                F.sum(ret_us * ret_us).alias("ss_ret"),
+                F.sum(lhl_us * lhl_us).alias("ss_hl"),
+                F.sum(lco_us * lco_us).alias("ss_co")))
+    ln2_4 = 2.772588722239781    # 4·ln2
+    gk_c = 0.3862943611198906    # 2·ln2 − 1
+    return agg.select(
+        "event_type", "day", "n_bars", "n_ret",
+        F.round(F.sqrt(F.col("ss_ret")) / 1e6, 6).alias("rv_cc"),
+        F.round(F.sqrt(F.col("ss_hl")
+                       / (F.lit(ln2_4) * F.col("n_bars"))) / 1e6, 6)
+        .alias("rv_park"),
+        F.round(F.sqrt(F.greatest(
+            F.lit(0.0),
+            (0.5 * F.col("ss_hl") - F.lit(gk_c) * F.col("ss_co"))
+            / F.col("n_bars"))) / 1e6, 6).alias("rv_gk"))
+
+
+def sharpe_sortino(bars: DataFrame) -> DataFrame:
+    """Per-symbol risk-adjusted return profile over hourly log returns:
+    Sharpe (mean/σ) and Sortino (mean/downside-σ), plus the component
+    moments.
+
+    Returns are quantized to 1e-6 integers so ΣR, ΣR² and the downside
+    Σmin(R,0)² are exact integer aggregates (order-independent); the
+    mean/variance/ratio arithmetic then runs on those exact scalars —
+    identical IEEE evaluation on any engine. Sample variance uses the
+    (ΣR² − (ΣR)²/n)/(n−1) form on the integer sums. Per-bar (not
+    annualized) units, so the numbers are scale-free. Bars with a
+    nonpositive low are dropped before the lag window (log undefined;
+    oracle mirrors with ``WHERE low > 0``); ratios are NULL-guarded
+    for n=1 / zero-variance / no-downside groups (matching float
+    division-by-zero NULL semantics). One window + one hash-agg per
+    symbol.
+    """
+    bars = bars.filter(F.col("low") > 0)
+    w = Window.partitionBy("event_type").orderBy("hr")
+    r_us = (F.round(F.log(F.col("close")
+                          / F.lag("close").over(w)) * 1e6, 0)
+            .cast("long"))
+    b = (bars.select("event_type", "hr", "close", r_us.alias("r"))
+         .filter(F.col("r").isNotNull()))
+    agg = (b.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("r").alias("s1"),
+                F.sum(F.col("r") * F.col("r")).alias("s2"),
+                F.sum(F.when(F.col("r") < 0, F.col("r") * F.col("r"))
+                      .otherwise(F.lit(0))).alias("sneg2")))
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    dvar = F.col("sneg2") / (n - 1)
+    n1 = F.col("n") > 1
+    return agg.select(
+        "event_type", "n",
+        F.round(mean / 1e6, 6).alias("mean_r"),
+        F.round(F.when(n1, F.sqrt(var)) / 1e6, 6).alias("vol"),
+        # guard on the DOUBLE var expression itself: it is the exact
+        # quantity whose zero makes DuckDB's x/0.0 NULL, so the Spark
+        # NULL and the oracle NULL fire on identical inputs (a long
+        # s2*n cross-product could overflow under ANSI at huge n)
+        F.round(F.when(n1 & (var > 0.0),
+                       mean / F.sqrt(var)), 6).alias("sharpe"),
+        F.round(F.when(n1 & (F.col("sneg2") > 0),
+                       mean / F.sqrt(dvar)), 6).alias("sortino"))

@@ -752,3 +752,101 @@ def stock_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact on any engine
     ev = load_table(spark, sf_dir, "events")
     return ind.temporal_split_audit(ind.hourly_bars(ev))
+
+
+@register("stock_vwap_daily", """
+WITH t AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+         json_extract_string(props, '$.k')::BIGINT AS k
+  FROM events
+)
+SELECT event_type, day,
+       round(sum(value * k) / sum(k), 6) AS vwap,
+       CAST(sum(k) AS BIGINT) AS total_qty,
+       count(*) AS n_ticks
+FROM t GROUP BY event_type, day
+ORDER BY event_type, day
+""")
+def stock_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # daily VWAP per symbol with trade size from the props JSON tail;
+    # price*size products stay on the 0.01 grid so the sums are exact
+    # and the single division + round is engine-identical
+    ev = load_table(spark, sf_dir, "events")
+    return ind.vwap_daily(ev).orderBy("event_type", "day")
+
+
+@register("stock_realized_vol", _BARS_CTE + """
+, l AS (
+  SELECT event_type, hr, open, high, low, close,
+         CAST(date_trunc('day', hr) AS TIMESTAMP) AS day,
+         lag(close) OVER (PARTITION BY event_type ORDER BY hr)
+             AS prev_close,
+         lag(CAST(date_trunc('day', hr) AS TIMESTAMP))
+             OVER (PARTITION BY event_type ORDER BY hr) AS prev_day
+  FROM bars WHERE low > 0
+), q AS (
+  SELECT event_type, day,
+         CASE WHEN prev_day = day THEN
+           CAST(round(ln(close / prev_close) * 1e6, 0) AS BIGINT)
+         END AS r,
+         CAST(round(ln(high / low) * 1e6, 0) AS BIGINT) AS lhl,
+         CAST(round(ln(close / open) * 1e6, 0) AS BIGINT) AS lco
+  FROM l
+)
+SELECT event_type, day,
+       count(*) AS n_bars,
+       CAST(count(r) AS BIGINT) AS n_ret,
+       round(sqrt(CAST(sum(r * r) AS BIGINT)) / 1e6, 6) AS rv_cc,
+       round(sqrt(CAST(sum(lhl * lhl) AS BIGINT)
+                  / (2.772588722239781 * count(*))) / 1e6, 6) AS rv_park,
+       round(sqrt(greatest(0.0,
+                  (0.5 * CAST(sum(lhl * lhl) AS BIGINT)
+                   - 0.3862943611198906 * CAST(sum(lco * lco) AS BIGINT))
+                  / count(*))) / 1e6, 6) AS rv_gk
+FROM q GROUP BY event_type, day
+ORDER BY event_type, day
+""")
+def stock_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # daily realized-vol estimators (close-to-close, Parkinson,
+    # Garman-Klass) from hourly bars; log terms quantized to 1e-6
+    # integers BEFORE summation so the aggregates are exact BIGINTs
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.realized_vol_daily(ind.hourly_bars(ev))
+            .orderBy("event_type", "day"))
+
+
+@register("stock_sharpe_sortino", _BARS_CTE + """
+, l AS (
+  SELECT event_type, hr, close,
+         CAST(round(ln(close / lag(close) OVER (
+                PARTITION BY event_type ORDER BY hr)) * 1e6, 0)
+              AS BIGINT) AS r
+  FROM bars WHERE low > 0
+), f AS (SELECT * FROM l WHERE r IS NOT NULL),
+a AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(r) AS BIGINT) AS s1,
+         CAST(sum(r * r) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN r < 0 THEN r * r ELSE 0 END) AS BIGINT)
+             AS sneg2
+  FROM f GROUP BY event_type
+)
+SELECT event_type, n,
+       round(s1 / CAST(n AS DOUBLE) / 1e6, 6) AS mean_r,
+       round(sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1)) / 1e6, 6) AS vol,
+       round((s1 / CAST(n AS DOUBLE))
+             / sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1)), 6) AS sharpe,
+       round((s1 / CAST(n AS DOUBLE))
+             / sqrt(sneg2 / (CAST(n AS DOUBLE) - 1)), 6) AS sortino
+FROM a ORDER BY event_type
+""")
+def stock_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-symbol Sharpe/Sortino over hourly log returns; 1e-6 integer
+    # quantization makes Sum-R / Sum-R^2 / downside sums exact, and the
+    # ratio arithmetic runs on those exact scalars in both engines
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.sharpe_sortino(ind.hourly_bars(ev))
+            .orderBy("event_type"))

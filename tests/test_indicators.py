@@ -361,3 +361,84 @@ def test_temporal_split_purges_boundary_crossers(spark):
     assert r["n_train"] == 13 and r["n_purged"] == 1 and r["n_test"] == 3
     # invariant: every matrix row lands in exactly one class
     assert r["n_train"] + r["n_purged"] + r["n_test"] == 17
+
+
+def test_vwap_daily_weighting_and_zero_qty_day(spark):
+    rows = [
+        # day 1: vwap = (10*1 + 20*3) / 4 = 17.5
+        Row(event_type="A", ts=_ts(1), event_id=1, value=10.0,
+            props='{"k": 1}'),
+        Row(event_type="A", ts=_ts(2), event_id=2, value=20.0,
+            props='{"k": 3}'),
+        # day 2 (A): all-zero quantity -> NULL vwap, qty 0, 1 tick
+        Row(event_type="A", ts=_ts(1) + dt.timedelta(days=1), event_id=3,
+            value=50.0, props='{"k": 0}'),
+    ]
+    out = {r["day"].day: r for r in
+           ind.vwap_daily(spark.createDataFrame(rows)).collect()}
+    assert out[1]["vwap"] == 17.5 and out[1]["total_qty"] == 4
+    assert out[1]["n_ticks"] == 2
+    assert out[2]["vwap"] is None and out[2]["total_qty"] == 0
+
+
+def test_realized_vol_constant_price_is_zero(spark):
+    rows = [Row(event_type="A", ts=_ts(0) + dt.timedelta(hours=i),
+                event_id=i, value=100.0) for i in range(30)]
+    out = ind.realized_vol_daily(
+        ind.hourly_bars(spark.createDataFrame(rows))).collect()
+    for r in out:
+        assert r["rv_cc"] in (0.0, None)  # day's first bar may lack a ret
+        assert r["rv_park"] == 0.0 and r["rv_gk"] == 0.0
+
+
+def test_realized_vol_two_bar_day_matches_hand_calc(spark):
+    rows = [Row(event_type="A", ts=_ts(1), event_id=1, value=100.0),
+            Row(event_type="A", ts=_ts(2), event_id=2, value=110.0)]
+    (r,) = ind.realized_vol_daily(
+        ind.hourly_bars(spark.createDataFrame(rows))).collect()
+    ret_us = round(math.log(110.0 / 100.0) * 1e6)
+    assert r["n_bars"] == 2 and r["n_ret"] == 1
+    assert math.isclose(r["rv_cc"], round(abs(ret_us) / 1e6, 6),
+                        abs_tol=1e-9)
+    assert r["rv_park"] == 0.0  # single-tick bars: high == low
+
+
+def test_realized_vol_drops_nonpositive_bars(spark):
+    rows = [Row(event_type="A", ts=_ts(1), event_id=1, value=0.0),
+            Row(event_type="A", ts=_ts(2), event_id=2, value=100.0)]
+    (r,) = ind.realized_vol_daily(
+        ind.hourly_bars(spark.createDataFrame(rows))).collect()
+    assert r["n_bars"] == 1 and r["n_ret"] == 0 and r["rv_cc"] is None
+
+
+def test_sharpe_sortino_rising_series_has_null_sortino(spark):
+    rows = [Row(event_type="A", ts=_ts(0) + dt.timedelta(hours=i),
+                event_id=i, value=100.0 * (1.01 ** i)) for i in range(10)]
+    (r,) = ind.sharpe_sortino(
+        ind.hourly_bars(spark.createDataFrame(rows))).collect()
+    assert r["n"] == 9 and r["mean_r"] > 0
+    # strictly rising: no downside squares -> sortino NULL; constant
+    # 1% log-return means ~zero variance -> sharpe NULL or huge
+    assert r["sortino"] is None
+
+
+def test_sharpe_sortino_hand_moments(spark):
+    closes = [100.0, 110.0, 99.0, 105.0, 101.0]
+    rows = [Row(event_type="A", ts=_ts(0) + dt.timedelta(hours=i),
+                event_id=i, value=c) for i, c in enumerate(closes)]
+    (r,) = ind.sharpe_sortino(
+        ind.hourly_bars(spark.createDataFrame(rows))).collect()
+    rus = [round(math.log(b / a) * 1e6)
+           for a, b in zip(closes, closes[1:])]
+    n, s1 = len(rus), sum(rus)
+    s2 = sum(x * x for x in rus)
+    sneg2 = sum(x * x for x in rus if x < 0)
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    assert r["n"] == n
+    assert math.isclose(r["mean_r"], round(mean / 1e6, 6), abs_tol=1e-9)
+    assert math.isclose(r["sharpe"], round(mean / math.sqrt(var), 6),
+                        abs_tol=1e-6)
+    assert math.isclose(
+        r["sortino"], round(mean / math.sqrt(sneg2 / (n - 1)), 6),
+        abs_tol=1e-6)
