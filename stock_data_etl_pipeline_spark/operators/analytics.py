@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -266,3 +266,187 @@ def pagerank(pairs: DataFrame, id_a: str, id_b: str, iters: int = 3,
                          f"({damping_pct} * s) div 100")).alias("r")))
     return (r.orderBy(F.desc("r"), "node").limit(top)
             .select("node", F.col("r").alias("rank_e12")))
+
+
+def multi_touch_attribution(events: DataFrame,
+                            purchase_type: str = "purchase",
+                            touch_types: Sequence[str] = ("view", "click"),
+                            lookback_days: int = 7) -> DataFrame:
+    """Marketing attribution: credit each purchase's value to the
+    user's preceding touch events (views/clicks) inside a lookback
+    window, under BOTH last-touch and linear models, rolled up per
+    channel.
+
+    Eligibility is a strict total order — a touch at the exact purchase
+    timestamp counts only when its event_id is smaller — so "last
+    touch" is deterministic. The join is keyed on the user with the
+    time window as residual: per-probe work is one user's touches in
+    ``lookback_days``, bounded by user activity, never by table size.
+    Money determinism: purchase values are 2-dp, so cent sums are
+    exact; the linear split quantizes each touch share to a 1e-6
+    integer (round-half-away matches both engines for positive values)
+    before summing. Two shuffles: the user-keyed join, then the
+    channel rollup.
+    """
+    p = (events.filter(F.col("event_type") == purchase_type)
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("p_id"),
+                 F.col("value").alias("p_value")))
+    t = (events.filter(F.col("event_type").isin(*touch_types))
+         .select(F.col("user_id").alias("t_user"),
+                 F.col("ts").alias("t_ts"),
+                 F.col("event_id").alias("t_id"),
+                 F.col("event_type").alias("channel")))
+    before = (F.col("t_ts") < F.col("p_ts")) | (
+        (F.col("t_ts") == F.col("p_ts")) & (F.col("t_id") < F.col("p_id")))
+    pairs = p.join(t, (F.col("p_user") == F.col("t_user"))
+                   & before
+                   & (F.col("t_ts") >= F.col("p_ts")
+                      - F.expr(f"INTERVAL {lookback_days} DAYS")))
+    w = Window.partitionBy("p_id")
+    w_last = w.orderBy(F.col("t_ts").desc(), F.col("t_id").desc())
+    scored = (pairs
+              .withColumn("k", F.count(F.lit(1)).over(w))
+              .withColumn("is_last",
+                          (F.row_number().over(w_last) == 1)
+                          .cast("long"))
+              .withColumn("share_micro",
+                          F.round(F.col("p_value") * 1e6 / F.col("k"), 0)
+                          .cast("long")))
+    return (scored.groupBy("channel")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_touchpoints"),
+                 F.sum("is_last").cast("long").alias("n_last_touch"),
+                 F.round(F.sum(F.col("is_last") * F.col("p_value")), 2)
+                 .alias("last_touch_value"),
+                 F.round(F.sum("share_micro") / 1e6, 6)
+                 .alias("linear_value")))
+
+
+def survival_curve(events: DataFrame, churn_horizon_days: int = 14,
+                   week_days: int = 7) -> DataFrame:
+    """Weekly churn life table (the Kaplan–Meier ingredients) over user
+    lifetimes.
+
+    A user's lifetime is whole weeks between their first and last
+    event; users whose last event is within ``churn_horizon_days`` of
+    the global end of observation are CENSORED at their last week
+    (still alive as far as the data shows), everyone else CHURNED at
+    their last week. Emits, per week: the at-risk count (users whose
+    lifetime reached the week), churned/censored exits, the discrete
+    hazard d/n (one division + round — engine-identical), and the
+    empirical all-users survival share. The per-user reduction is one
+    hash-agg; the life table itself is |weeks| rows (bounded by the
+    observation span, independent of user count), so its cumulative
+    at-risk window is on a tiny relation.
+    """
+    bounds = events.agg(F.max("ts").alias("obs_end"))
+    per_user = (events.groupBy("user_id")
+                .agg(F.min("ts").alias("first_ts"),
+                     F.max("ts").alias("last_ts")))
+    u = (per_user.crossJoin(F.broadcast(bounds))
+         .select(
+             F.floor(
+                 (F.unix_timestamp("last_ts")
+                  - F.unix_timestamp("first_ts"))
+                 / (week_days * 86400)).cast("long").alias("week"),
+             (F.unix_timestamp("last_ts")
+              < F.unix_timestamp("obs_end")
+              - churn_horizon_days * 86400).alias("churned")))
+    total = u.agg(F.count(F.lit(1)).alias("n_total"))
+    wk = (u.groupBy("week")
+          .agg(F.sum(F.col("churned").cast("long")).alias("n_churned"),
+               F.sum((~F.col("churned")).cast("long"))
+               .alias("n_censored")))
+    w_desc = Window.orderBy(F.col("week").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    w_asc = Window.orderBy("week") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    exits = F.col("n_churned") + F.col("n_censored")
+    lt = (wk.withColumn("n_risk", F.sum(exits).over(w_desc))
+          .withColumn("gone_thru", F.sum(exits).over(w_asc)))
+    return (lt.crossJoin(F.broadcast(total))
+            .select("week",
+                    F.col("n_risk").cast("long").alias("n_risk"),
+                    F.col("n_churned").cast("long").alias("n_churned"),
+                    F.col("n_censored").cast("long").alias("n_censored"),
+                    F.round(F.col("n_churned")
+                            / F.col("n_risk").cast("double"), 6)
+                    .alias("hazard"),
+                    F.round((F.col("n_total") - F.col("gone_thru"))
+                            / F.col("n_total").cast("double"), 6)
+                    .alias("survival_emp")))
+
+
+def cuped_ab_test(events: DataFrame, metric_type: str = "purchase",
+                  pre_days: int = 15) -> DataFrame:
+    """CUPED-adjusted A/B readout (Deng et al., WSDM'13): users are
+    hash-assigned to two arms, the experiment metric is per-user
+    post-period purchase value, and the pre-period value serves as the
+    CUPED covariate — the industry-standard variance-reduction layer an
+    experimentation engine runs on top of an event stream.
+
+    Determinism: money is summed in exact integer cents per user;
+    every pooled/arm moment (Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT
+    aggregate; θ, the adjusted means and the variance reduction are
+    then pure IEEE +−×/ chains over those exact scalars (big cross-
+    products are cast to double BEFORE multiplying so no ANSI overflow
+    at scale), so both engines produce the same double bit-for-bit.
+    The arm hash is the portable md5-prefix integer. Zero-variance /
+    single-user guards return NULL exactly where the oracle's float
+    division-by-zero does. Two user-keyed aggregations + two scalar
+    broadcasts — no per-user data ever converges on one task.
+    """
+    bounds = events.agg(F.min("ts").alias("t0"))
+    e = events.crossJoin(F.broadcast(bounds))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cut = F.col("t0") + F.expr(f"INTERVAL {pre_days} DAYS")
+    is_m = F.col("event_type") == metric_type
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(is_m & (F.col("ts") < cut), cents)
+              .otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(is_m & (F.col("ts") >= cut), cents)
+              .otherwise(F.lit(0))).alias("y"))
+    arm = (F.conv(F.substring(F.md5(F.col("user_id").cast("string")),
+                              1, 15), 16, 10).cast("long") % 2)
+    u = per_user.select(arm.alias("arm"), "x", "y")
+    pooled = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"))
+    pa = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.sum("x").cast("long").alias("sx_a"),
+        F.sum("y").cast("long").alias("sy_a"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2_a"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy_a"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2_a"))
+    j = pa.crossJoin(F.broadcast(pooled))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    th_den = d("sx2") - d("sx") * d("sx") / d("n")
+    theta = F.when(th_den != 0.0,
+                   (d("sxy") - d("sx") * d("sy") / d("n")) / th_den)
+    mean_pre = d("sx_a") / d("n_a")
+    mean_post = d("sy_a") / d("n_a")
+    mean_adj = mean_post - theta * (mean_pre - d("sx") / d("n"))
+    var_post = F.when(
+        F.col("n_a") > 1,
+        (d("sy2_a") - d("sy_a") * d("sy_a") / d("n_a"))
+        / (d("n_a") - 1))
+    var_adj = F.when(
+        F.col("n_a") > 1,
+        ((d("sy2_a") - 2 * theta * d("sxy_a")
+          + theta * theta * d("sx2_a"))
+         - (d("sy_a") - theta * d("sx_a"))
+         * (d("sy_a") - theta * d("sx_a")) / d("n_a"))
+        / (d("n_a") - 1))
+    return j.select(
+        F.col("arm"), F.col("n_a").alias("n_users"),
+        F.round(mean_pre / 100, 6).alias("mean_pre"),
+        F.round(mean_post / 100, 6).alias("mean_post"),
+        F.round(mean_adj / 100, 6).alias("mean_adj"),
+        F.round(theta, 6).alias("theta"),
+        F.round(F.when(var_post != 0.0, 1.0 - var_adj / var_post), 6)
+        .alias("var_reduction"))

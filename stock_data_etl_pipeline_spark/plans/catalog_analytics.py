@@ -10,9 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.analytics import (cohort_retention, frequent_pairs, pagerank,
-                                   funnel, fuzzy_match, key_skew_profile,
-                                   triangle_stats)
+from ..operators.analytics import (cohort_retention, cuped_ab_test,
+                                   frequent_pairs, funnel, fuzzy_match,
+                                   key_skew_profile, multi_touch_attribution,
+                                   pagerank, survival_curve, triangle_stats)
 from ..sources.registry import load_table
 from .catalog import register
 
@@ -626,3 +627,148 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
            .when((F.col("r") == 1) & (F.col("f") >= 3), "new")
            .otherwise("regular"))
     return (scored.withColumn("segment", seg).orderBy("user_id"))
+
+
+@register("events_attribution", """
+WITH p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id,
+                  value AS p_value
+           FROM events WHERE event_type = 'purchase'),
+t AS (SELECT user_id AS t_user, ts AS t_ts, event_id AS t_id,
+             event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click')),
+pairs AS (
+  SELECT p.*, t.t_ts, t.t_id, t.channel
+  FROM p JOIN t ON p.p_user = t.t_user
+   AND (t.t_ts < p.p_ts OR (t.t_ts = p.p_ts AND t.t_id < p.p_id))
+   AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+scored AS (
+  SELECT channel, p_value,
+         count(*) OVER (PARTITION BY p_id) AS k,
+         CASE WHEN row_number() OVER (PARTITION BY p_id
+                ORDER BY t_ts DESC, t_id DESC) = 1
+              THEN 1 ELSE 0 END AS is_last
+  FROM pairs)
+SELECT channel,
+       count(*) AS n_touchpoints,
+       CAST(sum(is_last) AS BIGINT) AS n_last_touch,
+       round(sum(is_last * p_value), 2) AS last_touch_value,
+       round(CAST(sum(CAST(round(p_value * 1e6 / k, 0) AS BIGINT))
+                  AS BIGINT) / 1e6, 6) AS linear_value
+FROM scored GROUP BY channel ORDER BY channel
+""")
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # last-touch + linear multi-touch attribution of purchase value to
+    # preceding view/click touches within 7 days; user-keyed join with
+    # time residual, per-purchase windows, channel rollup
+    ev = load_table(spark, sf_dir, "events")
+    return multi_touch_attribution(ev).orderBy("channel")
+
+
+@register("events_survival_curve", """
+WITH b AS (SELECT max(ts) AS obs_end FROM events),
+pu AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+       FROM events GROUP BY user_id),
+u AS (SELECT CAST(floor((epoch(last_ts) - epoch(first_ts))
+                        / (7 * 86400)) AS BIGINT) AS week,
+             epoch(last_ts) < epoch((SELECT obs_end FROM b))
+                              - 14 * 86400 AS churned
+      FROM pu),
+tot AS (SELECT count(*) AS n_total FROM u),
+wk AS (SELECT week,
+              CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_churned,
+              CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT)
+                  AS n_censored
+       FROM u GROUP BY week),
+lt AS (SELECT *,
+              CAST(sum(n_churned + n_censored) OVER (
+                ORDER BY week DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_risk,
+              CAST(sum(n_churned + n_censored) OVER (
+                ORDER BY week ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS gone_thru
+       FROM wk)
+SELECT week, n_risk, n_churned, n_censored,
+       round(n_churned / CAST(n_risk AS DOUBLE), 6) AS hazard,
+       round((tot.n_total - gone_thru)
+             / CAST(tot.n_total AS DOUBLE), 6) AS survival_emp
+FROM lt, tot ORDER BY week
+""")
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly churn life table: at-risk / churned / censored / discrete
+    # hazard / empirical survival; per-user reduction is one hash-agg,
+    # the cumulative windows run on the |weeks|-row life table only
+    ev = load_table(spark, sf_dir, "events")
+    return survival_curve(ev).orderBy("week")
+
+
+@register("events_ab_test_cuped", """
+WITH b AS (SELECT min(ts) AS t0 FROM events),
+pu AS (SELECT user_id,
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                             AND ts < (SELECT t0 FROM b) + INTERVAL 15 DAY
+                            THEN CAST(round(value * 100, 0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS x,
+              CAST(sum(CASE WHEN event_type = 'purchase'
+                             AND ts >= (SELECT t0 FROM b) + INTERVAL 15 DAY
+                            THEN CAST(round(value * 100, 0) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS y
+       FROM events GROUP BY user_id),
+u AS (SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 2
+                 AS arm, x, y
+      FROM pu),
+pooled AS (SELECT count(*) AS n,
+                  CAST(sum(x) AS BIGINT) AS sx,
+                  CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * y) AS BIGINT) AS sxy,
+                  CAST(sum(x * x) AS BIGINT) AS sx2
+           FROM u),
+pa AS (SELECT arm, count(*) AS n_a,
+              CAST(sum(x) AS BIGINT) AS sx_a,
+              CAST(sum(y) AS BIGINT) AS sy_a,
+              CAST(sum(y * y) AS BIGINT) AS sy2_a,
+              CAST(sum(x * y) AS BIGINT) AS sxy_a,
+              CAST(sum(x * x) AS BIGINT) AS sx2_a
+       FROM u GROUP BY arm),
+c AS (SELECT arm, n_a, sx_a, sy_a, sy2_a, sxy_a, sx2_a,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+             / (CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                      / CAST(n AS DOUBLE)) AS theta,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS gx
+      FROM pa, pooled),
+m AS (SELECT arm, n_a, theta,
+             CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_pre,
+             CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_post,
+             CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - theta * (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) - gx)
+                 AS mean_adj,
+             CASE WHEN n_a > 1 THEN
+               (CAST(sy2_a AS DOUBLE) - CAST(sy_a AS DOUBLE)
+                  * CAST(sy_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) - 1) END AS var_post,
+             CASE WHEN n_a > 1 THEN
+               ((CAST(sy2_a AS DOUBLE) - 2 * theta * CAST(sxy_a AS DOUBLE)
+                 + theta * theta * CAST(sx2_a AS DOUBLE))
+                - (CAST(sy_a AS DOUBLE) - theta * CAST(sx_a AS DOUBLE))
+                  * (CAST(sy_a AS DOUBLE) - theta * CAST(sx_a AS DOUBLE))
+                  / CAST(n_a AS DOUBLE))
+               / (CAST(n_a AS DOUBLE) - 1) END AS var_adj
+      FROM c)
+SELECT arm, n_a AS n_users,
+       round(mean_pre / 100, 6) AS mean_pre,
+       round(mean_post / 100, 6) AS mean_post,
+       round(mean_adj / 100, 6) AS mean_adj,
+       round(theta, 6) AS theta,
+       round(1.0 - var_adj / var_post, 6) AS var_reduction
+FROM m ORDER BY arm
+""")
+def events_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUPED variance-reduced A/B readout: md5-hash arms, pre-period
+    # purchase value as covariate; every moment an exact integer-cents
+    # sum, the theta/mean/variance chain identical IEEE math in both
+    # engines
+    ev = load_table(spark, sf_dir, "events")
+    return cuped_ab_test(ev).orderBy("arm")

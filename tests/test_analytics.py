@@ -4,8 +4,10 @@ cohort offsets, pair-support multiplicity, skew math, fuzzy blocking."""
 from __future__ import annotations
 
 import datetime as dt
+import math
 
 import pytest
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from stock_data_etl_pipeline_spark.operators.analytics import (
@@ -169,3 +171,126 @@ def test_distributed_ntile_empty_input(spark):
         distributed_ntile)
     df = spark.createDataFrame([], "id long, v double")
     assert distributed_ntile(df, 4, ["v", "id"], out="b").count() == 0
+
+
+def test_attribution_split_last_touch_and_lookback(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        multi_touch_attribution)
+    rows = [
+        # u1: view then click then purchase(100) -> last=click, linear 50/50
+        ("view", 1, 1, 0.0), ("click", 1, 2, 0.0), ("purchase", 1, 3, 100.0),
+        # u2: a view OUTSIDE the 7-day lookback (8 days before the
+        # purchase) -> no eligible touches, purchase unattributed
+        ("view", 2, 4, 0.0), ("purchase", 2, 1160, 40.0),
+    ]
+    df = spark.createDataFrame(
+        [Row(event_type=t, user_id=u, event_id=i,
+             ts=_ts(0) + dt.timedelta(minutes=10 * i), value=v)
+         for t, u, i, v in rows])  # id 1160 -> ~8 days after id 4
+    out = {r["channel"]: r for r in multi_touch_attribution(df).collect()}
+    assert out["click"]["n_last_touch"] == 1
+    assert out["click"]["last_touch_value"] == 100.0
+    assert out["view"]["n_last_touch"] == 0
+    assert out["view"]["linear_value"] == 50.0
+    assert out["click"]["linear_value"] == 50.0
+    # the out-of-window view contributed nothing
+    assert out["view"]["n_touchpoints"] == 1
+
+
+def test_attribution_same_ts_tiebreak(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        multi_touch_attribution)
+    t0 = _ts(1)
+    df = spark.createDataFrame([
+        Row(event_type="view", user_id=1, event_id=1, ts=t0, value=0.0),
+        # same timestamp as the purchase, smaller id -> eligible
+        Row(event_type="click", user_id=1, event_id=2, ts=t0 + dt.timedelta(
+            minutes=5), value=0.0),
+        Row(event_type="purchase", user_id=1, event_id=3,
+            ts=t0 + dt.timedelta(minutes=5), value=60.0),
+        # same timestamp, LARGER id -> not eligible
+        Row(event_type="view", user_id=1, event_id=4,
+            ts=t0 + dt.timedelta(minutes=5), value=0.0),
+    ])
+    out = {r["channel"]: r for r in multi_touch_attribution(df).collect()}
+    assert out["click"]["n_last_touch"] == 1
+    assert out["view"]["n_touchpoints"] == 1  # only the earlier view
+    assert out["view"]["linear_value"] == 30.0
+
+
+def test_survival_curve_life_table(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        survival_curve)
+    d = dt.timedelta
+    t0 = _ts(0)
+    rows = [
+        # u1: weeks 0..3, last event at obs end -> censored at week 3
+        Row(event_type="view", user_id=1, event_id=1, ts=t0, value=0.0),
+        Row(event_type="view", user_id=1, event_id=2,
+            ts=t0 + d(days=22), value=0.0),
+        # u2: one event only, 22 days before end -> churned at week 0
+        Row(event_type="view", user_id=2, event_id=3, ts=t0, value=0.0),
+        # u3: last event day 7.5 (week 1), 14.5 days before obs end
+        # -> churned at week 1 (day 8 exactly would be the censoring
+        # boundary: churned means STRICTLY before obs_end - 14d)
+        Row(event_type="view", user_id=3, event_id=4, ts=t0, value=0.0),
+        Row(event_type="view", user_id=3, event_id=5,
+            ts=t0 + d(days=7, hours=12), value=0.0),
+    ]
+    out = {r["week"]: r for r in
+           survival_curve(spark.createDataFrame(rows)).collect()}
+    assert out[0]["n_risk"] == 3 and out[0]["n_churned"] == 1
+    assert out[0]["hazard"] == round(1 / 3, 6)
+    assert out[1]["n_risk"] == 2 and out[1]["n_churned"] == 1
+    assert out[3]["n_censored"] == 1 and out[3]["n_churned"] == 0
+    assert out[3]["survival_emp"] == 0.0  # everyone exited by week 3
+
+
+def test_cuped_matches_python_replica(spark):
+    import hashlib
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        cuped_ab_test)
+    d = dt.timedelta
+    t0 = _ts(0)
+    # 8 users, pre purchase at day 1, post purchase at day 20; post value
+    # correlated with pre (y = x + noise) so CUPED reduces variance
+    pre_vals = [10.0, 20.0, 30.0, 40.0, 15.0, 25.0, 35.0, 45.0]
+    post_vals = [12.0, 21.0, 33.0, 41.0, 14.0, 27.0, 34.0, 47.0]
+    rows = []
+    for uid, (xv, yv) in enumerate(zip(pre_vals, post_vals), start=1):
+        rows.append(Row(event_type="purchase", user_id=uid,
+                        event_id=uid * 10, ts=t0 + d(days=1), value=xv))
+        rows.append(Row(event_type="purchase", user_id=uid,
+                        event_id=uid * 10 + 1, ts=t0 + d(days=20),
+                        value=yv))
+    out = {r["arm"]: r for r in
+           cuped_ab_test(spark.createDataFrame(rows)).collect()}
+
+    def arm_of(uid):
+        h = hashlib.md5(str(uid).encode()).hexdigest()
+        return int(h[:15], 16) % 2
+
+    users = {uid: (int(x * 100), int(y * 100)) for uid, (x, y) in
+             enumerate(zip(pre_vals, post_vals), start=1)}
+    n = len(users)
+    sx = sum(x for x, _ in users.values())
+    sy = sum(y for _, y in users.values())
+    sxy = sum(x * y for x, y in users.values())
+    sx2 = sum(x * x for x, _ in users.values())
+    theta = (sxy - sx * sy / n) / (sx2 - sx * sx / n)
+    for arm in (0, 1):
+        aus = [v for u, v in users.items() if arm_of(u) == arm]
+        if not aus:
+            continue
+        na = len(aus)
+        mean_pre = sum(x for x, _ in aus) / na
+        mean_post = sum(y for _, y in aus) / na
+        mean_adj = mean_post - theta * (mean_pre - sx / n)
+        r = out[arm]
+        assert r["n_users"] == na
+        assert math.isclose(r["theta"], round(theta, 6), abs_tol=1e-6)
+        assert math.isclose(r["mean_adj"], round(mean_adj / 100, 6),
+                            abs_tol=1e-6)
+        # correlated pre/post: adjustment must not inflate variance
+        if na > 1 and r["var_reduction"] is not None:
+            assert r["var_reduction"] > 0
