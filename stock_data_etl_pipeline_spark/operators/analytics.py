@@ -450,3 +450,52 @@ def cuped_ab_test(events: DataFrame, metric_type: str = "purchase",
         F.round(theta, 6).alias("theta"),
         F.round(F.when(var_post != 0.0, 1.0 - var_adj / var_post), 6)
         .alias("var_reduction"))
+
+
+def adamic_adar(pairs: DataFrame, id_a: str, id_b: str,
+                max_center_degree: int = 64, k: int = 50) -> DataFrame:
+    """Adamic–Adar link prediction over an undirected graph: for every
+    non-adjacent pair sharing ≥1 neighbor, score
+    Σ_{w ∈ N(a)∩N(b)} 1/ln(deg w) and keep the top-k.
+
+    The wedge expansion (two-hop join through each common neighbor w)
+    costs Σ_w deg(w)² — quadratic in hub degree — so centers above
+    ``max_center_degree`` are excluded, the same hub-cap contract the
+    blocked fuzzy/kNN operators use (a hub shared by everything carries
+    ~no signal: 1/ln(deg) vanishes as deg grows). Each center's
+    1/ln(deg) contribution is quantized to a 1e-6 integer before the
+    per-pair sum, so scores are exact BIGINTs. Wedge centers have
+    deg ≥ 2 by construction (ln > 0). Plan: degree agg → capped
+    center join (equi-keyed on the center) → pair agg → anti-join
+    existing edges → TakeOrdered top-k.
+    """
+    und = (pairs.select(F.col(id_a).alias("ea"), F.col(id_b).alias("eb"))
+           .distinct())
+    adj = (und.select(F.col("ea").alias("node"), F.col("eb").alias("nb"))
+           .union(und.select(F.col("eb").alias("node"),
+                             F.col("ea").alias("nb"))))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    centers = (deg.filter((F.col("deg") >= 2)
+                          & (F.col("deg") <= max_center_degree))
+               .select("node",
+                       F.round(1e6 / F.log(F.col("deg")
+                                           .cast("double")), 0)
+                       .cast("long").alias("cw")))
+    adjc = adj.join(centers, "node")
+    ledge = adjc.select("node", F.col("nb").alias("a"), "cw")
+    redge = adjc.select(F.col("node").alias("node_r"),
+                        F.col("nb").alias("b"))
+    wedges = ledge.join(redge,
+                        (F.col("node") == F.col("node_r"))
+                        & (F.col("a") < F.col("b")))
+    scored = (wedges.groupBy("a", "b")
+              .agg(F.sum("cw").cast("long").alias("score_e6"),
+                   F.count(F.lit(1)).cast("long")
+                   .alias("common_neighbors")))
+    non_adj = scored.join(
+        und, (F.col("a") == F.col("ea")) & (F.col("b") == F.col("eb")),
+        "left_anti")
+    return (non_adj
+            .orderBy(F.col("score_e6").desc(), "a", "b").limit(k)
+            .select("a", "b", "common_neighbors",
+                    F.round(F.col("score_e6") / 1e6, 6).alias("aa_score")))

@@ -937,3 +937,60 @@ def cv_fold_assignment(docs: DataFrame, k: int = 5,
                     (F.abs(share - 1.0 / k) <= 0.25 / k)
                     .alias("balanced"))
             .orderBy("fold", strat_col))
+
+
+def dsir_select(docs: DataFrame, target_source: str, dim: int = 1024,
+                k: int = 50, text_col: str = "text",
+                id_col: str = "doc_id",
+                source_col: str = "source") -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. '23,
+    arXiv:2302.03169), hashed-n-gram variant: score every candidate
+    document by how target-domain-like its hashed-unigram bag is, and
+    keep the top-k.
+
+    Both the target distribution (docs from ``target_source``) and the
+    raw pool (everything else) are add-0.5-smoothed multinomials over
+    ``dim`` hashed token buckets; a document's importance weight is
+    Σ_f c_f·(ln p_target[f] − ln p_raw[f]) — its log-likelihood ratio.
+    The per-bucket log-ratio is quantized to a 1e-6 integer (ln of a
+    rational never sits exactly on the grid boundary — the perplexity
+    precedent), so every per-doc weight is an exact BIGINT dot product
+    and the ranking is engine-stable. Plan shape at 100 TB: one
+    wordcount-shaped agg per side, a ≤``dim``-row log-ratio table
+    broadcast into the (doc, bucket, count) join, one weight agg, and
+    a TakeOrdered top-k. DSIR's Gumbel resampling step is replaced by
+    deterministic top-k — weights are emitted, so any downstream
+    sampler can reuse them.
+    """
+    from ..functions.text import word_hashes
+    base = docs.select(F.col(id_col), F.col(source_col),
+                       words(text_col).alias("_ws"))
+    x = (base.select(id_col, source_col,
+                     word_hashes("_ws").alias("_wh"))
+         .select(F.col(id_col), F.col(source_col),
+                 F.explode("_wh").alias("_h"))
+         .select(id_col, source_col, (F.col("_h") % dim).alias("bucket")))
+    is_t = F.col(source_col) == target_source
+    tc = (x.filter(is_t).groupBy("bucket")
+          .agg(F.count(F.lit(1)).alias("ct")))
+    pool = x.filter(~is_t)
+    pc = pool.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    nt = tc.agg(F.sum("ct").alias("n_t"))
+    nr = pc.agg(F.sum("cr").alias("n_r"))
+    lr = (pc.join(tc, "bucket", "left")
+          .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(nr))
+          .select("bucket",
+                  F.round(1e6 * (
+                      F.log((F.coalesce(F.col("ct"), F.lit(0)) + 0.5)
+                            / (F.col("n_t") + 0.5 * dim))
+                      - F.log((F.col("cr") + 0.5)
+                              / (F.col("n_r") + 0.5 * dim))), 0)
+                  .cast("long").alias("lrm")))
+    db = (pool.groupBy(id_col, source_col, "bucket")
+          .agg(F.count(F.lit(1)).alias("c")))
+    wt = (db.join(F.broadcast(lr), "bucket")
+          .groupBy(id_col, source_col)
+          .agg(F.sum(F.col("c") * F.col("lrm")).cast("long")
+               .alias("weight_e6")))
+    return (wt.orderBy(F.col("weight_e6").desc(), id_col).limit(k)
+            .select(id_col, source_col, "weight_e6"))

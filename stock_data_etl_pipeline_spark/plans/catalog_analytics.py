@@ -772,3 +772,42 @@ def events_ab_test_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engines
     ev = load_table(spark, sf_dir, "events")
     return cuped_ab_test(ev).orderBy("arm")
+
+
+@register("graph_adamic_adar", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+und AS (SELECT DISTINCT a.i AS ea, b.i AS eb
+        FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+adj AS (SELECT ea AS node, eb AS nb FROM und
+        UNION ALL SELECT eb, ea FROM und),
+deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+cen AS (SELECT node,
+               CAST(round(1e6 / ln(CAST(deg AS DOUBLE)), 0) AS BIGINT)
+                   AS cw
+        FROM deg WHERE deg BETWEEN 2 AND 64),
+ac AS (SELECT adj.node, adj.nb, cen.cw FROM adj JOIN cen USING (node)),
+w AS (SELECT l.nb AS a, r.nb AS b, l.cw
+      FROM ac l JOIN ac r ON l.node = r.node AND l.nb < r.nb),
+sc AS (SELECT a, b, CAST(sum(cw) AS BIGINT) AS score_e6,
+              count(*) AS common_neighbors
+       FROM w GROUP BY a, b),
+na AS (SELECT sc.* FROM sc WHERE NOT EXISTS
+         (SELECT 1 FROM und WHERE und.ea = sc.a AND und.eb = sc.b))
+SELECT a, b, common_neighbors,
+       round(score_e6 / 1e6, 6) AS aa_score
+FROM na ORDER BY score_e6 DESC, a, b LIMIT 50
+""")
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Adamic-Adar link prediction on the co-purchase graph: top-50
+    # non-adjacent part pairs by sum of 1/ln(deg) over common
+    # neighbors; hub centers capped at deg 64, contributions quantized
+    # to 1e-6 integers (operators/analytics.adamic_adar)
+    from ..operators.analytics import adamic_adar
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+    return adamic_adar(pairs, "pa", "pb", max_center_degree=64, k=50)

@@ -856,3 +856,35 @@ def multimodal_interleaved_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import interleaved_pack
     d = load_table(spark, sf_dir, "documents")
     return interleaved_pack(d)
+
+
+@register("corpus_dsir_selection", f"""
+WITH w AS (SELECT doc_id, source, {_WORDS} AS ws FROM documents),
+wh AS (SELECT doc_id, source, {_WORD_HASHES} AS whs FROM w),
+x AS (SELECT doc_id, source, unnest(whs) % 1024 AS bucket FROM wh),
+tc AS (SELECT bucket, count(*) AS ct FROM x
+       WHERE source = 'src1' GROUP BY bucket),
+pc AS (SELECT bucket, count(*) AS cr FROM x
+       WHERE source <> 'src1' GROUP BY bucket),
+nt AS (SELECT CAST(sum(ct) AS BIGINT) AS n_t FROM tc),
+nr AS (SELECT CAST(sum(cr) AS BIGINT) AS n_r FROM pc),
+lr AS (SELECT pc.bucket,
+              CAST(round(1e6 * (
+                  ln((coalesce(tc.ct, 0) + 0.5) / (nt.n_t + 512.0))
+                - ln((pc.cr + 0.5) / (nr.n_r + 512.0))), 0) AS BIGINT)
+                  AS lrm
+       FROM pc LEFT JOIN tc USING (bucket), nt, nr),
+db AS (SELECT doc_id, source, bucket, count(*) AS c
+       FROM x WHERE source <> 'src1' GROUP BY 1, 2, 3),
+wt AS (SELECT doc_id, source,
+              CAST(sum(c * lrm) AS BIGINT) AS weight_e6
+       FROM db JOIN lr USING (bucket) GROUP BY doc_id, source)
+SELECT doc_id, source, weight_e6 FROM wt
+ORDER BY weight_e6 DESC, doc_id LIMIT 50
+""")
+def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR (Xie '23): importance-weight candidate docs by the hashed-
+    # unigram log-likelihood ratio against the src1 target domain;
+    # deterministic top-50 with exact BIGINT dot-product weights
+    d = load_table(spark, sf_dir, "documents")
+    return CP.dsir_select(d, target_source="src1", dim=1024, k=50)

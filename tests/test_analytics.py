@@ -294,3 +294,35 @@ def test_cuped_matches_python_replica(spark):
         # correlated pre/post: adjustment must not inflate variance
         if na > 1 and r["var_reduction"] is not None:
             assert r["var_reduction"] > 0
+
+
+def test_adamic_adar_cycle_scores_and_exclusions(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        adamic_adar)
+    # 4-cycle 1-2-3-4-1: non-adjacent diagonals (1,3) and (2,4) each
+    # share two degree-2 neighbors -> score 2/ln(2); adjacent pairs
+    # must never appear
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4)], "pa long, pb long")
+    out = {(r["a"], r["b"]): r for r in
+           adamic_adar(pairs, "pa", "pb").collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    want = round(2 * round(1e6 / math.log(2)) / 1e6, 6)
+    for r in out.values():
+        assert r["common_neighbors"] == 2
+        assert math.isclose(r["aa_score"], want, abs_tol=1e-9)
+
+
+def test_adamic_adar_hub_cap_drops_hub_wedges(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        adamic_adar)
+    # star: hub 0 joined to 1..5 -> every leaf pair shares only the hub
+    # (deg 5); with the cap below 5 no wedge survives
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "pa long, pb long")
+    assert adamic_adar(pairs, "pa", "pb",
+                       max_center_degree=4).count() == 0
+    out = adamic_adar(pairs, "pa", "pb", max_center_degree=8).collect()
+    assert len(out) == 10  # C(5,2) leaf pairs via the hub
+    for r in out:
+        assert r["common_neighbors"] == 1

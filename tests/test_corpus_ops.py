@@ -544,3 +544,24 @@ def test_cv_folds_are_stable_and_partition_the_corpus(spark):
                  "lang", F.when(F.col("doc_id") % 3 == 0, "de")
                  .otherwise("en")), k=4).collect()}
     assert a == b
+
+
+def test_dsir_ranks_target_like_candidates_first(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import dsir_select
+    rows = [
+        # target domain: all about "alpha"
+        (1, "alpha alpha alpha alpha", "tgt"),
+        (2, "alpha alpha beta", "tgt"),
+        # candidates: doc 10 target-like, doc 11 off-domain
+        (10, "alpha alpha alpha", "pool"),
+        (11, "gamma gamma gamma", "pool"),
+        (12, "alpha gamma", "pool"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dsir_select(df, target_source="tgt", dim=64, k=10).collect()
+    ranked = [r["doc_id"] for r in out]
+    assert ranked[0] == 10 and ranked[-1] == 11
+    weights = {r["doc_id"]: r["weight_e6"] for r in out}
+    assert weights[10] > weights[12] > weights[11]
+    # off-domain tokens never seen in target must score negative
+    assert weights[11] < 0
