@@ -499,3 +499,28 @@ def adamic_adar(pairs: DataFrame, id_a: str, id_b: str,
             .orderBy(F.col("score_e6").desc(), "a", "b").limit(k)
             .select("a", "b", "common_neighbors",
                     F.round(F.col("score_e6") / 1e6, 6).alias("aa_score")))
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event-type
+    sequence: P(next_type | type) with exact counts and one division.
+
+    Sequences are ordered by the total (ts, event_id) key per user, so
+    the lag is deterministic; the matrix is |types|² rows regardless of
+    event volume. One per-user window + one matrix-sized hash-agg; the
+    row-normalizing totals come from a window over the tiny matrix.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (events.select("user_id", "ts", "event_id",
+                       F.col("event_type").alias("to_type"),
+                       F.lag("event_type").over(w).alias("from_type"))
+         .filter(F.col("from_type").isNotNull()))
+    m = (t.groupBy("from_type", "to_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    w_row = Window.partitionBy("from_type")
+    return (m.withColumn("row_total",
+                         F.sum("n").over(w_row).cast("long"))
+            .select("from_type", "to_type", "n", "row_total",
+                    F.round(F.col("n")
+                            / F.col("row_total").cast("double"), 6)
+                    .alias("p")))

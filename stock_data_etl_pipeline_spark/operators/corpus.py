@@ -24,7 +24,7 @@ names as first-class. Oracles live in plans/catalog_corpus.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import words
@@ -994,3 +994,47 @@ def dsir_select(docs: DataFrame, target_source: str, dim: int = 1024,
                .alias("weight_e6")))
     return (wt.orderBy(F.col("weight_e6").desc(), id_col).limit(k)
             .select(id_col, source_col, "weight_e6"))
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
+                           sample_pct: int = 10,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    plagiarism-detector selection rule): slide a ``w``-window over the
+    document's k-gram hash sequence and keep each window's minimum
+    hash; matching guarantees any shared substring of length ≥ w+k−1
+    shares a fingerprint.
+
+    Tie-break is leftmost-minimum, encoded branch-free: each shingle
+    becomes ``hash·2²⁰ + position`` (positions capped below 2²⁰), so a
+    single integer window-min picks (min hash, then min position) and
+    the pair decodes exactly on any engine — no struct/arg_min
+    portability hazard. Fingerprints are emitted for a deterministic
+    md5 ``sample_pct``% of docs (bounded gate output); the operator
+    itself is per-doc window arithmetic — embarrassingly parallel, no
+    shuffle beyond the doc partition.
+    """
+    # span (NOT shingle) hashes: position-ordered, repeats kept —
+    # winnowing needs one entry per window position
+    from ..functions.text import span_hashes_from_word_hashes, word_hashes
+    base = (docs.filter(sample_bucket(id_col) < sample_pct)
+            .select(F.col(id_col), words(text_col).alias("_ws")))
+    sh = (base.select(F.col(id_col), word_hashes("_ws").alias("_wh"))
+          .select(F.col(id_col),
+                  F.posexplode(
+                      span_hashes_from_word_hashes("_wh", k))
+                  .alias("pos", "h"))
+          .filter(F.col("pos") < 1048576)
+          .select(F.col(id_col), "pos",
+                  (F.col("h") * 1048576 + F.col("pos")).alias("key")))
+    win = (Window.partitionBy(id_col).orderBy("pos")
+           .rowsBetween(-(w - 1), 0))
+    sel = (sh.withColumn("sel", F.min("key").over(win))
+           .filter(F.col("pos") >= w - 1)
+           .select(F.col(id_col), "sel").distinct())
+    return (sel.select(
+        F.col(id_col),
+        (F.col("sel") % 1048576).cast("long").alias("fp_pos"),
+        F.expr("CAST(sel DIV 1048576 AS BIGINT)").alias("fp_hash"))
+        .orderBy(id_col, "fp_pos"))

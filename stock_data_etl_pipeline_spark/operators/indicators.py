@@ -713,3 +713,59 @@ def sharpe_sortino(bars: DataFrame) -> DataFrame:
                        mean / F.sqrt(var)), 6).alias("sharpe"),
         F.round(F.when(n1 & (F.col("sneg2") > 0),
                        mean / F.sqrt(dvar)), 6).alias("sortino"))
+
+
+def var_expected_shortfall(bars: DataFrame, alpha: float = 0.05
+                           ) -> DataFrame:
+    """Historical Value-at-Risk and Expected Shortfall per symbol over
+    hourly log returns (left tail at ``alpha``).
+
+    VaR is the exact interpolated ``alpha``-quantile of the 1e-6-
+    quantized returns (``percentile`` ≡ ANSI ``quantile_cont`` on
+    integers — the established parity pattern); ES is the mean of
+    returns at or below that cutoff. Two per-symbol aggregations plus
+    a broadcast join of the |symbols|-row quantile table back onto the
+    returns. Nonpositive-low bars are dropped before the lag window.
+
+    Determinism (round-half hazard, found at sf0.1): a rounded
+    ratio-of-integers mean can land EXACTLY on x.xxxxxx5 and the two
+    engines' round() split (Spark rounds the shortest decimal repr,
+    DuckDB the scaled double). So nothing here rounds a ratio: the
+    quantile is snapped to its exact 1/(20·1e6) grid as the integer
+    ``20·var_us`` (interpolation fractions are multiples of alpha, so
+    the scaled value IS an integer up to fp noise), the tail filter
+    compares integers (20·r ≤ var20), the ES mean is computed with
+    integer half-away-from-zero division, and the emitted doubles are
+    each ONE IEEE division of exact integers — bit-identical anywhere.
+    """
+    bars = bars.filter(F.col("low") > 0)
+    scale = round(1 / alpha)  # 20 for the 5% tail
+    w = Window.partitionBy("event_type").orderBy("hr")
+    r_us = (F.round(F.log(F.col("close")
+                          / F.lag("close").over(w)) * 1e6, 0)
+            .cast("long"))
+    r = (bars.select("event_type", r_us.alias("r"))
+         .filter(F.col("r").isNotNull()))
+    q = (r.groupBy("event_type")
+         .agg(F.round(F.percentile("r", F.lit(alpha)) * scale, 0)
+              .cast("long").alias("var20"),
+              F.count(F.lit(1)).cast("long").alias("n")))
+    tail = (r.join(F.broadcast(q), "event_type")
+            .filter(F.col("r") * scale <= F.col("var20"))
+            .groupBy("event_type")
+            .agg(F.sum("r").alias("ts_"),
+                 F.count(F.lit(1)).cast("long").alias("tail_n")))
+    # integer half-away division, expressed portably as FLOOR of the
+    # positive quotient: floor((2|s|+n)/(2n)) == round-half-away(|s|/n)
+    es_us = F.when(
+        F.col("ts_") >= 0,
+        F.floor((2 * F.col("ts_") + F.col("tail_n"))
+                / (2 * F.col("tail_n")))).otherwise(
+        -F.floor((2 * -F.col("ts_") + F.col("tail_n"))
+                 / (2 * F.col("tail_n")))).cast("long")
+    return (q.join(tail, "event_type")
+            .select("event_type", "n",
+                    (F.col("var20") / F.lit(scale * 1e6))
+                    .alias("var_95"),
+                    (es_us / F.lit(1e6)).alias("es_95"),
+                    "tail_n"))

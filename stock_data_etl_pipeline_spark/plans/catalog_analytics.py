@@ -811,3 +811,29 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("a.i") < F.col("b.i")))
              .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
     return adamic_adar(pairs, "pa", "pb", max_center_degree=64, k=50)
+
+
+@register("events_markov_transitions", """
+WITH t AS (SELECT user_id, ts, event_id, event_type AS to_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                      AS from_type
+           FROM events),
+m AS (SELECT from_type, to_type, count(*) AS n
+      FROM t WHERE from_type IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT *, CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+                    AS row_total
+      FROM m)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n, row_total,
+       round(n / CAST(row_total AS DOUBLE), 6) AS p
+FROM r ORDER BY from_type, to_type
+""")
+def events_markov_transitions(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    # first-order Markov transition matrix over per-user event-type
+    # sequences: deterministic (ts, event_id) ordering, exact counts,
+    # one row-normalizing division (operators/analytics.
+    # markov_transitions)
+    from ..operators.analytics import markov_transitions
+    ev = load_table(spark, sf_dir, "events")
+    return markov_transitions(ev).orderBy("from_type", "to_type")

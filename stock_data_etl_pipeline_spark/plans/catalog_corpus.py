@@ -888,3 +888,34 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic top-50 with exact BIGINT dot-product weights
     d = load_table(spark, sf_dir, "documents")
     return CP.dsir_select(d, target_source="src1", dim=1024, k=50)
+
+
+@register("corpus_winnowing_fingerprints", f"""
+WITH sm AS (SELECT doc_id, text FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 100 < 10),
+w AS (SELECT doc_id, {_WORDS} AS ws FROM sm),
+wh AS (SELECT doc_id, {_WORD_HASHES} AS whs FROM w),
+sh AS (SELECT doc_id,
+              unnest(list_transform(
+                range(1, greatest(len(whs) - 2, 0) + 1),
+                i -> ((((whs[i]) * 131 + whs[i+1]) % 2147483647 * 131 + whs[i+2]) % 2147483647) * 1048576 + (i - 1))) AS key
+       FROM wh),
+x AS (SELECT doc_id, key % 1048576 AS pos, key FROM sh),
+m AS (SELECT doc_id, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+      FROM x),
+fp AS (SELECT DISTINCT doc_id, sel FROM m WHERE pos >= 3)
+SELECT doc_id,
+       CAST(sel % 1048576 AS BIGINT) AS fp_pos,
+       CAST(sel // 1048576 AS BIGINT) AS fp_hash
+FROM fp ORDER BY doc_id, fp_pos
+""")
+def corpus_winnowing_fingerprints(spark: SparkSession, sf_dir: str
+                                  ) -> DataFrame:
+    # winnowing (MOSS) fingerprints: per-window min of k-gram hashes
+    # with a branch-free (hash, position) integer encoding; emitted for
+    # a deterministic 10% doc sample to bound gate output
+    d = load_table(spark, sf_dir, "documents")
+    return CP.winnowing_fingerprints(d, k=3, w=4, sample_pct=10)

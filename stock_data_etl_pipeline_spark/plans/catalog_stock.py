@@ -850,3 +850,43 @@ def stock_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (ind.sharpe_sortino(ind.hourly_bars(ev))
             .orderBy("event_type"))
+
+
+@register("stock_var_es", _BARS_CTE + """
+, l AS (
+  SELECT event_type, hr, close,
+         CAST(round(ln(close / lag(close) OVER (
+                PARTITION BY event_type ORDER BY hr)) * 1e6, 0)
+              AS BIGINT) AS r
+  FROM bars WHERE low > 0
+), f AS (SELECT event_type, r FROM l WHERE r IS NOT NULL),
+q AS (SELECT event_type,
+             CAST(round(quantile_cont(r, 0.05) * 20, 0) AS BIGINT)
+                 AS var20,
+             count(*) AS n
+      FROM f GROUP BY event_type),
+t AS (SELECT f.event_type, CAST(sum(f.r) AS BIGINT) AS ts_,
+             count(*) AS tail_n
+      FROM f JOIN q USING (event_type)
+      WHERE f.r * 20 <= q.var20 GROUP BY f.event_type),
+esx AS (SELECT event_type,
+             CASE WHEN ts_ >= 0
+                  THEN CAST(floor((2 * ts_ + tail_n)
+                                  / (2 * tail_n)) AS BIGINT)
+                  ELSE -CAST(floor((2 * -ts_ + tail_n)
+                                   / (2 * tail_n)) AS BIGINT)
+             END AS es_us, tail_n
+      FROM t)
+SELECT q.event_type, q.n,
+       q.var20 / 20000000.0 AS var_95,
+       esx.es_us / 1000000.0 AS es_95,
+       esx.tail_n
+FROM q JOIN esx USING (event_type) ORDER BY q.event_type
+""")
+def stock_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # historical VaR(95) + Expected Shortfall per symbol: interpolated
+    # 5% quantile of 1e-6-quantized hourly log returns, tail mean as an
+    # exact integer sum / one division
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.var_expected_shortfall(ind.hourly_bars(ev))
+            .orderBy("event_type"))

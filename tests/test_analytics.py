@@ -326,3 +326,19 @@ def test_adamic_adar_hub_cap_drops_hub_wedges(spark):
     assert len(out) == 10  # C(5,2) leaf pairs via the hub
     for r in out:
         assert r["common_neighbors"] == 1
+
+
+def test_markov_transitions_counts_and_probs(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        markov_transitions)
+    # u1: a -> b -> a ; u2: a -> b.  transitions: a->b x2, b->a x1
+    seq = [(1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (2, 3, "a"), (2, 4, "b")]
+    df = spark.createDataFrame(
+        [Row(user_id=u, event_id=i, ts=_ts(0) + dt.timedelta(minutes=i),
+             event_type=t) for u, i, t in seq])
+    out = {(r["from_type"], r["to_type"]): r
+           for r in markov_transitions(df).collect()}
+    assert out[("a", "b")]["n"] == 2 and out[("a", "b")]["p"] == 1.0
+    assert out[("b", "a")]["n"] == 1 and out[("b", "a")]["p"] == 1.0
+    assert out[("a", "b")]["row_total"] == 2
+    assert set(out) == {("a", "b"), ("b", "a")}

@@ -565,3 +565,26 @@ def test_dsir_ranks_target_like_candidates_first(spark):
     assert weights[10] > weights[12] > weights[11]
     # off-domain tokens never seen in target must score negative
     assert weights[11] < 0
+
+
+def test_winnowing_shared_substring_shares_fingerprint(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        winnowing_fingerprints)
+    # two docs sharing a 6-token run (>= w+k-1 = 6) MUST share at least
+    # one fingerprint hash; an unrelated doc shares none
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "intro words " + shared + " tail one"),
+        (2, "other prefix tokens here " + shared),
+        (3, "nothing in common with those docs at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnowing_fingerprints(df, sample_pct=100).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert fps[1] & fps[2], "shared 6-gram run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # fingerprint density: ~1 per window, far fewer than shingles
+    for d, h in fps.items():
+        assert 1 <= len(h) <= 12

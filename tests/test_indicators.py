@@ -442,3 +442,31 @@ def test_sharpe_sortino_hand_moments(spark):
     assert math.isclose(
         r["sortino"], round(mean / math.sqrt(sneg2 / (n - 1)), 6),
         abs_tol=1e-6)
+
+
+def test_var_es_python_replica(spark):
+    # 40 hourly bars with varied returns; replicate quantile_cont +
+    # tail mean with integer half-away rounding exactly
+    closes = [100.0]
+    for i in range(1, 40):
+        closes.append(round(closes[-1] * (1 + ((i * 13) % 11 - 5) / 200.0),
+                            2))
+    rows = [Row(event_type="A", ts=_ts(0) + dt.timedelta(hours=i),
+                event_id=i, value=c) for i, c in enumerate(closes)]
+    (r,) = ind.var_expected_shortfall(
+        ind.hourly_bars(spark.createDataFrame(rows))).collect()
+    rus = sorted(round(math.log(b / a) * 1e6)
+                 for a, b in zip(closes, closes[1:]))
+    n = len(rus)
+    pos = 0.05 * (n - 1)
+    lo = int(pos)
+    var_us = rus[lo] + (pos - lo) * (rus[lo + 1] - rus[lo])
+    var20 = round(var_us * 20)
+    tail = [x for x in rus if x * 20 <= var20]
+    s, tn = sum(tail), len(tail)
+    es_us = (math.floor((2 * s + tn) / (2 * tn)) if s >= 0
+             else -math.floor((2 * -s + tn) / (2 * tn)))
+    assert r["n"] == n and r["tail_n"] == tn
+    assert r["var_95"] == var20 / 20000000.0
+    assert r["es_95"] == es_us / 1000000.0
+    assert r["es_95"] <= r["var_95"]  # ES at least as severe as VaR
