@@ -61,6 +61,11 @@ HEADLINE = [
     "graph_pagerank_parts",
     "corpus_bm25_search",
     "events_psi_drift",
+    # round 5: risk tails, experimentation, data selection, link pred
+    "stock_var_es",
+    "events_ab_test_cuped",
+    "corpus_dsir_selection",
+    "graph_adamic_adar",
 ]
 
 

@@ -524,3 +524,40 @@ def markov_transitions(events: DataFrame) -> DataFrame:
                     F.round(F.col("n")
                             / F.col("row_total").cast("double"), 6)
                     .alias("p")))
+
+
+def k_core(pairs: DataFrame, id_a: str, id_b: str, k: int = 2,
+           rounds: int = 5) -> DataFrame:
+    """Bounded-round k-core decomposition: iteratively peel nodes of
+    degree < ``k`` (degrees recounted against survivors each round) and
+    return the surviving nodes with their in-core degree.
+
+    Fixed ``rounds`` iterations rather than peel-to-fixpoint so the
+    plan is a static 5-deep join chain an ANSI oracle can unroll
+    CTE-for-CTE — on graphs this size the peel converges well inside
+    the bound, and the bounded variant is deterministic either way.
+    Per round: two semi-joins of the persisted edge list against the
+    shrinking survivor set + one degree count — all equi-keyed on node
+    ids, integer-only, no driver data traffic.
+    """
+    und = (pairs.select(F.col(id_a).alias("ea"), F.col(id_b).alias("eb"))
+           .distinct())
+    edges = (und.select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
+             .union(und.select(F.col("eb").alias("src"),
+                               F.col("ea").alias("dst")))
+             .persist())
+    alive = edges.select("src").distinct()
+    deg = None
+    for _ in range(rounds):
+        # persist each round's survivor set: it is referenced TWICE in
+        # the next round's join (src and dst sides), so an unpersisted
+        # lineage doubles per iteration — 2^rounds recompute blowup
+        alive = alive.persist()
+        e2 = (edges.join(alive, "src")
+              .join(alive.withColumnRenamed("src", "dst"), "dst"))
+        deg = e2.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("src")
+    return (deg.filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"),
+                    F.col("deg").cast("long").alias("deg"))
+            .orderBy("node"))

@@ -1038,3 +1038,50 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 3, w: int = 4,
         (F.col("sel") % 1048576).cast("long").alias("fp_pos"),
         F.expr("CAST(sel DIV 1048576 AS BIGINT)").alias("fp_hash"))
         .orderBy(id_col, "fp_pos"))
+
+
+def zipf_fit(docs: DataFrame, top_n: int = 500,
+             text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit over the term-frequency distribution: OLS of
+    ln(frequency) on ln(rank) across the ``top_n`` most frequent terms
+    (slope ≈ −1 for natural language — the standard sanity profile of
+    a scraped corpus, and a drift alarm when a crawl goes mechanical).
+
+    The vocabulary aggregation is the wordcount shape; only the top-N
+    survive (TakeOrdered — the full vocab is never globally sorted),
+    and ranking happens inside that N-row relation. ln terms are
+    quantized to 1e-6 integers so the five OLS moments are exact
+    BIGINT sums; slope/intercept/R² are then identical IEEE chains on
+    those scalars in any engine.
+    """
+    tok = docs.select(F.explode(words(text_col)).alias("term"))
+    tf = (tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+          .orderBy(F.col("cnt").desc(), "term").limit(top_n))
+    w = Window.orderBy(F.col("cnt").desc(), "term")
+    xy = (tf.select(
+        F.row_number().over(w).alias("rank"), "cnt")
+        .select(
+            F.round(F.log(F.col("rank").cast("double")) * 1e6, 0)
+            .cast("long").alias("x"),
+            F.round(F.log(F.col("cnt").cast("double")) * 1e6, 0)
+            .cast("long").alias("y")))
+    a = xy.agg(F.count(F.lit(1)).cast("long").alias("n"),
+               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("x") * F.col("x")).alias("sx2"),
+               F.sum(F.col("y") * F.col("y")).alias("sy2"))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    n = d("n")
+    cov = d("sxy") - d("sx") * d("sy") / n
+    vx = d("sx2") - d("sx") * d("sx") / n
+    vy = d("sy2") - d("sy") * d("sy") / n
+    slope = cov / vx
+    return a.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        # mirror the oracle's association exactly: slope * (sx/n),
+        # not (slope*sx)/n — a different IEEE grouping can differ in
+        # the last ulp and flip the 6-dp rounding
+        F.round((d("sy") / n - slope * (d("sx") / n)) / 1e6, 6)
+        .alias("intercept"),
+        F.round(cov * cov / (vx * vy), 6).alias("r2"))

@@ -769,3 +769,50 @@ def var_expected_shortfall(bars: DataFrame, alpha: float = 0.05
                     .alias("var_95"),
                     (es_us / F.lit(1e6)).alias("es_95"),
                     "tail_n"))
+
+
+def amihud_illiquidity(events: DataFrame) -> DataFrame:
+    """Amihud (2002) illiquidity per symbol: the mean over days of
+    |daily return| / dollar volume — the classic price-impact proxy an
+    execution desk tracks next to VWAP.
+
+    Daily close is the (ts, event_id)-latest tick; dollar volume is the
+    exact integer-cents sum of price × size (``props.$.k``). Every
+    division uses ``int_mean_half_away``-style integer half-away
+    rounding (ratio-of-integers + round() is the engine-splitting
+    hazard), scaled 1e10 so the per-day ratio keeps ~6 significant
+    digits; the emitted mean is ONE IEEE division of exact integers.
+    Days with zero dollar volume or a nonpositive close are skipped.
+    Two (symbol, day)-keyed aggs + one per-symbol window + one agg.
+    """
+    from .windows import int_mean_half_away
+    day = F.date_trunc("day", F.col("ts"))
+    k = F.get_json_object("props", "$.k").cast("long")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w_d = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    base = (events.select("event_type", "ts", "event_id", "value",
+                          day.alias("day"), (cents * k).alias("dv"))
+            .withColumn("rn", F.row_number().over(w_d)))
+    daily = (base.groupBy("event_type", "day")
+             .agg(F.max(F.when(F.col("rn") == 1, F.col("value")))
+                  .alias("close"),
+                  F.sum("dv").cast("long").alias("dv_cents")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    r_us = F.when(
+        (F.col("close") > 0) & (F.lag("close").over(w) > 0),
+        F.round(F.log(F.col("close") / F.lag("close").over(w)) * 1e6, 0)
+        .cast("long"))
+    d2 = (daily.select("event_type", "day", "dv_cents",
+                       r_us.alias("r"))
+          .filter(F.col("r").isNotNull() & (F.col("dv_cents") > 0)))
+    ratio = int_mean_half_away(F.abs(F.col("r")) * F.lit(10000)
+                               * F.lit(1000000), F.col("dv_cents"))
+    agg = (d2.select("event_type", ratio.alias("ratio_e10"))
+           .groupBy("event_type")
+           .agg(F.sum("ratio_e10").alias("rs"),
+                F.count(F.lit(1)).cast("long").alias("n_days")))
+    mean_e10 = int_mean_half_away(F.col("rs"), F.col("n_days"))
+    return (agg.select("event_type", "n_days",
+                       (mean_e10 / F.lit(1e10)).alias("illiq"))
+            .orderBy("event_type"))

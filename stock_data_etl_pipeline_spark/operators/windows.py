@@ -144,3 +144,20 @@ def banded_rank_join(df: DataFrame, keys: Sequence[str], rn: str,
             & (F.col(f"prev.{rn}") > F.col(f"cur.{rn}") - width)
             & (F.col(f"prev.{rn}") <= F.col(f"cur.{rn}")))
     return cur.join(prev, cond)
+
+
+def int_mean_half_away(sum_col: Column, n_col: Column) -> Column:
+    """Round-half-away-from-zero integer mean ``round(sum/n)`` computed
+    entirely with integer/floor arithmetic: floor((2|s|+n)/(2n)) with
+    the sign reapplied.
+
+    Use this instead of ``round(sum / n, d)`` whenever both engines
+    must agree bit-for-bit: a ratio of integers can land EXACTLY on a
+    rounding half (x.5 in the target grid) and Spark (shortest-decimal
+    BigDecimal) and DuckDB (scaled-double) then round in opposite
+    directions — the stock_var_es sf0.1 incident. The result is an
+    exact integer; divide it by the grid once for display.
+    """
+    pos = F.floor((2 * sum_col + n_col) / (2 * n_col))
+    neg = -F.floor((2 * -sum_col + n_col) / (2 * n_col))
+    return F.when(sum_col >= 0, pos).otherwise(neg).cast("long")

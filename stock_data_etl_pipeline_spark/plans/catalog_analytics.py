@@ -837,3 +837,47 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str
     from ..operators.analytics import markov_transitions
     ev = load_table(spark, sf_dir, "events")
     return markov_transitions(ev).orderBy("from_type", "to_type")
+
+
+@register("graph_k_core", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+und AS (SELECT DISTINCT a.i AS ea, b.i AS eb
+        FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+e AS (SELECT ea AS src, eb AS dst FROM und
+      UNION ALL SELECT eb, ea FROM und),
+a0 AS (SELECT DISTINCT src FROM e),
+d1 AS (SELECT e.src, count(*) AS d FROM e
+       JOIN a0 x ON e.src = x.src JOIN a0 y ON e.dst = y.src
+       GROUP BY e.src),
+a1 AS (SELECT src FROM d1 WHERE d >= 3),
+d2 AS (SELECT e.src, count(*) AS d FROM e
+       JOIN a1 x ON e.src = x.src JOIN a1 y ON e.dst = y.src
+       GROUP BY e.src),
+a2 AS (SELECT src FROM d2 WHERE d >= 3),
+d3 AS (SELECT e.src, count(*) AS d FROM e
+       JOIN a2 x ON e.src = x.src JOIN a2 y ON e.dst = y.src
+       GROUP BY e.src),
+a3 AS (SELECT src FROM d3 WHERE d >= 3),
+d4 AS (SELECT e.src, count(*) AS d FROM e
+       JOIN a3 x ON e.src = x.src JOIN a3 y ON e.dst = y.src
+       GROUP BY e.src),
+a4 AS (SELECT src FROM d4 WHERE d >= 3),
+d5 AS (SELECT e.src, count(*) AS d FROM e
+       JOIN a4 x ON e.src = x.src JOIN a4 y ON e.dst = y.src
+       GROUP BY e.src)
+SELECT src AS node, CAST(d AS BIGINT) AS deg
+FROM d5 WHERE d >= 3 ORDER BY node
+""")
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded-round 3-core of the co-purchase graph: 5 peel rounds
+    # (degree recount vs survivors), unrolled CTE-for-CTE in the
+    # oracle; operators/analytics.k_core
+    from ..operators.analytics import k_core
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+    return k_core(pairs, "pa", "pb", k=3, rounds=5)

@@ -919,3 +919,43 @@ def corpus_winnowing_fingerprints(spark: SparkSession, sf_dir: str
     # a deterministic 10% doc sample to bound gate output
     d = load_table(spark, sf_dir, "documents")
     return CP.winnowing_fingerprints(d, k=3, w=4, sample_pct=10)
+
+
+@register("corpus_zipf_fit", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+tok AS (SELECT unnest(ws) AS term FROM w),
+tf AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term
+       ORDER BY cnt DESC, term LIMIT 500),
+xy AS (SELECT
+         CAST(round(ln(CAST(row_number() OVER (ORDER BY cnt DESC, term)
+                            AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+       FROM tf),
+a AS (SELECT count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sx2,
+             CAST(sum(y * y) AS BIGINT) AS sy2
+      FROM xy),
+m AS (SELECT n,
+             CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                                   / CAST(n AS DOUBLE) AS cov,
+             CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                   / CAST(n AS DOUBLE) AS vx,
+             CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                                   / CAST(n AS DOUBLE) AS vy,
+             CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my
+      FROM a)
+SELECT n AS n_terms,
+       round(cov / vx, 6) AS slope,
+       round((my - (cov / vx) * mx) / 1e6, 6) AS intercept,
+       round(cov * cov / (vx * vy), 6) AS r2
+FROM m
+""")
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Zipf-law OLS over the top-500 term frequencies: ln terms
+    # quantized to 1e-6 integers, exact BIGINT moments, identical IEEE
+    # slope/intercept/R^2 chains (operators/corpus.zipf_fit)
+    d = load_table(spark, sf_dir, "documents")
+    return CP.zipf_fit(d, top_n=500)

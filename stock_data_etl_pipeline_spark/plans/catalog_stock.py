@@ -890,3 +890,51 @@ def stock_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (ind.var_expected_shortfall(ind.hourly_bars(ev))
             .orderBy("event_type"))
+
+
+@register("stock_amihud_illiquidity", """
+WITH t AS (
+  SELECT event_type, ts, event_id, value,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(round(value * 100, 0) AS BIGINT)
+           * json_extract_string(props, '$.k')::BIGINT AS dv
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, day
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM t
+), d AS (
+  SELECT event_type, day,
+         max(CASE WHEN rn = 1 THEN value END) AS close,
+         CAST(sum(dv) AS BIGINT) AS dv_cents
+  FROM r GROUP BY event_type, day
+), l AS (
+  SELECT event_type, day, dv_cents, close,
+         lag(close) OVER (PARTITION BY event_type ORDER BY day) AS pc
+  FROM d
+), q AS (
+  SELECT event_type, dv_cents,
+         CAST(round(ln(close / pc) * 1e6, 0) AS BIGINT) AS rr
+  FROM l WHERE close > 0 AND pc > 0 AND dv_cents > 0
+), g AS (
+  SELECT event_type,
+         CAST(floor((2 * (abs(rr) * 10000 * 1000000) + dv_cents)
+                    / (2 * dv_cents)) AS BIGINT) AS ratio_e10
+  FROM q
+), a AS (
+  SELECT event_type, CAST(sum(ratio_e10) AS BIGINT) AS rs,
+         count(*) AS n_days
+  FROM g GROUP BY event_type
+)
+SELECT event_type, n_days,
+       CAST(floor((2 * rs + n_days) / (2 * n_days)) AS BIGINT)
+         / 10000000000.0 AS illiq
+FROM a ORDER BY event_type
+""")
+def stock_amihud_illiquidity(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    # Amihud price-impact proxy: mean over days of |daily log return| /
+    # dollar volume, all divisions via integer half-away rounding
+    # (operators/indicators.amihud_illiquidity)
+    ev = load_table(spark, sf_dir, "events")
+    return ind.amihud_illiquidity(ev)

@@ -342,3 +342,23 @@ def test_markov_transitions_counts_and_probs(spark):
     assert out[("b", "a")]["n"] == 1 and out[("b", "a")]["p"] == 1.0
     assert out[("a", "b")]["row_total"] == 2
     assert set(out) == {("a", "b"), ("b", "a")}
+
+
+def test_k_core_peels_tail_and_keeps_clique(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import k_core
+    # K4 clique (1..4, all deg 3) + pendant chain 4-5-6: the chain
+    # peels away over the rounds, the clique survives 3-core intact
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "pa long, pb long")
+    out = {r["node"]: r["deg"] for r in
+           k_core(df, "pa", "pb", k=3, rounds=5).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert all(d == 3 for d in out.values())
+
+
+def test_k_core_star_fully_peels(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import k_core
+    star = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(star, "pa long, pb long")
+    assert k_core(df, "pa", "pb", k=2, rounds=5).count() == 0

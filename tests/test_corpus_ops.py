@@ -588,3 +588,20 @@ def test_winnowing_shared_substring_shares_fingerprint(spark):
     # fingerprint density: ~1 per window, far fewer than shingles
     for d, h in fps.items():
         assert 1 <= len(h) <= 12
+
+
+def test_zipf_fit_exact_power_law(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import zipf_fit
+    # construct term frequencies following cnt = round(1000 / rank):
+    # slope should be close to -1 and R^2 near 1
+    rows = []
+    doc = []
+    for rank in range(1, 21):
+        term = f"t{rank:02d}"
+        doc.extend([term] * round(1000 / rank))
+    rows.append((1, " ".join(doc)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    (r,) = zipf_fit(df, top_n=20).collect()
+    assert r["n_terms"] == 20
+    assert -1.1 < r["slope"] < -0.9
+    assert r["r2"] > 0.99

@@ -470,3 +470,32 @@ def test_var_es_python_replica(spark):
     assert r["var_95"] == var20 / 20000000.0
     assert r["es_95"] == es_us / 1000000.0
     assert r["es_95"] <= r["var_95"]  # ES at least as severe as VaR
+
+
+def test_amihud_illiquidity_hand_calc(spark):
+    import json
+    # symbol A: 2 ticks/day over 3 days; constant k=10
+    closes = [100.0, 110.0, 99.0]
+    rows = []
+    eid = 0
+    for day, c in enumerate(closes):
+        for j, v in enumerate([c - 1.0, c]):  # last tick of day = close
+            eid += 1
+            rows.append(Row(event_type="A",
+                            ts=_ts(0) + dt.timedelta(days=day, hours=j),
+                            event_id=eid, value=v,
+                            props=json.dumps({"k": 10})))
+    (r,) = ind.amihud_illiquidity(
+        spark.createDataFrame(rows)).collect()
+    assert r["n_days"] == 2  # first day has no return
+
+    def day_ratio(prev_c, c, ticks):
+        rr = abs(round(math.log(c / prev_c) * 1e6))
+        dv = sum(round(v * 100) * 10 for v in ticks)
+        return math.floor((2 * (rr * 10**10) + dv) / (2 * dv))
+
+    r1 = day_ratio(100.0, 110.0, [109.0, 110.0])
+    r2 = day_ratio(110.0, 99.0, [98.0, 99.0])
+    rs, n = r1 + r2, 2
+    want = math.floor((2 * rs + n) / (2 * n)) / 1e10
+    assert r["illiq"] == want
