@@ -1085,3 +1085,37 @@ def zipf_fit(docs: DataFrame, top_n: int = 500,
         F.round((d("sy") / n - slope * (d("sx") / n)) / 1e6, 6)
         .alias("intercept"),
         F.round(cov * cov / (vx * vy), 6).alias("r2"))
+
+
+TOKEN_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def token_stats_by_lang(docs: DataFrame, text_col: str = "text",
+                        lang_col: str = "lang") -> DataFrame:
+    """Tokenizer-cost profile per language: whitespace word counts vs
+    BPE-style pre-tokenizer counts (letter runs | single digits |
+    punctuation — the GPT-2 pre-tokenizer shape) and their fertility
+    ratio — the number LLM data teams watch to price a corpus in
+    tokens and spot languages the tokenizer fragments badly.
+
+    Counts are exact integer sums; fertility is ONE half-away integer
+    division per language (ratio-of-integers + round() splits engines —
+    the established hazard), emitted as micro-units divided once.
+    Pure Column ops + one hash-agg: the wordcount shape.
+    """
+    from .windows import int_mean_half_away
+    base = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.size(words(text_col)).cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE),
+                                  F.lit(0)))
+        .cast("long").alias("n_subtok"))
+    agg = (base.groupBy("lang")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_words").cast("long").alias("words"),
+                F.sum("n_subtok").cast("long").alias("subtokens")))
+    fert = int_mean_half_away(F.col("subtokens") * F.lit(1000000),
+                              F.col("words"))
+    return (agg.select("lang", "n_docs", "words", "subtokens",
+                       (fert / F.lit(1e6)).alias("fertility"))
+            .orderBy("lang"))

@@ -551,3 +551,67 @@ def ndcg_at_k(emb: DataFrame, query_vec: list[float], query_id: int,
         F.round(F.when(F.col("n_relevant") > 0,
                        F.col("_dcg") / icol).otherwise(0.0), 6)
         .alias("ndcg"))
+
+
+def _sym_floor_div(c: Column, k: int) -> Column:
+    """Sign-symmetric truncating division by a power of two, written as
+    floor-of-abs so Spark (DIV truncates) and ANSI engines (// floors)
+    cannot diverge on negatives. Division by 2^n is exact in binary
+    floating point, so the floor sees the exact quotient."""
+    kf = F.lit(float(k))
+    return (F.when(c >= 0, F.floor(c / kf))
+            .otherwise(-F.floor(-c / kf)).cast("long"))
+
+
+def pca_power_direction(vectors: DataFrame, iters: int = 3,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Dominant principal direction of the embedding cloud by power
+    iteration — v ← Xᵀ(Xv), repeated — in exact fixed-point integer
+    arithmetic, so the result is bit-identical on any engine and any
+    partitioning (the same contract as the integer PageRank).
+
+    Embeddings are quantized to 1e-6 integers on the exploded
+    (vec, coord, value) long layout — the layout a 100 TB vector store
+    aggregates on anyway. Each iteration is two equi-keyed hash-aggs
+    (dot products per vector, then back-projections per coordinate);
+    between steps magnitudes are controlled with sign-symmetric 2²⁰
+    shifts, and the vector is renormalized to the INFINITY norm (an
+    integer max — exact and order-independent, where a Euclidean norm
+    would be an order-dependent float sum of squares) with half-away
+    integer division. v₀ = (1/8, …, 1/8): exact in micro units for
+    dim 64. No driver traffic at all — the per-iteration state is a
+    dim-row DataFrame kept distributed (persisted: it feeds the next
+    iteration's join and the plan would otherwise double per round).
+    Output: (j, v_e6), the direction scaled to max|v|=1e6.
+    """
+    from .windows import int_mean_half_away
+    x = (vectors.select(F.col(id_col).alias("vid"),
+                        F.posexplode(as_double(vec_col))
+                        .alias("j", "xv"))
+         .select("vid", "j",
+                 F.round(F.col("xv") * 1e6, 0).cast("long").alias("x"))
+         .persist())
+    v = (x.select("j").distinct()
+         .select("j", F.lit(125000).cast("long").alias("v")))
+    for _ in range(iters):
+        v = v.persist()
+        d = (x.join(F.broadcast(v), "j")
+             .groupBy("vid")
+             .agg(F.sum(F.col("x") * F.col("v")).alias("d")))
+        dk = d.select("vid", _sym_floor_div(F.col("d"), 1 << 20)
+                      .alias("dk"))
+        s = (x.join(dk, "vid")
+             .groupBy("j")
+             .agg(F.sum(F.col("x") * F.col("dk")).alias("s")))
+        m = s.agg(F.max(F.abs(F.col("s"))).alias("m"))
+        sk = s.select("j", _sym_floor_div(F.col("s"), 1 << 20)
+                      .alias("sk"))
+        mk = m.select(_sym_floor_div(F.col("m"), 1 << 20).alias("mk"))
+        v = (sk.crossJoin(F.broadcast(mk))
+             .select("j", int_mean_half_away(
+                 F.col("sk") * F.lit(1000000), F.col("mk"))
+                 .alias("v")))
+    return (v.select(F.col("j").cast("long").alias("j"),
+                     F.col("v").alias("v_e6"))
+            .orderBy("j"))

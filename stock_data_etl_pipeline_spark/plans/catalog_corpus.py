@@ -959,3 +959,32 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slope/intercept/R^2 chains (operators/corpus.zipf_fit)
     d = load_table(spark, sf_dir, "documents")
     return CP.zipf_fit(d, top_n=500)
+
+
+@register("corpus_token_stats", f"""
+WITH b AS (
+  SELECT lang,
+         len({_WORDS}) AS n_words,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))
+             AS n_subtok
+  FROM documents
+), a AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_words) AS BIGINT) AS words,
+         CAST(sum(n_subtok) AS BIGINT) AS subtokens
+  FROM b GROUP BY lang
+)
+SELECT lang, n_docs, words, subtokens,
+       CASE WHEN subtokens >= 0
+            THEN CAST(floor((2 * (subtokens * 1000000) + words)
+                            / (2 * words)) AS BIGINT)
+            ELSE -CAST(floor((2 * -(subtokens * 1000000) + words)
+                             / (2 * words)) AS BIGINT)
+       END / 1000000.0 AS fertility
+FROM a ORDER BY lang
+""")
+def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-language tokenizer fertility: whitespace words vs GPT-2-style
+    # pre-tokenizer counts; one half-away integer division per language
+    d = load_table(spark, sf_dir, "documents")
+    return CP.token_stats_by_lang(d)

@@ -605,3 +605,17 @@ def test_zipf_fit_exact_power_law(spark):
     assert r["n_terms"] == 20
     assert -1.1 < r["slope"] < -0.9
     assert r["r2"] > 0.99
+
+
+def test_token_stats_fertility_hand_calc(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        token_stats_by_lang)
+    df = spark.createDataFrame(
+        [(1, "hello, world 42", "en")],
+        "doc_id long, text string, lang string")
+    (r,) = token_stats_by_lang(df).collect()
+    # whitespace words: 'hello,' 'world' '42' = 3
+    # pre-tokens: 'hello' ',' 'world' '4' '2' = 5
+    assert r["words"] == 3 and r["subtokens"] == 5
+    import math
+    assert r["fertility"] == math.floor((2 * 5000000 + 3) / 6) / 1e6

@@ -149,3 +149,22 @@ def test_ndcg_at_k_perfect_and_worst_ordering(spark):
     r2 = ndcg_at_k(e2, [1.0, 0.0], 0, 7, k=3).collect()[0]
     assert r2["n_relevant"] == 1  # only one relevant inside top-3
     assert 0 < r2["ndcg"] < 1.0
+
+
+def test_pca_power_finds_dominant_axis(spark):
+    from pyspark.sql import Row
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        pca_power_direction)
+    # 20 vectors along axis 0 with small axis-1 noise: the dominant
+    # direction must be axis 0 (|v| renormalized to max 1e6)
+    rows = [Row(vec_id=i,
+                embedding=[(0.5 if i % 2 == 0 else -0.5),
+                           0.01 * (i % 3), 0.0, 0.0])
+            for i in range(20)]
+    out = {r["j"]: r["v_e6"] for r in
+           pca_power_direction(spark.createDataFrame(rows),
+                               iters=3).collect()}
+    assert len(out) == 4
+    assert abs(out[0]) == 1000000          # infinity-norm peak on axis 0
+    assert abs(out[1]) < 200000            # noise axis stays minor
+    assert out[2] == 0 and out[3] == 0
