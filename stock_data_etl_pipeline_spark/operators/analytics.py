@@ -561,3 +561,54 @@ def k_core(pairs: DataFrame, id_a: str, id_b: str, k: int = 2,
             .select(F.col("src").alias("node"),
                     F.col("deg").cast("long").alias("deg"))
             .orderBy("node"))
+
+
+def bot_flags(events: DataFrame, burst_per_minute: int = 10,
+              cv_threshold_micro: int = 300000) -> DataFrame:
+    """Rule-based bot/abuse screening per user: peak events-per-minute
+    (burst rate) and the coefficient of variation of inter-arrival
+    gaps (machine traffic is suspiciously regular — low CV).
+
+    All signals reduce to exact integers: per-minute counts are a
+    (user, minute) hash-agg; inter-arrival gaps are WHOLE SECONDS
+    (sub-second gaps floor to 0 — integer longs keep the gap moments
+    exact where a microsecond sum-of-squares would overflow int64 and
+    a double sum would be reduction-order-dependent); the CV runs on
+    those exact sums with the same double shape on both engines and is
+    quantized half-away to 1e-6 before the threshold compare, so the
+    boolean flags are pure functions of emitted values. Two user-keyed
+    aggs + one join on user_id.
+    """
+    per_min = (events.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("mn"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.max("c").cast("long").alias("peak_per_min")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp(F.col("ts"))
+           - F.unix_timestamp(F.lag("ts").over(w)))
+    g = (events.select("user_id", gap.alias("g"))
+         .filter(F.col("g").isNotNull()))
+    mom = (g.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("g").cast("long").alias("s1"),
+                F.sum(F.col("g") * F.col("g")).cast("long")
+                .alias("s2")))
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n
+    var = (F.col("s2").cast("double") - F.col("s1").cast("double")
+           * (F.col("s1").cast("double") / n)) / (n - 1)
+    cv = F.when((F.col("n") > 1) & (F.col("s1") > 0),
+                F.sqrt(var) / mean)
+    cv_e6 = F.round(cv * 1e6, 0).cast("long")
+    out = (per_min.join(mom.select(
+        "user_id", F.col("n").alias("n_gaps"), cv_e6.alias("cv_e6")),
+        "user_id", "left"))
+    return (out.select(
+        "user_id", "peak_per_min", "n_gaps",
+        (F.col("cv_e6") / F.lit(1e6)).alias("gap_cv"),
+        ((F.col("peak_per_min") >= burst_per_minute)
+         | ((F.col("cv_e6").isNotNull())
+            & (F.col("cv_e6") < cv_threshold_micro)))
+        .alias("bot_suspect"))
+        .orderBy("user_id"))

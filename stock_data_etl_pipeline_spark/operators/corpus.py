@@ -1119,3 +1119,39 @@ def token_stats_by_lang(docs: DataFrame, text_col: str = "text",
     return (agg.select("lang", "n_docs", "words", "subtokens",
                        (fert / F.lit(1e6)).alias("fertility"))
             .orderBy("lang"))
+
+
+def ngram_novelty_by_source(docs: DataFrame, k: int = 3,
+                            text_col: str = "text",
+                            source_col: str = "source") -> DataFrame:
+    """Per-source n-gram novelty: the share of a source's distinct
+    k-gram shingles that appear in NO other source — the uniqueness
+    profile a curation team uses to decide which feeds actually add
+    content vs mirror the rest of the crawl.
+
+    Built on the same hashed inverted index as the dedup family:
+    (source, shingle) distinct pairs, one shingle-keyed count, an
+    equi-join back, one source rollup. The novelty ratio is a single
+    half-away integer division. All counts exact integers.
+    """
+    from ..functions.text import (shingle_hashes_from_word_hashes,
+                                  word_hashes)
+    from .windows import int_mean_half_away
+    idx = (docs.select(F.col(source_col).alias("source"),
+                       words(text_col).alias("_ws"))
+           .select("source", word_hashes("_ws").alias("_wh"))
+           .select("source",
+                   F.explode(shingle_hashes_from_word_hashes("_wh", k))
+                   .alias("shingle"))
+           .distinct())
+    cnt = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("ns"))
+    per = (idx.join(cnt, "shingle")
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("total"),
+                F.sum(F.when(F.col("ns") == 1, 1).otherwise(0))
+                .cast("long").alias("novel")))
+    nv = int_mean_half_away(F.col("novel") * F.lit(1000000),
+                            F.col("total"))
+    return (per.select("source", "total", "novel",
+                       (nv / F.lit(1e6)).alias("novelty"))
+            .orderBy("source"))

@@ -816,3 +816,40 @@ def amihud_illiquidity(events: DataFrame) -> DataFrame:
     return (agg.select("event_type", "n_days",
                        (mean_e10 / F.lit(1e10)).alias("illiq"))
             .orderBy("event_type"))
+
+
+def order_flow_imbalance(events: DataFrame) -> DataFrame:
+    """Tick-rule order-flow imbalance per (symbol, hour): classify each
+    tick buy/sell by the sign of its price change (zero changes carry
+    the last nonzero sign — the standard Lee-Ready-style tick test),
+    then report buys, sells and the normalized imbalance.
+
+    Signs are pure integers; the zero-change carry is one
+    ``last(ignorenulls)`` running window over the (ts, event_id) total
+    order per symbol; the imbalance ratio is a single half-away integer
+    division per bar. Unsigned leading ticks (first tick and any
+    zero-run before the first move) are excluded from the imbalance.
+    One symbol-keyed window + one (symbol, hour) hash-agg.
+    """
+    from .windows import int_mean_half_away
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    raw = F.when(delta > 0, F.lit(1)).when(delta < 0, F.lit(-1))
+    carry = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    base = (events.select("event_type", "ts", "event_id",
+                          F.date_trunc("hour", F.col("ts")).alias("hr"),
+                          raw.alias("raw_sign"))
+            .withColumn("sign",
+                        F.last("raw_sign", ignorenulls=True).over(carry)))
+    agg = (base.filter(F.col("sign").isNotNull())
+           .groupBy("event_type", "hr")
+           .agg(F.sum(F.when(F.col("sign") == 1, 1).otherwise(0))
+                .cast("long").alias("buys"),
+                F.sum(F.when(F.col("sign") == -1, 1).otherwise(0))
+                .cast("long").alias("sells")))
+    ofi = int_mean_half_away(
+        (F.col("buys") - F.col("sells")) * F.lit(1000000),
+        F.col("buys") + F.col("sells"))
+    return agg.select("event_type", "hr", "buys", "sells",
+                      (ofi / F.lit(1e6)).alias("ofi"))

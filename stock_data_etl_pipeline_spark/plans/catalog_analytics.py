@@ -881,3 +881,44 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("a.i") < F.col("b.i")))
              .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
     return k_core(pairs, "pa", "pb", k=3, rounds=5)
+
+
+@register("events_bot_flags", """
+WITH pm AS (SELECT user_id, date_trunc('minute', ts) AS mn, count(*) AS c
+            FROM events GROUP BY 1, 2),
+peak AS (SELECT user_id, CAST(max(c) AS BIGINT) AS peak_per_min
+         FROM pm GROUP BY user_id),
+g AS (SELECT user_id,
+             floor(epoch(ts))
+               - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id))) AS g
+      FROM events),
+f AS (SELECT user_id, CAST(g AS BIGINT) AS g FROM g WHERE g IS NOT NULL),
+mom AS (SELECT user_id, count(*) AS n,
+               CAST(sum(g) AS BIGINT) AS s1,
+               CAST(sum(g * g) AS BIGINT) AS s2
+        FROM f GROUP BY user_id),
+cv AS (SELECT user_id, n AS n_gaps,
+              CASE WHEN n > 1 AND s1 > 0 THEN
+                CAST(round(sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                         * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+                        / (CAST(n AS DOUBLE) - 1))
+                     / (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * 1e6, 0) AS BIGINT)
+              END AS cv_e6
+       FROM mom)
+SELECT p.user_id, p.peak_per_min, cv.n_gaps,
+       cv.cv_e6 / 1000000.0 AS gap_cv,
+       (p.peak_per_min >= 10
+        OR (cv.cv_e6 IS NOT NULL AND cv.cv_e6 < 300000)) AS bot_suspect
+FROM peak p LEFT JOIN cv USING (user_id)
+ORDER BY p.user_id
+""")
+def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rule-based bot screening: burst rate (peak events/minute) +
+    # inter-arrival regularity (CV of whole-second gaps) with
+    # thresholds compared on quantized values
+    # (operators/analytics.bot_flags)
+    from ..operators.analytics import bot_flags
+    ev = load_table(spark, sf_dir, "events")
+    return bot_flags(ev)

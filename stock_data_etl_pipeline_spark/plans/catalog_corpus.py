@@ -988,3 +988,26 @@ def corpus_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-tokenizer counts; one half-away integer division per language
     d = load_table(spark, sf_dir, "documents")
     return CP.token_stats_by_lang(d)
+
+
+@register("corpus_ngram_novelty", f"""
+WITH w AS (SELECT source, {_WORDS} AS ws FROM documents),
+wh AS (SELECT source, {_WORD_HASHES} AS whs FROM w),
+sh AS (SELECT source, {_shingle_hash_expr(3)} AS shs FROM wh),
+idx AS (SELECT DISTINCT source, unnest(shs) AS shingle FROM sh),
+cnt AS (SELECT shingle, count(*) AS ns FROM idx GROUP BY shingle),
+per AS (SELECT i.source,
+               count(*) AS total,
+               CAST(sum(CASE WHEN c.ns = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS novel
+        FROM idx i JOIN cnt c USING (shingle) GROUP BY i.source)
+SELECT source, total, novel,
+       CAST(floor((2 * (novel * 1000000) + total) / (2 * total))
+            AS BIGINT) / 1000000.0 AS novelty
+FROM per ORDER BY source
+""")
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source share of 3-gram shingles unique to that source —
+    # inverted-index shape, exact counts, one half-away division
+    d = load_table(spark, sf_dir, "documents")
+    return CP.ngram_novelty_by_source(d, k=3)

@@ -938,3 +938,47 @@ def stock_amihud_illiquidity(spark: SparkSession, sf_dir: str
     # (operators/indicators.amihud_illiquidity)
     ev = load_table(spark, sf_dir, "events")
     return ind.amihud_illiquidity(ev)
+
+
+@register("stock_order_flow_imbalance", """
+WITH s AS (
+  SELECT event_type, ts, event_id,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         CASE WHEN value - lag(value) OVER w > 0 THEN 1
+              WHEN value - lag(value) OVER w < 0 THEN -1 END AS raw_sign
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), c AS (
+  SELECT event_type, hr,
+         last_value(raw_sign IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sign
+  FROM s
+), a AS (
+  SELECT event_type, hr,
+         CAST(sum(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS buys,
+         CAST(sum(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS sells
+  FROM c WHERE sign IS NOT NULL
+  GROUP BY event_type, hr
+)
+SELECT event_type, hr, buys, sells,
+       CASE WHEN buys - sells >= 0
+            THEN CAST(floor((2 * ((buys - sells) * 1000000)
+                             + (buys + sells))
+                            / (2 * (buys + sells))) AS BIGINT)
+            ELSE -CAST(floor((2 * -((buys - sells) * 1000000)
+                              + (buys + sells))
+                             / (2 * (buys + sells))) AS BIGINT)
+       END / 1000000.0 AS ofi
+FROM a ORDER BY event_type, hr
+""")
+def stock_order_flow_imbalance(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    # tick-rule buy/sell classification (zero ticks carry the last
+    # nonzero sign) -> hourly order-flow imbalance; one half-away
+    # division per bar (operators/indicators.order_flow_imbalance)
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.order_flow_imbalance(ev)
+            .orderBy("event_type", "hr"))

@@ -362,3 +362,29 @@ def test_k_core_star_fully_peels(spark):
     star = [(0, i) for i in range(1, 6)]
     df = spark.createDataFrame(star, "pa long, pb long")
     assert k_core(df, "pa", "pb", k=2, rounds=5).count() == 0
+
+
+def test_bot_flags_burst_and_regularity(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        bot_flags)
+    rows = []
+    # u1: 12 events in one minute -> burst flag
+    for i in range(12):
+        rows.append(Row(user_id=1, event_id=i,
+                        ts=_ts(0) + dt.timedelta(seconds=2 * i),
+                        event_type="view"))
+    # u2: perfectly regular 60s gaps -> CV 0 -> regularity flag
+    for i in range(6):
+        rows.append(Row(user_id=2, event_id=100 + i,
+                        ts=_ts(1) + dt.timedelta(minutes=i),
+                        event_type="view"))
+    # u3: two irregular human-ish gaps, low rate -> clean
+    for i, mins in enumerate([0, 7, 31]):
+        rows.append(Row(user_id=3, event_id=200 + i,
+                        ts=_ts(2) + dt.timedelta(minutes=mins),
+                        event_type="view"))
+    out = {r["user_id"]: r for r in
+           bot_flags(spark.createDataFrame(rows)).collect()}
+    assert out[1]["peak_per_min"] >= 10 and out[1]["bot_suspect"]
+    assert out[2]["gap_cv"] == 0.0 and out[2]["bot_suspect"]
+    assert not out[3]["bot_suspect"]

@@ -619,3 +619,20 @@ def test_token_stats_fertility_hand_calc(spark):
     assert r["words"] == 3 and r["subtokens"] == 5
     import math
     assert r["fertility"] == math.floor((2 * 5000000 + 3) / 6) / 1e6
+
+
+def test_ngram_novelty_unique_vs_mirrored(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        ngram_novelty_by_source)
+    mirrored = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, mirrored, "s1"),
+        (2, mirrored + " extra tokens here", "s2"),
+        (3, "wholly original content stream", "s3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in
+           ngram_novelty_by_source(df, k=3).collect()}
+    assert out["s3"]["novelty"] == 1.0          # nothing shared
+    assert out["s1"]["novelty"] == 0.0          # fully mirrored by s2
+    assert 0.0 < out["s2"]["novelty"] < 1.0     # mirror + extra tail

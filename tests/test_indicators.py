@@ -499,3 +499,23 @@ def test_amihud_illiquidity_hand_calc(spark):
     rs, n = r1 + r2, 2
     want = math.floor((2 * rs + n) / (2 * n)) / 1e10
     assert r["illiq"] == want
+
+
+def test_order_flow_imbalance_tick_rule(spark):
+    # prices: 10 -> 11 (+) -> 11 (0, carries +) -> 9 (-) -> 9 (0, -)
+    vals = [10.0, 11.0, 11.0, 9.0, 9.0]
+    rows = [Row(event_type="A", ts=_ts(0, i), event_id=i, value=v)
+            for i, v in enumerate(vals)]
+    (r,) = ind.order_flow_imbalance(
+        spark.createDataFrame(rows)).collect()
+    # first tick unsigned/excluded; buys=2 (the + and its carry),
+    # sells=2 (the - and its carry)
+    assert r["buys"] == 2 and r["sells"] == 2 and r["ofi"] == 0.0
+
+
+def test_order_flow_imbalance_all_up(spark):
+    rows = [Row(event_type="A", ts=_ts(0, i), event_id=i,
+                value=10.0 + i) for i in range(4)]
+    (r,) = ind.order_flow_imbalance(
+        spark.createDataFrame(rows)).collect()
+    assert r["buys"] == 3 and r["sells"] == 0 and r["ofi"] == 1.0
