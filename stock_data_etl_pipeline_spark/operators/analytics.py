@@ -469,11 +469,15 @@ def adamic_adar(pairs: DataFrame, id_a: str, id_b: str,
     center join (equi-keyed on the center) → pair agg → anti-join
     existing edges → TakeOrdered top-k.
     """
+    # und feeds both union arms AND the final anti-join; adj feeds the
+    # degree agg and the center join; adjc feeds BOTH wedge sides —
+    # persist the shared subtrees or the lineitem self-join re-runs
+    # up to 5x (the corpus_lm_perplexity round-4 lesson)
     und = (pairs.select(F.col(id_a).alias("ea"), F.col(id_b).alias("eb"))
-           .distinct())
+           .distinct().persist())
     adj = (und.select(F.col("ea").alias("node"), F.col("eb").alias("nb"))
            .union(und.select(F.col("eb").alias("node"),
-                             F.col("ea").alias("nb"))))
+                             F.col("ea").alias("nb"))).persist())
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     centers = (deg.filter((F.col("deg") >= 2)
                           & (F.col("deg") <= max_center_degree))
@@ -481,7 +485,7 @@ def adamic_adar(pairs: DataFrame, id_a: str, id_b: str,
                        F.round(1e6 / F.log(F.col("deg")
                                            .cast("double")), 0)
                        .cast("long").alias("cw")))
-    adjc = adj.join(centers, "node")
+    adjc = adj.join(centers, "node").persist()
     ledge = adjc.select("node", F.col("nb").alias("a"), "cw")
     redge = adjc.select(F.col("node").alias("node_r"),
                         F.col("nb").alias("b"))

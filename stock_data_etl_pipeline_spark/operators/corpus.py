@@ -970,6 +970,9 @@ def dsir_select(docs: DataFrame, target_source: str, dim: int = 1024,
          .select(F.col(id_col), F.col(source_col),
                  F.explode("_wh").alias("_h"))
          .select(id_col, source_col, (F.col("_h") % dim).alias("bucket")))
+    # the hashed token stream feeds the target counts AND (twice) the
+    # pool side — persist it so tokenize+md5 runs once, not three times
+    x = x.persist()
     is_t = F.col(source_col) == target_source
     tc = (x.filter(is_t).groupBy("bucket")
           .agg(F.count(F.lit(1)).alias("ct")))
@@ -1143,7 +1146,7 @@ def ngram_novelty_by_source(docs: DataFrame, k: int = 3,
            .select("source",
                    F.explode(shingle_hashes_from_word_hashes("_wh", k))
                    .alias("shingle"))
-           .distinct())
+           .distinct().persist())  # feeds the count AND the join back
     cnt = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("ns"))
     per = (idx.join(cnt, "shingle")
            .groupBy("source")
