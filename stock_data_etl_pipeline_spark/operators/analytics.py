@@ -616,3 +616,88 @@ def bot_flags(events: DataFrame, burst_per_minute: int = 10,
             & (F.col("cv_e6") < cv_threshold_micro)))
         .alias("bot_suspect"))
         .orderBy("user_id"))
+
+
+MARKOV_ITERS = 8
+MARKOV_TOUCHES = ("click", "signup", "view")
+
+
+def markov_attribution(events: DataFrame,
+                       iters: int = MARKOV_ITERS) -> DataFrame:
+    """Markov-chain (removal-effect) channel attribution: model user
+    journeys as a first-order chain over touch channels with absorbing
+    CONV/NULL states, estimate conversion probability from START by
+    power iteration, and credit each channel by how much conversion
+    drops when every edge into it is rerouted to NULL.
+
+    Scale split: path extraction and transition counting are fully
+    distributed (one per-user lag/lead window + one (from, to)
+    hash-agg); the transition matrix itself is ≤|channels|+3 states —
+    control-plane sized — so the absorption iterations run on the
+    driver in EXACT Python integer arithmetic (1e-6 fixed-point,
+    per-edge floor division) that the oracle's generated SQL unroll
+    reproduces operation-for-operation. Conversions split paths: a
+    post-purchase touch starts a new journey from START.
+    """
+    st = F.when(F.col("event_type") == "purchase", "CONV") \
+        .otherwise(F.col("event_type"))
+    f = (events.filter(F.col("event_type")
+                       .isin(*MARKOV_TOUCHES, "purchase"))
+         .select("user_id", "ts", "event_id", st.alias("st")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = f.select("st", F.lag("st").over(w).alias("prev_st"),
+                 F.lead("st").over(w).alias("next_st"))
+    t1 = (o.filter(F.col("prev_st").isNotNull()
+                   & (F.col("prev_st") != "CONV"))
+          .select(F.col("prev_st").alias("f"), F.col("st").alias("t")))
+    t2 = (o.filter((F.col("st") != "CONV")
+                   & (F.col("prev_st").isNull()
+                      | (F.col("prev_st") == "CONV")))
+          .select(F.lit("START").alias("f"), F.col("st").alias("t")))
+    t3 = (o.filter((F.col("st") != "CONV") & F.col("next_st").isNull())
+          .select(F.col("st").alias("f"), F.lit("NULL").alias("t")))
+    cnt = (t1.union(t2).union(t3)
+           .groupBy("f", "t").agg(F.count(F.lit(1)).alias("c"))
+           .collect())  # <= (|channels|+1)^2 rows — control-plane
+
+    counts = {(r["f"], r["t"]): r["c"] for r in cnt}
+    totals: dict[str, int] = {}
+    for (fs, _), c in counts.items():
+        totals[fs] = totals.get(fs, 0) + c
+    p = {(fs, ts): (c * 1000000) // totals[fs]
+         for (fs, ts), c in counts.items()}
+
+    def absorb(matrix: dict[tuple[str, str], int]) -> int:
+        v = {"CONV": 1000000}
+        for _ in range(iters):
+            nv: dict[str, int] = {}
+            for (fs, ts), pe in matrix.items():
+                nv[fs] = nv.get(fs, 0) + (pe * v.get(ts, 0)) // 1000000
+            nv["CONV"] = 1000000
+            v = nv
+        return v.get("START", 0)
+
+    full = absorb(p)
+    rows = []
+    for ch in MARKOV_TOUCHES:
+        rm = {(fs, "NULL" if ts == ch else ts): pe
+              for (fs, ts), pe in p.items() if fs != ch}
+        # merged duplicate (fs, NULL) keys: NULL carries v=0, so
+        # collapsing vs not collapsing cannot change the sum — but the
+        # dict comprehension WOULD drop mass, so accumulate instead
+        rm = {}
+        for (fs, ts), pe in p.items():
+            if fs == ch:
+                continue
+            key = (fs, "NULL" if ts == ch else ts)
+            rm[key] = rm.get(key, 0) + pe
+        removed = absorb(rm)
+        re_num = (full - removed) * 1000000
+        re_e6 = ((2 * re_num + full) // (2 * full) if re_num >= 0
+                 else -((2 * -re_num + full) // (2 * full)))
+        rows.append((ch, full / 1000000.0, removed / 1000000.0,
+                     re_e6 / 1000000.0))
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        rows, "channel string, p_conv double, p_conv_removed double, "
+              "removal_effect double").orderBy("channel")

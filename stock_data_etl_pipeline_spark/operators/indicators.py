@@ -853,3 +853,38 @@ def order_flow_imbalance(events: DataFrame) -> DataFrame:
         F.col("buys") + F.col("sells"))
     return agg.select("event_type", "hr", "buys", "sells",
                       (ofi / F.lit(1e6)).alias("ofi"))
+
+
+RM_DECAY = 0.9     # RiskMetrics-style EWMA variance decay
+RM_LOOKBACK = 120  # 0.9^120 ~ 3e-6: truncation below the 6-dp round
+
+
+def riskmetrics_vol(bars: DataFrame, decay: float = RM_DECAY,
+                    lookback: int = RM_LOOKBACK) -> DataFrame:
+    """RiskMetrics-style EWMA volatility: σ_t = sqrt(Σ λ^i·r²_{t-i} /
+    Σ λ^i) over a truncated lookback — the exponentially-weighted
+    cousin of realized vol, and the second consumer of
+    ``banded_rank_join`` (the helper exists precisely so truncated
+    recurrences never re-introduce the O(n²) rank-range probe).
+
+    Returns are quantized to 1e-6 integers; the weighted sum runs on
+    exact r² longs × double weights. Nonpositive-low bars drop before
+    the lag window. Join work is O(lookback) per bar by banding.
+    """
+    from .windows import banded_rank_join
+    bars = bars.filter(F.col("low") > 0)
+    w = Window.partitionBy("event_type").orderBy("hr")
+    r_us = (F.round(F.log(F.col("close")
+                          / F.lag("close").over(w)) * 1e6, 0)
+            .cast("long"))
+    b = (bars.select("event_type", "hr", r_us.alias("r"))
+         .filter(F.col("r").isNotNull())
+         .select("event_type", "hr", "r",
+                 F.row_number().over(w).alias("rn")))
+    joined = banded_rank_join(b, ["event_type"], "rn", lookback)
+    wgt = F.pow(F.lit(decay), F.col("cur.rn") - F.col("prev.rn"))
+    return (joined.groupBy(F.col("cur.event_type").alias("event_type"),
+                           F.col("cur.hr").alias("hr"))
+            .agg(F.round(F.sqrt(
+                F.sum(F.col("prev.r") * F.col("prev.r") * wgt)
+                / F.sum(wgt)) / 1e6, 6).alias("rm_vol")))

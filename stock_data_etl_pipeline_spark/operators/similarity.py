@@ -615,3 +615,41 @@ def pca_power_direction(vectors: DataFrame, iters: int = 3,
     return (v.select(F.col("j").cast("long").alias("j"),
                      F.col("v").alias("v_e6"))
             .orderBy("j"))
+
+
+def embedding_outliers(vectors: DataFrame, k: int = 20,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id",
+                       label_col: str = "label") -> DataFrame:
+    """Top-k embedding outliers per the distance-to-own-centroid
+    criterion — the vectors a curation pass reviews first (mislabeled
+    or off-distribution points sit farthest from their class center).
+
+    Centroids are per-label means on the exploded layout (exact
+    1e-6-int sums / count via half-away division, so the centroid is
+    an exact integer vector both engines agree on); distances are
+    Σ(x−c)² in integer micro² per (vector, label) — exact BIGINTs —
+    and the top-k is a TakeOrdered on (distance DESC, vec_id). The
+    |labels|·dim centroid table broadcasts.
+    """
+    from .windows import int_mean_half_away
+    x = (vectors.select(F.col(id_col).alias("vid"),
+                        F.col(label_col).alias("lbl"),
+                        F.posexplode(as_double(vec_col))
+                        .alias("j", "xv"))
+         .select("vid", "lbl", "j",
+                 F.round(F.col("xv") * 1e6, 0).cast("long").alias("x")))
+    cent = (x.groupBy("lbl", "j")
+            .agg(F.sum("x").alias("sx"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("lbl", "j",
+                    int_mean_half_away(F.col("sx"), F.col("n"))
+                    .alias("c")))
+    d = (x.join(F.broadcast(cent), ["lbl", "j"])
+         .groupBy("vid", "lbl")
+         .agg(F.sum((F.col("x") - F.col("c"))
+                    * (F.col("x") - F.col("c"))).alias("d2")))
+    return (d.orderBy(F.col("d2").desc(), "vid").limit(k)
+            .select(F.col("vid").alias(id_col),
+                    F.col("lbl").alias(label_col),
+                    (F.sqrt(F.col("d2")) / F.lit(1e6)).alias("dist")))

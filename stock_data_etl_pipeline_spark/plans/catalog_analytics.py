@@ -922,3 +922,83 @@ def events_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import bot_flags
     ev = load_table(spark, sf_dir, "events")
     return bot_flags(ev)
+
+
+def _markov_attr_sql(iters: int = 8) -> str:
+    """Generated oracle for markov_attribution: the same shared
+    transition CTEs, then per scenario (full + one per removed
+    channel) the power iteration unrolled ``iters`` times with
+    identical per-edge floor arithmetic."""
+    touches = ("click", "signup", "view")
+    parts = ["""
+WITH fe AS (SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'purchase' THEN 'CONV'
+                        ELSE event_type END AS st
+            FROM events
+            WHERE event_type IN ('view', 'click', 'signup', 'purchase')),
+o AS (SELECT st,
+             lag(st) OVER w AS prev_st,
+             lead(st) OVER w AS next_st
+      FROM fe WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+tr AS (SELECT prev_st AS f, st AS t FROM o
+       WHERE prev_st IS NOT NULL AND prev_st <> 'CONV'
+       UNION ALL
+       SELECT 'START', st FROM o
+       WHERE st <> 'CONV' AND (prev_st IS NULL OR prev_st = 'CONV')
+       UNION ALL
+       SELECT st, 'NULL' FROM o
+       WHERE st <> 'CONV' AND next_st IS NULL),
+cnt AS (SELECT f, t, count(*) AS c FROM tr GROUP BY f, t),
+tot AS (SELECT f, CAST(sum(c) AS BIGINT) AS rt FROM cnt GROUP BY f),
+m_full AS (SELECT cnt.f, cnt.t,
+                  CAST((cnt.c * 1000000) // tot.rt AS BIGINT) AS p
+           FROM cnt JOIN tot USING (f))"""]
+    for ch in touches:
+        parts.append(f""",
+m_{ch} AS (SELECT f,
+                  CASE WHEN t = '{ch}' THEN 'NULL' ELSE t END AS t,
+                  CAST(sum(p) AS BIGINT) AS p
+           FROM m_full WHERE f <> '{ch}' GROUP BY 1, 2)""")
+    for scen in ("full",) + touches:
+        parts.append(f""",
+v_{scen}_0 AS (SELECT 'CONV' AS s, CAST(1000000 AS BIGINT) AS v)""")
+        for k in range(1, iters + 1):
+            parts.append(f""",
+v_{scen}_{k} AS (
+  SELECT m.f AS s, CAST(sum((m.p * vv.v) // 1000000) AS BIGINT) AS v
+  FROM m_{scen} m JOIN v_{scen}_{k - 1} vv ON m.t = vv.s
+  GROUP BY m.f
+  UNION ALL SELECT 'CONV', CAST(1000000 AS BIGINT))""")
+    union = "\n  UNION ALL\n".join(
+        f"""  SELECT '{ch}' AS channel,
+         coalesce((SELECT v FROM v_full_{iters} WHERE s = 'START'), 0)
+             AS fullv,
+         coalesce((SELECT v FROM v_{ch}_{iters} WHERE s = 'START'), 0)
+             AS remv""" for ch in touches)
+    parts.append(f""",
+res AS (
+{union}
+)
+SELECT channel,
+       fullv / 1000000.0 AS p_conv,
+       remv / 1000000.0 AS p_conv_removed,
+       CASE WHEN fullv - remv >= 0
+            THEN CAST(floor((2 * ((fullv - remv) * 1000000) + fullv)
+                            / (2 * fullv)) AS BIGINT)
+            ELSE -CAST(floor((2 * -((fullv - remv) * 1000000) + fullv)
+                             / (2 * fullv)) AS BIGINT)
+       END / 1000000.0 AS removal_effect
+FROM res ORDER BY channel""")
+    return "".join(parts)
+
+
+@register("events_markov_attribution", _markov_attr_sql(8))
+def events_markov_attribution(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    # Markov removal-effect attribution: distributed path/transition
+    # extraction, control-plane-sized absorbing-chain iteration in
+    # exact 1e-6 fixed-point (operators/analytics.markov_attribution);
+    # the oracle unrolls the same iterations from a generator
+    from ..operators.analytics import markov_attribution
+    ev = load_table(spark, sf_dir, "events")
+    return markov_attribution(ev)

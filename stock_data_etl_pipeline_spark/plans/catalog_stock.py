@@ -982,3 +982,43 @@ def stock_order_flow_imbalance(spark: SparkSession, sf_dir: str
     ev = load_table(spark, sf_dir, "events")
     return (ind.order_flow_imbalance(ev)
             .orderBy("event_type", "hr"))
+
+
+@register("stock_riskmetrics_vol", _BARS_CTE + f"""
+, l AS (
+  SELECT event_type, hr,
+         CAST(round(ln(close / lag(close) OVER (
+                PARTITION BY event_type ORDER BY hr)) * 1e6, 0)
+              AS BIGINT) AS r
+  FROM bars WHERE low > 0
+), rb AS (
+  SELECT event_type, hr, r,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+  FROM l WHERE r IS NOT NULL
+), pb AS (
+  SELECT *, (rn - 1) // {ind.RM_LOOKBACK} AS band FROM rb
+), cb AS (
+  SELECT event_type, hr, rn,
+         unnest([(rn - 1) // {ind.RM_LOOKBACK},
+                 (rn - 1) // {ind.RM_LOOKBACK} - 1]) AS probe
+  FROM rb
+)
+SELECT cur.event_type, cur.hr,
+       round(sqrt(sum(prev.r * prev.r
+                      * pow({ind.RM_DECAY}, cur.rn - prev.rn))
+                  / sum(pow({ind.RM_DECAY}, cur.rn - prev.rn)))
+             / 1e6, 6) AS rm_vol
+FROM cb cur JOIN pb prev
+  ON cur.event_type = prev.event_type
+ AND cur.probe = prev.band
+ AND prev.rn > cur.rn - {ind.RM_LOOKBACK}
+ AND prev.rn <= cur.rn
+GROUP BY cur.event_type, cur.hr
+ORDER BY cur.event_type, cur.hr
+""")
+def stock_riskmetrics_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EWMA variance (RiskMetrics lambda=0.9, truncated at 120 bars)
+    # via the BANDED rank join — O(lookback) probe work per bar
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.riskmetrics_vol(ind.hourly_bars(ev))
+            .orderBy("event_type", "hr"))

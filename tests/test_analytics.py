@@ -388,3 +388,37 @@ def test_bot_flags_burst_and_regularity(spark):
     assert out[1]["peak_per_min"] >= 10 and out[1]["bot_suspect"]
     assert out[2]["gap_cv"] == 0.0 and out[2]["bot_suspect"]
     assert not out[3]["bot_suspect"]
+
+
+def test_markov_attribution_linear_path(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        markov_attribution)
+    # one journey: view -> click -> purchase. Conversion certainty 1;
+    # removing either used channel kills it entirely; signup is
+    # untouched (no edges) so its removal changes nothing.
+    rows = [Row(user_id=1, event_id=i,
+                ts=_ts(0) + dt.timedelta(minutes=i), event_type=t)
+            for i, t in enumerate(["view", "click", "purchase"])]
+    out = {r["channel"]: r for r in
+           markov_attribution(spark.createDataFrame(rows)).collect()}
+    assert out["view"]["p_conv"] == 1.0
+    assert out["view"]["removal_effect"] == 1.0
+    assert out["click"]["removal_effect"] == 1.0
+    assert out["signup"]["p_conv_removed"] == 1.0
+    assert out["signup"]["removal_effect"] == 0.0
+
+
+def test_markov_attribution_split_paths(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        markov_attribution)
+    # u1 converts via view; u2 views then leaves -> P(conv)=0.5 from
+    # START->view (p=1.0) and view->{CONV, NULL} each 0.5
+    rows = [
+        Row(user_id=1, event_id=1, ts=_ts(0), event_type="view"),
+        Row(user_id=1, event_id=2, ts=_ts(5), event_type="purchase"),
+        Row(user_id=2, event_id=3, ts=_ts(1), event_type="view"),
+    ]
+    out = {r["channel"]: r for r in
+           markov_attribution(spark.createDataFrame(rows)).collect()}
+    assert out["view"]["p_conv"] == 0.5
+    assert out["view"]["removal_effect"] == 1.0

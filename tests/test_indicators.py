@@ -519,3 +519,26 @@ def test_order_flow_imbalance_all_up(spark):
     (r,) = ind.order_flow_imbalance(
         spark.createDataFrame(rows)).collect()
     assert r["buys"] == 3 and r["sells"] == 0 and r["ofi"] == 1.0
+
+
+def test_riskmetrics_vol_constant_and_recurrence(spark):
+    rows = [Row(event_type="A", ts=_ts(0) + dt.timedelta(hours=i),
+                event_id=i, value=100.0) for i in range(10)]
+    out = ind.riskmetrics_vol(
+        ind.hourly_bars(spark.createDataFrame(rows))).collect()
+    assert all(r["rm_vol"] == 0.0 for r in out)  # zero returns
+
+    closes = [100.0, 105.0, 98.0, 103.0]
+    rows2 = [Row(event_type="B", ts=_ts(0) + dt.timedelta(hours=i),
+                 event_id=i, value=c) for i, c in enumerate(closes)]
+    got = {r["hr"].hour: r["rm_vol"] for r in ind.riskmetrics_vol(
+        ind.hourly_bars(spark.createDataFrame(rows2))).collect()}
+    rus = [round(math.log(b / a) * 1e6) for a, b in
+           zip(closes, closes[1:])]
+    lam = ind.RM_DECAY
+    for t in range(len(rus)):
+        wts = [lam ** (t - i) for i in range(t + 1)]
+        want = round(math.sqrt(
+            sum(r * r * w for r, w in zip(rus[:t + 1], wts))
+            / sum(wts)) / 1e6, 6)
+        assert math.isclose(got[t + 1], want, abs_tol=2e-6)

@@ -168,3 +168,15 @@ def test_pca_power_finds_dominant_axis(spark):
     assert abs(out[0]) == 1000000          # infinity-norm peak on axis 0
     assert abs(out[1]) < 200000            # noise axis stays minor
     assert out[2] == 0 and out[3] == 0
+
+
+def test_embedding_outliers_planted_far_point(spark):
+    from pyspark.sql import Row
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        embedding_outliers)
+    rows = [Row(vec_id=i, label=0, embedding=[0.1, 0.1]) for i in
+            range(9)]
+    rows.append(Row(vec_id=99, label=0, embedding=[5.0, -5.0]))
+    out = embedding_outliers(spark.createDataFrame(rows), k=3).collect()
+    assert out[0]["vec_id"] == 99
+    assert out[0]["dist"] > out[1]["dist"]
