@@ -701,3 +701,40 @@ def markov_attribution(events: DataFrame,
     return spark.createDataFrame(
         rows, "channel string, p_conv double, p_conv_removed double, "
               "removal_effect double").orderBy("channel")
+
+
+def degree_distribution(pairs: DataFrame, id_a: str, id_b: str
+                        ) -> DataFrame:
+    """Log2-binned degree histogram of an undirected graph with
+    cumulative tail shares — the scale-free-ness profile that decides
+    hub caps for the wedge-expansion operators (triangles,
+    Adamic–Adar) before they run.
+
+    bin = floor(log2(degree)) computed as the integer bit length
+    (pure integer comparisons — no float log anywhere); counts are
+    exact; the tail share per bin is one half-away division. The
+    |bins| table is ≤ 64 rows regardless of graph size.
+    """
+    from .windows import int_mean_half_away
+    und = (pairs.select(F.col(id_a).alias("ea"), F.col(id_b).alias("eb"))
+           .distinct())
+    adj = (und.select(F.col("ea").alias("node"))
+           .union(und.select(F.col("eb").alias("node"))))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    # floor(log2(d)) as the binary-string length minus one — pure
+    # integer/string ops; a float log2 could round 2^k to k-epsilon
+    bin_ = (F.length(F.conv(F.col("deg").cast("string"), 10, 2)) - 1) \
+        .cast("long")
+    h = (deg.select(bin_.alias("deg_bin"))
+         .groupBy("deg_bin").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("n_nodes")))
+    tot = h.agg(F.sum("n_nodes").cast("long").alias("n_total"))
+    w = (Window.orderBy(F.col("deg_bin").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    lt = h.withColumn("tail_nodes", F.sum("n_nodes").over(w).cast("long"))
+    share = int_mean_half_away(F.col("tail_nodes") * F.lit(1000000),
+                               F.col("n_total"))
+    return (lt.crossJoin(F.broadcast(tot))
+            .select("deg_bin", "n_nodes", "tail_nodes",
+                    (share / F.lit(1e6)).alias("tail_share"))
+            .orderBy("deg_bin"))

@@ -1158,3 +1158,33 @@ def ngram_novelty_by_source(docs: DataFrame, k: int = 3,
     return (per.select("source", "total", "novel",
                        (nv / F.lit(1e6)).alias("novelty"))
             .orderBy("source"))
+
+
+def dataset_card(docs: DataFrame, text_col: str = "text",
+                 lang_col: str = "lang",
+                 source_col: str = "source") -> DataFrame:
+    """One-row dataset card: the summary block a corpus release ships
+    with (doc/token/char volume, language and source breadth, English
+    share, mean document length).
+
+    Everything is an exact integer count or a half-away integer
+    division of such counts — no float aggregates at all. Single
+    full-scan aggregation, map-side combinable.
+    """
+    from .windows import int_mean_half_away
+    a = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(words(text_col))).cast("long").alias("n_tokens"),
+        F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+        F.countDistinct(lang_col).cast("long").alias("n_langs"),
+        F.countDistinct(source_col).cast("long").alias("n_sources"),
+        F.sum(F.when(F.col(lang_col) == "en", 1).otherwise(0))
+        .cast("long").alias("n_en"))
+    mean_tok = int_mean_half_away(F.col("n_tokens") * F.lit(1000000),
+                                  F.col("n_docs"))
+    pct_en = int_mean_half_away(F.col("n_en") * F.lit(1000000),
+                                F.col("n_docs"))
+    return a.select("n_docs", "n_tokens", "n_chars", "n_langs",
+                    "n_sources",
+                    (mean_tok / F.lit(1e6)).alias("mean_tokens"),
+                    (pct_en / F.lit(1e6)).alias("en_share"))

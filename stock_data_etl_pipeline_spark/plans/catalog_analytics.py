@@ -1002,3 +1002,40 @@ def events_markov_attribution(spark: SparkSession, sf_dir: str
     from ..operators.analytics import markov_attribution
     ev = load_table(spark, sf_dir, "events")
     return markov_attribution(ev)
+
+
+@register("graph_degree_distribution", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+und AS (SELECT DISTINCT a.i AS ea, b.i AS eb
+        FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+adj AS (SELECT ea AS node FROM und UNION ALL SELECT eb FROM und),
+deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),
+h AS (SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS deg_bin,
+             count(*) AS n_nodes
+      FROM deg GROUP BY 1),
+tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_total FROM h),
+lt AS (SELECT deg_bin, CAST(n_nodes AS BIGINT) AS n_nodes,
+              CAST(sum(n_nodes) OVER (ORDER BY deg_bin DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS tail_nodes
+       FROM h)
+SELECT deg_bin, n_nodes, tail_nodes,
+       CAST(floor((2 * (tail_nodes * 1000000) + tot.n_total)
+                  / (2 * tot.n_total)) AS BIGINT) / 1000000.0
+           AS tail_share
+FROM lt, tot ORDER BY deg_bin
+""")
+def graph_degree_distribution(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    # log2-binned degree histogram (integer bit-length bins, no float
+    # log) + cumulative tail shares — the hub-cap sizing profile for
+    # the wedge-expansion graph operators
+    from ..operators.analytics import degree_distribution
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+    return degree_distribution(pairs, "pa", "pb")

@@ -1011,3 +1011,28 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inverted-index shape, exact counts, one half-away division
     d = load_table(spark, sf_dir, "documents")
     return CP.ngram_novelty_by_source(d, k=3)
+
+
+@register("corpus_dataset_card", f"""
+WITH a AS (
+  SELECT count(*) AS n_docs,
+         CAST(sum(len({_WORDS})) AS BIGINT) AS n_tokens,
+         CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_en
+  FROM documents
+)
+SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
+       CAST(floor((2 * (n_tokens * 1000000) + n_docs) / (2 * n_docs))
+            AS BIGINT) / 1000000.0 AS mean_tokens,
+       CAST(floor((2 * (n_en * 1000000) + n_docs) / (2 * n_docs))
+            AS BIGINT) / 1000000.0 AS en_share
+FROM a
+""")
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-row corpus release card: exact counts + half-away ratios,
+    # single map-side-combinable scan
+    d = load_table(spark, sf_dir, "documents")
+    return CP.dataset_card(d)

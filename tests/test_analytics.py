@@ -422,3 +422,16 @@ def test_markov_attribution_split_paths(spark):
            markov_attribution(spark.createDataFrame(rows)).collect()}
     assert out["view"]["p_conv"] == 0.5
     assert out["view"]["removal_effect"] == 1.0
+
+
+def test_degree_distribution_bins_and_tail(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        degree_distribution)
+    # star with 5 leaves: hub deg 5 (bin 2), leaves deg 1 (bin 0)
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "pa long, pb long")
+    out = {r["deg_bin"]: r for r in
+           degree_distribution(pairs, "pa", "pb").collect()}
+    assert out[0]["n_nodes"] == 5 and out[2]["n_nodes"] == 1
+    assert out[2]["tail_nodes"] == 1
+    assert out[0]["tail_nodes"] == 6 and out[0]["tail_share"] == 1.0

@@ -636,3 +636,18 @@ def test_ngram_novelty_unique_vs_mirrored(spark):
     assert out["s3"]["novelty"] == 1.0          # nothing shared
     assert out["s1"]["novelty"] == 0.0          # fully mirrored by s2
     assert 0.0 < out["s2"]["novelty"] < 1.0     # mirror + extra tail
+
+
+def test_dataset_card_counts_and_ratios(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        dataset_card)
+    rows = [(1, "a b c", "en", "s1"), (2, "d e", "en", "s2"),
+            (3, "f g h i", "fr", "s1")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    (r,) = dataset_card(df).collect()
+    assert r["n_docs"] == 3 and r["n_tokens"] == 9
+    assert r["n_langs"] == 2 and r["n_sources"] == 2
+    import math
+    assert r["mean_tokens"] == math.floor((2 * 9000000 + 3) / 6) / 1e6
+    assert r["en_share"] == math.floor((2 * 2000000 + 3) / 6) / 1e6
