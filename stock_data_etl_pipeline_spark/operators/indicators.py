@@ -599,17 +599,26 @@ def vwap_daily(events: DataFrame) -> DataFrame:
     engine. A zero-size day yields NULL (0/0). Single hash-agg on
     (symbol, day) — one shuffle, map-side combinable.
     """
+    from .windows import int_mean_half_away
     k = F.get_json_object("props", "$.k").cast("long")
-    return (events
-            .select("event_type",
-                    F.date_trunc("day", F.col("ts")).alias("day"),
-                    "value", k.alias("k"))
-            .groupBy("event_type", "day")
-            .agg(F.round(F.when(F.sum("k") > 0,
-                                F.sum(F.col("value") * F.col("k"))
-                                / F.sum("k")), 6).alias("vwap"),
-                 F.sum("k").cast("long").alias("total_qty"),
-                 F.count(F.lit(1)).cast("long").alias("n_ticks")))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    agg = (events
+           .select("event_type",
+                   F.date_trunc("day", F.col("ts")).alias("day"),
+                   (cents * k).alias("pv_c"), k.alias("k"))
+           .groupBy("event_type", "day")
+           .agg(F.sum("pv_c").cast("long").alias("pv_c"),
+                F.sum("k").cast("long").alias("total_qty"),
+                F.count(F.lit(1)).cast("long").alias("n_ticks")))
+    # integer half-away VWAP: a rounded pv/qty ratio can land exactly
+    # on x.xxxxxx5 and the engines' round() split (the
+    # streaming_vwap_bars sf0.01 incident: 4893.39/96 = 50.9728125)
+    v_e6 = int_mean_half_away(F.col("pv_c") * F.lit(10000),
+                              F.col("total_qty"))
+    return agg.select(
+        "event_type", "day",
+        F.when(F.col("total_qty") > 0, v_e6 / F.lit(1e6)).alias("vwap"),
+        "total_qty", "n_ticks")
 
 
 def realized_vol_daily(bars: DataFrame) -> DataFrame:

@@ -757,16 +757,29 @@ def stock_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("stock_vwap_daily", """
 WITH t AS (
   SELECT event_type,
-         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, value,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(round(value * 100, 0) AS BIGINT)
+           * json_extract_string(props, '$.k')::BIGINT AS pv_c,
          json_extract_string(props, '$.k')::BIGINT AS k
   FROM events
+), a AS (
+  SELECT event_type, day,
+         CAST(sum(pv_c) AS BIGINT) AS pv_c,
+         CAST(sum(k) AS BIGINT) AS total_qty,
+         count(*) AS n_ticks
+  FROM t GROUP BY event_type, day
 )
 SELECT event_type, day,
-       round(sum(value * k) / sum(k), 6) AS vwap,
-       CAST(sum(k) AS BIGINT) AS total_qty,
-       count(*) AS n_ticks
-FROM t GROUP BY event_type, day
-ORDER BY event_type, day
+       CASE WHEN total_qty > 0 THEN
+         CASE WHEN pv_c >= 0
+              THEN CAST(floor((2 * (pv_c * 10000) + total_qty)
+                              / (2 * total_qty)) AS BIGINT)
+              ELSE -CAST(floor((2 * -(pv_c * 10000) + total_qty)
+                               / (2 * total_qty)) AS BIGINT)
+         END / 1000000.0
+       END AS vwap,
+       total_qty, n_ticks
+FROM a ORDER BY event_type, day
 """)
 def stock_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # daily VWAP per symbol with trade size from the props JSON tail;
@@ -1022,3 +1035,40 @@ def stock_riskmetrics_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (ind.riskmetrics_vol(ind.hourly_bars(ev))
             .orderBy("event_type", "hr"))
+
+
+@register("streaming_vwap_bars", """
+WITH t AS (
+  SELECT event_type,
+         CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+         CAST(round(value * 100, 0) AS BIGINT)
+           * json_extract_string(props, '$.k')::BIGINT AS pv_c,
+         json_extract_string(props, '$.k')::BIGINT AS k
+  FROM events
+), a AS (
+  SELECT hr, event_type,
+         CAST(sum(pv_c) AS BIGINT) AS pv_c,
+         CAST(sum(k) AS BIGINT) AS total_qty,
+         count(*) AS n_ticks
+  FROM t GROUP BY hr, event_type
+)
+SELECT hr, event_type,
+       CASE WHEN total_qty > 0 THEN
+         CASE WHEN pv_c >= 0
+              THEN CAST(floor((2 * (pv_c * 10000) + total_qty)
+                              / (2 * total_qty)) AS BIGINT)
+              ELSE -CAST(floor((2 * -(pv_c * 10000) + total_qty)
+                               / (2 * total_qty)) AS BIGINT)
+         END / 1000000.0
+       END AS vwap,
+       total_qty, n_ticks
+FROM a ORDER BY event_type, hr
+""")
+def streaming_vwap_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hourly VWAP produced by a real Structured Streaming query (the
+    # VWAP monoid: two partial sums per watermarked window), checked
+    # against the identical batch SQL
+    import os
+    from ..streaming.events import streaming_vwap_bars
+    return streaming_vwap_bars(
+        spark, os.path.join(sf_dir, "events.parquet"))

@@ -269,6 +269,45 @@ def streaming_ohlc_bars(spark: SparkSession, events_parquet: str,
             .orderBy("event_type", "hr"))
 
 
+def streaming_vwap_bars(spark: SparkSession, events_parquet: str,
+                        watermark: str = "2 hours") -> DataFrame:
+    """Hourly VWAP bars as a Structured Streaming query — the streaming
+    twin of operators/indicators.vwap_daily at bar grain: one
+    watermark-bounded windowed aggregation whose state per
+    (symbol, hour) is two partial sums (price·size, size) — the VWAP
+    monoid — so late ticks within the watermark fold in exactly and
+    the bar emits when its hour closes.
+
+    price·size products stay on the 0.01 grid (2-dp ticks × integer
+    sizes from the props JSON tail), so the partial sums are exact
+    under any batch assignment; the division happens once at emit,
+    NULL-guarded for zero-quantity bars (ANSI). On a live feed this
+    runs unchanged with append mode + a processing-time trigger.
+    """
+    from ..operators.windows import int_mean_half_away
+    stream = event_stream(spark, events_parquet)
+    kq = F.get_json_object("props", "$.k").cast("long")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    agg = (stream.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.sum(cents * kq).cast("long").alias("pv_c"),
+                F.sum(kq).cast("long").alias("total_qty"),
+                F.count(F.lit(1)).cast("long").alias("n_ticks")))
+    name = f"vwap_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    v_e6 = int_mean_half_away(F.col("pv_c") * F.lit(10000),
+                              F.col("total_qty"))
+    return (spark.table(name)
+            .select(F.col("w.start").alias("hr"), "event_type",
+                    F.when(F.col("total_qty") > 0, v_e6 / F.lit(1e6))
+                    .alias("vwap"),
+                    "total_qty", "n_ticks")
+            .orderBy("event_type", "hr"))
+
+
 def session_sequence_examples(events: DataFrame, k: int = 3,
                               gap_seconds: int = 1800) -> DataFrame:
     """Next-event-prediction training rows from sessionized activity:
