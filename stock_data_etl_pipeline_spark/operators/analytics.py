@@ -738,3 +738,41 @@ def degree_distribution(pairs: DataFrame, id_a: str, id_b: str
             .select("deg_bin", "n_nodes", "tail_nodes",
                     (share / F.lit(1e6)).alias("tail_share"))
             .orderBy("deg_bin"))
+
+
+def abc_pareto(df: DataFrame, key_col: str, value_cents: Column,
+               a_cut: int = 700000, b_cut: int = 900000) -> DataFrame:
+    """ABC / Pareto classification: rank keys by revenue, walk the
+    cumulative share, and bucket into A (first ``a_cut``/1e6 of total
+    revenue), B (to ``b_cut``/1e6), C (tail) — the inventory-analysis
+    classic, built scale-safe on ``distributed_running_total`` (no
+    global single-partition cumulative window).
+
+    Revenue sums are exact integer cents; the cumulative share is
+    integer floor arithmetic ((running·1e6)//total), so the class
+    boundaries are engine-exact. Output: per class, key count, revenue
+    and revenue share (half-away divisions of exact integers).
+    """
+    from .windows import distributed_running_total, int_mean_half_away
+    rev = (df.groupBy(key_col)
+           .agg(F.sum(value_cents).cast("long").alias("rev_c")))
+    total = rev.agg(F.sum("rev_c").cast("long").alias("total_c"))
+    run = distributed_running_total(
+        rev, [F.desc("rev_c"), key_col], "rev_c", out="running_c")
+    shared = run.crossJoin(F.broadcast(total))
+    cum_e6 = F.floor((F.col("running_c") * 1000000)
+                     / F.col("total_c")).cast("long")
+    cls = (F.when(cum_e6 <= a_cut, "A")
+           .when(cum_e6 <= b_cut, "B").otherwise("C"))
+    agg = (shared.select(cls.alias("abc_class"), "rev_c")
+           .groupBy("abc_class")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("rev_c").cast("long").alias("class_rev_c")))
+    share = int_mean_half_away(F.col("class_rev_c") * F.lit(1000000),
+                               F.col("total_c"))
+    return (agg.crossJoin(F.broadcast(total))
+            .select("abc_class", "n_keys",
+                    (F.col("class_rev_c") / F.lit(100.0))
+                    .alias("revenue"),
+                    (share / F.lit(1e6)).alias("rev_share"))
+            .orderBy("abc_class"))

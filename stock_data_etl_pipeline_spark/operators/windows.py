@@ -161,3 +161,42 @@ def int_mean_half_away(sum_col: Column, n_col: Column) -> Column:
     pos = F.floor((2 * sum_col + n_col) / (2 * n_col))
     neg = -F.floor((2 * -sum_col + n_col) / (2 * n_col))
     return F.when(sum_col >= 0, pos).otherwise(neg).cast("long")
+
+
+def distributed_running_total(df: DataFrame, order: Sequence[str | Column],
+                              value_col: str, out: str = "running"
+                              ) -> DataFrame:
+    """Exact global prefix sum of ``value_col`` over a total order
+    WITHOUT the single-partition sort an empty-partitionBy running
+    window plans — the cumulative twin of ``distributed_ntile`` and
+    the building block for Pareto/ABC curves, cumulative market share,
+    and quantile-by-mass queries.
+
+    Same machinery: range-repartition on the order keys (persist-
+    pinned), a partition-local running-sum window, then add the
+    preceding partitions' totals (a numPartitions-sized control-plane
+    collect). ``value_col`` must be an integer column — exact partial
+    totals are what make the offsets reproducible; quantize floats to
+    a grid first.
+    """
+    cols = _cols(order)
+    ranged = df.repartitionByRange(*cols).withColumn(
+        "_drt_pid", F.spark_partition_id()).persist()
+    totals = {r["_drt_pid"]: r["t"] for r in
+              ranged.groupBy("_drt_pid").agg(
+                  F.sum(value_col).alias("t")).collect()}
+    acc, offsets = 0, {}
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    if not offsets:
+        return df.withColumn(out, F.lit(None).cast("long"))
+    off_expr = F.coalesce(
+        F.create_map(*[F.lit(v) for pid, off in offsets.items()
+                       for v in (pid, off)])[F.col("_drt_pid")],
+        F.lit(0))
+    w = (Window.partitionBy("_drt_pid").orderBy(*cols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (ranged.withColumn(
+        out, (F.sum(value_col).over(w) + off_expr).cast("long"))
+        .drop("_drt_pid"))

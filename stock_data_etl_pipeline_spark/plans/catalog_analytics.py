@@ -1039,3 +1039,42 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str
                     & (F.col("a.i") < F.col("b.i")))
              .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
     return degree_distribution(pairs, "pa", "pb")
+
+
+@register("orders_abc_pareto", """
+WITH rev AS (SELECT l_partkey,
+                    CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                                  AS BIGINT)) AS BIGINT) AS rev_c
+             FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM rev),
+run AS (SELECT l_partkey, rev_c,
+               CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS running_c
+        FROM rev),
+cls AS (SELECT rev_c,
+               CASE WHEN floor((running_c * 1000000) / tot.total_c)
+                         <= 700000 THEN 'A'
+                    WHEN floor((running_c * 1000000) / tot.total_c)
+                         <= 900000 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM run, tot),
+agg AS (SELECT abc_class, count(*) AS n_keys,
+               CAST(sum(rev_c) AS BIGINT) AS class_rev_c
+        FROM cls GROUP BY abc_class)
+SELECT abc_class, n_keys,
+       class_rev_c / 100.0 AS revenue,
+       CAST(floor((2 * (class_rev_c * 1000000) + tot.total_c)
+                  / (2 * tot.total_c)) AS BIGINT) / 1000000.0
+           AS rev_share
+FROM agg, tot ORDER BY abc_class
+""")
+def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ABC/Pareto inventory classes over part revenue, built on
+    # distributed_running_total (range-partitioned prefix sums — no
+    # single-partition cumulative window); exact integer cents and
+    # floor/half-away arithmetic throughout
+    from ..operators.analytics import abc_pareto
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return abc_pareto(li, "l_partkey", cents)

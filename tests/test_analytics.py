@@ -435,3 +435,34 @@ def test_degree_distribution_bins_and_tail(spark):
     assert out[0]["n_nodes"] == 5 and out[2]["n_nodes"] == 1
     assert out[2]["tail_nodes"] == 1
     assert out[0]["tail_nodes"] == 6 and out[0]["tail_share"] == 1.0
+
+
+def test_distributed_running_total_matches_window(spark):
+    from pyspark.sql import Window
+    from stock_data_etl_pipeline_spark.operators.windows import (
+        distributed_running_total)
+    df = spark.createDataFrame(
+        [(i, int((i * 13) % 50)) for i in range(200)], "id long, v long")
+    order = [F.desc("v"), "id"]
+    w = (Window.orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = {r["id"]: r["r"] for r in
+            df.select("id", F.sum("v").over(w).alias("r")).collect()}
+    got = {r["id"]: r["running"] for r in
+           distributed_running_total(df, order, "v").collect()}
+    assert got == want
+
+
+def test_abc_pareto_hand_classes(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        abc_pareto)
+    # revenues 70, 20, 6, 4 (cents x100): cumulative shares 70/90/96/100
+    rows = [(1, 70.0), (2, 20.0), (3, 6.0), (4, 4.0)]
+    df = spark.createDataFrame(rows, "k long, price double")
+    cents = F.round(F.col("price") * 100, 0).cast("long")
+    out = {r["abc_class"]: r for r in
+           abc_pareto(df, "k", cents).collect()}
+    assert out["A"]["n_keys"] == 1 and out["A"]["revenue"] == 70.0
+    assert out["B"]["n_keys"] == 1 and out["B"]["revenue"] == 20.0
+    assert out["C"]["n_keys"] == 2 and out["C"]["revenue"] == 10.0
+    assert out["A"]["rev_share"] == 0.7
