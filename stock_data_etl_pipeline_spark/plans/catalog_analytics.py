@@ -1078,3 +1078,34 @@ def orders_abc_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     return abc_pareto(li, "l_partkey", cents)
+
+
+@register("events_engagement_dau_mau", """
+WITH ud AS (SELECT DISTINCT user_id,
+                   CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+            FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM ud GROUP BY day),
+fan AS (SELECT d.day AS day, u.user_id, u.day AS uday
+        FROM ud u JOIN days d
+          ON u.day <= d.day AND u.day > d.day - INTERVAL 30 DAY),
+roll AS (SELECT day,
+                CAST(count(DISTINCT CASE WHEN uday > day - INTERVAL 7 DAY
+                                         THEN user_id END) AS BIGINT)
+                    AS wau,
+                CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+         FROM fan GROUP BY day)
+SELECT d.day, d.dau, r.wau, r.mau,
+       CAST(floor((2 * (d.dau * 1000000) + r.mau) / (2 * r.mau))
+            AS BIGINT) / 1000000.0 AS stickiness
+FROM dau d JOIN roll r USING (day)
+ORDER BY d.day
+""")
+def events_engagement_dau_mau(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    # DAU/WAU/MAU + stickiness: (user, day) reduction first, bounded
+    # 30x fan-out against the calendar grid, half-away ratio
+    from ..operators.analytics import engagement_metrics
+    ev = load_table(spark, sf_dir, "events")
+    return engagement_metrics(ev)

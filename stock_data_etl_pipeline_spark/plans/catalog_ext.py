@@ -795,3 +795,55 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("total_price"))
             .orderBy("segment_asof"))
+
+
+@register("lineitem_lead_time_stats", """
+WITH d AS (
+  SELECT o.o_orderpriority,
+         CAST(datediff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+             AS ship_lag_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n,
+       round(quantile_cont(ship_lag_days, 0.5), 4) AS lag_p50,
+       round(quantile_cont(ship_lag_days, 0.9), 4) AS lag_p90,
+       round(quantile_cont(ship_lag_days, 0.99), 4) AS lag_p99,
+       CAST(sum(ship_lag_days) AS BIGINT) AS lag_total,
+       CASE WHEN sum(ship_lag_days) >= 0
+            THEN CAST(floor((2 * (sum(ship_lag_days) * 1000000)
+                             + count(*)) / (2 * count(*))) AS BIGINT)
+            ELSE -CAST(floor((2 * -(sum(ship_lag_days) * 1000000)
+                              + count(*)) / (2 * count(*))) AS BIGINT)
+       END / 1000000.0 AS lag_mean
+FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+def lineitem_lead_time_stats(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    # logistics SLA profile per order priority: exact interpolated
+    # order->ship lag percentiles (integer day diffs) + half-away mean;
+    # the orders side joins broadcast on the FK
+    from ..operators.windows import int_mean_half_away
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    d = (li.join(orders.select("o_orderkey", "o_orderpriority",
+                               "o_orderdate"),
+                 li["l_orderkey"] == orders["o_orderkey"])
+         .select("o_orderpriority",
+                 F.datediff("l_shipdate", "o_orderdate").cast("long")
+                 .alias("ship_lag_days")))
+    agg = (d.groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.round(F.percentile("ship_lag_days", F.lit(0.5)), 4)
+                .alias("lag_p50"),
+                F.round(F.percentile("ship_lag_days", F.lit(0.9)), 4)
+                .alias("lag_p90"),
+                F.round(F.percentile("ship_lag_days", F.lit(0.99)), 4)
+                .alias("lag_p99"),
+                F.sum("ship_lag_days").cast("long").alias("lag_total")))
+    mean = int_mean_half_away(F.col("lag_total") * F.lit(1000000),
+                              F.col("n"))
+    return (agg.select("o_orderpriority", "n", "lag_p50", "lag_p90",
+                       "lag_p99", "lag_total",
+                       (mean / F.lit(1e6)).alias("lag_mean"))
+            .orderBy("o_orderpriority"))

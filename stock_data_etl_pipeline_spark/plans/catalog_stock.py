@@ -1072,3 +1072,72 @@ def streaming_vwap_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import streaming_vwap_bars
     return streaming_vwap_bars(
         spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register("stock_dow_effects", """
+WITH t AS (
+  SELECT event_type, ts, event_id, value,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, day
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM t
+), d AS (
+  SELECT event_type, day,
+         max(CASE WHEN rn = 1 THEN value END) AS close
+  FROM r GROUP BY event_type, day
+), l AS (
+  SELECT event_type, day, close,
+         lag(close) OVER (PARTITION BY event_type ORDER BY day) AS pc
+  FROM d
+), q AS (
+  SELECT event_type,
+         CAST(dayofweek(day) AS BIGINT) AS dow,
+         CAST(round(ln(close / pc) * 1e6, 0) AS BIGINT) AS r
+  FROM l WHERE close > 0 AND pc > 0
+)
+SELECT event_type, dow, count(*) AS n_days,
+       CASE WHEN sum(r) >= 0
+            THEN CAST(floor((2 * (CAST(sum(r) AS BIGINT) * 1) + count(*))
+                            / (2 * count(*))) AS BIGINT)
+            ELSE -CAST(floor((2 * -(CAST(sum(r) AS BIGINT) * 1)
+                              + count(*)) / (2 * count(*))) AS BIGINT)
+       END / 1000000.0 AS mean_ret
+FROM q GROUP BY event_type, dow
+ORDER BY event_type, dow
+""")
+def stock_dow_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # day-of-week return profile per symbol (calendar-effect scan):
+    # daily closes, per-(symbol, dow) half-away mean of 1e-6 returns.
+    # Spark dayofweek is 1=Sunday..7; DuckDB dayofweek is 0=Sunday..6 —
+    # normalized to the DuckDB convention
+    from pyspark.sql import Window
+
+    from ..operators.windows import int_mean_half_away
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w_d = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    base = (ev.select("event_type", "ts", "event_id", "value",
+                      day.alias("day"))
+            .withColumn("rn", F.row_number().over(w_d)))
+    daily = (base.groupBy("event_type", "day")
+             .agg(F.max(F.when(F.col("rn") == 1, F.col("value")))
+                  .alias("close")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pc = F.lag("close").over(w)
+    q = (daily.select(
+        "event_type", "day", "close", pc.alias("pc"))
+        .filter((F.col("close") > 0) & (F.col("pc") > 0))
+        .select("event_type",
+                (F.dayofweek("day") - 1).cast("long").alias("dow"),
+                F.round(F.log(F.col("close") / F.col("pc")) * 1e6, 0)
+                .cast("long").alias("r")))
+    agg = (q.groupBy("event_type", "dow")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_days"),
+                F.sum("r").cast("long").alias("sr")))
+    mean = int_mean_half_away(F.col("sr"), F.col("n_days"))
+    return (agg.select("event_type", "dow", "n_days",
+                       (mean / F.lit(1e6)).alias("mean_ret"))
+            .orderBy("event_type", "dow"))

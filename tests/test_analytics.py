@@ -466,3 +466,24 @@ def test_abc_pareto_hand_classes(spark):
     assert out["B"]["n_keys"] == 1 and out["B"]["revenue"] == 20.0
     assert out["C"]["n_keys"] == 2 and out["C"]["revenue"] == 10.0
     assert out["A"]["rev_share"] == 0.7
+
+
+def test_engagement_metrics_hand_counts(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        engagement_metrics)
+    d = dt.timedelta
+    t0 = _ts(0)
+    rows = [
+        # u1 active day 0 and day 8; u2 active day 8 only
+        Row(user_id=1, event_id=1, ts=t0, event_type="view"),
+        Row(user_id=1, event_id=2, ts=t0 + d(days=8), event_type="view"),
+        Row(user_id=2, event_id=3, ts=t0 + d(days=8), event_type="view"),
+    ]
+    out = {r["day"].day: r for r in
+           engagement_metrics(spark.createDataFrame(rows)).collect()}
+    assert out[1]["dau"] == 1 and out[1]["wau"] == 1 and \
+        out[1]["mau"] == 1
+    # day 8: both users today; u1's day-0 visit is outside the 7-day
+    # WAU window but inside the 30-day MAU window
+    assert out[9]["dau"] == 2 and out[9]["wau"] == 2
+    assert out[9]["mau"] == 2 and out[9]["stickiness"] == 1.0
