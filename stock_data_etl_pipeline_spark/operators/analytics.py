@@ -33,6 +33,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .pinned import pin
+
 
 def funnel(events: DataFrame, steps: Sequence[str],
            user_col: str = "user_id", ts_col: str = "ts",
@@ -171,9 +173,9 @@ def triangle_stats(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
     invariant, so the simple id orientation used here stays correct —
     swap the ordering when the degree distribution is heavy-tailed).
     """
-    e = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
-                      F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
-         .filter(F.col("a") != F.col("b")).distinct().persist())
+    e = pin(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
+                         F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
+            .filter(F.col("a") != F.col("b")).distinct())
     wedge = (e.alias("e1").join(e.alias("e2"),
                                 F.col("e1.b") == F.col("e2.a"))
              .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
@@ -245,11 +247,10 @@ def pagerank(pairs: DataFrame, id_a: str, id_b: str, iters: int = 3,
     und = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
                         F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
            .filter(F.col("a") != F.col("b")).distinct())
-    e = (und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-         .unionByName(und.select(F.col("b").alias("src"),
-                                 F.col("a").alias("dst")))
-         .persist())
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    e = pin(und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(und.select(F.col("b").alias("src"),
+                                    F.col("a").alias("dst"))))
+    deg = pin(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
     n_nodes = deg.count()  # one control-plane scalar
     r0 = PR_SCALE // n_nodes
     base = (PR_SCALE * (100 - damping_pct) // 100) // n_nodes
@@ -311,14 +312,19 @@ def multi_touch_attribution(events: DataFrame,
               .withColumn("is_last",
                           (F.row_number().over(w_last) == 1)
                           .cast("long"))
+              .withColumn("p_cents",
+                          F.round(F.col("p_value") * 100, 0).cast("long"))
               .withColumn("share_micro",
                           F.round(F.col("p_value") * 1e6 / F.col("k"), 0)
                           .cast("long")))
+    # last-touch money is summed in exact integer cents (a raw double
+    # sum could flip the 2-dp round at a half boundary under a
+    # different partial-agg order); one IEEE division at emit
     return (scored.groupBy("channel")
             .agg(F.count(F.lit(1)).cast("long").alias("n_touchpoints"),
                  F.sum("is_last").cast("long").alias("n_last_touch"),
-                 F.round(F.sum(F.col("is_last") * F.col("p_value")), 2)
-                 .alias("last_touch_value"),
+                 F.round(F.sum(F.col("is_last") * F.col("p_cents"))
+                         / 100.0, 2).alias("last_touch_value"),
                  F.round(F.sum("share_micro") / 1e6, 6)
                  .alias("linear_value")))
 
@@ -339,6 +345,12 @@ def survival_curve(events: DataFrame, churn_horizon_days: int = 14,
     hash-agg; the life table itself is |weeks| rows (bounded by the
     observation span, independent of user count), so its cumulative
     at-risk window is on a tiny relation.
+
+    Timestamps carry sub-second parts; ``unix_timestamp`` truncates to
+    whole seconds, so the oracle MUST mirror with ``floor(epoch(ts))``
+    (raw ``epoch()`` is fractional in DuckDB — a first/last event
+    within ~1s of a week boundary or the censoring cutoff would split
+    the engines; same rule as bot_flags' gap seconds).
     """
     bounds = events.agg(F.max("ts").alias("obs_end"))
     per_user = (events.groupBy("user_id")
@@ -472,12 +484,18 @@ def adamic_adar(pairs: DataFrame, id_a: str, id_b: str,
     # und feeds both union arms AND the final anti-join; adj feeds the
     # degree agg and the center join; adjc feeds BOTH wedge sides —
     # persist the shared subtrees or the lineitem self-join re-runs
-    # up to 5x (the corpus_lm_perplexity round-4 lesson)
-    und = (pairs.select(F.col(id_a).alias("ea"), F.col(id_b).alias("eb"))
-           .distinct().persist())
-    adj = (und.select(F.col("ea").alias("node"), F.col("eb").alias("nb"))
-           .union(und.select(F.col("eb").alias("node"),
-                             F.col("ea").alias("nb"))).persist())
+    # up to 5x (the corpus_lm_perplexity round-4 lesson).
+    # Edges are canonicalized to ea < eb HERE, not at the caller: the
+    # scored pairs below are emitted with a < b, so an input oriented
+    # id_a > id_b (or carrying both orientations) would otherwise slip
+    # existing edges past the non-adjacency anti-join.
+    und = pin(pairs.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("ea"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("eb"))
+        .filter(F.col("ea") != F.col("eb")).distinct())
+    adj = pin(und.select(F.col("ea").alias("node"), F.col("eb").alias("nb"))
+              .union(und.select(F.col("eb").alias("node"),
+                                F.col("ea").alias("nb"))))
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     centers = (deg.filter((F.col("deg") >= 2)
                           & (F.col("deg") <= max_center_degree))
@@ -485,7 +503,7 @@ def adamic_adar(pairs: DataFrame, id_a: str, id_b: str,
                        F.round(1e6 / F.log(F.col("deg")
                                            .cast("double")), 0)
                        .cast("long").alias("cw")))
-    adjc = adj.join(centers, "node").persist()
+    adjc = pin(adj.join(centers, "node"))
     ledge = adjc.select("node", F.col("nb").alias("a"), "cw")
     redge = adjc.select(F.col("node").alias("node_r"),
                         F.col("nb").alias("b"))
@@ -546,17 +564,17 @@ def k_core(pairs: DataFrame, id_a: str, id_b: str, k: int = 2,
     """
     und = (pairs.select(F.col(id_a).alias("ea"), F.col(id_b).alias("eb"))
            .distinct())
-    edges = (und.select(F.col("ea").alias("src"), F.col("eb").alias("dst"))
-             .union(und.select(F.col("eb").alias("src"),
-                               F.col("ea").alias("dst")))
-             .persist())
+    edges = pin(und.select(F.col("ea").alias("src"),
+                           F.col("eb").alias("dst"))
+                .union(und.select(F.col("eb").alias("src"),
+                                  F.col("ea").alias("dst"))))
     alive = edges.select("src").distinct()
     deg = None
     for _ in range(rounds):
         # persist each round's survivor set: it is referenced TWICE in
         # the next round's join (src and dst sides), so an unpersisted
         # lineage doubles per iteration — 2^rounds recompute blowup
-        alive = alive.persist()
+        alive = pin(alive)
         e2 = (edges.join(alive, "src")
               .join(alive.withColumnRenamed("src", "dst"), "dst"))
         deg = e2.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -793,8 +811,7 @@ def engagement_metrics(events: DataFrame, wau_days: int = 7,
     """
     from .windows import int_mean_half_away
     day = F.date_trunc("day", F.col("ts"))
-    ud = (events.select("user_id", day.alias("day")).distinct()
-          .persist())
+    ud = pin(events.select("user_id", day.alias("day")).distinct())
     days = ud.select("day").distinct()
     dau = (ud.groupBy("day")
            .agg(F.countDistinct("user_id").cast("long").alias("dau")))

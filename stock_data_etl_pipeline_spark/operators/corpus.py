@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import words
 from .dedup import shingle_index
+from .pinned import pin
 
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PHONE_RE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
@@ -74,8 +75,8 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     tok = docs.select(F.col(id_col), F.explode(words(text_col)).alias("term"))
     # persisted: tf feeds BOTH the df aggregate and the scored join —
     # without it the tokenize+explode+groupBy pipeline runs twice
-    tf = (tok.groupBy(id_col, "term")
-          .agg(F.count(F.lit(1)).alias("tf")).persist())
+    tf = pin(tok.groupBy(id_col, "term")
+             .agg(F.count(F.lit(1)).alias("tf")))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = (docs.filter(F.size(words(text_col)) > 0)
           .agg(F.count(F.lit(1)).alias("n_docs")))
@@ -369,19 +370,19 @@ def lm_perplexity(docs: DataFrame, text_col: str = "text",
     base = docs.select(F.col(id_col), ws.alias("_ws"))
     # per-position bigram occurrences (NOT distinct — each transition
     # scores); same zip_with tail-pair expansion as repetition_metrics
-    occ = base.select(
+    occ = pin(base.select(
         F.col(id_col),
         F.explode(F.filter(
             F.zip_with("_ws", F.slice("_ws", 2, F.size("_ws")),
                        lambda x, y: F.struct(x.alias("w1"),
                                              F.concat_ws(" ", x, y)
                                              .alias("bg"))),
-            lambda p: p["bg"].contains(" "))).alias("_p")) \
+            lambda p: p["bg"].contains(" "))).alias("_p"))
         .select(F.col(id_col), F.col("_p.w1").alias("w1"),
-                F.col("_p.bg").alias("bg")) \
-        .persist()  # feeds BOTH the bigram model agg and the scoring
-    # join — without it the tokenize+zip_with pipeline runs twice
-    tok = base.select(F.col(id_col), F.explode("_ws").alias("w")).persist()
+                F.col("_p.bg").alias("bg")))
+    # occ feeds BOTH the bigram model agg and the scoring join —
+    # without the pin the tokenize+zip_with pipeline runs twice
+    tok = pin(base.select(F.col(id_col), F.explode("_ws").alias("w")))
     uni = tok.groupBy(F.col("w").alias("w1")) \
              .agg(F.count(F.lit(1)).alias("c1"))
     bi = occ.groupBy(F.col("bg").alias("_bg")) \
@@ -429,8 +430,8 @@ def duplicate_span_stats(docs: DataFrame, n: int = 8,
     # pre-aggregate to (doc, span, occurrences): compresses within-doc
     # boilerplate repeats before anything shuffles, and is the stage both
     # downstream aggregations reuse (persisted, like minhash's band table)
-    dsc = (spans.groupBy(id_col, "span")
-           .agg(F.count(F.lit(1)).alias("cnt")).persist())
+    dsc = pin(spans.groupBy(id_col, "span")
+              .agg(F.count(F.lit(1)).alias("cnt")))
     tot = dsc.groupBy("span").agg(F.sum("cnt").alias("tot"))
     per = (dsc.join(tot, "span")
            .groupBy(id_col)
@@ -550,16 +551,15 @@ def bpe_merges(docs: DataFrame, n_merges: int = 3,
     the standard practical approximation of strict leftmost-pair BPE.
     """
     w = words(text_col)
-    vocab = (docs.select(F.explode(w).alias("word"))
-             .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
-             .withColumn(
-                 "sym",
-                 F.concat(F.lit(" "),
-                          F.array_join(
-                              F.regexp_extract_all("word", F.lit("."),
-                                                   F.lit(0)), " "),
-                          F.lit(" ")))
-             .persist())
+    vocab = pin(docs.select(F.explode(w).alias("word"))
+                .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+                .withColumn(
+                    "sym",
+                    F.concat(F.lit(" "),
+                             F.array_join(
+                                 F.regexp_extract_all("word", F.lit("."),
+                                                      F.lit(0)), " "),
+                             F.lit(" "))))
     out = []
     cur = vocab
     for rank in range(1, n_merges + 1):
@@ -798,8 +798,8 @@ def cms_heavy_hitters(docs: DataFrame, top: int = 20,
     arithmetic (salted per row); every number is an exact integer, so
     estimates, overcounts and bound booleans hash-match any engine."""
     tok = docs.select(F.explode(words(text_col)).alias("term"))
-    cnts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).persist()
-    n_tok = cnts.agg(F.sum("cnt").alias("n")).persist()
+    cnts = pin(tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
+    n_tok = pin(cnts.agg(F.sum("cnt").alias("n")))
 
     def bucket(row: int) -> F.Column:
         return (F.conv(F.substring(F.md5(F.concat(F.lit(f"cms{row}"),
@@ -972,7 +972,7 @@ def dsir_select(docs: DataFrame, target_source: str, dim: int = 1024,
          .select(id_col, source_col, (F.col("_h") % dim).alias("bucket")))
     # the hashed token stream feeds the target counts AND (twice) the
     # pool side — persist it so tokenize+md5 runs once, not three times
-    x = x.persist()
+    x = pin(x)
     is_t = F.col(source_col) == target_source
     tc = (x.filter(is_t).groupBy("bucket")
           .agg(F.count(F.lit(1)).alias("ct")))
@@ -1140,13 +1140,13 @@ def ngram_novelty_by_source(docs: DataFrame, k: int = 3,
     from ..functions.text import (shingle_hashes_from_word_hashes,
                                   word_hashes)
     from .windows import int_mean_half_away
-    idx = (docs.select(F.col(source_col).alias("source"),
-                       words(text_col).alias("_ws"))
-           .select("source", word_hashes("_ws").alias("_wh"))
-           .select("source",
-                   F.explode(shingle_hashes_from_word_hashes("_wh", k))
-                   .alias("shingle"))
-           .distinct().persist())  # feeds the count AND the join back
+    idx = pin(docs.select(F.col(source_col).alias("source"),
+                          words(text_col).alias("_ws"))
+              .select("source", word_hashes("_ws").alias("_wh"))
+              .select("source",
+                      F.explode(shingle_hashes_from_word_hashes("_wh", k))
+                      .alias("shingle"))
+              .distinct())  # feeds the count AND the join back
     cnt = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("ns"))
     per = (idx.join(cnt, "shingle")
            .groupBy("source")

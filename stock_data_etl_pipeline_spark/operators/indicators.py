@@ -201,10 +201,16 @@ def rolling_corr(bars: DataFrame, sym_x: str, sym_y: str,
     sx2 = F.sum(F.col("x") * F.col("x")).over(w)
     sy2 = F.sum(F.col("y") * F.col("y")).over(w)
     num = cnt * sxy - sx * sy
-    den = F.sqrt((cnt * sx2 - sx * sx) * (cnt * sy2 - sy * sy))
+    # guard on the variance PRODUCT, not sqrt(product): a zero-variance
+    # window can make either factor a negative ulp, and sqrt(negative)
+    # is NaN in Spark (which compares > 0 as TRUE — NaN sorts high) but
+    # a hard OutOfRangeException in DuckDB; comparing the product keeps
+    # both engines on the same NULL
+    prod = (cnt * sx2 - sx * sx) * (cnt * sy2 - sy * sy)
     return xy.select(
         "hr", "x", "y",
-        F.round(F.when(den > 0, num / den), 6).alias("corr_24h"))
+        F.round(F.when(prod > 0, num / F.sqrt(prod)), 6)
+        .alias("corr_24h"))
 
 
 def max_drawdown(bars: DataFrame) -> DataFrame:
@@ -707,7 +713,14 @@ def sharpe_sortino(bars: DataFrame) -> DataFrame:
                       .otherwise(F.lit(0))).alias("sneg2")))
     n = F.col("n").cast("double")
     mean = F.col("s1") / n
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / n) / (n - 1)
+    # clamp the variance at 0.0 BEFORE sqrt: for a zero-variance symbol
+    # with s1^2 beyond 2^53 the int->double rounding of s1*s1/n can
+    # exceed s2 by an ulp — Spark's sqrt(negative) is NaN but DuckDB's
+    # is a hard OutOfRangeException that would kill the whole oracle
+    # query (the rv_gk greatest(0.0, ...) precedent)
+    var = F.greatest(F.lit(0.0),
+                     (F.col("s2") - F.col("s1") * F.col("s1") / n)
+                     / (n - 1))
     dvar = F.col("sneg2") / (n - 1)
     n1 = F.col("n") > 1
     return agg.select(

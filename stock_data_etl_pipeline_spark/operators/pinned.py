@@ -1,0 +1,56 @@
+"""Session-lifetime registry for operator-internal persisted frames.
+
+Several operators persist a shared subtree that feeds BOTH a small
+control-plane action (partition counts, degree collect) AND the lazy
+result plan they return (``distributed_ntile``'s range-partitioned
+slice, ``adamic_adar``'s undirected edge set, ...). The persist is
+mandatory — without it the subtree recomputes per consumer — but the
+operator itself can never safely ``unpersist``: the caller has not
+materialized the returned DataFrame yet.
+
+Left alone, a long-lived driver session (the 231-query catalog run,
+the external verification window, a full bench) accumulates one pinned
+RDD per call — the round-5 finding ("CacheManager: Asked to cache
+already cached data" spam + monotonically growing storage memory).
+
+The contract here: operators register every such persist through
+:func:`pin`, and every catalog entry point releases ALL prior pins
+before building its own plan (wired into ``plans.catalog.register``).
+By the time query N+1 starts building, query N's result has been fully
+materialized by the harness (driver collect, oracle compare, bench
+timing loop), so its pins are dead weight — releasing them is safe and
+bounds pinned storage to a single query's working set.
+
+Standalone callers (tests exercising operators directly, ad-hoc
+sessions) can call :func:`release_pinned` themselves once results are
+materialized; pins are also harmlessly dropped when the session stops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Persist ``df`` (MEMORY_AND_DISK default) and register it for
+    release at the next catalog entry-point invocation."""
+    df.persist()
+    _PINNED.append(df)
+    return df
+
+
+def release_pinned() -> int:
+    """Unpersist every registered frame (non-blocking); returns the
+    number released. Never raises — a dead SparkContext just clears
+    the registry."""
+    n = 0
+    while _PINNED:
+        df = _PINNED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    return n

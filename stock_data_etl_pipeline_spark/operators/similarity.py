@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine
+from .pinned import pin
 from .windows import top_k_per_group
 
 
@@ -586,16 +587,15 @@ def pca_power_direction(vectors: DataFrame, iters: int = 3,
     Output: (j, v_e6), the direction scaled to max|v|=1e6.
     """
     from .windows import int_mean_half_away
-    x = (vectors.select(F.col(id_col).alias("vid"),
-                        F.posexplode(as_double(vec_col))
-                        .alias("j", "xv"))
-         .select("vid", "j",
-                 F.round(F.col("xv") * 1e6, 0).cast("long").alias("x"))
-         .persist())
+    x = pin(vectors.select(F.col(id_col).alias("vid"),
+                           F.posexplode(as_double(vec_col))
+                           .alias("j", "xv"))
+            .select("vid", "j",
+                    F.round(F.col("xv") * 1e6, 0).cast("long").alias("x")))
     v = (x.select("j").distinct()
          .select("j", F.lit(125000).cast("long").alias("v")))
     for _ in range(iters):
-        v = v.persist()
+        v = pin(v)
         d = (x.join(F.broadcast(v), "j")
              .groupBy("vid")
              .agg(F.sum(F.col("x") * F.col("v")).alias("d")))

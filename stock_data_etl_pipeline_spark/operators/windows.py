@@ -21,6 +21,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .pinned import pin
+
 
 def _cols(names: Sequence[str | Column]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in names]
@@ -81,8 +83,8 @@ def distributed_ntile(df: DataFrame, n: int, order: Sequence[str | Column],
     result column is INT to match ``F.ntile``.
     """
     cols = _cols(order)
-    ranged = df.repartitionByRange(*cols).withColumn(
-        "_dnt_pid", F.spark_partition_id()).persist()
+    ranged = pin(df.repartitionByRange(*cols).withColumn(
+        "_dnt_pid", F.spark_partition_id()))
     counts = {row["_dnt_pid"]: row["cnt"] for row in
               ranged.groupBy("_dnt_pid").agg(
                   F.count(F.lit(1)).alias("cnt")).collect()}
@@ -180,8 +182,8 @@ def distributed_running_total(df: DataFrame, order: Sequence[str | Column],
     a grid first.
     """
     cols = _cols(order)
-    ranged = df.repartitionByRange(*cols).withColumn(
-        "_drt_pid", F.spark_partition_id()).persist()
+    ranged = pin(df.repartitionByRange(*cols).withColumn(
+        "_drt_pid", F.spark_partition_id()))
     totals = {r["_drt_pid"]: r["t"] for r in
               ranged.groupBy("_drt_pid").agg(
                   F.sum(value_col).alias("t")).collect()}

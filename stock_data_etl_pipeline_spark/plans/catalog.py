@@ -15,6 +15,7 @@ for exchanges/sectors, events for the run-state transition stream.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -26,6 +27,7 @@ from ..operators.filters import apply_filters
 from ..operators.joins import anti_join, fk_join, semi_join
 from ..operators.merge import merge_upsert
 from ..operators.pagination import keyset_page
+from ..operators.pinned import release_pinned
 from ..operators.windows import latest_per_group, top_k_per_group
 from ..sources.registry import load_table
 
@@ -35,8 +37,22 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {}
 
 
 def register(name: str, oracle: str | None):
+    """Register a (builder, oracle) catalog entry.
+
+    The stored builder releases every operator-internal pinned cache
+    (``operators.pinned``) before building: by the time the harness
+    invokes entry N+1, entry N's result is fully materialized, so its
+    pins are dead weight — this bounds pinned storage to one query's
+    working set across a 231-entry session (round-5 persist-hygiene
+    finding). The ORIGINAL fn is returned, so builders composing other
+    builders by Python name never trigger a mid-build release.
+    """
     def deco(fn: Builder) -> Builder:
-        CATALOG[name] = (fn, oracle)
+        @functools.wraps(fn)
+        def entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_pinned()
+            return fn(spark, sf_dir)
+        CATALOG[name] = (entry, oracle)
         return fn
     return deco
 

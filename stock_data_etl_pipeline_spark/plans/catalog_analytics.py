@@ -643,6 +643,7 @@ pairs AS (
    AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
 scored AS (
   SELECT channel, p_value,
+         CAST(round(p_value * 100, 0) AS BIGINT) AS p_cents,
          count(*) OVER (PARTITION BY p_id) AS k,
          CASE WHEN row_number() OVER (PARTITION BY p_id
                 ORDER BY t_ts DESC, t_id DESC) = 1
@@ -651,7 +652,8 @@ scored AS (
 SELECT channel,
        count(*) AS n_touchpoints,
        CAST(sum(is_last) AS BIGINT) AS n_last_touch,
-       round(sum(is_last * p_value), 2) AS last_touch_value,
+       round(CAST(sum(is_last * p_cents) AS BIGINT) / 100.0, 2)
+           AS last_touch_value,
        round(CAST(sum(CAST(round(p_value * 1e6 / k, 0) AS BIGINT))
                   AS BIGINT) / 1e6, 6) AS linear_value
 FROM scored GROUP BY channel ORDER BY channel
@@ -668,9 +670,9 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH b AS (SELECT max(ts) AS obs_end FROM events),
 pu AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
        FROM events GROUP BY user_id),
-u AS (SELECT CAST(floor((epoch(last_ts) - epoch(first_ts))
+u AS (SELECT CAST(floor((floor(epoch(last_ts)) - floor(epoch(first_ts)))
                         / (7 * 86400)) AS BIGINT) AS week,
-             epoch(last_ts) < epoch((SELECT obs_end FROM b))
+             floor(epoch(last_ts)) < floor(epoch((SELECT obs_end FROM b)))
                               - 14 * 86400 AS churned
       FROM pu),
 tot AS (SELECT count(*) AS n_total FROM u),

@@ -182,11 +182,11 @@ def stock_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 y AS (SELECT hr, close AS y FROM bars WHERE event_type = 'view'),
 xy AS (SELECT x.hr, x.x, y.y FROM x JOIN y ON x.hr = y.hr)
 SELECT hr, x, y,
-       round(CASE WHEN sqrt(
+       round(CASE WHEN
                 (cast(count(*) OVER w AS DOUBLE) * sum(x*x) OVER w
                  - sum(x) OVER w * sum(x) OVER w)
               * (cast(count(*) OVER w AS DOUBLE) * sum(y*y) OVER w
-                 - sum(y) OVER w * sum(y) OVER w)) > 0
+                 - sum(y) OVER w * sum(y) OVER w) > 0
          THEN (cast(count(*) OVER w AS DOUBLE) * sum(x*y) OVER w
                - sum(x) OVER w * sum(y) OVER w)
               / sqrt(
@@ -847,13 +847,18 @@ a AS (
 )
 SELECT event_type, n,
        round(s1 / CAST(n AS DOUBLE) / 1e6, 6) AS mean_r,
-       round(sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
-                  / (CAST(n AS DOUBLE) - 1)) / 1e6, 6) AS vol,
-       round((s1 / CAST(n AS DOUBLE))
-             / sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE))
-                    / (CAST(n AS DOUBLE) - 1)), 6) AS sharpe,
-       round((s1 / CAST(n AS DOUBLE))
-             / sqrt(sneg2 / (CAST(n AS DOUBLE) - 1)), 6) AS sortino
+       CASE WHEN n > 1 THEN
+         round(sqrt(greatest(0.0, (s2 - s1 * s1 / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1))) / 1e6, 6) END AS vol,
+       CASE WHEN n > 1
+             AND greatest(0.0, (s2 - s1 * s1 / CAST(n AS DOUBLE))
+                    / (CAST(n AS DOUBLE) - 1)) > 0.0 THEN
+         round((s1 / CAST(n AS DOUBLE))
+               / sqrt(greatest(0.0, (s2 - s1 * s1 / CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) - 1))), 6) END AS sharpe,
+       CASE WHEN n > 1 AND sneg2 > 0 THEN
+         round((s1 / CAST(n AS DOUBLE))
+               / sqrt(sneg2 / (CAST(n AS DOUBLE) - 1)), 6) END AS sortino
 FROM a ORDER BY event_type
 """)
 def stock_sharpe_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -43,7 +43,9 @@ def read_jsonl(spark: SparkSession, path: str,
           .json(path))
     # Spark disallows filtering raw JSON on the corrupt column alone;
     # cache materializes the parse so both splits read the same pass
-    df = df.cache()
+    # (registered for release at the next catalog entry point)
+    from ..operators.pinned import pin
+    df = pin(df)
     good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
     bad = (df.filter(F.col(_CORRUPT).isNotNull())
            .select(F.col(_CORRUPT).alias("raw_line")))

@@ -1,0 +1,192 @@
+"""Round-6 depth checks: (1) the end-to-end corpus-curation composition
+(dedup -> quality -> contamination -> mixing -> packing) is
+shuffle-bounded and conserves tokens at sf0.1; (2) a hot-key skew
+fixture (one symbol carrying ~half of all ticks) through the indicator
+family — the banded EWMA must stay EXACT under skew and must spread the
+hot symbol's work across many tasks where a per-symbol window would
+serialize it.
+
+These pin the two scale-risk classes the uniform synthetic data cannot
+surface on its own: composition cost (operators proven one-by-one can
+still multiply shuffles when chained) and key skew (a 100 TB corpus
+always has a hot source/symbol/user).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from stock_data_etl_pipeline_spark.operators import corpus as CP
+from stock_data_etl_pipeline_spark.operators import indicators as ind
+from stock_data_etl_pipeline_spark.operators.windows import banded_rank_join
+from stock_data_etl_pipeline_spark.sources.registry import load_table
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF001 = "/root/testdata/sf0.01"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF001), reason="driver testdata not present")
+
+
+def _hash_rows(df):
+    """Order-independent content hash (the oracle-compare idiom)."""
+    cols = sorted(df.columns)
+    h = (df.select(F.md5(F.concat_ws("\x1f", *[
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+        .alias("h"))
+        .agg(F.sum(F.conv(F.substring("h", 1, 15), 16, 10)
+                   .cast("decimal(38,0)")).alias("s")))
+    return h.collect()[0]["s"]
+
+
+# ---------------------------------------------------------------------------
+# 1. curation -> mixing -> packing composition at sf0.1
+# ---------------------------------------------------------------------------
+
+def test_curation_mixing_packing_composition_sf01(spark):
+    from stock_data_etl_pipeline_spark.plans.catalog_corpus import (
+        corpus_curation_full)
+    docs = load_table(spark, SF01, "documents")
+
+    t0 = time.time()
+    kept_ids = corpus_curation_full(spark, SF01).select("doc_id")
+    kept = docs.join(kept_ids, "doc_id", "left_semi")
+
+    sources = [r["source"] for r in
+               kept.select("source").distinct().collect()]
+    weights = {s: 1.0 / len(sources) for s in sources}
+    mixed = CP.mixture_sample(kept, weights)
+    packed = CP.pack_sequences(mixed, budget=256)
+    n_packed = packed.count()
+    wall = time.time() - t0
+    assert n_packed > 0
+
+    # token conservation: the packer must account for every token of
+    # every sampled doc, per source (packing is a reorganization, not a
+    # filter)
+    tok_in = {r["source"]: r["t"] for r in
+              mixed.select("source", F.size(CP.words("text"))
+                           .cast("long").alias("n"))
+              .groupBy("source").agg(F.sum("n").alias("t")).collect()}
+    tok_out = {r["source"]: r["t"] for r in
+               packed.groupBy("source")
+               .agg(F.sum("n_tokens").alias("t")).collect()}
+    assert tok_in == tok_out
+
+    # every doc's start offset sits inside its pack's budget
+    bad = packed.filter((F.col("pack_offset") < 0)
+                        | (F.col("pack_offset") >= 256)).count()
+    assert bad == 0
+
+    # the composed plan must stay shuffle-bounded: no cartesian product
+    # anywhere (the 1-row scalar joins plan as broadcast loops, which is
+    # the documented OK shape), and the whole chain runs in seconds at
+    # sf0.1 — record the wall so a composition blow-up is visible in CI
+    # output even before it times anything out
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    print(f"\ncomposition sf0.1: packed={n_packed} wall={wall:.1f}s")
+    assert wall < 300
+
+
+# ---------------------------------------------------------------------------
+# 2. hot-symbol skew through the indicator family
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def skewed_ticks(spark):
+    """sf0.01 events with ~50% of ticks remapped onto one hot symbol —
+    the deterministic md5-parity remap, so the fixture is stable."""
+    ev = load_table(spark, SF001, "events")
+    parity = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                                 1, 15), 16, 10).cast("long") % 2)
+    return ev.withColumn(
+        "event_type",
+        F.when(parity == 0, F.lit("hot")).otherwise(F.col("event_type")))
+
+
+def test_skew_fixture_is_actually_skewed(spark, skewed_ticks):
+    counts = {r["event_type"]: r["n"] for r in
+              skewed_ticks.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert counts["hot"] / total > 0.4
+
+
+def test_indicators_partition_invariant_under_skew(spark, skewed_ticks):
+    """Bollinger + RSI + VWAP on the skewed fixture must hash-match
+    between 32 and 7 shuffle partitions — skew must not change results,
+    only task placement."""
+    bars = ind.hourly_bars(skewed_ticks)
+
+    def run():
+        return (_hash_rows(ind.bollinger(bars)),
+                _hash_rows(ind.rsi(bars)),
+                _hash_rows(ind.vwap_daily(skewed_ticks)))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        h32 = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        h7 = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert h32 == h7
+
+
+def test_banded_ewma_exact_and_parallel_under_skew(spark, skewed_ticks):
+    """The banded EWMA (a) equals the naive per-symbol window recurrence
+    on the skewed fixture and (b) spreads the hot symbol's join work
+    over many band keys — the skew mitigation a partitionBy(symbol)
+    window cannot offer, since a window partition is a single task no
+    matter how hot the key."""
+    bars = ind.hourly_bars(skewed_ticks)
+    t0 = time.time()
+    banded = ind.ewma_trend(bars)
+    n_banded = banded.count()
+    t_banded = time.time() - t0
+
+    # naive truncated EWMA via an explicit per-symbol window of lagged
+    # closes — O(lookback) lag columns, same math, single-task-per-symbol
+    d, L = ind.EWMA_DECAY, ind.EWMA_LOOKBACK
+    w = Window.partitionBy("event_type").orderBy("hr")
+    num = sum((F.coalesce(F.lag("close", i).over(w) * F.lit(d ** i),
+                          F.lit(0.0))
+               for i in range(1, L)),
+              F.col("close") * F.lit(1.0))
+    den = sum((F.when(F.lag("close", i).over(w).isNotNull(),
+                      F.lit(d ** i)).otherwise(F.lit(0.0))
+               for i in range(1, L)),
+              F.lit(1.0))
+    naive = bars.select("event_type", "hr",
+                        (num / den).alias("ewma_naive"))
+    # tolerance compare, keyed: the banded groupBy sums in shuffle order
+    # while the window sums sequentially, so the values may differ in
+    # the last ulp — one 6-dp grid step is the acceptance band
+    diff = (banded.join(naive, ["event_type", "hr"])
+            .agg(F.max(F.abs(F.col("ewma")
+                             - F.round(F.col("ewma_naive"), 6)))
+                 .alias("mx"), F.count(F.lit(1)).alias("n"))
+            .collect()[0])
+    assert diff["n"] == n_banded
+    assert diff["mx"] <= 1.1e-6
+
+    # parallelism evidence: distinct band keys for the hot symbol — the
+    # units the equi-join can schedule independently
+    n_bars_hot = bars.filter(F.col("event_type") == "hot").count()
+    w_rn = Window.partitionBy("event_type").orderBy("hr")
+    b = bars.select("event_type", "hr", "close",
+                    F.row_number().over(w_rn).alias("rn"))
+    hot_bands = (banded_rank_join(b, ["event_type"], "rn", L)
+                 .filter(F.col("cur.event_type") == "hot")
+                 .select(F.col("cur.__probe").alias("band")).distinct()
+                 .count())
+    assert hot_bands >= max(2, n_bars_hot // L - 1)
+    print(f"\nskew ewma: hot_bars={n_bars_hot} band_keys={hot_bands} "
+          f"banded_wall={t_banded:.1f}s")
