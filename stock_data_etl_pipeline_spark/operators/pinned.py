@@ -35,9 +35,23 @@ _PINNED: list[DataFrame] = []
 
 def pin(df: DataFrame) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK default) and register it for
-    release at the next catalog entry-point invocation."""
-    df.persist()
-    _PINNED.append(df)
+    release at the next catalog entry-point invocation.
+
+    Idempotent across logically-identical plans: if the cache manager
+    already holds this plan (a bench re-attempt, a repeated operator
+    call on the same inputs), the existing entry is reused instead of
+    re-persisting — that duplicate persist is exactly what produced the
+    round-5 "CacheManager: Asked to cache already cached data" spam,
+    and re-registering it would let a later release unpersist a frame
+    an earlier caller still counts on."""
+    try:
+        lvl = df.storageLevel
+        cached = lvl.useMemory or lvl.useDisk
+    except Exception:  # noqa: BLE001 — treat lookup failure as uncached
+        cached = False
+    if not cached:
+        df.persist()
+        _PINNED.append(df)
     return df
 
 
