@@ -190,3 +190,48 @@ def test_banded_ewma_exact_and_parallel_under_skew(spark, skewed_ticks):
     assert hot_bands >= max(2, n_bars_hot // L - 1)
     print(f"\nskew ewma: hot_bars={n_bars_hot} band_keys={hot_bands} "
           f"banded_wall={t_banded:.1f}s")
+
+
+def test_aqe_splits_skewed_sort_merge_join(spark):
+    """AQE's skew-join split must actually fire on a hot-key shuffle
+    join — the runtime defense the session config promises for the
+    joins salting doesn't cover. Thresholds are lowered so the test's
+    ~200k-row hot key crosses the skew bar; the assertion reads the
+    executed (adaptive) plan for the skew-handled join marker, and the
+    split must not change the join result."""
+    probe = spark.range(400_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 1000)
+                            .cast("string"))).alias("k"),
+        F.col("id").alias("v"))
+    build = spark.range(1001).select(
+        F.when(F.col("id") == 1000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id").cast("string")))
+        .alias("k"),
+        (F.col("id") * 10).alias("w"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        joined = probe.join(build, "k")
+        # execute THIS dataframe's plan (a count() runs a different
+        # QueryExecution and the join's own adaptive plan never
+        # finalizes — isFinalPlan stays false with no skew markers)
+        n = len(joined.collect())
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert n == 400_000  # every probe row matches exactly one build row
+    assert "isFinalPlan=true" in plan
+    assert "skew=true" in plan and "skewed" in plan
