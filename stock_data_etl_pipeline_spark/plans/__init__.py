@@ -12,6 +12,10 @@ from . import catalog_scalar  # noqa: F401
 from . import catalog_corpus  # noqa: F401
 from . import catalog_analytics  # noqa: F401
 from . import catalog_stock  # noqa: F401
+from . import catalog_select  # noqa: F401  (MUST import after the other
+# catalog modules: its entries are round-6 additions whose registration
+# index has to rank AFTER every family already waiting for a driver row,
+# so the rotation keeps the waiting 34 inside the 50-query window)
 
 # ---------------------------------------------------------------------------
 # Driver verification window rotation. The external correctness gate checks

@@ -1,0 +1,220 @@
+"""Data-selection catalog family (round 6): weighted reservoir
+sampling, token-budget greedy selection, and per-symbol OLS trend.
+
+Three selection/estimation operators a training-data pipeline runs
+between curation and packing:
+
+- ``corpus_weighted_sample`` — Efraimidis–Spirakis A-Res weighted
+  sampling WITHOUT replacement (VLDB '06): each doc draws a
+  deterministic uniform u from the portable md5 hash and ranks by
+  ln(u)/w (equivalent order to u^(1/w)); the global top-k IS a
+  w-weighted sample without replacement. Shape: pure projection +
+  TakeOrdered(k) — no shuffle beyond the top-k reduction.
+- ``corpus_budget_selection`` — greedy quality-first selection under a
+  fixed token budget (the "data-constrained scaling" selection rule):
+  docs ordered by (quality desc, id), kept while the running token
+  total stays inside budget. The running sum is the distributed
+  prefix-sum primitive (``distributed_running_total``) — a range
+  shuffle + partition-local windows, never a single-partition sort.
+- ``stock_ols_trend`` — per-symbol least-squares trend of close on the
+  hour index: slope/intercept/R² from exact integer component sums
+  (1e-4 price grid), one window + one hash-agg per symbol.
+
+Reference anchor: the reference's analytics surface stops at windowed
+indicators (services/workers/tasks/*.py); these extend the same
+catalog discipline (deterministic, oracle-paired) to the selection
+stage of a corpus pipeline.
+
+Determinism: weights and token counts are exact integers; uniforms are
+md5-derived rationals; ln() on rational inputs follows the accepted
+perplexity precedent (transcendentals never sit on the 1e-6 grid
+boundary); OLS ratios are single IEEE divisions of exact integer sums
+with identical association in both engines (the beta/alpha precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators.windows import distributed_running_total
+from ..sources.registry import load_table
+from .catalog import register
+from .catalog_stock import _BARS_CTE
+from .catalog_text import _STOPS, _WORDS
+
+ES_K = 20
+BUDGET_TOKENS = 4096
+
+
+def _es_u_scaled(id_col: str = "doc_id"):
+    """Deterministic uniform draw in [1, 1e6]: the portable md5 hash,
+    salted so it is independent of every other sampling bucket in the
+    catalog."""
+    return (F.conv(F.substring(F.md5(F.concat(
+        F.col(id_col).cast("string"), F.lit(":es"))), 1, 15), 16, 10)
+        .cast("long") % 1000000 + 1)
+
+
+@register("corpus_weighted_sample", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+t AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens FROM w
+      WHERE len(ws) > 0),
+k AS (SELECT doc_id, n_tokens,
+             (('0x' || substr(md5(doc_id::VARCHAR || ':es'), 1, 15))::BIGINT
+              % 1000000) + 1 AS u_scaled
+      FROM t)
+SELECT doc_id, n_tokens,
+       round(ln(u_scaled / 1000000.0) / CAST(n_tokens AS DOUBLE), 6)
+           AS es_key
+FROM k
+ORDER BY ln(u_scaled / 1000000.0) / CAST(n_tokens AS DOUBLE) DESC, doc_id
+LIMIT {ES_K}
+""")
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Efraimidis-Spirakis: keep the k docs maximizing u^(1/w) — here
+    # via the monotone ln(u)/w so both engines evaluate one ln and one
+    # division; w = token count, so long docs are proportionally more
+    # likely, the standard token-weighted doc draw
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample(d, ES_K)
+
+
+def weighted_sample(docs: DataFrame, k: int = ES_K,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """A-Res weighted sampling without replacement: top-``k`` docs by
+    the deterministic ln(u)/w key, w = token count."""
+    w = TX.token_count(text_col).cast("long")
+    t = (docs.select(F.col(id_col), w.alias("n_tokens"))
+         .filter(F.col("n_tokens") > 0))
+    key = (F.log(_es_u_scaled(id_col) / F.lit(1000000.0))
+           / F.col("n_tokens").cast("double"))
+    return (t.select(id_col, "n_tokens", key.alias("_k"))
+            .orderBy(F.col("_k").desc(), id_col).limit(k)
+            .select(id_col, "n_tokens",
+                    F.round(F.col("_k"), 6).alias("es_key")))
+
+
+@register("corpus_budget_selection", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+q AS (SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+             round((least(len(ws) / 100.0, 1.0)
+                    + least(round(len(list_filter(ws, x -> x IN ({_STOPS})))
+                                  / len(ws)::DOUBLE, 4) * 4, 1.0)
+                    + round(len(list_distinct(ws)) / len(ws)::DOUBLE, 4))
+                   / 3, 4) AS quality
+      FROM w WHERE len(ws) > 0),
+r AS (SELECT doc_id, quality, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS running
+      FROM q)
+SELECT doc_id, quality, n_tokens, running
+FROM r WHERE running <= {BUDGET_TOKENS}
+ORDER BY doc_id
+""")
+def corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quality-first greedy selection under a fixed token budget: the
+    # running total over (quality desc, id) comes from the distributed
+    # prefix-sum primitive — identical bucket arithmetic to the ABC/
+    # Pareto entry, never an empty-partitionBy window
+    d = load_table(spark, sf_dir, "documents")
+    return budget_selection(d, BUDGET_TOKENS)
+
+
+def budget_selection(docs: DataFrame, budget: int = BUDGET_TOKENS,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Greedy quality-first selection under a token ``budget``: the
+    maximal (quality desc, id)-prefix whose running token total fits."""
+    q = (docs.select(F.col(id_col),
+                     TX.token_count(text_col).cast("long")
+                     .alias("n_tokens"),
+                     TX.quality_score(text_col).alias("quality"))
+         .filter(F.col("n_tokens") > 0))
+    r = distributed_running_total(
+        q, [F.desc("quality"), F.col(id_col)], "n_tokens", out="running")
+    return (r.filter(F.col("running") <= budget)
+            .select(id_col, "quality", "n_tokens", "running")
+            .orderBy(id_col))
+
+
+@register("stock_ols_trend", _BARS_CTE + """
+, y AS (SELECT event_type, hr,
+               CAST(round(close * 10000, 0) AS BIGINT) AS yi,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY hr) AS BIGINT) AS xi
+        FROM bars),
+a AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xi) AS BIGINT) AS sx,
+             CAST(sum(yi) AS BIGINT) AS sy,
+             CAST(sum(xi * yi) AS BIGINT) AS sxy,
+             CAST(sum(xi * xi) AS BIGINT) AS sx2,
+             CAST(sum(yi * yi) AS BIGINT) AS sy2
+      FROM y GROUP BY event_type)
+SELECT event_type, n,
+       round(CASE WHEN n * sx2 - sx * sx > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sx2 - sx * sx AS DOUBLE) / 10000
+             END, 6) AS slope,
+       round(CASE WHEN n * sx2 - sx * sx > 0
+                  THEN (CAST(sy AS DOUBLE)
+                        - CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sx2 - sx * sx AS DOUBLE)
+                          * CAST(sx AS DOUBLE))
+                       / CAST(n AS DOUBLE) / 10000
+             END, 6) AS intercept,
+       round(CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
+                  THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                        * CAST(n * sxy - sx * sy AS DOUBLE))
+                       / (CAST(n * sx2 - sx * sx AS DOUBLE)
+                          * CAST(n * sy2 - sy * sy AS DOUBLE))
+             END, 6) AS r2
+FROM a ORDER BY event_type
+""")
+def stock_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-symbol OLS of close on the hour index: closes quantized to
+    # the 1e-4 grid so every component sum (Σx Σy Σxy Σx² Σy²) is an
+    # exact BIGINT; slope/intercept/R² are then single IEEE expressions
+    # of those exact scalars with identical association in the oracle.
+    # Integer differences are taken BEFORE the double cast (both
+    # engines cast the same exact integer), and zero-variance groups
+    # NULL out on the same integer predicates.
+    from ..operators import indicators as ind
+    ev = load_table(spark, sf_dir, "events")
+    return ols_trend(ind.hourly_bars(ev))
+
+
+def ols_trend(bars: DataFrame) -> DataFrame:
+    """Per-symbol OLS of close on the hour index from exact integer
+    component sums; see ``stock_ols_trend`` for the full contract."""
+    w = Window.partitionBy("event_type").orderBy("hr")
+    y = bars.select(
+        "event_type",
+        F.round(F.col("close") * 10000, 0).cast("long").alias("yi"),
+        F.row_number().over(w).cast("long").alias("xi"))
+    a = (y.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("xi").alias("sx"), F.sum("yi").alias("sy"),
+              F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+              F.sum(F.col("xi") * F.col("xi")).alias("sx2"),
+              F.sum(F.col("yi") * F.col("yi")).alias("sy2")))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = (n * F.col("sxy") - sx * sy).cast("double")
+    den = (n * F.col("sx2") - sx * sx).cast("double")
+    den_pos = (n * F.col("sx2") - sx * sx) > 0
+    den2 = (n * F.col("sy2") - sy * sy).cast("double")
+    den2_pos = (n * F.col("sy2") - sy * sy) > 0
+    return (a.select(
+        "event_type", "n",
+        F.round(F.when(den_pos, num / den / 10000), 6).alias("slope"),
+        F.round(F.when(den_pos,
+                       (sy.cast("double") - num / den * sx.cast("double"))
+                       / n.cast("double") / 10000), 6).alias("intercept"),
+        F.round(F.when(den_pos & den2_pos,
+                       (num * num) / (den * den2)), 6).alias("r2"))
+        .orderBy("event_type"))

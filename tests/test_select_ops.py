@@ -1,0 +1,96 @@
+"""Unit tests for the data-selection family (catalog_select): weighted
+reservoir sampling, token-budget greedy selection, per-symbol OLS."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from stock_data_etl_pipeline_spark.plans.catalog_select import (
+    budget_selection, ols_trend, weighted_sample)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in rows],
+        "doc_id long, text string")
+
+
+def _es_key(doc_id: int, w: int) -> float:
+    h = hashlib.md5(f"{doc_id}:es".encode()).hexdigest()
+    u = int(h[:15], 16) % 1000000 + 1
+    return math.log(u / 1000000.0) / w
+
+
+def test_weighted_sample_matches_reference_keys(spark):
+    # 30 docs with token counts 1..30; recompute the A-Res keys with
+    # plain hashlib/math and require the EXACT same top-10 in the same
+    # order with 6-dp-rounded keys
+    rows = [(i, " ".join(["tok"] * i)) for i in range(1, 31)]
+    out = weighted_sample(_docs(spark, rows), k=10).collect()
+    expect = sorted(((i, i, _es_key(i, i)) for i in range(1, 31)),
+                    key=lambda t: (-t[2], t[0]))[:10]
+    assert [(r["doc_id"], r["n_tokens"]) for r in out] == \
+        [(i, w) for i, w, _ in expect]
+    for r, (_, _, k) in zip(out, expect):
+        assert abs(r["es_key"] - round(k, 6)) < 1e-9
+
+
+def test_weighted_sample_drops_empty_docs(spark):
+    rows = [(1, "a b c"), (2, "   "), (3, "")]
+    out = weighted_sample(_docs(spark, rows), k=10).collect()
+    assert [r["doc_id"] for r in out] == [1]
+
+
+def test_budget_selection_is_maximal_quality_prefix(spark):
+    # identical text => identical quality; selection must then be the
+    # id-ordered prefix fitting the budget, and adding the next doc
+    # must overflow it
+    rows = [(i, " ".join(["the", "cat", "sat", "on", "mat"] * 4))
+            for i in range(1, 11)]  # 20 tokens each
+    out = budget_selection(_docs(spark, rows), budget=70).collect()
+    assert [r["doc_id"] for r in out] == [1, 2, 3]  # 60 <= 70 < 80
+    assert out[-1]["running"] == 60
+    assert len({r["quality"] for r in out}) == 1
+
+
+def test_budget_selection_orders_by_quality_first(spark):
+    # doc 9 is low-quality (one repeated word), docs 1-2 higher; the
+    # low-quality doc must be cut first even though its id is larger
+    good = "the quick brown fox jumps over the lazy dog near a river"
+    rows = [(1, good), (2, good + " today"), (9, " ".join(["spam"] * 12))]
+    out = budget_selection(_docs(spark, rows), budget=25).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 9 not in ids and set(ids) == {1, 2}
+
+
+def test_ols_trend_exact_line(spark):
+    # close = 100 + 0.25 * xi on symbol A (exact on the 1e-4 grid) and
+    # a flat series on B: slope/intercept/r2 must come out exact, and
+    # the zero-variance symbol must NULL its r2 (den2 = 0)
+    t0 = dt.datetime(2024, 1, 1)
+    bars = spark.createDataFrame(
+        [Row(event_type="A", hr=t0 + dt.timedelta(hours=i),
+             close=100.0 + 0.25 * (i + 1)) for i in range(8)]
+        + [Row(event_type="B", hr=t0 + dt.timedelta(hours=i), close=50.0)
+           for i in range(8)],
+        "event_type string, hr timestamp, close double")
+    out = {r["event_type"]: r for r in ols_trend(bars).collect()}
+    a, b = out["A"], out["B"]
+    assert a["slope"] == 0.25 and a["intercept"] == 100.0
+    assert a["r2"] == 1.0 and a["n"] == 8
+    assert b["slope"] == 0.0 and b["intercept"] == 50.0
+    assert b["r2"] is None
+
+
+def test_ols_trend_handles_single_bar(spark):
+    bars = spark.createDataFrame(
+        [Row(event_type="A", hr=dt.datetime(2024, 1, 1), close=10.0)],
+        "event_type string, hr timestamp, close double")
+    r = ols_trend(bars).collect()[0]
+    assert r["n"] == 1 and r["slope"] is None and r["intercept"] is None \
+        and r["r2"] is None
