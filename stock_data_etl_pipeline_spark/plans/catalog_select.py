@@ -218,3 +218,65 @@ def ols_trend(bars: DataFrame) -> DataFrame:
         F.round(F.when(den_pos & den2_pos,
                        (num * num) / (den * den2)), 6).alias("r2"))
         .orderBy("event_type"))
+
+
+@register("events_mad_anomaly", """
+WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                    ORDER BY c, hr) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+       FROM c),
+med AS (SELECT event_type, c AS med FROM rk WHERE rn = (n + 1) // 2),
+d AS (SELECT c.event_type, c.hr, c.c, med.med,
+             abs(c.c - med.med) AS dev
+      FROM c JOIN med USING (event_type)),
+dr AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                    ORDER BY dev, hr) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS n
+       FROM d),
+mad AS (SELECT event_type, dev AS mad FROM dr WHERE rn = (n + 1) // 2)
+SELECT d.event_type, CAST(d.hr AS TIMESTAMP) AS hr, d.c, d.med,
+       mad.mad, d.dev > 3 * mad.mad AS anomaly
+FROM d JOIN mad USING (event_type)
+ORDER BY d.event_type, hr
+""")
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # robust (median/MAD) anomaly flags over the hourly event-count
+    # series, fully integer-exact: the LOWER median is an exact rank
+    # pick over a total (value, hour) order — no interpolation, no
+    # floats anywhere — so the 3-MAD flag is a pure function of exact
+    # BIGINTs on both engines. The count grid is |hours| x |types|
+    # (calendar-bounded, independent of event volume), so the per-type
+    # rank windows run on a tiny relation; the only full-data pass is
+    # the first hash-agg.
+    ev = load_table(spark, sf_dir, "events")
+    c = (ev.groupBy("event_type",
+                    F.date_trunc("hour", F.col("ts")).alias("hr"))
+         .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    return mad_anomaly(c).orderBy("event_type", "hr")
+
+
+def mad_anomaly(counts: DataFrame, key: str = "event_type",
+                t: str = "hr", val: str = "c",
+                k_mad: int = 3) -> DataFrame:
+    """Median/MAD anomaly flags per ``key`` over an integer series —
+    lower medians via exact rank picks, everything BIGINT."""
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(col, t)
+        wn = Window.partitionBy(key)
+        return (df.withColumn("_rn", F.row_number().over(w))
+                .withColumn("_n", F.count(F.lit(1)).over(wn))
+                .filter(F.col("_rn") == ((F.col("_n") + 1) / 2)
+                        .cast("long"))
+                .select(key, F.col(col).alias(out)))
+
+    med = lower_median(counts, val, "med")
+    d = (counts.join(med, key)
+         .withColumn("dev", F.abs(F.col(val) - F.col("med"))))
+    mad = lower_median(d, "dev", "mad")
+    return (d.join(mad, key)
+            .select(key, t, val, "med", "mad",
+                    (F.col("dev") > k_mad * F.col("mad")).alias("anomaly")))

@@ -94,3 +94,30 @@ def test_ols_trend_handles_single_bar(spark):
     r = ols_trend(bars).collect()[0]
     assert r["n"] == 1 and r["slope"] is None and r["intercept"] is None \
         and r["r2"] is None
+
+
+def test_mad_anomaly_hand_computed(spark):
+    # counts 10,10,10,11,9,50 for key A: lower median over
+    # (value, hour) order = 10; deviations 0,0,0,1,1,40 -> lower
+    # median (MAD) = 0... with MAD 0 every nonzero deviation flags.
+    # Key B is a clean series with one mild outlier under 3*MAD.
+    from stock_data_etl_pipeline_spark.plans.catalog_select import (
+        mad_anomaly)
+    t0 = dt.datetime(2024, 1, 1)
+    rows_a = [10, 10, 10, 11, 9, 50]
+    rows_b = [5, 6, 7, 8, 9, 10]
+    df = spark.createDataFrame(
+        [Row(event_type="A", hr=t0 + dt.timedelta(hours=i), c=c)
+         for i, c in enumerate(rows_a)]
+        + [Row(event_type="B", hr=t0 + dt.timedelta(hours=i), c=c)
+           for i, c in enumerate(rows_b)],
+        "event_type string, hr timestamp, c long")
+    out = {(r["event_type"], r["c"]): r for r in mad_anomaly(df).collect()}
+    assert out[("A", 50)]["med"] == 10 and out[("A", 50)]["mad"] == 0
+    assert out[("A", 50)]["anomaly"] is True
+    assert out[("A", 11)]["anomaly"] is True   # MAD 0: any deviation flags
+    assert out[("A", 10)]["anomaly"] is False
+    # B: sorted 5..10, lower median = 7; devs 2,1,0,1,2,3 sorted
+    # 0,1,1,2,2,3 lower median = 1 -> threshold 3, only dev>3 flags: none
+    assert out[("B", 10)]["med"] == 7 and out[("B", 10)]["mad"] == 1
+    assert not any(r["anomaly"] for (k, _), r in out.items() if k == "B")
