@@ -280,3 +280,69 @@ def mad_anomaly(counts: DataFrame, key: str = "event_type",
     return (d.join(mad, key)
             .select(key, t, val, "med", "mad",
                     (F.col("dev") > k_mad * F.col("mad")).alias("anomaly")))
+
+
+@register("stock_drawdown_duration", _BARS_CTE + """
+, p AS (SELECT event_type, hr, close,
+               max(close) OVER (PARTITION BY event_type ORDER BY hr
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS peak,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hr) AS rn
+        FROM bars),
+u AS (SELECT event_type, rn,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY rn) AS rn2
+      FROM p WHERE close < peak),
+runs AS (SELECT event_type, rn - rn2 AS island,
+                CAST(count(*) AS BIGINT) AS run_len
+         FROM u GROUP BY 1, 2),
+agg AS (SELECT event_type, CAST(max(run_len) AS BIGINT) AS max_run,
+               CAST(sum(run_len) AS BIGINT) AS n_underwater
+        FROM runs GROUP BY 1),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_bars FROM p
+        GROUP BY 1)
+SELECT t.event_type, t.n_bars,
+       coalesce(a.n_underwater, 0) AS n_underwater,
+       coalesce(a.max_run, 0) AS max_underwater_run
+FROM tot t LEFT JOIN agg a USING (event_type)
+ORDER BY t.event_type
+""")
+def stock_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # time-underwater profile per symbol: total hours below the running
+    # peak and the LONGEST consecutive underwater run (gaps-and-islands
+    # on the strict close < peak flag — rank difference is constant
+    # inside a run). Complements max_drawdown's magnitude with
+    # duration; every emitted value is an exact BIGINT count, and the
+    # island key is pure integer arithmetic on deterministic
+    # row_numbers, so the result is engine- and partitioning-exact.
+    from ..operators import indicators as ind
+    ev = load_table(spark, sf_dir, "events")
+    return drawdown_duration(ind.hourly_bars(ev)).orderBy("event_type")
+
+
+def drawdown_duration(bars: DataFrame) -> DataFrame:
+    """Per-symbol underwater totals and longest underwater run."""
+    w = Window.partitionBy("event_type").orderBy("hr")
+    wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    p = bars.select(
+        "event_type", "hr", "close",
+        F.max("close").over(wp).alias("peak"),
+        F.row_number().over(w).alias("rn"))
+    wu = Window.partitionBy("event_type").orderBy("rn")
+    u = (p.filter(F.col("close") < F.col("peak"))
+         .withColumn("rn2", F.row_number().over(wu)))
+    runs = (u.groupBy("event_type",
+                      (F.col("rn") - F.col("rn2")).alias("island"))
+            .agg(F.count(F.lit(1)).cast("long").alias("run_len")))
+    agg = (runs.groupBy("event_type")
+           .agg(F.max("run_len").cast("long").alias("max_run"),
+                F.sum("run_len").cast("long").alias("n_underwater")))
+    tot = (p.groupBy("event_type")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_bars")))
+    return (tot.join(agg, "event_type", "left")
+            .select("event_type", "n_bars",
+                    F.coalesce(F.col("n_underwater"), F.lit(0))
+                    .cast("long").alias("n_underwater"),
+                    F.coalesce(F.col("max_run"), F.lit(0))
+                    .cast("long").alias("max_underwater_run")))

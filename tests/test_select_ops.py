@@ -121,3 +121,27 @@ def test_mad_anomaly_hand_computed(spark):
     # 0,1,1,2,2,3 lower median = 1 -> threshold 3, only dev>3 flags: none
     assert out[("B", 10)]["med"] == 7 and out[("B", 10)]["mad"] == 1
     assert not any(r["anomaly"] for (k, _), r in out.items() if k == "B")
+
+
+def test_drawdown_duration_hand_computed(spark):
+    # closes 10, 9, 8, 11, 10, 10, 10, 12: underwater at idx 1,2
+    # (peak 10) and idx 4,5,6 (peak 11) -> runs of 2 and 3; bar 7 sets
+    # a new peak. Strictly-below semantics: a bar AT the peak is not
+    # underwater.
+    from stock_data_etl_pipeline_spark.plans.catalog_select import (
+        drawdown_duration)
+    t0 = dt.datetime(2024, 1, 1)
+    closes = [10.0, 9.0, 8.0, 11.0, 10.0, 10.0, 10.0, 12.0]
+    bars = spark.createDataFrame(
+        [Row(event_type="A", hr=t0 + dt.timedelta(hours=i), close=c)
+         for i, c in enumerate(closes)]
+        + [Row(event_type="UP", hr=t0 + dt.timedelta(hours=i),
+               close=float(i)) for i in range(4)],
+        "event_type string, hr timestamp, close double")
+    out = {r["event_type"]: r for r in drawdown_duration(bars).collect()}
+    assert out["A"]["n_bars"] == 8
+    assert out["A"]["n_underwater"] == 5
+    assert out["A"]["max_underwater_run"] == 3
+    # monotone series never goes underwater -> zero-filled
+    assert out["UP"]["n_underwater"] == 0
+    assert out["UP"]["max_underwater_run"] == 0
