@@ -187,12 +187,19 @@ def distributed_running_total(df: DataFrame, order: Sequence[str | Column],
     totals = {r["_drt_pid"]: r["t"] for r in
               ranged.groupBy("_drt_pid").agg(
                   F.sum(value_col).alias("t")).collect()}
+    return _running_from_offsets(ranged, totals, cols, value_col, out)
+
+
+def _running_from_offsets(ranged: DataFrame, totals: dict,
+                          cols: list[Column], value_col: str,
+                          out: str) -> DataFrame:
     acc, offsets = 0, {}
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid] or 0
     if not offsets:
-        return df.withColumn(out, F.lit(None).cast("long"))
+        return (ranged.drop("_drt_pid")
+                .withColumn(out, F.lit(None).cast("long")))
     off_expr = F.coalesce(
         F.create_map(*[F.lit(v) for pid, off in offsets.items()
                        for v in (pid, off)])[F.col("_drt_pid")],
@@ -202,3 +209,53 @@ def distributed_running_total(df: DataFrame, order: Sequence[str | Column],
     return (ranged.withColumn(
         out, (F.sum(value_col).over(w) + off_expr).cast("long"))
         .drop("_drt_pid"))
+
+
+def grouped_running_total(df: DataFrame, groups: Sequence[str],
+                          order: Sequence[str | Column], value_col: str,
+                          out: str = "running") -> DataFrame:
+    """Exact PER-GROUP prefix sum of ``value_col`` that stays parallel
+    even when one group holds most of the data — the hot-group-safe
+    variant of ``sum(value) OVER (PARTITION BY groups ORDER BY order)``.
+
+    A per-group running window is as parallel as its group count, and a
+    window partition is a single task no matter how hot the key: one
+    source carrying half the corpus serializes half the packing pass.
+    This version range-partitions on (groups…, order…) — a hot group
+    spans MANY contiguous partitions — computes per-(partition, group)
+    totals (a control-plane collect bounded by numPartitions + the
+    number of partition-group overlaps, NOT by row count; use it when
+    groups are few-but-possibly-hot, e.g. corpus sources), derives each
+    (partition, group)'s starting offset in plain Python, and adds it
+    to a partition-local running window keyed on (partition, groups…).
+    The broadcast offsets table replaces ``distributed_running_total``'s
+    scalar map because group keys can be any type.
+
+    ``value_col`` must be an integer column (exact partial totals);
+    ``order`` must totally order rows WITHIN each group (include a
+    unique tie-break).
+    """
+    gcols = [F.col(g) for g in groups]
+    ocols = _cols(order)
+    ranged = pin(df.repartitionByRange(*gcols, *ocols).withColumn(
+        "_grt_pid", F.spark_partition_id()))
+    totals = (ranged.groupBy("_grt_pid", *groups)
+              .agg(F.sum(value_col).alias("_t")).collect())
+    if not totals:
+        return (ranged.drop("_grt_pid")
+                .withColumn(out, F.lit(None).cast("long")))
+    acc: dict[tuple, int] = {}
+    rows = []
+    for r in sorted(totals, key=lambda r: r["_grt_pid"]):
+        key = tuple(r[g] for g in groups)
+        rows.append((r["_grt_pid"],) + key + (acc.get(key, 0),))
+        acc[key] = acc.get(key, 0) + (r["_t"] or 0)
+    schema = (ranged.select(F.col("_grt_pid"), *gcols)
+              .schema.add("_grt_off", "long"))
+    off = df.sparkSession.createDataFrame(rows, schema)
+    w = (Window.partitionBy("_grt_pid", *groups).orderBy(*ocols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (ranged.join(F.broadcast(off), ["_grt_pid", *groups])
+            .withColumn(out, (F.sum(value_col).over(w)
+                              + F.col("_grt_off")).cast("long"))
+            .drop("_grt_pid", "_grt_off"))

@@ -346,3 +346,38 @@ def drawdown_duration(bars: DataFrame) -> DataFrame:
                     .cast("long").alias("n_underwater"),
                     F.coalesce(F.col("max_run"), F.lit(0))
                     .cast("long").alias("max_underwater_run")))
+
+
+@register("corpus_sequence_pack_hot", f"""
+WITH w AS (SELECT doc_id, source, len({_WORDS}) AS n_tokens FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_before
+      FROM w)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(cum_before / 256) AS BIGINT) AS pack_id,
+       CAST(cum_before % 256 AS BIGINT)        AS pack_offset
+FROM c
+""")
+def corpus_sequence_pack_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SAME oracle as corpus_sequence_pack, different physical plan: the
+    # per-source cumulative sum runs on grouped_running_total (range
+    # partition over (source, doc_id) + per-(partition, source) offsets),
+    # so a source holding half the corpus spans many tasks instead of
+    # serializing one window partition — the sub-sharding path
+    # pack_sequences' docstring promises, proven equal by the shared
+    # oracle and exercised under a hot-source fixture in
+    # tests/test_select_ops.py
+    from ..operators.windows import grouped_running_total
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source",
+                 TX.token_count("text").cast("long").alias("n_tokens"))
+    r = grouped_running_total(t, ["source"], [F.col("doc_id")],
+                              "n_tokens", out="_run")
+    cum_before = F.col("_run") - F.col("n_tokens")
+    return r.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(cum_before / 256).cast("long").alias("pack_id"),
+        (cum_before % 256).cast("long").alias("pack_offset"))
