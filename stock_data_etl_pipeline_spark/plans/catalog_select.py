@@ -381,3 +381,83 @@ def corpus_sequence_pack_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_tokens",
         F.floor(cum_before / 256).cast("long").alias("pack_id"),
         (cum_before % 256).cast("long").alias("pack_offset"))
+
+
+@register("stock_acf", _BARS_CTE + """
+, y AS (SELECT event_type,
+               CAST(round(close * 100, 0) AS BIGINT) AS yv,
+               CAST(row_number() OVER (PARTITION BY event_type
+                                       ORDER BY hr) AS BIGINT) AS rn
+        FROM bars),
+base AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(yv) AS BIGINT) AS sy,
+                CAST(sum(yv * yv) AS BIGINT) AS sy2
+         FROM y GROUP BY event_type),
+ks AS (SELECT unnest([1, 2, 3, 4, 5]) AS k),
+p AS (SELECT a.event_type, ks.k,
+             a.yv AS ya, b.yv AS yb
+      FROM y a CROSS JOIN ks
+      JOIN y b ON b.event_type = a.event_type AND b.rn = a.rn + ks.k),
+s AS (SELECT event_type, k, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(ya * yb) AS BIGINT) AS sxy,
+             CAST(sum(ya) AS BIGINT) AS sh,
+             CAST(sum(yb) AS BIGINT) AS st
+      FROM p GROUP BY event_type, k)
+SELECT s.event_type, s.k, s.m,
+       round(CASE WHEN b.n * b.sy2 - b.sy * b.sy > 0 THEN
+         CAST(b.n * b.n * s.sxy - b.n * b.sy * (s.sh + s.st)
+              + s.m * b.sy * b.sy AS DOUBLE)
+         / CAST(b.n * (b.n * b.sy2 - b.sy * b.sy) AS DOUBLE)
+       END, 6) AS acf
+FROM s JOIN base b USING (event_type)
+ORDER BY s.event_type, s.k
+""")
+def stock_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-symbol autocorrelation at lags 1..5 — the stationarity/
+    # seasonality diagnostic every forecasting pipeline computes.
+    # Closes quantized to the 1e-2 grid keep every moment (Σy, Σy²,
+    # lag cross-products, head/tail partial sums) an exact BIGINT and
+    # the mean-centered estimator is evaluated in the n²-scaled
+    # integer form r_k = (n²Σy·y_k − nΣy(Σhead+Σtail) + mΣyΣy)
+    # / (n(nΣy² − ΣyΣy)) — one IEEE division of exact integers, same
+    # association in the oracle. The lag pairing is an equi-join on
+    # (symbol, rn+k): shuffle-partitionable at any history length, no
+    # window state, no band residuals.
+    from ..operators import indicators as ind
+    ev = load_table(spark, sf_dir, "events")
+    return acf(ind.hourly_bars(ev)).orderBy("event_type", "k")
+
+
+def acf(bars: DataFrame, max_lag: int = 5) -> DataFrame:
+    """Per-symbol ACF at lags 1..``max_lag`` in exact fixed-point."""
+    w = Window.partitionBy("event_type").orderBy("hr")
+    y = bars.select(
+        "event_type",
+        F.round(F.col("close") * 100, 0).cast("long").alias("yv"),
+        F.row_number().over(w).cast("long").alias("rn"))
+    base = (y.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("yv").alias("sy"),
+                 F.sum(F.col("yv") * F.col("yv")).alias("sy2")))
+    a = (y.withColumn("k", F.explode(F.array(
+        *[F.lit(i) for i in range(1, max_lag + 1)])))
+        .select("event_type", "k", F.col("yv").alias("ya"),
+                (F.col("rn") + F.col("k")).alias("rn_b")))
+    b = y.select(F.col("event_type").alias("et_b"),
+                 F.col("rn").alias("rn_b2"), F.col("yv").alias("yb"))
+    p = a.join(b, (F.col("event_type") == F.col("et_b"))
+               & (F.col("rn_b") == F.col("rn_b2")))
+    s = (p.groupBy("event_type", "k")
+         .agg(F.count(F.lit(1)).cast("long").alias("m"),
+              F.sum(F.col("ya") * F.col("yb")).alias("sxy"),
+              F.sum("ya").alias("sh"), F.sum("yb").alias("st")))
+    j = s.join(base, "event_type")
+    n, sy = F.col("n"), F.col("sy")
+    den = n * F.col("sy2") - sy * sy
+    num = (n * n * F.col("sxy") - n * sy * (F.col("sh") + F.col("st"))
+           + F.col("m") * sy * sy)
+    return (j.select(
+        "event_type", "k", "m",
+        F.round(F.when(den > 0,
+                       num.cast("double") / (n * den).cast("double")), 6)
+        .alias("acf")))

@@ -175,3 +175,47 @@ def test_grouped_running_total_equals_window_and_splits_hot_group(spark):
                .filter(F.col("g") == "hot")
                .select("p").distinct().count())
     assert n_parts > 1
+
+
+def test_acf_known_series(spark):
+    # perfectly alternating series 10, 20, 10, 20 ... (n=8): ACF is
+    # exactly -1 at odd lags and +1 at even lags (mean 15, deviations
+    # +-5 alternate); denominator n*sum(y^2) - sy^2 > 0. Closes on the
+    # 1e-2 grid keep everything exact, so the assertion is equality.
+    from stock_data_etl_pipeline_spark.plans.catalog_select import acf
+    t0 = dt.datetime(2024, 1, 1)
+    bars = spark.createDataFrame(
+        [Row(event_type="A", hr=t0 + dt.timedelta(hours=i),
+             close=10.0 if i % 2 == 0 else 20.0) for i in range(8)],
+        "event_type string, hr timestamp, close double")
+    out = {r["k"]: r for r in acf(bars).collect()}
+    # finite-sample estimator: r_k = (n^2*sxy - n*sy*(sh+st) + m*sy^2)
+    # / (n*(n*sy2 - sy^2)); for the alternating series with n=8 the
+    # exact values follow from the integer sums (computed by hand
+    # below) rather than the infinite-series +-1
+    yv = [1000 if i % 2 == 0 else 2000 for i in range(8)]
+    n, sy = 8, sum(yv)
+    sy2 = sum(v * v for v in yv)
+    for k in range(1, 6):
+        pairs = [(yv[t], yv[t + k]) for t in range(8 - k)]
+        m = len(pairs)
+        sxy = sum(a * b for a, b in pairs)
+        sh = sum(a for a, _ in pairs)
+        st = sum(b for _, b in pairs)
+        expect = (n * n * sxy - n * sy * (sh + st) + m * sy * sy) \
+            / (n * (n * sy2 - sy * sy))
+        assert abs(out[k]["acf"] - round(expect, 6)) < 1e-12, k
+        assert out[k]["m"] == 8 - k
+    # sign structure of the alternating series survives the
+    # finite-sample correction
+    assert out[1]["acf"] < 0 < out[2]["acf"]
+
+
+def test_acf_constant_series_nulls(spark):
+    from stock_data_etl_pipeline_spark.plans.catalog_select import acf
+    t0 = dt.datetime(2024, 1, 1)
+    bars = spark.createDataFrame(
+        [Row(event_type="A", hr=t0 + dt.timedelta(hours=i), close=5.0)
+         for i in range(6)],
+        "event_type string, hr timestamp, close double")
+    assert all(r["acf"] is None for r in acf(bars).collect())
