@@ -461,3 +461,74 @@ def acf(bars: DataFrame, max_lag: int = 5) -> DataFrame:
         F.round(F.when(den > 0,
                        num.cast("double") / (n * den).cast("double")), 6)
         .alias("acf")))
+
+
+@register("corpus_source_balance", """
+WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY source),
+t AS (SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(max(c) AS BIGINT) AS max_c
+      FROM c),
+r AS (SELECT source, c,
+             CAST(row_number() OVER (ORDER BY c, source) AS BIGINT) AS i
+      FROM c),
+g AS (SELECT CAST(sum(c * (2 * i - (SELECT n_sources FROM t) - 1))
+                  AS BIGINT) AS gnum
+      FROM r),
+h AS (SELECT CAST(sum(CAST(round(c * ln(c) * 1e6, 0) AS BIGINT))
+                  AS BIGINT) AS hsum
+      FROM c)
+SELECT t.n_sources, t.n_docs,
+       round(CAST(g.gnum AS DOUBLE)
+             / CAST(t.n_sources * t.n_docs AS DOUBLE), 6) AS gini,
+       round(ln(t.n_docs)
+             - CAST(h.hsum AS DOUBLE) / 1e6
+               / CAST(t.n_docs AS DOUBLE), 6) AS entropy,
+       round(CAST(t.max_c AS DOUBLE)
+             / CAST(t.n_docs AS DOUBLE), 6) AS top_share
+FROM t, g, h
+""")
+def corpus_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-row source-imbalance diagnostics for the dataset card:
+    # Gini over the sorted source sizes (exact integer numerator — the
+    # rank weights 2i-n-1 are ints over a total (count, source) order),
+    # Shannon entropy of the source distribution with each c*ln(c) term
+    # quantized to a 1e-6 integer BEFORE the sum (the perplexity
+    # precedent: transcendental per-term values never sit on the grid
+    # boundary, and the quantized sum is reduction-order-exact), and
+    # the largest source's share. The source-count relation is tiny, so
+    # every window here runs on |sources| rows; the only full-data pass
+    # is the first count.
+    d = load_table(spark, sf_dir, "documents")
+    return source_balance(d)
+
+
+def source_balance(docs: DataFrame,
+                   group_col: str = "source") -> DataFrame:
+    """One-row Gini / entropy / top-share over the group distribution."""
+    c = (docs.groupBy(group_col)
+         .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    t = c.agg(F.sum("c").alias("n_docs"),
+              F.count(F.lit(1)).cast("long").alias("n_sources"),
+              F.max("c").alias("max_c"))
+    wr = Window.orderBy("c", group_col)
+    r = c.withColumn("i", F.row_number().over(wr).cast("long"))
+    g = (r.crossJoin(F.broadcast(t))
+         .agg(F.sum(F.col("c")
+                    * (2 * F.col("i") - F.col("n_sources") - 1))
+              .cast("long").alias("gnum")))
+    h = c.agg(F.sum(F.round(F.col("c") * F.log(F.col("c")) * 1e6, 0)
+                    .cast("long")).alias("hsum"))
+    return (t.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(h))
+            .select("n_sources", "n_docs",
+                    F.round(F.col("gnum").cast("double")
+                            / (F.col("n_sources") * F.col("n_docs"))
+                            .cast("double"), 6).alias("gini"),
+                    F.round(F.log(F.col("n_docs").cast("double"))
+                            - F.col("hsum").cast("double") / 1e6
+                            / F.col("n_docs").cast("double"), 6)
+                    .alias("entropy"),
+                    F.round(F.col("max_c").cast("double")
+                            / F.col("n_docs").cast("double"), 6)
+                    .alias("top_share")))

@@ -219,3 +219,24 @@ def test_acf_constant_series_nulls(spark):
          for i in range(6)],
         "event_type string, hr timestamp, close double")
     assert all(r["acf"] is None for r in acf(bars).collect())
+
+
+def test_source_balance_hand_computed(spark):
+    # sources with 1, 1, 2, 4 docs: N=8, n=4, sorted sizes (1,1,2,4)
+    # Gini numerator = sum c_i*(2i-n-1) = 1*(-3)+1*(-1)+2*1+4*3 = 10
+    # -> gini = 10/(4*8) = 0.3125; top_share = 0.5; entropy =
+    # ln(8) - (0 + 0 + 2ln2 + 4ln4)/8 with 1e-6-quantized terms
+    import math
+    from stock_data_etl_pipeline_spark.plans.catalog_select import (
+        source_balance)
+    rows = [("s1", 1), ("s2", 1), ("s3", 2), ("s4", 4)]
+    docs = spark.createDataFrame(
+        [Row(doc_id=100 * j + i, source=s)
+         for j, (s, n) in enumerate(rows) for i in range(n)],
+        "doc_id long, source string")
+    r = source_balance(docs).collect()[0]
+    assert r["n_sources"] == 4 and r["n_docs"] == 8
+    assert r["gini"] == 0.3125 and r["top_share"] == 0.5
+    hsum = sum(round(c * math.log(c) * 1e6) for _, c in rows)
+    assert abs(r["entropy"]
+               - round(math.log(8) - hsum / 1e6 / 8, 6)) < 1e-12
