@@ -18,7 +18,10 @@ between curation and packing:
   shuffle + partition-local windows, never a single-partition sort.
 - ``stock_ols_trend`` — per-symbol least-squares trend of close on the
   hour index: slope/intercept/R² from exact integer component sums
-  (1e-4 price grid), one window + one hash-agg per symbol.
+  (1e-2 price grid — sized so n·Σy² keeps ~5000× int64
+  headroom at the observed price range; the 1e-4 grid would overflow
+  ANSI longs for a symbol pinned near the data's max close), one
+  window + one hash-agg per symbol.
 
 Reference anchor: the reference's analytics surface stops at windowed
 indicators (services/workers/tasks/*.py); these extend the same
@@ -144,7 +147,7 @@ def budget_selection(docs: DataFrame, budget: int = BUDGET_TOKENS,
 
 @register("stock_ols_trend", _BARS_CTE + """
 , y AS (SELECT event_type, hr,
-               CAST(round(close * 10000, 0) AS BIGINT) AS yi,
+               CAST(round(close * 100, 0) AS BIGINT) AS yi,
                CAST(row_number() OVER (PARTITION BY event_type
                                        ORDER BY hr) AS BIGINT) AS xi
         FROM bars),
@@ -159,14 +162,14 @@ a AS (SELECT event_type,
 SELECT event_type, n,
        round(CASE WHEN n * sx2 - sx * sx > 0
                   THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                       / CAST(n * sx2 - sx * sx AS DOUBLE) / 10000
+                       / CAST(n * sx2 - sx * sx AS DOUBLE) / 100
              END, 6) AS slope,
        round(CASE WHEN n * sx2 - sx * sx > 0
                   THEN (CAST(sy AS DOUBLE)
                         - CAST(n * sxy - sx * sy AS DOUBLE)
                           / CAST(n * sx2 - sx * sx AS DOUBLE)
                           * CAST(sx AS DOUBLE))
-                       / CAST(n AS DOUBLE) / 10000
+                       / CAST(n AS DOUBLE) / 100
              END, 6) AS intercept,
        round(CASE WHEN n * sx2 - sx * sx > 0 AND n * sy2 - sy * sy > 0
                   THEN (CAST(n * sxy - sx * sy AS DOUBLE)
@@ -178,7 +181,7 @@ FROM a ORDER BY event_type
 """)
 def stock_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-symbol OLS of close on the hour index: closes quantized to
-    # the 1e-4 grid so every component sum (Σx Σy Σxy Σx² Σy²) is an
+    # the 1e-2 grid so every component sum (Σx Σy Σxy Σx² Σy²) is an
     # exact BIGINT; slope/intercept/R² are then single IEEE expressions
     # of those exact scalars with identical association in the oracle.
     # Integer differences are taken BEFORE the double cast (both
@@ -195,7 +198,7 @@ def ols_trend(bars: DataFrame) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy("hr")
     y = bars.select(
         "event_type",
-        F.round(F.col("close") * 10000, 0).cast("long").alias("yi"),
+        F.round(F.col("close") * 100, 0).cast("long").alias("yi"),
         F.row_number().over(w).cast("long").alias("xi"))
     a = (y.groupBy("event_type")
          .agg(F.count(F.lit(1)).cast("long").alias("n"),
@@ -211,10 +214,10 @@ def ols_trend(bars: DataFrame) -> DataFrame:
     den2_pos = (n * F.col("sy2") - sy * sy) > 0
     return (a.select(
         "event_type", "n",
-        F.round(F.when(den_pos, num / den / 10000), 6).alias("slope"),
+        F.round(F.when(den_pos, num / den / 100), 6).alias("slope"),
         F.round(F.when(den_pos,
                        (sy.cast("double") - num / den * sx.cast("double"))
-                       / n.cast("double") / 10000), 6).alias("intercept"),
+                       / n.cast("double") / 100), 6).alias("intercept"),
         F.round(F.when(den_pos & den2_pos,
                        (num * num) / (den * den2)), 6).alias("r2"))
         .orderBy("event_type"))
