@@ -408,9 +408,12 @@ s AS (SELECT event_type, k, CAST(count(*) AS BIGINT) AS m,
       FROM p GROUP BY event_type, k)
 SELECT s.event_type, s.k, s.m,
        round(CASE WHEN b.n * b.sy2 - b.sy * b.sy > 0 THEN
-         CAST(b.n * b.n * s.sxy - b.n * b.sy * (s.sh + s.st)
-              + s.m * b.sy * b.sy AS DOUBLE)
-         / CAST(b.n * (b.n * b.sy2 - b.sy * b.sy) AS DOUBLE)
+         (CAST(b.n AS DOUBLE) * CAST(b.n AS DOUBLE) * CAST(s.sxy AS DOUBLE)
+          - CAST(b.n AS DOUBLE) * CAST(b.sy AS DOUBLE)
+            * CAST(s.sh + s.st AS DOUBLE)
+          + CAST(s.m AS DOUBLE) * CAST(b.sy AS DOUBLE) * CAST(b.sy AS DOUBLE))
+         / (CAST(b.n AS DOUBLE)
+            * CAST(b.n * b.sy2 - b.sy * b.sy AS DOUBLE))
        END, 6) AS acf
 FROM s JOIN base b USING (event_type)
 ORDER BY s.event_type, s.k
@@ -420,10 +423,11 @@ def stock_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seasonality diagnostic every forecasting pipeline computes.
     # Closes quantized to the 1e-2 grid keep every moment (Σy, Σy²,
     # lag cross-products, head/tail partial sums) an exact BIGINT and
-    # the mean-centered estimator is evaluated in the n²-scaled
-    # integer form r_k = (n²Σy·y_k − nΣy(Σhead+Σtail) + mΣyΣy)
-    # / (n(nΣy² − ΣyΣy)) — one IEEE division of exact integers, same
-    # association in the oracle. The lag pairing is an equi-join on
+    # the mean-centered estimator r_k = (n²Σy·y_k − nΣy(Σhead+Σtail)
+    # + mΣyΣy) / (n(nΣy² − ΣyΣy)) is evaluated on leaf-cast doubles
+    # with identical association in the oracle (the n²-scaled integer
+    # numerator is cubic in n and would overflow ANSI longs on a long
+    # history); the integer guard and every SUM stay exact. The lag pairing is an equi-join on
     # (symbol, rn+k): shuffle-partitionable at any history length, no
     # window state, no band residuals.
     from ..operators import indicators as ind
@@ -456,13 +460,22 @@ def acf(bars: DataFrame, max_lag: int = 5) -> DataFrame:
               F.sum("ya").alias("sh"), F.sum("yb").alias("st")))
     j = s.join(base, "event_type")
     n, sy = F.col("n"), F.col("sy")
-    den = n * F.col("sy2") - sy * sy
-    num = (n * n * F.col("sxy") - n * sy * (F.col("sh") + F.col("st"))
-           + F.col("m") * sy * sy)
+    # the guard stays integer-exact (n*sy2 - sy*sy fits comfortably),
+    # but the n^2-scaled numerator is CUBIC in n — at a longer history
+    # it would blow past int64 and ANSI long arithmetic would raise
+    # where the oracle's wider integers survive (the OLS-grid lesson).
+    # So the formula runs on leaf-cast doubles with IDENTICAL
+    # association in the oracle: parity needs identical IEEE
+    # evaluation, not integer exactness (the rolling_corr precedent).
+    den_i = n * F.col("sy2") - sy * sy
+    nd, syd, md = (n.cast("double"), sy.cast("double"),
+                   F.col("m").cast("double"))
+    num = (nd * nd * F.col("sxy").cast("double")
+           - nd * syd * (F.col("sh") + F.col("st")).cast("double")
+           + md * syd * syd)
     return (j.select(
         "event_type", "k", "m",
-        F.round(F.when(den > 0,
-                       num.cast("double") / (n * den).cast("double")), 6)
+        F.round(F.when(den_i > 0, num / (nd * den_i.cast("double"))), 6)
         .alias("acf")))
 
 
