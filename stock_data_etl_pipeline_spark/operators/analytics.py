@@ -319,7 +319,13 @@ def multi_touch_attribution(events: DataFrame,
                           .cast("long")))
     # last-touch money is summed in exact integer cents (a raw double
     # sum could flip the 2-dp round at a half boundary under a
-    # different partial-agg order); one IEEE division at emit
+    # different partial-agg order); one IEEE division at emit.
+    # ASSUMES p_value sits on a 1e-2 grid (the events generator emits
+    # 2-dp money, asserted by dq_orders_constraints-style checks): the
+    # quantize-before-sum is then a no-op vs round(sum(p_value), 2).
+    # Sub-cent inputs would be rounded per-row BEFORE the sum — a
+    # different (and deliberately chosen) metric definition, applied
+    # identically in the oracle SQL so parity holds either way.
     return (scored.groupBy("channel")
             .agg(F.count(F.lit(1)).cast("long").alias("n_touchpoints"),
                  F.sum("is_last").cast("long").alias("n_last_touch"),

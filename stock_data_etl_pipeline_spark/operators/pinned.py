@@ -8,18 +8,40 @@ mandatory — without it the subtree recomputes per consumer — but the
 operator itself can never safely ``unpersist``: the caller has not
 materialized the returned DataFrame yet.
 
-Left alone, a long-lived driver session (the 231-query catalog run,
+Left alone, a long-lived driver session (the 239-query catalog run,
 the external verification window, a full bench) accumulates one pinned
 RDD per call — the round-5 finding ("CacheManager: Asked to cache
 already cached data" spam + monotonically growing storage memory).
 
 The contract here: operators register every such persist through
-:func:`pin`, and every catalog entry point releases ALL prior pins
-before building its own plan (wired into ``plans.catalog.register``).
-By the time query N+1 starts building, query N's result has been fully
-materialized by the harness (driver collect, oracle compare, bench
-timing loop), so its pins are dead weight — releasing them is safe and
-bounds pinned storage to a single query's working set.
+:func:`pin` or :func:`pin_checkpoint`, and every catalog entry point
+releases ALL prior pins before building its own plan (wired into
+``plans.catalog.register``). By the time query N+1 starts building,
+query N's result has been fully materialized by the harness (driver
+collect, oracle compare, bench timing loop), so its pins are dead
+weight — releasing them is safe and bounds pinned storage to a single
+query's working set.
+
+Two pin flavors, chosen by what a RECOMPUTE of the subtree would do:
+
+- :func:`pin` — plain ``persist``. For subtrees whose recompute is
+  merely wasteful, never wrong: deterministic plans (shingle indexes,
+  edge sets, tf tables) produce identical rows if Spark ever rebuilds
+  them after a release. This is the default.
+- :func:`pin_checkpoint` — EAGER ``localCheckpoint``. For subtrees
+  whose recompute would be *silently wrong*: the prefix-sum operators
+  (``distributed_ntile`` / ``distributed_running_total`` /
+  ``grouped_running_total``) collect per-partition offsets keyed by
+  ``spark_partition_id()`` over a ``repartitionByRange`` output whose
+  boundaries are SAMPLED (RDD-id-seeded) — a recompute can resample,
+  shifting rows across partition ids while the stale offsets still
+  apply, corrupting every running total. Checkpointing materializes
+  the partitioning as data and truncates lineage, so recompute is
+  impossible: a consumer that re-executes the frame after a release
+  raises ``CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND`` (verified on this
+  Spark build) instead of silently returning corrupt rows. This turns
+  the round-6 advisory's unenforced build-then-materialize contract
+  into a fail-fast invariant.
 
 Standalone callers (tests exercising operators directly, ad-hoc
 sessions) can call :func:`release_pinned` themselves once results are
@@ -30,12 +52,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_PINNED: list[DataFrame] = []
+# (kind, frame) where kind is "persist" | "checkpoint"
+_PINNED: list[tuple[str, DataFrame]] = []
 
 
 def pin(df: DataFrame) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK default) and register it for
     release at the next catalog entry-point invocation.
+
+    Use ONLY for subtrees whose recompute is harmless (deterministic
+    values); see :func:`pin_checkpoint` for offset-carrying frames.
 
     Idempotent across logically-identical plans: if the cache manager
     already holds this plan (a bench re-attempt, a repeated operator
@@ -51,8 +77,32 @@ def pin(df: DataFrame) -> DataFrame:
         cached = False
     if not cached:
         df.persist()
-        _PINNED.append(df)
+        _PINNED.append(("persist", df))
     return df
+
+
+def pin_checkpoint(df: DataFrame) -> DataFrame:
+    """Eagerly ``localCheckpoint`` ``df`` and register the checkpoint
+    for release; returns the checkpointed frame (a ``LogicalRDD`` leaf
+    whose rows — including any ``spark_partition_id()`` column — are
+    frozen data, not a recomputable plan).
+
+    The correctness-load-bearing pin: offsets collected against this
+    frame stay valid for its whole life, and once released the frame
+    can only FAIL (checkpoint block not found), never recompute with
+    fresh range-sample boundaries. Costs one materialization pass at
+    build time — the same pass the control-plane collect was about to
+    pay through a plain persist."""
+    cp = df.localCheckpoint(eager=True)
+    _PINNED.append(("checkpoint", cp))
+    return cp
+
+
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Drop a localCheckpoint's blocks via its LogicalRDD leaf. Falls
+    back to dropping the reference (ContextCleaner GC) if the internal
+    accessor moves in a future Spark."""
+    df._jdf.queryExecution().analyzed().rdd().unpersist(False)  # noqa: SLF001
 
 
 def release_pinned() -> int:
@@ -61,9 +111,12 @@ def release_pinned() -> int:
     the registry."""
     n = 0
     while _PINNED:
-        df = _PINNED.pop()
+        kind, df = _PINNED.pop()
         try:
-            df.unpersist()
+            if kind == "checkpoint":
+                _unpersist_checkpoint(df)
+            else:
+                df.unpersist()
             n += 1
         except Exception:  # noqa: BLE001 — session may already be gone
             pass

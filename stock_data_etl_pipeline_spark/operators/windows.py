@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .pinned import pin
+from .pinned import pin_checkpoint
 
 
 def _cols(names: Sequence[str | Column]) -> list[Column]:
@@ -67,8 +67,11 @@ def distributed_ntile(df: DataFrame, n: int, order: Sequence[str | Column],
 
     1. ``repartitionByRange`` on the order keys — a parallel range
        shuffle (sampled boundaries), each partition a contiguous slice
-       of the total order; the slice is then ``persist``-pinned so the
-       count pass and the rank pass see the same boundaries.
+       of the total order; the slice is ``pin_checkpoint``-ed (eager
+       localCheckpoint) so the count pass, the rank pass, and any
+       later re-execution all see the SAME frozen boundaries — a
+       recompute with freshly sampled boundaries would silently shift
+       partition ids out from under the collected offsets.
     2. ``row_number`` partitioned by ``spark_partition_id()`` — sorts
        are partition-local.
     3. Global rank = local rank + preceding partitions' row counts (a
@@ -83,7 +86,7 @@ def distributed_ntile(df: DataFrame, n: int, order: Sequence[str | Column],
     result column is INT to match ``F.ntile``.
     """
     cols = _cols(order)
-    ranged = pin(df.repartitionByRange(*cols).withColumn(
+    ranged = pin_checkpoint(df.repartitionByRange(*cols).withColumn(
         "_dnt_pid", F.spark_partition_id()))
     counts = {row["_dnt_pid"]: row["cnt"] for row in
               ranged.groupBy("_dnt_pid").agg(
@@ -174,15 +177,16 @@ def distributed_running_total(df: DataFrame, order: Sequence[str | Column],
     the building block for Pareto/ABC curves, cumulative market share,
     and quantile-by-mass queries.
 
-    Same machinery: range-repartition on the order keys (persist-
-    pinned), a partition-local running-sum window, then add the
+    Same machinery: range-repartition on the order keys (checkpoint-
+    pinned — offsets must never meet a resampled recompute), a
+    partition-local running-sum window, then add the
     preceding partitions' totals (a numPartitions-sized control-plane
     collect). ``value_col`` must be an integer column — exact partial
     totals are what make the offsets reproducible; quantize floats to
     a grid first.
     """
     cols = _cols(order)
-    ranged = pin(df.repartitionByRange(*cols).withColumn(
+    ranged = pin_checkpoint(df.repartitionByRange(*cols).withColumn(
         "_drt_pid", F.spark_partition_id()))
     totals = {r["_drt_pid"]: r["t"] for r in
               ranged.groupBy("_drt_pid").agg(
@@ -237,8 +241,9 @@ def grouped_running_total(df: DataFrame, groups: Sequence[str],
     """
     gcols = [F.col(g) for g in groups]
     ocols = _cols(order)
-    ranged = pin(df.repartitionByRange(*gcols, *ocols).withColumn(
-        "_grt_pid", F.spark_partition_id()))
+    ranged = pin_checkpoint(
+        df.repartitionByRange(*gcols, *ocols).withColumn(
+            "_grt_pid", F.spark_partition_id()))
     totals = (ranged.groupBy("_grt_pid", *groups)
               .agg(F.sum(value_col).alias("_t")).collect())
     if not totals:
@@ -252,10 +257,22 @@ def grouped_running_total(df: DataFrame, groups: Sequence[str],
         acc[key] = acc.get(key, 0) + (r["_t"] or 0)
     schema = (ranged.select(F.col("_grt_pid"), *gcols)
               .schema.add("_grt_off", "long"))
-    off = df.sparkSession.createDataFrame(rows, schema)
+    # NULL group keys are a window partition of their own (both in
+    # Spark's partitionBy and the SQL oracles), so the offset join
+    # must be NULL-SAFE equality — a plain equi-join would silently
+    # drop every NULL-keyed row (round-6 advisory). Rename the offset
+    # side to keep the condition unambiguous.
+    off = df.sparkSession.createDataFrame(rows, schema).select(
+        F.col("_grt_pid").alias("_grt_opid"),
+        *[F.col(g).alias(f"_grt_k{i}") for i, g in enumerate(groups)],
+        "_grt_off")
+    cond = F.col("_grt_pid") == F.col("_grt_opid")
+    for i, g in enumerate(groups):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_grt_k{i}"))
     w = (Window.partitionBy("_grt_pid", *groups).orderBy(*ocols)
          .rowsBetween(Window.unboundedPreceding, 0))
-    return (ranged.join(F.broadcast(off), ["_grt_pid", *groups])
+    return (ranged.join(F.broadcast(off), cond)
             .withColumn(out, (F.sum(value_col).over(w)
                               + F.col("_grt_off")).cast("long"))
-            .drop("_grt_pid", "_grt_off"))
+            .drop("_grt_pid", "_grt_opid", "_grt_off",
+                  *[f"_grt_k{i}" for i in range(len(groups))]))

@@ -168,13 +168,62 @@ def test_grouped_running_total_equals_window_and_splits_hot_group(spark):
     assert got.count() == 10_000
     assert (got.join(want.withColumnRenamed("run", "want"), ["g", "i"])
             .filter(F.col("run") != F.col("want")).count()) == 0
-    # spread evidence: the ranged frame puts the hot group on > 1
-    # partition (re-derive the range layout the operator used)
-    n_parts = (df.repartitionByRange(F.col("g"), F.col("i"))
+    # spread evidence: range layout puts the hot group on > 1 partition
+    # (what hash-on-group can never do). Pin an explicit partition
+    # count: on 10k in-memory rows AQE rightly coalesces an un-sized
+    # range exchange to one partition (at scale the shuffle stats keep
+    # it wide), so the un-sized layout can't witness the spread here.
+    n_parts = (df.repartitionByRange(8, F.col("g"), F.col("i"))
                .withColumn("p", F.spark_partition_id())
                .filter(F.col("g") == "hot")
                .select("p").distinct().count())
     assert n_parts > 1
+
+
+def test_grouped_running_total_keeps_null_group_keys(spark):
+    # NULL group keys form a window partition of their own in both
+    # Spark's partitionBy and the SQL oracles; the offset join must be
+    # null-safe or every NULL-keyed row silently vanishes (round-6
+    # advisory). Equality vs the plain window on a NULL-heavy fixture.
+    from stock_data_etl_pipeline_spark.operators.windows import (
+        grouped_running_total)
+    df = (spark.range(300).select(
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 4).cast("string")))
+        .alias("g"),
+        F.col("id").alias("i"),
+        (F.col("id") % 5 + 1).alias("v"))
+        .repartition(8))
+    got = grouped_running_total(df, ["g"], [F.col("i")], "v", out="run")
+    assert got.count() == 300  # no dropped rows
+    w = Window.partitionBy("g").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0)
+    want = df.withColumn("want", F.sum("v").over(w).cast("long"))
+    joined = got.join(want, (F.col("run") != F.col("want"))
+                      & got["g"].eqNullSafe(want["g"])
+                      & (got["i"] == want["i"]))
+    assert joined.count() == 0
+
+
+def test_released_checkpoint_fails_fast_not_silently_recomputes(spark):
+    # The build-then-materialize contract is now enforced, not assumed:
+    # a prefix-sum result re-executed AFTER release_pinned() must raise
+    # (checkpoint blocks gone, lineage truncated) — never silently
+    # recompute against freshly sampled range boundaries while the
+    # collected offsets describe the old layout (round-6 advisory).
+    import pytest
+
+    from stock_data_etl_pipeline_spark.operators.pinned import (
+        release_pinned)
+    from stock_data_etl_pipeline_spark.operators.windows import (
+        distributed_running_total)
+    df = spark.range(1000).select(
+        F.col("id").alias("i"), (F.col("id") % 7 + 1).alias("v"))
+    out = distributed_running_total(df, [F.col("i")], "v", out="run")
+    assert out.count() == 1000  # materializes fine while pinned
+    release_pinned()
+    with pytest.raises(Exception, match="CHECKPOINT|Checkpoint"):
+        out.collect()
 
 
 def test_acf_known_series(spark):
