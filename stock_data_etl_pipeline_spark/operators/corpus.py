@@ -1188,3 +1188,44 @@ def dataset_card(docs: DataFrame, text_col: str = "text",
                     "n_sources",
                     (mean_tok / F.lit(1e6)).alias("mean_tokens"),
                     (pct_en / F.lit(1e6)).alias("en_share"))
+
+
+def packing_efficiency(docs: DataFrame, budget: int = 256,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       group_col: str = "source") -> DataFrame:
+    """Per-source report card for :func:`pack_sequences`: how many
+    training sequences each source fills, the tail padding it wastes,
+    and — the number that decides whether you need cross-document
+    attention masking — how many documents get SPLIT across sequence
+    boundaries by concat-and-chunk packing.
+
+    All integers derived from the pack layout: a doc spans a boundary
+    iff its last token's pack ``floor((cum_before + n_tokens − 1) /
+    budget)`` exceeds its start pack; packs per source is
+    ``ceil(total_tokens / budget)`` (concat-and-chunk leaves padding
+    only in the final pack); fill share is the single division at
+    emit. One aggregate over the pack projection — the report adds no
+    pass over the corpus beyond what packing itself does.
+    """
+    packed = pack_sequences(docs, budget=budget, text_col=text_col,
+                            id_col=id_col, group_col=group_col)
+    start = F.col("pack_id")
+    end = F.floor((start * budget + F.col("pack_offset")
+                   + F.col("n_tokens") - 1) / budget)
+    spans = ((F.col("n_tokens") >= 1) & (end > start)).cast("long")
+    agg = (packed.groupBy(group_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("total_tokens"),
+                F.sum(spans).cast("long").alias("n_split_docs")))
+    n_packs = F.floor((F.col("total_tokens") + budget - 1)
+                      / budget).cast("long")
+    return (agg
+            .withColumn("n_packs", n_packs)
+            .withColumn("tail_waste",
+                        (F.col("n_packs") * budget
+                         - F.col("total_tokens")).cast("long"))
+            .withColumn("fill_pct", F.when(
+                F.col("n_packs") > 0,
+                F.round(F.col("total_tokens")
+                        / (F.col("n_packs") * budget).cast("double")
+                        * 100.0, 6))))

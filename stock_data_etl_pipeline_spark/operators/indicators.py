@@ -910,3 +910,151 @@ def riskmetrics_vol(bars: DataFrame, decay: float = RM_DECAY,
             .agg(F.round(F.sqrt(
                 F.sum(F.col("prev.r") * F.col("prev.r") * wgt)
                 / F.sum(wgt)) / 1e6, 6).alias("rm_vol")))
+
+
+def candlestick_flags(bars: DataFrame) -> DataFrame:
+    """Classic candlestick-pattern census per symbol: doji, hammer, and
+    bullish/bearish engulfing counts over the hourly bars.
+
+    Every test runs on exact integer CENTS (the tick data's 1e-2 grid
+    scaled by 100), so all pattern booleans — shadow-vs-body ratios,
+    prev-bar body containment — are pure integer comparisons with no
+    float rounding to split engines. Definitions:
+
+    - doji: |close−open| ≤ 10% of the high-low range (range > 0) —
+      as ``body*10 <= range`` in integers.
+    - hammer: lower shadow ≥ 2× body, upper shadow ≤ body, body > 0.
+    - bullish engulf: previous bar red, current green, and the current
+      body contains the previous body (close ≥ prev_open AND
+      open ≤ prev_close); bearish is the mirror.
+
+    One lag window per symbol + one hash aggregate — the same
+    (event_type)-partitioned single-pass shape as the other
+    indicators; symbols parallelize embarrassingly at scale.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = bars.select(
+        "event_type", "hr",
+        cents("open").alias("o"), cents("high").alias("h"),
+        cents("low").alias("l"), cents("close").alias("c"))
+    b = b.select(
+        "event_type", "hr", "o", "h", "l", "c",
+        F.lag("o").over(w).alias("po"), F.lag("c").over(w).alias("pc"))
+    body = F.abs(F.col("c") - F.col("o"))
+    rng = F.col("h") - F.col("l")
+    up_sh = F.col("h") - F.greatest("o", "c")
+    lo_sh = F.least("o", "c") - F.col("l")
+    doji = (rng > 0) & (body * 10 <= rng)
+    hammer = (body > 0) & (lo_sh >= 2 * body) & (up_sh <= body)
+    bull = (F.col("pc") < F.col("po")) & (F.col("c") > F.col("o")) \
+        & (F.col("c") >= F.col("po")) & (F.col("o") <= F.col("pc"))
+    bear = (F.col("pc") > F.col("po")) & (F.col("c") < F.col("o")) \
+        & (F.col("o") >= F.col("pc")) & (F.col("c") <= F.col("po"))
+    flag = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+    return (b.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bars"),
+                 flag(doji).alias("n_doji"),
+                 flag(hammer).alias("n_hammer"),
+                 flag(F.coalesce(bull, F.lit(False)))
+                 .alias("n_bull_engulf"),
+                 flag(F.coalesce(bear, F.lit(False)))
+                 .alias("n_bear_engulf")))
+
+
+VR_Q = 24  # variance-ratio horizon: one day of hourly bars
+
+
+def variance_ratio(bars: DataFrame, q: int = VR_Q) -> DataFrame:
+    """Lo–MacKinlay variance-ratio test statistic per symbol:
+    VR(q) = Var(q-period return) / (q · Var(1-period return)) over
+    overlapping q-bar log-return sums — ≈1 under a random walk, >1
+    for trending series, <1 for mean-reverting ones.
+
+    Determinism: returns are 1e-6-grid integers (realized-vol
+    precedent), the q-sums are rolling-window integer sums, and ALL
+    component aggregates (n, Σx, Σx²) are exact BIGINTs. The final
+    population-variance formula n·Σx² − (Σx)² is cubic-in-n in
+    magnitude, so it is evaluated on LEAF-CAST doubles with identical
+    association in both engines (the stock_acf precedent: parity needs
+    identical IEEE evaluation, not integer exactness); the guard is on
+    the same double expression the division uses. Bars with
+    nonpositive low drop before the lag (log undefined; low > 0 ⟹
+    close > 0). Two windows + one hash-agg, all partitioned by symbol.
+    """
+    bars = bars.filter(F.col("low") > 0)
+    w = Window.partitionBy("event_type").orderBy("hr")
+    r_us = (F.round(F.log(F.col("close")
+                          / F.lag("close").over(w)) * 1e6, 0)
+            .cast("long"))
+    r = (bars.select("event_type", "hr", r_us.alias("r"))
+         .filter(F.col("r").isNotNull())
+         .select("event_type", "hr", "r",
+                 F.row_number().over(w).alias("rr")))
+    wq = w.rowsBetween(-(q - 1), 0)
+    rq = (r.withColumn("rq", F.sum("r").over(wq))
+          .filter(F.col("rr") >= q))  # full q-windows only
+    one = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n1"),
+        F.sum("r").alias("s1"), F.sum(F.col("r") * F.col("r")).alias("ss1"))
+    qs = rq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nq"),
+        F.sum("rq").alias("sq"),
+        F.sum(F.col("rq") * F.col("rq")).alias("ssq"))
+    j = one.join(qs, "event_type")
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    var1 = d("n1") * d("ss1") - d("s1") * d("s1")  # n1² · VarP(r)
+    varq = d("nq") * d("ssq") - d("sq") * d("sq")  # nq² · VarP(rq)
+    vr = F.when(
+        (var1 > 0.0) & (F.col("nq") > 0),
+        F.round((varq * d("n1") * d("n1"))
+                / (var1 * F.lit(float(q)) * d("nq") * d("nq")), 6))
+    return (j.select("event_type", "n1", "nq", vr.alias("vr"))
+            .orderBy("event_type"))
+
+
+def info_coefficient(bars: DataFrame) -> DataFrame:
+    """Daily cross-sectional information coefficient: the Spearman rank
+    correlation, per day, between yesterday's daily-return signal and
+    the NEXT day's return across symbols — the standard signal-quality
+    metric for a cross-sectional strategy.
+
+    Ranks are tie-broken by symbol (total order), so with distinct
+    integer ranks Spearman reduces to the exact rational
+    ``1 − 6·Σd² / (n·(n²−1))``: Σd² is an exact BIGINT and the single
+    IEEE division is identical in both engines. The daily close is the
+    deterministic last bar of the day (row_number on hr desc). The
+    cross-section per day is |symbols| rows — every window partition
+    is bounded by the symbol count, never by history length.
+    """
+    wd = Window.partitionBy("event_type", F.col("day")).orderBy(
+        F.col("hr").desc())
+    daily = (bars
+             .select("event_type", "hr", "close",
+                     F.date_trunc("day", F.col("hr")).alias("day"))
+             .withColumn("_rn", F.row_number().over(wd))
+             .filter(F.col("_rn") == 1)
+             .select("event_type", "day", "close"))
+    ws = Window.partitionBy("event_type").orderBy("day")
+    rets = daily.select(
+        "event_type", "day",
+        (F.col("close") / F.lag("close").over(ws) - 1.0).alias("sig"),
+        (F.lead("close").over(ws) / F.col("close") - 1.0).alias("fwd"))
+    x = rets.filter(F.col("sig").isNotNull() & F.col("fwd").isNotNull())
+    rs = Window.partitionBy("day").orderBy("sig", "event_type")
+    rf = Window.partitionBy("day").orderBy("fwd", "event_type")
+    ranked = x.select(
+        "day",
+        F.row_number().over(rs).cast("long").alias("rank_sig"),
+        F.row_number().over(rf).cast("long").alias("rank_fwd"))
+    dd = F.col("rank_sig") - F.col("rank_fwd")
+    per_day = ranked.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_syms"),
+        F.sum(dd * dd).cast("long").alias("sum_d2"))
+    n = F.col("n_syms")
+    ic = F.when(
+        n > 1,
+        F.round(1.0 - 6.0 * F.col("sum_d2")
+                / (n * (n * n - 1)).cast("double"), 6))
+    return (per_day.select("day", "n_syms", "sum_d2", ic.alias("ic"))
+            .orderBy("day"))

@@ -62,3 +62,45 @@ def zorder_key(df: DataFrame, cols: Sequence[str],
             z = z + F.shiftleft(
                 F.shiftright(r, b).bitwiseAND(F.lit(1)), b * n + i)
     return with_b.select(*df.columns, z.alias(out_col))
+
+
+def compaction_bins(files: DataFrame, size_col: str, target: int,
+                    group_col: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Small-file compaction plan: group input files into sequential
+    target-sized rewrite bins per table partition — the maintenance op
+    that keeps a 100 TB table's file count sane (thousands of tiny
+    files per partition → scan-task explosion; the reference's nightly
+    Delta OPTIMIZE fills the same role,
+    /root/reference/services/workers/tasks/queue_for_delta.py).
+
+    Strategy: files are laid end-to-end in deterministic (group, id)
+    order and a bin boundary is cut every ``target`` cumulative bytes;
+    a file belongs to the bin its START offset falls in, so every bin
+    holds WHOLE files and a bin may overrun ``target`` by less than one
+    file — the standard sequential coalesce heuristic (greedy first-fit
+    needs per-row mutable state; the start-offset rule is
+    window-expressible and within one file size of it).
+
+    The running offset uses ``grouped_running_total`` — the hot-safe
+    prefix-sum primitive — so one partition holding most of the bytes
+    (the usual reason compaction is needed!) spans many range
+    partitions instead of serializing into one window task. Emits one
+    row per (group, bin): file count, bin bytes, and an undersized flag
+    for tails worth deferring to the next compaction cycle.
+    """
+    from .windows import grouped_running_total
+    sized = files.select(F.col(group_col).alias("source"),
+                         F.col(id_col).alias("fid"),
+                         F.col(size_col).cast("long").alias("bytes"))
+    run = grouped_running_total(
+        sized, ["source"], [F.col("fid")], "bytes", out="run")
+    start = F.col("run") - F.col("bytes")
+    return (run.select("source", "fid", "bytes",
+                       F.floor(start / target).cast("long")
+                       .alias("bin_id"))
+            .groupBy("source", "bin_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_files"),
+                 F.sum("bytes").cast("long").alias("bin_bytes"))
+            .withColumn("undersized",
+                        F.col("bin_bytes") < F.lit(target // 2)))

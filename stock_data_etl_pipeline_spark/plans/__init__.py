@@ -16,6 +16,9 @@ from . import catalog_select  # noqa: F401  (MUST import after the other
 # catalog modules: its entries are round-6 additions whose registration
 # index has to rank AFTER every family already waiting for a driver row,
 # so the rotation keeps the waiting 34 inside the 50-query window)
+from . import catalog_quant  # noqa: F401  (round-7 additions; with the
+# whole catalog driver-green after r6, never-checked entries rank first
+# in the rotation, so these land at the head of the round-7 window)
 
 # ---------------------------------------------------------------------------
 # Driver verification window rotation. The external correctness gate checks

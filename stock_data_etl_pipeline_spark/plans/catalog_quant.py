@@ -1,0 +1,241 @@
+"""Catalog entries (round 7): quant signal-quality metrics over the
+tick stream and layout/packing report cards over the corpus.
+
+Stock side — the standard next steps after the indicator family: a
+candlestick-pattern census (integer-cents comparisons), the
+Lo–MacKinlay variance-ratio test (random-walk diagnostic), and the
+daily cross-sectional Spearman information coefficient (signal quality
+for a cross-sectional strategy). Corpus/ops side — the packing report
+that decides attention-masking policy (how many docs get split across
+sequences) and the small-file compaction planner (sequential
+target-size rewrite bins on the hot-safe prefix-sum primitive).
+
+Determinism follows the house rules: integer grids for every summed
+quantity, leaf-cast doubles with identical association for the one
+cubic-in-n formula (variance ratio), booleans and ranks as pure
+functions of exact integers, and a single IEEE division at emit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import corpus as CP
+from ..operators import indicators as ind
+from ..operators.layout import compaction_bins
+from ..sources.registry import load_table
+from .catalog import register
+from .catalog_stock import _BARS_CTE
+from .catalog_text import _WORDS
+
+
+@register("stock_candlestick_flags", _BARS_CTE + """
+, cts AS (
+  SELECT event_type, hr,
+         CAST(round(open * 100, 0) AS BIGINT) AS o,
+         CAST(round(high * 100, 0) AS BIGINT) AS h,
+         CAST(round(low  * 100, 0) AS BIGINT) AS l,
+         CAST(round(close * 100, 0) AS BIGINT) AS c
+  FROM bars
+), lagd AS (
+  SELECT *,
+         lag(o) OVER (PARTITION BY event_type ORDER BY hr) AS po,
+         lag(c) OVER (PARTITION BY event_type ORDER BY hr) AS pc
+  FROM cts
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_bars,
+       CAST(sum(CASE WHEN h - l > 0 AND abs(c - o) * 10 <= h - l
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_doji,
+       CAST(sum(CASE WHEN abs(c - o) > 0
+                      AND least(o, c) - l >= 2 * abs(c - o)
+                      AND h - greatest(o, c) <= abs(c - o)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hammer,
+       CAST(sum(CASE WHEN pc < po AND c > o AND c >= po AND o <= pc
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bull_engulf,
+       CAST(sum(CASE WHEN pc > po AND c < o AND o >= pc AND c <= po
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bear_engulf
+FROM lagd
+GROUP BY event_type
+ORDER BY event_type
+""")
+def stock_candlestick_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pattern census on exact integer cents — every boolean an integer
+    # comparison, one lag window + one hash-agg per symbol.
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.candlestick_flags(ind.hourly_bars(ev))
+            .orderBy("event_type"))
+
+
+@register("stock_variance_ratio", _BARS_CTE + f"""
+, f AS (SELECT event_type, hr, close FROM bars WHERE low > 0),
+lr AS (
+  SELECT event_type, hr,
+         CAST(round(ln(close / lag(close) OVER (
+             PARTITION BY event_type ORDER BY hr)) * 1e6, 0) AS BIGINT)
+           AS r
+  FROM f
+), rr AS (
+  SELECT event_type, hr, r,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+  FROM lr WHERE r IS NOT NULL
+), rq AS (
+  SELECT event_type, rn,
+         sum(r) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS BETWEEN {ind.VR_Q - 1} PRECEDING
+                      AND CURRENT ROW) AS rqs
+  FROM rr
+), one AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n1,
+         CAST(sum(r) AS BIGINT) AS s1,
+         CAST(sum(r * r) AS BIGINT) AS ss1
+  FROM rr GROUP BY event_type
+), qs AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nq,
+         CAST(sum(rqs) AS BIGINT) AS sq,
+         CAST(sum(rqs * rqs) AS BIGINT) AS ssq
+  FROM rq WHERE rn >= {ind.VR_Q} GROUP BY event_type
+)
+SELECT o.event_type, o.n1, q.nq,
+       CASE WHEN CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) > 0.0
+             AND nq > 0
+            THEN round(
+              (CAST(nq AS DOUBLE) * CAST(ssq AS DOUBLE)
+               - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+              * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+              / ((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 * {float(ind.VR_Q)} * CAST(nq AS DOUBLE)
+                 * CAST(nq AS DOUBLE)), 6)
+       END AS vr
+FROM one o JOIN qs q USING (event_type)
+ORDER BY event_type
+""")
+def stock_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Random-walk diagnostic: VR(24h) per symbol over overlapping
+    # q-bar log-return sums; exact integer component sums, leaf-cast
+    # double formula (cubic-in-n headroom rule).
+    ev = load_table(spark, sf_dir, "events")
+    return ind.variance_ratio(ind.hourly_bars(ev))
+
+
+@register("stock_info_coefficient", _BARS_CTE + """
+, dc AS (
+  SELECT event_type, CAST(date_trunc('day', hr) AS TIMESTAMP) AS day,
+         close,
+         row_number() OVER (PARTITION BY event_type,
+                            date_trunc('day', hr)
+                            ORDER BY hr DESC) AS rn
+  FROM bars
+), daily AS (
+  SELECT event_type, day, close FROM dc WHERE rn = 1 AND close > 0
+), rets AS (
+  SELECT event_type, day,
+         close / lag(close) OVER (PARTITION BY event_type
+                                  ORDER BY day) - 1.0 AS sig,
+         lead(close) OVER (PARTITION BY event_type
+                           ORDER BY day) / close - 1.0 AS fwd
+  FROM daily
+), x AS (
+  SELECT * FROM rets WHERE sig IS NOT NULL AND fwd IS NOT NULL
+), rk AS (
+  SELECT day,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY sig, event_type) AS rank_sig,
+         row_number() OVER (PARTITION BY day
+                            ORDER BY fwd, event_type) AS rank_fwd
+  FROM x
+)
+SELECT day, CAST(count(*) AS BIGINT) AS n_syms,
+       CAST(sum((rank_sig - rank_fwd) * (rank_sig - rank_fwd))
+            AS BIGINT) AS sum_d2,
+       CASE WHEN count(*) > 1
+            THEN round(1.0 - 6.0 * sum((rank_sig - rank_fwd)
+                                       * (rank_sig - rank_fwd))
+                       / CAST(count(*) * (count(*) * count(*) - 1)
+                              AS DOUBLE), 6)
+       END AS ic
+FROM rk
+GROUP BY day
+ORDER BY day
+""")
+def stock_info_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Daily cross-sectional Spearman IC: exact integer rank distances,
+    # one division per day. Zero daily closes drop before the lag
+    # (ANSI x/0 raises in Spark where DuckDB floats to inf).
+    ev = load_table(spark, sf_dir, "events")
+    return ind.info_coefficient(
+        ind.hourly_bars(ev).filter(F.col("close") > 0))
+
+
+@register("corpus_packing_efficiency", f"""
+WITH w AS (SELECT doc_id, source, len({_WORDS}) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM w),
+p AS (SELECT source, n_tokens,
+             floor(cum_before / 256) AS pid,
+             floor((cum_before + n_tokens - 1) / 256) AS pid_end
+      FROM c),
+a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(CASE WHEN n_tokens >= 1 AND pid_end > pid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+      FROM p GROUP BY source)
+SELECT source, n_docs, total_tokens, n_split_docs,
+       CAST(floor((total_tokens + 255) / 256) AS BIGINT) AS n_packs,
+       CAST(floor((total_tokens + 255) / 256) * 256 - total_tokens
+            AS BIGINT) AS tail_waste,
+       CASE WHEN floor((total_tokens + 255) / 256) > 0
+            THEN round(total_tokens
+                       / CAST(floor((total_tokens + 255) / 256) * 256
+                              AS DOUBLE) * 100.0, 6)
+       END AS fill_pct
+FROM a
+ORDER BY source
+""")
+def corpus_packing_efficiency(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    # Packing report card: split-doc share decides attention masking;
+    # tail waste and fill are pure integers + one division at emit.
+    d = load_table(spark, sf_dir, "documents")
+    return CP.packing_efficiency(d, budget=256).orderBy("source")
+
+
+@register("layout_compaction_bins", """
+WITH f AS (SELECT source, doc_id,
+                  CAST(length(text) AS BIGINT) AS bytes
+           FROM documents),
+r AS (SELECT source, doc_id, bytes,
+             sum(bytes) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run
+      FROM f),
+b AS (SELECT source, bytes,
+             CAST(floor((run - bytes) / 2048) AS BIGINT) AS bin_id
+      FROM r)
+SELECT source, bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+       CAST(sum(bytes) AS BIGINT) < 1024 AS undersized
+FROM b
+GROUP BY source, bin_id
+ORDER BY source, bin_id
+""")
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Small-file compaction plan on the hot-safe prefix-sum primitive:
+    # whole files binned at 2 KiB boundaries of the per-source byte
+    # stream (documents stand in for data files; at 100 TB the input
+    # is the table's file manifest).
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select("source", "doc_id",
+                     F.length("text").alias("bytes"))
+    return (compaction_bins(sized, "bytes", 2048,
+                            group_col="source", id_col="doc_id")
+            .orderBy("source", "bin_id"))

@@ -1,0 +1,134 @@
+"""Unit tests for the round-7 quant + layout family: candlestick
+pattern census, variance ratio, information coefficient, packing
+efficiency, compaction bins — hand-computed fixtures per convention."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from stock_data_etl_pipeline_spark.operators.corpus import (
+    packing_efficiency)
+from stock_data_etl_pipeline_spark.operators.indicators import (
+    candlestick_flags, info_coefficient, variance_ratio)
+from stock_data_etl_pipeline_spark.operators.layout import compaction_bins
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _bars(spark, rows):
+    # rows: (sym, hour_index, o, h, l, c)
+    return spark.createDataFrame(
+        [Row(event_type=s, hr=T0 + dt.timedelta(hours=i),
+             open=o, high=h, low=lo, close=c)
+         for s, i, o, h, lo, c in rows],
+        "event_type string, hr timestamp, open double, high double, "
+        "low double, close double")
+
+
+def test_candlestick_flags_hand_patterns(spark):
+    # b1 doji (body 5c <= 10% of 60c range); b2 hammer (45c lower
+    # shadow >= 2x5c body, 5c upper <= body) AND doji (50 <= 55);
+    # b3 bullish engulf of b2's red body; b4 bearish engulf of b3's
+    # green body.
+    bars = _bars(spark, [
+        ("A", 0, 10.00, 10.60, 10.00, 10.05),
+        ("A", 1, 10.50, 10.55, 10.00, 10.45),
+        ("A", 2, 10.30, 10.70, 10.25, 10.60),
+        ("A", 3, 10.65, 10.70, 10.20, 10.25),
+    ])
+    out = candlestick_flags(bars).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_bars"], r["n_doji"], r["n_hammer"],
+            r["n_bull_engulf"], r["n_bear_engulf"]) == (4, 2, 1, 1, 1)
+
+
+def test_variance_ratio_matches_reference_formula(spark):
+    # Recompute VR(q=3) from the same quantized integer returns with
+    # plain Python; operator must match exactly (identical IEEE path).
+    closes = [100.0, 102.0, 101.0, 104.0, 103.0, 107.0, 106.0, 110.0]
+    bars = _bars(spark, [
+        ("A", i, c, c, c, c) for i, c in enumerate(closes)])
+    out = variance_ratio(bars, q=3).collect()
+    assert len(out) == 1
+    r = [round(math.log(b / a) * 1e6)
+         for a, b in zip(closes, closes[1:])]
+    rq = [sum(r[i - 2:i + 1]) for i in range(2, len(r))]
+    n1, s1, ss1 = len(r), sum(r), sum(v * v for v in r)
+    nq, sq, ssq = len(rq), sum(rq), sum(v * v for v in rq)
+    want = round((float(nq) * float(ssq) - float(sq) * float(sq))
+                 * float(n1) * float(n1)
+                 / ((float(n1) * float(ss1) - float(s1) * float(s1))
+                    * 3.0 * float(nq) * float(nq)), 6)
+    got = out[0]
+    assert (got["n1"], got["nq"]) == (n1, nq)
+    assert got["vr"] == want
+
+
+def test_variance_ratio_constant_series_is_null(spark):
+    # zero variance -> guarded NULL, no division error
+    bars = _bars(spark, [("A", i, 10.0, 10.0, 10.0, 10.0)
+                         for i in range(6)])
+    out = variance_ratio(bars, q=2).collect()
+    assert len(out) == 1 and out[0]["vr"] is None
+
+
+def test_info_coefficient_perfect_and_inverted_days(spark):
+    # Daily closes built so day2's signal/forward ranks agree exactly
+    # (IC=+1) and day3's are fully inverted (IC=-1; sum_d2 = 8 for
+    # n=3: 1 - 6*8/(3*8) = -1). One bar per (symbol, day).
+    closes = {"X": [10.0, 11.0, 13.0, 20.0],
+              "Y": [10.0, 12.0, 15.0, 18.0],
+              "Z": [10.0, 13.0, 17.0, 17.5]}
+    rows = [(s, 24 * d, c, c, c, c)
+            for s, cs in closes.items() for d, c in enumerate(cs)]
+    out = {r["day"]: r for r in
+           info_coefficient(_bars(spark, rows)).collect()}
+    assert len(out) == 2  # day0 has no signal, day3 no forward
+    d2 = out[T0 + dt.timedelta(days=1)]
+    d3 = out[T0 + dt.timedelta(days=2)]
+    assert (d2["n_syms"], d2["sum_d2"], d2["ic"]) == (3, 0, 1.0)
+    assert (d3["n_syms"], d3["sum_d2"], d3["ic"]) == (3, 8, -1.0)
+
+
+def test_packing_efficiency_hand_layout(spark):
+    # budget 4, tokens [3, 2, 4] laid end-to-end: total 9, packs
+    # ceil(9/4)=3, tail 3, docs 2 and 3 cross pack boundaries.
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, source="s1", text="a b c"),
+         Row(doc_id=2, source="s1", text="d e"),
+         Row(doc_id=3, source="s1", text="f g h i")],
+        "doc_id long, source string, text string")
+    out = packing_efficiency(docs, budget=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_docs"], r["total_tokens"], r["n_split_docs"],
+            r["n_packs"], r["tail_waste"]) == (3, 9, 2, 3, 3)
+    assert r["fill_pct"] == 75.0
+
+
+def test_compaction_bins_whole_files_cut_at_start_offsets(spark):
+    # target 10: byte sizes [4,5,3,7,2,2] -> start offsets
+    # [0,4,9,12,19,21] -> bins [0,0,0,1,1,2]; the 2-byte tail bin is
+    # undersized (< target/2). Files never split across bins.
+    sizes = [4, 5, 3, 7, 2, 2]
+    docs = spark.createDataFrame(
+        [Row(source="s", doc_id=i, text="x" * n)
+         for i, n in enumerate(sizes)],
+        "source string, doc_id long, text string")
+    sized = docs.select("source", "doc_id",
+                        F.length("text").alias("bytes"))
+    out = {r["bin_id"]: r for r in
+           compaction_bins(sized, "bytes", 10).collect()}
+    assert len(out) == 3
+    assert (out[0]["n_files"], out[0]["bin_bytes"],
+            out[0]["undersized"]) == (3, 12, False)
+    assert (out[1]["n_files"], out[1]["bin_bytes"],
+            out[1]["undersized"]) == (2, 9, False)
+    assert (out[2]["n_files"], out[2]["bin_bytes"],
+            out[2]["undersized"]) == (1, 2, True)
+    assert sum(r["n_files"] for r in out.values()) == len(sizes)
