@@ -64,3 +64,43 @@ def profile_columns(df, cols):
         for c in cols])
     return (row.select(F.explode(packed).alias("p")).select("p.*")
             .orderBy("column"))
+
+
+def exact_quantiles_by_rank(df: DataFrame, value_col: str,
+                            grid: int = 100) -> DataFrame:
+    """EXACT p50/p90/p99 of a numeric column without a global sort —
+    the order-statistic dual of ``approx_percentile``, for the audits
+    where "approximately the p99" is not an answer (SLA cutoffs,
+    labeling thresholds).
+
+    The trick that makes exactness scale: quantize to the data's own
+    ``1/grid`` value grid and aggregate COUNTS PER DISTINCT VALUE
+    first — the working set collapses from |rows| to |distinct
+    values| (bounded by the grid span, independent of row count) —
+    then take a prefix sum of the counts in value order via
+    ``distributed_running_total`` (no single-partition WindowExec) and
+    pick the smallest value whose cumulative count reaches the integer
+    target rank ``ceil(p·N)`` (lower quantile_disc semantics). Ranks
+    are computed with integer ``div`` arithmetic so both engines agree
+    exactly; the /grid re-scale is the single IEEE division at emit.
+
+    One hash-agg + one range shuffle + a 1-row broadcast scalar join.
+    """
+    from .windows import distributed_running_total
+    v = (df.select(F.round(F.col(value_col) * grid, 0)
+                   .cast("long").alias("v"))
+         .filter(F.col("v").isNotNull()))
+    counts = v.groupBy("v").agg(F.count(F.lit(1)).alias("cnt"))
+    run = distributed_running_total(counts, [F.col("v")], "cnt",
+                                    out="cum")
+    n = counts.agg(F.sum("cnt").cast("long").alias("n_values"))
+    withn = run.crossJoin(F.broadcast(n))  # 1-row scalar join
+    rk = lambda num, den: F.expr(  # noqa: E731 — ceil(num·N/den) exactly
+        f"({num} * n_values + {den} - 1) div {den}")
+    pick = lambda r: F.round(  # noqa: E731
+        F.min(F.when(F.col("cum") >= r, F.col("v"))) / grid, 2)
+    return withn.agg(
+        F.min("n_values").alias("n_values"),  # constant per row: exact
+        pick(rk(1, 2)).alias("q50"),
+        pick(rk(9, 10)).alias("q90"),
+        pick(rk(99, 100)).alias("q99"))

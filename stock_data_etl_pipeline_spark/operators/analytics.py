@@ -838,3 +838,40 @@ def engagement_metrics(events: DataFrame, wau_days: int = 7,
     return (j.select("day", "dau", "wau", "mau",
                      (stick / F.lit(1e6)).alias("stickiness"))
             .orderBy("day"))
+
+
+def bfs_distance(pairs: DataFrame, id_a: str, id_b: str,
+                 seed_mod: int = 50, hops: int = 3) -> DataFrame:
+    """Multi-source BFS distance histogram over an undirected pair
+    list: seeds are the deterministic node set ``node % seed_mod == 0``
+    (a scattered landmark set), and each unrolled round relaxes
+    ``dist(v) = min(dist(v), dist(u)+1)`` across edges — the Pregel
+    frontier pattern as plain joins, with EXACT integer distances (no
+    float drift possible, bit-identical on any partitioning).
+
+    Per round: one equi-join of the distance relation onto edges plus
+    a min-combine groupBy — two shuffles, the same cost profile as a
+    PageRank iteration; edges are computed once and persisted. Nodes
+    beyond ``hops`` are simply absent (emit the reached histogram, one
+    row per distance level — bounded output). For deep graphs swap the
+    unrolled rounds for a loop with periodic localCheckpoint (the CC
+    operator in operators/clustering.py shows the pattern).
+    """
+    und = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
+                        F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    e = pin(und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(und.select(F.col("b").alias("src"),
+                                    F.col("a").alias("dst"))))
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    d = nodes.filter(F.col("node") % seed_mod == 0).select(
+        "node", F.lit(0).cast("long").alias("dist"))
+    for _ in range(hops):
+        relaxed = (e.join(d.withColumnRenamed("node", "src"), "src")
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + 1).alias("dist")))
+        d = (d.unionByName(relaxed)
+             .groupBy("node").agg(F.min("dist").alias("dist")))
+    return (d.groupBy("dist")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .orderBy("dist"))

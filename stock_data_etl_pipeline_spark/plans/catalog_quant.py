@@ -239,3 +239,72 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (compaction_bins(sized, "bytes", 2048,
                             group_col="source", id_col="doc_id")
             .orderBy("source", "bin_id"))
+
+
+@register("events_exact_quantiles", """
+WITH v AS (SELECT CAST(round(value * 100, 0) AS BIGINT) AS v
+           FROM events WHERE value IS NOT NULL),
+c AS (SELECT v, count(*) AS cnt FROM v GROUP BY v),
+r AS (SELECT v, sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cum
+      FROM c),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_values FROM c)
+SELECT n.n_values,
+       round(min(CASE WHEN r.cum >= (1 * n.n_values + 1) // 2
+                      THEN r.v END) / 100.0, 2) AS q50,
+       round(min(CASE WHEN r.cum >= (9 * n.n_values + 9) // 10
+                      THEN r.v END) / 100.0, 2) AS q90,
+       round(min(CASE WHEN r.cum >= (99 * n.n_values + 99) // 100
+                      THEN r.v END) / 100.0, 2) AS q99
+FROM r, n
+GROUP BY n.n_values
+""")
+def events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXACT global p50/p90/p99 with no global sort: counts per
+    # distinct grid value, then the distributed prefix sum + integer
+    # target ranks (the order-statistic consumer of
+    # distributed_running_total).
+    from ..operators.aggregates import exact_quantiles_by_rank
+    ev = load_table(spark, sf_dir, "events")
+    return exact_quantiles_by_rank(ev, "value", grid=100)
+
+
+@register("graph_bfs_distance", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+            FROM lineitem),
+und AS (SELECT DISTINCT a.i AS ea, b.i AS eb
+        FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+e AS (SELECT ea AS src, eb AS dst FROM und
+      UNION ALL SELECT eb, ea FROM und),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node % 50 = 0),
+u1 AS (SELECT e.dst AS node, d.dist + 1 AS dist
+       FROM e JOIN d0 d ON e.src = d.node
+       UNION ALL SELECT node, dist FROM d0),
+d1 AS (SELECT node, min(dist) AS dist FROM u1 GROUP BY node),
+u2 AS (SELECT e.dst AS node, d.dist + 1 AS dist
+       FROM e JOIN d1 d ON e.src = d.node
+       UNION ALL SELECT node, dist FROM d1),
+d2 AS (SELECT node, min(dist) AS dist FROM u2 GROUP BY node),
+u3 AS (SELECT e.dst AS node, d.dist + 1 AS dist
+       FROM e JOIN d2 d ON e.src = d.node
+       UNION ALL SELECT node, dist FROM d2),
+d3 AS (SELECT node, min(dist) AS dist FROM u3 GROUP BY node)
+SELECT CAST(dist AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM d3 GROUP BY dist ORDER BY dist
+""")
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multi-source BFS over the co-purchase part graph (landmark seeds
+    # node % 50 == 0, 3 unrolled relaxation rounds, exact integer
+    # distances) — the frontier-expansion primitive the graph family
+    # lacked.
+    from ..operators.analytics import bfs_distance
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+    return bfs_distance(pairs, "pa", "pb", seed_mod=50, hops=3)

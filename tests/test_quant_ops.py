@@ -132,3 +132,36 @@ def test_compaction_bins_whole_files_cut_at_start_offsets(spark):
     assert (out[2]["n_files"], out[2]["bin_bytes"],
             out[2]["undersized"]) == (1, 2, True)
     assert sum(r["n_files"] for r in out.values()) == len(sizes)
+
+
+def test_exact_quantiles_by_rank_known_ranks(spark):
+    from stock_data_etl_pipeline_spark.operators.aggregates import (
+        exact_quantiles_by_rank)
+    # 0.01..1.00: lower quantile_disc picks exactly ceil(p*N)
+    df = spark.createDataFrame(
+        [Row(value=i / 100.0) for i in range(1, 101)], "value double")
+    r = exact_quantiles_by_rank(df, "value", grid=100).collect()[0]
+    assert (r["n_values"], r["q50"], r["q90"], r["q99"]) == \
+        (100, 0.50, 0.90, 0.99)
+    # duplicate-heavy: 9x 1.00 + 1x 2.00 -> q50/q90 stay on the mode,
+    # q99 needs rank ceil(9.9)=10 -> the single 2.00
+    df2 = spark.createDataFrame(
+        [Row(value=1.0)] * 9 + [Row(value=2.0)], "value double")
+    r2 = exact_quantiles_by_rank(df2, "value", grid=100).collect()[0]
+    assert (r2["n_values"], r2["q50"], r2["q90"], r2["q99"]) == \
+        (10, 1.0, 1.0, 2.0)
+
+
+def test_bfs_distance_path_graph(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        bfs_distance)
+    # path 0-1-2-3-4 plus a detached edge 100-101; seeds {0, 100}
+    # (node % 100 == 0). 3 hops: node 4 stays unreached.
+    pairs = spark.createDataFrame(
+        [Row(pa=0, pb=1), Row(pa=1, pb=2), Row(pa=2, pb=3),
+         Row(pa=3, pb=4), Row(pa=100, pb=101)],
+        "pa long, pb long")
+    out = {r["dist"]: r["n_nodes"] for r in
+           bfs_distance(pairs, "pa", "pb", seed_mod=100,
+                        hops=3).collect()}
+    assert out == {0: 2, 1: 2, 2: 1, 3: 1}
