@@ -864,14 +864,17 @@ def bfs_distance(pairs: DataFrame, id_a: str, id_b: str,
             .unionByName(und.select(F.col("b").alias("src"),
                                     F.col("a").alias("dst"))))
     nodes = e.select(F.col("src").alias("node")).distinct()
-    d = nodes.filter(F.col("node") % seed_mod == 0).select(
-        "node", F.lit(0).cast("long").alias("dist"))
+    d = pin(nodes.filter(F.col("node") % seed_mod == 0).select(
+        "node", F.lit(0).cast("long").alias("dist")))
     for _ in range(hops):
         relaxed = (e.join(d.withColumnRenamed("node", "src"), "src")
                    .select(F.col("dst").alias("node"),
                            (F.col("dist") + 1).alias("dist")))
-        d = (d.unionByName(relaxed)
-             .groupBy("node").agg(F.min("dist").alias("dist")))
+        # pin each round: d is referenced TWICE (union + relaxed), so
+        # an unpinned distance relation doubles the plan per hop —
+        # exponential lineage (the k_core per-iteration pin pattern)
+        d = pin(d.unionByName(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist")))
     return (d.groupBy("dist")
             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
             .orderBy("dist"))
