@@ -99,8 +99,11 @@ def exact_quantiles_by_rank(df: DataFrame, value_col: str,
         f"({num} * n_values + {den} - 1) div {den}")
     pick = lambda r: F.round(  # noqa: E731
         F.min(F.when(F.col("cum") >= r, F.col("v"))) / grid, 2)
-    return withn.agg(
+    return (withn.agg(
         F.min("n_values").alias("n_values"),  # constant per row: exact
         pick(rk(1, 2)).alias("q50"),
         pick(rk(9, 10)).alias("q90"),
         pick(rk(99, 100)).alias("q99"))
+        # empty input: a global agg still emits one all-NULL row while
+        # a GROUP BY (the oracle shape) emits none — align on none
+        .filter(F.col("n_values").isNotNull()))
