@@ -308,3 +308,46 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("a.i") < F.col("b.i")))
              .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
     return bfs_distance(pairs, "pa", "pb", seed_mod=50, hops=3)
+
+
+@register("embedding_scalar_quantization", """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS x
+           FROM embeddings),
+dims AS (SELECT t.i AS pos, x[t.i] AS val
+         FROM v, (SELECT unnest(generate_series(1, 64)) AS i) t),
+s AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM dims
+      GROUP BY pos),
+arrs AS (SELECT list(mn ORDER BY pos) AS amn,
+                list(mx ORDER BY pos) AS amx
+         FROM s),
+r AS (
+  SELECT label,
+         CAST(round(list_reduce(
+           list_transform(generate_series(1, 64), i ->
+             CASE WHEN amx[i] - amn[i] > 0.0 THEN
+               (x[i] - (amn[i]
+                 + (least(floor((x[i] - amn[i]) / (amx[i] - amn[i])
+                                * 256.0), 255.0) + 0.5)
+                   * (amx[i] - amn[i]) / 256.0))
+               * (x[i] - (amn[i]
+                 + (least(floor((x[i] - amn[i]) / (amx[i] - amn[i])
+                                * 256.0), 255.0) + 0.5)
+                   * (amx[i] - amn[i]) / 256.0))
+             ELSE 0.0 END),
+           (a, b) -> a + b) * 1e12, 0) AS BIGINT) AS e
+  FROM v, arrs
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(floor((2 * sum(e) + count(*)) / (2 * count(*)))
+            AS BIGINT) / 1e12 AS mse
+FROM r GROUP BY label ORDER BY label
+""")
+def embedding_scalar_quantization(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    # Int8 SQ audit: floor-bucket codes (no round() half-rule in the
+    # quantize path), bucket-center dequantization, per-label MSE on a
+    # 1e-12 exact integer grid. The vector-compression tier between
+    # raw float32 and PQ.
+    from ..operators.similarity import scalar_quantization_error
+    emb = load_table(spark, sf_dir, "embeddings")
+    return scalar_quantization_error(emb, "embedding", "vec_id", "label")

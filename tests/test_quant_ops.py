@@ -165,3 +165,34 @@ def test_bfs_distance_path_graph(spark):
            bfs_distance(pairs, "pa", "pb", seed_mod=100,
                         hops=3).collect()}
     assert out == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_scalar_quantization_error_hand_grid(spark):
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        scalar_quantization_error)
+    # dim1 span [0,1], dim2 span [0,2]: every value sits exactly
+    # span/512 from its bucket center, so per-row error is
+    # (1/512)^2 + (2/512)^2 = 1.9073486328125e-05 for every vector.
+    vecs = spark.createDataFrame(
+        [Row(vec_id=1, label=0, embedding=[0.0, 0.0]),
+         Row(vec_id=2, label=0, embedding=[1.0, 2.0]),
+         Row(vec_id=3, label=1, embedding=[0.5, 1.0])],
+        "vec_id long, label int, embedding array<double>")
+    out = {r["label"]: r for r in
+           scalar_quantization_error(vecs).collect()}
+    e_row = 19073486  # round(1.9073486328125e-05 * 1e12)
+    assert out[0]["n_vecs"] == 2 and out[1]["n_vecs"] == 1
+    assert out[0]["mse"] == e_row / 1e12
+    assert out[1]["mse"] == e_row / 1e12
+
+
+def test_scalar_quantization_constant_dim_is_exact(spark):
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        scalar_quantization_error)
+    # a zero-span dimension reconstructs exactly (guarded, no x/0)
+    vecs = spark.createDataFrame(
+        [Row(vec_id=1, label=0, embedding=[5.0]),
+         Row(vec_id=2, label=0, embedding=[5.0])],
+        "vec_id long, label int, embedding array<double>")
+    out = scalar_quantization_error(vecs).collect()
+    assert len(out) == 1 and out[0]["mse"] == 0.0
