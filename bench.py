@@ -66,6 +66,12 @@ HEADLINE = [
     "events_ab_test_cuped",
     "corpus_dsir_selection",
     "graph_adamic_adar",
+    # round 7: exact order statistics, frontier BFS, vector compression,
+    # random-walk diagnostics
+    "events_exact_quantiles",
+    "graph_bfs_distance",
+    "embedding_scalar_quantization",
+    "stock_variance_ratio",
 ]
 
 
