@@ -1058,3 +1058,119 @@ def info_coefficient(bars: DataFrame) -> DataFrame:
                 / (n * (n * n - 1)).cast("double"), 6))
     return (per_day.select("day", "n_syms", "sum_d2", ic.alias("ic"))
             .orderBy("day"))
+
+
+STOCH_N = 14   # stochastic %K lookback
+STOCH_D = 3    # %D smoothing bars
+MFI_N = 14     # money-flow index lookback
+
+
+def stochastic_kd(bars: DataFrame, n: int = STOCH_N,
+                  d: int = STOCH_D) -> DataFrame:
+    """Stochastic oscillator per symbol: %K = 100·(close−LL)/(HH−LL)
+    over the trailing ``n`` bars and %D = SMA(%K, ``d``).
+
+    Exactness: LL/HH are window min/max of integer CENTS; %K lives on
+    a 1e-6 grid as the exact integer quotient ``(1e8·(c−LL)) div
+    (HH−LL)`` — never a rounded ratio of integers (the x.5 engine-split
+    class) — and %D is the half-away integer mean of the last ``d``
+    exact %K grid values, so the smoothing sum is integer-associative
+    under any window implementation (DuckDB's segment-tree sliding
+    frames reassociate double sums; integers don't care). Both emits
+    are single IEEE divisions by 1e6. Partial leading windows are
+    allowed on both sides (same frame semantics). Flat windows
+    (HH == LL) yield NULL %K and drop out of %D's count.
+    """
+    from .windows import int_mean_half_away
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = bars.select("event_type", "hr", cents("high").alias("h"),
+                    cents("low").alias("l"), cents("close").alias("c"))
+    wn = w.rowsBetween(-(n - 1), 0)
+    b = b.select("event_type", "hr", "c",
+                 F.max("h").over(wn).alias("hh"),
+                 F.min("l").over(wn).alias("ll"))
+    k8 = F.when(F.col("hh") > F.col("ll"),
+                F.expr("(100000000 * (c - ll)) div (hh - ll)"))
+    b = b.withColumn("k8", k8)
+    wd = w.rowsBetween(-(d - 1), 0)
+    sum_k = F.sum("k8").over(wd)
+    cnt_k = F.count("k8").over(wd)
+    d8 = F.when(cnt_k > 0, int_mean_half_away(sum_k, cnt_k))
+    return b.select("event_type", "hr",
+                    (F.col("k8") / 1e6).alias("pct_k"),
+                    (d8 / 1e6).alias("pct_d"))
+
+
+def williams_r(bars: DataFrame, n: int = STOCH_N) -> DataFrame:
+    """Williams %R per symbol: −100·(HH−close)/(HH−LL) over the
+    trailing ``n`` bars — the stochastic's mirror image, kept on the
+    same exact integer-quotient grid. The quotient is computed on the
+    NON-NEGATIVE numerator and negated after the final division:
+    Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors,
+    and they only agree on non-negative operands.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = bars.select("event_type", "hr", cents("high").alias("h"),
+                    cents("low").alias("l"), cents("close").alias("c"))
+    wn = w.rowsBetween(-(n - 1), 0)
+    b = b.select("event_type", "hr", "c",
+                 F.max("h").over(wn).alias("hh"),
+                 F.min("l").over(wn).alias("ll"))
+    p8 = F.when(F.col("hh") > F.col("ll"),
+                F.expr("(100000000 * (hh - c)) div (hh - ll)"))
+    return b.select("event_type", "hr", (-(p8 / 1e6)).alias("wr"))
+
+
+def obv(bars: DataFrame) -> DataFrame:
+    """On-balance volume per symbol: the running sum of tick volume
+    signed by the close-to-close direction — a pure integer cumulative
+    window (CENTS sign × integer volume), exact on any engine. The
+    first bar contributes 0 (no previous close), matching the classic
+    definition's arbitrary zero origin.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    signed = (F.signum(c - F.lag(c).over(w)).cast("long")
+              * F.col("volume").cast("long"))
+    run = (F.sum(F.coalesce(signed, F.lit(0)))
+           .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return bars.select("event_type", "hr", "volume",
+                       run.cast("long").alias("obv"))
+
+
+def mfi(bars: DataFrame, n: int = MFI_N) -> DataFrame:
+    """Money-flow index per symbol: 100·posMF/(posMF+negMF) over the
+    trailing ``n`` bars, where money flow is typical-price × volume
+    signed by the typical-price direction.
+
+    Exactness: the typical price is kept as the ×3-scaled integer
+    ``h+l+c`` in cents (never divided by 3), so every flow, window sum
+    and the final quotient ``(1e8·pos) div (pos+neg)`` are exact
+    integers; one division by 1e6 at emit. Headroom: 1e8 · Σ(3·price ·
+    volume) over ``n`` bars — ~38× inside int64 even at 1000 ticks/bar
+    on this data's price scale; re-grid the 1e8 factor for fatter bars.
+    Windows with no directional flow (all ties) emit NULL.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    tp3 = cents("high") + cents("low") + cents("close")
+    b = bars.select("event_type", "hr",
+                    tp3.alias("tp3"), F.col("volume").cast("long")
+                    .alias("vol"))
+    prev = F.lag("tp3").over(w)
+    flow = F.col("tp3") * F.col("vol")
+    b = b.select(
+        "event_type", "hr",
+        F.when(prev.isNotNull() & (F.col("tp3") > prev), flow)
+        .otherwise(F.lit(0)).alias("pos"),
+        F.when(prev.isNotNull() & (F.col("tp3") < prev), flow)
+        .otherwise(F.lit(0)).alias("neg"))
+    wn = w.rowsBetween(-(n - 1), 0)
+    b = b.select("event_type", "hr",
+                 F.sum("pos").over(wn).alias("p"),
+                 F.sum("neg").over(wn).alias("g"))
+    m8 = F.when(F.col("p") + F.col("g") > 0,
+                F.expr("(100000000 * p) div (p + g)"))
+    return b.select("event_type", "hr", (m8 / 1e6).alias("mfi"))

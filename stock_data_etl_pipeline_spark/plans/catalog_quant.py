@@ -351,3 +351,132 @@ def embedding_scalar_quantization(spark: SparkSession,
     from ..operators.similarity import scalar_quantization_error
     emb = load_table(spark, sf_dir, "embeddings")
     return scalar_quantization_error(emb, "embedding", "vec_id", "label")
+
+
+_CENTS_CTE = """
+, cts AS (
+  SELECT event_type, hr, volume,
+         CAST(round(high * 100, 0) AS BIGINT) AS h,
+         CAST(round(low  * 100, 0) AS BIGINT) AS l,
+         CAST(round(close * 100, 0) AS BIGINT) AS c
+  FROM bars
+)"""
+
+
+@register("stock_stochastic_kd", _BARS_CTE + _CENTS_CTE + f"""
+, wn AS (
+  SELECT event_type, hr, c,
+         max(h) OVER win AS hh, min(l) OVER win AS ll
+  FROM cts
+  WINDOW win AS (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN {ind.STOCH_N - 1} PRECEDING
+                 AND CURRENT ROW)
+), k AS (
+  SELECT event_type, hr,
+         CASE WHEN hh > ll
+              THEN (100000000 * (c - ll)) // (hh - ll) END AS k8
+  FROM wn
+), dd AS (
+  SELECT event_type, hr, k8,
+         CAST(sum(k8) OVER wd AS BIGINT) AS sk,
+         CAST(count(k8) OVER wd AS BIGINT) AS ck
+  FROM k
+  WINDOW wd AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN {ind.STOCH_D - 1} PRECEDING
+                AND CURRENT ROW)
+)
+SELECT event_type, hr, k8 / 1e6 AS pct_k,
+       CASE WHEN ck > 0
+            THEN CAST(floor((2 * sk + ck) / (2 * ck)) AS BIGINT) / 1e6
+       END AS pct_d
+FROM dd ORDER BY event_type, hr
+""")
+def stock_stochastic_kd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # %K as an exact integer quotient on cents, %D as the half-away
+    # integer mean of the last 3 grid values — integer-associative
+    # under any sliding-window implementation.
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.stochastic_kd(ind.hourly_bars(ev))
+            .orderBy("event_type", "hr"))
+
+
+@register("stock_williams_r", _BARS_CTE + _CENTS_CTE + f"""
+, wn AS (
+  SELECT event_type, hr, c,
+         max(h) OVER win AS hh, min(l) OVER win AS ll
+  FROM cts
+  WINDOW win AS (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN {ind.STOCH_N - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT event_type, hr,
+       CASE WHEN hh > ll
+            THEN -(((100000000 * (hh - c)) // (hh - ll)) / 1e6)
+       END AS wr
+FROM wn ORDER BY event_type, hr
+""")
+def stock_williams_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the stochastic's mirror; quotient on the non-negative numerator,
+    # negated AFTER the emit division (div truncates, // floors —
+    # they only agree on non-negative operands)
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.williams_r(ind.hourly_bars(ev))
+            .orderBy("event_type", "hr"))
+
+
+@register("stock_obv", _BARS_CTE + _CENTS_CTE + """
+, s AS (
+  SELECT event_type, hr, volume,
+         CAST(CASE WHEN lag(c) OVER w IS NULL THEN 0
+                   WHEN c > lag(c) OVER w THEN volume
+                   WHEN c < lag(c) OVER w THEN -volume
+                   ELSE 0 END AS BIGINT) AS sv
+  FROM cts
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+)
+SELECT event_type, hr, CAST(volume AS BIGINT) AS volume,
+       CAST(sum(sv) OVER (PARTITION BY event_type ORDER BY hr
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS obv
+FROM s ORDER BY event_type, hr
+""")
+def stock_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # signed-volume running sum — pure integer cumulative window
+    ev = load_table(spark, sf_dir, "events")
+    return ind.obv(ind.hourly_bars(ev)).orderBy("event_type", "hr")
+
+
+@register("stock_mfi", _BARS_CTE + _CENTS_CTE + f"""
+, t AS (
+  SELECT event_type, hr, h + l + c AS tp3,
+         CAST(volume AS BIGINT) AS vol
+  FROM cts
+), m AS (
+  SELECT event_type, hr,
+         CASE WHEN lag(tp3) OVER w IS NOT NULL
+                   AND tp3 > lag(tp3) OVER w
+              THEN tp3 * vol ELSE 0 END AS pos,
+         CASE WHEN lag(tp3) OVER w IS NOT NULL
+                   AND tp3 < lag(tp3) OVER w
+              THEN tp3 * vol ELSE 0 END AS neg
+  FROM t
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+), ww AS (
+  SELECT event_type, hr,
+         CAST(sum(pos) OVER wn AS BIGINT) AS p,
+         CAST(sum(neg) OVER wn AS BIGINT) AS g
+  FROM m
+  WINDOW wn AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN {ind.MFI_N - 1} PRECEDING
+                AND CURRENT ROW)
+)
+SELECT event_type, hr,
+       CASE WHEN p + g > 0
+            THEN ((100000000 * p) // (p + g)) / 1e6 END AS mfi
+FROM ww ORDER BY event_type, hr
+""")
+def stock_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # money-flow index on the ×3-scaled integer typical price — every
+    # flow, window sum and quotient exact
+    ev = load_table(spark, sf_dir, "events")
+    return ind.mfi(ind.hourly_bars(ev)).orderBy("event_type", "hr")

@@ -196,3 +196,62 @@ def test_scalar_quantization_constant_dim_is_exact(spark):
         "vec_id long, label int, embedding array<double>")
     out = scalar_quantization_error(vecs).collect()
     assert len(out) == 1 and out[0]["mse"] == 0.0
+
+
+def _bars_v(spark, rows):
+    # rows: (sym, hour_index, o, h, l, c, volume)
+    return spark.createDataFrame(
+        [Row(event_type=s, hr=T0 + dt.timedelta(hours=i),
+             open=o, high=h, low=lo, close=c, volume=v)
+         for s, i, o, h, lo, c, v in rows],
+        "event_type string, hr timestamp, open double, high double, "
+        "low double, close double, volume long")
+
+
+_OHLCV = [
+    ("A", 0, 1.00, 1.10, 0.90, 1.00, 10),
+    ("A", 1, 1.10, 1.20, 1.00, 1.15, 20),
+    ("A", 2, 1.05, 1.30, 0.95, 1.05, 30),
+    ("A", 3, 1.10, 1.25, 1.05, 1.20, 40),
+]
+
+
+def test_stochastic_kd_exact_quotients(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import (
+        stochastic_kd)
+    out = sorted(stochastic_kd(_bars_v(spark, _OHLCV), n=3, d=2)
+                 .collect(), key=lambda r: r["hr"])
+    # k8 = (1e8*(c-ll)) div (hh-ll) on partial 3-bar windows
+    assert [r["pct_k"] for r in out] == [
+        50.0, 83.333333, 37.5, 71.428571]
+    # d8 = half-away integer mean of the last 2 k8 values
+    assert [r["pct_d"] for r in out] == [
+        50.0, 66.666667, 60.416667, 54.464286]
+
+
+def test_williams_r_mirror(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import (
+        williams_r)
+    out = sorted(williams_r(_bars_v(spark, _OHLCV), n=3).collect(),
+                 key=lambda r: r["hr"])
+    assert [r["wr"] for r in out] == [
+        -50.0, -16.666666, -62.5, -28.571428]
+
+
+def test_obv_signed_running_volume(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import obv
+    out = sorted(obv(_bars_v(spark, _OHLCV)).collect(),
+                 key=lambda r: r["hr"])
+    # closes 100,115,105,120 cents: +20, -30, +40 after the 0 origin
+    assert [r["obv"] for r in out] == [0, 20, -10, 30]
+
+
+def test_mfi_integer_flows(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import mfi
+    out = sorted(mfi(_bars_v(spark, _OHLCV), n=2).collect(),
+                 key=lambda r: r["hr"])
+    # tp3 = 300,335,330,350; flows pos 6700/14000, neg 9900 (n=2)
+    assert out[0]["mfi"] is None          # no directional flow yet
+    assert out[1]["mfi"] == 100.0
+    assert out[2]["mfi"] == 40.361445     # (1e8*6700) div 16600 / 1e6
+    assert out[3]["mfi"] == 58.577405     # (1e8*14000) div 23900 / 1e6
