@@ -112,6 +112,22 @@ def test_quantile_binning_never_sorts_on_one_partition(spark, name):
                 f"{ln.strip()[:300]}")
 
 
+def test_exact_quantiles_never_sorts_on_one_partition(spark):
+    """The exact-quantile pick must ride the distributed prefix sum:
+    every window partitioned by the range-partition id, no
+    empty-partitionBy cumulative window pulling all distinct values
+    through one task."""
+    import __spark_entry__ as entrymod
+    props, plan = audit_one(
+        spark, entrymod.queries()["events_exact_quantiles"], SF_DIR)
+    final = plan.split("== Initial Plan ==")[0]
+    for ln in final.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "_drt_pid" in ln, (
+                "exact quantiles has a window not partitioned by the "
+                f"range id:\n{ln.strip()[:300]}")
+
+
 @pytest.mark.parametrize("name", sorted(PINNED))
 def test_no_unkeyed_join_strategies(audits, name):
     props, plan = audits[name]
