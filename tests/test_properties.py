@@ -367,3 +367,84 @@ def test_ohlc_partials_fold_like_single_pass(spark, spec):
                   "first_ts", "first_id", "last_ts", "last_id"):
             assert f[c] == s[c], (k, c, f[c], s[c])
         assert abs(f["sum_value"] - s["sum_value"]) < 1e-9
+
+
+@SLOW
+@given(vals=st.lists(st.integers(min_value=-5000, max_value=5000),
+                     min_size=1, max_size=120))
+def test_exact_quantiles_match_sorted_list(spark, vals):
+    """exact_quantiles_by_rank == the lower quantile_disc on the sorted
+    list: value at index ceil(p*N)-1, for any multiset on the grid."""
+    import math
+
+    from pyspark.sql import Row
+
+    from stock_data_etl_pipeline_spark.operators.aggregates import (
+        exact_quantiles_by_rank)
+    df = spark.createDataFrame(
+        [Row(value=v / 100.0) for v in vals], "value double")
+    r = exact_quantiles_by_rank(df, "value", grid=100).collect()[0]
+    s = sorted(vals)
+    want = {p: s[math.ceil(p * len(s)) - 1] / 100.0
+            for p in (0.5, 0.9, 0.99)}
+    assert r["n_values"] == len(vals)
+    assert (r["q50"], r["q90"], r["q99"]) == (
+        want[0.5], want[0.9], want[0.99])
+
+
+@SLOW
+@given(sizes=st.lists(st.integers(min_value=1, max_value=50),
+                      min_size=1, max_size=60),
+       target=st.integers(min_value=10, max_value=100))
+def test_compaction_bins_conserve_files_and_bytes(spark, sizes, target):
+    """Compaction bins always conserve the file count and total bytes,
+    never split a file, and every non-tail bin starts within one file
+    of the target boundary (start-offset rule)."""
+    from pyspark.sql import Row
+
+    from stock_data_etl_pipeline_spark.operators.layout import (
+        compaction_bins)
+    files = spark.createDataFrame(
+        [Row(source="s", doc_id=i, bytes=b)
+         for i, b in enumerate(sizes)],
+        "source string, doc_id long, bytes long")
+    out = compaction_bins(files, "bytes", target).collect()
+    assert sum(r["n_files"] for r in out) == len(sizes)
+    assert sum(r["bin_bytes"] for r in out) == sum(sizes)
+    # bin ids are the start-offset chunks: recompute from the sizes
+    import itertools
+    starts = [0, *itertools.accumulate(sizes)][:-1]
+    want_bins = {}
+    for sz, st_off in zip(sizes, starts):
+        b = st_off // target
+        want_bins[b] = want_bins.get(b, 0) + sz
+    assert {r["bin_id"]: r["bin_bytes"] for r in out} == want_bins
+
+
+@SLOW
+@given(closes=st.lists(st.integers(min_value=1, max_value=50000),
+                       min_size=2, max_size=60))
+def test_obv_equals_python_recurrence(spark, closes):
+    """OBV == the textbook per-bar recurrence for any close path."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from stock_data_etl_pipeline_spark.operators.indicators import obv
+    t0 = dt.datetime(2024, 1, 1)
+    bars = spark.createDataFrame(
+        [Row(event_type="A", hr=t0 + dt.timedelta(hours=i),
+             open=c / 100.0, high=c / 100.0, low=c / 100.0,
+             close=c / 100.0, volume=(i % 7) + 1)
+         for i, c in enumerate(closes)],
+        "event_type string, hr timestamp, open double, high double, "
+        "low double, close double, volume long")
+    got = [r["obv"] for r in sorted(obv(bars).collect(),
+                                    key=lambda r: r["hr"])]
+    acc, want = 0, []
+    for i, c in enumerate(closes):
+        if i > 0:
+            sign = (c > closes[i - 1]) - (c < closes[i - 1])
+            acc += sign * ((i % 7) + 1)
+        want.append(acc)
+    assert got == want
