@@ -878,3 +878,50 @@ def bfs_distance(pairs: DataFrame, id_a: str, id_b: str,
     return (d.groupBy("dist")
             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
             .orderBy("dist"))
+
+
+def did_estimator(events: DataFrame, split_days: int = 15,
+                  value_col: str = "value",
+                  user_col: str = "user_id",
+                  ts_col: str = "ts") -> DataFrame:
+    """Difference-in-differences effect estimate over a deterministic
+    arm assignment (``user_id % 2``) and a pre/post split ``split_days``
+    after the first observed event: DiD = (T̄post − T̄pre) − (C̄post −
+    C̄pre) — the panel-data complement to the CUPED estimator.
+
+    Exactness: cell sums are integer CENTS; each cell mean is the
+    half-away integer mean on a 1e-6 dollar grid (values are
+    non-negative, so the positive floor form mirrors 1:1 in SQL); the
+    DiD itself is a pure function of the four EMITTED means with fixed
+    association, so both engines subtract identical doubles. The whole
+    estimator is one 4-cell hash aggregate plus a 1-row broadcast
+    scalar (the min-timestamp split point) — nothing shuffles on rows.
+    """
+    from .windows import int_mean_half_away
+    t0 = events.agg(F.min(ts_col).alias("_t0"))
+    e = (events.filter(F.col(value_col).isNotNull())
+         .crossJoin(F.broadcast(t0))  # 1-row scalar join
+         .select((F.col(user_col) % 2).alias("arm"),
+                 (F.col(ts_col) >= F.col("_t0")
+                  + F.expr(f"INTERVAL {split_days} DAYS"))
+                 .cast("int").alias("post"),
+                 F.round(F.col(value_col) * 100, 0).cast("long")
+                 .alias("cents")))
+    g = (e.groupBy("arm", "post")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("cents").alias("s")))
+    mean = (int_mean_half_away(F.col("s") * 10000, F.col("n"))
+            / F.lit(1e6))
+    cell = lambda a, p, c: F.max(  # noqa: E731 — 4-cell pivot
+        F.when((F.col("arm") == a) & (F.col("post") == p), F.col(c)))
+    w = g.select("arm", "post", "n", mean.alias("mean"))
+    out = w.agg(
+        cell(1, 0, "n").alias("n_t_pre"), cell(1, 1, "n").alias("n_t_post"),
+        cell(0, 0, "n").alias("n_c_pre"), cell(0, 1, "n").alias("n_c_post"),
+        cell(1, 0, "mean").alias("mean_t_pre"),
+        cell(1, 1, "mean").alias("mean_t_post"),
+        cell(0, 0, "mean").alias("mean_c_pre"),
+        cell(0, 1, "mean").alias("mean_c_post"))
+    did = ((F.col("mean_t_post") - F.col("mean_t_pre"))
+           - (F.col("mean_c_post") - F.col("mean_c_pre")))
+    return out.withColumn("did", did)

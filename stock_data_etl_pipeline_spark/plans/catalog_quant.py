@@ -480,3 +480,42 @@ def stock_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flow, window sum and quotient exact
     ev = load_table(spark, sf_dir, "events")
     return ind.mfi(ind.hourly_bars(ev)).orderBy("event_type", "hr")
+
+
+@register("events_did_estimator", """
+WITH b AS (SELECT min(ts) AS t0 FROM events),
+e AS (SELECT user_id % 2 AS arm,
+             CASE WHEN ts >= t0 + INTERVAL 15 DAY THEN 1 ELSE 0 END
+               AS post,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events, b WHERE value IS NOT NULL),
+g AS (SELECT arm, post, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s
+      FROM e GROUP BY arm, post),
+m AS (SELECT arm, post, n,
+             CAST(floor((2 * (s * 10000) + n) / (2 * n)) AS BIGINT)
+               / 1e6 AS mean
+      FROM g)
+SELECT
+  max(CASE WHEN arm = 1 AND post = 0 THEN n END) AS n_t_pre,
+  max(CASE WHEN arm = 1 AND post = 1 THEN n END) AS n_t_post,
+  max(CASE WHEN arm = 0 AND post = 0 THEN n END) AS n_c_pre,
+  max(CASE WHEN arm = 0 AND post = 1 THEN n END) AS n_c_post,
+  max(CASE WHEN arm = 1 AND post = 0 THEN mean END) AS mean_t_pre,
+  max(CASE WHEN arm = 1 AND post = 1 THEN mean END) AS mean_t_post,
+  max(CASE WHEN arm = 0 AND post = 0 THEN mean END) AS mean_c_pre,
+  max(CASE WHEN arm = 0 AND post = 1 THEN mean END) AS mean_c_post,
+  (max(CASE WHEN arm = 1 AND post = 1 THEN mean END)
+   - max(CASE WHEN arm = 1 AND post = 0 THEN mean END))
+  - (max(CASE WHEN arm = 0 AND post = 1 THEN mean END)
+     - max(CASE WHEN arm = 0 AND post = 0 THEN mean END)) AS did
+FROM m
+""")
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # difference-in-differences on deterministic arms (user_id % 2)
+    # and a pre/post split 15 days after the first event; cell means
+    # on the exact half-away integer grid, DiD a pure function of the
+    # emitted means
+    from ..operators.analytics import did_estimator
+    ev = load_table(spark, sf_dir, "events")
+    return did_estimator(ev, split_days=15)

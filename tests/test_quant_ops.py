@@ -255,3 +255,31 @@ def test_mfi_integer_flows(spark):
     assert out[1]["mfi"] == 100.0
     assert out[2]["mfi"] == 40.361445     # (1e8*6700) div 16600 / 1e6
     assert out[3]["mfi"] == 58.577405     # (1e8*14000) div 23900 / 1e6
+
+
+def test_did_estimator_hand_cells(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        did_estimator)
+    # arms by user parity; split 15 days after the first event.
+    # T: pre mean 1.00, post mean 3.00 (lift 2.00)
+    # C: pre mean 1.00, post mean 1.50 (drift 0.50) -> DiD = 1.50
+    rows = []
+    base = T0
+
+    def ev(uid, day, val):
+        rows.append(Row(event_id=len(rows), user_id=uid,
+                        ts=base + dt.timedelta(days=day),
+                        event_type="purchase", value=val))
+    ev(1, 0, 1.00); ev(3, 1, 1.00)      # T pre  (users 1,3)
+    ev(1, 20, 2.50); ev(3, 21, 3.50)    # T post
+    ev(2, 0, 0.50); ev(4, 1, 1.50)      # C pre  (users 2,4)
+    ev(2, 20, 1.00); ev(4, 21, 2.00)    # C post
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    r = did_estimator(df, split_days=15).collect()[0]
+    assert (r["n_t_pre"], r["n_t_post"], r["n_c_pre"],
+            r["n_c_post"]) == (2, 2, 2, 2)
+    assert (r["mean_t_pre"], r["mean_t_post"]) == (1.0, 3.0)
+    assert (r["mean_c_pre"], r["mean_c_post"]) == (1.0, 1.5)
+    assert r["did"] == 1.5
