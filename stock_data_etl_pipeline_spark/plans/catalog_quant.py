@@ -493,8 +493,12 @@ g AS (SELECT arm, post, CAST(count(*) AS BIGINT) AS n,
              CAST(sum(cents) AS BIGINT) AS s
       FROM e GROUP BY arm, post),
 m AS (SELECT arm, post, n,
-             CAST(floor((2 * (s * 10000) + n) / (2 * n)) AS BIGINT)
-               / 1e6 AS mean
+             CASE WHEN s >= 0
+                  THEN CAST(floor((2 * (s * 10000) + n) / (2 * n))
+                            AS BIGINT)
+                  ELSE -CAST(floor((2 * -(s * 10000) + n) / (2 * n))
+                             AS BIGINT)
+             END / 1e6 AS mean
       FROM g)
 SELECT
   max(CASE WHEN arm = 1 AND post = 0 THEN n END) AS n_t_pre,
