@@ -890,8 +890,8 @@ def did_estimator(events: DataFrame, split_days: int = 15,
     C̄pre) — the panel-data complement to the CUPED estimator.
 
     Exactness: cell sums are integer CENTS; each cell mean is the
-    half-away integer mean on a 1e-6 dollar grid (values are
-    non-negative, so the positive floor form mirrors 1:1 in SQL); the
+    half-away integer mean on a 1e-6 dollar grid (the oracle mirrors
+    the FULL sign form, so negative-sum cells cannot split engines); the
     DiD itself is a pure function of the four EMITTED means with fixed
     association, so both engines subtract identical doubles. The whole
     estimator is one 4-cell hash aggregate plus a 1-row broadcast
