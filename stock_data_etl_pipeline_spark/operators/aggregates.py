@@ -107,3 +107,40 @@ def exact_quantiles_by_rank(df: DataFrame, value_col: str,
         # empty input: a global agg still emits one all-NULL row while
         # a GROUP BY (the oracle shape) emits none — align on none
         .filter(F.col("n_values").isNotNull()))
+
+
+def grouped_exact_quantiles(df: DataFrame, group_col: str,
+                            value_col: str) -> DataFrame:
+    """EXACT per-group p50/p90/p99 of an INTEGER column without a
+    per-group sort task — the grouped twin of
+    :func:`exact_quantiles_by_rank`, for the "hot group" regime where
+    a plain rank window would pull one group's whole history through a
+    single task (few groups ⟹ the per-group partition IS the table).
+
+    Same collapse: counts per (group, value) first — the working set
+    becomes |group × distinct value|, independent of row count — then
+    a per-group prefix sum over the value order via
+    ``grouped_running_total`` (range-partitioned on (group, value), so
+    a hot group spans many partitions) and the pick is the smallest
+    value whose cumulative count reaches ``ceil(p·n_g)``. Group totals
+    ride a broadcast join (groups are bounded). All output values are
+    exact integers — no division anywhere.
+    """
+    from .windows import grouped_running_total
+    v = (df.select(F.col(group_col).alias("g"),
+                   F.col(value_col).cast("long").alias("v"))
+         .filter(F.col("v").isNotNull()))
+    counts = v.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    run = grouped_running_total(counts, ["g"], [F.col("v")], "cnt",
+                                out="cum")
+    n = counts.groupBy("g").agg(F.sum("cnt").cast("long").alias("n_rows"))
+    j = run.join(F.broadcast(n), "g")
+    rk = lambda num, den: F.expr(  # noqa: E731 — ceil(num·n/den) exactly
+        f"({num} * n_rows + {den} - 1) div {den}")
+    pick = lambda r: F.min(F.when(F.col("cum") >= r, F.col("v")))  # noqa: E731
+    return (j.groupBy("g")
+            .agg(F.min("n_rows").alias("n_rows"),
+                 pick(rk(1, 2)).alias("q50"),
+                 pick(rk(9, 10)).alias("q90"),
+                 pick(rk(99, 100)).alias("q99"))
+            .withColumnRenamed("g", group_col))

@@ -1229,3 +1229,37 @@ def packing_efficiency(docs: DataFrame, budget: int = 256,
                 F.round(F.col("total_tokens")
                         / (F.col("n_packs") * budget).cast("double")
                         * 100.0, 6))))
+
+
+def bigram_entropy(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document bigram Shannon entropy — the repetition/diversity
+    quality signal one notch above unigram stats: low entropy flags
+    boilerplate and degenerate loops that unigram counts miss.
+
+    H = ln(n) − Σ c·ln(c) / n over bigram counts c. Each ``c·ln c``
+    term is quantized to a 1e-6 integer grid BEFORE the per-doc sum
+    (the perplexity precedent — ln of an integer never lands on a grid
+    boundary), so the aggregate is an exact BIGINT and the final
+    formula runs on identical scalars in both engines with fixed
+    association ``ln(n) − (Σ/1e6)/n``. Docs with fewer than two words
+    have no bigrams and emit no row. One explode + two hash-aggs, all
+    keyed by doc.
+    """
+    ws = words(text_col)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 2),
+        lambda i: F.concat(F.element_at(ws, i + 1), F.lit(" "),
+                           F.element_at(ws, i + 2)))
+    tok = (docs.filter(F.size(ws) >= 2)
+           .select(F.col(id_col), F.explode(pairs).alias("bg")))
+    cnt = tok.groupBy(id_col, "bg").agg(F.count(F.lit(1)).alias("c"))
+    term = F.round(F.col("c") * F.log("c") * 1e6, 0).cast("long")
+    agg = (cnt.groupBy(id_col)
+           .agg(F.sum("c").cast("long").alias("n_bigrams"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                F.sum(term).alias("t")))
+    h = F.round(F.log("n_bigrams")
+                - (F.col("t") / 1e6) / F.col("n_bigrams"), 6)
+    return agg.select(id_col, "n_bigrams", "n_distinct",
+                      h.alias("entropy"))

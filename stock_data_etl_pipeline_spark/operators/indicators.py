@@ -1174,3 +1174,44 @@ def mfi(bars: DataFrame, n: int = MFI_N) -> DataFrame:
     m8 = F.when(F.col("p") + F.col("g") > 0,
                 F.expr("(100000000 * p) div (p + g)"))
     return b.select("event_type", "hr", (m8 / 1e6).alias("mfi"))
+
+
+ICHI_TENKAN = 9
+ICHI_KIJUN = 26
+ICHI_SENKOU = 52
+
+
+def ichimoku(bars: DataFrame, tenkan_n: int = ICHI_TENKAN,
+             kijun_n: int = ICHI_KIJUN,
+             senkou_n: int = ICHI_SENKOU) -> DataFrame:
+    """Ichimoku cloud components per symbol on hourly bars: tenkan
+    (9-bar midline), kijun (26-bar midline), senkou A ((tenkan+kijun)/2
+    from 26 bars back — the leading span as it applies to the CURRENT
+    bar), senkou B (52-bar midline from 26 back), chikou (close from 26
+    ahead).
+
+    Exactness: every midline is an INTEGER sum of window max(high) +
+    min(low) in cents; shifts are integer lags/leads; each emitted
+    component is one IEEE division of an exact integer (by 200/400/100)
+    — dyadic halves need no rounding and both engines divide identical
+    integers. Leading-edge partial windows and shift NULLs match the
+    SQL frame semantics exactly.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = bars.select("event_type", "hr", cents("high").alias("h"),
+                    cents("low").alias("l"), cents("close").alias("c"))
+    mid2 = lambda n: (F.max("h").over(w.rowsBetween(-(n - 1), 0))  # noqa: E731
+                      + F.min("l").over(w.rowsBetween(-(n - 1), 0)))
+    b = b.select("event_type", "hr", "c",
+                 mid2(tenkan_n).alias("t2"),
+                 mid2(kijun_n).alias("k2"),
+                 mid2(senkou_n).alias("s2"))
+    return b.select(
+        "event_type", "hr",
+        (F.col("t2") / 200.0).alias("tenkan"),
+        (F.col("k2") / 200.0).alias("kijun"),
+        (F.lag(F.col("t2") + F.col("k2"), kijun_n).over(w) / 400.0)
+        .alias("senkou_a"),
+        (F.lag("s2", kijun_n).over(w) / 200.0).alias("senkou_b"),
+        (F.lead("c", kijun_n).over(w) / 100.0).alias("chikou"))

@@ -523,3 +523,105 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import did_estimator
     ev = load_table(spark, sf_dir, "events")
     return did_estimator(ev, split_days=15)
+
+
+@register("leadtime_quantiles_by_priority", """
+WITH d AS (
+  SELECT o_orderpriority AS priority,
+         CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS v
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate IS NOT NULL
+), c AS (SELECT priority, v, count(*) AS cnt FROM d GROUP BY 1, 2),
+r AS (SELECT priority, v, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY priority ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM c),
+n AS (SELECT priority, CAST(sum(cnt) AS BIGINT) AS n_rows
+      FROM c GROUP BY priority)
+SELECT r.priority, min(n.n_rows) AS n_rows,
+       CAST(min(CASE WHEN cum >= (1 * n_rows + 1) // 2 THEN v END)
+            AS BIGINT) AS q50,
+       CAST(min(CASE WHEN cum >= (9 * n_rows + 9) // 10 THEN v END)
+            AS BIGINT) AS q90,
+       CAST(min(CASE WHEN cum >= (99 * n_rows + 99) // 100 THEN v END)
+            AS BIGINT) AS q99
+FROM r JOIN n ON r.priority = n.priority
+GROUP BY r.priority
+ORDER BY r.priority
+""")
+def leadtime_quantiles_by_priority(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    # per-priority EXACT ship-lead-time quantiles on the hot-safe
+    # grouped prefix sum — no per-group sort task, all-integer output
+    from ..operators.aggregates import grouped_exact_quantiles
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .filter(F.col("l_shipdate").isNotNull())
+         .select(F.col("o_orderpriority").alias("priority"),
+                 F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                 .cast("long").alias("days")))
+    return (grouped_exact_quantiles(d, "priority", "days")
+            .orderBy("priority"))
+
+
+@register("stock_ichimoku", _BARS_CTE + _CENTS_CTE + f"""
+, mids AS (
+  SELECT event_type, hr, c,
+         max(h) OVER w9  + min(l) OVER w9  AS t2,
+         max(h) OVER w26 + min(l) OVER w26 AS k2,
+         max(h) OVER w52 + min(l) OVER w52 AS s2
+  FROM cts
+  WINDOW w9  AS (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN {ind.ICHI_TENKAN - 1} PRECEDING
+                 AND CURRENT ROW),
+         w26 AS (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN {ind.ICHI_KIJUN - 1} PRECEDING
+                 AND CURRENT ROW),
+         w52 AS (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN {ind.ICHI_SENKOU - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT event_type, hr,
+       t2 / 200.0 AS tenkan,
+       k2 / 200.0 AS kijun,
+       lag(t2 + k2, {ind.ICHI_KIJUN}) OVER w / 400.0 AS senkou_a,
+       lag(s2, {ind.ICHI_KIJUN}) OVER w / 200.0 AS senkou_b,
+       lead(c, {ind.ICHI_KIJUN}) OVER w / 100.0 AS chikou
+FROM mids
+WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+ORDER BY event_type, hr
+""")
+def stock_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cloud components as integer midline sums with one exact division
+    # each at emit; shifts are integer lags/leads
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.ichimoku(ind.hourly_bars(ev))
+            .orderBy("event_type", "hr"))
+
+
+@register("corpus_bigram_entropy", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+b AS (SELECT doc_id,
+             unnest(list_transform(
+                 generate_series(1, len(ws) - 1),
+                 i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      FROM w WHERE len(ws) >= 2),
+c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg),
+a AS (SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CAST(round(c * ln(c) * 1e6, 0) AS BIGINT))
+                  AS BIGINT) AS t
+      FROM c GROUP BY doc_id)
+SELECT doc_id, n_bigrams, n_distinct,
+       round(ln(n_bigrams) - (t / 1e6) / n_bigrams, 6) AS entropy
+FROM a
+ORDER BY doc_id
+""")
+def corpus_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bigram diversity signal on the perplexity-style exact c·ln c grid
+    from ..operators.corpus import bigram_entropy
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_entropy(d).orderBy("doc_id")

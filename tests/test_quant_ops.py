@@ -283,3 +283,57 @@ def test_did_estimator_hand_cells(spark):
     assert (r["mean_t_pre"], r["mean_t_post"]) == (1.0, 3.0)
     assert (r["mean_c_pre"], r["mean_c_post"]) == (1.0, 1.5)
     assert r["did"] == 1.5
+
+
+def test_grouped_exact_quantiles_two_groups(spark):
+    from stock_data_etl_pipeline_spark.operators.aggregates import (
+        grouped_exact_quantiles)
+    rows = ([Row(g="a", v=i) for i in range(1, 11)]
+            + [Row(g="b", v=7)] * 3)
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in
+           grouped_exact_quantiles(df, "g", "v").collect()}
+    a, b = out["a"], out["b"]
+    assert (a["n_rows"], a["q50"], a["q90"], a["q99"]) == (10, 5, 9, 10)
+    assert (b["n_rows"], b["q50"], b["q90"], b["q99"]) == (3, 7, 7, 7)
+
+
+def test_ichimoku_hand_midlines(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import (
+        ichimoku)
+    # ramp h=l=c=t dollars, t=1..30: mid_n(t) = (t + max(1, t-n+1))/2
+    bars = _bars_v(spark, [("A", t - 1, float(t), float(t), float(t),
+                            float(t), 1) for t in range(1, 31)])
+    out = {int(r["hr"].hour + 24 * (r["hr"].day - 1)) + 1: r
+           for r in ichimoku(bars).collect()}
+    assert out[10]["tenkan"] == (10 + 2) / 2        # 9-bar window
+    assert out[30]["kijun"] == (30 + 5) / 2         # 26-bar window
+    assert out[3]["kijun"] == (3 + 1) / 2           # partial window
+    # shifted spans: senkou at t=30 comes from t=4 (26 back)
+    assert out[30]["senkou_a"] == 2.5
+    assert out[30]["senkou_b"] == 2.5
+    assert out[26]["senkou_a"] is None              # no bar 26 back yet
+    # chikou at t=4 is the close 26 ahead (t=30)
+    assert out[4]["chikou"] == 30.0
+    assert out[5]["chikou"] is None                 # t=31 doesn't exist
+
+
+def test_bigram_entropy_hand_values(spark):
+    import math
+
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        bigram_entropy)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a b a"),   # bigrams {a b:2, b a:2}
+         Row(doc_id=2, text="a b c"),        # two distinct singletons
+         Row(doc_id=3, text="solo")],        # <2 words: no row
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_entropy(docs).collect()}
+    assert set(out) == {1, 2}
+    r1 = out[1]
+    assert (r1["n_bigrams"], r1["n_distinct"]) == (4, 2)
+    t = round(2 * math.log(2) * 1e6) * 2
+    assert r1["entropy"] == round(math.log(4) - (t / 1e6) / 4, 6)
+    r2 = out[2]
+    assert (r2["n_bigrams"], r2["n_distinct"]) == (2, 2)
+    assert r2["entropy"] == round(math.log(2), 6)
