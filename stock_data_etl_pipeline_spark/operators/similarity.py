@@ -722,3 +722,72 @@ def scalar_quantization_error(vectors: DataFrame, vec_col: str = "embedding",
         (int_mean_half_away(F.col("se"), F.col("n_vecs"))
          / F.lit(1e12)).alias("mse"))
         .orderBy(label_col))
+
+
+def _sq_minmax_arrays(v: DataFrame) -> DataFrame:
+    """1-row frame of per-dimension (amn, amx) ordered arrays for a
+    frame with an array<double> column ``x`` — the SQ codebook stats."""
+    dims = v.select(F.posexplode("x").alias("pos", "val"))
+    stats = (dims.groupBy("pos")
+             .agg(F.min("val").alias("mn"), F.max("val").alias("mx")))
+    return stats.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "mn"))),
+                    lambda s: s.mn).alias("amn"),
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s.mx).alias("amx"))
+
+
+def _sq_dequant_elem(xi: Column, i: Column, levels: int) -> Column:
+    """Bucket-center dequantization of one element against the
+    broadcast (amn, amx) arrays; zero-span dims reconstruct exactly."""
+    lv = F.lit(float(levels))
+    mn = F.element_at("amn", i + 1)
+    mx = F.element_at("amx", i + 1)
+    span = mx - mn
+    code = F.least(F.floor((xi - mn) / span * lv).cast("double"),
+                   lv - 1)
+    return F.when(span > 0.0, mn + (code + 0.5) * span / lv).otherwise(xi)
+
+
+def sq_recall_at_k(vectors: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", k: int = 10,
+                   query_id: int = 0, levels: int = 256) -> DataFrame:
+    """Retrieval-quality check for int8 scalar quantization: recall@k
+    of brute-force cosine search over DEQUANTIZED vectors (query
+    included) against the exact float search — the accuracy half of
+    the compression trade-off whose error half is
+    :func:`scalar_quantization_error`.
+
+    Both rankings order by (6-dp-rounded cosine, id) — a total order —
+    and take the top ``k`` with a TakeOrdered limit-sort (no
+    single-partition WindowExec). The cosine is the explicit left-fold
+    dot/(‖a‖·‖b‖) form, which the oracle mirrors with the identical
+    list_reduce folds — bit-for-bit, no reliance on an engine's fused
+    cosine kernel. One |dims|-row stats aggregate, two broadcast
+    scalar joins, two top-k sorts, one k-row intersection join.
+    """
+    v = vectors.select(F.col(id_col).alias("vid"),
+                       as_double(vec_col).alias("x"))
+    arrs = _sq_minmax_arrays(v)
+    va = v.crossJoin(F.broadcast(arrs))  # 1-row scalar join
+    dq = va.select(
+        "vid", F.transform(
+            "x", lambda xi, i: _sq_dequant_elem(xi, i, levels))
+        .alias("x"))
+
+    def topk(frame: DataFrame) -> DataFrame:
+        q = (frame.filter(F.col("vid") == query_id)
+             .select(F.col("x").alias("qv")))
+        return (frame.crossJoin(F.broadcast(q))  # 1-row scalar join
+                .select("vid", F.round(cosine(F.col("x"), F.col("qv")),
+                                       6).alias("s"))
+                .orderBy(F.col("s").desc(), "vid").limit(k)
+                .select("vid"))
+
+    exact = topk(v)
+    sq = topk(dq).withColumn("h", F.lit(1))
+    hits = F.sum(F.coalesce("h", F.lit(0)))
+    return (exact.join(sq, "vid", "left")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exact"),
+                 hits.cast("long").alias("n_sq_hits"),
+                 F.round(hits / F.count(F.lit(1)), 6).alias("recall")))

@@ -625,3 +625,56 @@ def corpus_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import bigram_entropy
     d = load_table(spark, sf_dir, "documents")
     return bigram_entropy(d).orderBy("doc_id")
+
+
+def _sq_recall_sql(k: int = 10, dims: int = 64) -> str:
+    # explicit left-fold cosine so both engines run bit-identical
+    # arithmetic (list_reduce == F.aggregate with a 0.0 seed)
+    def cos(xa: str, xb: str) -> str:
+        return (f"round(list_reduce(list_transform(generate_series(1, "
+                f"{dims}), i -> {xa}[i] * {xb}[i]), (a, b) -> a + b) / "
+                f"(sqrt(list_reduce(list_transform({xa}, e -> e * e), "
+                f"(a, b) -> a + b)) * "
+                f"sqrt(list_reduce(list_transform({xb}, e -> e * e), "
+                f"(a, b) -> a + b))), 6)")
+    dq_elem = ("CASE WHEN amx[i] - amn[i] > 0.0 THEN amn[i] + "
+               "(least(floor((x[i] - amn[i]) / (amx[i] - amn[i]) "
+               "* 256.0), 255.0) + 0.5) * (amx[i] - amn[i]) / 256.0 "
+               "ELSE x[i] END")
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+dims AS (SELECT t.i AS pos, x[t.i] AS val
+         FROM v, (SELECT unnest(generate_series(1, {dims})) AS i) t),
+s AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM dims
+      GROUP BY pos),
+arrs AS (SELECT list(mn ORDER BY pos) AS amn,
+                list(mx ORDER BY pos) AS amx FROM s),
+dq AS (SELECT vec_id,
+              list_transform(generate_series(1, {dims}),
+                             i -> {dq_elem}) AS x
+       FROM v, arrs),
+qe AS (SELECT x AS qv FROM v WHERE vec_id = 0),
+qd AS (SELECT x AS qv FROM dq WHERE vec_id = 0),
+te AS (SELECT vec_id FROM (
+         SELECT v.vec_id, {cos('v.x', 'qe.qv')} AS s FROM v, qe)
+       ORDER BY s DESC, vec_id LIMIT {k}),
+td AS (SELECT vec_id FROM (
+         SELECT dq.vec_id, {cos('dq.x', 'qd.qv')} AS s FROM dq, qd)
+       ORDER BY s DESC, vec_id LIMIT {k}),
+h AS (SELECT CASE WHEN td.vec_id IS NOT NULL THEN 1 ELSE 0 END AS h
+      FROM te LEFT JOIN td USING (vec_id))
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(h) AS BIGINT) AS n_sq_hits,
+       round(sum(h) / count(*)::DOUBLE, 6) AS recall
+FROM h
+"""
+
+
+@register("ann_sq_recall_at_k", _sq_recall_sql())
+def ann_sq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the accuracy half of the int8-SQ trade-off: recall@10 of
+    # dequantized-cosine search vs the exact float ranking, both as
+    # TakeOrdered limit-sorts over the explicit fold cosine
+    from ..operators.similarity import sq_recall_at_k
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq_recall_at_k(emb, "embedding", "vec_id", k=10, query_id=0)

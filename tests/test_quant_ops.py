@@ -337,3 +337,17 @@ def test_bigram_entropy_hand_values(spark):
     r2 = out[2]
     assert (r2["n_bigrams"], r2["n_distinct"]) == (2, 2)
     assert r2["entropy"] == round(math.log(2), 6)
+
+
+def test_sq_recall_identical_when_quantization_preserves_order(spark):
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        sq_recall_at_k)
+    # well-separated directions: bucket quantization cannot reorder
+    vecs = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 0.0]),
+         Row(vec_id=1, embedding=[0.9, 0.1]),
+         Row(vec_id=2, embedding=[0.0, 1.0]),
+         Row(vec_id=3, embedding=[-1.0, 0.2])],
+        "vec_id long, embedding array<double>")
+    r = sq_recall_at_k(vecs, k=2, query_id=0).collect()[0]
+    assert (r["n_exact"], r["n_sq_hits"], r["recall"]) == (2, 2, 1.0)
