@@ -1215,3 +1215,204 @@ def ichimoku(bars: DataFrame, tenkan_n: int = ICHI_TENKAN,
         .alias("senkou_a"),
         (F.lag("s2", kijun_n).over(w) / 200.0).alias("senkou_b"),
         (F.lead("c", kijun_n).over(w) / 100.0).alias("chikou"))
+
+
+DON_N = 20     # Donchian channel lookback
+AROON_N = 25   # Aroon lookback (bars, current included)
+CMF_N = 20     # Chaikin money-flow lookback
+ULCER_N = 14   # Ulcer-index lookback
+CCI_N = 20     # commodity-channel-index lookback
+_AROON_ENC = 1_048_576  # 2^20: rank field of the (price, recency) encoding
+
+
+def donchian(bars: DataFrame, n: int = DON_N) -> DataFrame:
+    """Donchian channels per symbol: trailing ``n``-bar max(high) /
+    min(low), the midline, and the close's position inside the channel.
+
+    Exactness: upper/lower are window max/min of integer CENTS; the
+    midline is one IEEE division of their integer sum by 200 (dyadic —
+    no rounding); the channel position is the exact integer quotient
+    ``(1e8·(c−lower)) div (upper−lower)`` on non-negative operands,
+    emitted with a single division by 1e6. Flat channels emit NULL
+    position. Partial leading windows match SQL frame semantics.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = bars.select("event_type", "hr", cents("high").alias("h"),
+                    cents("low").alias("l"), cents("close").alias("c"))
+    wn = w.rowsBetween(-(n - 1), 0)
+    b = b.select("event_type", "hr", "c",
+                 F.max("h").over(wn).alias("u"),
+                 F.min("l").over(wn).alias("d"))
+    p8 = F.when(F.col("u") > F.col("d"),
+                F.expr("(100000000 * (c - d)) div (u - d)"))
+    return b.select(
+        "event_type", "hr",
+        (F.col("u") / 100.0).alias("don_upper"),
+        (F.col("d") / 100.0).alias("don_lower"),
+        ((F.col("u") + F.col("d")) / 200.0).alias("don_mid"),
+        (p8 / 1e6).alias("pct_pos"))
+
+
+def aroon(bars: DataFrame, n: int = AROON_N) -> DataFrame:
+    """Aroon oscillator per symbol: bars since the trailing ``n``-bar
+    highest high / lowest low, mapped onto the classic 0–100 scale
+    ``100·(n−1−bars_since)/(n−1)`` (current bar counts as 0 bars since).
+
+    Exactness: the window argmax/argmin ride a single integer encoding
+    ``price·2^20 ± rank`` so max() resolves price ties to the MOST
+    RECENT bar deterministically on both engines; bars-since is an
+    integer subtraction, and each Aroon value is the exact quotient
+    ``(1e8·(n−1−bs)) div (n−1)`` (non-negative operands), one division
+    by 1e6 at emit. Headroom: the 2^20 rank field caps per-symbol bar
+    count at ~1M hourly bars (≈120 years) and prices at 2^43 cents —
+    both far beyond the data; re-grid if either moves.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    big = F.lit(1 << 40).cast("long")
+    b = bars.select("event_type", "hr", cents("high").alias("h"),
+                    cents("low").alias("l"))
+    b = b.withColumn("rn", F.row_number().over(w).cast("long"))
+    enc_h = F.col("h") * _AROON_ENC + F.col("rn")
+    enc_l = (big - F.col("l")) * _AROON_ENC + F.col("rn")
+    wn = w.rowsBetween(-(n - 1), 0)
+    b = b.select(
+        "event_type", "hr", "rn",
+        (F.col("rn") - F.max(enc_h).over(wn) % _AROON_ENC).alias("bs_h"),
+        (F.col("rn") - F.max(enc_l).over(wn) % _AROON_ENC).alias("bs_l"))
+    up8 = F.expr(f"(100000000 * ({n - 1} - bs_h)) div {n - 1}")
+    dn8 = F.expr(f"(100000000 * ({n - 1} - bs_l)) div {n - 1}")
+    return b.select("event_type", "hr",
+                    F.col("bs_h").alias("bars_since_high"),
+                    F.col("bs_l").alias("bars_since_low"),
+                    (up8 / 1e6).alias("aroon_up"),
+                    (dn8 / 1e6).alias("aroon_down"))
+
+
+def chaikin_ad(bars: DataFrame, n: int = CMF_N) -> DataFrame:
+    """Chaikin accumulation/distribution line and money flow (CMF) per
+    symbol. The money-flow multiplier ((c−l)−(h−c))/(h−l) is kept as
+    the exact sign-split integer quotient ``sign(N)·((|N|·vol·1e6) div
+    (h−l))`` with N = 2c−h−l in cents (div truncates, // floors — they
+    agree only on non-negative operands, so the sign is re-applied
+    after), giving a 1e6-grid money-flow volume. The AD line is its
+    pure integer running sum; CMF is one IEEE division of the integer
+    window sum by ``1e6·Σvol``. Flat bars (h == l) contribute 0 flow,
+    matching the classic convention. Headroom: |N|·vol·1e6 ≤ h·vol·1e6
+    ≈ 5.6e13 per bar at this data's scale — re-grid for fatter bars.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = bars.select("event_type", "hr", cents("high").alias("h"),
+                    cents("low").alias("l"), cents("close").alias("c"),
+                    F.col("volume").cast("long").alias("vol"))
+    mfv6 = F.when(
+        F.col("h") > F.col("l"),
+        F.expr("CAST(sign(2*c - h - l) AS BIGINT)"
+               " * ((abs(2*c - h - l) * vol * 1000000) div (h - l))"),
+    ).otherwise(F.lit(0))
+    b = b.withColumn("mfv6", mfv6)
+    wn = w.rowsBetween(-(n - 1), 0)
+    run = F.sum("mfv6").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    svol = F.sum("vol").over(wn)
+    smf = F.sum("mfv6").over(wn)
+    cmf = F.when(svol > 0,
+                 smf / (svol * F.lit(1_000_000)).cast("double"))
+    return b.select("event_type", "hr",
+                    (run / 1e6).alias("ad_line"), cmf.alias("cmf"))
+
+
+def ulcer_index(bars: DataFrame, n: int = ULCER_N) -> DataFrame:
+    """Ulcer index per symbol: RMS percentage drawdown from the
+    trailing ``n``-bar running-high close. The per-bar drawdown is the
+    exact integer quotient ``((maxc−c)·1e6) div maxc`` (non-negative),
+    its square an exact integer, and the emitted index
+    ``round(sqrt(Σsq/cnt)/1e4, 6)`` — the sqrt is transcendental, so
+    the 6-dp round never sits on a rounding knife-edge (perplexity
+    precedent). Bars inside windows whose running high is 0 are
+    excluded from the average on both engines (NULL quotient).
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = bars.select("event_type", "hr", cents("close").alias("c"))
+    wn = w.rowsBetween(-(n - 1), 0)
+    b = b.withColumn("mc", F.max("c").over(wn))
+    dd6 = F.when(F.col("mc") > 0,
+                 F.expr("((mc - c) * 1000000) div mc"))
+    b = b.withColumn("sq", dd6 * dd6)
+    ssq = F.sum("sq").over(wn)
+    cnt = F.count("sq").over(wn)
+    ulcer = F.when(
+        cnt > 0,
+        F.round(F.sqrt(ssq.cast("double") / cnt.cast("double")) / 1e4, 6))
+    return b.select("event_type", "hr", ulcer.alias("ulcer"))
+
+
+PARKINSON_4LN2 = 2.772588722239781  # 4·ln2, hardcoded in plan AND oracle
+
+
+def parkinson_vol(bars: DataFrame) -> DataFrame:
+    """Parkinson range volatility per symbol over the full bar history:
+    sqrt(Σ ln(h/l)² / (4·ln2·n)). Each ln(h/l)² term is quantized to an
+    exact 1e-12-grid integer (ln on a ratio of integer cents — both
+    engines evaluate the identical IEEE expression; transcendental
+    output never sits on the grid boundary), summed as BIGINT, and the
+    final formula runs on leaf-cast doubles with identical association
+    and the 4ln2 constant as a shared literal. Bars with l ≤ 0 or
+    h < l are excluded on both sides. Headroom: ln²(h/l) ≤ ~0.5 →
+    5e11/term; ~1e6 bars/symbol stay inside int64.
+    """
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = bars.select("event_type", cents("high").alias("h"),
+                    cents("low").alias("l"))
+    b = b.filter((F.col("l") > 0) & (F.col("h") >= F.col("l")))
+    lr = F.log(F.col("h").cast("double") / F.col("l").cast("double"))
+    t = F.round((lr * lr) * F.lit(1e12), 0).cast("long")
+    g = (b.select("event_type", t.alias("t"))
+          .groupBy("event_type")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_bars"),
+               F.sum("t").cast("long").alias("s")))
+    pk = F.round(
+        F.sqrt(F.col("s").cast("double")
+               / (F.lit(PARKINSON_4LN2) * F.col("n_bars").cast("double")))
+        / 1e6, 6)
+    return g.select("event_type", "n_bars",
+                    F.when(F.col("n_bars") > 0, pk).alias("parkinson_vol"))
+
+
+def cci(bars: DataFrame, n: int = CCI_N) -> DataFrame:
+    """Commodity channel index per symbol: (tp − SMA(tp)) / (0.015 ·
+    meandev(tp)) over the trailing ``n`` bars, computed without EVER
+    forming the window mean as a float. With S = Σ tp3 and cnt over the
+    window (tp3 = h+l+c in cents, the ×3-scaled typical price), the
+    mean-deviation sum D = Σ_j |cnt·tp3_j − S| is a pure integer, and
+    CCI reduces to ``cnt·(cnt·tp3_i − S) / (0.015·D)`` — the ×3 scale
+    cancels. One rounded IEEE division at emit, guarded on D > 0.
+
+    Scale: the per-row window members come from ``banded_rank_join`` —
+    an equi-keyed bounded self-join doing O(n) work per row at any
+    symbol cardinality (never a rank-range post-probe residual).
+    """
+    from .windows import banded_rank_join
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = bars.select("event_type", "hr", (cents("high") + cents("low")
+                    + cents("close")).alias("tp3"))
+    wn = w.rowsBetween(-(n - 1), 0)
+    b = (b.withColumn("rn", F.row_number().over(w))
+          .withColumn("s", F.sum("tp3").over(wn))
+          .withColumn("cnt", F.count(F.lit(1)).over(wn)))
+    pairs = banded_rank_join(b, ["event_type"], "rn", n)
+    g = (pairs.groupBy(F.col("cur.event_type").alias("event_type"),
+                       F.col("cur.hr").alias("hr"),
+                       F.col("cur.tp3").alias("tp3"),
+                       F.col("cur.s").alias("s"),
+                       F.col("cur.cnt").alias("cnt"))
+              .agg(F.sum(F.abs(F.col("cur.cnt") * F.col("prev.tp3")
+                               - F.col("cur.s"))).alias("d")))
+    val = F.round((F.col("cnt") * (F.col("cnt") * F.col("tp3")
+                                   - F.col("s"))).cast("double")
+                  / (F.lit(0.015) * F.col("d").cast("double")), 6)
+    return g.select("event_type", "hr",
+                    F.when(F.col("d") > 0, val).alias("cci"))

@@ -678,3 +678,193 @@ def ann_sq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import sq_recall_at_k
     emb = load_table(spark, sf_dir, "embeddings")
     return sq_recall_at_k(emb, "embedding", "vec_id", k=10, query_id=0)
+
+
+@register("stock_donchian", _BARS_CTE + _CENTS_CTE + f"""
+, wn AS (
+  SELECT event_type, hr, c,
+         max(h) OVER win AS u, min(l) OVER win AS d
+  FROM cts
+  WINDOW win AS (PARTITION BY event_type ORDER BY hr
+                 ROWS BETWEEN {ind.DON_N - 1} PRECEDING
+                 AND CURRENT ROW)
+)
+SELECT event_type, hr,
+       u / 100.0 AS don_upper,
+       d / 100.0 AS don_lower,
+       (u + d) / 200.0 AS don_mid,
+       CASE WHEN u > d
+            THEN ((100000000 * (c - d)) // (u - d)) / 1e6
+       END AS pct_pos
+FROM wn ORDER BY event_type, hr
+""")
+def stock_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # channel bounds as window max/min of integer cents; midline one
+    # dyadic division; position the exact non-negative integer quotient
+    ev = load_table(spark, sf_dir, "events")
+    return ind.donchian(ind.hourly_bars(ev)).orderBy("event_type", "hr")
+
+
+@register("stock_aroon", _BARS_CTE + _CENTS_CTE + f"""
+, rk AS (
+  SELECT event_type, hr, h, l,
+         CAST(row_number() OVER w AS BIGINT) AS rn
+  FROM cts
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+), ar AS (
+  SELECT event_type, hr,
+         rn - ((max(h * {ind._AROON_ENC} + rn) OVER wn)
+               % {ind._AROON_ENC}) AS bs_h,
+         rn - ((max(({1 << 40} - l) * {ind._AROON_ENC} + rn) OVER wn)
+               % {ind._AROON_ENC}) AS bs_l
+  FROM rk
+  WINDOW wn AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN {ind.AROON_N - 1} PRECEDING
+                AND CURRENT ROW)
+)
+SELECT event_type, hr,
+       CAST(bs_h AS BIGINT) AS bars_since_high,
+       CAST(bs_l AS BIGINT) AS bars_since_low,
+       ((100000000 * ({ind.AROON_N - 1} - bs_h)) // {ind.AROON_N - 1})
+         / 1e6 AS aroon_up,
+       ((100000000 * ({ind.AROON_N - 1} - bs_l)) // {ind.AROON_N - 1})
+         / 1e6 AS aroon_down
+FROM ar ORDER BY event_type, hr
+""")
+def stock_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # argmax/argmin recency via the price*2^20+rank integer encoding —
+    # price ties resolve to the most recent bar on both engines
+    ev = load_table(spark, sf_dir, "events")
+    return ind.aroon(ind.hourly_bars(ev)).orderBy("event_type", "hr")
+
+
+@register("stock_chaikin_ad", _BARS_CTE + _CENTS_CTE + f"""
+, fl AS (
+  SELECT event_type, hr,
+         CASE WHEN h > l
+              THEN CAST(sign(2*c - h - l) AS BIGINT)
+                   * ((abs(2*c - h - l) * CAST(volume AS BIGINT)
+                       * 1000000) // (h - l))
+              ELSE 0 END AS mfv6,
+         CAST(volume AS BIGINT) AS vol
+  FROM cts
+)
+SELECT event_type, hr,
+       CAST(sum(mfv6) OVER (PARTITION BY event_type ORDER BY hr
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) / 1e6 AS ad_line,
+       CASE WHEN sum(vol) OVER wn > 0
+            THEN CAST(sum(mfv6) OVER wn AS BIGINT)
+                 / CAST(1000000 * sum(vol) OVER wn AS DOUBLE)
+       END AS cmf
+FROM fl
+WINDOW wn AS (PARTITION BY event_type ORDER BY hr
+              ROWS BETWEEN {ind.CMF_N - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_type, hr
+""")
+def stock_chaikin_ad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sign-split integer money-flow volume (div/// agree only on
+    # non-negative operands), pure-integer AD running sum, CMF one
+    # IEEE division of exact window sums
+    ev = load_table(spark, sf_dir, "events")
+    return ind.chaikin_ad(ind.hourly_bars(ev)).orderBy("event_type", "hr")
+
+
+@register("stock_ulcer", _BARS_CTE + _CENTS_CTE + f"""
+, mm AS (
+  SELECT event_type, hr, c, max(c) OVER wn AS mc
+  FROM cts
+  WINDOW wn AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN {ind.ULCER_N - 1} PRECEDING
+                AND CURRENT ROW)
+), q AS (
+  SELECT event_type, hr,
+         CASE WHEN mc > 0 THEN ((mc - c) * 1000000) // mc END AS dd6
+  FROM mm
+), s AS (
+  SELECT event_type, hr,
+         CAST(sum(dd6 * dd6) OVER wn AS BIGINT) AS ssq,
+         CAST(count(dd6) OVER wn AS BIGINT) AS cnt
+  FROM q
+  WINDOW wn AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN {ind.ULCER_N - 1} PRECEDING
+                AND CURRENT ROW)
+)
+SELECT event_type, hr,
+       CASE WHEN cnt > 0
+            THEN round(sqrt(CAST(ssq AS DOUBLE) / CAST(cnt AS DOUBLE))
+                       / 1e4, 6)
+       END AS ulcer
+FROM s ORDER BY event_type, hr
+""")
+def stock_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RMS drawdown from the rolling high on the exact 1e-6 integer
+    # grid; the only float op is the final sqrt (transcendental, so
+    # the 6-dp round is knife-edge-free)
+    ev = load_table(spark, sf_dir, "events")
+    return ind.ulcer_index(ind.hourly_bars(ev)).orderBy("event_type", "hr")
+
+
+@register("stock_parkinson", _BARS_CTE + _CENTS_CTE + f"""
+, pv AS (
+  SELECT event_type,
+         CAST(round((ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+                     * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE)))
+                    * 1e12, 0) AS BIGINT) AS t
+  FROM cts WHERE l > 0 AND h >= l
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_bars,
+         CAST(sum(t) AS BIGINT) AS s
+  FROM pv GROUP BY event_type
+)
+SELECT event_type, n_bars,
+       CASE WHEN n_bars > 0
+            THEN round(sqrt(CAST(s AS DOUBLE)
+                            / ({ind.PARKINSON_4LN2!r}
+                               * CAST(n_bars AS DOUBLE))) / 1e6, 6)
+       END AS parkinson_vol
+FROM g ORDER BY event_type
+""")
+def stock_parkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # range-based volatility: ln(h/l)^2 terms on an exact 1e-12 integer
+    # grid, BIGINT sum, leaf-cast-double final formula with the 4ln2
+    # constant as a shared literal
+    ev = load_table(spark, sf_dir, "events")
+    return ind.parkinson_vol(ind.hourly_bars(ev)).orderBy("event_type")
+
+
+@register("stock_cci", _BARS_CTE + _CENTS_CTE + f"""
+, t AS (
+  SELECT event_type, hr, h + l + c AS tp3 FROM cts
+), rw AS (
+  SELECT event_type, hr, tp3,
+         CAST(row_number() OVER w AS BIGINT) AS rn,
+         CAST(sum(tp3) OVER wn AS BIGINT) AS s,
+         CAST(count(*) OVER wn AS BIGINT) AS cnt
+  FROM t
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr),
+         wn AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN {ind.CCI_N - 1} PRECEDING AND CURRENT ROW)
+), dd AS (
+  SELECT cur.event_type AS event_type, cur.hr AS hr, cur.tp3 AS tp3,
+         cur.s AS s, cur.cnt AS cnt,
+         CAST(sum(abs(cur.cnt * prev.tp3 - cur.s)) AS BIGINT) AS d
+  FROM rw cur JOIN rw prev
+    ON cur.event_type = prev.event_type
+   AND prev.rn > cur.rn - {ind.CCI_N} AND prev.rn <= cur.rn
+  GROUP BY cur.event_type, cur.hr, cur.tp3, cur.s, cur.cnt
+)
+SELECT event_type, hr,
+       CASE WHEN d > 0
+            THEN round(CAST(cnt * (cnt * tp3 - s) AS DOUBLE)
+                       / (0.015 * CAST(d AS DOUBLE)), 6)
+       END AS cci
+FROM dd ORDER BY event_type, hr
+""")
+def stock_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mean-deviation without ever forming the float mean: with S and
+    # cnt exact window integers, D = sum|cnt*tp3_j - S| is integer and
+    # CCI = cnt*(cnt*tp3 - S) / (0.015*D); the window members come from
+    # banded_rank_join (O(n) per row at any symbol cardinality)
+    ev = load_table(spark, sf_dir, "events")
+    return ind.cci(ind.hourly_bars(ev)).orderBy("event_type", "hr")

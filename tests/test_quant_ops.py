@@ -351,3 +351,76 @@ def test_sq_recall_identical_when_quantization_preserves_order(spark):
         "vec_id long, embedding array<double>")
     r = sq_recall_at_k(vecs, k=2, query_id=0).collect()[0]
     assert (r["n_exact"], r["n_sq_hits"], r["recall"]) == (2, 2, 1.0)
+
+
+def test_donchian_channel_hand_quotients(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import donchian
+    out = sorted(donchian(_bars_v(spark, _OHLCV), n=3).collect(),
+                 key=lambda r: r["hr"])
+    assert [r["don_upper"] for r in out] == [1.10, 1.20, 1.30, 1.30]
+    assert [r["don_lower"] for r in out] == [0.90, 0.90, 0.90, 0.95]
+    assert [r["don_mid"] for r in out] == [1.0, 1.05, 1.10, 1.125]
+    # same integer quotients as the stochastic %K on this fixture
+    assert [r["pct_pos"] for r in out] == [
+        50.0, 83.333333, 37.5, 71.428571]
+
+
+def test_aroon_recency_and_tie_to_most_recent(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import aroon
+    rows = _OHLCV + [
+        ("B", 0, 1.00, 1.00, 1.00, 1.00, 1),
+        ("B", 1, 0.95, 1.00, 0.90, 0.95, 1),  # high TIES bar 0's
+    ]
+    out = {(r["event_type"], r["hr"].hour): r
+           for r in aroon(_bars_v(spark, rows), n=3).collect()}
+    a = [out[("A", i)] for i in range(4)]
+    assert [r["bars_since_high"] for r in a] == [0, 0, 0, 1]
+    assert [r["bars_since_low"] for r in a] == [0, 1, 2, 1]
+    assert [r["aroon_up"] for r in a] == [100.0, 100.0, 100.0, 50.0]
+    assert [r["aroon_down"] for r in a] == [100.0, 50.0, 0.0, 50.0]
+    # equal highs resolve to the MOST RECENT bar
+    assert out[("B", 1)]["bars_since_high"] == 0
+
+
+def test_chaikin_ad_sign_split_flows(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import (
+        chaikin_ad)
+    out = sorted(chaikin_ad(_bars_v(spark, _OHLCV), n=2).collect(),
+                 key=lambda r: r["hr"])
+    # mfv6: 0, +1e7, -(450e6 div 35)=-12857142, +2e7
+    assert [r["ad_line"] for r in out] == [0.0, 10.0, -2.857142,
+                                           17.142858]
+    assert out[0]["cmf"] == 0.0
+    assert out[1]["cmf"] == 1e7 / 30_000_000
+    assert out[2]["cmf"] == -2857142 / 50_000_000
+    assert out[3]["cmf"] == 7142858 / 70_000_000
+
+
+def test_ulcer_index_rms_drawdown(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import (
+        ulcer_index)
+    out = sorted(ulcer_index(_bars_v(spark, _OHLCV), n=3).collect(),
+                 key=lambda r: r["hr"])
+    # only bar 2 draws down: dd6 = (10*1e6) div 115 = 86956
+    exp = round(math.sqrt(86956 * 86956 / 3) / 1e4, 6)
+    assert [r["ulcer"] for r in out] == [0.0, 0.0, exp, exp]
+
+
+def test_parkinson_vol_python_replica(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import (
+        parkinson_vol)
+    out = parkinson_vol(_bars_v(spark, _OHLCV)).collect()
+    assert len(out) == 1 and out[0]["n_bars"] == 4
+    s = sum(round(math.log(h / lo) * math.log(h / lo) * 1e12)
+            for h, lo in [(110, 90), (120, 100), (130, 95), (125, 105)])
+    exp = round(math.sqrt(s / (2.772588722239781 * 4)) / 1e6, 6)
+    assert out[0]["parkinson_vol"] == exp
+
+
+def test_cci_integer_mean_deviation(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import cci
+    out = sorted(cci(_bars_v(spark, _OHLCV), n=3).collect(),
+                 key=lambda r: r["hr"])
+    # tp3 = 300,335,330,350; D = sum|cnt*tp3_j - S| stays integer
+    assert out[0]["cci"] is None  # zero deviation window
+    assert [r["cci"] for r in out[1:]] == [66.666667, 38.461538, 100.0]
