@@ -925,3 +925,94 @@ def did_estimator(events: DataFrame, split_days: int = 15,
     did = ((F.col("mean_t_post") - F.col("mean_t_pre"))
            - (F.col("mean_c_post") - F.col("mean_c_pre")))
     return out.withColumn("did", did)
+
+
+HHI_UNIT_DIV = 10_000  # 1e4-grid revenue -> whole currency units
+
+
+def supplier_hhi(lineitem: DataFrame, supplier: DataFrame,
+                 nation: DataFrame) -> DataFrame:
+    """Herfindahl–Hirschman concentration of supplier revenue per
+    nation: HHI = Σ share_i² · 10000 over each nation's suppliers.
+
+    Exactness: per-supplier revenue is the exact integer
+    Σ ep_cents·(100−disc_cents) (both factors on 2-dp grids, so the
+    product sits on the 1e-4 grid), floored to whole currency units
+    (non-negative — div and // agree); Σx and Σx² per nation are
+    BIGINT; the emitted HHI is the UNROUNDED double
+    ``ssq/(s·s)·10000`` — every input exact, the three IEEE ops
+    identically associated on both engines, so no rounding knife-edge
+    exists. Headroom: x² ≈ 4.8e14 per supplier at sf0.1; re-grid
+    ``HHI_UNIT_DIV`` upward when per-nation supplier counts pass ~1e4.
+
+    Scale: one shuffle keyed on suppkey for the revenue rollup, a
+    shuffle join to the supplier dim on the same key, a 25-row nation
+    broadcast, and a 25-group final aggregate.
+    """
+    ep_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    keep_c = (F.lit(100)
+              - F.round(F.col("l_discount") * 100, 0).cast("long"))
+    rev = (lineitem.groupBy("l_suppkey")
+           .agg(F.sum(ep_c * keep_c).cast("long").alias("r4")))
+    x = rev.withColumn("x", F.expr(f"r4 div {HHI_UNIT_DIV}"))
+    per_sup = x.join(supplier.select("s_suppkey", "s_nationkey"),
+                     x.l_suppkey == F.col("s_suppkey"))
+    g = (per_sup.groupBy("s_nationkey")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+              F.sum("x").cast("long").alias("s"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("ssq")))
+    hhi = F.when(F.col("s") > 0,
+                 F.col("ssq").cast("double")
+                 / (F.col("s").cast("double") * F.col("s").cast("double"))
+                 * F.lit(10000.0))
+    return (g.join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                   g.s_nationkey == F.col("n_nationkey"))
+            .select(F.col("n_name").alias("nation"), "n_suppliers",
+                    hhi.alias("hhi"))
+            .orderBy("nation"))
+
+
+GINI_UNIT_DIV = 100  # cents -> whole currency units for the rank sums
+
+
+def gini_by_nation(orders: DataFrame, customer: DataFrame,
+                   nation: DataFrame) -> DataFrame:
+    """Gini coefficient of customer order spend per nation, via the
+    rank formula G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) with x ascending.
+
+    Exactness: per-customer spend is exact integer cents floored to
+    whole units (non-negative); the rank i is a row_number over
+    (x, custkey) — ties share a value, so the tie order cannot change
+    Σ i·x_i; numerator and denominator are pure BIGINTs and the emit is
+    the exact quotient ``(1e6·num) div den`` (num ≥ 0 by the sorted-
+    rank inequality), one division by 1e6 — never a rounded ratio.
+    Headroom: 1e6·num ≈ 5.4e17 at sf0.1's ~600 customers/nation;
+    re-grid ``GINI_UNIT_DIV`` when per-nation spend totals pass ~1e12.
+
+    Scale: spend rollup shuffles on custkey, the rank window partitions
+    by nation (per-nation customer counts bounded), nation broadcast.
+    Customers with no orders are out of scope (spend rollup is the
+    universe).
+    """
+    spend_c = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    sp = (orders.groupBy("o_custkey")
+          .agg(F.sum(spend_c).cast("long").alias("c4")))
+    sp = sp.withColumn("x", F.expr(f"c4 div {GINI_UNIT_DIV}"))
+    cust = sp.join(customer.select("c_custkey", "c_nationkey"),
+                   sp.o_custkey == F.col("c_custkey"))
+    w = Window.partitionBy("c_nationkey").orderBy("x", "c_custkey")
+    r = cust.withColumn("i", F.row_number().over(w).cast("long"))
+    g = (r.groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("x").cast("long").alias("s"),
+              F.sum(F.col("i") * F.col("x")).cast("long").alias("s1")))
+    num = F.lit(2) * F.col("s1") - (F.col("n") + 1) * F.col("s")
+    g = g.withColumn("num", num).withColumn("den",
+                                            F.col("n") * F.col("s"))
+    gini = F.when(F.col("den") > 0,
+                  F.expr("(1000000 * num) div den") / 1e6)
+    return (g.join(F.broadcast(nation.select("n_nationkey", "n_name")),
+                   g.c_nationkey == F.col("n_nationkey"))
+            .select(F.col("n_name").alias("nation"), "n",
+                    gini.alias("gini"))
+            .orderBy("nation"))

@@ -1416,3 +1416,57 @@ def cci(bars: DataFrame, n: int = CCI_N) -> DataFrame:
                   / (F.lit(0.015) * F.col("d").cast("double")), 6)
     return g.select("event_type", "hr",
                     F.when(F.col("d") > 0, val).alias("cci"))
+
+
+CUSUM_K_CENTS = 50   # per-bar drift allowance (cents)
+CUSUM_H_CENTS = 500  # alert threshold (cents)
+
+
+def cusum(bars: DataFrame, k_cents: int = CUSUM_K_CENTS,
+          h_cents: int = CUSUM_H_CENTS) -> DataFrame:
+    """Tabular CUSUM changepoint statistic per symbol against the
+    symbol's own full-history mean: s⁺_t = max(0, s⁺_{t−1} + (x_t − μ
+    − k)) and the mirrored s⁻, with alert flags at threshold ``h``.
+
+    The clamped recurrence is NOT a window aggregate — but it has the
+    closed form s⁺_t = P_t − min(P_0..P_t) with P the prefix sum of the
+    deviations (the max-drawdown identity), so it IS two windows.  To
+    keep μ = S/n exact the whole statistic is scaled by n: P_t =
+    n·A_t − rn·S − rn·n·k (all BIGINT; A = running Σclose in cents),
+    s⁺ = P − least(0, running min P), and the emit divides by 100·n
+    once (unrounded exact-integer IEEE division).  Alerts compare
+    integers: s⁺ > n·h.  Headroom: n·A ≤ n²·c_max ≈ 5.6e16 at 1e6
+    bars/symbol — inside int64.
+
+    Scale: three windows over the same (symbol) partitioning — one
+    shuffle; per-symbol partitions are bounded by the hour grid.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    p = Window.partitionBy("event_type")
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    b = bars.select("event_type", "hr", c.alias("c"))
+    b = b.select(
+        "event_type", "hr",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(p).cast("long").alias("n"),
+        F.sum("c").over(p).cast("long").alias("s"),
+        F.sum("c").over(wr).cast("long").alias("a"))
+    b = b.select(
+        "event_type", "hr", "n",
+        (F.col("n") * F.col("a") - F.col("rn") * F.col("s")
+         - F.col("rn") * F.col("n") * k_cents).alias("p_up"),
+        (F.col("rn") * F.col("s") - F.col("n") * F.col("a")
+         - F.col("rn") * F.col("n") * k_cents).alias("q_dn"))
+    sp = F.col("p_up") - F.least(F.lit(0).cast("long"),
+                                 F.min("p_up").over(wr))
+    sq = F.col("q_dn") - F.least(F.lit(0).cast("long"),
+                                 F.min("q_dn").over(wr))
+    b = b.select("event_type", "hr", "n", sp.alias("sp"), sq.alias("sq"))
+    den = (F.col("n") * 100).cast("double")
+    return b.select(
+        "event_type", "hr",
+        (F.col("sp") / den).alias("cusum_up"),
+        (F.col("sq") / den).alias("cusum_down"),
+        (F.col("sp") > F.col("n") * h_cents).alias("alert_up"),
+        (F.col("sq") > F.col("n") * h_cents).alias("alert_down"))

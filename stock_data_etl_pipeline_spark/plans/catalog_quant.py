@@ -868,3 +868,107 @@ def stock_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banded_rank_join (O(n) per row at any symbol cardinality)
     ev = load_table(spark, sf_dir, "events")
     return ind.cci(ind.hourly_bars(ev)).orderBy("event_type", "hr")
+
+
+@register("orders_supplier_hhi", """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100, 0) AS BIGINT)))
+              AS BIGINT) AS r4
+  FROM lineitem GROUP BY l_suppkey
+), xs AS (SELECT l_suppkey, r4 // 10000 AS x FROM rev),
+g AS (
+  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+         CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ssq
+  FROM xs JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY s_nationkey
+)
+SELECT n_name AS nation, n_suppliers,
+       CASE WHEN s > 0
+            THEN CAST(ssq AS DOUBLE)
+                 / (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) * 10000.0
+       END AS hhi
+FROM g JOIN nation ON s_nationkey = n_nationkey
+ORDER BY nation
+""")
+def orders_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-nation supplier-revenue concentration; exact integer sums of
+    # squares, unrounded identically-associated double emit
+    from ..operators.analytics import supplier_hhi
+    return supplier_hhi(load_table(spark, sf_dir, "lineitem"),
+                        load_table(spark, sf_dir, "supplier"),
+                        load_table(spark, sf_dir, "nation"))
+
+
+@register("customer_spend_gini", """
+WITH sp AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS c4
+  FROM orders GROUP BY o_custkey
+), xs AS (SELECT o_custkey, c4 // 100 AS x FROM sp),
+cu AS (
+  SELECT c_nationkey, x, c_custkey,
+         CAST(row_number() OVER (PARTITION BY c_nationkey
+                                 ORDER BY x, c_custkey) AS BIGINT) AS i
+  FROM xs JOIN customer ON o_custkey = c_custkey
+), g AS (
+  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(i * x) AS BIGINT) AS s1
+  FROM cu GROUP BY c_nationkey
+)
+SELECT n_name AS nation, n,
+       CASE WHEN n * s > 0
+            THEN ((1000000 * (2 * s1 - (n + 1) * s)) // (n * s)) / 1e6
+       END AS gini
+FROM g JOIN nation ON c_nationkey = n_nationkey
+ORDER BY nation
+""")
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank-formula Gini on whole-unit integer spend; numerator is
+    # non-negative by the sorted-rank inequality so div == //
+    from ..operators.analytics import gini_by_nation
+    return gini_by_nation(load_table(spark, sf_dir, "orders"),
+                          load_table(spark, sf_dir, "customer"),
+                          load_table(spark, sf_dir, "nation"))
+
+
+@register("stock_cusum", _BARS_CTE + _CENTS_CTE + f"""
+, cs AS (
+  SELECT event_type, hr, c,
+         CAST(row_number() OVER w AS BIGINT) AS rn,
+         CAST(count(*) OVER p AS BIGINT) AS n,
+         CAST(sum(c) OVER p AS BIGINT) AS s,
+         CAST(sum(c) OVER wr AS BIGINT) AS a
+  FROM cts
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr),
+         p AS (PARTITION BY event_type),
+         wr AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pq AS (
+  SELECT event_type, hr, n,
+         n * a - rn * s - rn * n * {ind.CUSUM_K_CENTS} AS p_up,
+         rn * s - n * a - rn * n * {ind.CUSUM_K_CENTS} AS q_dn
+  FROM cs
+), mm AS (
+  SELECT event_type, hr, n,
+         p_up - least(0, min(p_up) OVER wr) AS sp,
+         q_dn - least(0, min(q_dn) OVER wr) AS sq
+  FROM pq
+  WINDOW wr AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hr,
+       sp / CAST(100 * n AS DOUBLE) AS cusum_up,
+       sq / CAST(100 * n AS DOUBLE) AS cusum_down,
+       sp > n * {ind.CUSUM_H_CENTS} AS alert_up,
+       sq > n * {ind.CUSUM_H_CENTS} AS alert_down
+FROM mm ORDER BY event_type, hr
+""")
+def stock_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # clamped CUSUM recurrence via the max-drawdown closed form
+    # (prefix sum minus running min), fully integer at n-scaled grid
+    ev = load_table(spark, sf_dir, "events")
+    return ind.cusum(ind.hourly_bars(ev)).orderBy("event_type", "hr")

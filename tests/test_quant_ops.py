@@ -424,3 +424,62 @@ def test_cci_integer_mean_deviation(spark):
     # tp3 = 300,335,330,350; D = sum|cnt*tp3_j - S| stays integer
     assert out[0]["cci"] is None  # zero deviation window
     assert [r["cci"] for r in out[1:]] == [66.666667, 38.461538, 100.0]
+
+
+def test_supplier_hhi_two_supplier_nation(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        supplier_hhi)
+    li = spark.createDataFrame(
+        [Row(l_suppkey=1, l_extendedprice=100.0, l_discount=0.0),
+         Row(l_suppkey=2, l_extendedprice=300.0, l_discount=0.0)],
+        "l_suppkey long, l_extendedprice double, l_discount double")
+    sup = spark.createDataFrame(
+        [Row(s_suppkey=1, s_nationkey=7), Row(s_suppkey=2, s_nationkey=7)],
+        "s_suppkey long, s_nationkey long")
+    nat = spark.createDataFrame([Row(n_nationkey=7, n_name="X")],
+                                "n_nationkey long, n_name string")
+    out = supplier_hhi(li, sup, nat).collect()
+    # shares 1/4 and 3/4: HHI = (0.0625 + 0.5625) * 10000 = 6250
+    assert len(out) == 1 and out[0]["n_suppliers"] == 2
+    assert out[0]["hhi"] == 6250.0
+
+
+def test_gini_by_nation_hand_ranks(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        gini_by_nation)
+    orders = spark.createDataFrame(
+        [Row(o_custkey=1, o_totalprice=100.0),
+         Row(o_custkey=2, o_totalprice=200.0),
+         Row(o_custkey=3, o_totalprice=300.0),
+         Row(o_custkey=4, o_totalprice=50.0),
+         Row(o_custkey=5, o_totalprice=50.0)],
+        "o_custkey long, o_totalprice double")
+    cust = spark.createDataFrame(
+        [Row(c_custkey=i, c_nationkey=1 if i <= 3 else 2)
+         for i in range(1, 6)], "c_custkey long, c_nationkey long")
+    nat = spark.createDataFrame(
+        [Row(n_nationkey=1, n_name="A"), Row(n_nationkey=2, n_name="B")],
+        "n_nationkey long, n_name string")
+    out = {r["nation"]: r for r in gini_by_nation(orders, cust, nat)
+           .collect()}
+    # A: x=100,200,300 -> (2*1400 - 4*600)/(3*600) = 400/1800
+    assert out["A"]["gini"] == 0.222222
+    # B: equal spends -> perfectly equal
+    assert out["B"]["gini"] == 0.0
+
+
+def test_cusum_matches_clamped_recurrence(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import cusum
+    bars = _bars_v(spark, [
+        ("A", 0, 1.0, 1.0, 1.0, 1.00, 1),
+        ("A", 1, 1.0, 1.0, 1.0, 1.00, 1),
+        ("A", 2, 1.0, 1.0, 1.0, 2.00, 1),
+        ("A", 3, 1.0, 1.0, 1.0, 2.00, 1),
+    ])
+    out = sorted(cusum(bars, k_cents=0, h_cents=50).collect(),
+                 key=lambda r: r["hr"])
+    # mu = 1.50; deviations -0.5,-0.5,+0.5,+0.5 (dollars)
+    assert [r["cusum_up"] for r in out] == [0.0, 0.0, 0.5, 1.0]
+    assert [r["cusum_down"] for r in out] == [0.5, 1.0, 0.5, 0.0]
+    assert [r["alert_up"] for r in out] == [False, False, False, True]
+    assert [r["alert_down"] for r in out] == [False, True, False, False]
