@@ -144,3 +144,41 @@ def grouped_exact_quantiles(df: DataFrame, group_col: str,
                  pick(rk(9, 10)).alias("q90"),
                  pick(rk(99, 100)).alias("q99"))
             .withColumnRenamed("g", group_col))
+
+
+def robust_outlier_profile(df: DataFrame, group_col: str,
+                           value_col: str, k: int = 3) -> DataFrame:
+    """Median/MAD robust outlier census per group: flag rows whose
+    absolute deviation from the group median exceeds ``k``·MAD — the
+    z-score's heavy-tail-safe cousin, composed from TWO passes of
+    :func:`grouped_exact_quantiles` (median of the values, then median
+    of the absolute deviations), so no per-group sort task exists even
+    for a hot group.
+
+    Everything is exact integers: medians are order statistics of an
+    integer column, deviations are integer |v − med|, the outlier flag
+    is the integer comparison ad > k·mad, and the emitted rate is the
+    exact quotient ``(1e6·n_out) div n`` — one division by 1e6. The
+    per-group median/MAD frames are broadcast (group cardinality is
+    bounded by construction of the caller's group key).
+    """
+    v = (df.select(F.col(group_col).alias("g"),
+                   F.col(value_col).cast("long").alias("v"))
+         .filter(F.col("v").isNotNull()))
+    med = (grouped_exact_quantiles(v, "g", "v")
+           .select("g", F.col("q50").alias("med")))
+    dev = (v.join(F.broadcast(med), "g")
+           .withColumn("ad", F.abs(F.col("v") - F.col("med"))))
+    mad = (grouped_exact_quantiles(dev.select("g", "ad"), "g", "ad")
+           .select("g", F.col("q50").alias("mad")))
+    j = dev.join(F.broadcast(mad), "g")
+    out = (j.groupBy("g")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.min("med").cast("long").alias("med"),
+                F.min("mad").cast("long").alias("mad"),
+                F.sum(F.when(F.col("ad") > k * F.col("mad"), 1)
+                      .otherwise(0)).cast("long").alias("n_outliers")))
+    rate = F.expr("(1000000 * n_outliers) div n") / 1e6
+    return (out.select(F.col("g").alias(group_col), "n", "med", "mad",
+                       "n_outliers", rate.alias("outlier_rate"))
+            .orderBy(group_col))

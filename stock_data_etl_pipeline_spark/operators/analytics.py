@@ -1016,3 +1016,25 @@ def gini_by_nation(orders: DataFrame, customer: DataFrame,
             .select(F.col("n_name").alias("nation"), "n",
                     gini.alias("gini"))
             .orderBy("nation"))
+
+
+def k_anonymity_profile(df: DataFrame, qi_cols: Sequence[str],
+                        k_thresh: int = 10) -> DataFrame:
+    """k-anonymity census over a quasi-identifier column set: the
+    distribution of equivalence-class sizes k (how many rows share each
+    QI combination) and whether each size clears the re-identification
+    threshold — the first report a privacy review asks for before a
+    data release.
+
+    Pure integer pipeline: one aggregate per QI class, one aggregate
+    over class sizes; the at-risk flag is an integer comparison. Scale:
+    both shuffles key on the QI tuple / the size — never wider than the
+    distinct-class count.
+    """
+    classes = (df.groupBy(*qi_cols)
+               .agg(F.count(F.lit(1)).cast("long").alias("k")))
+    return (classes.groupBy("k")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_classes"),
+                 F.sum("k").cast("long").alias("n_rows"))
+            .withColumn("at_risk", F.col("k") < k_thresh)
+            .orderBy("k"))

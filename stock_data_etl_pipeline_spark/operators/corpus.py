@@ -1263,3 +1263,46 @@ def bigram_entropy(docs: DataFrame, text_col: str = "text",
                 - (F.col("t") / 1e6) / F.col("n_bigrams"), 6)
     return agg.select(id_col, "n_bigrams", "n_distinct",
                       h.alias("entropy"))
+
+
+def token_kl_by_source(docs: DataFrame, text_col: str = "text",
+                       source_col: str = "source") -> DataFrame:
+    """Per-source KL divergence of the token unigram distribution from
+    the whole-corpus distribution — the standard drift/contrast metric
+    when deciding mixture weights or spotting a skewed source.
+
+    KL(P_s‖P) decomposes as (Σ_t c_st·ln(c_st/c_t))/N_s + ln(N/N_s):
+    each per-term summand rides the perplexity-style 1e-6 c·ln-grid
+    (counts are exact integers; the ln of a ratio of integers is the
+    identical IEEE expression on both engines and never sits on the
+    grid boundary), the sum is BIGINT, and the final formula is fixed-
+    association double math. c_st ≤ c_t by construction, so every log
+    argument is a positive rational ≤ 1.
+
+    Scale: token explode → one (source, term) aggregate; the global
+    term counts REUSE that aggregate (sum over sources — never a
+    second pass over raw text); the join keys on term (token-scale
+    shuffle, the intrinsic cost).
+    """
+    tok = docs.select(F.col(source_col).alias("source"),
+                      F.explode(words(text_col)).alias("term"))
+    st = (tok.groupBy("source", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("c_st")))
+    st = pin(st)
+    gt = st.groupBy("term").agg(F.sum("c_st").cast("long").alias("c_t"))
+    ns = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
+    n_tot = ns.agg(F.sum("n_s").cast("long").alias("n_tot"))
+    t6 = F.round((F.col("c_st").cast("double")
+                  * F.log(F.col("c_st").cast("double")
+                          / F.col("c_t").cast("double"))) * F.lit(1e6),
+                 0).cast("long")
+    s = (st.join(gt, "term").select("source", t6.alias("t6"))
+         .groupBy("source").agg(F.sum("t6").cast("long").alias("s6")))
+    out = s.join(ns, "source").crossJoin(F.broadcast(n_tot))
+    kl = F.round((F.col("s6").cast("double") / F.lit(1e6))
+                 / F.col("n_s").cast("double")
+                 + F.log(F.col("n_tot").cast("double")
+                         / F.col("n_s").cast("double")), 6)
+    return (out.select("source", F.col("n_s").alias("n_tokens"),
+                       kl.alias("kl"))
+            .orderBy("source"))

@@ -972,3 +972,108 @@ def stock_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (prefix sum minus running min), fully integer at n-scaled grid
     ev = load_table(spark, sf_dir, "events")
     return ind.cusum(ind.hourly_bars(ev)).orderBy("event_type", "hr")
+
+
+@register("corpus_token_kl", """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x != ''))
+           AS term
+  FROM documents
+), st AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+  FROM tok GROUP BY source, term
+), gt AS (
+  SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY term
+), ns AS (
+  SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY source
+), tt AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_tot FROM ns),
+tm AS (
+  SELECT source,
+         CAST(round((CAST(c_st AS DOUBLE)
+                     * ln(CAST(c_st AS DOUBLE) / CAST(c_t AS DOUBLE)))
+                    * 1e6, 0) AS BIGINT) AS t6
+  FROM st JOIN gt USING (term)
+), s AS (SELECT source, CAST(sum(t6) AS BIGINT) AS s6
+         FROM tm GROUP BY source)
+SELECT s.source, n_s AS n_tokens,
+       round((CAST(s6 AS DOUBLE) / 1e6) / CAST(n_s AS DOUBLE)
+             + ln(CAST(n_tot AS DOUBLE) / CAST(n_s AS DOUBLE)), 6) AS kl
+FROM s JOIN ns USING (source) CROSS JOIN tt
+ORDER BY source
+""")
+def corpus_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unigram-distribution KL per source vs the whole corpus on the
+    # perplexity-style 1e-6 c*ln grid; global counts reuse the
+    # (source, term) aggregate — one pass over raw text
+    return CP.token_kl_by_source(load_table(spark, sf_dir, "documents"))
+
+
+@register("events_robust_outliers", """
+WITH v AS (
+  SELECT event_type AS g,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+), c AS (SELECT g, v, count(*) AS cnt FROM v GROUP BY g, v),
+r AS (SELECT g, v, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY g ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM c),
+n AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_rows FROM c GROUP BY g),
+med AS (SELECT r.g,
+               CAST(min(CASE WHEN cum >= (1 * n_rows + 1) // 2
+                             THEN v END) AS BIGINT) AS med
+        FROM r JOIN n USING (g) GROUP BY r.g),
+d AS (SELECT v.g, abs(v.v - med) AS ad, med FROM v JOIN med USING (g)),
+c2 AS (SELECT g, ad, count(*) AS cnt FROM d GROUP BY g, ad),
+r2 AS (SELECT g, ad, cnt,
+              CAST(sum(cnt) OVER (PARTITION BY g ORDER BY ad
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+       FROM c2),
+n2 AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_rows FROM c2 GROUP BY g),
+mad AS (SELECT r2.g,
+               CAST(min(CASE WHEN cum >= (1 * n_rows + 1) // 2
+                             THEN ad END) AS BIGINT) AS mad
+        FROM r2 JOIN n2 USING (g) GROUP BY r2.g)
+SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(d.med) AS BIGINT) AS med,
+       CAST(min(mad.mad) AS BIGINT) AS mad,
+       CAST(sum(CASE WHEN d.ad > 3 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       ((1000000 * CAST(sum(CASE WHEN d.ad > 3 * mad.mad THEN 1
+                                 ELSE 0 END) AS BIGINT))
+        // CAST(count(*) AS BIGINT)) / 1e6 AS outlier_rate
+FROM d JOIN mad USING (g)
+GROUP BY d.g ORDER BY event_type
+""")
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # median/MAD outlier census on cents, two grouped-exact-quantile
+    # passes (hot-group-safe prefix sums) — no per-group sort anywhere
+    from ..operators.aggregates import robust_outlier_profile
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"))
+    return robust_outlier_profile(v, "event_type", "vc")
+
+
+@register("customer_k_anonymity", """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS k
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       k < 10 AS at_risk
+FROM cls GROUP BY k ORDER BY k
+""")
+def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # equivalence-class size census over the (nation, segment)
+    # quasi-identifier pair — all-integer, two keyed aggregates
+    from ..operators.analytics import k_anonymity_profile
+    return k_anonymity_profile(
+        load_table(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"])

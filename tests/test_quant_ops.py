@@ -483,3 +483,48 @@ def test_cusum_matches_clamped_recurrence(spark):
     assert [r["cusum_down"] for r in out] == [0.5, 1.0, 0.5, 0.0]
     assert [r["alert_up"] for r in out] == [False, False, False, True]
     assert [r["alert_down"] for r in out] == [False, True, False, False]
+
+
+def test_token_kl_python_replica(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        token_kl_by_source)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b", source="s1"),
+         Row(doc_id=2, text="a b b b", source="s2")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r for r in token_kl_by_source(docs).collect()}
+    # global: a=3, b=4, N=7
+    def kl(counts, n_s):
+        s6 = sum(round(c * math.log(c / ct) * 1e6)
+                 for c, ct in counts)
+        return round((s6 / 1e6) / n_s + math.log(7 / n_s), 6)
+    assert out["s1"]["n_tokens"] == 3
+    assert out["s1"]["kl"] == kl([(2, 3), (1, 4)], 3)
+    assert out["s2"]["kl"] == kl([(1, 3), (3, 4)], 4)
+
+
+def test_robust_outlier_profile_hand_median_mad(spark):
+    from stock_data_etl_pipeline_spark.operators.aggregates import (
+        robust_outlier_profile)
+    vals = list(range(1, 10)) + [100]
+    df = spark.createDataFrame([Row(g="A", v=v) for v in vals],
+                               "g string, v long")
+    out = robust_outlier_profile(df, "g", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    # lower median of 1..9,100 is 5; ads sorted 0,1,1,2,2,3,3,4,4,95
+    assert (r["n"], r["med"], r["mad"]) == (10, 5, 2)
+    assert r["n_outliers"] == 1 and r["outlier_rate"] == 0.1
+
+
+def test_k_anonymity_class_census(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        k_anonymity_profile)
+    df = spark.createDataFrame(
+        [Row(a=1, b="X"), Row(a=1, b="X"), Row(a=2, b="Y")],
+        "a long, b string")
+    out = {r["k"]: r for r in k_anonymity_profile(df, ["a", "b"],
+                                                  k_thresh=2).collect()}
+    assert out[1]["n_classes"] == 1 and out[1]["n_rows"] == 1
+    assert out[2]["n_classes"] == 1 and out[2]["n_rows"] == 2
+    assert out[1]["at_risk"] is True and out[2]["at_risk"] is False
