@@ -1038,3 +1038,42 @@ def k_anonymity_profile(df: DataFrame, qi_cols: Sequence[str],
                  F.sum("k").cast("long").alias("n_rows"))
             .withColumn("at_risk", F.col("k") < k_thresh)
             .orderBy("k"))
+
+
+def clustering_coefficient(pairs: DataFrame, id_a: str,
+                           id_b: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of an undirected
+    graph: C = 3·triangles / wedges, with wedges = Σ_v deg·(deg−1)/2.
+
+    Same canonical-edge + ordered-wedge-join machinery as
+    :func:`triangle_stats`; degrees come from one aggregate over the
+    edge endpoints. Everything is integer until the emit: deg·(deg−1)
+    is always even so the wedge count is exact, and C rides the
+    quotient grid ``(6e6·T) div Σdeg·(deg−1)`` (= 3T/W), one division
+    by 1e6. Wedge-free graphs emit NULL.
+    """
+    e = pin(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
+                         F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
+            .filter(F.col("a") != F.col("b")).distinct())
+    wedge = (e.alias("e1").join(e.alias("e2"),
+                                F.col("e1.b") == F.col("e2.a"))
+             .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
+                     F.col("e2.b").alias("c")))
+    tri = wedge.join(
+        e.alias("e3"), (wedge["a"] == F.col("e3.a"))
+        & (wedge["c"] == F.col("e3.b")), "left_semi")
+    deg = (e.select(F.col("a").alias("v"))
+           .unionByName(e.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d")))
+    w2 = deg.agg(F.sum(F.col("d") * (F.col("d") - 1)).cast("long")
+                 .alias("w2"),
+                 F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    out = (w2.crossJoin(e.agg(F.count(F.lit(1)).cast("long")
+                              .alias("n_edges")))
+           .crossJoin(tri.agg(F.count(F.lit(1)).cast("long")
+                              .alias("n_triangles"))))
+    c = F.when(F.col("w2") > 0,
+               F.expr("(6000000 * n_triangles) div w2") / 1e6)
+    return out.select("n_nodes", "n_edges", "n_triangles",
+                      F.expr("w2 div 2").alias("n_wedges"),
+                      c.alias("transitivity"))

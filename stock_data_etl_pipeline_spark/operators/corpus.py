@@ -1306,3 +1306,44 @@ def token_kl_by_source(docs: DataFrame, text_col: str = "text",
     return (out.select("source", F.col("n_s").alias("n_tokens"),
                        kl.alias("kl"))
             .orderBy("source"))
+
+
+def filter_attrition(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Sequential-filter attrition report over the Gopher rule cascade:
+    for each rule applied in its fixed order (word count → mean word
+    length → symbol ratio → stopwords), how many docs entered the
+    stage, how many that rule removed, how many survived — the
+    curation funnel every pipeline review starts from.
+
+    One projection (:func:`gopher_rules` is shuffle-free) + ONE global
+    aggregate of conditional counts, then the 4-row report is a
+    ``stack`` over that single row. Counts are exact integers; the
+    removal rate is the quotient grid ``(1e6·removed) div n_in``.
+    """
+    g = gopher_rules(docs, text_col=text_col, id_col=id_col)
+    r1, r2 = F.col("ok_word_count"), F.col("ok_mean_word_len")
+    r3, r4 = F.col("ok_symbol_ratio"), F.col("ok_stopwords")
+    cnt = lambda c: F.sum(c.cast("long")).cast("long")  # noqa: E731
+    agg = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        cnt(~r1).alias("f1"),
+        cnt(r1 & ~r2).alias("f2"),
+        cnt(r1 & r2 & ~r3).alias("f3"),
+        cnt(r1 & r2 & r3 & ~r4).alias("f4"))
+    rows = agg.select(F.expr(
+        "stack(4, "
+        "1, 'word_count',    n0,                f1, "
+        "2, 'mean_word_len', n0 - f1,           f2, "
+        "3, 'symbol_ratio',  n0 - f1 - f2,      f3, "
+        "4, 'stopwords',     n0 - f1 - f2 - f3, f4) "
+        "AS (stage, rule, n_in, n_removed)"))
+    rate = F.when(F.col("n_in") > 0,
+                  F.expr("(1000000 * n_removed) div n_in") / 1e6)
+    return (rows.select(
+        F.col("stage").cast("long").alias("stage"), "rule",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+        (F.col("n_in") - F.col("n_removed")).cast("long").alias("n_out"),
+        rate.alias("removal_rate"))
+        .orderBy("stage"))

@@ -1077,3 +1077,91 @@ def customer_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_profile(
         load_table(spark, sf_dir, "customer"),
         ["c_nationkey", "c_mktsegment"])
+
+
+@register("graph_clustering_coeff", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+            FROM lineitem),
+e AS (SELECT DISTINCT a.i AS ea, b.i AS eb
+      FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+w AS (SELECT e1.ea AS a, e1.eb AS b, e2.eb AS c
+      FROM e e1 JOIN e e2 ON e1.eb = e2.ea),
+t AS (SELECT * FROM w
+      WHERE EXISTS (SELECT 1 FROM e WHERE e.ea = w.a AND e.eb = w.c)),
+dg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+       FROM (SELECT ea AS v FROM e UNION ALL SELECT eb FROM e)
+       GROUP BY v),
+m AS (SELECT CAST(sum(d * (d - 1)) AS BIGINT) AS w2,
+             CAST(count(*) AS BIGINT) AS n_nodes
+      FROM dg)
+SELECT n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM t) AS n_triangles,
+       w2 // 2 AS n_wedges,
+       CASE WHEN w2 > 0
+            THEN ((6000000 * (SELECT CAST(count(*) AS BIGINT) FROM t))
+                  // w2) / 1e6
+       END AS transitivity
+FROM m
+""")
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # global transitivity 3T/W of the co-purchase graph; wedge count
+    # from one degree aggregate, C on the (6e6*T) div quotient grid
+    from ..operators.analytics import clustering_coefficient
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+    return clustering_coefficient(pairs, "pa", "pb")
+
+
+_GOPHER_F_CTE = f"""
+WITH w AS (SELECT doc_id, text, {{words}} AS ws FROM documents),
+f AS (SELECT doc_id, len(ws) AS n,
+             (length(text) - (len(ws) - 1)) / len(ws)::DOUBLE AS mean_wl,
+             (len(string_split(text, '#')) - 1
+              + len(string_split(text, '...')) - 1) / len(ws)::DOUBLE
+                 AS sym_ratio,
+             len(list_intersect(list_distinct(ws), ['a', 'and', 'as', 'at', 'by', 'for', 'in', 'is', 'it', 'of', 'on', 'the', 'to', 'with'])) AS n_stops
+      FROM w)"""
+
+
+@register("corpus_filter_attrition", _GOPHER_F_CTE.format(words=_WORDS) + """,
+r AS (SELECT (n >= 20 AND n <= 100000) AS r1,
+             (mean_wl >= 3.0 AND mean_wl <= 10.0) AS r2,
+             (sym_ratio <= 0.1) AS r3,
+             (n_stops >= 2) AS r4
+      FROM f),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS f1,
+             CAST(sum(CASE WHEN r1 AND NOT r2 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f2,
+             CAST(sum(CASE WHEN r1 AND r2 AND NOT r3 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS f3,
+             CAST(sum(CASE WHEN r1 AND r2 AND r3 AND NOT r4
+                           THEN 1 ELSE 0 END) AS BIGINT) AS f4
+      FROM r),
+st AS (
+  SELECT 1 AS stage, 'word_count' AS rule, n0 AS n_in, f1 AS n_removed
+  FROM a
+  UNION ALL SELECT 2, 'mean_word_len', n0 - f1, f2 FROM a
+  UNION ALL SELECT 3, 'symbol_ratio', n0 - f1 - f2, f3 FROM a
+  UNION ALL SELECT 4, 'stopwords', n0 - f1 - f2 - f3, f4 FROM a
+)
+SELECT CAST(stage AS BIGINT) AS stage, rule,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_removed AS BIGINT) AS n_removed,
+       CAST(n_in - n_removed AS BIGINT) AS n_out,
+       CASE WHEN n_in > 0
+            THEN ((1000000 * n_removed) // n_in) / 1e6
+       END AS removal_rate
+FROM st ORDER BY stage
+""")
+def corpus_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequential Gopher-rule funnel: one shuffle-free projection + ONE
+    # global conditional-count aggregate; 4-row report via stack
+    return CP.filter_attrition(load_table(spark, sf_dir, "documents"))

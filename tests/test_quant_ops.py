@@ -528,3 +528,38 @@ def test_k_anonymity_class_census(spark):
     assert out[1]["n_classes"] == 1 and out[1]["n_rows"] == 1
     assert out[2]["n_classes"] == 1 and out[2]["n_rows"] == 2
     assert out[1]["at_risk"] is True and out[2]["at_risk"] is False
+
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        clustering_coefficient)
+    pairs = spark.createDataFrame(
+        [Row(a=1, b=2), Row(a=2, b=3), Row(a=1, b=3), Row(a=3, b=4)],
+        "a long, b long")
+    out = clustering_coefficient(pairs, "a", "b").collect()
+    assert len(out) == 1
+    r = out[0]
+    # degrees 2,2,3,1 -> wedges 5; one triangle -> C = 3/5
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"],
+            r["n_wedges"]) == (4, 4, 1, 5)
+    assert r["transitivity"] == 0.6
+
+
+def test_filter_attrition_funnel_order(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        filter_attrition)
+    w = lambda s, n: " ".join([s] * n)  # noqa: E731
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="one two three"),            # fails count
+         Row(doc_id=2, text=w("a", 20)),                 # fails mean wl
+         Row(doc_id=3, text=w("ab#d", 20)),              # fails symbols
+         Row(doc_id=4, text=w("word", 20)),              # fails stopwords
+         Row(doc_id=5, text=w("word", 18) + " the of")],  # keeps
+        "doc_id long, text string")
+    out = sorted(filter_attrition(docs).collect(),
+                 key=lambda r: r["stage"])
+    assert [(r["rule"], r["n_in"], r["n_removed"], r["n_out"])
+            for r in out] == [
+        ("word_count", 5, 1, 4), ("mean_word_len", 4, 1, 3),
+        ("symbol_ratio", 3, 1, 2), ("stopwords", 2, 1, 1)]
+    assert [r["removal_rate"] for r in out] == [0.2, 0.25, 0.333333, 0.5]
