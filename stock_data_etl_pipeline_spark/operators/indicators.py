@@ -1470,3 +1470,84 @@ def cusum(bars: DataFrame, k_cents: int = CUSUM_K_CENTS,
         (F.col("sq") / den).alias("cusum_down"),
         (F.col("sp") > F.col("n") * h_cents).alias("alert_up"),
         (F.col("sq") > F.col("n") * h_cents).alias("alert_down"))
+
+
+HURST_M_SMALL = 8    # R/S block sizes; ln(128/8) = 4·ln2 exactly,
+HURST_M_LARGE = 128  # so the log-log slope is a single difference
+
+
+def hurst_rs(bars: DataFrame, m_small: int = HURST_M_SMALL,
+             m_large: int = HURST_M_LARGE) -> DataFrame:
+    """Hurst exponent per symbol by rescaled-range (R/S) analysis over
+    two block scales: H = (E[ln R/S]_large − E[ln R/S]_small) / ln(
+    large/small). With the scales a power-of-16 ratio the denominator
+    is exactly 4·ln2 (shared literal), so the regression collapses to
+    one difference of block means.
+
+    Exactness: returns are integer cents diffs; inside a block of size
+    m the cumulative deviation rides the n-scaled prefix P_k = m·A_k −
+    k·S (all BIGINT, and P_m = 0 so the classical "include 0" range
+    convention holds for free), R/S = (maxP−minP)/sqrt(m·Σr²−S²) — a
+    ratio whose numerator and the sqrt argument are EXACT integers.
+    Each block contributes round(ln(num/sqrt(den))·1e6) on the
+    transcendental-safe 1e-6 grid; block means are the sign-correct
+    half-away integer mean; degenerate blocks (zero variance or zero
+    range) are excluded on both engines. Only FULL blocks count.
+
+    Scale: two window passes per scale over (symbol, block) partitions
+    — blocks are bounded at m rows; the block aggregates then shrink to
+    |blocks|. One shuffle per scale onto the same symbol keys.
+    """
+    from .windows import int_mean_half_away
+    w = Window.partitionBy("event_type").orderBy("hr")
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    b = bars.select("event_type", "hr", c.alias("c"))
+    r = (b.withColumn("pc", F.lag("c").over(w))
+          .filter(F.col("pc").isNotNull())
+          .select("event_type", "hr", (F.col("c") - F.col("pc"))
+                  .alias("r")))
+    r = r.withColumn("rn", F.row_number().over(w))
+
+    def per_scale(m: int) -> DataFrame:
+        blk = r.select("event_type", "hr", "r",
+                       F.expr(f"(rn - 1) div {m}").alias("blk"))
+        wb = Window.partitionBy("event_type", "blk").orderBy("hr")
+        pb = Window.partitionBy("event_type", "blk")
+        d = blk.select(
+            "event_type", "blk", "r",
+            F.sum("r").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long").alias("a"),
+            F.sum("r").over(pb).cast("long").alias("s"),
+            F.row_number().over(wb).cast("long").alias("k"),
+            F.count(F.lit(1)).over(pb).cast("long").alias("n"))
+        d = d.withColumn("p", m * F.col("a") - F.col("k") * F.col("s"))
+        g = (d.filter(F.col("n") == m)
+             .groupBy("event_type", "blk")
+             .agg((F.max("p") - F.min("p")).alias("num"),
+                  (m * F.sum(F.col("r") * F.col("r")).cast("long")
+                   - F.min("s") * F.min("s")).alias("den")))
+        t6 = F.round(F.log(F.col("num").cast("double")
+                           / F.sqrt(F.col("den").cast("double")))
+                     * F.lit(1e6), 0).cast("long")
+        t = (g.filter((F.col("den") > 0) & (F.col("num") > 0))
+             .select("event_type", t6.alias("t6")))
+        y = (t.groupBy("event_type")
+             .agg(F.count(F.lit(1)).cast("long").alias("nb"),
+                  F.sum("t6").cast("long").alias("s6")))
+        return y.select("event_type", "nb",
+                        int_mean_half_away(F.col("s6"), F.col("nb"))
+                        .alias("y6"))
+
+    ys = per_scale(m_small).select(
+        "event_type", F.col("nb").alias("n_blocks_small"),
+        F.col("y6").alias("y6s"))
+    yl = per_scale(m_large).select(
+        "event_type", F.col("nb").alias("n_blocks_large"),
+        F.col("y6").alias("y6l"))
+    j = ys.join(yl, "event_type")
+    h = F.round(((F.col("y6l") - F.col("y6s")).cast("double")
+                 / F.lit(1e6)) / F.lit(PARKINSON_4LN2), 6)
+    return j.select("event_type", "n_blocks_small", "n_blocks_large",
+                    (F.col("y6s") / 1e6).alias("mean_ln_rs_small"),
+                    (F.col("y6l") / 1e6).alias("mean_ln_rs_large"),
+                    h.alias("hurst"))

@@ -1165,3 +1165,70 @@ def corpus_filter_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequential Gopher-rule funnel: one shuffle-free projection + ONE
     # global conditional-count aggregate; 4-row report via stack
     return CP.filter_attrition(load_table(spark, sf_dir, "documents"))
+
+
+def _hurst_scale_ctes(m: int) -> str:
+    return f"""
+b{m} AS (SELECT event_type, hr, r, (rn - 1) // {m} AS blk FROM rr),
+d{m} AS (
+  SELECT event_type, blk, r,
+         CAST(sum(r) OVER (PARTITION BY event_type, blk ORDER BY hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS a,
+         CAST(sum(r) OVER (PARTITION BY event_type, blk) AS BIGINT) AS s,
+         CAST(row_number() OVER (PARTITION BY event_type, blk
+                                 ORDER BY hr) AS BIGINT) AS k,
+         CAST(count(*) OVER (PARTITION BY event_type, blk) AS BIGINT)
+             AS n
+  FROM b{m}),
+g{m} AS (
+  SELECT event_type, blk,
+         max({m} * a - k * s) - min({m} * a - k * s) AS num,
+         {m} * CAST(sum(r * r) AS BIGINT) - min(s) * min(s) AS den
+  FROM d{m} WHERE n = {m} GROUP BY event_type, blk),
+t{m} AS (
+  SELECT event_type,
+         CAST(round(ln(CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)))
+                    * 1e6, 0) AS BIGINT) AS t6
+  FROM g{m} WHERE den > 0 AND num > 0),
+y{m} AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(t6) AS BIGINT) AS s6
+  FROM t{m} GROUP BY event_type),
+m{m} AS (
+  SELECT event_type, nb,
+         CASE WHEN s6 >= 0
+              THEN CAST(floor((2 * s6 + nb) / (2 * nb)) AS BIGINT)
+              ELSE -CAST(floor((2 * -s6 + nb) / (2 * nb)) AS BIGINT)
+         END AS y6
+  FROM y{m})"""
+
+
+@register("stock_hurst", _BARS_CTE + _CENTS_CTE + f"""
+, lr AS (
+  SELECT event_type, hr,
+         c - lag(c) OVER (PARTITION BY event_type ORDER BY hr) AS r
+  FROM cts
+), rr AS (
+  SELECT event_type, hr, r,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr)
+              AS BIGINT) AS rn
+  FROM lr WHERE r IS NOT NULL
+),{_hurst_scale_ctes(ind.HURST_M_SMALL)},{_hurst_scale_ctes(ind.HURST_M_LARGE)}
+SELECT s.event_type,
+       s.nb AS n_blocks_small, l.nb AS n_blocks_large,
+       s.y6 / 1e6 AS mean_ln_rs_small,
+       l.y6 / 1e6 AS mean_ln_rs_large,
+       round((CAST(l.y6 - s.y6 AS DOUBLE) / 1e6)
+             / {ind.PARKINSON_4LN2!r}, 6) AS hurst
+FROM m{ind.HURST_M_SMALL} s JOIN m{ind.HURST_M_LARGE} l
+  USING (event_type)
+ORDER BY s.event_type
+""")
+def stock_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rescaled-range Hurst exponent: n-scaled integer cumulative
+    # deviations (P_m = 0 gives the include-zero range convention for
+    # free), exact-integer R and S^2, transcendental-safe 1e-6 block
+    # grid, half-away block means, slope = one difference / 4ln2
+    ev = load_table(spark, sf_dir, "events")
+    return ind.hurst_rs(ind.hourly_bars(ev)).orderBy("event_type")

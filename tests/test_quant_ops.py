@@ -563,3 +563,44 @@ def test_filter_attrition_funnel_order(spark):
         ("word_count", 5, 1, 4), ("mean_word_len", 4, 1, 3),
         ("symbol_ratio", 3, 1, 2), ("stopwords", 2, 1, 1)]
     assert [r["removal_rate"] for r in out] == [0.2, 0.25, 0.333333, 0.5]
+
+
+def test_hurst_rs_python_replica(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import (
+        hurst_rs)
+    closes = [10000]
+    for t in range(140):
+        closes.append(closes[-1] + ((t * 37) % 11) - 5)
+    bars = _bars_v(spark, [
+        ("A", i, c / 100, c / 100, c / 100, c / 100, 1)
+        for i, c in enumerate(closes)])
+    out = hurst_rs(bars).collect()
+    assert len(out) == 1
+
+    r = [b - a for a, b in zip(closes, closes[1:])]
+
+    def y(m):
+        t6s = []
+        for i in range(len(r) // m):
+            blk = r[i * m:(i + 1) * m]
+            s, a, ps = sum(blk), 0, []
+            for k, x in enumerate(blk, 1):
+                a += x
+                ps.append(m * a - k * s)
+            num = max(ps) - min(ps)
+            den = m * sum(x * x for x in blk) - s * s
+            if den > 0 and num > 0:
+                t6s.append(round(math.log(num / math.sqrt(den)) * 1e6))
+        s6, nb = sum(t6s), len(t6s)
+        y6 = ((2 * s6 + nb) // (2 * nb) if s6 >= 0
+              else -((2 * -s6 + nb) // (2 * nb)))
+        return y6, nb
+
+    y6s, nbs = y(8)
+    y6l, nbl = y(128)
+    row = out[0]
+    assert (row["n_blocks_small"], row["n_blocks_large"]) == (nbs, nbl)
+    assert row["mean_ln_rs_small"] == y6s / 1e6
+    assert row["mean_ln_rs_large"] == y6l / 1e6
+    assert row["hurst"] == round(((y6l - y6s) / 1e6)
+                                 / 2.772588722239781, 6)
