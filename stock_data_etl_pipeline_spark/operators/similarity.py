@@ -791,3 +791,58 @@ def sq_recall_at_k(vectors: DataFrame, vec_col: str = "embedding",
             .agg(F.count(F.lit(1)).cast("long").alias("n_exact"),
                  hits.cast("long").alias("n_sq_hits"),
                  F.round(hits / F.count(F.lit(1)), 6).alias("recall")))
+
+
+def centroid_drift(vectors: DataFrame, vec_col: str = "embedding",
+                   label_col: str = "label", dims: int = 64,
+                   grid: int = 1_000_000) -> DataFrame:
+    """Per-group embedding centroid drift: the cosine between each
+    group's centroid and the global centroid — the first diagnostic for
+    "did this source/label shift in embedding space".
+
+    Cosine is scale-invariant, so centroids never materialize as float
+    ratios: cos(S_g/n_g, S/n) = cos(S_g, S) on the per-dim SUM vectors,
+    which are EXACT integers on a 1e-6 component grid. The global sums
+    REUSE the per-group aggregate (one pass over the vectors). The
+    final cosine runs on ordered arrays through the explicit left fold
+    (F.aggregate seed 0.0 == DuckDB list_reduce, bit-for-bit), with
+    identical dot/(√·√) association — the sq_recall precedent.
+
+    Scale: posexplode to (row, dim) then two keyed integer aggregates;
+    per-group arrays are |dims| wide, the global array is one
+    broadcast row. Nothing widens beyond |groups × dims|.
+    """
+    q = vectors.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("pos", "x"))
+    q = q.select("label", "pos",
+                 F.round(F.col("x") * grid, 0).cast("long").alias("v"))
+    ld = pin(q.groupBy("label", "pos")
+             .agg(F.sum("v").cast("long").alias("s")))
+    gd = ld.groupBy("pos").agg(F.sum("s").cast("long").alias("sg"))
+    la = (ld.groupBy("label")
+          .agg(F.array_sort(F.collect_list(F.struct("pos", "s")))
+               .alias("ps"))
+          .select("label", F.expr(
+              "transform(ps, p -> CAST(p.s AS DOUBLE))").alias("a")))
+    ga = (gd.agg(F.array_sort(F.collect_list(F.struct("pos", "sg")))
+                 .alias("ps"))
+          .select(F.expr(
+              "transform(ps, p -> CAST(p.sg AS DOUBLE))").alias("g")))
+    n = (vectors.groupBy(F.col(label_col).alias("label"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors")))
+    j = la.crossJoin(F.broadcast(ga))
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0),  # noqa: E731
+                                   lambda acc, e: acc + e)
+    dot = fold(F.zip_with("a", "g", lambda x, y: x * y))
+    na = fold(F.expr("transform(a, e -> e * e)"))
+    ng = fold(F.expr("transform(g, e -> e * e)"))
+    j = j.select("label", dot.alias("dot"), na.alias("na"),
+                 ng.alias("ng"))
+    cos = F.when((F.col("na") > 0) & (F.col("ng") > 0),
+                 F.round(F.col("dot")
+                         / (F.sqrt("na") * F.sqrt("ng")), 6))
+    return (j.join(n, "label")
+            .select("label", "n_vectors", cos.alias("cos_to_global"))
+            .orderBy("label"))

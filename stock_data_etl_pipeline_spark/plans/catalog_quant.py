@@ -1232,3 +1232,40 @@ def stock_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grid, half-away block means, slope = one difference / 4ln2
     ev = load_table(spark, sf_dir, "events")
     return ind.hurst_rs(ind.hourly_bars(ev)).orderBy("event_type")
+
+
+@register("embedding_centroid_drift", """
+WITH v AS (SELECT label, embedding::DOUBLE[] AS x FROM embeddings),
+d AS (SELECT label, t.i AS pos,
+             CAST(round(x[t.i] * 1000000, 0) AS BIGINT) AS q
+      FROM v, (SELECT unnest(generate_series(1, 64)) AS i) t),
+ld AS (SELECT label, pos, CAST(sum(q) AS BIGINT) AS s
+       FROM d GROUP BY label, pos),
+gd AS (SELECT pos, CAST(sum(s) AS BIGINT) AS sg FROM ld GROUP BY pos),
+la AS (SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS a
+       FROM ld GROUP BY label),
+ga AS (SELECT list(CAST(sg AS DOUBLE) ORDER BY pos) AS g FROM gd),
+n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+      FROM v GROUP BY label),
+c AS (SELECT label,
+             list_reduce(list_transform(generate_series(1, 64),
+                                        i -> a[i] * g[i]),
+                         (p, q) -> p + q) AS dot,
+             list_reduce(list_transform(a, e -> e * e),
+                         (p, q) -> p + q) AS na,
+             list_reduce(list_transform(g, e -> e * e),
+                         (p, q) -> p + q) AS ng
+      FROM la, ga)
+SELECT n.label, n.n_vectors,
+       CASE WHEN na > 0 AND ng > 0
+            THEN round(dot / (sqrt(na) * sqrt(ng)), 6)
+       END AS cos_to_global
+FROM c JOIN n USING (label) ORDER BY label
+""")
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-label centroid vs global centroid cosine on EXACT integer
+    # per-dim sum vectors (cosine is scale-invariant, so centroids
+    # never become float ratios); explicit-fold arithmetic both sides
+    from ..operators.similarity import centroid_drift
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_drift(emb, "embedding", "label")

@@ -604,3 +604,19 @@ def test_hurst_rs_python_replica(spark):
     assert row["mean_ln_rs_large"] == y6l / 1e6
     assert row["hurst"] == round(((y6l - y6s) / 1e6)
                                  / 2.772588722239781, 6)
+
+
+def test_centroid_drift_orthogonal_labels(spark):
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        centroid_drift)
+    vecs = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+         Row(vec_id=2, embedding=[1.0, 0.0], label=0),
+         Row(vec_id=3, embedding=[0.0, 1.0], label=1)],
+        "vec_id long, embedding array<float>, label int")
+    out = {r["label"]: r for r in
+           centroid_drift(vecs, dims=2).collect()}
+    # global sum vector (2, 1)/1e-6 grid: cos = 2/sqrt5, 1/sqrt5
+    assert out[0]["n_vectors"] == 2
+    assert out[0]["cos_to_global"] == round(2 / math.sqrt(5), 6)
+    assert out[1]["cos_to_global"] == round(1 / math.sqrt(5), 6)
