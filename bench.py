@@ -72,6 +72,13 @@ HEADLINE = [
     "graph_bfs_distance",
     "embedding_scalar_quantization",
     "stock_variance_ratio",
+    # round 7 session 2: R/S + banded mean-deviation indicators,
+    # robust stats, distribution drift, graph transitivity
+    "stock_hurst",
+    "stock_cci",
+    "events_robust_outliers",
+    "corpus_token_kl",
+    "graph_clustering_coeff",
 ]
 
 

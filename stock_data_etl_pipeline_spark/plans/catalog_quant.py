@@ -1269,3 +1269,37 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import centroid_drift
     emb = load_table(spark, sf_dir, "embeddings")
     return centroid_drift(emb, "embedding", "label")
+
+
+@register("cube_revenue_segment_priority", """
+SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+       CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+            AS BIGINT) / 100.0 AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+ORDER BY g_segment, g_priority, segment, priority
+""")
+def cube_revenue_segment_priority(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    # full CUBE over (segment, priority): all four grouping-set levels
+    # in ONE pass (Spark expands the cube before the hash aggregate —
+    # no per-level rescan); exact integer cents, explicit per-column
+    # GROUPING flags so subtotal rows are engine-identical
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    g = (j.cube("c_mktsegment", "o_orderpriority")
+         .agg(F.grouping("c_mktsegment").cast("long")
+              .alias("g_segment"),
+              F.grouping("o_orderpriority").cast("long")
+              .alias("g_priority"),
+              F.count(F.lit(1)).cast("long").alias("n_orders"),
+              (F.sum(cents).cast("long") / 100.0).alias("revenue")))
+    return (g.select(F.col("c_mktsegment").alias("segment"),
+                     F.col("o_orderpriority").alias("priority"),
+                     "g_segment", "g_priority", "n_orders", "revenue")
+            .orderBy("g_segment", "g_priority", "segment", "priority"))

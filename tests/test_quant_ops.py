@@ -620,3 +620,29 @@ def test_centroid_drift_orthogonal_labels(spark):
     assert out[0]["n_vectors"] == 2
     assert out[0]["cos_to_global"] == round(2 / math.sqrt(5), 6)
     assert out[1]["cos_to_global"] == round(1 / math.sqrt(5), 6)
+
+
+def test_cube_grouping_levels(spark, tmp_path):
+    import os
+    from stock_data_etl_pipeline_spark.plans.catalog import CATALOG
+    orders = spark.createDataFrame(
+        [Row(o_custkey=1, o_orderpriority="P1", o_totalprice=10.0),
+         Row(o_custkey=1, o_orderpriority="P2", o_totalprice=20.0),
+         Row(o_custkey=2, o_orderpriority="P1", o_totalprice=30.0)],
+        "o_custkey long, o_orderpriority string, o_totalprice double")
+    cust = spark.createDataFrame(
+        [Row(c_custkey=1, c_mktsegment="A"),
+         Row(c_custkey=2, c_mktsegment="B")],
+        "c_custkey long, c_mktsegment string")
+    orders.write.parquet(os.path.join(tmp_path, "orders.parquet"))
+    cust.write.parquet(os.path.join(tmp_path, "customer.parquet"))
+    fn = CATALOG["cube_revenue_segment_priority"][0]
+    rows = {(r["segment"], r["priority"]): r
+            for r in fn(spark, str(tmp_path)).collect()}
+    assert len(rows) == 3 + 2 + 2 + 1  # detail + 2 rollup axes + grand
+    assert rows[("A", "P1")]["revenue"] == 10.0
+    assert rows[("A", None)]["revenue"] == 30.0
+    assert rows[(None, "P1")]["revenue"] == 40.0
+    g = rows[(None, None)]
+    assert (g["revenue"], g["n_orders"]) == (60.0, 3)
+    assert (g["g_segment"], g["g_priority"]) == (1, 1)
