@@ -1077,3 +1077,37 @@ def clustering_coefficient(pairs: DataFrame, id_a: str,
     return out.select("n_nodes", "n_edges", "n_triangles",
                       F.expr("w2 div 2").alias("n_wedges"),
                       c.alias("transitivity"))
+
+
+def open_order_backlog(orders: DataFrame, lineitem: DataFrame
+                       ) -> DataFrame:
+    """Daily open-order concurrency: each order is open from its order
+    date until its last lineitem ship date (half-open [start, end)),
+    and the backlog curve is the running sum of ±1 deltas over the
+    distinct event days — the interval-concurrency pattern that also
+    answers "concurrent sessions/jobs/loans at time t".
+
+    The per-order interval is one aggregate over lineitem; deltas are
+    exact integers; the cumulative curve rides
+    ``distributed_running_total`` (range-partitioned prefix sums), so
+    no single-partition global window exists even when the calendar
+    spans decades. Output days are delta days only — the curve is
+    piecewise constant between them.
+    """
+    from .windows import distributed_running_total
+    span = (lineitem.groupBy("l_orderkey")
+            .agg(F.max("l_shipdate").alias("end_day")))
+    o = (orders.select(F.col("o_orderkey").alias("l_orderkey"),
+                       F.col("o_orderdate").alias("start_day"))
+         .join(span, "l_orderkey"))
+    deltas = (o.select(F.col("start_day").alias("day"),
+                       F.lit(1).cast("long").alias("d"))
+              .unionByName(o.select(F.col("end_day").alias("day"),
+                                    F.lit(-1).cast("long").alias("d")))
+              .groupBy("day").agg(F.sum("d").cast("long").alias("delta")))
+    run = distributed_running_total(deltas, ["day"], "delta",
+                                    out="open_orders")
+    return (run.select("day", "delta",
+                       F.col("open_orders").cast("long")
+                       .alias("open_orders"))
+            .orderBy("day"))

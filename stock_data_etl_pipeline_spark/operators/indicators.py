@@ -1551,3 +1551,42 @@ def hurst_rs(bars: DataFrame, m_small: int = HURST_M_SMALL,
                     (F.col("y6s") / 1e6).alias("mean_ln_rs_small"),
                     (F.col("y6l") / 1e6).alias("mean_ln_rs_large"),
                     h.alias("hurst"))
+
+
+VORTEX_N = 14  # vortex indicator lookback
+
+
+def vortex(bars: DataFrame, n: int = VORTEX_N) -> DataFrame:
+    """Vortex indicator per symbol: VI+ = Σ|h_t − l_{t−1}| / ΣTR and
+    VI− = Σ|l_t − h_{t−1}| / ΣTR over the trailing ``n`` bars, with
+    TR = max(h−l, |h−pc|, |l−pc|).
+
+    Every movement and true-range term is an exact integer in cents;
+    first bars (no previous close) contribute NULL terms that drop out
+    of the window sums identically on both engines; each VI is the
+    exact quotient ``(1e6·Σvm) div ΣTR`` on non-negative operands with
+    one division by 1e6 at emit. Zero-range windows emit NULL.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = bars.select("event_type", "hr", cents("high").alias("h"),
+                    cents("low").alias("l"), cents("close").alias("c"))
+    ph, pl, pc = (F.lag(x).over(w) for x in ("h", "l", "c"))
+    b = b.select(
+        "event_type", "hr",
+        F.abs(F.col("h") - pl).alias("vmp"),
+        F.abs(F.col("l") - ph).alias("vmm"),
+        F.when(pc.isNotNull(),
+               F.greatest(F.col("h") - F.col("l"),
+                          F.abs(F.col("h") - pc),
+                          F.abs(F.col("l") - pc))).alias("tr"))
+    wn = w.rowsBetween(-(n - 1), 0)
+    b = b.select("event_type", "hr",
+                 F.sum("vmp").over(wn).alias("sp"),
+                 F.sum("vmm").over(wn).alias("sm"),
+                 F.sum("tr").over(wn).alias("st"))
+    vip = F.when(F.col("st") > 0, F.expr("(1000000 * sp) div st"))
+    vim = F.when(F.col("st") > 0, F.expr("(1000000 * sm) div st"))
+    return b.select("event_type", "hr",
+                    (vip / 1e6).alias("vi_plus"),
+                    (vim / 1e6).alias("vi_minus"))

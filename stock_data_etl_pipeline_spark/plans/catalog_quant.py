@@ -1303,3 +1303,110 @@ def cube_revenue_segment_priority(spark: SparkSession,
                      F.col("o_orderpriority").alias("priority"),
                      "g_segment", "g_priority", "n_orders", "revenue")
             .orderBy("g_segment", "g_priority", "segment", "priority"))
+
+
+@register("stock_vortex", _BARS_CTE + _CENTS_CTE + f"""
+, vm AS (
+  SELECT event_type, hr,
+         abs(h - lag(l) OVER w) AS vmp,
+         abs(l - lag(h) OVER w) AS vmm,
+         CASE WHEN lag(c) OVER w IS NOT NULL
+              THEN greatest(h - l, abs(h - lag(c) OVER w),
+                            abs(l - lag(c) OVER w))
+         END AS tr
+  FROM cts
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+), s AS (
+  SELECT event_type, hr,
+         CAST(sum(vmp) OVER wn AS BIGINT) AS sp,
+         CAST(sum(vmm) OVER wn AS BIGINT) AS sm,
+         CAST(sum(tr) OVER wn AS BIGINT) AS st
+  FROM vm
+  WINDOW wn AS (PARTITION BY event_type ORDER BY hr
+                ROWS BETWEEN {ind.VORTEX_N - 1} PRECEDING
+                AND CURRENT ROW)
+)
+SELECT event_type, hr,
+       CASE WHEN st > 0 THEN ((1000000 * sp) // st) / 1e6 END AS vi_plus,
+       CASE WHEN st > 0 THEN ((1000000 * sm) // st) / 1e6 END AS vi_minus
+FROM s ORDER BY event_type, hr
+""")
+def stock_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vortex movement vs true range, exact integer window sums and
+    # non-negative quotient grids; first-bar NULL terms drop out of
+    # both engines' window sums identically
+    ev = load_table(spark, sf_dir, "events")
+    return ind.vortex(ind.hourly_bars(ev)).orderBy("event_type", "hr")
+
+
+def _lang_confusion_sql() -> str:
+    from ..functions import text as TX
+    score_exprs = ", ".join(
+        "len(list_filter(ws, x -> x IN ({}))) AS s_{}".format(
+            ", ".join(repr(m) for m in TX.LANG_MARKERS[lang]), lang)
+        for lang in sorted(TX.LANG_MARKERS))
+    langs = sorted(TX.LANG_MARKERS)
+    g = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = " ".join(f"WHEN s_{la} = {g} THEN '{la}'" for la in langs)
+    return f"""
+WITH w AS (SELECT lang, {_WORDS} AS ws FROM documents),
+s AS (SELECT lang, {score_exprs} FROM w),
+p AS (SELECT lang AS labeled_lang,
+             CASE WHEN {g} = 0 THEN 'und' {case} END AS pred_lang
+      FROM s),
+cm AS (SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       FROM p GROUP BY labeled_lang, pred_lang),
+tot AS (SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS n_label
+        FROM cm GROUP BY labeled_lang)
+SELECT cm.labeled_lang, cm.pred_lang, cm.n,
+       (cm.labeled_lang = cm.pred_lang) AS correct,
+       ((1000000 * cm.n) // tot.n_label) / 1e6 AS frac_of_label
+FROM cm JOIN tot USING (labeled_lang)
+ORDER BY labeled_lang, pred_lang
+"""
+
+
+@register("text_lang_confusion", _lang_confusion_sql())
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # language-ID confusion matrix vs the labeled lang column: the
+    # eval every classifier-based curation stage reports; counts exact,
+    # per-label fractions on the quotient grid
+    from ..functions import text as TX
+    d = load_table(spark, sf_dir, "documents")
+    p = d.select(F.col("lang").alias("labeled_lang"),
+                 TX.lang_id("text").alias("pred_lang"))
+    cm = (p.groupBy("labeled_lang", "pred_lang")
+          .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = (cm.groupBy("labeled_lang")
+           .agg(F.sum("n").cast("long").alias("n_label")))
+    j = cm.join(F.broadcast(tot), "labeled_lang")
+    frac = F.expr("(1000000 * n) div n_label") / 1e6
+    return (j.select("labeled_lang", "pred_lang", "n",
+                     (F.col("labeled_lang") == F.col("pred_lang"))
+                     .alias("correct"),
+                     frac.alias("frac_of_label"))
+            .orderBy("labeled_lang", "pred_lang"))
+
+
+@register("orders_open_backlog", """
+WITH span AS (SELECT l_orderkey, max(l_shipdate) AS end_day
+              FROM lineitem GROUP BY l_orderkey),
+o AS (SELECT o_orderdate AS start_day, end_day
+      FROM orders JOIN span ON o_orderkey = l_orderkey),
+d AS (SELECT day, CAST(sum(dd) AS BIGINT) AS delta FROM (
+        SELECT start_day AS day, 1 AS dd FROM o
+        UNION ALL SELECT end_day, -1 FROM o)
+      GROUP BY day)
+SELECT day, delta,
+       CAST(sum(delta) OVER (ORDER BY day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS open_orders
+FROM d ORDER BY day
+""")
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interval-concurrency curve (orders open from order date to last
+    # ship date) on distributed_running_total — no global
+    # single-partition window even over a decades-long calendar
+    from ..operators.analytics import open_order_backlog
+    return open_order_backlog(load_table(spark, sf_dir, "orders"),
+                              load_table(spark, sf_dir, "lineitem"))

@@ -646,3 +646,51 @@ def test_cube_grouping_levels(spark, tmp_path):
     g = rows[(None, None)]
     assert (g["revenue"], g["n_orders"]) == (60.0, 3)
     assert (g["g_segment"], g["g_priority"]) == (1, 1)
+
+
+def test_vortex_hand_terms(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import vortex
+    out = sorted(vortex(_bars_v(spark, _OHLCV), n=2).collect(),
+                 key=lambda r: r["hr"])
+    assert out[0]["vi_plus"] is None and out[0]["vi_minus"] is None
+    # windows {0,1}: 30/20, 10/20; {1,2}: 60/55, 35/55; {2,3}: 60/55, 50/55
+    assert [(r["vi_plus"], r["vi_minus"]) for r in out[1:]] == [
+        (1.5, 0.5), (1.090909, 0.636363), (1.090909, 0.90909)]
+
+
+def test_lang_confusion_counts_and_fracs(spark, tmp_path):
+    import os
+    from stock_data_etl_pipeline_spark.plans.catalog import CATALOG
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="the and of it", lang="en"),
+         Row(doc_id=2, text="the is on at", lang="en"),
+         Row(doc_id=3, text="the with by for", lang="fr")],
+        "doc_id long, text string, lang string")
+    docs.write.parquet(os.path.join(tmp_path, "documents.parquet"))
+    fn = CATALOG["text_lang_confusion"][0]
+    rows = {(r["labeled_lang"], r["pred_lang"]): r
+            for r in fn(spark, str(tmp_path)).collect()}
+    en = rows[("en", "en")]
+    assert (en["n"], en["correct"], en["frac_of_label"]) == (2, True, 1.0)
+    fr_mis = rows[("fr", "en")]
+    assert fr_mis["n"] == 1 and fr_mis["correct"] is False
+
+
+def test_open_order_backlog_concurrency(spark):
+    import datetime as _dt
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        open_order_backlog)
+    d = lambda i: _dt.date(2024, 1, i)  # noqa: E731
+    orders = spark.createDataFrame(
+        [Row(o_orderkey=1, o_orderdate=d(1)),
+         Row(o_orderkey=2, o_orderdate=d(2))],
+        "o_orderkey long, o_orderdate date")
+    li = spark.createDataFrame(
+        [Row(l_orderkey=1, l_shipdate=d(2)),
+         Row(l_orderkey=1, l_shipdate=d(3)),
+         Row(l_orderkey=2, l_shipdate=d(3))],
+        "l_orderkey long, l_shipdate date")
+    out = sorted(open_order_backlog(orders, li).collect(),
+                 key=lambda r: r["day"])
+    assert [(r["day"].day, r["delta"], r["open_orders"])
+            for r in out] == [(1, 1, 1), (2, 1, 2), (3, -2, 0)]
