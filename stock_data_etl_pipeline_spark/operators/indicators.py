@@ -1590,3 +1590,39 @@ def vortex(bars: DataFrame, n: int = VORTEX_N) -> DataFrame:
     return b.select("event_type", "hr",
                     (vip / 1e6).alias("vi_plus"),
                     (vim / 1e6).alias("vi_minus"))
+
+
+KELT_MULT = 2  # Keltner band width in ATRs
+
+
+def keltner(bars: DataFrame, decay: float = EWMA_DECAY,
+            lookback: int = EWMA_LOOKBACK, n_atr: int = ATR_N,
+            mult: int = KELT_MULT) -> DataFrame:
+    """Keltner channels per symbol: center = truncated EWMA of the
+    typical price (h+l+c)/3, bands = center ± ``mult``·ATR(``n_atr``).
+
+    Composes the two proven kernels: the EWMA rides
+    ``banded_rank_join`` (O(lookback) probe work per bar — the
+    ewma_trend plan), the ATR the rolling-mean window. Center and ATR
+    are 6-dp-rounded like their parents; the bands are UNROUNDED
+    center ± mult·atr — pure IEEE ops on bit-identical inputs, so no
+    rounding half-rule can ever split the engines on the composite.
+    """
+    from .windows import banded_rank_join
+    w = Window.partitionBy("event_type").orderBy("hr")
+    tp = (F.col("high") + F.col("low") + F.col("close")) / 3.0
+    b = (bars.select("event_type", "hr", tp.alias("tp"))
+         .withColumn("rn", F.row_number().over(w)))
+    joined = banded_rank_join(b, ["event_type"], "rn", lookback)
+    wgt = F.pow(F.lit(decay), F.col("cur.rn") - F.col("prev.rn"))
+    center = (joined.groupBy(F.col("cur.event_type").alias("event_type"),
+                             F.col("cur.hr").alias("hr"))
+              .agg(F.round(F.sum(F.col("prev.tp") * wgt) / F.sum(wgt), 6)
+                   .alias("center")))
+    a = atr(bars, n_atr).select("event_type", "hr", "atr")
+    j = center.join(a, ["event_type", "hr"])
+    return (j.select("event_type", "hr", "center",
+                     (F.col("center") + mult * F.col("atr"))
+                     .alias("kelt_upper"),
+                     (F.col("center") - mult * F.col("atr"))
+                     .alias("kelt_lower")))

@@ -1410,3 +1410,59 @@ def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import open_order_backlog
     return open_order_backlog(load_table(spark, sf_dir, "orders"),
                               load_table(spark, sf_dir, "lineitem"))
+
+
+@register("stock_keltner", _BARS_CTE + f"""
+, rb AS (
+  SELECT event_type, hr, ((high + low) + close) / 3.0 AS tp,
+         high, low, close,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+  FROM bars
+), pb AS (
+  SELECT event_type, tp, rn,
+         (rn - 1) // {ind.EWMA_LOOKBACK} AS band FROM rb
+), cb AS (
+  SELECT event_type, hr, rn,
+         unnest([(rn - 1) // {ind.EWMA_LOOKBACK},
+                 (rn - 1) // {ind.EWMA_LOOKBACK} - 1]) AS probe
+  FROM rb
+), ctr AS (
+  SELECT cur.event_type AS event_type, cur.hr AS hr,
+         round(sum(prev.tp * pow({ind.EWMA_DECAY}, cur.rn - prev.rn))
+               / sum(pow({ind.EWMA_DECAY}, cur.rn - prev.rn)), 6)
+             AS center
+  FROM cb cur JOIN pb prev
+    ON cur.event_type = prev.event_type
+   AND cur.probe = prev.band
+   AND prev.rn > cur.rn - {ind.EWMA_LOOKBACK}
+   AND prev.rn <= cur.rn
+  GROUP BY cur.event_type, cur.hr
+), l AS (
+  SELECT event_type, hr, high, low,
+         lag(close) OVER (PARTITION BY event_type ORDER BY hr) AS pc
+  FROM rb
+), t AS (
+  SELECT event_type, hr,
+         CASE WHEN pc IS NULL THEN NULL
+              ELSE greatest(high - low, abs(high - pc), abs(low - pc))
+         END AS true_range
+  FROM l
+), av AS (
+  SELECT event_type, hr,
+         round(avg(true_range) OVER (
+           PARTITION BY event_type ORDER BY hr
+           ROWS BETWEEN {ind.ATR_N - 1} PRECEDING AND CURRENT ROW), 6)
+             AS atr
+  FROM t
+)
+SELECT c.event_type, c.hr, c.center,
+       c.center + {ind.KELT_MULT} * av.atr AS kelt_upper,
+       c.center - {ind.KELT_MULT} * av.atr AS kelt_lower
+FROM ctr c JOIN av ON c.event_type = av.event_type AND c.hr = av.hr
+ORDER BY c.event_type, c.hr
+""")
+def stock_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EWMA(typical price) center via the banded rank join + ATR bands;
+    # bands UNROUNDED (pure IEEE on bit-identical rounded inputs)
+    ev = load_table(spark, sf_dir, "events")
+    return ind.keltner(ind.hourly_bars(ev)).orderBy("event_type", "hr")

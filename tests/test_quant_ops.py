@@ -694,3 +694,24 @@ def test_open_order_backlog_concurrency(spark):
                  key=lambda r: r["day"])
     assert [(r["day"].day, r["delta"], r["open_orders"])
             for r in out] == [(1, 1, 1), (2, 1, 2), (3, -2, 0)]
+
+
+def test_keltner_single_bar_and_band_algebra(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import (
+        keltner)
+    out = sorted(keltner(_bars_v(spark, _OHLCV), decay=0.5, lookback=3,
+                         n_atr=2, mult=2).collect(),
+                 key=lambda r: r["hr"])
+    # bar 0: EWMA window = itself -> center = tp = (1.10+0.90+1.00)/3
+    tp0 = round((1.10 + 0.90 + 1.00) / 3.0, 6)
+    assert out[0]["center"] == tp0
+    # bar 0 has no prev close -> atr NULL -> bands NULL
+    assert out[0]["kelt_upper"] is None and out[0]["kelt_lower"] is None
+    # bar 1: tr = max(0.20, |1.20-1.00|, |1.00-1.00|) = 0.2 = atr
+    tp1 = (1.20 + 1.00 + 1.15) / 3.0
+    # recompute center exactly as the operator does
+    tpr0 = (1.10 + 0.90 + 1.00) / 3.0
+    c1 = round((tp1 * 1.0 + tpr0 * 0.5) / 1.5, 6)
+    assert out[1]["center"] == c1
+    assert out[1]["kelt_upper"] == c1 + 2 * 0.2
+    assert out[1]["kelt_lower"] == c1 - 2 * 0.2
