@@ -135,3 +135,44 @@ def test_no_unkeyed_join_strategies(audits, name):
     assert props["bnlj"] == 0, (
         f"{name} plans a BroadcastNestedLoopJoin (unkeyed join)\n"
         f"plan:\n{plan[:4000]}")
+
+
+@pytest.mark.parametrize("name", ["stock_cci", "stock_keltner"])
+def test_banded_self_joins_key_on_rank_band(spark, name):
+    """CCI's mean-deviation pairs and Keltner's EWMA center must keep
+    the banded equi-key: keyed only on the symbol, the rank-range
+    predicate is a post-probe residual — O(n²) comparisons per key."""
+    import __spark_entry__ as entrymod
+    props, plan = audit_one(spark, entrymod.queries()[name], SF_DIR)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "__probe" in final and "__band" in final, (
+        f"{name}: banded_rank_join band keys missing\n" + final[:4000])
+
+
+def test_open_backlog_rides_distributed_prefix_sum(spark):
+    """The backlog curve must cumulate via distributed_running_total:
+    every window partitioned by the range-partition id — never an
+    empty-partitionBy running sum through one task."""
+    import __spark_entry__ as entrymod
+    props, plan = audit_one(
+        spark, entrymod.queries()["orders_open_backlog"], SF_DIR)
+    final = plan.split("== Initial Plan ==")[0]
+    for ln in final.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "_drt_pid" in ln, (
+                "backlog window not partitioned by the range id:\n"
+                f"{ln.strip()[:300]}")
+
+
+def test_robust_outliers_rides_grouped_prefix_sum(spark):
+    """Both median/MAD passes must use the grouped prefix sum — every
+    cumulative window partitioned by the (_grt_pid, group) keys."""
+    import __spark_entry__ as entrymod
+    props, plan = audit_one(
+        spark, entrymod.queries()["events_robust_outliers"], SF_DIR)
+    final = plan.split("== Initial Plan ==")[0]
+    for ln in final.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "_grt_pid" in ln, (
+                "robust-outlier window not partitioned by the range id:"
+                f"\n{ln.strip()[:300]}")
