@@ -1111,3 +1111,36 @@ def open_order_backlog(orders: DataFrame, lineitem: DataFrame
                        F.col("open_orders").cast("long")
                        .alias("open_orders"))
             .orderBy("day"))
+
+
+def grouped_ols_slope(df: DataFrame, group_col: str, x_col: str,
+                      y_col: str, grid: int = 10_000) -> DataFrame:
+    """Per-group OLS slope of integer ``y`` on integer ``x`` — the
+    grouped trend estimator (lead-time drift, per-segment seasonality
+    slope), computed without ever forming float moments.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²): all five sums are
+    BIGINT; the emit is the sign-split exact quotient
+    ``sign(num)·((grid·|num|) div den)`` (den ≥ 0 by Cauchy–Schwarz)
+    — never a rounded ratio of integers. Callers must pre-center ``x``
+    against a FIXED anchor so n·Σx² stays inside int64 (document the
+    headroom at the call site). Zero-variance groups emit NULL.
+    """
+    g = (df.groupBy(F.col(group_col).alias("g"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(x_col).cast("long").alias("sx"),
+              F.sum(y_col).cast("long").alias("sy"),
+              F.sum(F.col(x_col) * F.col(y_col)).cast("long")
+              .alias("sxy"),
+              F.sum(F.col(x_col) * F.col(x_col)).cast("long")
+              .alias("sxx")))
+    g = (g.withColumn("num", F.col("n") * F.col("sxy")
+                      - F.col("sx") * F.col("sy"))
+         .withColumn("den", F.col("n") * F.col("sxx")
+                     - F.col("sx") * F.col("sx")))
+    q = F.expr(f"CAST(sign(num) AS BIGINT)"
+               f" * (({grid} * abs(num)) div den)")
+    slope = F.when(F.col("den") > 0, q / float(grid))
+    return (g.select(F.col("g").alias(group_col), "n",
+                     slope.alias("slope"))
+            .orderBy(group_col))

@@ -1626,3 +1626,33 @@ def keltner(bars: DataFrame, decay: float = EWMA_DECAY,
                      .alias("kelt_upper"),
                      (F.col("center") - mult * F.col("atr"))
                      .alias("kelt_lower")))
+
+
+def data_gaps(bars: DataFrame) -> DataFrame:
+    """Per-symbol bar-continuity census over the hourly grid: bars
+    present, hours expected between the symbol's first and last bar,
+    missing count, and the longest gap — the data-quality check that
+    gates every downstream window indicator (LOCF fills what this
+    report quantifies).
+
+    All integers: bar epochs are exact multiples of 3600, hour deltas
+    are integer divisions of epoch differences, the longest gap is a
+    max over lag diffs (single-bar symbols emit 0 via coalesce).
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    e = F.unix_timestamp("hr")
+    b = bars.select("event_type", "hr", e.alias("e"))
+    b = b.withColumn("gap", F.expr(
+        "(e - lag(e) OVER (PARTITION BY event_type ORDER BY hr))"
+        " div 3600 - 1"))
+    return (b.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_bars"),
+                 (F.expr("(max(e) - min(e)) div 3600") + 1).cast("long")
+                 .alias("expected_hours"),
+                 F.coalesce(F.max("gap"), F.lit(0)).cast("long")
+                 .alias("longest_gap_hours"))
+            .withColumn("n_missing", (F.col("expected_hours")
+                                      - F.col("n_bars")).cast("long"))
+            .select("event_type", "n_bars", "expected_hours",
+                    "n_missing", "longest_gap_hours")
+            .orderBy("event_type"))

@@ -1466,3 +1466,68 @@ def stock_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands UNROUNDED (pure IEEE on bit-identical rounded inputs)
     ev = load_table(spark, sf_dir, "events")
     return ind.keltner(ind.hourly_bars(ev)).orderBy("event_type", "hr")
+
+
+@register("stock_data_gaps", _BARS_CTE + """
+, ee AS (SELECT event_type, hr, CAST(floor(epoch(hr)) AS BIGINT) AS e
+         FROM bars),
+gp AS (SELECT event_type, e,
+              (e - lag(e) OVER (PARTITION BY event_type ORDER BY e))
+                // 3600 - 1 AS gap
+       FROM ee)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_bars,
+       CAST((max(e) - min(e)) // 3600 + 1 AS BIGINT) AS expected_hours,
+       CAST((max(e) - min(e)) // 3600 + 1 - count(*) AS BIGINT)
+           AS n_missing,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_gap_hours
+FROM gp GROUP BY event_type ORDER BY event_type
+""")
+def stock_data_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bar-continuity census: integer epoch deltas on the hourly grid
+    # (DuckDB epoch() is fractional -> floor; Spark unix_timestamp
+    # truncates), longest gap via lag diffs
+    ev = load_table(spark, sf_dir, "events")
+    return ind.data_gaps(ind.hourly_bars(ev))
+
+
+@register("leadtime_trend_by_priority", """
+WITH d AS (
+  SELECT o_orderpriority AS priority,
+         (year(o_orderdate) * 12 + month(o_orderdate)) - 23904 AS x,
+         CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate IS NOT NULL
+), g AS (
+  SELECT priority, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM d GROUP BY priority
+), q AS (
+  SELECT priority, n, n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS den
+  FROM g
+)
+SELECT priority, n,
+       CASE WHEN den > 0
+            THEN (CAST(sign(num) AS BIGINT) * ((10000 * abs(num)) // den))
+                 / 10000.0
+       END AS slope
+FROM q ORDER BY priority
+""")
+def leadtime_trend_by_priority(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    # grouped OLS: ship-lead-time drift (days/month) per priority on
+    # exact integer sums; x anchored at 1992-00 (fixed literal) so
+    # n*sum(x^2) holds ~50x int64 headroom at sf0.1 scale growth
+    from ..operators.analytics import grouped_ols_slope
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .filter(F.col("l_shipdate").isNotNull())
+         .select(F.col("o_orderpriority").alias("priority"),
+                 F.expr("(year(o_orderdate) * 12 + month(o_orderdate))"
+                        " - 23904").cast("long").alias("x"),
+                 F.datediff("l_shipdate", "o_orderdate").cast("long")
+                 .alias("y")))
+    return grouped_ols_slope(d, "priority", "x", "y")

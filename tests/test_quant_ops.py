@@ -715,3 +715,36 @@ def test_keltner_single_bar_and_band_algebra(spark):
     assert out[1]["center"] == c1
     assert out[1]["kelt_upper"] == c1 + 2 * 0.2
     assert out[1]["kelt_lower"] == c1 - 2 * 0.2
+
+
+def test_data_gaps_census(spark):
+    from stock_data_etl_pipeline_spark.operators.indicators import (
+        data_gaps)
+    bars = _bars_v(spark, [
+        ("A", 0, 1.0, 1.0, 1.0, 1.0, 1),
+        ("A", 1, 1.0, 1.0, 1.0, 1.0, 1),
+        ("A", 4, 1.0, 1.0, 1.0, 1.0, 1),   # 2-hour gap (hours 2,3)
+        ("A", 5, 1.0, 1.0, 1.0, 1.0, 1),
+        ("B", 0, 1.0, 1.0, 1.0, 1.0, 1),   # single bar
+    ])
+    out = {r["event_type"]: r for r in data_gaps(bars).collect()}
+    a = out["A"]
+    assert (a["n_bars"], a["expected_hours"], a["n_missing"],
+            a["longest_gap_hours"]) == (4, 6, 2, 2)
+    b = out["B"]
+    assert (b["n_bars"], b["expected_hours"], b["n_missing"],
+            b["longest_gap_hours"]) == (1, 1, 0, 0)
+
+
+def test_grouped_ols_slope_exact_line_and_sign(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        grouped_ols_slope)
+    rows = ([Row(g="up", x=x, y=3 * x + 7) for x in range(5)]
+            + [Row(g="down", x=x, y=100 - 2 * x) for x in range(5)]
+            + [Row(g="flat", x=0, y=1), Row(g="flat", x=0, y=9)])
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in grouped_ols_slope(df, "g", "x", "y")
+           .collect()}
+    assert out["up"]["slope"] == 3.0
+    assert out["down"]["slope"] == -2.0       # sign-split quotient
+    assert out["flat"]["slope"] is None       # zero x-variance
