@@ -1144,3 +1144,40 @@ def grouped_ols_slope(df: DataFrame, group_col: str, x_col: str,
     return (g.select(F.col("g").alias(group_col), "n",
                      slope.alias("slope"))
             .orderBy(group_col))
+
+
+def transition_entropy(events: DataFrame) -> DataFrame:
+    """Conditional next-event entropy per state: H(next | s) =
+    Σ_t (c_st/c_s)·ln(c_s/c_st) over the first-order user-sequence
+    transition counts — how predictable each event type's successor is
+    (the sequence-modeling value of the attribution matrix).
+
+    Counts ride the same deterministic lag as ``markov_transitions``;
+    each (s, t) cell contributes round(c_st·ln(c_s/c_st)·1e6) on the
+    perplexity-style integer grid (the log argument is a ratio of
+    exact integers ≥ 1), and the emit divides the BIGINT sum once per
+    state with fixed association. Matrix-sized work only.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (events.select("user_id", "ts", "event_id",
+                       F.col("event_type").alias("to_type"),
+                       F.lag("event_type").over(w).alias("from_type"))
+         .filter(F.col("from_type").isNotNull()))
+    m = (t.groupBy("from_type", "to_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = (m.groupBy("from_type")
+           .agg(F.sum("n").cast("long").alias("c_s"),
+                F.count(F.lit(1)).cast("long").alias("n_next")))
+    j = m.join(F.broadcast(tot), "from_type")
+    t6 = F.round((F.col("n").cast("double")
+                  * F.log(F.col("c_s").cast("double")
+                          / F.col("n").cast("double"))) * F.lit(1e6),
+                 0).cast("long")
+    s = (j.select("from_type", "c_s", "n_next", t6.alias("t6"))
+         .groupBy("from_type", "c_s", "n_next")
+         .agg(F.sum("t6").cast("long").alias("s6")))
+    ent = F.round((F.col("s6").cast("double") / F.lit(1e6))
+                  / F.col("c_s").cast("double"), 6)
+    return (s.select("from_type", F.col("c_s").alias("n_out"),
+                     "n_next", ent.alias("entropy"))
+            .orderBy("from_type"))

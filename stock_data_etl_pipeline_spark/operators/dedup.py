@@ -406,3 +406,38 @@ def canonical_keep(docs: DataFrame, pairs: DataFrame,
     return (assigned.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(id_col, "cluster_id", quality_col))
+
+
+def similarity_histogram(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", k: int = 5,
+                         max_doc_freq: int | None = None) -> DataFrame:
+    """Distribution of candidate-pair Jaccard similarities in 0.1
+    buckets — the threshold-sweep report that decides WHERE to set a
+    dedup cutoff before committing to one (run once, read the knee).
+
+    Same inverted-index candidate generation as
+    :func:`ngram_jaccard_pairs` (only docs sharing a shingle ever
+    meet); the bucket is the EXACT integer quotient
+    ``(10·|∩|) div |∪|`` — bucket 10 is identical shingle sets — so
+    binning never touches a rounded float. One extra hash-agg over the
+    pair list; candidate volume is the cost, shared with any dedup run.
+    """
+    idx = pin(shingle_index(docs, text_col, id_col, k, max_doc_freq))
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("sz").alias("sz_b"))
+    j = inter.join(sa, "id_a").join(sb, "id_b")
+    bucket = F.expr("(10 * inter) div (sz_a + sz_b - inter)")
+    return (j.select(bucket.cast("long").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .withColumn("jaccard_lo", F.col("bucket") / 10.0)
+            .orderBy("bucket"))

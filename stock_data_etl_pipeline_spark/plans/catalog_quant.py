@@ -1531,3 +1531,59 @@ def leadtime_trend_by_priority(spark: SparkSession,
                  F.datediff("l_shipdate", "o_orderdate").cast("long")
                  .alias("y")))
     return grouped_ols_slope(d, "priority", "x", "y")
+
+
+from .catalog_text import _JACCARD_CTES  # noqa: E402
+
+
+@register("dedup_similarity_histogram", f"""
+WITH {_JACCARD_CTES.replace('jac AS', '_jac_unused AS')}
+SELECT (10 * c) // (sa.sz + sb.sz - c) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       ((10 * c) // (sa.sz + sb.sz - c)) / 10.0 AS jaccard_lo
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+GROUP BY bucket ORDER BY bucket
+""")
+def dedup_similarity_histogram(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    # threshold-sweep report: candidate-pair Jaccard distribution in
+    # exact integer-quotient 0.1 buckets (bucket 10 = identical sets);
+    # same inverted-index candidates as the dedup pass itself
+    from ..operators.dedup import similarity_histogram
+    return similarity_histogram(load_table(spark, sf_dir, "documents"))
+
+
+@register("events_transition_entropy", """
+WITH t AS (
+  SELECT event_type AS to_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+), m AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE from_type IS NOT NULL GROUP BY from_type, to_type
+), tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS c_s,
+         CAST(count(*) AS BIGINT) AS n_next
+  FROM m GROUP BY from_type
+), s AS (
+  SELECT m.from_type, tot.c_s, tot.n_next,
+         CAST(sum(CAST(round((CAST(n AS DOUBLE)
+                  * ln(CAST(c_s AS DOUBLE) / CAST(n AS DOUBLE))) * 1e6,
+                  0) AS BIGINT)) AS BIGINT) AS s6
+  FROM m JOIN tot USING (from_type)
+  GROUP BY m.from_type, tot.c_s, tot.n_next
+)
+SELECT from_type, c_s AS n_out, n_next,
+       round((CAST(s6 AS DOUBLE) / 1e6) / CAST(c_s AS DOUBLE), 6)
+           AS entropy
+FROM s ORDER BY from_type
+""")
+def events_transition_entropy(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    # conditional next-event entropy per state on the perplexity
+    # integer grid; matrix-sized work on top of the transition counts
+    from ..operators.analytics import transition_entropy
+    return transition_entropy(load_table(spark, sf_dir, "events"))

@@ -748,3 +748,34 @@ def test_grouped_ols_slope_exact_line_and_sign(spark):
     assert out["up"]["slope"] == 3.0
     assert out["down"]["slope"] == -2.0       # sign-split quotient
     assert out["flat"]["slope"] is None       # zero x-variance
+
+
+def test_similarity_histogram_exact_buckets(spark):
+    from stock_data_etl_pipeline_spark.operators.dedup import (
+        similarity_histogram)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"),
+         Row(doc_id=2, text="a b c"),    # identical -> bucket 10
+         Row(doc_id=3, text="a b x")],   # 1/3 overlap -> bucket 3
+        "doc_id long, text string")
+    out = {r["bucket"]: r for r in
+           similarity_histogram(docs, k=2).collect()}
+    assert out[10]["n_pairs"] == 1 and out[10]["jaccard_lo"] == 1.0
+    assert out[3]["n_pairs"] == 2 and out[3]["jaccard_lo"] == 0.3
+
+
+def test_transition_entropy_hand_matrix(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        transition_entropy)
+    ev = spark.createDataFrame(
+        [Row(user_id=1, ts=T0 + dt.timedelta(minutes=i), event_id=i,
+             event_type=t)
+         for i, t in enumerate(["A", "B", "A", "C"])],
+        "user_id long, ts timestamp, event_id long, event_type string")
+    out = {r["from_type"]: r for r in transition_entropy(ev).collect()}
+    # A -> {B, C} uniformly: H = ln 2 on the 1e-6 grid
+    a = out["A"]
+    assert (a["n_out"], a["n_next"]) == (2, 2)
+    assert a["entropy"] == round(2 * round(math.log(2) * 1e6) / 1e6 / 2,
+                                 6)
+    assert out["B"]["entropy"] == 0.0
