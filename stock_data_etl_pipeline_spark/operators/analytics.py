@@ -159,35 +159,90 @@ def key_skew_profile(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
             .limit(top))
 
 
+def _degree_oriented_edges(pairs: DataFrame, id_a: str, id_b: str
+                           ) -> tuple[DataFrame, DataFrame]:
+    """Canonical directed edge list for triangle machinery, oriented by
+    (degree, id): each undirected edge (x, y) becomes one row (a, b)
+    with rank(a) < rank(b), where rank is the lexicographic tuple
+    (degree(v), v).
+
+    Why this orientation: the wedge join e1.b == e2.a fans out as
+    Σ_v in(v)·out(v).  Under raw-id orientation a hub's fan-out is
+    quadratic in its degree — the scale-killer on heavy-tailed graphs
+    (the co-purchase projection has exactly such hubs).  Orienting by
+    (degree, id) bounds every out-degree by O(√m), so the wedge count
+    is O(m^1.5) regardless of skew — the standard node-iterator++
+    refinement.  Triangle counts are orientation-invariant, so callers'
+    results are byte-identical to the raw-id variant (asserted by
+    tests/test_quality.py::test_triangle_orientation_invariance).
+
+    Returns (edges, degrees) — both pinned: edges is referenced three
+    times by the wedge join + closure, degrees twice (orientation join
+    and, in clustering_coefficient, the wedge-count aggregate).  The
+    degree join is keyed on the node id (two shuffles, node-cardinality
+    sized) — cheap next to the wedge join it tames.
+    """
+    und = pin(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("x"),
+                           F.greatest(F.col(id_a), F.col(id_b)).alias("y"))
+              .filter(F.col("x") != F.col("y")).distinct())
+    deg = pin(und.select(F.col("x").alias("v"))
+              .unionByName(und.select(F.col("y").alias("v")))
+              .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d")))
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
+    x_first = (F.col("dx") < F.col("dy")) | \
+        ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    e = pin(und.join(dx, "x").join(dy, "y")
+            .select(F.when(x_first, F.col("x")).otherwise(F.col("y"))
+                    .alias("a"),
+                    F.when(x_first, F.col("y")).otherwise(F.col("x"))
+                    .alias("b")))
+    return e, deg
+
+
+def _triangle_count(e: DataFrame) -> DataFrame:
+    """1-row (n_triangles) count over a degree-oriented edge list via
+    adjacency-set intersection: each triangle with ranks a<b<c is
+    counted exactly once on its base edge (a, b) as c ∈ N⁺(a) ∩ N⁺(b).
+
+    Why intersect instead of the wedge join + semi-join closure (the
+    pre-r8 plan): the wedge join MATERIALIZES and re-shuffles every
+    open wedge — ~49M rows on the sf0.1 co-purchase graph for 1.9M
+    triangles — and the closure shuffles them again.  Here nothing
+    wider than the edge list itself moves: one groupBy builds per-node
+    out-neighbor arrays (node-cardinality table, broadcast-joinable),
+    two keyed joins land both arrays on each edge, and the intersection
+    runs inside whole-stage codegen.  Degree orientation is what makes
+    this safe: out-degree ≤ O(√m) bounds every array regardless of hub
+    skew, so no collect_list row can blow up on a heavy-tailed graph.
+    """
+    adj = (e.groupBy(F.col("a").alias("v"))
+           .agg(F.collect_list("b").alias("nbrs")))
+    na = adj.select(F.col("v").alias("a"), F.col("nbrs").alias("na"))
+    nb = adj.select(F.col("v").alias("b"), F.col("nbrs").alias("nb"))
+    per_edge = (e.join(na, "a", "left").join(nb, "b", "left")
+                .select(F.when(F.col("na").isNull()
+                               | F.col("nb").isNull(), F.lit(0))
+                        .otherwise(F.size(F.array_intersect("na", "nb")))
+                        .alias("t")))
+    return per_edge.agg(F.coalesce(F.sum("t"), F.lit(0)).cast("long")
+                        .alias("n_triangles"))
+
+
 def triangle_stats(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
     """Global triangle census of an undirected graph given as a pair
     list: one row — (n_nodes, n_edges, n_triangles).
 
-    Edges are canonicalized to ``a < b`` so each undirected edge is one
-    row; triangles are counted once each via the ordered wedge join
-    (a<b)⋈(b<c) closed by a left-semi probe for (a,c) — two equi-joins,
-    no enumeration of neighborhoods on the driver.  Work is bounded by
-    the wedge count; at scale the standard refinement is to orient edges
-    by (degree, id) instead of raw id so every hub node's wedge fan-out
-    collapses onto its low-degree neighbors (count is orientation-
-    invariant, so the simple id orientation used here stays correct —
-    swap the ordering when the degree distribution is heavy-tailed).
+    Edges are canonicalized to one row per undirected edge and oriented
+    by (degree, id) — see :func:`_degree_oriented_edges` — then
+    triangles are counted by per-edge adjacency intersection
+    (:func:`_triangle_count`): no wedge materialization, no driver
+    enumeration, hub fan-out collapsed onto low-degree endpoints.
     """
-    e = pin(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
-                         F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
-            .filter(F.col("a") != F.col("b")).distinct())
-    wedge = (e.alias("e1").join(e.alias("e2"),
-                                F.col("e1.b") == F.col("e2.a"))
-             .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
-                     F.col("e2.b").alias("c")))
-    tri = wedge.join(
-        e.alias("e3"), (wedge["a"] == F.col("e3.a"))
-        & (wedge["c"] == F.col("e3.b")), "left_semi")
-    nodes = (e.select(F.col("a").alias("v"))
-             .unionByName(e.select(F.col("b").alias("v"))).distinct())
-    out = (nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    e, deg = _degree_oriented_edges(pairs, id_a, id_b)
+    out = (deg.agg(F.count(F.lit(1)).alias("n_nodes"))
            .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
-           .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles"))))
+           .crossJoin(_triangle_count(e)))
     return out
 
 
@@ -1045,32 +1100,23 @@ def clustering_coefficient(pairs: DataFrame, id_a: str,
     """Global clustering coefficient (transitivity) of an undirected
     graph: C = 3·triangles / wedges, with wedges = Σ_v deg·(deg−1)/2.
 
-    Same canonical-edge + ordered-wedge-join machinery as
-    :func:`triangle_stats`; degrees come from one aggregate over the
-    edge endpoints. Everything is integer until the emit: deg·(deg−1)
-    is always even so the wedge count is exact, and C rides the
-    quotient grid ``(6e6·T) div Σdeg·(deg−1)`` (= 3T/W), one division
-    by 1e6. Wedge-free graphs emit NULL.
+    Same degree-oriented canonical-edge + adjacency-intersect machinery
+    as :func:`triangle_stats` (hub fan-out collapsed, no wedge
+    materialization — see :func:`_degree_oriented_edges` /
+    :func:`_triangle_count`); degrees come from the same pinned
+    aggregate that orients the edges. Everything is integer until the
+    emit: deg·(deg−1) is always even so the wedge count is exact, and C
+    rides the quotient grid ``(6e6·T) div Σdeg·(deg−1)`` (= 3T/W), one
+    division by 1e6. Wedge-free graphs emit NULL.
     """
-    e = pin(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
-                         F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
-            .filter(F.col("a") != F.col("b")).distinct())
-    wedge = (e.alias("e1").join(e.alias("e2"),
-                                F.col("e1.b") == F.col("e2.a"))
-             .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"),
-                     F.col("e2.b").alias("c")))
-    tri = wedge.join(
-        e.alias("e3"), (wedge["a"] == F.col("e3.a"))
-        & (wedge["c"] == F.col("e3.b")), "left_semi")
-    deg = (e.select(F.col("a").alias("v"))
-           .unionByName(e.select(F.col("b").alias("v")))
-           .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d")))
+    e, deg = _degree_oriented_edges(pairs, id_a, id_b)
     w2 = deg.agg(F.sum(F.col("d") * (F.col("d") - 1)).cast("long")
                  .alias("w2"),
                  F.count(F.lit(1)).cast("long").alias("n_nodes"))
     out = (w2.crossJoin(e.agg(F.count(F.lit(1)).cast("long")
                               .alias("n_edges")))
-           .crossJoin(tri.agg(F.count(F.lit(1)).cast("long")
+           .crossJoin(_triangle_count(e)
+                      .select(F.col("n_triangles").cast("long")
                               .alias("n_triangles"))))
     c = F.when(F.col("w2") > 0,
                F.expr("(6000000 * n_triangles) div w2") / 1e6)

@@ -52,6 +52,42 @@ def test_triangle_stats_open_wedge_is_not_a_triangle(spark):
     assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (3, 2, 0)
 
 
+def test_triangle_orientation_invariance(spark):
+    # Hub-heavy fixture: hub 0 joined to 60 leaves, consecutive leaves
+    # joined (fan of triangles at the hub), plus a disjoint K4.  The
+    # degree-oriented wedge join must count exactly what the raw-id
+    # orientation counts — triangle counts are orientation-invariant.
+    import itertools
+    from pyspark.sql import functions as F
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        clustering_coefficient)
+    edges = [(0, i) for i in range(1, 61)]
+    edges += [(i, i + 1) for i in range(1, 60)]
+    edges += list(itertools.combinations(range(100, 104), 2))
+    df = spark.createDataFrame(edges, "x long, y long")
+    row = triangle_stats(df, "x", "y").collect()[0]
+    # raw-id-oriented reference count, computed with the pre-r8 plan
+    e = (df.select(F.least("x", "y").alias("a"),
+                   F.greatest("x", "y").alias("b"))
+         .filter(F.col("a") != F.col("b")).distinct())
+    w = (e.alias("e1").join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+         .select(F.col("e1.a").alias("a"), F.col("e2.b").alias("c")))
+    ref_tri = (w.join(e.alias("e3"), (w["a"] == F.col("e3.a"))
+                      & (w["c"] == F.col("e3.b")), "left_semi").count())
+    assert row["n_triangles"] == ref_tri == 59 + 4
+    assert (row["n_nodes"], row["n_edges"]) == (65, 125)
+    cc = clustering_coefficient(df, "x", "y").collect()[0]
+    assert cc["n_triangles"] == 63
+    # wedges: hub 0 has degree 60 -> C(60,2)=1770; leaf degrees vary
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assert cc["n_wedges"] == wedges
+    assert cc["transitivity"] == (6_000_000 * 63 // (2 * wedges)) / 1e6
+
+
 def test_psi_drift_flags_shifted_distribution(spark):
     import datetime as dt
     from stock_data_etl_pipeline_spark.operators.quality import psi_drift

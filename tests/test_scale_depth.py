@@ -235,3 +235,38 @@ def test_aqe_splits_skewed_sort_merge_join(spark):
     assert n == 400_000  # every probe row matches exactly one build row
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan and "skewed" in plan
+
+
+# ---------------------------------------------------------------------------
+# 3. hub-skew stress through the triangle machinery
+# ---------------------------------------------------------------------------
+
+def test_triangle_machinery_collapses_hub_fanout(spark):
+    """Degree-oriented triangle counting on a hub-heavy graph: one hub
+    joined to 2000 spokes plus a chain along the spokes (1999 hub
+    triangles) and a disjoint K5 (10 more).  Under raw-id orientation
+    the hub (lowest id) would carry out-degree 2000 — a ~2M-wedge
+    fan-out from ONE node, the exact shape that OOMs a hot task at
+    100×.  Under (degree, id) orientation the hub is the highest-rank
+    node, so its out-degree must collapse to 0 and every adjacency
+    array stays bounded by the small-neighbor degrees — which is what
+    makes the collect_list in _triangle_count safe on heavy-tailed
+    graphs.  Counts must be unaffected by the reorientation."""
+    import itertools
+    from pyspark.sql import functions as F
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        _degree_oriented_edges, triangle_stats)
+    edges = [(0, i) for i in range(1, 2001)]
+    edges += [(i, i + 1) for i in range(1, 2000)]
+    edges += list(itertools.combinations(range(10_000, 10_005), 2))
+    df = spark.createDataFrame(edges, "x long, y long")
+    row = triangle_stats(df, "x", "y").collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == \
+        (2006, 4009, 1999 + 10)
+    e, _deg = _degree_oriented_edges(df, "x", "y")
+    out_deg = {r["a"]: r["c"] for r in
+               e.groupBy("a").agg(F.count(F.lit(1)).alias("c")).collect()}
+    # the hub emits NO wedge fan-out; nothing exceeds the max small
+    # degree (chain nodes: 3, K5 nodes: 4)
+    assert 0 not in out_deg
+    assert max(out_deg.values()) <= 4
