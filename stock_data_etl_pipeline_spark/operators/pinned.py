@@ -50,10 +50,18 @@ materialized; pins are also harmlessly dropped when the session stops.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_log = logging.getLogger(__name__)
 
 # (kind, frame) where kind is "persist" | "checkpoint"
 _PINNED: list[tuple[str, DataFrame]] = []
+
+# one-shot flag so a Spark upgrade that moves the private accessor logs
+# ONCE instead of spamming every release (and instead of failing silent)
+_warned_checkpoint_accessor = False
 
 
 def pin(df: DataFrame) -> DataFrame:
@@ -99,16 +107,24 @@ def pin_checkpoint(df: DataFrame) -> DataFrame:
 
 
 def _unpersist_checkpoint(df: DataFrame) -> None:
-    """Drop a localCheckpoint's blocks via its LogicalRDD leaf. Falls
-    back to dropping the reference (ContextCleaner GC) if the internal
-    accessor moves in a future Spark."""
+    """Drop a localCheckpoint's blocks via its LogicalRDD leaf.
+
+    The accessor chain is a private JVM surface; if a Spark upgrade
+    moves it, the blocks can only be reclaimed by ContextCleaner GC of
+    the dropped Python reference — correct but unbounded in time.
+    :func:`release_pinned` makes that degradation visible (a one-shot
+    warning) instead of silently recreating the storage-growth problem
+    this registry exists to prevent."""
     df._jdf.queryExecution().analyzed().rdd().unpersist(False)  # noqa: SLF001
 
 
 def release_pinned() -> int:
     """Unpersist every registered frame (non-blocking); returns the
     number released. Never raises — a dead SparkContext just clears
-    the registry."""
+    the registry; a LIVE context whose checkpoint accessor broke (a
+    Spark upgrade moving the private surface) logs one warning so the
+    resulting storage growth is visible, not silent."""
+    global _warned_checkpoint_accessor
     n = 0
     while _PINNED:
         kind, df = _PINNED.pop()
@@ -119,5 +135,16 @@ def release_pinned() -> int:
                 df.unpersist()
             n += 1
         except Exception:  # noqa: BLE001 — session may already be gone
-            pass
+            from pyspark import SparkContext
+            alive = SparkContext._active_spark_context is not None  # noqa: SLF001
+            if alive and kind == "checkpoint" \
+                    and not _warned_checkpoint_accessor:
+                _warned_checkpoint_accessor = True
+                _log.warning(
+                    "localCheckpoint block release failed on a live "
+                    "SparkContext: the private queryExecution()."
+                    "analyzed().rdd() accessor is unavailable on this "
+                    "Spark build. Checkpoint blocks now free only via "
+                    "ContextCleaner GC — pinned storage may grow "
+                    "within a long session.", exc_info=True)
     return n

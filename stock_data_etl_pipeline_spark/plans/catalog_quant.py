@@ -128,9 +128,13 @@ def stock_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
          row_number() OVER (PARTITION BY event_type,
                             date_trunc('day', hr)
                             ORDER BY hr DESC) AS rn
-  FROM bars
+  FROM bars WHERE close > 0
 ), daily AS (
-  SELECT event_type, day, close FROM dc WHERE rn = 1 AND close > 0
+  -- close > 0 is applied to BARS (before the daily last-bar pick),
+  -- matching the Spark side exactly: if a day's last bar were
+  -- non-positive but an earlier bar positive, both engines now pick
+  -- the same (earlier) bar as that day's close
+  SELECT event_type, day, close FROM dc WHERE rn = 1
 ), rets AS (
   SELECT event_type, day,
          close / lag(close) OVER (PARTITION BY event_type

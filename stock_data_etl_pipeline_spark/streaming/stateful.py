@@ -32,6 +32,7 @@ cluster image (protobuf is a stock PySpark extra).
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 from collections.abc import Iterator
@@ -106,22 +107,35 @@ def streaming_running_extremes(spark: SparkSession,
                           None)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
                    _ROCKSDB)
+    # the checkpoint dir and the uniquely-named memory sink are
+    # per-drain scratch: both are torn down before returning so a
+    # long-lived session draining repeatedly doesn't accumulate disk
+    # state and catalog entries. That forces materializing the snapshot
+    # here — safe because it is O(|symbols|) rows (the smallest keyed
+    # state), and the caller gets a plain local DataFrame.
+    cp_dir = tempfile.mkdtemp(prefix="tws_cp_")
     try:
         q = (out.writeStream.outputMode("update")
              .format("memory").queryName(name)
-             .option("checkpointLocation",
-                     os.path.join(tempfile.mkdtemp(prefix="tws_cp_"),
-                                  "cp"))
+             .option("checkpointLocation", os.path.join(cp_dir, "cp"))
              .trigger(availableNow=True).start())
         q.awaitTermination()
+        snap = spark.table(name)
+        from ..operators.windows import latest_per_group
+        latest = (latest_per_group(snap, ["event_type"],
+                                   [F.col("n_ticks").desc()])
+                  .orderBy("event_type"))
+        rows = latest.collect()
+        schema = latest.schema
     finally:
         if prev is None:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev)
-    snap = spark.table(name)
-    from ..operators.windows import latest_per_group
-    return (latest_per_group(snap, ["event_type"],
-                             [F.col("n_ticks").desc()])
-            .orderBy("event_type"))
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:  # noqa: BLE001 — sink never registered if start failed
+            pass
+        shutil.rmtree(cp_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

@@ -226,6 +226,35 @@ def test_released_checkpoint_fails_fast_not_silently_recomputes(spark):
         out.collect()
 
 
+def test_release_pinned_warns_once_if_checkpoint_accessor_breaks(
+        spark, monkeypatch, caplog):
+    # If a Spark upgrade moves the private LogicalRDD accessor,
+    # release_pinned must stay non-raising BUT make the degradation
+    # visible: exactly one warning on a live context (not one per
+    # release, not silence) — the silent-swallow path would quietly
+    # recreate the storage growth the registry exists to prevent.
+    import logging
+
+    from stock_data_etl_pipeline_spark.operators import pinned
+
+    def boom(df):
+        raise AttributeError("accessor moved")
+
+    monkeypatch.setattr(pinned, "_unpersist_checkpoint", boom)
+    monkeypatch.setattr(pinned, "_warned_checkpoint_accessor", False)
+    df = spark.range(10).localCheckpoint(eager=True)
+    pinned._PINNED.append(("checkpoint", df))
+    pinned._PINNED.append(("checkpoint", df))
+    with caplog.at_level(logging.WARNING,
+                         logger="stock_data_etl_pipeline_spark."
+                                "operators.pinned"):
+        pinned.release_pinned()
+    warns = [r for r in caplog.records
+             if "localCheckpoint block release failed" in r.message]
+    assert len(warns) == 1
+    assert not pinned._PINNED
+
+
 def test_acf_known_series(spark):
     # perfectly alternating series 10, 20, 10, 20 ... (n=8): ACF is
     # exactly -1 at odd lags and +1 at even lags (mean 15, deviations
