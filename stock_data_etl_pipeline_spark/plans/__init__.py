@@ -60,9 +60,13 @@ _ROUND3_WINDOW = [
 ]
 
 
-def _correctness_status(root: str | None = None) -> tuple[int, dict[str, str]]:
+def _correctness_status(root: str | None = None,
+                        with_rounds: bool = False):
     """(latest_round, name -> 'green'|'red') from the driver's
-    CORRECTNESS_r*.json artifacts at the repo root; later rounds win."""
+    CORRECTNESS_r*.json artifacts at the repo root; later rounds win.
+    With ``with_rounds=True`` a third element is returned: name ->
+    round of that query's most recent driver row (the rotation key —
+    greens are re-checked oldest-verified first)."""
     import glob
     import json
     import os
@@ -71,11 +75,16 @@ def _correctness_status(root: str | None = None) -> tuple[int, dict[str, str]]:
     root = root or os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     latest, status = 0, {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    last_round: dict[str, int] = {}
+    # sort by ROUND NUMBER, not path: lexicographic order would put
+    # r10 before r2 once rounds outgrow the zero-padding
+    found = []
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
-            continue
-        latest = max(latest, int(m.group(1)))
+        if m:
+            found.append((int(m.group(1)), path))
+    for rnd, path in sorted(found):
+        latest = max(latest, rnd)
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -86,6 +95,9 @@ def _correctness_status(root: str | None = None) -> tuple[int, dict[str, str]]:
                   and row.get("schema_match")
                   and row.get("hash_match", True) and not row.get("err"))
             status[name] = "green" if ok else "red"
+            last_round[name] = rnd
+    if with_rounds:
+        return latest, status, last_round
     return latest, status
 
 
@@ -94,7 +106,8 @@ def _window_order(root: str | None = None) -> list[str]:
     the CORRECTNESS artifacts under ``root`` (default: repo root).
     Pure — returns the ordered names without mutating CATALOG, so the
     meta-tests can pin both branches against tmp_path artifact sets."""
-    latest, status = _correctness_status(root)
+    latest, status, last_round = _correctness_status(root,
+                                                     with_rounds=True)
     if latest <= 2:
         # round 3: the explicit window above (verdict-directed: prove the
         # events-ts fix, pull TPC-H + corpus into external verification)
@@ -106,12 +119,18 @@ def _window_order(root: str | None = None) -> list[str]:
         # later rounds, self-advancing: queries with a RED driver row
         # first (prove the fix), then never-driver-checked (in
         # registration order — earliest families have waited longest),
-        # then green (rows on record). No manual edit needed per round.
+        # then green, ranked by the ROUND of their last green row,
+        # oldest-verified first. That last key makes the 50-query
+        # window CYCLE through the whole green catalog across rounds
+        # instead of re-checking the same 50 oldest-registered queries
+        # forever — without it, a testdata regeneration breaking a
+        # late-registered query would never be externally re-caught
+        # (the round-2 failure mode). No manual edit needed per round.
         reg_index = {n: i for i, n in enumerate(CATALOG)}
 
-        def rank(n: str) -> tuple[int, int]:
+        def rank(n: str) -> tuple[int, int, int]:
             cls = {"red": 0}.get(status.get(n), 1 if n not in status else 2)
-            return (cls, reg_index[n])
+            return (cls, last_round.get(n, 0), reg_index[n])
 
         head = sorted(CATALOG, key=rank)
     return head + [n for n in CATALOG if n not in set(head)]

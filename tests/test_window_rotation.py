@@ -72,3 +72,69 @@ def test_classifier_survives_bad_artifact(tmp_path):
     (tmp_path / "CORRECTNESS_r07.json").write_text("{not json")
     latest, status = _correctness_status(str(tmp_path))
     assert latest == 7 and status == {}
+
+
+def test_green_requeue_cycles_oldest_verified_first(tmp_path):
+    # greens rank by the round of their last driver row, oldest first:
+    # the 50-query window then CYCLES through the green catalog across
+    # rounds instead of re-checking the same oldest-REGISTERED queries
+    # forever. g_r3 (last green in r3) must outrank g_r5 (green in r5)
+    # even though g_r5 registered earlier.
+    names = list(CATALOG)
+    g_r5, g_r3, red = names[0], names[9], names[4]
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        g_r3: {"rows_match": True, "schema_match": True,
+               "hash_match": True},
+        g_r5: {"rows_match": True, "schema_match": True,
+               "hash_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps({
+        g_r5: {"rows_match": True, "schema_match": True,
+               "hash_match": True},
+        red: {"rows_match": True, "schema_match": True,
+              "hash_match": False},
+    }))
+    order = _window_order(str(tmp_path))
+    assert order[0] == red                       # reds still lead
+    assert order.index(g_r3) > order.index(names[1])  # behind unchecked
+    assert order.index(g_r3) < order.index(g_r5)      # but r3 < r5 green
+    assert sorted(order) == sorted(CATALOG)
+
+
+def test_window_rotates_across_simulated_rounds(tmp_path):
+    # simulate the driver loop: everything green in r04, then each
+    # round re-greens whatever the window head showed. The set of
+    # re-checked greens must ADVANCE (disjoint windows) until the
+    # catalog wraps — the anti-starvation property itself.
+    names = list(CATALOG)
+    win = 50
+    (tmp_path / "CORRECTNESS_r04.json").write_text(json.dumps({
+        n: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for n in names}))
+    seen: list[list[str]] = []
+    for rnd in range(5, 8):
+        head = _window_order(str(tmp_path))[:win]
+        seen.append(head)
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps({
+            n: {"rows_match": True, "schema_match": True,
+                "hash_match": True} for n in head}))
+    # consecutive windows share nothing until the catalog wraps
+    assert not set(seen[0]) & set(seen[1])
+    assert not set(seen[1]) & set(seen[2])
+    covered = set(seen[0]) | set(seen[1]) | set(seen[2])
+    assert len(covered) == min(3 * win, len(names))
+
+
+def test_lexicographic_round_sort_is_not_assumed(tmp_path):
+    # r10 must beat r9 even though "r10" < "r9" lexicographically
+    (tmp_path / "CORRECTNESS_r9.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True,
+              "hash_match": False}}))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({
+        "a": {"rows_match": True, "schema_match": True,
+              "hash_match": True}}))
+    latest, status, rounds = _correctness_status(str(tmp_path),
+                                                 with_rounds=True)
+    assert latest == 10
+    assert status == {"a": "green"}
+    assert rounds == {"a": 10}
