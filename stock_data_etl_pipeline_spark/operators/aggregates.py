@@ -126,11 +126,21 @@ def grouped_exact_quantiles(df: DataFrame, group_col: str,
     ride a broadcast join (groups are bounded). All output values are
     exact integers — no division anywhere.
     """
-    from .windows import grouped_running_total
     v = (df.select(F.col(group_col).alias("g"),
                    F.col(value_col).cast("long").alias("v"))
          .filter(F.col("v").isNotNull()))
     counts = v.groupBy("g", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    return (_grouped_quantiles_from_counts(counts)
+            .withColumnRenamed("g", group_col))
+
+
+def _grouped_quantiles_from_counts(counts: DataFrame) -> DataFrame:
+    """Per-group exact p50/p90/p99 from a WEIGHTED value-count table
+    (g, v, cnt) — the shared kernel of :func:`grouped_exact_quantiles`
+    and :func:`robust_outlier_profile`, factored so a caller that
+    already holds (or pins) the pre-aggregated counts pays no second
+    scan of the underlying rows. Output: (g, n_rows, q50, q90, q99)."""
+    from .windows import grouped_running_total
     run = grouped_running_total(counts, ["g"], [F.col("v")], "cnt",
                                 out="cum")
     n = counts.groupBy("g").agg(F.sum("cnt").cast("long").alias("n_rows"))
@@ -142,8 +152,7 @@ def grouped_exact_quantiles(df: DataFrame, group_col: str,
             .agg(F.min("n_rows").alias("n_rows"),
                  pick(rk(1, 2)).alias("q50"),
                  pick(rk(9, 10)).alias("q90"),
-                 pick(rk(99, 100)).alias("q99"))
-            .withColumnRenamed("g", group_col))
+                 pick(rk(99, 100)).alias("q99")))
 
 
 def robust_outlier_profile(df: DataFrame, group_col: str,
@@ -161,23 +170,37 @@ def robust_outlier_profile(df: DataFrame, group_col: str,
     exact quotient ``(1e6·n_out) div n`` — one division by 1e6. The
     per-group median/MAD frames are broadcast (group cardinality is
     bounded by construction of the caller's group key).
+
+    One scan of ``df`` total: the whole profile is a function of the
+    (g, v, cnt) value-count table, which is pinned and reused by the
+    median pass, the deviation re-count, the MAD pass, AND the final
+    census (weighted by cnt) — the r7 shape re-read the input rows for
+    each of the two quantile passes plus the census.
     """
+    from .pinned import pin
     v = (df.select(F.col(group_col).alias("g"),
                    F.col(value_col).cast("long").alias("v"))
          .filter(F.col("v").isNotNull()))
-    med = (grouped_exact_quantiles(v, "g", "v")
+    vc = pin(v.groupBy("g", "v")
+             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    med = (_grouped_quantiles_from_counts(vc)
            .select("g", F.col("q50").alias("med")))
-    dev = (v.join(F.broadcast(med), "g")
+    dev = (vc.join(F.broadcast(med), "g")
            .withColumn("ad", F.abs(F.col("v") - F.col("med"))))
-    mad = (grouped_exact_quantiles(dev.select("g", "ad"), "g", "ad")
+    # merge distinct values that land on the same deviation before the
+    # prefix sum (|v - med| is 2-to-1 around the median)
+    devc = (dev.groupBy("g", F.col("ad").alias("v"))
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+    mad = (_grouped_quantiles_from_counts(devc)
            .select("g", F.col("q50").alias("mad")))
     j = dev.join(F.broadcast(mad), "g")
     out = (j.groupBy("g")
-           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+           .agg(F.sum("cnt").cast("long").alias("n"),
                 F.min("med").cast("long").alias("med"),
                 F.min("mad").cast("long").alias("mad"),
-                F.sum(F.when(F.col("ad") > k * F.col("mad"), 1)
-                      .otherwise(0)).cast("long").alias("n_outliers")))
+                F.sum(F.when(F.col("ad") > k * F.col("mad"),
+                             F.col("cnt")).otherwise(F.lit(0)))
+                .cast("long").alias("n_outliers")))
     rate = F.expr("(1000000 * n_outliers) div n") / 1e6
     return (out.select(F.col("g").alias(group_col), "n", "med", "mad",
                        "n_outliers", rate.alias("outlier_rate"))

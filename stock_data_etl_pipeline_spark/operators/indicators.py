@@ -1129,6 +1129,14 @@ def obv(bars: DataFrame) -> DataFrame:
     window (CENTS sign × integer volume), exact on any engine. The
     first bar contributes 0 (no previous close), matching the classic
     definition's arbitrary zero origin.
+
+    Scale bound: the unbounded-preceding window serializes one symbol
+    per task, but hourly bars are CALENDAR-bounded — ≈8.8k bars/year,
+    ≈175k narrow rows for a 20-year symbol — far under a task's
+    working-set budget, and the close-to-close lag forces per-symbol
+    ordering regardless. If the grain ever drops below hours (ticks),
+    switch the running sum to windows.grouped_running_total (the
+    orders_open_backlog pattern) and keep only the lag per-symbol.
     """
     w = Window.partitionBy("event_type").orderBy("hr")
     c = F.round(F.col("close") * 100, 0).cast("long")
@@ -1439,7 +1447,10 @@ def cusum(bars: DataFrame, k_cents: int = CUSUM_K_CENTS,
     bars/symbol — inside int64.
 
     Scale: three windows over the same (symbol) partitioning — one
-    shuffle; per-symbol partitions are bounded by the hour grid.
+    shuffle; per-symbol partitions are bounded by the hour grid
+    (≈8.8k bars/year ⟹ ≈175k narrow rows for a 20-year symbol, far
+    inside one task's budget — same bound as :func:`obv`; below the
+    hour grain, move the prefix sums to grouped_running_total).
     """
     w = Window.partitionBy("event_type").orderBy("hr")
     p = Window.partitionBy("event_type")

@@ -176,3 +176,42 @@ def test_robust_outliers_rides_grouped_prefix_sum(spark):
             assert "_grt_pid" in ln, (
                 "robust-outlier window not partitioned by the range id:"
                 f"\n{ln.strip()[:300]}")
+
+
+def test_committed_plan_audit_is_fresh_and_clean():
+    """The newest tools/PLAN_AUDIT_r*.txt must cover the ENTIRE current
+    catalog with zero errors — otherwise its "0 cartesian / 0 errors
+    across the catalog" claim silently under-counts whenever queries
+    are registered after the audit was generated (the round-7 staleness:
+    272 audited vs 281 registered). Adding a query now REQUIRES
+    regenerating the audit (python tools/plan_audit.py > tools/
+    PLAN_AUDIT_r<N>.txt) before the suite goes green."""
+    import glob
+    import os
+    import re
+
+    from stock_data_etl_pipeline_spark.plans import CATALOG
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    audits = []
+    for p in glob.glob(os.path.join(root, "PLAN_AUDIT_r*.txt")):
+        m = re.search(r"PLAN_AUDIT_r(\d+)\.txt$", p)
+        if m:
+            audits.append((int(m.group(1)), p))
+    assert audits, "no committed PLAN_AUDIT_r*.txt under tools/"
+    _, latest = max(audits)
+    text = open(latest).read()
+    m = re.search(r"^(\d+) queries, (\d+) errors", text, re.M)
+    assert m, f"summary line missing in {latest}"
+    audited, errors = int(m.group(1)), int(m.group(2))
+    assert errors == 0, f"{latest} recorded {errors} audit errors"
+    assert audited == len(CATALOG), (
+        f"{latest} audited {audited} queries but the catalog has "
+        f"{len(CATALOG)} — regenerate the plan audit")
+    # the audit's headline safety claim, re-asserted from the artifact:
+    # no cartesian products anywhere in the catalog
+    for line in text.splitlines():
+        cm = re.search(r"cartesian=(\d+)", line)
+        if cm:
+            assert cm.group(1) == "0", f"cartesian product: {line}"
