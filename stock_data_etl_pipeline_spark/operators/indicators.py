@@ -1667,3 +1667,227 @@ def data_gaps(bars: DataFrame) -> DataFrame:
             .select("event_type", "n_bars", "expected_hours",
                     "n_missing", "longest_gap_hours")
             .orderBy("event_type"))
+
+
+ADX_N = 14  # directional-movement window (SMA variant, like RSI here)
+
+
+def adx(bars: DataFrame, n: int = ADX_N) -> DataFrame:
+    """Average Directional Index (SMA variant) per symbol: +DM/−DM are
+    the directional halves of the bar-to-bar range move, ±DI their
+    window sums as a share of the true-range sum, DX the normalized
+    |+DI − −DI| spread, and ADX the window mean of DX.
+
+    Exact-integer discipline end to end: DM and TR are integer cents;
+    ±DI ride the percent grid ``(1e8·Σdm) div ΣTR`` (→ 1e-6-grid
+    percents after ONE division); DX's shared ΣTR denominator cancels,
+    so DX = ``(1e8·|Σ+dm − Σ−dm|) div (Σ+dm + Σ−dm)`` — no float ever
+    enters; and ADX is the integer quotient of non-negative DX-grid
+    sums (truncating div == DuckDB ``//`` on non-negative operands).
+    First bars (no previous close) contribute NULL terms that drop out
+    of the window sums identically on both engines. Headroom: 1e8 ·
+    n·max_move ≈ 1e8·14·56k = 7.8e13 ≪ int64.
+
+    Scale: four stacked windows over ONE (symbol, hr) partitioning —
+    a single shuffle; per-symbol rows are calendar-bounded (see
+    :func:`obv`).
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = bars.select("event_type", "hr", cents("high").alias("h"),
+                    cents("low").alias("l"), cents("close").alias("c"))
+    ph, pl, pc = (F.lag(x).over(w) for x in ("h", "l", "c"))
+    up = F.col("h") - ph
+    dn = pl - F.col("l")
+    has_prev = pc.isNotNull()
+    b = b.select(
+        "event_type", "hr",
+        F.when(has_prev & (up > dn) & (up > 0), up)
+        .otherwise(F.when(has_prev, F.lit(0).cast("long"))).alias("pdm"),
+        F.when(has_prev & (dn > up) & (dn > 0), dn)
+        .otherwise(F.when(has_prev, F.lit(0).cast("long"))).alias("mdm"),
+        F.when(has_prev,
+               F.greatest(F.col("h") - F.col("l"),
+                          F.abs(F.col("h") - pc),
+                          F.abs(F.col("l") - pc))).alias("tr"))
+    wn = w.rowsBetween(-(n - 1), 0)
+    b = b.select("event_type", "hr",
+                 F.sum("pdm").over(wn).alias("sp"),
+                 F.sum("mdm").over(wn).alias("sm"),
+                 F.sum("tr").over(wn).alias("st"))
+    b = b.select(
+        "event_type", "hr",
+        F.when(F.col("st") > 0,
+               F.expr("(100000000 * sp) div st")).alias("dip"),
+        F.when(F.col("st") > 0,
+               F.expr("(100000000 * sm) div st")).alias("dim"),
+        F.when(F.col("sp") + F.col("sm") > 0,
+               F.expr("(100000000 * abs(sp - sm)) div (sp + sm)"))
+        .alias("dx"))
+    b = b.withColumn(
+        "adxi", F.when(F.count("dx").over(wn) > 0,
+                       F.expr(f"(sum(dx) OVER (PARTITION BY event_type "
+                              f"ORDER BY hr ROWS BETWEEN {n - 1} "
+                              f"PRECEDING AND CURRENT ROW)) div "
+                              f"(count(dx) OVER (PARTITION BY event_type "
+                              f"ORDER BY hr ROWS BETWEEN {n - 1} "
+                              f"PRECEDING AND CURRENT ROW))")))
+    return b.select("event_type", "hr",
+                    (F.col("dip") / 1e6).alias("di_plus"),
+                    (F.col("dim") / 1e6).alias("di_minus"),
+                    (F.col("dx") / 1e6).alias("dx"),
+                    (F.col("adxi") / 1e6).alias("adx"))
+
+
+def force_index(bars: DataFrame, decay: float = EWMA_DECAY,
+                lookback: int = EWMA_LOOKBACK) -> DataFrame:
+    """Force index per symbol: truncated EWMA of (close-to-close move ×
+    volume) — Elder's buying/selling-pressure gauge, normalized-weight
+    truncated-EWMA variant (the :func:`ewma_trend` convention).
+
+    The raw per-bar force is the EXACT integer cents-move × volume;
+    first bars (no previous close) are dropped BEFORE ranking so every
+    band-join row carries a defined force and Σweights needs no
+    conditional. The EWMA rides ``banded_rank_join`` (O(lookback) probe
+    work per bar); the emit divides by 100 into dollars·shares and
+    rounds 6 dp in one expression mirrored by the oracle.
+    """
+    from .windows import banded_rank_join
+    w = Window.partitionBy("event_type").orderBy("hr")
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    fi = ((c - F.lag(c).over(w)) * F.col("volume").cast("long"))
+    b = (bars.select("event_type", "hr", fi.alias("fi"))
+         .filter(F.col("fi").isNotNull())
+         .withColumn("rn", F.row_number().over(w)))
+    joined = banded_rank_join(b, ["event_type"], "rn", lookback)
+    wgt = F.pow(F.lit(decay), F.col("cur.rn") - F.col("prev.rn"))
+    return (joined.groupBy(F.col("cur.event_type").alias("event_type"),
+                           F.col("cur.hr").alias("hr"))
+            .agg(F.round(F.sum(F.col("prev.fi") * wgt) / F.sum(wgt)
+                         / 100.0, 6).alias("force_index")))
+
+
+def pivot_points(daily: DataFrame) -> DataFrame:
+    """Classic floor-trader pivot levels per symbol and day, from the
+    PREVIOUS day's OHLC: P = (H+L+C)/3, R1 = 2P − L, S1 = 2P − H,
+    R2 = P + (H − L), S2 = P − (H − L).
+
+    No rounding anywhere: every level is a fixed IEEE expression over
+    the previous day's integer cents (one division by 300 for P, one
+    by 100 per range term), evaluated with identical association on
+    both engines — rationals like k/300 CAN sit on a rounding
+    boundary, so emitting the raw double is the only knife-edge-free
+    canonical form. First days (no previous bar) emit NULL levels.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = daily.select("event_type", "hr", cents("high").alias("h"),
+                     cents("low").alias("l"), cents("close").alias("c"))
+    ph, pl, pc = (F.lag(x).over(w) for x in ("h", "l", "c"))
+    b = b.select("event_type", "hr", ph.alias("ph"), pl.alias("pl"),
+                 pc.alias("pc"))
+    p = (F.col("ph") + F.col("pl") + F.col("pc")).cast("double") / 300.0
+    rng = (F.col("ph") - F.col("pl")).cast("double") / 100.0
+    lo = F.col("pl").cast("double") / 100.0
+    hi = F.col("ph").cast("double") / 100.0
+    return b.select(
+        "event_type", "hr",
+        p.alias("pivot"),
+        (2.0 * p - lo).alias("r1"),
+        (2.0 * p - hi).alias("s1"),
+        (p + rng).alias("r2"),
+        (p - rng).alias("s2"))
+
+
+def kyle_lambda(bars: DataFrame) -> DataFrame:
+    """Kyle's lambda per symbol: the OLS slope of the close-to-close
+    price move (cents) on SIGNED volume (sign of the move × bar
+    volume) — the canonical price-impact / illiquidity regression.
+
+    All four regression sums are exact BIGINTs (x = signed volume,
+    y = cents move); the slope is emitted as ONE IEEE division of the
+    leaf-cast integer combinations ``(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)``
+    with identical association on both engines, UNROUNDED (a ratio of
+    exact integers can land on any rounding boundary — the raw double
+    is the canonical form; both engines cast int64→double identically
+    even past 2^53). Degenerate x-variance emits NULL. Headroom at the
+    hourly grain: n·Σxy ≲ 720·(720·10³·56·10³) ≈ 3e13 ≪ int64.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    d = c - F.lag(c).over(w)
+    b = (bars.select("event_type", "hr", d.alias("y"),
+                     F.col("volume").cast("long").alias("vol"))
+         .filter(F.col("y").isNotNull())
+         .select("event_type", "y",
+                 (F.signum(F.col("y")).cast("long") * F.col("vol"))
+                 .alias("x")))
+    g = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return g.select(
+        "event_type", F.col("n").alias("n_obs"),
+        F.when(den > 0, num.cast("double") / den.cast("double"))
+        .alias("kyle_lambda")).orderBy("event_type")
+
+
+def roll_spread(bars: DataFrame) -> DataFrame:
+    """Roll's implied effective spread per symbol: 2·sqrt(−cov(Δp_t,
+    Δp_{t−1})) when the serial covariance of price moves is negative
+    (bid-ask bounce), NULL otherwise — the classic trade-price-only
+    spread estimator.
+
+    The covariance numerator ``n·Σ d·dl − Σd·Σdl`` is an exact BIGINT
+    over integer cents moves; the emit is
+    ``2·sqrt(−cov_n)/n/100`` — sqrt of a non-negative leaf-cast
+    integer (DuckDB's sqrt(negative) hard-crashes, so the guard is on
+    the INTEGER sign), transcendental, hence 6-dp-round-safe.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    d = c - F.lag(c).over(w)
+    b = bars.select("event_type", "hr", d.alias("d"))
+    b = (b.select("event_type", "d", F.lag("d").over(
+        Window.partitionBy("event_type").orderBy("hr")).alias("dl"))
+         .filter(F.col("d").isNotNull() & F.col("dl").isNotNull()))
+    g = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("dl").cast("long").alias("sdl"),
+        F.sum(F.col("d") * F.col("dl")).cast("long").alias("sddl"))
+    cov_n = (F.col("n") * F.col("sddl") - F.col("sd") * F.col("sdl"))
+    spread = F.round(
+        2.0 * F.sqrt((-cov_n).cast("double")) / F.col("n").cast("double")
+        / 100.0, 6)
+    return g.select("event_type", F.col("n").alias("n_obs"),
+                    F.when(cov_n < 0, spread).alias("roll_spread")) \
+        .orderBy("event_type")
+
+
+def daily_ohlc(events: DataFrame) -> DataFrame:
+    """Resample raw ticks into DAILY OHLC bars per symbol — the day
+    twin of :func:`hourly_bars` (same deterministic (ts, event_id)
+    tie-break, same single-exchange window + conditional-agg shape),
+    for indicators defined on the daily grid (:func:`pivot_points`).
+    """
+    e = events.select(
+        "event_type", "ts", "event_id", "value",
+        F.date_trunc("day", F.col("ts")).alias("hr"))
+    w_a = Window.partitionBy("event_type", "hr").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "hr").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    r = (e.withColumn("rn_a", F.row_number().over(w_a))
+          .withColumn("rn_d", F.row_number().over(w_d)))
+    return (r.groupBy("event_type", "hr")
+            .agg(F.max(F.when(F.col("rn_a") == 1, F.col("value")))
+                 .alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max(F.when(F.col("rn_d") == 1, F.col("value")))
+                 .alias("close"),
+                 F.count(F.lit(1)).alias("volume")))

@@ -19,6 +19,8 @@ from . import catalog_select  # noqa: F401  (MUST import after the other
 from . import catalog_quant  # noqa: F401  (round-7 additions; with the
 # whole catalog driver-green after r6, never-checked entries rank first
 # in the rotation, so these land at the head of the round-7 window)
+from . import catalog_round8  # noqa: F401  (round-8 additions; same
+# deal — never-checked first, then greens cycle by staleness)
 
 # ---------------------------------------------------------------------------
 # Driver verification window rotation. The external correctness gate checks
