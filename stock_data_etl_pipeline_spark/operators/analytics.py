@@ -1227,3 +1227,49 @@ def transition_entropy(events: DataFrame) -> DataFrame:
     return (s.select("from_type", F.col("c_s").alias("n_out"),
                      "n_next", ent.alias("entropy"))
             .orderBy("from_type"))
+
+
+def degree_assortativity(pairs: DataFrame, id_a: str,
+                         id_b: str) -> DataFrame:
+    """Degree assortativity of an undirected graph: the Pearson
+    correlation of endpoint degrees over the 2m directed stubs — the
+    one-number answer to "do hubs attach to hubs?" (r > 0) or to
+    leaves (r < 0, the usual shape of co-occurrence projections).
+
+    By stub symmetry Σx = Σy and Σx² = Σy², so everything reduces to
+    FOUR exact BIGINT sums over the canonical edge list with both
+    endpoint degrees joined on: M = 2m, Σx = Σ(dₐ+d_b),
+    Σxy = 2Σdₐ·d_b, Σx² = Σ(dₐ²+d_b²). The emit is the UNROUNDED
+    single IEEE division ``(MΣxy − (Σx)²) / (MΣx² − (Σx)²)`` on
+    leaf-cast integers with identical association on both engines
+    (ratio of exact integers — raw double is the knife-edge-free
+    canonical form); regular graphs (zero degree variance) emit NULL.
+
+    Scale: one degree aggregate + two node-keyed joins onto the edge
+    list (the :func:`_degree_oriented_edges` cost shape), then one
+    global aggregate — nothing wider than the edges ever shuffles.
+    The n²-scaled combinations (M·Σxy) are evaluated as BIGINTs; on
+    hub-heavy graphs past ~1e9 stub-degree mass, switch the final
+    combination to leaf-cast doubles (rolling_corr precedent).
+    """
+    und = pin(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("x"),
+                           F.greatest(F.col(id_a), F.col(id_b)).alias("y"))
+              .filter(F.col("x") != F.col("y")).distinct())
+    deg = (und.select(F.col("x").alias("v"))
+           .unionByName(und.select(F.col("y").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d")))
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("da"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("db"))
+    j = und.join(dx, "x").join(dy, "y")
+    g = j.agg(
+        (2 * F.count(F.lit(1))).cast("long").alias("m2"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("sx"),
+        (2 * F.sum(F.col("da") * F.col("db"))).cast("long").alias("sxy"),
+        F.sum(F.col("da") * F.col("da")
+              + F.col("db") * F.col("db")).cast("long").alias("sxx"))
+    den = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")
+    return g.select(
+        F.expr("m2 div 2").alias("n_edges"),
+        F.when(den > 0, num.cast("double") / den.cast("double"))
+        .alias("assortativity"))

@@ -1347,3 +1347,90 @@ def filter_attrition(docs: DataFrame, text_col: str = "text",
         (F.col("n_in") - F.col("n_removed")).cast("long").alias("n_out"),
         rate.alias("removal_rate"))
         .orderBy("stage"))
+
+
+def hapax_profile(docs: DataFrame, text_col: str = "text",
+                  source_col: str = "source") -> DataFrame:
+    """Per-source lexical-diversity census: vocabulary size, hapax
+    legomena count (types occurring exactly once in the source), and
+    the hapax share of the vocabulary — the quick corpus-health signal
+    (a high hapax rate flags OCR noise / junk tokens; a collapsing one
+    flags boilerplate or dedup failure).
+
+    Two keyed aggregates — (source, word) term frequencies, then the
+    per-source rollup; the hapax rate rides the exact quotient
+    ``(1e6·n_hapax) div n_vocab`` with ONE division at emit. Work is
+    bounded by |source × vocabulary|, never token count.
+    """
+    tf = (docs.select(F.col(source_col).alias("source"),
+                      F.explode(words(text_col)).alias("w"))
+          .groupBy("source", "w")
+          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    g = (tf.groupBy("source")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_vocab"),
+              F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+              .cast("long").alias("n_hapax"),
+              F.sum("cnt").cast("long").alias("n_tokens")))
+    rate = F.expr("(1000000 * n_hapax) div n_vocab") / 1e6
+    return (g.select("source", "n_tokens", "n_vocab", "n_hapax",
+                     F.when(F.col("n_vocab") > 0, rate)
+                     .alias("hapax_rate"))
+            .orderBy("source"))
+
+
+def heaps_curve(docs: DataFrame, n_deciles: int = 10,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: walk the corpus in doc-id
+    order and report, at each decile of documents, the cumulative
+    token count, the cumulative vocabulary (distinct types seen so
+    far), and the Heaps exponent β = ln(V_d/V_1)/ln(N_d/N_1) relative
+    to the first decile (β ≈ 0.4–0.6 for natural text; β → 0 flags a
+    closed vocabulary, β → 1 token noise).
+
+    Everything that can be integer IS: per-doc token counts, per-doc
+    NEW-type counts (each type attributed to its min doc id — one
+    aggregate over the distinct (type, doc) index), and both
+    cumulative curves ride ``distributed_running_total`` (no
+    single-partition global window at any corpus size). The decile
+    pick is the largest doc id per ntile bucket from
+    ``distributed_ntile``. β is ln on a ratio of exact integers —
+    transcendental, so the 1e-6 round is knife-edge-free.
+    """
+    from .windows import distributed_ntile, distributed_running_total
+    w = docs.select(F.col(id_col).alias("d"), words(text_col).alias("ws"))
+    per_doc = pin(w.select("d", F.size("ws").cast("long").alias("n_tok")))
+    first = (w.select("d", F.explode(F.array_distinct("ws")).alias("t"))
+             .groupBy("t").agg(F.min("d").alias("d"))
+             .groupBy("d").agg(F.count(F.lit(1)).cast("long")
+                               .alias("new_types")))
+    base = (per_doc.join(first, "d", "left")
+            .select("d", "n_tok",
+                    F.coalesce("new_types", F.lit(0)).cast("long")
+                    .alias("new_types")))
+    ct = distributed_running_total(base, ["d"], "n_tok", out="cum_tokens")
+    cv = distributed_running_total(
+        ct.select("d", "new_types"), ["d"], "new_types", out="cum_vocab")
+    cur = (ct.select("d", "cum_tokens")
+           .join(cv.select("d", "cum_vocab"), "d"))
+    dec = distributed_ntile(cur, n_deciles, ["d"], out="decile")
+    last = (dec.groupBy("decile")
+            .agg(F.max("d").alias("d"))
+            .join(dec, ["decile", "d"]))
+    anchor = F.broadcast(
+        last.filter(F.col("decile") == 1)
+        .select(F.col("cum_tokens").alias("n1"),
+                F.col("cum_vocab").alias("v1")))
+    out = last.crossJoin(anchor)  # 1-row broadcast scalar join
+    beta = F.round(
+        F.log(F.col("cum_vocab").cast("double")
+              / F.col("v1").cast("double"))
+        / F.log(F.col("cum_tokens").cast("double")
+                / F.col("n1").cast("double")), 6)
+    return (out.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("d").alias("last_doc_id"),
+        F.col("cum_tokens"), F.col("cum_vocab"),
+        F.when((F.col("decile") > 1) & (F.col("v1") > 0)
+               & (F.col("cum_tokens") > F.col("n1")), beta).alias("beta"))
+        .orderBy("decile"))

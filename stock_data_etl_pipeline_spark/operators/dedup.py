@@ -441,3 +441,42 @@ def similarity_histogram(docs: DataFrame, text_col: str = "text",
             .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
             .withColumn("jaccard_lo", F.col("bucket") / 10.0)
             .orderBy("bucket"))
+
+
+def containment_pairs(docs: DataFrame, threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 5,
+                      max_doc_freq: int | None = None) -> DataFrame:
+    """Asymmetric near-duplicate pairs by shingle CONTAINMENT:
+    |A ∩ B| / min(|A|, |B|) ≥ threshold — catches a short document
+    embedded inside a long one, which symmetric Jaccard dilutes
+    toward 0 (the quote/excerpt/boilerplate-wrapper case every
+    training-data dedup pass needs alongside Jaccard).
+
+    Same inverted-index candidate generation as
+    :func:`ngram_jaccard_pairs`; the score rides the exact integer
+    grid ``(1e6·|∩|) div min(|A|,|B|)`` (non-negative operands, so
+    truncating div == DuckDB ``//``), thresholded as an INTEGER
+    comparison and divided once at emit.
+    """
+    from .pinned import pin
+    idx = pin(shingle_index(docs, text_col, id_col, k, max_doc_freq))
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = idx.alias("a"), idx.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("sz").alias("sz_b"))
+    c6 = F.expr("(1000000 * inter) div least(sz_a, sz_b)")
+    t6 = int(round(threshold * 1_000_000))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("c6", c6.cast("long"))
+            .filter(F.col("c6") >= t6)
+            .select("id_a", "id_b",
+                    (F.col("c6") / 1e6).alias("containment"))
+            .orderBy("id_a", "id_b"))

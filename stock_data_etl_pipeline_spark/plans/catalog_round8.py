@@ -235,3 +235,270 @@ def stock_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transcendental
     ev = load_table(spark, sf_dir, "events")
     return ind.roll_spread(ind.hourly_bars(ev))
+
+
+@register("graph_assortativity", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+            FROM lineitem),
+e AS (SELECT DISTINCT a.i AS ea, b.i AS eb
+      FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+dg AS (SELECT v, CAST(count(*) AS BIGINT) AS d
+       FROM (SELECT ea AS v FROM e UNION ALL SELECT eb FROM e)
+       GROUP BY v),
+j AS (SELECT da.d AS da, db.d AS db
+      FROM e JOIN dg da ON e.ea = da.v JOIN dg db ON e.eb = db.v),
+g AS (SELECT CAST(2 * count(*) AS BIGINT) AS m2,
+             CAST(sum(da + db) AS BIGINT) AS sx,
+             CAST(2 * sum(da * db) AS BIGINT) AS sxy,
+             CAST(sum(da * da + db * db) AS BIGINT) AS sxx
+      FROM j)
+SELECT m2 // 2 AS n_edges,
+       CASE WHEN m2 * sxx - sx * sx > 0
+            THEN CAST(m2 * sxy - sx * sx AS DOUBLE)
+                 / CAST(m2 * sxx - sx * sx AS DOUBLE)
+       END AS assortativity
+FROM g
+""")
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # degree-degree Pearson over the co-purchase graph's 2m stubs:
+    # four exact BIGINT sums over the degree-joined edge list, one
+    # unrounded division — operators/analytics.degree_assortativity
+    from ..operators.analytics import degree_assortativity
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+    return degree_assortativity(pairs, "pa", "pb")
+
+
+from .catalog_text import _JACCARD_CTES, _WORDS  # noqa: E402
+
+
+@register("dedup_containment", f"""
+WITH {_JACCARD_CTES.replace('jac AS', '_jac_unused AS')}
+SELECT id_a, id_b,
+       ((1000000 * c) // least(sa.sz, sb.sz)) / 1e6 AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE (1000000 * c) // least(sa.sz, sb.sz) >= 500000
+ORDER BY id_a, id_b
+""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # asymmetric containment |∩|/min(|A|,|B|) over the same inverted
+    # shingle index as the Jaccard pass — catches excerpt/wrapper
+    # duplicates symmetric Jaccard dilutes; exact (1e6·|∩|) div grid
+    from ..operators.dedup import containment_pairs
+    return containment_pairs(load_table(spark, sf_dir, "documents"),
+                             threshold=0.5, k=5)
+
+
+@register("corpus_hapax_rate", f"""
+WITH w AS (SELECT source, {_WORDS} AS ws FROM documents),
+tf AS (SELECT source, t AS wd, CAST(count(*) AS BIGINT) AS cnt
+       FROM (SELECT source, unnest(ws) AS t FROM w) GROUP BY source, t),
+g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+             CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens
+      FROM tf GROUP BY source)
+SELECT source, n_tokens, n_vocab, n_hapax,
+       CASE WHEN n_vocab > 0
+            THEN ((1000000 * n_hapax) // n_vocab) / 1e6
+       END AS hapax_rate
+FROM g ORDER BY source
+""")
+def corpus_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source hapax-legomena share of the vocabulary — OCR-noise /
+    # boilerplate health signal; |source × vocab|-bounded work
+    from ..operators.corpus import hapax_profile
+    return hapax_profile(load_table(spark, sf_dir, "documents"))
+
+
+@register("corpus_heaps_curve", f"""
+WITH w AS (SELECT doc_id AS d, {_WORDS} AS ws FROM documents),
+pd AS (SELECT d, CAST(len(ws) AS BIGINT) AS n_tok FROM w),
+fo AS (SELECT t, min(d) AS d
+       FROM (SELECT d, unnest(list_distinct(ws)) AS t FROM w)
+       GROUP BY t),
+nt AS (SELECT d, CAST(count(*) AS BIGINT) AS new_types
+       FROM fo GROUP BY d),
+base AS (SELECT pd.d, pd.n_tok,
+                CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types
+         FROM pd LEFT JOIN nt ON pd.d = nt.d),
+cum AS (SELECT d,
+               CAST(sum(n_tok) OVER (ORDER BY d) AS BIGINT)
+                   AS cum_tokens,
+               CAST(sum(new_types) OVER (ORDER BY d) AS BIGINT)
+                   AS cum_vocab,
+               ntile(10) OVER (ORDER BY d) AS decile
+        FROM base),
+lastd AS (SELECT decile, max(d) AS d FROM cum GROUP BY decile),
+pick AS (SELECT c.decile, c.d, c.cum_tokens, c.cum_vocab
+         FROM cum c JOIN lastd l ON c.decile = l.decile AND c.d = l.d),
+anch AS (SELECT cum_tokens AS n1, cum_vocab AS v1 FROM pick
+         WHERE decile = 1)
+SELECT CAST(p.decile AS BIGINT) AS decile, p.d AS last_doc_id,
+       p.cum_tokens, p.cum_vocab,
+       CASE WHEN p.decile > 1 AND anch.v1 > 0
+                 AND p.cum_tokens > anch.n1
+            THEN round(ln(CAST(p.cum_vocab AS DOUBLE)
+                          / CAST(anch.v1 AS DOUBLE))
+                       / ln(CAST(p.cum_tokens AS DOUBLE)
+                            / CAST(anch.n1 AS DOUBLE)), 6)
+       END AS beta
+FROM pick p, anch
+ORDER BY decile
+""")
+def corpus_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vocabulary-growth curve at doc deciles with the Heaps exponent
+    # vs the first decile; first occurrences via one (type, min doc)
+    # aggregate, both cumulatives on distributed_running_total, decile
+    # pick via distributed_ntile — no single-partition window anywhere
+    from ..operators.corpus import heaps_curve
+    return heaps_curve(load_table(spark, sf_dir, "documents"))
+
+
+@register("events_interarrival_quantiles", """
+WITH g AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY event_type ORDER BY ts, event_id) AS v
+  FROM events
+), d AS (SELECT event_type, v FROM g WHERE v IS NOT NULL),
+c AS (SELECT event_type, v, count(*) AS cnt FROM d GROUP BY 1, 2),
+r AS (SELECT event_type, v, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM c),
+n AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_rows
+      FROM c GROUP BY event_type)
+SELECT r.event_type, min(n.n_rows) AS n_rows,
+       CAST(min(CASE WHEN cum >= (1 * n_rows + 1) // 2 THEN v END)
+            AS BIGINT) AS q50,
+       CAST(min(CASE WHEN cum >= (9 * n_rows + 9) // 10 THEN v END)
+            AS BIGINT) AS q90,
+       CAST(min(CASE WHEN cum >= (99 * n_rows + 99) // 100 THEN v END)
+            AS BIGINT) AS q99
+FROM r JOIN n ON r.event_type = n.event_type
+GROUP BY r.event_type
+ORDER BY r.event_type
+""")
+def events_interarrival_quantiles(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    # exact per-type inter-arrival-seconds quantiles on the hot-safe
+    # grouped prefix sum (a hot event type spans many partitions);
+    # integer epoch diffs (unix_timestamp truncates == floor(epoch))
+    from ..operators.aggregates import grouped_exact_quantiles
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    e = F.unix_timestamp("ts")
+    d = (ev.select("event_type", (e - F.lag(e).over(w)).alias("gap"))
+         .filter(F.col("gap").isNotNull()))
+    return (grouped_exact_quantiles(d, "event_type", "gap")
+            .withColumnRenamed("gap", "v")
+            .orderBy("event_type"))
+
+
+@register("events_burst_minutes", """
+WITH m AS (
+  SELECT event_type, date_trunc('minute', ts) AS minute,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cnt) AS BIGINT) AS s,
+         CAST(sum(cnt * cnt) AS BIGINT) AS sq,
+         CAST(max(cnt) AS BIGINT) AS max_cnt
+  FROM m GROUP BY event_type
+)
+SELECT m.event_type, min(g.n) AS n_minutes,
+       min(g.s) AS total_events, min(g.max_cnt) AS max_minute_cnt,
+       CAST(sum(CASE WHEN g.n * m.cnt - g.s > 0
+                      AND (g.n * m.cnt - g.s) * (g.n * m.cnt - g.s)
+                          > 9 * (g.n * g.sq - g.s * g.s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bursts
+FROM m JOIN g ON m.event_type = g.event_type
+GROUP BY m.event_type
+ORDER BY m.event_type
+""")
+def events_burst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-type burst census: minutes whose count exceeds mean + 3
+    # POPULATION σ, decided entirely in integers —
+    # (n·cnt − S) > 0 ∧ (n·cnt − S)² > 9·(n·Σc² − S²) — no float, no
+    # sqrt, no rounding anywhere. Only minutes WITH events are scored
+    # (sparse minutes are not zero-filled; the census is over active
+    # minutes). Headroom: (n·cnt)² ≲ (4.3e4·x)²; inside int64 while
+    # n·max_cnt < 3e9 — document re-grid past that.
+    ev = load_table(spark, sf_dir, "events")
+    m = (ev.groupBy("event_type",
+                    F.date_trunc("minute", F.col("ts")).alias("minute"))
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    g = (m.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("cnt").cast("long").alias("s"),
+              F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sq"),
+              F.max("cnt").cast("long").alias("max_cnt")))
+    j = m.join(F.broadcast(g), "event_type")
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    var9 = 9 * (F.col("n") * F.col("sq") - F.col("s") * F.col("s"))
+    return (j.groupBy("event_type")
+            .agg(F.min("n").alias("n_minutes"),
+                 F.min("s").alias("total_events"),
+                 F.min("max_cnt").alias("max_minute_cnt"),
+                 F.sum(F.when((dev > 0) & (dev * dev > var9), 1)
+                       .otherwise(0)).cast("long").alias("n_bursts"))
+            .orderBy("event_type"))
+
+
+@register("embedding_bucket_balance", """
+WITH a AS (SELECT vec_id AS aid, embedding::DOUBLE[] AS av
+           FROM embeddings WHERE vec_id IN (1, 2, 3)),
+b AS (SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_inner_product(
+                                    e.embedding::DOUBLE[], a.av) >= 0
+                      THEN power(2, a.aid - 1)::BIGINT ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM embeddings e, a GROUP BY e.vec_id),
+g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs
+      FROM b GROUP BY bucket),
+t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_buckets
+      FROM g)
+SELECT g.bucket, g.n_vecs,
+       ((1000000 * g.n_vecs) // t.total) / 1e6 AS share,
+       ((1000000 * g.n_vecs * t.n_buckets) // t.total) / 1e6 AS skew_x
+FROM g, t
+ORDER BY g.bucket
+""")
+def embedding_bucket_balance(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    # sign-LSH bucket-occupancy audit for the ANN index: per-bucket
+    # share and multiple-of-uniform skew on exact integer-quotient
+    # grids — the load-balance report that decides whether the bucket
+    # column can BE the scale-out partition key. Anchors are data
+    # vectors (vec_id 1..3), identical both engines.
+    from ..operators.similarity import as_double, sign_lsh_bucket
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = [[float(x) for x in r["embedding"]] for r in
+               (e.filter(F.col("vec_id").isin(1, 2, 3))
+                .orderBy("vec_id").select("embedding").collect())]
+    b = e.select(sign_lsh_bucket(as_double("embedding"), anchors)
+                 .alias("bucket"))
+    g = (b.groupBy("bucket")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_vecs")))
+    t = g.agg(F.sum("n_vecs").cast("long").alias("total"),
+              F.count(F.lit(1)).cast("long").alias("n_buckets"))
+    j = g.crossJoin(F.broadcast(t))  # 1-row broadcast scalar join
+    return (j.select(
+        "bucket", "n_vecs",
+        (F.expr("(1000000 * n_vecs) div total") / 1e6).alias("share"),
+        (F.expr("(1000000 * n_vecs * n_buckets) div total") / 1e6)
+        .alias("skew_x"))
+        .orderBy("bucket"))

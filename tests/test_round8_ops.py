@@ -135,3 +135,147 @@ def test_daily_ohlc_tie_break(spark):
     r = ind.daily_ohlc(ev).collect()[0]
     assert (r["open"], r["high"], r["low"], r["close"], r["volume"]) == \
         (9.0, 12.0, 9.0, 12.0, 3)
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        degree_assortativity)
+    star = spark.createDataFrame([(0, i) for i in (1, 2, 3)],
+                                 "x long, y long")
+    r = degree_assortativity(star, "x", "y").collect()[0]
+    assert r["n_edges"] == 3
+    assert r["assortativity"] == -1.0
+
+
+def test_degree_assortativity_regular_graph_null(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        degree_assortativity)
+    tri = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                                "x long, y long")
+    r = degree_assortativity(tri, "x", "y").collect()[0]
+    assert r["assortativity"] is None  # zero degree variance
+
+
+def test_degree_assortativity_k4_plus_pendant(spark):
+    # K4 on {1..4} + pendant (1,5): M=14, Σx=44, Σxy=134, Σxx=146
+    # r = (14·134 − 44²)/(14·146 − 44²) = −60/108
+    import itertools
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        degree_assortativity)
+    edges = list(itertools.combinations(range(1, 5), 2)) + [(1, 5)]
+    df = spark.createDataFrame(edges, "x long, y long")
+    r = degree_assortativity(df, "x", "y").collect()[0]
+    assert r["n_edges"] == 7
+    assert r["assortativity"] == -60.0 / 108.0
+
+
+def test_containment_catches_embedded_doc(spark):
+    # B's 6 words are A's first 6: both of B's 5-shingles ⊂ A →
+    # containment 1.0 while Jaccard is only 2/6
+    from stock_data_etl_pipeline_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+    a_text = " ".join(f"w{i}" for i in range(10))
+    b_text = " ".join(f"w{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, "x y z q r s t")],
+        "doc_id long, text string")
+    out = containment_pairs(docs, threshold=0.5, k=5).collect()
+    assert len(out) == 1
+    assert (out[0]["id_a"], out[0]["id_b"], out[0]["containment"]) == \
+        (1, 2, 1.0)
+    jac = ngram_jaccard_pairs(docs, threshold=0.5, k=5).collect()
+    assert jac == []  # symmetric Jaccard misses the embedded doc
+
+
+def test_hapax_profile_hand_counts(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        hapax_profile)
+    docs = spark.createDataFrame(
+        [(1, "a a b", "X"), (2, "c c c", "Y")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r for r in hapax_profile(docs).collect()}
+    assert (out["X"]["n_vocab"], out["X"]["n_hapax"],
+            out["X"]["hapax_rate"]) == (2, 1, 0.5)
+    assert (out["Y"]["n_vocab"], out["Y"]["n_hapax"],
+            out["Y"]["hapax_rate"]) == (1, 0, 0.0)
+
+
+def test_heaps_curve_linear_vocab_growth(spark):
+    # doc i contributes tokens (t_i, common): cum_tokens(d) = 2d,
+    # cum_vocab(d) = d + 1 (common is new only once)
+    import math
+    from stock_data_etl_pipeline_spark.operators.corpus import heaps_curve
+    docs = spark.createDataFrame(
+        [(i, f"t{i} common") for i in range(10)],
+        "doc_id long, text string")
+    out = sorted(heaps_curve(docs).collect(), key=lambda r: r["decile"])
+    assert [r["cum_tokens"] for r in out] == [2 * d for d in range(1, 11)]
+    assert [r["cum_vocab"] for r in out] == [d + 1 for d in range(1, 11)]
+    assert out[0]["beta"] is None
+    assert out[9]["beta"] == round(
+        math.log(11 / 2) / math.log(20 / 2), 6)
+
+
+def test_burst_minutes_integer_threshold(spark):
+    # 10 calm minutes (1 event) + one 100-event minute: only the spike
+    # clears mean + 3σ; all arithmetic integer
+    import datetime as dtm
+    rows = []
+    for i in range(10):
+        rows.append(("A", dtm.datetime(2024, 1, 1, 0, i, 30), i, 1.0, 1))
+    for j in range(100):
+        rows.append(("A", dtm.datetime(2024, 1, 1, 1, 0, j % 60),
+                     100 + j, 1.0, 1))
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, "
+              "value double, user_id long")
+    # drive the same integer-threshold logic as events_burst_minutes
+    m = (ev.groupBy("event_type",
+                    F.date_trunc("minute", F.col("ts")).alias("minute"))
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    g = (m.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("cnt").cast("long").alias("s"),
+              F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("sq")))
+    j = m.join(F.broadcast(g), "event_type")
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    var9 = 9 * (F.col("n") * F.col("sq") - F.col("s") * F.col("s"))
+    n_bursts = (j.filter((dev > 0) & (dev * dev > var9)).count())
+    assert n_bursts == 1
+
+
+def test_interarrival_quantiles_hand_gaps(spark):
+    # type A at t = 0, 10, 30 s → gaps 10, 20: q50 = 10, q90 = 20
+    import datetime as dtm
+    base = dtm.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [("A", base + dtm.timedelta(seconds=s), i, 1.0, 1)
+         for i, s in enumerate((0, 10, 30))],
+        "event_type string, ts timestamp, event_id long, value double, "
+        "user_id long")
+    from pyspark.sql import Window as W
+    from stock_data_etl_pipeline_spark.operators.aggregates import (
+        grouped_exact_quantiles)
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    e = F.unix_timestamp("ts")
+    d = (ev.select("event_type", (e - F.lag(e).over(w)).alias("gap"))
+         .filter(F.col("gap").isNotNull()))
+    r = grouped_exact_quantiles(d, "event_type", "gap").collect()[0]
+    assert (r["n_rows"], r["q50"], r["q90"], r["q99"]) == (2, 10, 20, 20)
+
+
+def test_bucket_balance_partitions_everything(spark):
+    # every vector lands in exactly one bucket; shares ride the exact
+    # integer grid and sum within one grid step of 1
+    from stock_data_etl_pipeline_spark.plans.catalog_round8 import (
+        embedding_bucket_balance)
+    out = embedding_bucket_balance(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    total = sum(r["n_vecs"] for r in rows)
+    import duckdb
+    want = duckdb.sql("SELECT count(*) FROM "
+                      "'/root/testdata/sf0.001/embeddings.parquet'"
+                      ).fetchone()[0]
+    assert total == want
+    assert all(0.0 <= r["share"] <= 1.0 for r in rows)
+    assert abs(sum(r["share"] for r in rows) - 1.0) < len(rows) * 1e-6
