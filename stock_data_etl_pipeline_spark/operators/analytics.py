@@ -1273,3 +1273,54 @@ def degree_assortativity(pairs: DataFrame, id_a: str,
         F.expr("m2 div 2").alias("n_edges"),
         F.when(den > 0, num.cast("double") / den.cast("double"))
         .alias("assortativity"))
+
+
+def jaccard_link_prediction(pairs: DataFrame, id_a: str, id_b: str,
+                            max_center_degree: int = 64,
+                            k: int = 50) -> DataFrame:
+    """Common-neighbor Jaccard link prediction: for every non-adjacent
+    pair sharing ≥1 (capped) common neighbor, score
+    |N(a)∩N(b)| / (deg a + deg b − |N(a)∩N(b)|), keep the top-k —
+    Adamic–Adar's unweighted sibling (same hub-cap contract: wedge
+    expansion through centers above ``max_center_degree`` is excluded;
+    a hub shared by everything carries ~no signal).
+
+    Common-neighbor counts are exact integers through the capped
+    centers; degrees are FULL degrees (the cap bounds the wedge work,
+    not the denominator); the score rides the non-negative quotient
+    grid ``(1e6·c) div (dₐ+d_b−c)`` with one division at emit, and the
+    top-k orders on the INTEGER score (ties by pair) so the cut is
+    deterministic. Plan: degree agg → capped center join → pair agg →
+    degree joins → anti-join existing edges → TakeOrdered top-k.
+    """
+    und = pin(pairs.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("ea"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("eb"))
+        .filter(F.col("ea") != F.col("eb")).distinct())
+    adj = pin(und.select(F.col("ea").alias("node"),
+                         F.col("eb").alias("nb"))
+              .union(und.select(F.col("eb").alias("node"),
+                                F.col("ea").alias("nb"))))
+    deg = pin(adj.groupBy("node")
+              .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    centers = deg.filter((F.col("deg") >= 2)
+                         & (F.col("deg") <= max_center_degree)) \
+        .select("node")
+    adjc = pin(adj.join(centers, "node"))
+    ledge = adjc.select("node", F.col("nb").alias("a"))
+    redge = adjc.select(F.col("node").alias("node_r"),
+                        F.col("nb").alias("b"))
+    wedges = ledge.join(redge, (F.col("node") == F.col("node_r"))
+                        & (F.col("a") < F.col("b")))
+    sc = (wedges.groupBy("a", "b")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    scored = (sc.join(da, "a").join(db, "b")
+              .join(und, (F.col("a") == F.col("ea"))
+                    & (F.col("b") == F.col("eb")), "left_anti")
+              .withColumn("j6", F.expr("(1000000 * c) div (da + db - c)")
+                          .cast("long")))
+    return (scored.orderBy(F.col("j6").desc(), "a", "b").limit(k)
+            .select("a", "b", F.col("c").alias("common_neighbors"),
+                    (F.col("j6") / 1e6).alias("jaccard")))

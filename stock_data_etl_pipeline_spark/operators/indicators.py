@@ -1891,3 +1891,107 @@ def daily_ohlc(events: DataFrame) -> DataFrame:
                  F.max(F.when(F.col("rn_d") == 1, F.col("value")))
                  .alias("close"),
                  F.count(F.lit(1)).alias("volume")))
+
+
+CMO_N = 14  # Chande momentum window
+
+
+def chande_momentum(bars: DataFrame, n: int = CMO_N) -> DataFrame:
+    """Chande Momentum Oscillator per symbol:
+    100·(Σgain − Σloss)/(Σgain + Σloss) over the trailing ``n`` bars —
+    RSI's symmetric cousin, in [−100, 100].
+
+    Gains/losses are integer cents, the window sums exact BIGINTs, and
+    the emit rides the SIGN-SPLIT quotient grid: truncating div equals
+    DuckDB ``//`` only for non-negative operands, so the numerator's
+    sign is peeled off, the magnitude divided
+    (``(1e8·|Σg−Σl|) div (Σg+Σl)``), and the sign reapplied AFTER the
+    one division by 1e6 (the williams_r precedent). First bars (no
+    delta) drop from both sums identically on both engines; all-tie
+    windows (Σg+Σl = 0) emit NULL.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    delta = c - F.lag(c).over(w)
+    b = bars.select(
+        "event_type", "hr",
+        F.when(delta.isNotNull(),
+               F.greatest(delta, F.lit(0).cast("long"))).alias("g"),
+        F.when(delta.isNotNull(),
+               F.greatest(-delta, F.lit(0).cast("long"))).alias("l"))
+    wn = w.rowsBetween(-(n - 1), 0)
+    b = b.select("event_type", "hr",
+                 F.sum("g").over(wn).alias("sg"),
+                 F.sum("l").over(wn).alias("sl"))
+    num = F.col("sg") - F.col("sl")
+    mag = F.expr("(100000000 * abs(sg - sl)) div (sg + sl)")
+    cmo = F.signum(num).cast("long") * mag / 1e6
+    return b.select("event_type", "hr",
+                    F.when(F.col("sg") + F.col("sl") > 0, cmo)
+                    .alias("cmo"))
+
+
+def _banded_ewma_stage(b: DataFrame, val_col: str, out: str,
+                       decay: float, lookback: int) -> DataFrame:
+    """One truncated-EWMA pass over a (event_type, hr, rn, val) frame
+    via ``banded_rank_join`` — the shared stage of :func:`ewma_trend`,
+    :func:`trix` (three chained stages) and :func:`elder_ray`.
+    Preserves ``rn`` so stages chain without re-ranking. Output is
+    6-dp-rounded like every EWMA in this module."""
+    from .windows import banded_rank_join
+    joined = banded_rank_join(b, ["event_type"], "rn", lookback)
+    wgt = F.pow(F.lit(decay), F.col("cur.rn") - F.col("prev.rn"))
+    return (joined.groupBy(F.col("cur.event_type").alias("event_type"),
+                           F.col("cur.hr").alias("hr"),
+                           F.col("cur.rn").alias("rn"))
+            .agg(F.round(F.sum(F.col(f"prev.{val_col}") * wgt)
+                         / F.sum(wgt), 6).alias(out)))
+
+
+def trix(bars: DataFrame, decay: float = EWMA_DECAY,
+         lookback: int = EWMA_LOOKBACK) -> DataFrame:
+    """TRIX per symbol: the one-bar rate of change of a TRIPLE
+    truncated EWMA of close, in basis points —
+    ``10000·(ew3_t/ew3_{t−1} − 1)``.
+
+    Three chained :func:`_banded_ewma_stage` passes (each O(lookback)
+    probe work per bar, each 6-dp-rounded so every stage hands the
+    next a canonical decimal), then one lag. The emit is UNROUNDED:
+    ew3 values are scaled integers (6-dp decimals), and a ratio of
+    exact integers can land on any rounding boundary — the raw IEEE
+    ``(ew3/prev − 1)·10000`` with identical association is the
+    knife-edge-free form. First bars emit NULL (no previous ew3).
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    b = (bars.select("event_type", "hr", F.col("close").alias("v0"))
+         .withColumn("rn", F.row_number().over(w)))
+    e1 = _banded_ewma_stage(b, "v0", "v1", decay, lookback)
+    e2 = _banded_ewma_stage(e1, "v1", "v2", decay, lookback)
+    e3 = _banded_ewma_stage(e2, "v2", "v3", decay, lookback)
+    prev = F.lag("v3").over(w)
+    return (e3.select("event_type", "hr", F.col("v3").alias("ew3"),
+                      ((F.col("v3") / prev - F.lit(1.0)) * 10000.0)
+                      .alias("trix")))
+
+
+def elder_ray(bars: DataFrame, decay: float = EWMA_DECAY,
+              lookback: int = EWMA_LOOKBACK) -> DataFrame:
+    """Elder Ray index per symbol: bull power = high − EWMA(close),
+    bear power = low − EWMA(close) — where the bar's extremes sit
+    relative to the consensus trend.
+
+    One :func:`_banded_ewma_stage` pass; the emits are UNROUNDED
+    differences of a 2-dp price and the 6-dp-rounded EWMA — both exact
+    decimals, one IEEE subtraction each, identical on any engine.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    b = (bars.select("event_type", "hr", "high", "low",
+                     F.col("close").alias("v0"))
+         .withColumn("rn", F.row_number().over(w)))
+    center = _banded_ewma_stage(b, "v0", "ema", decay, lookback)
+    j = b.select("event_type", "hr", "high", "low") \
+         .join(center.select("event_type", "hr", "ema"),
+               ["event_type", "hr"])
+    return j.select("event_type", "hr", "ema",
+                    (F.col("high") - F.col("ema")).alias("bull_power"),
+                    (F.col("low") - F.col("ema")).alias("bear_power"))

@@ -502,3 +502,136 @@ def embedding_bucket_balance(spark: SparkSession,
         (F.expr("(1000000 * n_vecs * n_buckets) div total") / 1e6)
         .alias("skew_x"))
         .orderBy("bucket"))
+
+
+def _ewma_stage_sql(i: int, src: str, vin: str, vout: str) -> str:
+    """One banded-EWMA oracle stage (the stock_ewma_trend SQL shape),
+    chained for TRIX: rank bands + probe unnest + weighted join-agg."""
+    L, D = ind.EWMA_LOOKBACK, ind.EWMA_DECAY
+    return f"""
+p{i} AS (SELECT *, (rn - 1) // {L} AS band FROM {src}),
+c{i} AS (SELECT event_type, hr, rn,
+                unnest([(rn - 1) // {L}, (rn - 1) // {L} - 1]) AS probe
+         FROM {src}),
+e{i} AS (SELECT cur.event_type AS event_type, cur.hr AS hr,
+                cur.rn AS rn,
+                round(sum(prev.{vin} * pow({D}, cur.rn - prev.rn))
+                      / sum(pow({D}, cur.rn - prev.rn)), 6) AS {vout}
+         FROM c{i} cur JOIN p{i} prev
+           ON cur.event_type = prev.event_type
+          AND cur.probe = prev.band
+          AND prev.rn > cur.rn - {L} AND prev.rn <= cur.rn
+         GROUP BY cur.event_type, cur.hr, cur.rn)"""
+
+
+@register("stock_trix", _BARS_CTE + """
+, r0 AS (SELECT event_type, hr, close AS v0,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+         FROM bars),""" + _ewma_stage_sql(0, "r0", "v0", "v1") + ","
+          + _ewma_stage_sql(1, "e0", "v1", "v2") + ","
+          + _ewma_stage_sql(2, "e1", "v2", "v3") + """
+SELECT event_type, hr, v3 AS ew3,
+       (v3 / lag(v3) OVER (PARTITION BY event_type ORDER BY hr) - 1.0)
+         * 10000.0 AS trix
+FROM e2 ORDER BY event_type, hr
+""")
+def stock_trix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # triple-EWMA rate of change in basis points: three chained banded
+    # rank-join stages (each 6-dp canonical), UNROUNDED final ratio
+    # (ratio of exact 6-dp decimals — raw double is knife-edge-free)
+    ev = load_table(spark, sf_dir, "events")
+    return ind.trix(ind.hourly_bars(ev)).orderBy("event_type", "hr")
+
+
+@register("stock_elder_ray", _BARS_CTE + """
+, r0 AS (SELECT event_type, hr, high, low, close AS v0,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+         FROM bars),""" + _ewma_stage_sql(0, "r0", "v0", "ema") + """
+SELECT b.event_type, b.hr, e0.ema,
+       b.high - e0.ema AS bull_power,
+       b.low - e0.ema AS bear_power
+FROM bars b JOIN e0 ON b.event_type = e0.event_type AND b.hr = e0.hr
+ORDER BY b.event_type, b.hr
+""")
+def stock_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bull/bear power vs the truncated-EWMA consensus; unrounded
+    # differences of exact decimals
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.elder_ray(ind.hourly_bars(ev))
+            .orderBy("event_type", "hr"))
+
+
+@register("stock_chande_momentum", _BARS_CTE + _CENTS_CTE + f"""
+, dl AS (
+  SELECT event_type, hr,
+         c - lag(c) OVER (PARTITION BY event_type ORDER BY hr) AS delta
+  FROM cts
+), gl AS (
+  SELECT event_type, hr,
+         CASE WHEN delta IS NULL THEN NULL
+              ELSE greatest(delta, 0) END AS g,
+         CASE WHEN delta IS NULL THEN NULL
+              ELSE greatest(-delta, 0) END AS l
+  FROM dl
+), s AS (
+  SELECT event_type, hr,
+         CAST(sum(g) OVER wn AS BIGINT) AS sg,
+         CAST(sum(l) OVER wn AS BIGINT) AS sl
+  FROM gl WINDOW wn AS (PARTITION BY event_type ORDER BY hr
+                        ROWS BETWEEN {ind.CMO_N - 1} PRECEDING
+                        AND CURRENT ROW)
+)
+SELECT event_type, hr,
+       CASE WHEN sg + sl > 0
+            THEN (CASE WHEN sg - sl > 0 THEN 1
+                       WHEN sg - sl < 0 THEN -1 ELSE 0 END)
+                 * ((100000000 * abs(sg - sl)) // (sg + sl)) / 1e6
+       END AS cmo
+FROM s ORDER BY event_type, hr
+""")
+def stock_chande_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CMO on the sign-split quotient grid (div == // only for
+    # non-negative operands — magnitude divided, sign reapplied)
+    ev = load_table(spark, sf_dir, "events")
+    return (ind.chande_momentum(ind.hourly_bars(ev))
+            .orderBy("event_type", "hr"))
+
+
+@register("graph_jaccard_linkpred", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+            FROM lineitem),
+und AS (SELECT DISTINCT a.i AS ea, b.i AS eb
+        FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+adj AS (SELECT ea AS node, eb AS nb FROM und
+        UNION ALL SELECT eb, ea FROM und),
+dd AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+       FROM adj GROUP BY node),
+cen AS (SELECT node FROM dd WHERE deg BETWEEN 2 AND 64),
+ac AS (SELECT adj.node, adj.nb FROM adj JOIN cen USING (node)),
+w AS (SELECT l.nb AS a, r.nb AS b
+      FROM ac l JOIN ac r ON l.node = r.node AND l.nb < r.nb),
+sc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY a, b),
+jn AS (SELECT sc.a, sc.b, sc.c, da.deg AS dda, db.deg AS ddb
+       FROM sc JOIN dd da ON sc.a = da.node
+               JOIN dd db ON sc.b = db.node),
+na AS (SELECT * FROM jn WHERE NOT EXISTS
+         (SELECT 1 FROM und WHERE und.ea = jn.a AND und.eb = jn.b)),
+fin AS (SELECT a, b, c,
+               (1000000 * c) // (dda + ddb - c) AS j6 FROM na)
+SELECT a, b, c AS common_neighbors, j6 / 1e6 AS jaccard
+FROM fin ORDER BY j6 DESC, a, b LIMIT 50
+""")
+def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # unweighted common-neighbor Jaccard link prediction with the
+    # adamic_adar hub-cap contract; integer score grid, deterministic
+    # top-k on (score, pair)
+    from ..operators.analytics import jaccard_link_prediction
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+    return jaccard_link_prediction(pairs, "pa", "pb",
+                                   max_center_degree=64, k=50)

@@ -279,3 +279,74 @@ def test_bucket_balance_partitions_everything(spark):
     assert total == want
     assert all(0.0 <= r["share"] <= 1.0 for r in rows)
     assert abs(sum(r["share"] for r in rows) - 1.0) < len(rows) * 1e-6
+
+
+def test_chande_momentum_hand_values(spark):
+    # deltas +100, +100 → window all-gain: CMO = 100; then −100:
+    # window (g=200, l=100): CMO = sign(+100)·(1e8·100)//300/1e6
+    rows = [("A", 0, 10, 10, 10, 10, 5),
+            ("A", 1, 11, 11, 11, 11, 5),
+            ("A", 2, 12, 12, 12, 12, 5),
+            ("A", 3, 11, 11, 11, 11, 5)]
+    out = sorted(ind.chande_momentum(_bars(spark, rows)).collect(),
+                 key=lambda r: r["hr"])
+    assert out[0]["cmo"] is None          # no delta yet
+    assert out[1]["cmo"] == 100.0
+    assert out[2]["cmo"] == 100.0
+    assert out[3]["cmo"] == 33.333333
+    # symmetric down-leg: sign must flip through the split grid
+    rows_dn = [("A", 0, 12, 12, 12, 12, 5),
+               ("A", 1, 11, 11, 11, 11, 5),
+               ("A", 2, 10, 10, 10, 10, 5),
+               ("A", 3, 11, 11, 11, 11, 5)]
+    dn = sorted(ind.chande_momentum(_bars(spark, rows_dn)).collect(),
+                key=lambda r: r["hr"])
+    assert dn[1]["cmo"] == -100.0
+    assert dn[3]["cmo"] == -33.333333
+
+
+def test_trix_constant_series_is_zero(spark):
+    # constant close → every EWMA stage equals the close → trix = 0
+    rows = [("A", i, 10, 10, 10, 10, 5) for i in range(5)]
+    out = sorted(ind.trix(_bars(spark, rows)).collect(),
+                 key=lambda r: r["hr"])
+    assert out[0]["trix"] is None
+    assert all(r["ew3"] == 10.0 for r in out)
+    assert all(r["trix"] == 0.0 for r in out[1:])
+
+
+def test_elder_ray_powers_bracket_ema(spark):
+    # first bar: EMA = close exactly; bull = high − close, bear = low −
+    # close
+    rows = [("A", 0, 10, 12, 9, 10, 5)]
+    r = ind.elder_ray(_bars(spark, rows)).collect()[0]
+    assert (r["ema"], r["bull_power"], r["bear_power"]) == \
+        (10.0, 2.0, -1.0)
+
+
+def test_jaccard_linkpred_square_with_diagonalless_corners(spark):
+    # square 1-2-3-4-1: non-adjacent diagonals (1,3) and (2,4) each
+    # share BOTH neighbors: c=2, deg=2+2 → jaccard = 2/(4-2) = 1.0
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        jaccard_link_prediction)
+    sq = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)],
+                               "x long, y long")
+    out = jaccard_link_prediction(sq, "x", "y").collect()
+    got = {(r["a"], r["b"]): (r["common_neighbors"], r["jaccard"])
+           for r in out}
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_jaccard_linkpred_excludes_existing_edges(spark):
+    # triangle + pendant: every wedge pair is already an edge except
+    # (2,4)/(3,4) via center 1
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        jaccard_link_prediction)
+    g = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (1, 4)],
+                              "x long, y long")
+    out = jaccard_link_prediction(g, "x", "y").collect()
+    pairs = {(r["a"], r["b"]) for r in out}
+    assert (1, 2) not in pairs and (2, 3) not in pairs
+    # (2,4): c=1 (center 1), deg2=2, deg4=1 → 1/(3-1) = 0.5
+    got = {(r["a"], r["b"]): r["jaccard"] for r in out}
+    assert got[(2, 4)] == 0.5 and got[(3, 4)] == 0.5
