@@ -79,6 +79,13 @@ HEADLINE = [
     "events_robust_outliers",
     "corpus_token_kl",
     "graph_clustering_coeff",
+    # round 8: directional movement, EWMA composition, containment
+    # dedup, vocabulary growth, degree correlation
+    "stock_adx",
+    "stock_trix",
+    "dedup_containment",
+    "corpus_heaps_curve",
+    "graph_assortativity",
 ]
 
 

@@ -205,3 +205,47 @@ def robust_outlier_profile(df: DataFrame, group_col: str,
     return (out.select(F.col("g").alias(group_col), "n", "med", "mad",
                        "n_outliers", rate.alias("outlier_rate"))
             .orderBy(group_col))
+
+
+def one_way_anova(df: DataFrame, group_col: str,
+                  value_col: str) -> DataFrame:
+    """One-way ANOVA F-statistic for an INTEGER response across groups
+    — "do the group means differ more than chance?" for lead times,
+    latencies, scores.
+
+    Sum decomposition on the integer value² grid: with per-group
+    (n_g, s_g) and global (n, S, Σy²) all exact BIGINTs, the
+    between-group sum rides ``Σ_g (s_g² div n_g)`` and the correction
+    term ``S² div n`` — integer quotients (truncation loses < 1 unit²
+    per group, and the SAME definition runs on both engines), so
+    SSB/SSW are exact integers and F is ONE fixed-association IEEE
+    expression over them, emitted unrounded. Headroom: s_g² ≲ 3.6e13
+    at sf0.1 lead times; re-grid past |Σy| ≈ 3e9. Output: one row
+    (k_groups, n, ssb, ssw, f_stat); F is NULL when SSW = 0 or
+    degrees of freedom vanish.
+
+    Scale: one hash-agg per group + one 5-row rollup — nothing wider
+    than |groups| after the first aggregate.
+    """
+    v = (df.select(F.col(group_col).alias("g"),
+                   F.col(value_col).cast("long").alias("y"))
+         .filter(F.col("y").isNotNull()))
+    per = (v.groupBy("g")
+           .agg(F.count(F.lit(1)).cast("long").alias("ng"),
+                F.sum("y").cast("long").alias("sg"),
+                F.sum(F.col("y") * F.col("y")).cast("long").alias("qg")))
+    g = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("qg").cast("long").alias("q"),
+        F.sum(F.expr("(sg * sg) div ng")).cast("long").alias("t"))
+    ssb = F.col("t") - F.expr("(s * s) div n")
+    ssw = F.col("q") - F.col("t")
+    f = (ssb.cast("double") / (F.col("k") - 1).cast("double")) \
+        / (ssw.cast("double") / (F.col("n") - F.col("k")).cast("double"))
+    return g.select(
+        F.col("k").alias("k_groups"), F.col("n"),
+        ssb.cast("long").alias("ssb"), ssw.cast("long").alias("ssw"),
+        F.when((F.col("k") > 1) & (F.col("n") > F.col("k"))
+               & (ssw > 0), f).alias("f_stat"))

@@ -1324,3 +1324,43 @@ def jaccard_link_prediction(pairs: DataFrame, id_a: str, id_b: str,
     return (scored.orderBy(F.col("j6").desc(), "a", "b").limit(k)
             .select("a", "b", F.col("c").alias("common_neighbors"),
                     (F.col("j6") / 1e6).alias("jaccard")))
+
+
+def association_rules(df: DataFrame, basket_col: str, item_col: str,
+                      min_support: int = 2, k: int = 25) -> DataFrame:
+    """Market-basket association metrics for the top item pairs: joint
+    support, per-item supports, confidence (P(b|a) on the exact
+    ``(1e6·c_ab) div c_a`` grid) and lift (N·c_ab/(c_a·c_b), the
+    independence multiple) — the report layer over
+    :func:`frequent_pairs`'s candidate counts.
+
+    All counts are exact integers from TWO aggregates over the same
+    distinct (basket, item) projection (pair counts via the bounded
+    per-basket self-join; item counts + the basket total piggyback);
+    lift is an UNROUNDED single IEEE division of leaf-cast integer
+    products (headroom: N·c_ab ≲ 1.5e5·30 ≈ 5e6 at sf0.1 — int64-safe
+    through ~1e6× that). Top-k orders on (support, pair) so the cut is
+    deterministic.
+    """
+    oi = pin(df.select(F.col(basket_col).alias("_b"),
+                       F.col(item_col).alias("_i")).distinct())
+    n_b = oi.agg(F.countDistinct("_b").cast("long").alias("n_baskets"))
+    ic = oi.groupBy("_i").agg(F.count(F.lit(1)).cast("long").alias("ci"))
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a._b") == F.col("b._b"))
+                    & (F.col("a._i") < F.col("b._i")))
+             .groupBy(F.col("a._i").alias("item_a"),
+                      F.col("b._i").alias("item_b"))
+             .agg(F.count(F.lit(1)).cast("long").alias("support"))
+             .filter(F.col("support") >= min_support))
+    ca = ic.select(F.col("_i").alias("item_a"), F.col("ci").alias("ca"))
+    cb = ic.select(F.col("_i").alias("item_b"), F.col("ci").alias("cb"))
+    j = (pairs.join(ca, "item_a").join(cb, "item_b")
+         .crossJoin(F.broadcast(n_b)))  # 1-row scalar join
+    conf = F.expr("(1000000 * support) div ca") / 1e6
+    lift = ((F.col("n_baskets") * F.col("support")).cast("double")
+            / (F.col("ca") * F.col("cb")).cast("double"))
+    return (j.orderBy(F.col("support").desc(), "item_a", "item_b")
+            .limit(k)
+            .select("item_a", "item_b", "support", "ca", "cb",
+                    conf.alias("confidence"), lift.alias("lift")))

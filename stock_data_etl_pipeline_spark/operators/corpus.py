@@ -1434,3 +1434,69 @@ def heaps_curve(docs: DataFrame, n_deciles: int = 10,
         F.when((F.col("decile") > 1) & (F.col("v1") > 0)
                & (F.col("cum_tokens") > F.col("n1")), beta).alias("beta"))
         .orderBy("decile"))
+
+
+LN2_E6 = 693147  # round(1e6·ln 2): the absent-mass JS term per token
+
+
+def js_divergence_matrix(docs: DataFrame, text_col: str = "text",
+                         source_col: str = "source") -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the unigram
+    distributions of every source pair — the symmetric mixing-distance
+    matrix (in nats, ≤ ln 2) that decides which corpus slices are
+    interchangeable and which need their own mixture weight.
+
+    Exact-integer discipline via the c·ln grid (the perplexity /
+    transition-entropy precedent): with integer counts c_a(w), c_b(w)
+    and totals N_a, N_b, the per-word ratio p/m reduces to
+    ``2·c_a·N_b / (c_a·N_b + c_b·N_a)`` — a ratio of exact BIGINTs —
+    so each shared-word term ``round(1e6·c_a·ln(ratio))`` is an exact
+    integer summand. Words present in only one source contribute
+    exactly ln 2 per token; that absent-mass block is ONE integer
+    product ``(N_a − Σ_shared c_a)·round(1e6·ln2)`` per (pair, side)
+    — same definition both engines. JS assembles the four integer
+    sums with one fixed-association double expression. Headroom:
+    1e6·c·0.7 ≲ 7e10 per word-pair at sf0.1 token counts.
+
+    Scale: the pair join is |vocab|-keyed (rows = Σ_w k_w² over the
+    ~20 sources holding w) and everything after is |pairs|-sized.
+    """
+    tf = pin(docs.select(F.col(source_col).alias("s"),
+                         F.explode(words(text_col)).alias("w"))
+             .groupBy("s", "w")
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    tot = pin(tf.groupBy("s").agg(F.sum("c").cast("long").alias("n")))
+    a = (tf.join(tot, "s")
+         .select(F.col("s").alias("sa"), "w", F.col("c").alias("ca"),
+                 F.col("n").alias("na")))
+    b = (tf.join(tot, "s")
+         .select(F.col("s").alias("sb"), "w", F.col("c").alias("cb"),
+                 F.col("n").alias("nb")))
+    sh = a.join(b, "w").filter(F.col("sa") < F.col("sb"))
+    ratio_a = (2 * F.col("ca") * F.col("nb")).cast("double") \
+        / (F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")) \
+        .cast("double")
+    ratio_b = (2 * F.col("cb") * F.col("na")).cast("double") \
+        / (F.col("ca") * F.col("nb") + F.col("cb") * F.col("na")) \
+        .cast("double")
+    term_a = F.round(1e6 * F.col("ca").cast("double") * F.log(ratio_a), 0) \
+        .cast("long")
+    term_b = F.round(1e6 * F.col("cb").cast("double") * F.log(ratio_b), 0) \
+        .cast("long")
+    g = (sh.groupBy("sa", "sb")
+         .agg(F.min("na").alias("na"), F.min("nb").alias("nb"),
+              F.sum("ca").cast("long").alias("sca"),
+              F.sum("cb").cast("long").alias("scb"),
+              F.sum(term_a).cast("long").alias("ta"),
+              F.sum(term_b).cast("long").alias("tb")))
+    full_a = F.col("ta") + (F.col("na") - F.col("sca")) * LN2_E6
+    full_b = F.col("tb") + (F.col("nb") - F.col("scb")) * LN2_E6
+    js = (full_a.cast("double") / 1e6 / F.col("na").cast("double")
+          + full_b.cast("double") / 1e6 / F.col("nb").cast("double")) / 2.0
+    # UNROUNDED: js is a fixed-association combination of ratios of
+    # exact integers, and rounding a rational can land on a knife edge
+    # — the raw double is the canonical form (kyle_lambda precedent)
+    return (g.select(F.col("sa").alias("source_a"),
+                     F.col("sb").alias("source_b"),
+                     js.alias("js_divergence"))
+            .orderBy("source_a", "source_b"))

@@ -846,3 +846,48 @@ def centroid_drift(vectors: DataFrame, vec_col: str = "embedding",
     return (j.join(n, "label")
             .select("label", "n_vectors", cos.alias("cos_to_global"))
             .orderBy("label"))
+
+
+def dimension_variance_profile(emb: DataFrame, top: int = 16,
+                               vec_col: str = "embedding",
+                               grid: int = 10_000) -> DataFrame:
+    """Per-dimension variance profile of an embedding column: the
+    ``top`` highest-variance dimensions with mean and sample variance
+    — the feature-selection / dead-dimension audit run before
+    quantization or indexing (a near-zero-variance dim is free to
+    drop; one dominating dim distorts cosine buckets).
+
+    Each component is quantized to the 1/`grid` integer grid, so the
+    per-dimension (n, Σq, Σq²) are exact BIGINTs under any partial-agg
+    order; mean and variance are emitted as UNROUNDED
+    fixed-association doubles over the leaf-cast sums (ratios of exact
+    integers — raw doubles are the canonical form), de-scaled by the
+    grid once. Top-k orders on the INTEGER variance numerator
+    ``n·Σq² − (Σq)²`` (ties by dim), so the cut never depends on a
+    float. Headroom: q ≲ 5·grid, n·q² ≲ n²·2.5e9 — re-grid past ~1e4
+    vectors per the integer-headroom audit rule.
+
+    Scale: posexplode + one (dim)-keyed aggregate — dims, not vectors,
+    bound everything after the scan.
+    """
+    # widen float32 components to double BEFORE scaling — the oracle
+    # casts to DOUBLE[] first, and float×int arithmetic would round
+    # differently
+    q = (emb.select(F.posexplode(as_double(vec_col)).alias("dim", "x"))
+         .select("dim", F.round(F.col("x") * grid, 0).cast("long")
+                 .alias("q")))
+    g = (q.groupBy("dim")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("q").cast("long").alias("s"),
+              F.sum(F.col("q") * F.col("q")).cast("long").alias("ss")))
+    varnum = (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    mean = F.col("s").cast("double") / F.col("n").cast("double") \
+        / F.lit(float(grid))
+    var = varnum.cast("double") \
+        / (F.col("n") * (F.col("n") - 1)).cast("double") \
+        / F.lit(float(grid) * grid)
+    return (g.filter(F.col("n") > 1)
+            .withColumn("_vn", varnum.cast("long"))
+            .orderBy(F.col("_vn").desc(), "dim").limit(top)
+            .select(F.col("dim").cast("long").alias("dim"), "n",
+                    mean.alias("mean"), var.alias("variance")))

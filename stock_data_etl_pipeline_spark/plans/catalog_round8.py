@@ -635,3 +635,142 @@ def graph_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
     return jaccard_link_prediction(pairs, "pa", "pb",
                                    max_center_degree=64, k=50)
+
+
+@register("orders_basket_lift", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM oi),
+ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM oi GROUP BY i),
+p AS (SELECT a.i AS item_a, b.i AS item_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM oi a JOIN oi b ON a.b = b.b AND a.i < b.i
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+j AS (SELECT p.item_a, p.item_b, p.support, ca.ci AS ca, cb.ci AS cb,
+             nb.n_baskets
+      FROM p JOIN ic ca ON p.item_a = ca.i
+             JOIN ic cb ON p.item_b = cb.i, nb)
+SELECT item_a, item_b, support, ca, cb,
+       ((1000000 * support) // ca) / 1e6 AS confidence,
+       CAST(n_baskets * support AS DOUBLE) / CAST(ca * cb AS DOUBLE)
+           AS lift
+FROM j ORDER BY support DESC, item_a, item_b LIMIT 25
+""")
+def orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # association-rule report over the co-purchase pairs: confidence on
+    # the exact quotient grid, lift as an unrounded single division of
+    # leaf-cast integer products; deterministic (support, pair) top-k
+    from ..operators.analytics import association_rules
+    return association_rules(load_table(spark, sf_dir, "lineitem"),
+                             "l_orderkey", "l_partkey",
+                             min_support=2, k=25)
+
+
+@register("leadtime_anova", """
+WITH d AS (
+  SELECT o_orderpriority AS g,
+         CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS y
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate IS NOT NULL
+), per AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS ng,
+         CAST(sum(y) AS BIGINT) AS sg,
+         CAST(sum(y * y) AS BIGINT) AS qg
+  FROM d GROUP BY g
+), gg AS (
+  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+         CAST(sum(qg) AS BIGINT) AS q,
+         CAST(sum(sg) AS BIGINT) AS s,
+         CAST(sum((sg * sg) // ng) AS BIGINT) AS t
+  FROM per
+)
+SELECT k AS k_groups, n,
+       CAST(t - (s * s) // n AS BIGINT) AS ssb,
+       CAST(q - t AS BIGINT) AS ssw,
+       CASE WHEN k > 1 AND n > k AND q - t > 0
+            THEN (CAST(t - (s * s) // n AS DOUBLE)
+                  / CAST(k - 1 AS DOUBLE))
+                 / (CAST(q - t AS DOUBLE) / CAST(n - k AS DOUBLE))
+       END AS f_stat
+FROM gg
+""")
+def leadtime_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-way ANOVA of ship lead time across order priorities on the
+    # integer days-squared grid (integer-quotient SSB terms, unrounded
+    # fixed-association F emit) — operators/aggregates.one_way_anova
+    from ..operators.aggregates import one_way_anova
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    d = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .filter(F.col("l_shipdate").isNotNull())
+         .select(F.col("o_orderpriority").alias("priority"),
+                 F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+                 .cast("long").alias("days")))
+    return one_way_anova(d, "priority", "days")
+
+
+@register("corpus_js_divergence", f"""
+WITH tf AS (SELECT s, t AS w, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT source AS s, unnest({_WORDS}) AS t
+                  FROM documents)
+            GROUP BY s, t),
+tot AS (SELECT s, CAST(sum(c) AS BIGINT) AS n FROM tf GROUP BY s),
+aa AS (SELECT tf.s AS sa, w, c AS ca, n AS na FROM tf JOIN tot USING (s)),
+bb AS (SELECT tf.s AS sb, w, c AS cb, n AS nb FROM tf JOIN tot USING (s)),
+sh AS (SELECT aa.sa, bb.sb, aa.ca, aa.na, bb.cb, bb.nb
+       FROM aa JOIN bb ON aa.w = bb.w AND aa.sa < bb.sb),
+t AS (SELECT sa, sb, min(na) AS na, min(nb) AS nb,
+             CAST(sum(ca) AS BIGINT) AS sca,
+             CAST(sum(cb) AS BIGINT) AS scb,
+             CAST(sum(CAST(round(1e6 * CAST(ca AS DOUBLE)
+                      * ln(CAST(2 * ca * nb AS DOUBLE)
+                           / CAST(ca * nb + cb * na AS DOUBLE)), 0)
+                      AS BIGINT)) AS BIGINT) AS ta,
+             CAST(sum(CAST(round(1e6 * CAST(cb AS DOUBLE)
+                      * ln(CAST(2 * cb * na AS DOUBLE)
+                           / CAST(ca * nb + cb * na AS DOUBLE)), 0)
+                      AS BIGINT)) AS BIGINT) AS tb
+      FROM sh GROUP BY sa, sb)
+SELECT sa AS source_a, sb AS source_b,
+       (CAST(ta + (na - sca) * 693147 AS DOUBLE) / 1e6
+          / CAST(na AS DOUBLE)
+        + CAST(tb + (nb - scb) * 693147 AS DOUBLE) / 1e6
+          / CAST(nb AS DOUBLE)) / 2.0 AS js_divergence
+FROM t ORDER BY source_a, source_b
+""")
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairwise Jensen-Shannon matrix between source unigram
+    # distributions on the c·ln integer grid; p/m reduces to a ratio
+    # of exact BIGINTs, absent mass contributes exactly ln2 per token
+    from ..operators.corpus import js_divergence_matrix
+    return js_divergence_matrix(load_table(spark, sf_dir, "documents"))
+
+
+@register("embedding_dim_variance", """
+WITH q AS (
+  SELECT unnest(range(0, len(embedding))) AS dim,
+         CAST(round(unnest(embedding::DOUBLE[]) * 10000, 0) AS BIGINT)
+             AS qq
+  FROM embeddings
+), g AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(qq) AS BIGINT) AS s,
+         CAST(sum(qq * qq) AS BIGINT) AS ss
+  FROM q GROUP BY dim
+), f AS (
+  SELECT dim, n, s, ss, n * ss - s * s AS vn
+  FROM g WHERE n > 1
+)
+SELECT CAST(dim AS BIGINT) AS dim, n,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 10000.0 AS mean,
+       CAST(vn AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+         / 100000000.0 AS variance
+FROM f ORDER BY vn DESC, dim LIMIT 16
+""")
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-dimension mean/variance audit on the 1e-4 integer grid;
+    # top-16 ordered on the INTEGER variance numerator so the cut is
+    # float-free — operators/similarity.dimension_variance_profile
+    from ..operators.similarity import dimension_variance_profile
+    return dimension_variance_profile(
+        load_table(spark, sf_dir, "embeddings"), top=16)

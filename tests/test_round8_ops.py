@@ -350,3 +350,91 @@ def test_jaccard_linkpred_excludes_existing_edges(spark):
     # (2,4): c=1 (center 1), deg2=2, deg4=1 → 1/(3-1) = 0.5
     got = {(r["a"], r["b"]): r["jaccard"] for r in out}
     assert got[(2, 4)] == 0.5 and got[(3, 4)] == 0.5
+
+
+def test_association_rules_hand_counts(spark):
+    # 4 baskets: {1,2} ×3, {1} ×1 → c1=4, c2=3, c12=3, N=4
+    # confidence(1→2) = 3/4; lift = 4·3/(4·3) = 1.0 (independent-ish)
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        association_rules)
+    rows = [(b, i) for b in (10, 20, 30) for i in (1, 2)] + [(40, 1)]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    out = association_rules(df, "bk", "it", min_support=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["support"], r["ca"], r["cb"]) \
+        == (1, 2, 3, 4, 3)
+    assert r["confidence"] == 0.75
+    assert r["lift"] == (4 * 3) / (4 * 3)
+
+
+def test_association_rules_positive_lift(spark):
+    # pair always together, plus unrelated baskets → lift > 1
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        association_rules)
+    rows = [(1, 7), (1, 8), (2, 7), (2, 8), (3, 9), (4, 9)]
+    df = spark.createDataFrame(rows, "bk long, it long")
+    out = {(r["item_a"], r["item_b"]): r for r in
+           association_rules(df, "bk", "it", min_support=2).collect()}
+    r = out[(7, 8)]
+    # N=4, c78=2, c7=c8=2 → lift = 4·2/(2·2) = 2.0; conf = 1.0
+    assert r["lift"] == 2.0 and r["confidence"] == 1.0
+
+
+def test_one_way_anova_hand_decomposition(spark):
+    # groups: A = (0, 0), B = (10, 10): S=20, n=4, Σy²=200
+    # t = (0² div 2) + (20² div 2) = 200; ssb = 200 − 400 div 4 = 100
+    # ssw = 200 − 200 = 0 → F NULL (perfect separation, zero within)
+    from stock_data_etl_pipeline_spark.operators.aggregates import (
+        one_way_anova)
+    df = spark.createDataFrame(
+        [("A", 0), ("A", 0), ("B", 10), ("B", 10)], "g string, y long")
+    r = one_way_anova(df, "g", "y").collect()[0]
+    assert (r["k_groups"], r["n"], r["ssb"], r["ssw"]) == (2, 4, 100, 0)
+    assert r["f_stat"] is None
+    # add within-group noise: A = (0, 2), B = (10, 12): S=24, Σy²=248
+    # t = (2² div 2) + (22² div 2) = 2 + 242 = 244
+    # ssb = 244 − 576 div 4 = 100; ssw = 248 − 244 = 4
+    # F = (100/1)/(4/2) = 50
+    df2 = spark.createDataFrame(
+        [("A", 0), ("A", 2), ("B", 10), ("B", 12)], "g string, y long")
+    r2 = one_way_anova(df2, "g", "y").collect()[0]
+    assert (r2["ssb"], r2["ssw"], r2["f_stat"]) == (100, 4, 50.0)
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    # identical unigram distributions → JS = 0 exactly;
+    # disjoint vocabularies → JS = ln 2 (on the 693147/1e6 grid)
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        js_divergence_matrix)
+    docs = spark.createDataFrame(
+        [(1, "a b", "S1"), (2, "a b", "S2"), (3, "x y", "S3")],
+        "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r["js_divergence"]
+           for r in js_divergence_matrix(docs).collect()}
+    assert out[("S1", "S2")] == 0.0
+    # disjoint pairs never share a word → no shared row → absent from
+    # the inner-join matrix; only the identical pair appears
+    assert ("S1", "S3") not in out
+    # half-overlap: S1 = "a b", S4 = "a c": shared word a with
+    # p = q = 1/2 → a contributes 0; absent mass = 1 token each side
+    # → JS = (ln2/2 + ln2/2)/2 = ln2/2 on the integer grid
+    docs2 = spark.createDataFrame(
+        [(1, "a b", "S1"), (2, "a c", "S4")],
+        "doc_id long, text string, source string")
+    out2 = {(r["source_a"], r["source_b"]): r["js_divergence"]
+            for r in js_divergence_matrix(docs2).collect()}
+    assert out2[("S1", "S4")] == (693147 / 1e6 / 2 + 693147 / 1e6 / 2) / 2
+
+
+def test_dimension_variance_exact_grid(spark):
+    # dim 0: values (1.0, 3.0) → mean 2, var 2; dim 1 constant → var 0
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        dimension_variance_profile)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [3.0, 5.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in
+           dimension_variance_profile(emb, top=4).collect()}
+    assert (out[0]["mean"], out[0]["variance"]) == (2.0, 2.0)
+    assert (out[1]["mean"], out[1]["variance"]) == (5.0, 0.0)
