@@ -1364,3 +1364,91 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
             .limit(k)
             .select("item_a", "item_b", "support", "ca", "cb",
                     conf.alias("confidence"), lift.alias("lift")))
+
+
+def cohort_ltv_triangle(orders: DataFrame, user_col: str = "o_custkey",
+                        ts_col: str = "o_orderdate",
+                        amount_col: str = "o_totalprice") -> DataFrame:
+    """Customer-lifetime-value triangle: customers cohorted by the
+    month of their FIRST order; each (cohort_month, month_offset) cell
+    reports active customers, period revenue, and the cohort's running
+    cumulative revenue — the retention×monetization report every
+    subscription/commerce review starts from.
+
+    Integer cents end to end: revenue sums are exact BIGINTs, months
+    ride the linear year·12+month integer, and the cumulative column
+    is a per-cohort running sum over the MATRIX (|cohorts| ×
+    |offsets| rows — thousands at most, so the plain window is
+    partition-bounded by construction; the heavy inputs never enter a
+    window). Two keyed aggregates: first-order month per customer,
+    then the (cohort, offset) rollup.
+    """
+    cents = F.round(F.col(amount_col) * 100, 0).cast("long")
+    mon = (F.year(ts_col) * 12 + F.month(ts_col)).cast("long")
+    o = orders.select(F.col(user_col).alias("u"), mon.alias("m"),
+                      cents.alias("cents"))
+    first = o.groupBy("u").agg(F.min("m").alias("m0"))
+    j = o.join(first, "u")
+    cell = (j.groupBy(F.col("m0").alias("cohort_month"),
+                      (F.col("m") - F.col("m0")).alias("month_offset"))
+            .agg(F.countDistinct("u").cast("long").alias("n_customers"),
+                 F.sum("cents").cast("long").alias("rev_cents")))
+    w = (Window.partitionBy("cohort_month").orderBy("month_offset")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (cell.withColumn("cum_rev_cents",
+                            F.sum("rev_cents").over(w).cast("long"))
+            .orderBy("cohort_month", "month_offset"))
+
+
+def path_trigrams(events: DataFrame, user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  id_col: str = "event_id", k: int = 20) -> DataFrame:
+    """Top-k behavioral trigrams: the most frequent ordered
+    3-step event-type sequences across all user streams — the
+    "what do users actually do" path report feeding funnel design.
+
+    One window pass (two lags over the (user, time, id) total order —
+    deterministic like every sequence op here), one count aggregate
+    over the |types|³-bounded key space, and a (count, path) top-k so
+    the cut is tie-stable. Per-user partitions are the only window
+    state — the same calendar/user bound as sessionization.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    t1 = F.lag(type_col, 2).over(w)
+    t2 = F.lag(type_col, 1).over(w)
+    g = (events.select(t1.alias("e1"), t2.alias("e2"),
+                       F.col(type_col).alias("e3"))
+         .filter(F.col("e1").isNotNull())
+         .groupBy("e1", "e2", "e3")
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    return (g.orderBy(F.col("n").desc(), "e1", "e2", "e3").limit(k))
+
+
+def type_user_overlap(events: DataFrame, type_col: str = "event_type",
+                      user_col: str = "user_id") -> DataFrame:
+    """Pairwise audience overlap between event types: distinct-user
+    Jaccard for every type pair — "do the same people click and
+    purchase?" as a |types|² matrix.
+
+    The pair join is keyed on the USER (rows = Σ_u k_u² over each
+    user's distinct types — bounded by the type count, never |users|²)
+    and the Jaccard rides the exact quotient grid
+    ``(1e6·common) div (uₐ+u_b−common)`` with one division at emit.
+    """
+    tu = pin(events.select(F.col(type_col).alias("t"),
+                           F.col(user_col).alias("u")).distinct())
+    per = tu.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("nu"))
+    a, b = tu.alias("a"), tu.alias("b")
+    common = (a.join(b, (F.col("a.u") == F.col("b.u"))
+                     & (F.col("a.t") < F.col("b.t")))
+              .groupBy(F.col("a.t").alias("type_a"),
+                       F.col("b.t").alias("type_b"))
+              .agg(F.count(F.lit(1)).cast("long").alias("common_users")))
+    ua = per.select(F.col("t").alias("type_a"), F.col("nu").alias("users_a"))
+    ub = per.select(F.col("t").alias("type_b"), F.col("nu").alias("users_b"))
+    j6 = F.expr("(1000000 * common_users) div "
+                "(users_a + users_b - common_users)")
+    return (common.join(ua, "type_a").join(ub, "type_b")
+            .select("type_a", "type_b", "users_a", "users_b",
+                    "common_users", (j6 / 1e6).alias("jaccard"))
+            .orderBy("type_a", "type_b"))

@@ -1500,3 +1500,29 @@ def js_divergence_matrix(docs: DataFrame, text_col: str = "text",
                      F.col("sb").alias("source_b"),
                      js.alias("js_divergence"))
             .orderBy("source_a", "source_b"))
+
+
+def length_histogram(docs: DataFrame, len_col: str = "n_chars",
+                     source_col: str = "source") -> DataFrame:
+    """Per-source power-of-two document-length histogram — the
+    curation report that shows truncation cliffs, boilerplate spikes
+    and empty-doc mass at a glance.
+
+    The bucket is the INTEGER bit length (length of the binary
+    representation minus one) — never floor(log2(x)), whose float
+    round-trip can misbucket exact powers of two. Output rows are
+    |source × ~20 buckets|; everything is one aggregate.
+    """
+    b = (docs.select(F.col(source_col).alias("source"),
+                     F.col(len_col).cast("long").alias("n"))
+         .filter(F.col("n") > 0)
+         .withColumn("bucket",
+                     (F.length(F.expr("bin(n)")) - 1).cast("long")))
+    return (b.groupBy("source", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n").cast("long").alias("total_chars"))
+            .withColumn("bucket_lo",
+                        F.expr("cast(power(2, bucket) as bigint)"))
+            .select("source", "bucket", "bucket_lo", "n_docs",
+                    "total_chars")
+            .orderBy("source", "bucket"))

@@ -774,3 +774,130 @@ def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import dimension_variance_profile
     return dimension_variance_profile(
         load_table(spark, sf_dir, "embeddings"), top=16)
+
+
+@register("orders_cohort_ltv", """
+WITH o AS (
+  SELECT o_custkey AS u,
+         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+             AS m,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), f AS (SELECT u, min(m) AS m0 FROM o GROUP BY u),
+cell AS (
+  SELECT f.m0 AS cohort_month, o.m - f.m0 AS month_offset,
+         CAST(count(DISTINCT o.u) AS BIGINT) AS n_customers,
+         CAST(sum(o.cents) AS BIGINT) AS rev_cents
+  FROM o JOIN f ON o.u = f.u
+  GROUP BY 1, 2
+)
+SELECT cohort_month, month_offset, n_customers, rev_cents,
+       CAST(sum(rev_cents) OVER (PARTITION BY cohort_month
+            ORDER BY month_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_rev_cents
+FROM cell ORDER BY cohort_month, month_offset
+""")
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-order-month cohort LTV triangle: active customers, period
+    # revenue and running cumulative revenue per (cohort, offset) —
+    # all integer cents; the window runs over the matrix, not orders
+    from ..operators.analytics import cohort_ltv_triangle
+    return cohort_ltv_triangle(load_table(spark, sf_dir, "orders"))
+
+
+@register("events_path_trigrams", """
+WITH t AS (
+  SELECT lag(event_type, 2) OVER w AS e1,
+         lag(event_type, 1) OVER w AS e2,
+         event_type AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+FROM t WHERE e1 IS NOT NULL
+GROUP BY e1, e2, e3
+ORDER BY n DESC, e1, e2, e3 LIMIT 20
+""")
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-20 ordered 3-step event sequences over the deterministic
+    # (user, ts, id) stream order; |types|^3-bounded key space
+    from ..operators.analytics import path_trigrams
+    return path_trigrams(load_table(spark, sf_dir, "events"))
+
+
+@register("events_type_user_overlap", """
+WITH tu AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+per AS (SELECT t, CAST(count(*) AS BIGINT) AS nu FROM tu GROUP BY t),
+c AS (SELECT a.t AS type_a, b.t AS type_b,
+             CAST(count(*) AS BIGINT) AS common_users
+      FROM tu a JOIN tu b ON a.u = b.u AND a.t < b.t
+      GROUP BY 1, 2)
+SELECT c.type_a, c.type_b, pa.nu AS users_a, pb.nu AS users_b,
+       c.common_users,
+       ((1000000 * c.common_users)
+        // (pa.nu + pb.nu - c.common_users)) / 1e6 AS jaccard
+FROM c JOIN per pa ON c.type_a = pa.t JOIN per pb ON c.type_b = pb.t
+ORDER BY c.type_a, c.type_b
+""")
+def events_type_user_overlap(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    # audience-overlap Jaccard matrix between event types; user-keyed
+    # pair join bounded by per-user type counts, exact quotient grid
+    from ..operators.analytics import type_user_overlap
+    return type_user_overlap(load_table(spark, sf_dir, "events"))
+
+
+@register("corpus_length_histogram", """
+SELECT source, CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
+       CAST(power(2, length(bin(n_chars)) - 1) AS BIGINT) AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE n_chars > 0
+GROUP BY source, bucket, bucket_lo
+ORDER BY source, bucket
+""")
+def corpus_length_histogram(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    # power-of-two doc-length histogram per source; buckets via the
+    # integer bit length (length(bin(x))-1) — never floor(log2(x)),
+    # which can misbucket exact powers of two through the float
+    from ..operators.corpus import length_histogram
+    return length_histogram(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_cluster_sizes", f"""
+WITH RECURSIVE {_JACCARD_CTES},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+walk(doc_id, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.doc_id = e.dst
+),
+assign AS (SELECT doc_id, min(lbl) AS cluster_id
+           FROM walk GROUP BY doc_id),
+sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM assign GROUP BY cluster_id)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sz GROUP BY cluster_size ORDER BY cluster_size
+""")
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup cluster-size distribution — the dedup-impact histogram
+    # (how much mass sits in big duplicate families) layered on the
+    # same min-label connected components as dedup_cluster_assignment
+    from ..operators.clustering import cluster_near_dups
+    from ..operators import dedup as DD
+    d = load_table(spark, sf_dir, "documents")
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.5, k=5)
+    sz = (cluster_near_dups(pairs)
+          .groupBy("cluster_id")
+          .agg(F.count(F.lit(1)).cast("long").alias("cluster_size")))
+    return (sz.groupBy("cluster_size")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+            .withColumn("n_docs", (F.col("cluster_size")
+                                   * F.col("n_clusters")).cast("long"))
+            .orderBy("cluster_size"))

@@ -438,3 +438,78 @@ def test_dimension_variance_exact_grid(spark):
            dimension_variance_profile(emb, top=4).collect()}
     assert (out[0]["mean"], out[0]["variance"]) == (2.0, 2.0)
     assert (out[1]["mean"], out[1]["variance"]) == (5.0, 0.0)
+
+
+def test_cohort_ltv_triangle_hand_cells(spark):
+    import datetime as dtm
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        cohort_ltv_triangle)
+    # cust 1: orders Jan(10.00), Feb(20.00); cust 2: Feb(5.00) only
+    rows = [(1, dtm.date(2024, 1, 15), 10.0),
+            (1, dtm.date(2024, 2, 10), 20.0),
+            (2, dtm.date(2024, 2, 20), 5.0)]
+    o = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate date, o_totalprice double")
+    out = {(r["cohort_month"], r["month_offset"]): r
+           for r in cohort_ltv_triangle(o).collect()}
+    jan = 2024 * 12 + 1
+    r00 = out[(jan, 0)]
+    assert (r00["n_customers"], r00["rev_cents"],
+            r00["cum_rev_cents"]) == (1, 1000, 1000)
+    r01 = out[(jan, 1)]
+    assert (r01["n_customers"], r01["rev_cents"],
+            r01["cum_rev_cents"]) == (1, 2000, 3000)
+    r10 = out[(jan + 1, 0)]
+    assert (r10["n_customers"], r10["rev_cents"],
+            r10["cum_rev_cents"]) == (1, 500, 500)
+
+
+def test_path_trigrams_counts_ordered_windows(spark):
+    import datetime as dtm
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        path_trigrams)
+    base = dtm.datetime(2024, 1, 1)
+    seq = ["a", "b", "c", "a", "b", "c"]  # trigrams: abc, bca, cab, abc
+    ev = spark.createDataFrame(
+        [(1, t, base + dtm.timedelta(minutes=i), i)
+         for i, t in enumerate(seq)],
+        "user_id long, event_type string, ts timestamp, event_id long")
+    out = {(r["e1"], r["e2"], r["e3"]): r["n"]
+           for r in path_trigrams(ev).collect()}
+    assert out[("a", "b", "c")] == 2
+    assert out[("b", "c", "a")] == 1
+    assert out[("c", "a", "b")] == 1
+
+
+def test_type_user_overlap_exact_jaccard(spark):
+    import datetime as dtm
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        type_user_overlap)
+    base = dtm.datetime(2024, 1, 1)
+    # type x: users {1,2,3}; type y: users {2,3,4}: common 2,
+    # union 4 → jaccard 0.5
+    rows = [("x", u) for u in (1, 2, 3)] + [("y", u) for u in (2, 3, 4)]
+    ev = spark.createDataFrame(
+        [(t, u, base, i) for i, (t, u) in enumerate(rows)],
+        "event_type string, user_id long, ts timestamp, event_id long")
+    r = type_user_overlap(ev).collect()[0]
+    assert (r["type_a"], r["type_b"], r["users_a"], r["users_b"],
+            r["common_users"], r["jaccard"]) == ("x", "y", 3, 3, 2, 0.5)
+
+
+def test_length_histogram_power_of_two_edges(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        length_histogram)
+    # exact powers of two must land in THEIR OWN bucket (bit length),
+    # never the previous one via a float log
+    docs = spark.createDataFrame(
+        [(1, "S", 1), (2, "S", 2), (3, "S", 1023), (4, "S", 1024),
+         (5, "S", 0)],
+        "doc_id long, source string, n_chars long")
+    out = {r["bucket"]: r for r in length_histogram(docs).collect()}
+    assert out[0]["bucket_lo"] == 1 and out[0]["n_docs"] == 1
+    assert out[1]["bucket_lo"] == 2 and out[1]["n_docs"] == 1
+    assert out[9]["bucket_lo"] == 512 and out[9]["n_docs"] == 1   # 1023
+    assert out[10]["bucket_lo"] == 1024 and out[10]["n_docs"] == 1
+    # the n_chars=0 doc is dropped: only 4 docs remain
+    assert sum(r["n_docs"] for r in out.values()) == 4
