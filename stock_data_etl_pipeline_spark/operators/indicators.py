@@ -1995,3 +1995,64 @@ def elder_ray(bars: DataFrame, decay: float = EWMA_DECAY,
     return j.select("event_type", "hr", "ema",
                     (F.col("high") - F.col("ema")).alias("bull_power"),
                     (F.col("low") - F.col("ema")).alias("bear_power"))
+
+
+def updown_streaks(bars: DataFrame) -> DataFrame:
+    """Distribution of consecutive up/down close streaks per symbol —
+    the run-length census behind momentum/mean-reversion hypotheses
+    ("how often do 5 green bars in a row happen?").
+
+    The classic gaps-and-islands identity: after dropping tie bars
+    (Δclose = 0 breaks a streak and joins none), the group key is
+    ``row_number() over (symbol) − row_number() over (symbol,
+    direction)`` — constant exactly within a maximal run. Directions
+    are integer cents signs, streak lengths integer counts; two window
+    passes over ONE (symbol, hr) ordering and two hash-aggs. Output:
+    (event_type, direction ∈ {−1, 1}, streak_len, n_streaks).
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    d = F.signum(c - F.lag(c).over(w)).cast("long")
+    b = (bars.select("event_type", "hr", d.alias("dir"))
+         .filter(F.col("dir").isNotNull() & (F.col("dir") != 0)))
+    w_all = Window.partitionBy("event_type").orderBy("hr")
+    w_dir = Window.partitionBy("event_type", "dir").orderBy("hr")
+    b = b.select("event_type", "dir",
+                 (F.row_number().over(w_all)
+                  - F.row_number().over(w_dir)).alias("grp"))
+    runs = (b.groupBy("event_type", "dir", "grp")
+            .agg(F.count(F.lit(1)).cast("long").alias("streak_len")))
+    return (runs.groupBy("event_type", F.col("dir").alias("direction"),
+                         "streak_len")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_streaks"))
+            .orderBy("event_type", "direction", "streak_len"))
+
+
+def overnight_gaps(daily: DataFrame) -> DataFrame:
+    """Overnight-gap census per symbol from daily bars: how often and
+    how far the open jumps away from the previous close — the
+    liquidity/news-risk profile a close-to-close model never sees.
+
+    Pure integers: gaps are cents differences, counts exact, extremes
+    min/max, the up-share on the ``(1e6·n_up) div n`` quotient grid
+    with one division at emit. First days (no previous close) are
+    excluded identically on both engines.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    o = F.round(F.col("open") * 100, 0).cast("long")
+    pc = F.lag(F.round(F.col("close") * 100, 0).cast("long")).over(w)
+    b = (daily.select("event_type", (o - pc).alias("gap"))
+         .filter(F.col("gap").isNotNull()))
+    g = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum(F.when(F.col("gap") > 0, 1).otherwise(0)).cast("long")
+        .alias("n_gap_up"),
+        F.sum(F.when(F.col("gap") < 0, 1).otherwise(0)).cast("long")
+        .alias("n_gap_down"),
+        F.max("gap").cast("long").alias("max_gap_up_cents"),
+        F.min("gap").cast("long").alias("max_gap_down_cents"),
+        F.sum("gap").cast("long").alias("net_gap_cents"))
+    share = F.expr("(1000000 * n_gap_up) div n_days") / 1e6
+    return (g.withColumn("gap_up_share",
+                         F.when(F.col("n_days") > 0, share))
+            .orderBy("event_type"))

@@ -901,3 +901,84 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n_docs", (F.col("cluster_size")
                                    * F.col("n_clusters")).cast("long"))
             .orderBy("cluster_size"))
+
+
+@register("stock_updown_streaks", _BARS_CTE + _CENTS_CTE + """
+, d AS (
+  SELECT event_type, hr,
+         CASE WHEN c - lag(c) OVER w > 0 THEN 1
+              WHEN c - lag(c) OVER w < 0 THEN -1
+              WHEN c - lag(c) OVER w = 0 THEN 0 END AS dir
+  FROM cts WINDOW w AS (PARTITION BY event_type ORDER BY hr)
+), f AS (SELECT event_type, hr, CAST(dir AS BIGINT) AS dir
+         FROM d WHERE dir IS NOT NULL AND dir != 0),
+g AS (
+  SELECT event_type, dir,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr)
+         - row_number() OVER (PARTITION BY event_type, dir
+                              ORDER BY hr) AS grp
+  FROM f
+), runs AS (
+  SELECT event_type, dir, grp,
+         CAST(count(*) AS BIGINT) AS streak_len
+  FROM g GROUP BY event_type, dir, grp
+)
+SELECT event_type, dir AS direction, streak_len,
+       CAST(count(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY event_type, dir, streak_len
+ORDER BY event_type, direction, streak_len
+""")
+def stock_updown_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gaps-and-islands run-length census of up/down closes; tie bars
+    # break streaks and are excluded on both engines
+    ev = load_table(spark, sf_dir, "events")
+    return ind.updown_streaks(ind.hourly_bars(ev))
+
+
+@register("stock_overnight_gaps", """
+WITH e AS (
+  SELECT event_type, ts, event_id, value,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+), ro AS (
+  SELECT event_type, ts, event_id, value, d,
+         row_number() OVER (PARTITION BY event_type, d
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, d
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+), daily AS (
+  SELECT event_type, d AS hr,
+         CAST(round(max(CASE WHEN rn_a = 1 THEN value END) * 100, 0)
+              AS BIGINT) AS o,
+         CAST(round(max(CASE WHEN rn_d = 1 THEN value END) * 100, 0)
+              AS BIGINT) AS c
+  FROM ro GROUP BY event_type, d
+), gp AS (
+  SELECT event_type,
+         o - lag(c) OVER (PARTITION BY event_type ORDER BY hr) AS gap
+  FROM daily
+), f AS (SELECT event_type, gap FROM gp WHERE gap IS NOT NULL),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gap_up,
+         CAST(sum(CASE WHEN gap < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gap_down,
+         CAST(max(gap) AS BIGINT) AS max_gap_up_cents,
+         CAST(min(gap) AS BIGINT) AS max_gap_down_cents,
+         CAST(sum(gap) AS BIGINT) AS net_gap_cents
+  FROM f GROUP BY event_type
+)
+SELECT event_type, n_days, n_gap_up, n_gap_down, max_gap_up_cents,
+       max_gap_down_cents, net_gap_cents,
+       CASE WHEN n_days > 0
+            THEN ((1000000 * n_gap_up) // n_days) / 1e6
+       END AS gap_up_share
+FROM g ORDER BY event_type
+""")
+def stock_overnight_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # overnight open-vs-prior-close gap census on daily bars — all
+    # integer cents, up-share on the exact quotient grid
+    ev = load_table(spark, sf_dir, "events")
+    return ind.overnight_gaps(ind.daily_ohlc(ev))

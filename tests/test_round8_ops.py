@@ -513,3 +513,26 @@ def test_length_histogram_power_of_two_edges(spark):
     assert out[10]["bucket_lo"] == 1024 and out[10]["n_docs"] == 1
     # the n_chars=0 doc is dropped: only 4 docs remain
     assert sum(r["n_docs"] for r in out.values()) == 4
+
+
+def test_updown_streaks_hand_runs(spark):
+    # closes: 10 11 12 11 10 10 11 → dirs: + + − − (0 dropped) +
+    # runs: up(2), down(2), up(1)
+    closes = [10, 11, 12, 11, 10, 10, 11]
+    rows = [("A", i, c, c, c, c, 5) for i, c in enumerate(closes)]
+    out = {(r["direction"], r["streak_len"]): r["n_streaks"]
+           for r in ind.updown_streaks(_bars(spark, rows)).collect()}
+    assert out == {(1, 2): 1, (-1, 2): 1, (1, 1): 1}
+
+
+def test_overnight_gaps_hand_census(spark):
+    # day closes 10, opens next day 11 (gap +100), then open 9.5 after
+    # close 11.5 (gap −200)
+    d = _bars(spark, [("A", 0, 10, 10, 9, 10, 5),
+                      ("A", 24, 11, 12, 11, 11.5, 5),
+                      ("A", 48, 9.5, 10, 9, 9.8, 5)])
+    r = ind.overnight_gaps(d).collect()[0]
+    assert (r["n_days"], r["n_gap_up"], r["n_gap_down"]) == (2, 1, 1)
+    assert (r["max_gap_up_cents"], r["max_gap_down_cents"],
+            r["net_gap_cents"]) == (100, -200, -100)
+    assert r["gap_up_share"] == 0.5
