@@ -536,3 +536,78 @@ def test_overnight_gaps_hand_census(spark):
     assert (r["max_gap_up_cents"], r["max_gap_down_cents"],
             r["net_gap_cents"]) == (100, -200, -100)
     assert r["gap_up_share"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# property tests: pure-Python references for the round-8 integer kernels
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+SLOW = settings(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+closes = st.lists(st.integers(min_value=1, max_value=50),
+                  min_size=1, max_size=24)
+
+
+@SLOW
+@given(cs=closes)
+def test_updown_streaks_matches_groupby_reference(spark, cs):
+    import itertools
+    rows = [("A", i, c, c, c, c, 1) for i, c in enumerate(cs)]
+    got = {(r["direction"], r["streak_len"]): r["n_streaks"]
+           for r in ind.updown_streaks(_bars(spark, rows)).collect()}
+    dirs = [(1 if b > a else -1) for a, b in zip(cs, cs[1:]) if b != a]
+    want: dict = {}
+    for d, grp in itertools.groupby(dirs):
+        k = (d, len(list(grp)))
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+@SLOW
+@given(cs=closes)
+def test_chande_momentum_matches_python_grid(spark, cs):
+    rows = [("A", i, c, c, c, c, 1) for i, c in enumerate(cs)]
+    out = sorted(ind.chande_momentum(_bars(spark, rows)).collect(),
+                 key=lambda r: r["hr"])
+    cents = [c * 100 for c in cs]
+    deltas = [None] + [b - a for a, b in zip(cents, cents[1:])]
+    n = 14
+    for i, r in enumerate(out):
+        win = [d for d in deltas[max(0, i - n + 1):i + 1] if d is not None]
+        sg = sum(d for d in win if d > 0)
+        sl = sum(-d for d in win if d < 0)
+        if sg + sl == 0:
+            assert r["cmo"] is None
+        else:
+            num = sg - sl
+            sign = (num > 0) - (num < 0)
+            want = sign * ((100_000_000 * abs(num)) // (sg + sl)) / 1e6
+            assert r["cmo"] == want
+
+
+@SLOW
+@given(vals=st.lists(st.integers(min_value=-100, max_value=100),
+                     min_size=3, max_size=40))
+def test_robust_outlier_profile_matches_python_median_mad(spark, vals):
+    # lower-median (quantile_disc) reference: the smallest value whose
+    # cumulative count reaches ceil(n/2)
+    from stock_data_etl_pipeline_spark.operators.aggregates import (
+        robust_outlier_profile)
+
+    def lower_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "grp string, v long")
+    r = robust_outlier_profile(df, "grp", "v").collect()[0]
+    med = lower_median(vals)
+    mad = lower_median([abs(v - med) for v in vals])
+    n_out = sum(1 for v in vals if abs(v - med) > 3 * mad)
+    assert (r["med"], r["mad"], r["n"], r["n_outliers"]) == \
+        (med, mad, len(vals), n_out)
+    assert r["outlier_rate"] == ((1_000_000 * n_out) // len(vals)) / 1e6
