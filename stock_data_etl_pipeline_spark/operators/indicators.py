@@ -2056,3 +2056,137 @@ def overnight_gaps(daily: DataFrame) -> DataFrame:
     return (g.withColumn("gap_up_share",
                          F.when(F.col("n_days") > 0, share))
             .orderBy("event_type"))
+
+
+VP_BUCKET_CENTS = 100   # $1 price buckets
+VP_TOP_K = 5            # buckets kept per symbol
+
+
+def volume_profile(bars: DataFrame, bucket_cents: int = VP_BUCKET_CENTS,
+                   top_k: int = VP_TOP_K) -> DataFrame:
+    """Volume-at-price profile per symbol: bucket each bar's close into
+    ``bucket_cents``-wide price bins, sum volume per bin, and keep the
+    ``top_k`` highest-volume bins (the top one is the session's "point
+    of control"). The support/resistance map market-profile traders
+    read; none of it exists in a time-ordered view.
+
+    Integer discipline throughout: close is cents (BIGINT), the bucket
+    an integer div (prices are non-negative so div == floor), volumes
+    exact counts, and the volume share rides the
+    ``(1e8·v) div total`` quotient grid with ONE division at emit.
+    Ranking ties break on the lower bucket. The per-symbol total rides
+    a window over the bucket MATRIX (symbol × bucket, price-range
+    sized), never the bars.
+    """
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    b = bars.select("event_type",
+                    (c - (c % F.lit(bucket_cents))).alias("bucket_cents"),
+                    "volume")
+    per = b.groupBy("event_type", "bucket_cents").agg(
+        F.sum("volume").cast("long").alias("bucket_volume"))
+    w_tot = Window.partitionBy("event_type")
+    w_rnk = Window.partitionBy("event_type").orderBy(
+        F.col("bucket_volume").desc(), F.col("bucket_cents").asc())
+    out = (per.withColumn("total_volume",
+                          F.sum("bucket_volume").over(w_tot).cast("long"))
+           .withColumn("rank", F.row_number().over(w_rnk))
+           .filter(F.col("rank") <= top_k))
+    share = F.expr("(100000000 * bucket_volume) div total_volume") / 1e6
+    return (out.select("event_type", "rank", "bucket_cents",
+                       "bucket_volume", "total_volume",
+                       F.when(F.col("total_volume") > 0, share)
+                       .alias("volume_share_pct"))
+            .orderBy("event_type", "rank"))
+
+
+def weekly_bars(bars: DataFrame) -> DataFrame:
+    """Resample hourly bars into weekly OHLC bars per symbol — the
+    coarse-grid twin of :func:`hourly_bars` for position-horizon
+    indicators. Monday-anchored weeks (`date_trunc('week')` in both
+    engines); open/close are the first/last hourly bar's open/close
+    tie-broken on the unique ``hr``, high/low are order-independent
+    extremes, volume an exact integer sum — no float aggregation
+    anywhere, so raw double prices pass through untouched.
+    """
+    e = bars.select("event_type", "hr", "open", "high", "low", "close",
+                    "volume",
+                    F.date_trunc("week", F.col("hr")).alias("wk"))
+    w_a = Window.partitionBy("event_type", "wk").orderBy("hr")
+    w_d = Window.partitionBy("event_type", "wk").orderBy(F.col("hr").desc())
+    r = (e.withColumn("rn_a", F.row_number().over(w_a))
+          .withColumn("rn_d", F.row_number().over(w_d)))
+    return (r.groupBy("event_type", "wk")
+            .agg(F.max(F.when(F.col("rn_a") == 1, F.col("open")))
+                 .alias("open"),
+                 F.max("high").alias("high"),
+                 F.min("low").alias("low"),
+                 F.max(F.when(F.col("rn_d") == 1, F.col("close")))
+                 .alias("close"),
+                 F.sum("volume").cast("long").alias("volume"),
+                 F.count(F.lit(1)).cast("long").alias("n_bars"))
+            .orderBy("event_type", "wk"))
+
+
+def gap_fill_rate(daily: DataFrame) -> DataFrame:
+    """Gap-fill census per symbol from daily bars: of the days that
+    opened away from the previous close, how many traded back to touch
+    it the same day (gap-up fills when the day's low tags the prior
+    close; gap-down fills when the high does). The mean-reversion
+    prior behind every "fade the gap" strategy, as exact counts.
+
+    All comparisons are integer cents; the fill shares ride the
+    ``(1e6·filled) div gaps`` quotient grid (NULL when a symbol never
+    gapped that way). First days drop identically on both engines.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    o = F.round(F.col("open") * 100, 0).cast("long")
+    h = F.round(F.col("high") * 100, 0).cast("long")
+    l = F.round(F.col("low") * 100, 0).cast("long")
+    pc = F.lag(F.round(F.col("close") * 100, 0).cast("long")).over(w)
+    d = (daily.select("event_type", o.alias("o"), h.alias("h"),
+                      l.alias("l"), pc.alias("pc"))
+         .filter(F.col("pc").isNotNull()))
+    g = d.groupBy("event_type").agg(
+        F.sum(F.when(F.col("o") > F.col("pc"), 1).otherwise(0))
+        .cast("long").alias("n_gap_up"),
+        F.sum(F.when((F.col("o") > F.col("pc"))
+                     & (F.col("l") <= F.col("pc")), 1).otherwise(0))
+        .cast("long").alias("n_up_filled"),
+        F.sum(F.when(F.col("o") < F.col("pc"), 1).otherwise(0))
+        .cast("long").alias("n_gap_down"),
+        F.sum(F.when((F.col("o") < F.col("pc"))
+                     & (F.col("h") >= F.col("pc")), 1).otherwise(0))
+        .cast("long").alias("n_down_filled"))
+    up = F.expr("(1000000 * n_up_filled) div n_gap_up") / 1e6
+    dn = F.expr("(1000000 * n_down_filled) div n_gap_down") / 1e6
+    return (g.select("event_type", "n_gap_up", "n_up_filled",
+                     "n_gap_down", "n_down_filled",
+                     F.when(F.col("n_gap_up") > 0, up)
+                     .alias("up_fill_share"),
+                     F.when(F.col("n_gap_down") > 0, dn)
+                     .alias("down_fill_share"))
+            .orderBy("event_type"))
+
+
+def intraday_volume_curve(bars: DataFrame) -> DataFrame:
+    """Hour-of-day volume seasonality per symbol: the share of total
+    volume landing in each clock hour — the U-shape curve execution
+    algos (VWAP schedulers) are calibrated against.
+
+    Volumes are exact integer counts; shares ride the
+    ``(1e8·v) div total`` quotient grid with one division at emit.
+    The per-symbol total is a window over the symbol × 24-hour
+    MATRIX, never the bars.
+    """
+    b = bars.select("event_type", F.hour("hr").alias("hour_of_day"),
+                    "volume")
+    per = b.groupBy("event_type", "hour_of_day").agg(
+        F.sum("volume").cast("long").alias("hour_volume"))
+    w_tot = Window.partitionBy("event_type")
+    out = per.withColumn(
+        "total_volume", F.sum("hour_volume").over(w_tot).cast("long"))
+    share = F.expr("(100000000 * hour_volume) div total_volume") / 1e6
+    return (out.select("event_type", "hour_of_day", "hour_volume",
+                       F.when(F.col("total_volume") > 0, share)
+                       .alias("volume_share_pct"))
+            .orderBy("event_type", "hour_of_day"))

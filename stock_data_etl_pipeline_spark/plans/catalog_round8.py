@@ -982,3 +982,142 @@ def stock_overnight_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer cents, up-share on the exact quotient grid
     ev = load_table(spark, sf_dir, "events")
     return ind.overnight_gaps(ind.daily_ohlc(ev))
+
+
+@register("stock_volume_profile", _BARS_CTE + _CENTS_CTE + f"""
+, vb AS (
+  SELECT event_type, c - (c % {ind.VP_BUCKET_CENTS}) AS bucket_cents,
+         CAST(sum(volume) AS BIGINT) AS bucket_volume
+  FROM cts GROUP BY event_type, c - (c % {ind.VP_BUCKET_CENTS})
+), rk AS (
+  SELECT event_type, bucket_cents, bucket_volume,
+         CAST(sum(bucket_volume) OVER (PARTITION BY event_type)
+              AS BIGINT) AS total_volume,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY bucket_volume DESC,
+                                          bucket_cents ASC)
+              AS INTEGER) AS rank
+  FROM vb
+)
+SELECT event_type, rank, bucket_cents, bucket_volume, total_volume,
+       CASE WHEN total_volume > 0
+            THEN ((100000000 * bucket_volume) // total_volume) / 1e6
+       END AS volume_share_pct
+FROM rk WHERE rank <= {ind.VP_TOP_K}
+ORDER BY event_type, rank
+""")
+def stock_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # volume-at-price point-of-control map: integer $1 buckets of the
+    # close, exact volume sums, share on the (1e8·v) div total grid;
+    # the total windows over the symbol × bucket matrix, not bars
+    ev = load_table(spark, sf_dir, "events")
+    return ind.volume_profile(ind.hourly_bars(ev))
+
+
+@register("stock_weekly_bars", _BARS_CTE + """
+, wb AS (
+  SELECT event_type, CAST(date_trunc('week', hr) AS TIMESTAMP) AS wk, hr,
+         open, high, low, close, volume,
+         row_number() OVER (PARTITION BY event_type,
+                                         date_trunc('week', hr)
+                            ORDER BY hr) AS rn_a,
+         row_number() OVER (PARTITION BY event_type,
+                                         date_trunc('week', hr)
+                            ORDER BY hr DESC) AS rn_d
+  FROM bars
+)
+SELECT event_type, wk,
+       max(CASE WHEN rn_a = 1 THEN open END) AS open,
+       max(high) AS high, min(low) AS low,
+       max(CASE WHEN rn_d = 1 THEN close END) AS close,
+       CAST(sum(volume) AS BIGINT) AS volume,
+       CAST(count(*) AS BIGINT) AS n_bars
+FROM wb GROUP BY event_type, wk
+ORDER BY event_type, wk
+""")
+def stock_weekly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly OHLC resample of the hourly bars — first/last picks are
+    # tie-broken on the unique hr, extremes order-independent, volume
+    # an exact integer sum; no float aggregation so raw doubles pass
+    ev = load_table(spark, sf_dir, "events")
+    return ind.weekly_bars(ind.hourly_bars(ev))
+
+
+@register("stock_gap_fill_rate", """
+WITH e AS (
+  SELECT event_type, ts, event_id, value,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+), ro AS (
+  SELECT event_type, ts, event_id, value, d,
+         row_number() OVER (PARTITION BY event_type, d
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, d
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+), daily AS (
+  SELECT event_type, d AS hr,
+         CAST(round(max(CASE WHEN rn_a = 1 THEN value END) * 100, 0)
+              AS BIGINT) AS o,
+         CAST(round(max(value) * 100, 0) AS BIGINT) AS h,
+         CAST(round(min(value) * 100, 0) AS BIGINT) AS l,
+         CAST(round(max(CASE WHEN rn_d = 1 THEN value END) * 100, 0)
+              AS BIGINT) AS c
+  FROM ro GROUP BY event_type, d
+), gp AS (
+  SELECT event_type, o, h, l,
+         lag(c) OVER (PARTITION BY event_type ORDER BY hr) AS pc
+  FROM daily
+), f AS (SELECT * FROM gp WHERE pc IS NOT NULL),
+g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN o > pc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gap_up,
+         CAST(sum(CASE WHEN o > pc AND l <= pc THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_up_filled,
+         CAST(sum(CASE WHEN o < pc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gap_down,
+         CAST(sum(CASE WHEN o < pc AND h >= pc THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_down_filled
+  FROM f GROUP BY event_type
+)
+SELECT event_type, n_gap_up, n_up_filled, n_gap_down, n_down_filled,
+       CASE WHEN n_gap_up > 0
+            THEN ((1000000 * n_up_filled) // n_gap_up) / 1e6
+       END AS up_fill_share,
+       CASE WHEN n_gap_down > 0
+            THEN ((1000000 * n_down_filled) // n_gap_down) / 1e6
+       END AS down_fill_share
+FROM g ORDER BY event_type
+""")
+def stock_gap_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same-day gap-fill census on daily bars: integer-cents touch
+    # tests against the prior close, fill shares on the exact
+    # (1e6·filled) div gaps quotient grid (NULL when never gapped)
+    ev = load_table(spark, sf_dir, "events")
+    return ind.gap_fill_rate(ind.daily_ohlc(ev))
+
+
+@register("stock_intraday_curve", _BARS_CTE + """
+, hv AS (
+  SELECT event_type, CAST(hour(hr) AS INTEGER) AS hour_of_day,
+         CAST(sum(volume) AS BIGINT) AS hour_volume
+  FROM bars GROUP BY event_type, CAST(hour(hr) AS INTEGER)
+), t AS (
+  SELECT event_type, hour_of_day, hour_volume,
+         CAST(sum(hour_volume) OVER (PARTITION BY event_type)
+              AS BIGINT) AS total_volume
+  FROM hv
+)
+SELECT event_type, hour_of_day, hour_volume,
+       CASE WHEN total_volume > 0
+            THEN ((100000000 * hour_volume) // total_volume) / 1e6
+       END AS volume_share_pct
+FROM t ORDER BY event_type, hour_of_day
+""")
+def stock_intraday_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hour-of-day volume seasonality (the VWAP-scheduler U-curve):
+    # exact integer volume sums, share on the quotient grid, totals
+    # windowed over the symbol × 24-hour matrix
+    ev = load_table(spark, sf_dir, "events")
+    return ind.intraday_volume_curve(ind.hourly_bars(ev))

@@ -611,3 +611,72 @@ def test_robust_outlier_profile_matches_python_median_mad(spark, vals):
     assert (r["med"], r["mad"], r["n"], r["n_outliers"]) == \
         (med, mad, len(vals), n_out)
     assert r["outlier_rate"] == ((1_000_000 * n_out) // len(vals)) / 1e6
+
+
+def test_volume_profile_hand_buckets(spark):
+    # A: closes 10.50, 10.99 (bucket 1000), 12.00 (bucket 1200).
+    # bucket 1000 vol = 3+5 = 8, bucket 1200 vol = 2; total 10.
+    rows = [("A", 0, 10, 11, 10, 10.50, 3),
+            ("A", 1, 10, 11, 10, 10.99, 5),
+            ("A", 2, 12, 12, 12, 12.00, 2)]
+    out = ind.volume_profile(_bars(spark, rows)).collect()
+    assert [(r["rank"], r["bucket_cents"], r["bucket_volume"],
+             r["volume_share_pct"]) for r in out] == \
+        [(1, 1000, 8, 80.0), (2, 1200, 2, 20.0)]
+
+
+def test_volume_profile_rank_tie_breaks_low_bucket(spark):
+    # equal volumes: the LOWER bucket must rank first
+    rows = [("A", 0, 10, 10, 10, 10.00, 4),
+            ("A", 1, 20, 20, 20, 20.00, 4)]
+    out = ind.volume_profile(_bars(spark, rows)).collect()
+    assert [(r["rank"], r["bucket_cents"]) for r in out] == \
+        [(1, 1000), (2, 2000)]
+
+
+def test_weekly_bars_resample_picks_and_extremes(spark):
+    # Mon Jan 1 2024 .. Sun Jan 7 are one week; Mon Jan 8 the next.
+    rows = [("A", 0, 10.0, 12.0, 9.0, 11.0, 3),     # Mon 00:00
+            ("A", 30, 11.5, 15.0, 11.0, 14.0, 2),   # Tue 06:00
+            ("A", 24 * 7, 20.0, 21.0, 19.0, 20.5, 7)]  # next Mon
+    out = sorted(ind.weekly_bars(_bars(spark, rows)).collect(),
+                 key=lambda r: r["wk"])
+    w1, w2 = out
+    assert (w1["open"], w1["high"], w1["low"], w1["close"],
+            w1["volume"], w1["n_bars"]) == (10.0, 15.0, 9.0, 14.0, 5, 2)
+    assert w2["open"] == 20.0 and w2["n_bars"] == 1
+    assert w1["wk"] == T0  # 2024-01-01 IS a Monday
+
+
+def test_gap_fill_rate_hand_census(spark):
+    # daily bars via the _bars helper (hr spacing 24h apart).
+    # d0 close 10. d1 opens 11 (gap up), low 9.5 <= 10 → filled.
+    # d2 opens 8 (gap down vs d1 close 11), high 10 < 11 → NOT filled.
+    rows = [("A", 0, 10.0, 10.0, 10.0, 10.0, 1),
+            ("A", 24, 11.0, 11.0, 9.5, 11.0, 1),
+            ("A", 48, 8.0, 10.0, 8.0, 9.0, 1)]
+    daily = _bars(spark, rows)
+    r = ind.gap_fill_rate(daily).collect()[0]
+    assert (r["n_gap_up"], r["n_up_filled"],
+            r["n_gap_down"], r["n_down_filled"]) == (1, 1, 1, 0)
+    assert r["up_fill_share"] == 1.0
+    assert r["down_fill_share"] == 0.0
+
+
+def test_gap_fill_rate_null_share_when_never_gapped(spark):
+    # only gap-up days → down share NULL
+    rows = [("A", 0, 10.0, 10.0, 10.0, 10.0, 1),
+            ("A", 24, 11.0, 11.0, 10.5, 11.0, 1)]
+    r = ind.gap_fill_rate(_bars(spark, rows)).collect()[0]
+    assert r["n_gap_down"] == 0 and r["down_fill_share"] is None
+
+
+def test_intraday_curve_shares(spark):
+    # hour 0 vol 6, hour 1 vol 2 (two days), total 8 → 75% / 25%
+    rows = [("A", 0, 1, 1, 1, 1.0, 4),
+            ("A", 24, 1, 1, 1, 1.0, 2),
+            ("A", 1, 1, 1, 1, 1.0, 2)]
+    out = sorted(ind.intraday_volume_curve(_bars(spark, rows)).collect(),
+                 key=lambda r: r["hour_of_day"])
+    assert [(r["hour_of_day"], r["hour_volume"], r["volume_share_pct"])
+            for r in out] == [(0, 6, 75.0), (1, 2, 25.0)]
