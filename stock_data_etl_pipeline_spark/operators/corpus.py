@@ -1526,3 +1526,44 @@ def length_histogram(docs: DataFrame, len_col: str = "n_chars",
             .select("source", "bucket", "bucket_lo", "n_docs",
                     "total_chars")
             .orderBy("source", "bucket"))
+
+
+def char_class_profile(docs: DataFrame,
+                       text_col: str = "text") -> DataFrame:
+    """Character-class composition per source: how much of each
+    source's raw text is lowercase letters, digits, spaces, or other —
+    the first-pass encoding/noise audit a crawl-curation pipeline runs
+    before any tokenizer sees the bytes (binary junk and markup soup
+    show up as an 'other' spike).
+
+    Class counts are length differences after regexp strip-outs —
+    pure projections, summed as exact BIGINTs in one hash-agg; shares
+    ride the ``(1e8·c) div total`` quotient grid with one division at
+    emit. (DuckDB mirror needs the 'g' flag: its regexp_replace is
+    first-match-only by default, Spark's is replace-all.)
+    """
+    t = F.col(text_col)
+    n = F.length(t).cast("long")
+    alpha = (n - F.length(F.regexp_replace(t, "[a-z]", ""))).cast("long")
+    digit = (n - F.length(F.regexp_replace(t, "[0-9]", ""))).cast("long")
+    space = (n - F.length(F.regexp_replace(t, " ", ""))).cast("long")
+    g = (docs.select("source", n.alias("n"), alpha.alias("a"),
+                     digit.alias("d"), space.alias("s"))
+         .groupBy("source")
+         .agg(F.sum("n").cast("long").alias("n_chars"),
+              F.sum("a").cast("long").alias("n_alpha"),
+              F.sum("d").cast("long").alias("n_digit"),
+              F.sum("s").cast("long").alias("n_space")))
+    g = g.withColumn(
+        "n_other",
+        (F.col("n_chars") - F.col("n_alpha") - F.col("n_digit")
+         - F.col("n_space")).cast("long"))
+    def share(c: str):
+        q = F.expr(f"(100000000 * {c}) div n_chars") / 1e6
+        return F.when(F.col("n_chars") > 0, q)
+    return (g.select("source", "n_chars", "n_alpha", "n_digit",
+                     "n_space", "n_other",
+                     share("n_alpha").alias("alpha_share"),
+                     share("n_space").alias("space_share"),
+                     share("n_other").alias("other_share"))
+            .orderBy("source"))

@@ -480,3 +480,72 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.5,
             .select("id_a", "id_b",
                     (F.col("c6") / 1e6).alias("containment"))
             .orderBy("id_a", "id_b"))
+
+
+PREFIX_WORDS = 8  # leading-token prefix length for prefix-dup grouping
+
+
+def prefix_dup_census(docs: DataFrame, text_col: str = "text",
+                      n_words: int = PREFIX_WORDS) -> DataFrame:
+    """Prefix-duplicate census: group documents on their first
+    ``n_words`` tokens and report the size distribution of groups
+    that share a prefix — the cheap detector for boilerplate openings
+    and template-generated docs (crawl corpora are full of both) that
+    full-text dedup misses when tails diverge.
+
+    One hash-agg over a projected prefix key, then a census over the
+    group-size MATRIX; exact counts only, scale-safe at any corpus
+    size (the prefix key bounds the group key cardinality).
+    """
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    prefix = F.array_join(F.slice(ws, 1, n_words), " ")
+    groups = (docs.select(prefix.alias("prefix"))
+              .groupBy("prefix")
+              .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+              .filter(F.col("group_size") >= 2))
+    return (groups.groupBy("group_size")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_groups"),
+                 F.sum("group_size").cast("long").alias("n_docs"))
+            .orderBy("group_size"))
+
+
+EDIT_DIST_MAX = 150  # near-dup acceptance threshold (chars)
+
+
+def edit_distance_report(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         max_dist: int = EDIT_DIST_MAX) -> DataFrame:
+    """Block-keyed Levenshtein near-dup report per language: candidate
+    pairs come ONLY from (lang, source, n_chars//8) blocks — docs in
+    different languages/sources or with length gaps can't be cheap
+    edits of each other, so the quadratic kernel runs on block-bounded
+    pairs, never all-pairs (the MinHash-banding principle applied to
+    edit distance).
+
+    Per language: candidate-pair count, pairs within ``max_dist``,
+    the min distance, and the mean distance on the
+    ``(1e6·Σd) div n`` quotient grid (distances are exact ints).
+    """
+    d = docs.select(id_col, "lang", "source",
+                    F.expr("n_chars div 8").alias("lb"),
+                    F.col(text_col).alias("t"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                    & (F.col("a.source") == F.col("b.source"))
+                    & (F.col("a.lb") == F.col("b.lb"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col("a.lang").alias("lang"),
+                     F.levenshtein(F.col("a.t"), F.col("b.t"))
+                     .cast("long").alias("dist")))
+    g = pairs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("dist") <= max_dist, 1).otherwise(0))
+        .cast("long").alias("n_near_dup"),
+        F.min("dist").cast("long").alias("min_distance"),
+        F.sum("dist").cast("long").alias("sum_distance"))
+    mean = F.expr("(1000000 * sum_distance) div n_candidate_pairs") / 1e6
+    return (g.select("lang", "n_candidate_pairs", "n_near_dup",
+                     "min_distance",
+                     F.when(F.col("n_candidate_pairs") > 0, mean)
+                     .alias("mean_distance"))
+            .orderBy("lang"))

@@ -19,9 +19,11 @@ families if any exist.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import corpus as corpus_ops
+from ..operators import dedup as dd
 from ..operators import indicators as ind
 from ..sources.registry import load_table
 from .catalog import register
@@ -1121,3 +1123,132 @@ def stock_intraday_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # windowed over the symbol × 24-hour matrix
     ev = load_table(spark, sf_dir, "events")
     return ind.intraday_volume_curve(ind.hourly_bars(ev))
+
+
+@register("dedup_prefix_groups", f"""
+WITH p AS (
+  SELECT array_to_string(
+           list_slice(list_filter(string_split(text, ' '),
+                                  x -> x != ''),
+                      1, {dd.PREFIX_WORDS}), ' ') AS prefix
+  FROM documents
+), g AS (
+  SELECT prefix, CAST(count(*) AS BIGINT) AS group_size
+  FROM p GROUP BY prefix HAVING count(*) >= 2
+)
+SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(group_size) AS BIGINT) AS n_docs
+FROM g GROUP BY group_size ORDER BY group_size
+""")
+def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # boilerplate-opening detector: one hash-agg on the 8-word prefix
+    # key, census over the group-size matrix — exact counts only
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.prefix_dup_census(docs)
+
+
+@register("dedup_edit_distance", f"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars // 8 AS lb, text FROM documents
+), pairs AS (
+  SELECT a.lang, CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
+   AND a.doc_id < b.doc_id
+), g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+         CAST(sum(CASE WHEN dist <= {dd.EDIT_DIST_MAX} THEN 1 ELSE 0
+                  END) AS BIGINT) AS n_near_dup,
+         CAST(min(dist) AS BIGINT) AS min_distance,
+         CAST(sum(dist) AS BIGINT) AS sum_distance
+  FROM pairs GROUP BY lang
+)
+SELECT lang, n_candidate_pairs, n_near_dup, min_distance,
+       CASE WHEN n_candidate_pairs > 0
+            THEN ((1000000 * sum_distance) // n_candidate_pairs) / 1e6
+       END AS mean_distance
+FROM g ORDER BY lang
+""")
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # block-keyed Levenshtein near-dup report: candidates only from
+    # (lang, source, n_chars div 8) blocks — never all-pairs; exact
+    # integer distances, mean on the quotient grid
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.edit_distance_report(docs)
+
+
+@register("corpus_char_classes", """
+WITH c AS (
+  SELECT source, CAST(length(text) AS BIGINT) AS n,
+         CAST(length(text)
+              - length(regexp_replace(text, '[a-z]', '', 'g'))
+              AS BIGINT) AS a,
+         CAST(length(text)
+              - length(regexp_replace(text, '[0-9]', '', 'g'))
+              AS BIGINT) AS d,
+         CAST(length(text)
+              - length(regexp_replace(text, ' ', '', 'g'))
+              AS BIGINT) AS s
+  FROM documents
+), g AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_chars,
+         CAST(sum(a) AS BIGINT) AS n_alpha,
+         CAST(sum(d) AS BIGINT) AS n_digit,
+         CAST(sum(s) AS BIGINT) AS n_space
+  FROM c GROUP BY source
+), w AS (
+  SELECT *, n_chars - n_alpha - n_digit - n_space AS n_other FROM g
+)
+SELECT source, n_chars, n_alpha, n_digit, n_space, n_other,
+       CASE WHEN n_chars > 0
+            THEN ((100000000 * n_alpha) // n_chars) / 1e6
+       END AS alpha_share,
+       CASE WHEN n_chars > 0
+            THEN ((100000000 * n_space) // n_chars) / 1e6
+       END AS space_share,
+       CASE WHEN n_chars > 0
+            THEN ((100000000 * n_other) // n_chars) / 1e6
+       END AS other_share
+FROM w ORDER BY source
+""")
+def corpus_char_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # encoding/noise audit: char-class counts as regexp-strip length
+    # diffs (pure projections), BIGINT sums, quotient-grid shares
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_ops.char_class_profile(docs)
+
+
+@register("events_dow_hour_profile", """
+WITH b AS (
+  SELECT CAST(dayofweek(ts) AS INTEGER) AS dow,
+         CAST(hour(ts) AS INTEGER) AS hour_of_day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT *, CAST(sum(n_events) OVER () AS BIGINT) AS total_events
+  FROM b
+)
+SELECT dow, hour_of_day, n_events,
+       CASE WHEN total_events > 0
+            THEN ((100000000 * n_events) // total_events) / 1e6
+       END AS event_share_pct
+FROM t ORDER BY dow, hour_of_day
+""")
+def events_dow_hour_profile(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    # weekly-seasonality heatmap: day-of-week (0 = Sunday, DuckDB's
+    # dayofweek grid; Spark's 1-based dayofweek shifted by −1) × hour
+    # counts; the global total windows over the ≤168-row matrix
+    ev = load_table(spark, sf_dir, "events")
+    b = (ev.select((F.dayofweek("ts") - 1).cast("int").alias("dow"),
+                   F.hour("ts").cast("int").alias("hour_of_day"))
+         .groupBy("dow", "hour_of_day")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    t = b.withColumn(
+        "total_events",
+        F.sum("n_events").over(Window.partitionBy()).cast("long"))
+    share = F.expr("(100000000 * n_events) div total_events") / 1e6
+    return (t.select("dow", "hour_of_day", "n_events",
+                     F.when(F.col("total_events") > 0, share)
+                     .alias("event_share_pct"))
+            .orderBy("dow", "hour_of_day"))

@@ -198,3 +198,68 @@ def test_pretoken_count_splits_runs(spark):
            d.select("doc_id", pretoken_count("text").alias("n")).collect()}
     # don|'|t + stop|123 + me|!! -> 7 pre-tokens
     assert out == {1: 7, 2: 0, 3: 1}
+
+
+def _full_docs(spark, rows):
+    # rows: (doc_id, text, lang, source) — n_chars derived
+    return spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+
+
+def test_prefix_dup_census_groups_on_first_k_words(spark):
+    # ids 1,2 share the first 8 words (tails differ); 3 is unique;
+    # 4,5,6 share a short-doc prefix (< 8 words → whole doc is key)
+    p8 = "a b c d e f g h"
+    df = docs_df(spark, [
+        (1, p8 + " tail one"), (2, p8 + " other tail"),
+        (3, "totally different words here x y z w"),
+        (4, "short doc"), (5, "short doc"), (6, "short doc")])
+    out = {r["group_size"]: (r["n_groups"], r["n_docs"])
+           for r in DD.prefix_dup_census(df).collect()}
+    assert out == {2: (1, 2), 3: (1, 3)}
+
+
+def test_prefix_dup_census_ignores_extra_spaces(spark):
+    # doubled spaces produce empty tokens that must be filtered before
+    # the prefix cut, matching the oracle's list_filter
+    df = docs_df(spark, [(1, "a  b c"), (2, "a b  c")])
+    out = DD.prefix_dup_census(df).collect()
+    assert [(r["group_size"], r["n_groups"]) for r in out] == [(2, 1)]
+
+
+def test_edit_distance_report_blocks_and_threshold(spark):
+    # same (lang, source, len-bucket): "aaaaaaaa"/"aaaaaaab" dist 1
+    # (near-dup), "cccccccc" dist 8/7 from the others (not near at
+    # max_dist=2). Different lang doc NEVER pairs.
+    df = _full_docs(spark, [
+        (1, "aaaaaaaa", "en", "web"), (2, "aaaaaaab", "en", "web"),
+        (3, "cccccccc", "en", "web"), (4, "aaaaaaaa", "de", "web")])
+    out = DD.edit_distance_report(df, max_dist=2).collect()
+    assert len(out) == 1  # 'de' has no pairs → no row
+    r = out[0]
+    assert (r["lang"], r["n_candidate_pairs"], r["n_near_dup"],
+            r["min_distance"]) == ("en", 3, 1, 1)
+    # mean = (1 + 8 + 8)·1e6 div 3 / 1e6 = 5.666666
+    assert r["mean_distance"] == 5.666666
+
+
+def test_edit_distance_report_length_buckets_split(spark):
+    # 8 chars vs 17 chars land in different n_chars//8 buckets → no pair
+    df = _full_docs(spark, [
+        (1, "aaaaaaaa", "en", "web"),
+        (2, "aaaaaaaaaaaaaaaaa", "en", "web")])
+    assert DD.edit_distance_report(df).collect() == []
+
+
+def test_char_class_profile_hand_counts(spark):
+    from stock_data_etl_pipeline_spark.operators import corpus as CP
+    # "ab 12!" → n=6, alpha=2, digit=2, space=1, other=1
+    df = _full_docs(spark, [(1, "ab 12!", "en", "s1")])
+    r = CP.char_class_profile(df).collect()[0]
+    assert (r["n_chars"], r["n_alpha"], r["n_digit"], r["n_space"],
+            r["n_other"]) == (6, 2, 2, 1, 1)
+    # shares on the (1e8·c) div n grid: 2/6 → 33.333333
+    assert r["alpha_share"] == 33.333333
+    assert r["other_share"] == 16.666666
