@@ -1452,3 +1452,160 @@ def type_user_overlap(events: DataFrame, type_col: str = "event_type",
             .select("type_a", "type_b", "users_a", "users_b",
                     "common_users", (j6 / 1e6).alias("jaccard"))
             .orderBy("type_a", "type_b"))
+
+
+def pareto_decile_share(orders: DataFrame,
+                        key_col: str = "o_custkey",
+                        amount_col: str = "o_totalprice",
+                        n_buckets: int = 10) -> DataFrame:
+    """Revenue-concentration (Pareto) report: customers ranked by
+    lifetime revenue, cut into ``n_buckets`` exact deciles, each
+    decile's revenue share and the running cumulative share — the
+    80/20 curve account teams read.
+
+    Revenue sums are integer cents; the decile assignment rides
+    :func:`~..operators.windows.distributed_ntile` (range-partitioned
+    local sorts over the customer dim — never a single-partition
+    global window). Shares are UNROUNDED double ratios of exact
+    BIGINTs (the kyle_lambda emit precedent — a 1e8 quotient-grid
+    numerator on whole-corpus revenue overflows int64 even at
+    sf0.01, the integer-headroom audit rule). The cumulative window
+    runs over the ``n_buckets``-row MATRIX, never the customers.
+    """
+    from .windows import distributed_ntile
+    rev = (orders.groupBy(key_col)
+           .agg(F.sum(F.round(F.col(amount_col) * 100, 0).cast("long"))
+                .cast("long").alias("rev_cents")))
+    t = distributed_ntile(
+        rev, n_buckets,
+        [F.col("rev_cents").desc(), F.col(key_col)], out="decile")
+    g = (t.groupBy("decile")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+              F.sum("rev_cents").cast("long").alias("decile_rev_cents")))
+    w_tot = Window.partitionBy()
+    w_cum = (Window.partitionBy().orderBy("decile")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    g = (g.withColumn("total_cents",
+                      F.sum("decile_rev_cents").over(w_tot).cast("long"))
+         .withColumn("cum_cents",
+                     F.sum("decile_rev_cents").over(w_cum).cast("long")))
+    sh = (F.col("decile_rev_cents").cast("double")
+          / F.col("total_cents").cast("double"))
+    cm = (F.col("cum_cents").cast("double")
+          / F.col("total_cents").cast("double"))
+    return (g.select(F.col("decile").cast("long").alias("decile"),
+                     "n_customers", "decile_rev_cents",
+                     F.when(F.col("total_cents") > 0, sh)
+                     .alias("revenue_share"),
+                     F.when(F.col("total_cents") > 0, cm)
+                     .alias("cum_share"))
+            .orderBy("decile"))
+
+
+REORDER_BUCKET_DAYS = 7  # week-wide reorder-interval buckets
+
+
+def reorder_interval_census(orders: DataFrame,
+                            bucket_days: int = REORDER_BUCKET_DAYS
+                            ) -> DataFrame:
+    """Reorder-cadence census: day gaps between each customer's
+    consecutive orders, bucketed into ``bucket_days``-wide bins — the
+    repurchase-cycle histogram demand forecasting starts from.
+
+    Gaps are exact integer day differences on the DATE grid (both
+    engines date-cast before differencing), the bucket an integer div
+    (gaps are non-negative under the (date, orderkey) total order),
+    counts exact, shares on the ``(1e8·n) div total`` quotient grid;
+    the total windows over the bucket MATRIX.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate"), F.col("o_orderkey"))
+    d = F.col("o_orderdate").cast("date")
+    gaps = (orders
+            .select("o_custkey", "o_orderdate", "o_orderkey",
+                    F.datediff(d, F.lag(d).over(w)).cast("long")
+                    .alias("gap_days"))
+            .filter(F.col("gap_days").isNotNull()))
+    b = (gaps.select(F.expr(f"gap_days div {bucket_days}")
+                     .alias("bucket"))
+         .groupBy("bucket")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_intervals")))
+    t = b.withColumn(
+        "total_intervals",
+        F.sum("n_intervals").over(Window.partitionBy()).cast("long"))
+    sh = F.expr("(100000000 * n_intervals) div total_intervals") / 1e6
+    return (t.select((F.col("bucket") * bucket_days)
+                     .cast("long").alias("bucket_start_days"),
+                     "n_intervals",
+                     F.when(F.col("total_intervals") > 0, sh)
+                     .alias("interval_share_pct"))
+            .orderBy("bucket_start_days"))
+
+
+RICH_CLUB_PCTS = (50, 75, 90)  # degree-quantile thresholds
+
+
+def rich_club(pairs: DataFrame, id_a: str, id_b: str,
+              pcts: Sequence[int] = RICH_CLUB_PCTS) -> DataFrame:
+    """Rich-club coefficients of an undirected pair graph: for each
+    degree threshold t (exact degree quantiles at ``pcts``), the
+    density φ(t) = 2·E_t / (N_t·(N_t−1)) of the subgraph induced by
+    nodes with degree ≥ t — do the hubs preferentially wire to each
+    other? (Colizza et al.'s connectivity diagnostic.)
+
+    Exactness/scale: degrees and edge counts are integers; thresholds
+    come from a prefix sum over the degree-HISTOGRAM matrix (distinct
+    degree values, never a node sort); the threshold table (|pcts|
+    rows) broadcasts onto the degree-annotated edge list, so the only
+    row-scale work is the two node-keyed degree joins. φ rides the
+    ``(1e8·2E) div (N(N−1))`` quotient grid — one division at emit.
+    N·(N−1) needs N < ~3e9 for int64 headroom (any real graph's rich
+    club is far smaller).
+    """
+    und = pin(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
+                           F.greatest(F.col(id_a), F.col(id_b))
+                           .alias("b"))
+              .filter(F.col("a") != F.col("b")).distinct())
+    deg = pin(und.select(F.col("a").alias("node"))
+              .unionByName(und.select(F.col("b").alias("node")))
+              .groupBy("node")
+              .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    hist = (deg.groupBy("deg")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w_cum = (Window.partitionBy().orderBy("deg")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    hist = (hist.withColumn("cum", F.sum("cnt").over(w_cum))
+            .withColumn("n_total",
+                        F.sum("cnt").over(Window.partitionBy())))
+    # threshold for pct p: the smallest degree whose cumulative count
+    # reaches ceil(p·N/100) — the events_exact_quantiles target form
+    pct_df = None
+    for p in pcts:
+        t = (hist.filter(
+            F.col("cum") >= F.expr(f"({p} * n_total + {p}) div 100"))
+             .agg(F.min("deg").alias("threshold_deg"))
+             .select(F.lit(p).cast("long").alias("pct"),
+                     "threshold_deg"))
+        pct_df = t if pct_df is None else pct_df.unionByName(t)
+    thr = F.broadcast(pct_df)
+    members = (deg.crossJoin(thr)
+               .filter(F.col("deg") >= F.col("threshold_deg"))
+               .groupBy("pct", "threshold_deg")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    ed = (und.join(da, "a").join(db, "b")
+          .select(F.least("da", "db").alias("dmin")))
+    edges = (ed.crossJoin(thr)
+             .filter(F.col("dmin") >= F.col("threshold_deg"))
+             .groupBy("pct", "threshold_deg")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    j = (members.join(edges, ["pct", "threshold_deg"], "left")
+         .withColumn("n_edges",
+                     F.coalesce(F.col("n_edges"), F.lit(0))
+                     .cast("long")))
+    phi = F.expr("(100000000 * 2 * n_edges) div "
+                 "(n_nodes * (n_nodes - 1))") / 1e6
+    return (j.select("pct", "threshold_deg", "n_nodes", "n_edges",
+                     F.when(F.col("n_nodes") > 1, phi).alias("phi"))
+            .orderBy("pct"))

@@ -891,3 +891,61 @@ def dimension_variance_profile(emb: DataFrame, top: int = 16,
             .orderBy(F.col("_vn").desc(), "dim").limit(top)
             .select(F.col("dim").cast("long").alias("dim"), "n",
                     mean.alias("mean"), var.alias("variance")))
+
+
+CENTROID_GRID = 10_000  # 1e-4 coordinate grid for centroid sums
+
+
+def label_centroid_similarity(vecs: DataFrame,
+                              vec_col: str = "embedding",
+                              label_col: str = "label",
+                              grid: int = CENTROID_GRID) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroid vectors —
+    the class-separation audit run before trusting labels for
+    classifier-based curation (entangled centroids predict label
+    noise).
+
+    cosine(mean_a, mean_b) == cosine(sum_a, sum_b), so no mean (and no
+    knife-edge integer ratio) is ever formed: coordinates are widened
+    float32→double FIRST, quantized to the ``1/grid`` grid, and summed
+    as exact BIGINTs per (label, dim); dot products and squared norms
+    of the sum vectors are exact integer aggregates over the
+    label × dim MATRIX (labels · dims rows — dim-sized, never
+    vector-count-sized); the cosine emit is the UNROUNDED double
+    ``dot / sqrt(na·nb)`` with the multiplication inside the sqrt in
+    BOTH engines (na·nb can exceed int64 — the product is formed in
+    doubles).
+    """
+    q = F.round(F.col("x").cast("double") * grid, 0).cast("long")
+    s = (vecs.select(label_col, F.posexplode(vec_col)
+                     .alias("dim", "x"))
+         .select(label_col, "dim", q.alias("xi"))
+         .groupBy(label_col, "dim")
+         .agg(F.sum("xi").cast("long").alias("s")))
+    s = pin(s)
+    norms = (s.groupBy(label_col)
+             .agg(F.sum(F.col("s") * F.col("s")).cast("long")
+                  .alias("nsq")))
+    a = s.select(F.col(label_col).alias("label_a"), "dim",
+                 F.col("s").alias("sa"))
+    b = s.select(F.col(label_col).alias("label_b"), "dim",
+                 F.col("s").alias("sb"))
+    dots = (a.join(b, "dim")
+            .filter(F.col("label_a") < F.col("label_b"))
+            .groupBy("label_a", "label_b")
+            .agg(F.sum(F.col("sa") * F.col("sb")).cast("long")
+                 .alias("dot")))
+    na = norms.select(F.col(label_col).alias("label_a"),
+                      F.col("nsq").alias("na"))
+    nb = norms.select(F.col(label_col).alias("label_b"),
+                      F.col("nsq").alias("nb"))
+    j = dots.join(na, "label_a").join(nb, "label_b")
+    cos = (F.col("dot").cast("double")
+           / F.sqrt(F.col("na").cast("double")
+                    * F.col("nb").cast("double")))
+    return (j.select(F.col("label_a").cast("long").alias("label_a"),
+                     F.col("label_b").cast("long").alias("label_b"),
+                     "dot",
+                     F.when((F.col("na") > 0) & (F.col("nb") > 0), cos)
+                     .alias("cosine"))
+            .orderBy("label_a", "label_b"))

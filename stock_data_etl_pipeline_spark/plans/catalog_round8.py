@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import analytics as ana
 from ..operators import corpus as corpus_ops
 from ..operators import dedup as dd
 from ..operators import indicators as ind
@@ -1252,3 +1253,178 @@ def events_dow_hour_profile(spark: SparkSession,
                      F.when(F.col("total_events") > 0, share)
                      .alias("event_share_pct"))
             .orderBy("dow", "hour_of_day"))
+
+
+@register("orders_pareto_deciles", """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY o_custkey
+), t AS (
+  SELECT rev_cents,
+         ntile(10) OVER (ORDER BY rev_cents DESC, o_custkey) AS decile
+  FROM rev
+), g AS (
+  SELECT CAST(decile AS BIGINT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(rev_cents) AS BIGINT) AS decile_rev_cents
+  FROM t GROUP BY decile
+), w AS (
+  SELECT *,
+         CAST(sum(decile_rev_cents) OVER () AS BIGINT) AS total_cents,
+         CAST(sum(decile_rev_cents)
+              OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS cum_cents
+  FROM g
+)
+SELECT decile, n_customers, decile_rev_cents,
+       CASE WHEN total_cents > 0
+            THEN CAST(decile_rev_cents AS DOUBLE)
+                 / CAST(total_cents AS DOUBLE)
+       END AS revenue_share,
+       CASE WHEN total_cents > 0
+            THEN CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)
+       END AS cum_share
+FROM w ORDER BY decile
+""")
+def orders_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 80/20 revenue-concentration curve: integer-cents sums, exact
+    # decile cut via distributed_ntile (no single-partition sort),
+    # shares + cumulative over the 10-row decile matrix
+    from ..operators.analytics import pareto_decile_share
+    return pareto_decile_share(load_table(spark, sf_dir, "orders"))
+
+
+@register("orders_reorder_census", f"""
+WITH g AS (
+  SELECT date_diff('day',
+           CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS DATE),
+           CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+), f AS (SELECT CAST(gap_days AS BIGINT) AS gap_days FROM g
+         WHERE gap_days IS NOT NULL),
+b AS (
+  SELECT gap_days // {ana.REORDER_BUCKET_DAYS} AS bucket,
+         CAST(count(*) AS BIGINT) AS n_intervals
+  FROM f GROUP BY 1
+), t AS (
+  SELECT *, CAST(sum(n_intervals) OVER () AS BIGINT)
+            AS total_intervals
+  FROM b
+)
+SELECT CAST(bucket * {ana.REORDER_BUCKET_DAYS} AS BIGINT)
+           AS bucket_start_days,
+       n_intervals,
+       CASE WHEN total_intervals > 0
+            THEN ((100000000 * n_intervals) // total_intervals) / 1e6
+       END AS interval_share_pct
+FROM t ORDER BY bucket_start_days
+""")
+def orders_reorder_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # repurchase-cadence histogram: exact DATE-grid day gaps under the
+    # (date, orderkey) total order, week-wide integer buckets,
+    # quotient-grid shares over the bucket matrix
+    from ..operators.analytics import reorder_interval_census
+    return reorder_interval_census(load_table(spark, sf_dir, "orders"))
+
+
+@register("embedding_centroid_sim", """
+WITH x AS (
+  SELECT label, unnest(range(0, len(embedding))) AS dim,
+         CAST(round(unnest(embedding::DOUBLE[]) * 10000, 0) AS BIGINT)
+             AS xi
+  FROM embeddings
+), s AS (
+  SELECT label, dim, CAST(sum(xi) AS BIGINT) AS s
+  FROM x GROUP BY label, dim
+), norms AS (
+  SELECT label, CAST(sum(s * s) AS BIGINT) AS nsq FROM s GROUP BY label
+), dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(sum(a.s * b.s) AS BIGINT) AS dot
+  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT CAST(d.label_a AS BIGINT) AS label_a,
+       CAST(d.label_b AS BIGINT) AS label_b, d.dot,
+       CASE WHEN na.nsq > 0 AND nb.nsq > 0
+            THEN CAST(d.dot AS DOUBLE)
+                 / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE))
+       END AS cosine
+FROM dots d
+JOIN norms na ON d.label_a = na.label
+JOIN norms nb ON d.label_b = nb.label
+ORDER BY label_a, label_b
+""")
+def embedding_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # class-separation audit: cosine between per-label centroid SUM
+    # vectors (cos(mean,mean) == cos(sum,sum) — no integer ratio ever
+    # formed); exact BIGINT (label, dim) sums, unrounded double emit
+    # with the na·nb product formed in doubles on both engines
+    from ..operators.similarity import label_centroid_similarity
+    return label_centroid_similarity(
+        load_table(spark, sf_dir, "embeddings"))
+
+
+@register("graph_rich_club", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+            FROM lineitem),
+und AS (SELECT DISTINCT a.i AS ea, b.i AS eb
+        FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        FROM (SELECT ea AS node FROM und
+              UNION ALL SELECT eb FROM und)
+        GROUP BY node),
+h AS (SELECT deg AS d, count(*) AS cnt FROM deg GROUP BY 1),
+c AS (SELECT d,
+             sum(cnt) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND CURRENT ROW) AS cum,
+             sum(cnt) OVER () AS n_total
+      FROM h),
+thr AS (
+  SELECT 50 AS pct, min(d) AS threshold_deg FROM c
+  WHERE cum >= (50 * n_total + 50) // 100
+  UNION ALL
+  SELECT 75, min(d) FROM c WHERE cum >= (75 * n_total + 75) // 100
+  UNION ALL
+  SELECT 90, min(d) FROM c WHERE cum >= (90 * n_total + 90) // 100
+),
+mem AS (SELECT t.pct, t.threshold_deg,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg d JOIN thr t ON d.deg >= t.threshold_deg
+        GROUP BY 1, 2),
+ed AS (SELECT least(da.deg, db.deg) AS dmin
+       FROM und u
+       JOIN deg da ON u.ea = da.node
+       JOIN deg db ON u.eb = db.node),
+eg AS (SELECT t.pct, CAST(count(*) AS BIGINT) AS n_edges
+       FROM ed JOIN thr t ON ed.dmin >= t.threshold_deg
+       GROUP BY 1)
+SELECT CAST(m.pct AS BIGINT) AS pct,
+       CAST(m.threshold_deg AS BIGINT) AS threshold_deg,
+       m.n_nodes,
+       CAST(coalesce(eg.n_edges, 0) AS BIGINT) AS n_edges,
+       CASE WHEN m.n_nodes > 1
+            THEN ((100000000 * 2 * coalesce(eg.n_edges, 0))
+                  // (m.n_nodes * (m.n_nodes - 1))) / 1e6
+       END AS phi
+FROM mem m LEFT JOIN eg ON m.pct = eg.pct
+ORDER BY pct
+""")
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rich-club density at exact degree-quantile thresholds over the
+    # co-purchase part graph: histogram-matrix prefix sums for the
+    # thresholds, broadcast 3-row threshold table onto the
+    # degree-annotated edges, quotient-grid phi
+    from ..operators.analytics import rich_club
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb"))
+             .distinct())
+    return rich_club(pairs, "pa", "pb")

@@ -680,3 +680,66 @@ def test_intraday_curve_shares(spark):
                  key=lambda r: r["hour_of_day"])
     assert [(r["hour_of_day"], r["hour_volume"], r["volume_share_pct"])
             for r in out] == [(0, 6, 75.0), (1, 2, 25.0)]
+
+
+def _orders(spark, rows):
+    # rows: (orderkey, custkey, totalprice, day_offset)
+    return spark.createDataFrame(
+        [(ok, ck, float(tp), T0 + dt.timedelta(days=d))
+         for ok, ck, tp, d in rows],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp")
+
+
+def test_pareto_decile_share_exact_cuts(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        pareto_decile_share
+    rows = [(1, 1, 40.0, 0), (2, 2, 30.0, 0), (3, 3, 20.0, 0),
+            (4, 4, 10.0, 0)]
+    out = pareto_decile_share(_orders(spark, rows)).collect()
+    # 4 customers into 10 buckets → buckets 1..4, one customer each
+    assert [(r["decile"], r["decile_rev_cents"]) for r in out] == \
+        [(1, 4000), (2, 3000), (3, 2000), (4, 1000)]
+    assert [r["revenue_share"] for r in out] == [0.4, 0.3, 0.2, 0.1]
+    assert out[-1]["cum_share"] == 1.0
+
+
+def test_reorder_interval_census_buckets(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        reorder_interval_census
+    rows = [(1, 1, 5.0, 0), (2, 1, 5.0, 3), (3, 1, 5.0, 17)]
+    out = reorder_interval_census(_orders(spark, rows)).collect()
+    # gaps 3 and 14 days → buckets starting 0 and 14, half each
+    assert [(r["bucket_start_days"], r["n_intervals"],
+             r["interval_share_pct"]) for r in out] == \
+        [(0, 1, 50.0), (14, 1, 50.0)]
+
+
+def test_rich_club_triangle_plus_pendant(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        rich_club
+    df = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "pa long, pb long")
+    out = {r["pct"]: r for r in rich_club(df, "pa", "pb").collect()}
+    # degrees 1:3 2:2 3:2 4:1; p50/p75 threshold deg 2 → the triangle
+    r50 = out[50]
+    assert (r50["threshold_deg"], r50["n_nodes"], r50["n_edges"],
+            r50["phi"]) == (2, 3, 3, 100.0)
+    # p90 threshold deg 3 → single node, phi NULL
+    r90 = out[90]
+    assert (r90["threshold_deg"], r90["n_nodes"], r90["n_edges"],
+            r90["phi"]) == (3, 1, 0, None)
+
+
+def test_label_centroid_similarity_orthogonal_and_parallel(spark):
+    from stock_data_etl_pipeline_spark.operators.similarity import \
+        label_centroid_similarity
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1),
+         (3, [1.0, 0.0], 2), (4, [1.0, 0.0], 2)],
+        "vec_id long, embedding array<float>, label int")
+    out = {(r["label_a"], r["label_b"]): r["cosine"]
+           for r in label_centroid_similarity(df).collect()}
+    assert out[(0, 1)] == 0.0
+    assert out[(0, 2)] == 1.0   # parallel sums → exact 1.0
+    assert out[(1, 2)] == 0.0
