@@ -1609,3 +1609,50 @@ def rich_club(pairs: DataFrame, id_a: str, id_b: str,
     return (j.select("pct", "threshold_deg", "n_nodes", "n_edges",
                      F.when(F.col("n_nodes") > 1, phi).alias("phi"))
             .orderBy("pct"))
+
+
+# Benford's law expected first-digit shares: log10(1 + 1/d), shared
+# literal-for-literal with the SQL oracle (the 4ln2 hardcoding rule)
+BENFORD_EXPECTED = {
+    1: 0.3010299956639812, 2: 0.17609125905568124,
+    3: 0.12493873660829992, 4: 0.09691001300805642,
+    5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129,
+    9: 0.04575749056067514}
+
+
+def benford_first_digit(events: DataFrame,
+                        value_col: str = "value") -> DataFrame:
+    """Benford first-digit audit of a positive amount column: observed
+    vs expected leading-digit distribution — the classic fabricated-
+    data / unit-mixup screen a data-quality pipeline runs on any
+    money-like feed.
+
+    The leading digit comes from the DECIMAL STRING of the integer
+    cents (no float log10 — a transcendental bucket boundary would be
+    a knife edge); counts are exact, the observed share rides the
+    ``(1e8·n) div total`` quotient grid, expected shares are shared
+    hardcoded literals, and the deviation subtracts the two emitted
+    doubles with identical association. Zero/negative amounts drop on
+    both engines.
+    """
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    d = (events.select(cents.alias("cents"))
+         .filter(F.col("cents") > 0)
+         .select(F.substring(F.col("cents").cast("string"), 1, 1)
+                 .cast("long").alias("digit"))
+         .groupBy("digit")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_values")))
+    t = d.withColumn(
+        "total_values",
+        F.sum("n_values").over(Window.partitionBy()).cast("long"))
+    obs = F.expr("(100000000 * n_values) div total_values") / 1e8
+    exp_col = F.create_map(
+        *[F.lit(v) for kv in BENFORD_EXPECTED.items() for v in kv]
+    )[F.col("digit")]
+    o = F.when(F.col("total_values") > 0, obs)
+    return (t.select("digit", "n_values",
+                     o.alias("observed_share"),
+                     exp_col.alias("expected_share"),
+                     (o - exp_col).alias("deviation"))
+            .orderBy("digit"))

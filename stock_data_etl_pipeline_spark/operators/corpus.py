@@ -1567,3 +1567,44 @@ def char_class_profile(docs: DataFrame,
                      share("n_space").alias("space_share"),
                      share("n_other").alias("other_share"))
             .orderBy("source"))
+
+
+def source_vocab_overlap(docs: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: how much of each
+    source pair's distinct-token vocabulary is shared — the domain-
+    shift screen run before mixing corpora (disjoint vocabularies
+    predict tokenizer OOV spikes and mixing-weight surprises).
+
+    One distinct (source, token) projection, a token-keyed pair join
+    (candidates meet ONLY on shared tokens — never a source×source
+    cross of vocabularies), vocab sizes joined in from the source dim,
+    and Jaccard on the exact ``(1e6·|∩|) div |∪|`` quotient grid.
+    Output is the source-pair MATRIX.
+    """
+    from ..functions.text import words
+    st = (docs.select("source",
+                      F.explode(words(F.col(text_col))).alias("tok"))
+          .distinct())
+    sizes = st.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"))
+    a = st.select(F.col("source").alias("source_a"), "tok")
+    b = st.select(F.col("source").alias("source_b"), "tok")
+    inter = (a.join(b, "tok")
+             .filter(F.col("source_a") < F.col("source_b"))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_shared")))
+    sa = sizes.select(F.col("source").alias("source_a"),
+                      F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("source_b"),
+                      F.col("vocab").alias("vocab_b"))
+    j = (inter.join(sa, "source_a").join(sb, "source_b")
+         .withColumn("n_union",
+                     (F.col("vocab_a") + F.col("vocab_b")
+                      - F.col("n_shared")).cast("long")))
+    jac = F.expr("(1000000 * n_shared) div n_union") / 1e6
+    return (j.select("source_a", "source_b", "vocab_a", "vocab_b",
+                     "n_shared", "n_union",
+                     F.when(F.col("n_union") > 0, jac)
+                     .alias("jaccard"))
+            .orderBy("source_a", "source_b"))

@@ -2190,3 +2190,80 @@ def intraday_volume_curve(bars: DataFrame) -> DataFrame:
                        F.when(F.col("total_volume") > 0, share)
                        .alias("volume_share_pct"))
             .orderBy("event_type", "hour_of_day"))
+
+
+def monthly_returns(daily: DataFrame) -> DataFrame:
+    """Calendar-month return matrix per symbol: first/last close of
+    each month and the simple return between them — the seasonality
+    panel behind "sell in May" tables.
+
+    First/last picks are tie-broken on the unique day key (no float
+    aggregation), closes are integer cents, and the return is the
+    UNROUNDED double ratio of exact integer cents
+    ``(c_last − c_first) / c_first`` (single IEEE division, identical
+    association both engines; NULL-guarded on ``c_first > 0`` — the
+    sf0.1 zero-tick rule).
+    """
+    m = daily.select(
+        "event_type", "hr",
+        F.date_trunc("month", F.col("hr")).alias("month"),
+        F.round(F.col("close") * 100, 0).cast("long").alias("c"))
+    w_a = Window.partitionBy("event_type", "month").orderBy("hr")
+    w_d = Window.partitionBy("event_type", "month").orderBy(
+        F.col("hr").desc())
+    r = (m.withColumn("rn_a", F.row_number().over(w_a))
+          .withColumn("rn_d", F.row_number().over(w_d)))
+    g = (r.groupBy("event_type", "month")
+         .agg(F.max(F.when(F.col("rn_a") == 1, F.col("c")))
+              .alias("first_close_cents"),
+              F.max(F.when(F.col("rn_d") == 1, F.col("c")))
+              .alias("last_close_cents"),
+              F.count(F.lit(1)).cast("long").alias("n_days")))
+    ret = ((F.col("last_close_cents") - F.col("first_close_cents"))
+           .cast("double") / F.col("first_close_cents").cast("double"))
+    return (g.select("event_type", "month", "first_close_cents",
+                     "last_close_cents", "n_days",
+                     F.when(F.col("first_close_cents") > 0, ret)
+                     .alias("monthly_return"))
+            .orderBy("event_type", "month"))
+
+
+RET_HIST_OFFSET = 10_000   # shifts bp returns non-negative (r >= -1e4)
+RET_HIST_BUCKET = 100      # 1%-wide buckets on the bp grid
+
+
+def return_histogram(daily: DataFrame) -> DataFrame:
+    """Per-symbol histogram of daily simple returns in 1% buckets —
+    the fat-tail census behind VaR sanity checks.
+
+    Returns ride the SIGN-SPLIT basis-point quotient grid
+    ``sign · (1e4·|c−pc|) div pc`` (truncating div == DuckDB ``//``
+    only for non-negative operands — the williams_r precedent), then
+    bucketing shifts by +1e4 FIRST so the bucket div also sees a
+    non-negative operand (floor-vs-trunc on negatives would split
+    engines at every bucket edge). Zero/NULL prior closes drop on
+    both engines.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    d = (daily.select("event_type", "hr", c.alias("c"))
+         .withColumn("pc", F.lag("c").over(w))
+         .filter(F.col("pc").isNotNull() & (F.col("pc") > 0)))
+    mag = F.expr("(10000 * abs(c - pc)) div pc")
+    r_bp = F.when(F.col("c") >= F.col("pc"), mag).otherwise(-mag)
+    b = (d.select("event_type", r_bp.alias("r_bp"))
+         .select("event_type",
+                 (F.expr(f"(r_bp + {RET_HIST_OFFSET}) div "
+                         f"{RET_HIST_BUCKET}") * RET_HIST_BUCKET
+                  - RET_HIST_OFFSET).alias("bucket_bp"))
+         .groupBy("event_type", "bucket_bp")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_days")))
+    t = b.withColumn(
+        "total_days",
+        F.sum("n_days").over(Window.partitionBy("event_type"))
+        .cast("long"))
+    sh = F.expr("(100000000 * n_days) div total_days") / 1e6
+    return (t.select("event_type", "bucket_bp", "n_days",
+                     F.when(F.col("total_days") > 0, sh)
+                     .alias("day_share_pct"))
+            .orderBy("event_type", "bucket_bp"))

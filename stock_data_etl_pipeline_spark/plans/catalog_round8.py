@@ -1428,3 +1428,165 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb"))
              .distinct())
     return rich_club(pairs, "pa", "pb")
+
+
+_DAILY_CENTS_CTE = """
+WITH e AS (
+  SELECT event_type, ts, event_id, value,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+  FROM events
+), ro AS (
+  SELECT event_type, ts, event_id, value, d,
+         row_number() OVER (PARTITION BY event_type, d
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY event_type, d
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+), daily AS (
+  SELECT event_type, d AS hr,
+         CAST(round(max(CASE WHEN rn_d = 1 THEN value END) * 100, 0)
+              AS BIGINT) AS c
+  FROM ro GROUP BY event_type, d
+)"""
+
+
+@register("stock_monthly_returns", _DAILY_CENTS_CTE + """
+, m AS (
+  SELECT event_type, hr,
+         CAST(date_trunc('month', hr) AS TIMESTAMP) AS month, c,
+         row_number() OVER (PARTITION BY event_type,
+                                         date_trunc('month', hr)
+                            ORDER BY hr) AS rn_a,
+         row_number() OVER (PARTITION BY event_type,
+                                         date_trunc('month', hr)
+                            ORDER BY hr DESC) AS rn_d
+  FROM daily
+), g AS (
+  SELECT event_type, month,
+         max(CASE WHEN rn_a = 1 THEN c END) AS first_close_cents,
+         max(CASE WHEN rn_d = 1 THEN c END) AS last_close_cents,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM m GROUP BY event_type, month
+)
+SELECT event_type, month, first_close_cents, last_close_cents, n_days,
+       CASE WHEN first_close_cents > 0
+            THEN CAST(last_close_cents - first_close_cents AS DOUBLE)
+                 / CAST(first_close_cents AS DOUBLE)
+       END AS monthly_return
+FROM g ORDER BY event_type, month
+""")
+def stock_monthly_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # calendar-month return panel: tie-broken first/last close picks,
+    # integer cents, UNROUNDED double ratio emit (single IEEE
+    # division), zero-close guard on both engines
+    ev = load_table(spark, sf_dir, "events")
+    return ind.monthly_returns(ind.daily_ohlc(ev))
+
+
+@register("stock_return_histogram", _DAILY_CENTS_CTE + f"""
+, lagd AS (
+  SELECT event_type,
+         c, lag(c) OVER (PARTITION BY event_type ORDER BY hr) AS pc
+  FROM daily
+), r AS (
+  SELECT event_type,
+         CASE WHEN c >= pc THEN (10000 * abs(c - pc)) // pc
+              ELSE -((10000 * abs(c - pc)) // pc) END AS r_bp
+  FROM lagd WHERE pc IS NOT NULL AND pc > 0
+), b AS (
+  SELECT event_type,
+         ((r_bp + {ind.RET_HIST_OFFSET}) // {ind.RET_HIST_BUCKET})
+             * {ind.RET_HIST_BUCKET} - {ind.RET_HIST_OFFSET}
+             AS bucket_bp,
+         CAST(count(*) AS BIGINT) AS n_days
+  FROM r GROUP BY 1, 2
+), t AS (
+  SELECT *, CAST(sum(n_days) OVER (PARTITION BY event_type)
+                 AS BIGINT) AS total_days
+  FROM b
+)
+SELECT event_type, CAST(bucket_bp AS BIGINT) AS bucket_bp, n_days,
+       CASE WHEN total_days > 0
+            THEN ((100000000 * n_days) // total_days) / 1e6
+       END AS day_share_pct
+FROM t ORDER BY event_type, bucket_bp
+""")
+def stock_return_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fat-tail census: sign-split bp-grid daily returns (trunc-div ==
+    # // only for non-negative magnitudes), +1e4 shift BEFORE the
+    # bucket div so floor-vs-trunc can't split engines on negatives
+    ev = load_table(spark, sf_dir, "events")
+    return ind.return_histogram(ind.daily_ohlc(ev))
+
+
+@register("corpus_source_vocab_overlap", """
+WITH st AS (
+  SELECT DISTINCT source,
+         unnest(list_filter(string_split(text, ' '), x -> x != ''))
+             AS tok
+  FROM documents
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS vocab
+  FROM st GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+), j AS (
+  SELECT i.source_a, i.source_b,
+         sa.vocab AS vocab_a, sb.vocab AS vocab_b, i.n_shared,
+         CAST(sa.vocab + sb.vocab - i.n_shared AS BIGINT) AS n_union
+  FROM inter i
+  JOIN sizes sa ON i.source_a = sa.source
+  JOIN sizes sb ON i.source_b = sb.source
+)
+SELECT source_a, source_b, vocab_a, vocab_b, n_shared, n_union,
+       CASE WHEN n_union > 0
+            THEN ((1000000 * n_shared) // n_union) / 1e6
+       END AS jaccard
+FROM j ORDER BY source_a, source_b
+""")
+def corpus_source_vocab_overlap(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    # domain-shift screen: distinct (source, token) projection,
+    # token-keyed pair join (shared tokens only — never vocab×vocab),
+    # Jaccard on the exact quotient grid over the source-pair matrix
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_ops.source_vocab_overlap(docs)
+
+
+_BENFORD_SQL_CASE = " ".join(
+    f"WHEN {d} THEN CAST({v!r} AS DOUBLE)"
+    for d, v in ana.BENFORD_EXPECTED.items())
+
+
+@register("events_benford_digits", f"""
+WITH v AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events
+), d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n_values
+  FROM v WHERE cents > 0 GROUP BY 1
+), t AS (
+  SELECT *, CAST(sum(n_values) OVER () AS BIGINT) AS total_values
+  FROM d
+), o AS (
+  SELECT digit, n_values,
+         CASE WHEN total_values > 0
+              THEN ((100000000 * n_values) // total_values) / 1e8
+         END AS observed_share,
+         CASE digit {_BENFORD_SQL_CASE} END AS expected_share
+  FROM t
+)
+SELECT digit, n_values, observed_share, expected_share,
+       observed_share - expected_share AS deviation
+FROM o ORDER BY digit
+""")
+def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-digit audit: leading digit from the DECIMAL STRING
+    # of integer cents (no float log10 boundary), quotient-grid
+    # observed shares, hardcoded shared expected literals
+    from ..operators.analytics import benford_first_digit
+    ev = load_table(spark, sf_dir, "events")
+    return benford_first_digit(ev)

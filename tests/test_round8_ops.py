@@ -743,3 +743,63 @@ def test_label_centroid_similarity_orthogonal_and_parallel(spark):
     assert out[(0, 1)] == 0.0
     assert out[(0, 2)] == 1.0   # parallel sums → exact 1.0
     assert out[(1, 2)] == 0.0
+
+
+def test_monthly_returns_first_last_and_guard(spark):
+    # Jan: first close 10.00, last 12.50 → +0.25; Feb: single day,
+    # first == last → 0.0; zero first close → NULL return
+    rows = [("A", 0, 1, 1, 1, 10.00, 1),
+            ("A", 24 * 10, 1, 1, 1, 11.00, 1),
+            ("A", 24 * 30, 1, 1, 1, 12.50, 1),   # Jan 31
+            ("A", 24 * 31, 1, 1, 1, 9.00, 1),    # Feb 1
+            ("Z", 0, 0, 0, 0, 0.00, 1),
+            ("Z", 24, 0, 0, 0, 5.00, 1)]
+    out = {(r["event_type"], r["month"].month): r
+           for r in ind.monthly_returns(_bars(spark, rows)).collect()}
+    jan = out[("A", 1)]
+    assert (jan["first_close_cents"], jan["last_close_cents"],
+            jan["n_days"], jan["monthly_return"]) == (1000, 1250, 3, 0.25)
+    assert out[("A", 2)]["monthly_return"] == 0.0
+    assert out[("Z", 1)]["monthly_return"] is None
+
+
+def test_return_histogram_sign_split_buckets(spark):
+    # closes 100 → 103 (+300bp, bucket 300) → 101.94 (−200.1% → mag
+    # (10000·106)//10300 = 102 → r −102 → bucket (−102+10000)//100
+    # *100−10000 = −200)
+    rows = [("A", 0, 1, 1, 1, 100.00, 1),
+            ("A", 24, 1, 1, 1, 103.00, 1),
+            ("A", 48, 1, 1, 1, 101.94, 1)]
+    out = sorted(ind.return_histogram(_bars(spark, rows)).collect(),
+                 key=lambda r: r["bucket_bp"])
+    assert [(r["bucket_bp"], r["n_days"], r["day_share_pct"])
+            for r in out] == [(-200, 1, 50.0), (300, 1, 50.0)]
+
+
+def test_source_vocab_overlap_jaccard(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import \
+        source_vocab_overlap
+    df = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "b c d", "s2"), (3, "x y", "s3")],
+        "doc_id long, text string, source string")
+    out = {(r["source_a"], r["source_b"]): r
+           for r in source_vocab_overlap(df).collect()}
+    r12 = out[("s1", "s2")]
+    # vocab 3/3, shared {b,c} → union 4 → jaccard 0.5
+    assert (r12["n_shared"], r12["n_union"], r12["jaccard"]) == (2, 4, 0.5)
+    # disjoint sources never pair (token-keyed join)
+    assert ("s1", "s3") not in out
+
+
+def test_benford_first_digit_counts_and_literals(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        BENFORD_EXPECTED, benford_first_digit
+    df = spark.createDataFrame(
+        [(1.00,), (1.50,), (19.99,), (0.92,), (3.00,), (0.0,),
+         (None,)], "value double")
+    out = {r["digit"]: r for r in benford_first_digit(df).collect()}
+    # cents: 100, 150, 1999, 92, 300 → digits 1,1,1,9,3 (0/null drop)
+    assert out[1]["n_values"] == 3 and out[9]["n_values"] == 1
+    assert out[1]["observed_share"] == 0.6
+    assert out[3]["expected_share"] == BENFORD_EXPECTED[3]
+    assert out[9]["deviation"] == 0.2 - BENFORD_EXPECTED[9]
