@@ -1656,3 +1656,101 @@ def benford_first_digit(events: DataFrame,
                      exp_col.alias("expected_share"),
                      (o - exp_col).alias("deviation"))
             .orderBy("digit"))
+
+
+def session_concurrency_census(events: DataFrame,
+                               gap_seconds: int = 1800) -> DataFrame:
+    """Concurrency census of gap-based sessions: sweep-line ±1 deltas
+    at session starts/ends, an exact global prefix sum for the
+    concurrency level at every boundary instant, and the census of
+    levels — "how often were exactly k users on at once", the
+    capacity-planning histogram (peak = the max row).
+
+    Sessions are closed intervals, so the −1 lands at ``end + 1s``
+    (an end and a start at the same instant DO overlap). Deltas
+    aggregate per instant FIRST (the boundary relation is
+    session-scale, instants unique), then the running level rides
+    :func:`~..operators.windows.distributed_running_total` — no
+    single-partition window at any calendar span. All integers.
+    """
+    from ..streaming.events import sessionize
+    from .windows import distributed_running_total
+    s = sessionize(events, gap_seconds=gap_seconds)
+    deltas = (s.select(F.col("session_start").alias("t"),
+                       F.lit(1).cast("long").alias("d"))
+              .unionByName(
+                  s.select((F.col("session_end")
+                            + F.expr("INTERVAL 1 SECOND")).alias("t"),
+                           F.lit(-1).cast("long").alias("d")))
+              .groupBy("t").agg(F.sum("d").cast("long").alias("delta")))
+    run = distributed_running_total(deltas, ["t"], "delta",
+                                    out="level")
+    return (run.groupBy(F.col("level").cast("long").alias("level"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_instants"))
+            .orderBy("level"))
+
+
+def advance_decline_line(daily: DataFrame) -> DataFrame:
+    """Market-breadth advance/decline line: per day, how many symbols
+    closed up vs down vs flat against their prior close, and the
+    cumulative net (A/D line) — the cross-SECTIONAL health check no
+    per-symbol indicator sees (narrow rallies diverge here first).
+
+    Comparisons are integer cents; the cumulative net runs over the
+    DAY matrix (calendar-bounded rows, the obv bound note), exact
+    integer sums throughout.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    d = (daily.select("event_type", "hr", c.alias("c"))
+         .withColumn("pc", F.lag("c").over(w))
+         .filter(F.col("pc").isNotNull()))
+    g = (d.groupBy("hr")
+         .agg(F.sum(F.when(F.col("c") > F.col("pc"), 1).otherwise(0))
+              .cast("long").alias("advancers"),
+              F.sum(F.when(F.col("c") < F.col("pc"), 1).otherwise(0))
+              .cast("long").alias("decliners"),
+              F.sum(F.when(F.col("c") == F.col("pc"), 1).otherwise(0))
+              .cast("long").alias("unchanged")))
+    w_cum = (Window.partitionBy().orderBy("hr")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    net = (F.col("advancers") - F.col("decliners")).cast("long")
+    return (g.withColumn("net", net)
+            .withColumn("ad_line",
+                        F.sum("net").over(w_cum).cast("long"))
+            .select(F.col("hr").alias("day"), "advancers", "decliners",
+                    "unchanged", "net", "ad_line")
+            .orderBy("day"))
+
+
+def copurchase_weight_histogram(baskets: DataFrame,
+                                basket_col: str = "bk",
+                                item_col: str = "i") -> DataFrame:
+    """Edge-weight histogram of the co-purchase graph: weight(a,b) =
+    number of baskets containing both items, then the census of
+    weights — the support distribution that separates real affinity
+    edges (weight ≫ 1) from one-off noise, and the tuning input for
+    any min-support cut upstream of basket-lift mining.
+
+    The pair join is basket-keyed (bounded per-basket fan-out, the
+    basket_lift shape — never item×item); weights and counts exact
+    integers; the share rides the quotient grid over the weight
+    MATRIX.
+    """
+    oi = baskets.select(F.col(basket_col).alias("bk"),
+                        F.col(item_col).alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    wts = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                  & (F.col("a.i") < F.col("b.i")))
+           .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+           .agg(F.count(F.lit(1)).cast("long").alias("weight")))
+    h = (wts.groupBy("weight")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+    t = h.withColumn(
+        "total_edges",
+        F.sum("n_edges").over(Window.partitionBy()).cast("long"))
+    sh = F.expr("(1000000 * n_edges) div total_edges") / 1e6
+    return (t.select("weight", "n_edges",
+                     F.when(F.col("total_edges") > 0, sh)
+                     .alias("edge_share"))
+            .orderBy("weight"))

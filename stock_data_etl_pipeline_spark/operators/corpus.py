@@ -1608,3 +1608,49 @@ def source_vocab_overlap(docs: DataFrame,
                      F.when(F.col("n_union") > 0, jac)
                      .alias("jaccard"))
             .orderBy("source_a", "source_b"))
+
+
+PMI_TOP_K = 20  # bigrams kept, by (count desc, bigram) total order
+
+
+def bigram_pmi(docs: DataFrame, text_col: str = "text",
+               top_k: int = PMI_TOP_K) -> DataFrame:
+    """Pointwise mutual information of the ``top_k`` most frequent
+    adjacent bigrams: PMI = ln(p(ab) / (p(a)·p(b))) — the collocation
+    detector ("new york" vs "the of") run when building tokenizer
+    merge candidates or phrase tables.
+
+    All counts (bigram, unigram, both corpus totals) are exact
+    BIGINTs; the top-k cut is on the INTEGER count with a lexicographic
+    tie-break (float-free cut); PMI itself is a transcendental of a
+    rational — ln of ONE double division whose numerator/denominator
+    are exact-integer products formed in doubles with identical
+    association both engines (``(c_ab·Nu·Nu) / (Nb·c_a·c_b)`` —
+    int64 would overflow at corpus scale, the n²-estimator rule).
+    """
+    from ..functions.text import words
+    ws = docs.select(words(F.col(text_col)).alias("ws"))
+    uni = pin(ws.select(F.explode("ws").alias("w"))
+              .groupBy("w")
+              .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    nu = uni.agg(F.sum("c").cast("long").alias("nu"))
+    bi = (docs.select(words(F.col(text_col)).alias("ws"))
+          .select(F.posexplode("ws").alias("p", "w1"),
+                  F.col("ws").alias("ws"))
+          .select("w1", F.expr("get(ws, p + 1)").alias("w2"))
+          .filter(F.col("w2").isNotNull())
+          .groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).cast("long").alias("c_ab")))
+    nb = bi.agg(F.sum("c_ab").cast("long").alias("nb"))
+    top = (bi.orderBy(F.col("c_ab").desc(), "w1", "w2").limit(top_k))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    j = (top.join(ua, "w1").join(ub, "w2")
+         .crossJoin(F.broadcast(nu)).crossJoin(F.broadcast(nb)))
+    num = (F.col("c_ab").cast("double") * F.col("nu").cast("double")
+           * F.col("nu").cast("double"))
+    den = (F.col("nb").cast("double") * F.col("c_a").cast("double")
+           * F.col("c_b").cast("double"))
+    return (j.select("w1", "w2", "c_ab", "c_a", "c_b",
+                     F.log(num / den).alias("pmi"))
+            .orderBy(F.col("c_ab").desc(), "w1", "w2"))

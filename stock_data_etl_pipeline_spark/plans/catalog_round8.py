@@ -1590,3 +1590,136 @@ def events_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import benford_first_digit
     ev = load_table(spark, sf_dir, "events")
     return benford_first_digit(ev)
+
+
+@register("events_session_concurrency", """
+WITH o AS (SELECT user_id, ts, event_id,
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+           FROM events),
+m AS (SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL
+                       OR date_diff('second', prev, ts) > 1800 THEN 1
+                  ELSE 0 END AS is_new
+      FROM o),
+s AS (SELECT user_id, ts,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
+      FROM m),
+sess AS (SELECT user_id, session_id,
+                min(ts) AS session_start, max(ts) AS session_end
+         FROM s GROUP BY user_id, session_id),
+dl AS (SELECT session_start AS t, 1 AS d FROM sess
+       UNION ALL
+       SELECT session_end + INTERVAL 1 SECOND, -1 FROM sess),
+ag AS (SELECT t, CAST(sum(d) AS BIGINT) AS delta FROM dl GROUP BY t),
+r AS (SELECT CAST(sum(delta) OVER (ORDER BY t ROWS UNBOUNDED
+                                   PRECEDING) AS BIGINT) AS level
+      FROM ag)
+SELECT level, CAST(count(*) AS BIGINT) AS n_instants
+FROM r GROUP BY level ORDER BY level
+""")
+def events_session_concurrency(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    # sweep-line concurrency census over 30-min gap sessions: ±1
+    # deltas (closed intervals — the −1 at end+1s), per-instant
+    # pre-agg, exact prefix sum via distributed_running_total, level
+    # histogram — the capacity-planning curve
+    from ..operators.analytics import session_concurrency_census
+    ev = load_table(spark, sf_dir, "events")
+    return session_concurrency_census(ev)
+
+
+@register("stock_advance_decline", _DAILY_CENTS_CTE + """
+, lagd AS (
+  SELECT event_type, hr, c,
+         lag(c) OVER (PARTITION BY event_type ORDER BY hr) AS pc
+  FROM daily
+), f AS (SELECT * FROM lagd WHERE pc IS NOT NULL),
+g AS (
+  SELECT hr AS day,
+         CAST(sum(CASE WHEN c > pc THEN 1 ELSE 0 END) AS BIGINT)
+             AS advancers,
+         CAST(sum(CASE WHEN c < pc THEN 1 ELSE 0 END) AS BIGINT)
+             AS decliners,
+         CAST(sum(CASE WHEN c = pc THEN 1 ELSE 0 END) AS BIGINT)
+             AS unchanged
+  FROM f GROUP BY hr
+)
+SELECT day, advancers, decliners, unchanged,
+       CAST(advancers - decliners AS BIGINT) AS net,
+       CAST(sum(advancers - decliners)
+            OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS ad_line
+FROM g ORDER BY day
+""")
+def stock_advance_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # market-breadth A/D line: integer-cents up/down/flat counts per
+    # day across symbols, cumulative net over the calendar-bounded
+    # day matrix
+    from ..operators.analytics import advance_decline_line
+    ev = load_table(spark, sf_dir, "events")
+    return advance_decline_line(ind.daily_ohlc(ev))
+
+
+@register("graph_copurchase_weights", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+            FROM lineitem),
+w AS (SELECT a.i AS ia, b.i AS ib, CAST(count(*) AS BIGINT) AS weight
+      FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i
+      GROUP BY 1, 2),
+h AS (SELECT weight, CAST(count(*) AS BIGINT) AS n_edges
+      FROM w GROUP BY 1),
+t AS (SELECT *, CAST(sum(n_edges) OVER () AS BIGINT) AS total FROM h)
+SELECT weight, n_edges,
+       CASE WHEN total > 0
+            THEN ((1000000 * n_edges) // total) / 1e6
+       END AS edge_share
+FROM t ORDER BY weight
+""")
+def graph_copurchase_weights(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    # co-purchase edge-weight (support) histogram: basket-keyed pair
+    # join (bounded fan-out), exact weights, quotient-grid share over
+    # the weight matrix — the min-support tuning curve
+    from ..operators.analytics import copurchase_weight_histogram
+    li = load_table(spark, sf_dir, "lineitem")
+    return copurchase_weight_histogram(
+        li.select(F.col("l_orderkey").alias("bk"),
+                  F.col("l_partkey").alias("i")))
+
+
+@register("corpus_bigram_pmi", f"""
+WITH w AS (SELECT doc_id, {{_W}} AS ws FROM documents),
+uni AS (SELECT unnest(ws) AS tok FROM w),
+uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uc),
+bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+                                    i -> ws[i] || ' ' || ws[i + 1]))
+              AS bigram
+       FROM w),
+bc AS (SELECT split_part(bigram, ' ', 1) AS w1,
+              split_part(bigram, ' ', 2) AS w2,
+              CAST(count(*) AS BIGINT) AS c_ab
+       FROM bg GROUP BY 1, 2),
+nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS nb FROM bc),
+top AS (SELECT * FROM bc ORDER BY c_ab DESC, w1, w2
+        LIMIT {corpus_ops.PMI_TOP_K})
+SELECT t.w1, t.w2, t.c_ab, ua.c AS c_a, ub.c AS c_b,
+       ln((CAST(t.c_ab AS DOUBLE) * CAST(nu.nu AS DOUBLE)
+           * CAST(nu.nu AS DOUBLE))
+          / (CAST(nb.nb AS DOUBLE) * CAST(ua.c AS DOUBLE)
+             * CAST(ub.c AS DOUBLE))) AS pmi
+FROM top t
+JOIN uc ua ON t.w1 = ua.tok
+JOIN uc ub ON t.w2 = ub.tok, nu, nb
+ORDER BY t.c_ab DESC, t.w1, t.w2
+""".replace("{_W}", "list_filter(string_split(text, ' '), x -> x != '')"))
+def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # collocation PMI for the top-20 bigrams: integer top-k cut
+    # (count desc, lexicographic), ln of ONE double division with
+    # identical triple-product association both engines
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_ops.bigram_pmi(docs)

@@ -803,3 +803,63 @@ def test_benford_first_digit_counts_and_literals(spark):
     assert out[1]["observed_share"] == 0.6
     assert out[3]["expected_share"] == BENFORD_EXPECTED[3]
     assert out[9]["deviation"] == 0.2 - BENFORD_EXPECTED[9]
+
+
+def test_session_concurrency_overlap_census(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        session_concurrency_census
+    # user 1: one session 00:00–00:10; user 2: one session 00:05–00:15
+    # (overlap); user 3: isolated session at 02:00. Events 1 min apart
+    # stay in-session (gap 60s < 1800s).
+    rows = []
+    eid = 0
+    for u, start_min, n in [(1, 0, 11), (2, 5, 11), (3, 120, 1)]:
+        for k in range(n):
+            eid += 1
+            rows.append((eid, u, T0 + dt.timedelta(minutes=start_min + k)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    out = {r["level"]: r["n_instants"]
+           for r in session_concurrency_census(df).collect()}
+    # boundaries: +1@0:00 → 1, +1@0:05 → 2, −1@0:10:01 → 1,
+    # −1@0:15:01 → 0, +1@2:00 → 1, −1@2:00:01 → 0
+    assert out == {0: 2, 1: 3, 2: 1}
+
+
+def test_advance_decline_hand_line(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        advance_decline_line
+    # day1→day2: A up, B down; day2→day3: both up
+    rows = [("A", 0, 1, 1, 1, 10.0, 1), ("B", 0, 1, 1, 1, 20.0, 1),
+            ("A", 24, 1, 1, 1, 11.0, 1), ("B", 24, 1, 1, 1, 19.0, 1),
+            ("A", 48, 1, 1, 1, 12.0, 1), ("B", 48, 1, 1, 1, 19.5, 1)]
+    out = advance_decline_line(_bars(spark, rows)).collect()
+    assert [(r["advancers"], r["decliners"], r["net"], r["ad_line"])
+            for r in out] == [(1, 1, 0, 0), (2, 0, 2, 2)]
+
+
+def test_copurchase_weight_histogram(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        copurchase_weight_histogram
+    # baskets: {1,2,3}, {1,2} → pair (1,2) weight 2; (1,3),(2,3)
+    # weight 1 → histogram {1: 2 edges, 2: 1 edge}
+    df = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2)],
+        "bk long, i long")
+    out = {r["weight"]: (r["n_edges"], r["edge_share"])
+           for r in copurchase_weight_histogram(df).collect()}
+    assert out == {1: (2, 0.666666), 2: (1, 0.333333)}
+
+
+def test_bigram_pmi_perfect_collocation(spark):
+    import math
+
+    from stock_data_etl_pipeline_spark.operators.corpus import bigram_pmi
+    # "x y" always adjacent: c_ab=2, c_x=c_y=2, Nu=8, Nb=6
+    # pmi = ln((2·8·8)/(6·2·2)) = ln(16/3)
+    df = spark.createDataFrame(
+        [(1, "x y a b"), (2, "b a x y")], "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): r for r in bigram_pmi(df).collect()}
+    r = out[("x", "y")]
+    assert (r["c_ab"], r["c_a"], r["c_b"]) == (2, 2, 2)
+    assert r["pmi"] == math.log((2.0 * 8.0 * 8.0) / (6.0 * 2.0 * 2.0))
