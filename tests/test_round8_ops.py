@@ -863,3 +863,103 @@ def test_bigram_pmi_perfect_collocation(spark):
     r = out[("x", "y")]
     assert (r["c_ab"], r["c_a"], r["c_b"]) == (2, 2, 2)
     assert r["pmi"] == math.log((2.0 * 8.0 * 8.0) / (6.0 * 2.0 * 2.0))
+
+
+@SLOW
+@given(cs=closes)
+def test_return_histogram_matches_python_reference(spark, cs):
+    rows = [("A", i * 24, c, c, c, c, 1) for i, c in enumerate(cs)]
+    got = {r["bucket_bp"]: r["n_days"] for r in
+           ind.return_histogram(_bars(spark, rows)).collect()}
+    cents = [c * 100 for c in cs]
+    want: dict = {}
+    for pc, c in zip(cents, cents[1:]):
+        if pc <= 0:
+            continue
+        mag = (10000 * abs(c - pc)) // pc
+        r_bp = mag if c >= pc else -mag
+        b = ((r_bp + 10000) // 100) * 100 - 10000
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+
+
+@SLOW
+@given(cs=closes)
+def test_gap_fill_rate_matches_python_reference(spark, cs):
+    # open = close - 25c, high = close + 50c, low = close - 50c
+    rows = [("A", i * 24, c - 0.25, c + 0.5, c - 0.5, c, 1)
+            for i, c in enumerate(cs)]
+    out = ind.gap_fill_rate(_bars(spark, rows)).collect()
+    o = [c * 100 - 25 for c in cs]
+    h = [c * 100 + 50 for c in cs]
+    l = [c * 100 - 50 for c in cs]  # noqa: E741
+    pc = [c * 100 for c in cs][:-1]
+    nu = nuf = nd = ndf = 0
+    for i, p in enumerate(pc, start=1):
+        if o[i] > p:
+            nu += 1
+            nuf += l[i] <= p
+        elif o[i] < p:
+            nd += 1
+            ndf += h[i] >= p
+    if nu + nd == 0:
+        assert out == [] or (out[0]["n_gap_up"] == 0
+                             and out[0]["n_gap_down"] == 0)
+    else:
+        r = out[0]
+        assert (r["n_gap_up"], r["n_up_filled"],
+                r["n_gap_down"], r["n_down_filled"]) == (nu, nuf, nd, ndf)
+
+
+edges_strat = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=8),
+              st.integers(min_value=1, max_value=8)),
+    min_size=1, max_size=20)
+
+
+@SLOW
+@given(es=edges_strat)
+def test_rich_club_matches_bruteforce(spark, es):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        rich_club
+    und = {(min(a, b), max(a, b)) for a, b in es if a != b}
+    if not und:
+        return
+    df = spark.createDataFrame(sorted(und), "pa long, pb long")
+    got = {r["pct"]: (r["threshold_deg"], r["n_nodes"], r["n_edges"])
+           for r in rich_club(df, "pa", "pb").collect()}
+    deg: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    ds = sorted(deg.values())
+    n = len(ds)
+    for p in (50, 75, 90):
+        target = (p * n + p) // 100
+        cum = 0
+        thr = None
+        for d in sorted(set(ds)):
+            cum += ds.count(d)
+            if cum >= target:
+                thr = d
+                break
+        members = {v for v, dv in deg.items() if dv >= thr}
+        e_k = sum(1 for a, b in und if a in members and b in members)
+        assert got[p] == (thr, len(members), e_k)
+
+
+@SLOW
+@given(vals=st.lists(
+    st.integers(min_value=1, max_value=99999), min_size=1, max_size=30))
+def test_benford_matches_python_reference(spark, vals):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        benford_first_digit
+    df = spark.createDataFrame([(v / 100.0,) for v in vals],
+                               "value double")
+    got = {r["digit"]: r["n_values"]
+           for r in benford_first_digit(df).collect()}
+    want: dict = {}
+    for v in vals:
+        d = int(str(v)[0])
+        want[d] = want.get(d, 0) + 1
+    assert got == want
