@@ -270,3 +270,51 @@ def test_triangle_machinery_collapses_hub_fanout(spark):
     # degree (chain nodes: 3, K5 nodes: 4)
     assert 0 not in out_deg
     assert max(out_deg.values()) <= 4
+
+
+# ---------------------------------------------------------------------------
+# 4. hot-user skew through the sweep-line concurrency census
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def hot_user_events(spark):
+    """sf0.001 events with ~50% of events remapped onto one hot user —
+    the sessionize lag window partitions by user, so this is the
+    worst-case key for the concurrency pipeline (one user's whole
+    history through one window task; the DELTA relation downstream is
+    what must stay parallel)."""
+    ev = load_table(spark, SF001, "events")
+    parity = (F.conv(F.substring(F.md5(F.col("event_id").cast("string")),
+                                 1, 15), 16, 10).cast("long") % 2)
+    return ev.withColumn(
+        "user_id",
+        F.when(parity == 0, F.lit(999_999)).otherwise(F.col("user_id")))
+
+
+def test_session_concurrency_partition_invariant_under_hot_user(
+        spark, hot_user_events):
+    """The concurrency census must hash-match between 32 and 7 shuffle
+    partitions on a 50%-hot-user stream — the prefix sum rides
+    distributed_running_total over sampled range boundaries, so the
+    level histogram cannot depend on task placement."""
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        session_concurrency_census)
+
+    def run():
+        return tuple(sorted(
+            (r["level"], r["n_instants"]) for r in
+            session_concurrency_census(hot_user_events).collect()))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        h32 = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        h7 = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert h32 == h7
+    # the census must balance: Σ level·n over transitions returns to 0,
+    # i.e. the final (max-t) level is 0 — every session that opened
+    # closed, a structural invariant of the ±1 sweep
+    assert min(lv for lv, _ in h32) >= 0
