@@ -1754,3 +1754,102 @@ def copurchase_weight_histogram(baskets: DataFrame,
                      F.when(F.col("total_edges") > 0, sh)
                      .alias("edge_share"))
             .orderBy("weight"))
+
+
+def retention_triangle(events: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort-retention triangle: users grouped by first-active
+    week, and for each (cohort, week-offset) cell the count and share
+    of the cohort still active — the product-analytics twin of the
+    order-LTV triangle (activity, not revenue).
+
+    One distinct (user, week) projection; the cohort week is a
+    min-window over it; offsets are exact integer day-diffs div 7
+    (both weeks are week-truncated, so the diff is a non-negative
+    multiple of 7); the cohort size joins back from the offset-0 cell
+    of the cohort×offset MATRIX; retention rides the
+    ``(1e6·n) div size`` quotient grid.
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    uw = (events.select(F.col(user_col).alias("u"), wk.alias("w"))
+          .distinct())
+    w_first = Window.partitionBy("u")
+    c = uw.withColumn("cohort", F.min("w").over(w_first))
+    cells = (c.select(
+        "cohort",
+        (F.datediff(F.col("w").cast("date"),
+                    F.col("cohort").cast("date"))
+         / 7).cast("long").alias("week_offset"))
+        .groupBy("cohort", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active")))
+    size = (cells.filter(F.col("week_offset") == 0)
+            .select("cohort", F.col("n_active").alias("cohort_size")))
+    j = cells.join(F.broadcast(size), "cohort")
+    ret = F.expr("(1000000 * n_active) div cohort_size") / 1e6
+    return (j.select("cohort", "week_offset", "n_active", "cohort_size",
+                     F.when(F.col("cohort_size") > 0, ret)
+                     .alias("retention"))
+            .orderBy("cohort", "week_offset"))
+
+
+def discount_impact(lineitem: DataFrame) -> DataFrame:
+    """Discount-impact report per discount level: item counts, gross
+    extended price, and the revenue given away — is the 10% tier
+    earning its volume? — all on exact integer grids.
+
+    The discount-weighted sum is ``Σ e_cents·d_bp`` (both factors
+    exact grid ints; int64 headroom holds to ~9e13 item-dollars per
+    bucket — pre-aggregate per (bucket, price) above that, the
+    integer-headroom audit rule); the effective-discount emit is ONE
+    double division ``S / (gross·1e4)`` mirrored association-exact.
+    """
+    e = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    d = F.round(F.col("l_discount") * 100, 0).cast("long")
+    g = (lineitem.select(d.alias("discount_pct"), e.alias("ec"))
+         .groupBy("discount_pct")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+              F.sum("ec").cast("long").alias("gross_cents"),
+              F.sum(F.col("ec") * F.col("discount_pct")).cast("long")
+              .alias("disc_weighted")))
+    eff = (F.col("disc_weighted").cast("double")
+           / (F.col("gross_cents").cast("double") * F.lit(100.0)))
+    given = F.expr("disc_weighted div 100")
+    return (g.select("discount_pct", "n_items", "gross_cents",
+                     given.alias("discount_given_cents"),
+                     F.when(F.col("gross_cents") > 0, eff)
+                     .alias("effective_discount"))
+            .orderBy("discount_pct"))
+
+
+def first_vs_repeat_revenue(orders: DataFrame) -> DataFrame:
+    """Monthly revenue split between first-time and repeat customers —
+    the acquisition-vs-retention mix curve growth teams track.
+
+    An order is "first" iff it is row 1 under the per-customer
+    (orderdate, orderkey) total order; revenue is integer cents; the
+    within-month share is an UNROUNDED double ratio of exact BIGINTs
+    (month totals overflow the 1e8 quotient numerator at scale — the
+    pareto precedent); the month total windows over the
+    month×2 MATRIX.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey")
+    o = (orders.withColumn("rn", F.row_number().over(w))
+         .select(F.date_trunc("month", F.col("o_orderdate"))
+                 .alias("month"),
+                 (F.col("rn") == 1).alias("is_first"),
+                 F.round(F.col("o_totalprice") * 100, 0).cast("long")
+                 .alias("cents")))
+    g = (o.groupBy("month", "is_first")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+              F.sum("cents").cast("long").alias("revenue_cents")))
+    t = g.withColumn(
+        "month_cents",
+        F.sum("revenue_cents").over(Window.partitionBy("month"))
+        .cast("long"))
+    sh = (F.col("revenue_cents").cast("double")
+          / F.col("month_cents").cast("double"))
+    return (t.select("month", "is_first", "n_orders", "revenue_cents",
+                     F.when(F.col("month_cents") > 0, sh)
+                     .alias("revenue_share"))
+            .orderBy("month", "is_first"))

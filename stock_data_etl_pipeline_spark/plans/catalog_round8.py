@@ -1723,3 +1723,100 @@ def corpus_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical triple-product association both engines
     docs = load_table(spark, sf_dir, "documents")
     return corpus_ops.bigram_pmi(docs)
+
+
+@register("events_retention_triangle", """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+  FROM events
+), c AS (
+  SELECT u, w, min(w) OVER (PARTITION BY u) AS cohort FROM uw
+), cells AS (
+  SELECT cohort,
+         CAST(date_diff('day', CAST(cohort AS DATE), CAST(w AS DATE))
+              // 7 AS BIGINT) AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM c GROUP BY 1, 2
+), sz AS (
+  SELECT cohort, n_active AS cohort_size FROM cells
+  WHERE week_offset = 0
+)
+SELECT cells.cohort, cells.week_offset, cells.n_active,
+       sz.cohort_size,
+       CASE WHEN sz.cohort_size > 0
+            THEN ((1000000 * cells.n_active) // sz.cohort_size) / 1e6
+       END AS retention
+FROM cells JOIN sz ON cells.cohort = sz.cohort
+ORDER BY cells.cohort, cells.week_offset
+""")
+def events_retention_triangle(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    # weekly cohort-retention triangle: distinct (user, week)
+    # projection, min-window cohort, integer day-diff div 7 offsets,
+    # cohort size joined back from the offset-0 cell, quotient-grid
+    # retention over the cohort×offset matrix
+    from ..operators.analytics import retention_triangle
+    return retention_triangle(load_table(spark, sf_dir, "events"))
+
+
+@register("lineitem_discount_impact", """
+WITH li AS (
+  SELECT CAST(round(l_discount * 100, 0) AS BIGINT) AS discount_pct,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS ec
+  FROM lineitem
+), g AS (
+  SELECT discount_pct, CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(ec) AS BIGINT) AS gross_cents,
+         CAST(sum(ec * discount_pct) AS BIGINT) AS disc_weighted
+  FROM li GROUP BY discount_pct
+)
+SELECT discount_pct, n_items, gross_cents,
+       CAST(disc_weighted // 100 AS BIGINT) AS discount_given_cents,
+       CASE WHEN gross_cents > 0
+            THEN CAST(disc_weighted AS DOUBLE)
+                 / (CAST(gross_cents AS DOUBLE) * 100.0)
+       END AS effective_discount
+FROM g ORDER BY discount_pct
+""")
+def lineitem_discount_impact(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    # discount-tier economics: exact cents×bp integer products, the
+    # given-away revenue as one trunc-div, effective discount as ONE
+    # association-mirrored double division
+    from ..operators.analytics import discount_impact
+    return discount_impact(load_table(spark, sf_dir, "lineitem"))
+
+
+@register("orders_first_vs_repeat", """
+WITH r AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) = 1
+             AS is_first,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+), g AS (
+  SELECT month, is_first, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM r GROUP BY month, is_first
+), t AS (
+  SELECT *, CAST(sum(revenue_cents) OVER (PARTITION BY month)
+                 AS BIGINT) AS month_cents
+  FROM g
+)
+SELECT month, is_first, n_orders, revenue_cents,
+       CASE WHEN month_cents > 0
+            THEN CAST(revenue_cents AS DOUBLE)
+                 / CAST(month_cents AS DOUBLE)
+       END AS revenue_share
+FROM t ORDER BY month, is_first
+""")
+def orders_first_vs_repeat(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    # acquisition-vs-retention revenue mix: first order = row 1 under
+    # the per-customer (date, orderkey) total order; integer cents;
+    # within-month share as an unrounded double ratio (pareto
+    # precedent), totals over the month×2 matrix
+    from ..operators.analytics import first_vs_repeat_revenue
+    return first_vs_repeat_revenue(load_table(spark, sf_dir, "orders"))

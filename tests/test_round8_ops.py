@@ -963,3 +963,54 @@ def test_benford_matches_python_reference(spark, vals):
         d = int(str(v)[0])
         want[d] = want.get(d, 0) + 1
     assert got == want
+
+
+def test_retention_triangle_hand_cells(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        retention_triangle
+    # cohort Mon Jan 1: users 1,2 first week; user 1 returns week 1.
+    # cohort Jan 8: user 3 only.
+    rows = [(1, 1, T0), (2, 2, T0 + dt.timedelta(days=2)),
+            (3, 1, T0 + dt.timedelta(days=8)),
+            (4, 3, T0 + dt.timedelta(days=9))]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    out = {(r["cohort"], r["week_offset"]):
+           (r["n_active"], r["cohort_size"], r["retention"])
+           for r in retention_triangle(df).collect()}
+    w2 = T0 + dt.timedelta(days=7)
+    assert out[(T0, 0)] == (2, 2, 1.0)
+    assert out[(T0, 1)] == (1, 2, 0.5)
+    assert out[(w2, 0)] == (1, 1, 1.0)
+
+
+def test_discount_impact_exact_tiers(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        discount_impact
+    df = spark.createDataFrame(
+        [(100.0, 0.10), (200.0, 0.10), (50.0, 0.0)],
+        "l_extendedprice double, l_discount double")
+    out = {r["discount_pct"]: r for r in
+           discount_impact(df).collect()}
+    r10 = out[10]
+    # gross 30000c; disc_weighted = 30000·10 = 300000 → given 3000c
+    assert (r10["n_items"], r10["gross_cents"],
+            r10["discount_given_cents"]) == (2, 30000, 3000)
+    assert r10["effective_discount"] == 300000.0 / (30000.0 * 100.0)
+    assert out[0]["discount_given_cents"] == 0
+
+
+def test_first_vs_repeat_split(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        first_vs_repeat_revenue
+    # cust 1: first order day 0 (Jan), repeat day 40 (Feb);
+    # cust 2: first order day 40 (Feb)
+    rows = [(1, 1, 100.0, 0), (2, 1, 50.0, 40), (3, 2, 150.0, 40)]
+    out = {(r["month"].month, r["is_first"]): r
+           for r in first_vs_repeat_revenue(_orders(spark, rows))
+           .collect()}
+    assert out[(1, True)]["revenue_share"] == 1.0
+    feb_first = out[(2, True)]
+    assert (feb_first["revenue_cents"], feb_first["revenue_share"]) == \
+        (15000, 0.75)
+    assert out[(2, False)]["revenue_share"] == 0.25
