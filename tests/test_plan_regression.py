@@ -261,3 +261,34 @@ def test_round8_graph_and_dedup_plans_stay_keyed(spark):
                  "dedup_containment", "orders_basket_lift"):
         props, _ = audit_one(spark, entrymod.queries()[name], SF_DIR)
         assert props["cartesian"] == 0, f"{name}: cartesian product"
+
+
+def test_late_round8_joins_stay_keyed(spark):
+    """The late-round-8 pair-join queries must stay equi-keyed end to
+    end: the edit-distance blocks, the vocab-overlap token join, the
+    centroid-sim dim join, the rich-club degree joins and the
+    co-purchase weight join may never degenerate into a cartesian
+    (nested-loop hits are only the 1-row scalar broadcasts)."""
+    import __spark_entry__ as entrymod
+    for name in ("dedup_edit_distance", "corpus_source_vocab_overlap",
+                 "embedding_centroid_sim", "graph_rich_club",
+                 "graph_copurchase_weights", "corpus_bigram_pmi"):
+        props, _ = audit_one(spark, entrymod.queries()[name], SF_DIR)
+        assert props["cartesian"] == 0, f"{name}: cartesian product"
+
+
+def test_concurrency_and_pareto_ride_distributed_kernels(spark):
+    """The sweep-line concurrency census must cumulate via
+    distributed_running_total and the Pareto deciles must cut via
+    distributed_ntile — every cumulative/rank window partitioned by
+    the respective range-partition id (the only other windows are
+    over the bucket/decile MATRIX, which carry their own keys)."""
+    import __spark_entry__ as entrymod
+    props, plan = audit_one(
+        spark, entrymod.queries()["events_session_concurrency"], SF_DIR)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "_drt_pid" in final, "concurrency census lost the prefix-sum kernel"
+    props, plan = audit_one(
+        spark, entrymod.queries()["orders_pareto_deciles"], SF_DIR)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "_dnt_pid" in final, "pareto deciles lost the ntile kernel"
