@@ -1014,3 +1014,110 @@ def test_first_vs_repeat_split(spark):
     assert (feb_first["revenue_cents"], feb_first["revenue_share"]) == \
         (15000, 0.75)
     assert out[(2, False)]["revenue_share"] == 0.25
+
+
+@SLOW
+@given(revs=st.lists(st.integers(min_value=0, max_value=500),
+                     min_size=1, max_size=25))
+def test_pareto_deciles_match_python_ntile(spark, revs):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        pareto_decile_share
+    rows = [(i, i, float(r), 0) for i, r in enumerate(revs, start=1)]
+    got = {r["decile"]: (r["n_customers"], r["decile_rev_cents"])
+           for r in pareto_decile_share(_orders(spark, rows)).collect()}
+    ranked = sorted(((r * 100, i) for i, r in enumerate(revs, start=1)),
+                    key=lambda t: (-t[0], t[1]))
+    n = len(ranked)
+    q, rem = divmod(n, 10)
+    want: dict = {}
+    pos = 0
+    for b in range(1, 11):
+        size = q + 1 if b <= rem else q
+        chunk = ranked[pos:pos + size]
+        pos += size
+        if chunk:
+            want[b] = (len(chunk), sum(c for c, _ in chunk))
+    assert got == want
+
+
+@SLOW
+@given(gaps=st.lists(st.integers(min_value=0, max_value=40),
+                     min_size=0, max_size=15))
+def test_reorder_census_matches_python(spark, gaps):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        reorder_interval_census
+    days, acc = [0], 0
+    for g in gaps:
+        acc += g
+        days.append(acc)
+    rows = [(i, 1, 5.0, d) for i, d in enumerate(days, start=1)]
+    got = {r["bucket_start_days"]: r["n_intervals"] for r in
+           reorder_interval_census(_orders(spark, rows)).collect()}
+    want: dict = {}
+    for a, b in zip(days, days[1:]):
+        k = ((b - a) // 7) * 7
+        want[k] = want.get(k, 0) + 1
+    assert got == want
+
+
+@SLOW
+@given(es=edges_strat)
+def test_copurchase_weights_match_python(spark, es):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        copurchase_weight_histogram
+    # baskets keyed 0..4, items 1..8
+    baskets = [(bi % 5, it) for bi, (it, _) in enumerate(es)] + \
+              [(bi % 5, it) for bi, (_, it) in enumerate(es)]
+    df = spark.createDataFrame(baskets, "bk long, i long")
+    got = {r["weight"]: r["n_edges"] for r in
+           copurchase_weight_histogram(df).collect()}
+    from collections import Counter
+    from itertools import combinations
+    per_basket: dict = {}
+    for bk, i in set(baskets):
+        per_basket.setdefault(bk, set()).add(i)
+    wt: Counter = Counter()
+    for items in per_basket.values():
+        for a, b in combinations(sorted(items), 2):
+            wt[(a, b)] += 1
+    want: Counter = Counter(wt.values())
+    assert got == dict(want)
+
+
+@SLOW
+@given(evs=st.lists(
+    st.tuples(st.integers(min_value=1, max_value=4),      # user
+              st.integers(min_value=0, max_value=7200)),  # seconds
+    min_size=1, max_size=25))
+def test_session_concurrency_matches_bruteforce(spark, evs):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        session_concurrency_census
+    rows = [(i, u, T0 + dt.timedelta(seconds=s))
+            for i, (u, s) in enumerate(evs, start=1)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    got = {r["level"]: r["n_instants"] for r in
+           session_concurrency_census(df).collect()}
+    # python sessions: per user, split at gaps > 1800s
+    sess = []
+    per_user: dict = {}
+    for u, s in evs:
+        per_user.setdefault(u, []).append(s)
+    for u, ss in per_user.items():
+        ss = sorted(set(ss))
+        start = prev = ss[0]
+        for s in ss[1:]:
+            if s - prev > 1800:
+                sess.append((start, prev))
+                start = s
+            prev = s
+        sess.append((start, prev))
+    deltas: dict = {}
+    for a, b in sess:
+        deltas[a] = deltas.get(a, 0) + 1
+        deltas[b + 1] = deltas.get(b + 1, 0) - 1
+    level, want = 0, {}
+    for t in sorted(deltas):
+        level += deltas[t]
+        want[level] = want.get(level, 0) + 1
+    assert got == want
