@@ -1423,10 +1423,11 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     oi = li.select(F.col("l_orderkey").alias("bk"),
                    F.col("l_partkey").alias("i")).distinct()
     a, b = oi.alias("a"), oi.alias("b")
+    # no .distinct() here: rich_club canonicalizes + dedups the pair
+    # list itself — a pre-distinct would just add a full-edge shuffle
     pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
                     & (F.col("a.i") < F.col("b.i")))
-             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb"))
-             .distinct())
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
     return rich_club(pairs, "pa", "pb")
 
 
