@@ -86,6 +86,14 @@ HEADLINE = [
     "dedup_containment",
     "corpus_heaps_curve",
     "graph_assortativity",
+    # round 8 session 2: sweep-line concurrency, degree-quantile rich
+    # club, blocked edit-distance dedup, collocation PMI, exact
+    # Pareto deciles
+    "events_session_concurrency",
+    "graph_rich_club",
+    "dedup_edit_distance",
+    "corpus_bigram_pmi",
+    "orders_pareto_deciles",
 ]
 
 
