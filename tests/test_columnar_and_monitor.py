@@ -77,3 +77,35 @@ def test_streaming_dq_monitor_accumulates_batches(spark, tmp_path):
     # third run with nothing new: no rows added
     out3 = streaming_dq_monitor(spark, src, cp, rules, audit)
     assert out3.count() == 6
+
+
+def test_csv_round_trip_and_quarantine(spark, tmp_path):
+    import pathlib
+
+    from pyspark.sql import types as T
+
+    from stock_data_etl_pipeline_spark.sources.csv import (
+        read_csv, write_csv)
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("qty", T.LongType(), True)])
+    src = tmp_path / "in.csv"
+    src.write_text("id,name,qty\n"
+                   "1,alpha,10\n"
+                   "2,beta,notanumber\n"   # uncastable -> quarantine
+                   "3,gamma,30\n")
+    good, bad = read_csv(spark, str(src), schema)
+    g = sorted((r["id"], r["name"], r["qty"]) for r in good.collect())
+    assert g == [(1, "alpha", 10), (3, "gamma", 30)]
+    quarantined = bad.collect()
+    assert len(quarantined) == 1
+    assert "notanumber" in quarantined[0]["raw_line"]
+    # round trip: write the good split, read it back, same rows
+    out = str(tmp_path / "out_csv")
+    write_csv(good, out)
+    back, bad2 = read_csv(spark, out, schema)
+    assert sorted((r["id"], r["name"], r["qty"])
+                  for r in back.collect()) == g
+    assert bad2.count() == 0
+    assert pathlib.Path(out).exists()
