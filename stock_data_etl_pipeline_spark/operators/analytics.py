@@ -1853,3 +1853,43 @@ def first_vs_repeat_revenue(orders: DataFrame) -> DataFrame:
                      F.when(F.col("month_cents") > 0, sh)
                      .alias("revenue_share"))
             .orderBy("month", "is_first"))
+
+
+def degree_gini(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Gini coefficient of the degree distribution — ONE number for
+    "how hub-dominated is this graph", the inequality summary that
+    decides whether degree-oriented machinery (triangles, wedge caps)
+    is load-bearing or cosmetic on a given graph.
+
+    The rank formula G = (2·Σ i·x_i − (n+1)·Σx)/(n·Σx) evaluated on
+    the degree HISTOGRAM, never a node sort: for a block of w equal
+    degrees after c predecessors, Σ i over the block is
+    c·w + w(w+1)/2, so S1 = Σ_v x_v·(c_v·w_v + w_v(w_v+1)/2) needs
+    only a prefix sum over the distinct-degree matrix. All terms exact
+    BIGINTs (headroom: S1 ≲ deg_max·n² — re-grid degrees above ~1e9
+    nodes); the emit is ONE double division of exact integers.
+    """
+    und = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
+                        F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionByName(und.select(F.col("b").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    h = deg.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    w_cum = (Window.partitionBy().orderBy("x")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    h = h.withColumn("c", (F.sum("w").over(w_cum) - F.col("w"))
+                     .cast("long"))
+    s1_term = (F.col("x") * (F.col("c") * F.col("w")
+                             + F.expr("w * (w + 1) div 2"))).cast("long")
+    g = h.agg(F.sum("w").cast("long").alias("n"),
+              F.sum(F.col("x") * F.col("w")).cast("long").alias("sx"),
+              F.sum(s1_term).cast("long").alias("s1"))
+    g = (g.withColumn("num", (F.lit(2) * F.col("s1")
+                              - (F.col("n") + 1) * F.col("sx"))
+                      .cast("long"))
+         .withColumn("den", (F.col("n") * F.col("sx")).cast("long")))
+    gini = F.col("num").cast("double") / F.col("den").cast("double")
+    return g.select("n", F.col("sx").alias("sum_degree"),
+                    F.when(F.col("den") > 0, gini).alias("gini"))

@@ -278,6 +278,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .catalog_text import _JACCARD_CTES, _WORDS  # noqa: E402
+from .catalog_text import _STOPS as _QSTOPS  # noqa: E402
 
 
 @register("dedup_containment", f"""
@@ -1821,3 +1822,162 @@ def orders_first_vs_repeat(spark: SparkSession,
     # precedent), totals over the month×2 matrix
     from ..operators.analytics import first_vs_repeat_revenue
     return first_vs_repeat_revenue(load_table(spark, sf_dir, "orders"))
+
+
+@register("graph_degree_gini", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
+            FROM lineitem),
+und AS (SELECT DISTINCT a.i AS ea, b.i AS eb
+        FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS x
+        FROM (SELECT ea AS node FROM und
+              UNION ALL SELECT eb FROM und) GROUP BY node),
+h AS (SELECT x, CAST(count(*) AS BIGINT) AS w FROM deg GROUP BY x),
+c AS (SELECT x, w,
+             CAST(sum(w) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                  - w AS BIGINT) AS c
+      FROM h),
+g AS (SELECT CAST(sum(w) AS BIGINT) AS n,
+             CAST(sum(x * w) AS BIGINT) AS sx,
+             CAST(sum(x * (c * w + (w * (w + 1)) // 2)) AS BIGINT)
+                 AS s1
+      FROM c),
+f AS (SELECT n, sx, 2 * s1 - (n + 1) * sx AS num, n * sx AS den
+      FROM g)
+SELECT n, sx AS sum_degree,
+       CASE WHEN den > 0
+            THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+       END AS gini
+FROM f
+""")
+def graph_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # degree-inequality summary on the HISTOGRAM matrix (rank-block
+    # prefix sums, never a node sort); exact BIGINT terms, one double
+    # division at emit
+    from ..operators.analytics import degree_gini
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"),
+                     F.col("b.i").alias("pb")))
+    return degree_gini(pairs, "pa", "pb")
+
+
+def _lsh_precision_sql(num_hashes: int = 8, bands: int = 4,
+                       threshold: float = 0.5) -> str:
+    """Precision of the banded-LSH candidate generator against the
+    TRUE Jaccard-threshold pair set — the cost side of the index
+    tuning curve (recall says what the bands keep; precision says how
+    much the verifier must re-check). Mirrors catalog_text's
+    _lsh_recall_sql with the join direction flipped: FROM candidates,
+    LEFT JOIN truth."""
+    rows = num_hashes // bands
+    p = dd.MINHASH_PRIME
+    consts = dd.minhash_constants(num_hashes)
+    mh = ", ".join(
+        f"list_aggregate(list_transform(hv, v -> ({a} * v + {b}) % {p}),"
+        f" 'min') AS mh_{i}"
+        for i, (a, b) in enumerate(consts))
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * rows + r}" for r in range(rows))
+        + ")) AS sig FROM sig"
+        for b in range(bands))
+    return f"""
+WITH {{_JC}},
+ne AS (SELECT doc_id, shs AS hv FROM sh WHERE len(shs) > 0),
+sig AS (SELECT doc_id, {mh} FROM ne),
+bandsrc AS ({band_selects}),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bandsrc a JOIN bandsrc b
+           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+exact AS (SELECT id_a, id_b FROM jac WHERE jaccard >= {threshold}),
+hit AS (SELECT CASE WHEN e.id_a IS NOT NULL THEN 1 ELSE 0 END AS h
+        FROM cand c LEFT JOIN exact e
+          ON e.id_a = c.id_a AND e.id_b = c.id_b)
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(h) AS BIGINT) AS n_true,
+       round(sum(h) / count(*)::DOUBLE, 6) AS precision
+FROM hit
+"""
+
+
+@register("dedup_lsh_precision",
+          _lsh_precision_sql().replace("{_JC}", _JACCARD_CTES))
+def dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # precision twin of dedup_lsh_recall: RAW banded candidates (the
+    # persistable index self-joined on (band, sig)) scored against the
+    # exact shingle-Jaccard truth — how much work verification faces
+    d = load_table(spark, sf_dir, "documents")
+    bt = dd.lsh_band_table(d, num_hashes=8, bands=4, k=5)
+    a, b = bt.alias("a"), bt.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.sig") == F.col("b.sig"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"))
+            .distinct())
+    exact = (dd.ngram_jaccard_pairs(d, threshold=0.5, k=5)
+             .select("id_a", "id_b").withColumn("h", F.lit(1)))
+    hits = F.sum(F.coalesce("h", F.lit(0)))
+    return (cand.join(exact, ["id_a", "id_b"], "left")
+            .agg(F.count(F.lit(1)).alias("n_candidates"),
+                 hits.alias("n_true"),
+                 F.round(hits / F.count(F.lit(1)), 6)
+                 .alias("precision")))
+
+
+@register("corpus_quality_by_source", """
+WITH w AS (SELECT source, text, _W_ AS ws FROM documents),
+f AS (SELECT source,
+             len(ws)::BIGINT AS n_words,
+             round(len(list_filter(ws, x -> x IN (_ST_)))
+                   / len(ws)::DOUBLE, 4) AS stopword_ratio,
+             round(len(list_distinct(ws)) / len(ws)::DOUBLE, 4)
+                 AS distinct_ratio
+      FROM w WHERE len(ws) > 0),
+q AS (SELECT source,
+             CAST(round(round((least(n_words / 100.0, 1.0)
+                               + least(stopword_ratio * 4, 1.0)
+                               + distinct_ratio) / 3, 4) * 10000, 0)
+                  AS BIGINT) AS qi
+      FROM f),
+g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(qi) AS BIGINT) AS s,
+             CAST(sum(CASE WHEN qi >= 5000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_pass
+      FROM q GROUP BY source)
+SELECT source, n_docs,
+       CAST(floor((2 * (s * 100) + n_docs) / (2 * n_docs)) AS BIGINT)
+           / 1e6 AS mean_quality,
+       CASE WHEN n_docs > 0
+            THEN ((1000000 * n_pass) // n_docs) / 1e6
+       END AS pass_share
+FROM g ORDER BY source
+""".replace("_W_", _WORDS).replace("_ST_", _QSTOPS))
+def corpus_quality_by_source(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    # per-source quality rollup: per-doc composite score on the 1e-4
+    # grid (the text_quality formula), integer sums, half-away integer
+    # mean (6dp), pass rate compared ON THE INTEGER GRID (qi >= 5000 -
+    # never a float threshold)
+    from ..functions import text as TX
+    from ..operators.windows import int_mean_half_away
+    d = load_table(spark, sf_dir, "documents")
+    nw = F.size(TX.words(F.col("text")))
+    qi = (F.round(TX.quality_score("text") * 10000, 0).cast("long"))
+    g = (d.filter(nw > 0)
+         .select("source", qi.alias("qi"))
+         .groupBy("source")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum("qi").cast("long").alias("s"),
+              F.sum(F.when(F.col("qi") >= 5000, 1).otherwise(0))
+              .cast("long").alias("n_pass")))
+    mean = int_mean_half_away(F.col("s") * 100, F.col("n_docs")) / 1e6
+    pr = F.expr("(1000000 * n_pass) div n_docs") / 1e6
+    return (g.select("source", "n_docs", mean.alias("mean_quality"),
+                     F.when(F.col("n_docs") > 0, pr).alias("pass_share"))
+            .orderBy("source"))

@@ -1121,3 +1121,71 @@ def test_session_concurrency_matches_bruteforce(spark, evs):
         level += deltas[t]
         want[level] = want.get(level, 0) + 1
     assert got == want
+
+
+def test_degree_gini_star_vs_regular(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        degree_gini
+    # regular triangle: all degrees equal → gini 0
+    tri = spark.createDataFrame([(1, 2), (2, 3), (3, 1)],
+                                "pa long, pb long")
+    assert degree_gini(tri, "pa", "pb").collect()[0]["gini"] == 0.0
+    # star K1,3: degrees (3,1,1,1); sorted x=(1,1,1,3), n=4, Σx=6
+    # S1 = 1+2+3+12 = 18 → num = 36 − 5·6 = 6, den = 24 → 0.25
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)],
+                                 "pa long, pb long")
+    r = degree_gini(star, "pa", "pb").collect()[0]
+    assert (r["n"], r["sum_degree"], r["gini"]) == (4, 6, 0.25)
+
+
+@SLOW
+@given(es=edges_strat)
+def test_degree_gini_matches_python(spark, es):
+    from stock_data_etl_pipeline_spark.operators.analytics import \
+        degree_gini
+    und = {(min(a, b), max(a, b)) for a, b in es if a != b}
+    if not und:
+        return
+    df = spark.createDataFrame(sorted(und), "pa long, pb long")
+    r = degree_gini(df, "pa", "pb").collect()[0]
+    deg: dict = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = sorted(deg.values())
+    n, sx = len(xs), sum(xs)
+    s1 = sum(i * x for i, x in enumerate(xs, start=1))
+    assert r["gini"] == (2 * s1 - (n + 1) * sx) / (n * sx)
+
+
+def test_quality_by_source_hand_rollup(spark):
+    from pyspark.sql import functions as FF
+
+    from stock_data_etl_pipeline_spark.functions import text as TX
+    from stock_data_etl_pipeline_spark.operators.windows import \
+        int_mean_half_away
+    docs = spark.createDataFrame(
+        [(1, "the is was a b c d e", "en", "s1", 8),
+         (2, "z z z z", "en", "s1", 7),
+         (3, "the cat is on the mat now", "en", "s2", 25)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    # reference: per-doc grid score via the same public scorer, then a
+    # pure-Python rollup of the integer grid values
+    qi = {r["doc_id"]: int(round(r["q"] * 10000)) for r in docs.select(
+        "doc_id", TX.quality_score("text").alias("q")).collect()}
+    g = docs.select(
+        "source",
+        FF.round(TX.quality_score("text") * 10000, 0).cast("long")
+        .alias("qi")).groupBy("source").agg(
+        FF.count(FF.lit(1)).cast("long").alias("n"),
+        FF.sum("qi").cast("long").alias("s"),
+        FF.sum(FF.when(FF.col("qi") >= 5000, 1).otherwise(0))
+        .cast("long").alias("n_pass"))
+    mean = int_mean_half_away(FF.col("s") * 100, FF.col("n")) / 1e6
+    out = {r["source"]: r for r in g.select(
+        "source", "n", mean.alias("m"), "n_pass").collect()}
+    s1 = out["s1"]
+    want_mean = round((qi[1] + qi[2]) * 100 / 2) / 1e6
+    assert (s1["n"], s1["m"]) == (2, want_mean)
+    assert out["s2"]["n_pass"] == (1 if qi[3] >= 5000 else 0)
