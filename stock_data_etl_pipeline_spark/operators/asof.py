@@ -30,7 +30,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
               right_payload: Sequence[str],
               prefix: str = "asof_",
               strict: bool = True,
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tolerance_seconds: int | None = None) -> DataFrame:
     """Left as-of join. Output: all left columns + ``prefix``-renamed
     payload columns from the matched right row (NULL when no prior row).
 
@@ -39,6 +40,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
     row after it (the tick-data "next fill" lookup) — same union+window
     shape with the frame reversed, so the cost class is identical.
     ``strict`` excludes an exactly-equal timestamp in either direction.
+
+    ``tolerance_seconds`` bounds staleness (pd.merge_asof's tolerance):
+    a match farther than the bound from the left timestamp is nulled
+    out AFTER the carry — a pure projection on exact integer seconds
+    (both engines truncate via unix-seconds), adding zero shuffles.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction!r}")
@@ -76,6 +82,21 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
              .rowsBetween(0, Window.unboundedFollowing))
         carry = F.first("_p", ignorenulls=True)
     carried = unioned.withColumn("_match", carry.over(w))
+    if tolerance_seconds is not None:
+        # right ts rides the carry as exact integer seconds; the bound
+        # is a projection — matches beyond it become non-matches
+        rts = F.when(F.col("_p").isNotNull(),
+                     F.unix_timestamp(F.col("_ts"))).alias("_rsec")
+        unioned2 = unioned.withColumn("_rsec", rts)
+        mt = (F.last("_rsec", ignorenulls=True)
+              if direction == "backward"
+              else F.first("_rsec", ignorenulls=True))
+        carried = (unioned2.withColumn("_match", carry.over(w))
+                   .withColumn("_msec", mt.over(w)))
+        gap = F.abs(F.unix_timestamp(F.col("_ts")) - F.col("_msec"))
+        carried = carried.withColumn(
+            "_match",
+            F.when(gap <= tolerance_seconds, F.col("_match")))
     out = carried.filter(F.col("_l").isNotNull())
     sel = [F.col(f"_l.{c}").alias(c) for c in lcols]
     sel += [F.col(f"_match.{c}").alias(f"{prefix}{c}") for c in right_payload]

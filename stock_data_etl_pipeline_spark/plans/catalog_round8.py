@@ -1981,3 +1981,57 @@ def corpus_quality_by_source(spark: SparkSession,
     return (g.select("source", "n_docs", mean.alias("mean_quality"),
                      F.when(F.col("n_docs") > 0, pr).alias("pass_share"))
             .orderBy("source"))
+
+
+@register("asof_tolerance_last_view", """
+WITH tagged AS (
+  SELECT user_id, ts AS _ts, 0 AS _tag, event_id, ts,
+         NULL::BIGINT AS v_id, NULL::TIMESTAMP AS v_ts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts AS _ts, 1 AS _tag, NULL, NULL, event_id, ts
+  FROM events WHERE event_type = 'view'
+),
+carried AS (
+  SELECT user_id, _tag, event_id, ts, _ts,
+         last_value(v_id IGNORE NULLS) OVER w AS view_event_id,
+         last_value(v_ts IGNORE NULLS) OVER w AS view_ts,
+         last_value(CASE WHEN v_id IS NOT NULL
+                         THEN CAST(floor(epoch(_ts)) AS BIGINT) END
+                    IGNORE NULLS) OVER w AS _msec
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY _ts, _tag
+               ROWS UNBOUNDED PRECEDING)
+),
+g AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN abs(CAST(floor(epoch(_ts)) AS BIGINT) - _msec)
+                   <= 1800
+              THEN view_event_id END AS view_event_id,
+         CASE WHEN abs(CAST(floor(epoch(_ts)) AS BIGINT) - _msec)
+                   <= 1800
+              THEN view_ts END AS view_ts
+  FROM carried WHERE _tag = 0
+)
+SELECT event_id, user_id, ts, view_event_id, view_ts
+FROM g ORDER BY event_id
+""")
+def asof_tolerance_last_view(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    # tolerance-bounded as-of join (pd.merge_asof's tolerance): each
+    # purchase matched to the most recent strictly-earlier view ONLY
+    # if within 30 min — the staleness bound is a projection on exact
+    # unix seconds after the same union+window carry, zero extra
+    # shuffles
+    from ..operators.asof import asof_join
+    e = load_table(spark, sf_dir, "events")
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    views = (e.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_event_id"),
+                     "user_id", F.col("ts").alias("view_ts")))
+    return (asof_join(purchases, views, on=["user_id"],
+                      left_ts="ts", right_ts="view_ts",
+                      right_payload=["view_event_id", "view_ts"],
+                      prefix="", tolerance_seconds=1800)
+            .orderBy("event_id"))

@@ -101,3 +101,40 @@ def test_asof_forward_direction_and_ties(spark):
         left, right, on=["k"], left_ts="ts", right_ts="rts",
         right_payload=["px"], strict=True, direction="forward").collect()}
     assert got == {1: 100.0, 2: None}
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    import datetime as dt
+
+    from stock_data_etl_pipeline_spark.operators.asof import asof_join
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 1, t0 + dt.timedelta(seconds=100)),
+         (2, 1, t0 + dt.timedelta(seconds=5000)),
+         (3, 2, t0 + dt.timedelta(seconds=50))],
+        "id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        [(10, 1, t0), (20, 2, t0 + dt.timedelta(seconds=40))],
+        "rid long, k long, rts timestamp")
+    out = {r["id"]: r["m_rid"] for r in asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_payload=["rid"], prefix="m_",
+        tolerance_seconds=1800).collect()}
+    # id 1: match 100s old -> kept; id 2: 5000s old -> nulled;
+    # id 3: 10s old -> kept
+    assert out == {1: 10, 2: None, 3: 20}
+
+
+def test_asof_tolerance_none_keeps_all(spark):
+    import datetime as dt
+
+    from stock_data_etl_pipeline_spark.operators.asof import asof_join
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 1, t0 + dt.timedelta(days=300))], "id long, k long, ts timestamp")
+    right = spark.createDataFrame([(10, 1, t0)],
+                                  "rid long, k long, rts timestamp")
+    out = asof_join(left, right, on=["k"], left_ts="ts",
+                    right_ts="rts", right_payload=["rid"],
+                    prefix="m_").collect()
+    assert out[0]["m_rid"] == 10  # no tolerance -> any staleness OK
