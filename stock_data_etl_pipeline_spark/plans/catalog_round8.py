@@ -2035,3 +2035,105 @@ def asof_tolerance_last_view(spark: SparkSession,
                       right_payload=["view_event_id", "view_ts"],
                       prefix="", tolerance_seconds=1800)
             .orderBy("event_id"))
+
+
+@register("events_conversion_lag", """
+WITH u AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS fv,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp
+  FROM events GROUP BY user_id
+), l AS (
+  SELECT CAST(floor(epoch(fp)) - floor(epoch(fv)) AS BIGINT) AS v
+  FROM u WHERE fv IS NOT NULL AND fp IS NOT NULL
+), c AS (SELECT v, count(*) AS cnt FROM l GROUP BY v),
+r AS (SELECT v, sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cum
+      FROM c),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_values FROM c)
+SELECT n.n_values,
+       round(min(CASE WHEN r.cum >= (1 * n.n_values + 1) // 2
+                      THEN r.v END) / 1, 2) AS q50,
+       round(min(CASE WHEN r.cum >= (9 * n.n_values + 9) // 10
+                      THEN r.v END) / 1, 2) AS q90,
+       round(min(CASE WHEN r.cum >= (99 * n.n_values + 99) // 100
+                      THEN r.v END) / 1, 2) AS q99
+FROM r, n GROUP BY n.n_values
+""")
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # funnel latency: exact p50/p90/p99 of (first purchase − first
+    # view) in whole seconds per user (negative = bought before ever
+    # viewing — kept, the order statistics handle signed values);
+    # the distributed prefix-sum quantile kernel at grid=1
+    from ..operators.aggregates import exact_quantiles_by_rank
+    ev = load_table(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+              .alias("fv"),
+              F.min(F.when(F.col("event_type") == "purchase",
+                           F.col("ts"))).alias("fp")))
+    lag = (u.filter(F.col("fv").isNotNull() & F.col("fp").isNotNull())
+           .select((F.unix_timestamp("fp") - F.unix_timestamp("fv"))
+                   .cast("long").alias("lag_s")))
+    return exact_quantiles_by_rank(lag, "lag_s", grid=1)
+
+
+@register("dedup_impact_by_source", """
+WITH RECURSIVE {_JC},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION
+          SELECT id_b AS src, id_a AS dst FROM pairs),
+walk(doc_id, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.doc_id = e.dst
+),
+cl AS (SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id),
+g AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN cl.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_near_dup,
+         CAST(sum(CASE WHEN cl.doc_id IS NOT NULL
+                       AND cl.doc_id != cl.cluster_id
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+  GROUP BY d.source
+)
+SELECT source, n_docs, n_near_dup, n_removed,
+       CASE WHEN n_docs > 0
+            THEN ((1000000 * n_near_dup) // n_docs) / 1e6
+       END AS near_dup_share,
+       CASE WHEN n_docs > 0
+            THEN ((1000000 * n_removed) // n_docs) / 1e6
+       END AS removed_share
+FROM g ORDER BY source
+""".replace("{_JC}", _JACCARD_CTES))
+def dedup_impact_by_source(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    # per-source dedup impact under the keep-min-id policy: which
+    # feeds are boilerplate-heavy (same CC fixpoint as the global
+    # impact report, rolled up by source; quotient-grid shares)
+    from ..operators.clustering import cluster_near_dups
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, threshold=0.5, k=5)
+    cl = cluster_near_dups(pairs)
+    j = (d.select("doc_id", "source")
+         .join(cl.withColumnRenamed("doc_id", "cdoc"),
+               F.col("doc_id") == F.col("cdoc"), "left"))
+    g = (j.groupBy("source")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum(F.when(F.col("cdoc").isNotNull(), 1).otherwise(0))
+              .cast("long").alias("n_near_dup"),
+              F.sum(F.when(F.col("cdoc").isNotNull()
+                           & (F.col("cdoc") != F.col("cluster_id")),
+                           1).otherwise(0))
+              .cast("long").alias("n_removed")))
+    nd = F.expr("(1000000 * n_near_dup) div n_docs") / 1e6
+    rm = F.expr("(1000000 * n_removed) div n_docs") / 1e6
+    return (g.select("source", "n_docs", "n_near_dup", "n_removed",
+                     F.when(F.col("n_docs") > 0, nd)
+                     .alias("near_dup_share"),
+                     F.when(F.col("n_docs") > 0, rm)
+                     .alias("removed_share"))
+            .orderBy("source"))

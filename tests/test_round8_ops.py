@@ -1189,3 +1189,38 @@ def test_quality_by_source_hand_rollup(spark):
     want_mean = round((qi[1] + qi[2]) * 100 / 2) / 1e6
     assert (s1["n"], s1["m"]) == (2, want_mean)
     assert out["s2"]["n_pass"] == (1 if qi[3] >= 5000 else 0)
+
+
+def test_conversion_lag_signed_quantiles(spark):
+    from stock_data_etl_pipeline_spark.operators.aggregates import \
+        exact_quantiles_by_rank
+    # lags (−10, 0, 50): p50 = 0 (ceil(3/2)=2nd), p90/p99 = 50
+    df = spark.createDataFrame([(-10,), (0,), (50,)], "lag_s long")
+    r = exact_quantiles_by_rank(df, "lag_s", grid=1).collect()[0]
+    assert (r["n_values"], r["q50"], r["q90"], r["q99"]) == \
+        (3, 0.0, 50.0, 50.0)
+
+
+def test_dedup_impact_by_source_rollup(spark):
+    from stock_data_etl_pipeline_spark.plans.catalog_round8 import \
+        dedup_impact_by_source  # noqa: F401 — registration touch
+    from stock_data_etl_pipeline_spark.operators import dedup as DD2
+    from stock_data_etl_pipeline_spark.operators.clustering import \
+        cluster_near_dups
+    from pyspark.sql import functions as FF
+    # docs 1,2 near-identical (same source s1); 3 unique in s2
+    base = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s1", 1), (2, base + " tail", "en", "s1", 1),
+         (3, "x0 x1 x2 x3 x4 x5 x6 x7", "en", "s2", 1)],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    pairs = DD2.ngram_jaccard_pairs(docs, threshold=0.5, k=5)
+    cl = cluster_near_dups(pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in cl.collect()}
+    assert got == {1: 1, 2: 1}  # keep-min-id: doc 2 removed
+    j = (docs.select("doc_id", "source")
+         .join(cl.withColumnRenamed("doc_id", "cdoc"),
+               FF.col("doc_id") == FF.col("cdoc"), "left"))
+    s1 = j.filter(FF.col("source") == "s1").collect()
+    assert sum(1 for r in s1 if r["cdoc"] is not None) == 2
