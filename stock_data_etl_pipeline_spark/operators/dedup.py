@@ -510,26 +510,57 @@ def prefix_dup_census(docs: DataFrame, text_col: str = "text",
 
 
 EDIT_DIST_MAX = 150  # near-dup acceptance threshold (chars)
+EDIT_DIST_BLOCK_CAP = 64  # max docs per block entering the pair join
 
 
 def edit_distance_report(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
-                         max_dist: int = EDIT_DIST_MAX) -> DataFrame:
-    """Block-keyed Levenshtein near-dup report per language: candidate
-    pairs come ONLY from (lang, source, n_chars//8) blocks — docs in
-    different languages/sources or with length gaps can't be cheap
-    edits of each other, so the quadratic kernel runs on block-bounded
-    pairs, never all-pairs (the MinHash-banding principle applied to
-    edit distance).
+                         max_dist: int = EDIT_DIST_MAX,
+                         block_cap: int = EDIT_DIST_BLOCK_CAP) -> DataFrame:
+    """Block-keyed Levenshtein near-dup report per language with a
+    HARD per-block size bound: candidate pairs come ONLY from
+    (lang, source, n_chars//8) blocks (docs in different languages/
+    sources or with length gaps can't be cheap edits of each other),
+    and a block larger than ``block_cap`` never enters the pair join
+    at all — its pair mass is counted ARITHMETICALLY (C(bsz,2) from a
+    single hash-agg of block sizes) and reported as skipped. One hot
+    block — millions of near-equal-length docs from one template-heavy
+    source — therefore costs one agg row, not a quadratic join; the
+    same doc-frequency-cap principle as the shingle index above
+    (``ngram_jaccard_dedup``), applied to the block key.
 
-    Per language: candidate-pair count, pairs within ``max_dist``,
-    the min distance, and the mean distance on the
-    ``(1e6·Σd) div n`` quotient grid (distances are exact ints).
+    No window/rank anywhere: the cap is enforced by joining docs to
+    the size relation (hash join on the block key), so a hot block
+    never serializes into one task either.
+
+    Per language: total candidate-pair count (arithmetic — exact even
+    for skipped blocks), pairs evaluated / blocks skipped / pairs
+    skipped (the audit triple), near-dups within ``max_dist`` among
+    evaluated pairs, min distance and quotient-grid mean
+    (``(1e6·Σd) div n``) over evaluated pairs, and the cap itself so
+    downstream readers can interpret the audit columns.
     """
     d = docs.select(id_col, "lang", "source",
                     F.expr("n_chars div 8").alias("lb"),
                     F.col(text_col).alias("t"))
-    a, b = d.alias("a"), d.alias("b")
+    sizes = (d.groupBy("lang", "source", "lb")
+             .agg(F.count(F.lit(1)).cast("long").alias("bsz")))
+    census = sizes.groupBy("lang").agg(
+        F.sum(F.expr("bsz * (bsz - 1) div 2"))
+        .cast("long").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("bsz") <= block_cap,
+                     F.expr("bsz * (bsz - 1) div 2")).otherwise(F.lit(0)))
+        .cast("long").alias("n_pairs_evaluated"),
+        F.sum(F.when(F.col("bsz") > block_cap, 1).otherwise(0))
+        .cast("long").alias("n_blocks_skipped"),
+        F.sum(F.when(F.col("bsz") > block_cap,
+                     F.expr("bsz * (bsz - 1) div 2")).otherwise(F.lit(0)))
+        .cast("long").alias("n_pairs_skipped"))
+    small = d.join(
+        sizes.filter(F.col("bsz") <= block_cap)
+        .select("lang", "source", "lb"),
+        on=["lang", "source", "lb"], how="inner")
+    a, b = small.alias("a"), small.alias("b")
     pairs = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
                     & (F.col("a.source") == F.col("b.source"))
                     & (F.col("a.lb") == F.col("b.lb"))
@@ -537,15 +568,20 @@ def edit_distance_report(docs: DataFrame, text_col: str = "text",
              .select(F.col("a.lang").alias("lang"),
                      F.levenshtein(F.col("a.t"), F.col("b.t"))
                      .cast("long").alias("dist")))
-    g = pairs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+    stats = pairs.groupBy("lang").agg(
         F.sum(F.when(F.col("dist") <= max_dist, 1).otherwise(0))
         .cast("long").alias("n_near_dup"),
         F.min("dist").cast("long").alias("min_distance"),
         F.sum("dist").cast("long").alias("sum_distance"))
-    mean = F.expr("(1000000 * sum_distance) div n_candidate_pairs") / 1e6
-    return (g.select("lang", "n_candidate_pairs", "n_near_dup",
-                     "min_distance",
-                     F.when(F.col("n_candidate_pairs") > 0, mean)
-                     .alias("mean_distance"))
+    mean = F.expr("(1000000 * sum_distance) div n_pairs_evaluated") / 1e6
+    return (census.join(stats, on="lang", how="left")
+            .filter(F.col("n_candidate_pairs") > 0)
+            .select("lang", "n_candidate_pairs", "n_pairs_evaluated",
+                    "n_blocks_skipped", "n_pairs_skipped",
+                    F.coalesce(F.col("n_near_dup"), F.lit(0))
+                    .cast("long").alias("n_near_dup"),
+                    "min_distance",
+                    F.when(F.col("n_pairs_evaluated") > 0, mean)
+                    .alias("mean_distance"),
+                    F.lit(block_cap).cast("long").alias("block_cap"))
             .orderBy("lang"))

@@ -1152,29 +1152,56 @@ def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_edit_distance", f"""
 WITH d AS (
   SELECT doc_id, lang, source, n_chars // 8 AS lb, text FROM documents
+), sizes AS (
+  SELECT lang, source, lb, CAST(count(*) AS BIGINT) AS bsz
+  FROM d GROUP BY lang, source, lb
+), census AS (
+  SELECT lang,
+         CAST(sum(bsz * (bsz - 1) // 2) AS BIGINT) AS n_candidate_pairs,
+         CAST(sum(CASE WHEN bsz <= {dd.EDIT_DIST_BLOCK_CAP}
+                       THEN bsz * (bsz - 1) // 2 ELSE 0 END)
+              AS BIGINT) AS n_pairs_evaluated,
+         CAST(sum(CASE WHEN bsz > {dd.EDIT_DIST_BLOCK_CAP} THEN 1
+                  ELSE 0 END) AS BIGINT) AS n_blocks_skipped,
+         CAST(sum(CASE WHEN bsz > {dd.EDIT_DIST_BLOCK_CAP}
+                       THEN bsz * (bsz - 1) // 2 ELSE 0 END)
+              AS BIGINT) AS n_pairs_skipped
+  FROM sizes GROUP BY lang
+), small AS (
+  SELECT d.* FROM d
+  JOIN sizes s ON d.lang = s.lang AND d.source = s.source
+              AND d.lb = s.lb
+  WHERE s.bsz <= {dd.EDIT_DIST_BLOCK_CAP}
 ), pairs AS (
   SELECT a.lang, CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
-  FROM d a JOIN d b
+  FROM small a JOIN small b
     ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb
    AND a.doc_id < b.doc_id
-), g AS (
-  SELECT lang, CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+), stats AS (
+  SELECT lang,
          CAST(sum(CASE WHEN dist <= {dd.EDIT_DIST_MAX} THEN 1 ELSE 0
                   END) AS BIGINT) AS n_near_dup,
          CAST(min(dist) AS BIGINT) AS min_distance,
          CAST(sum(dist) AS BIGINT) AS sum_distance
   FROM pairs GROUP BY lang
 )
-SELECT lang, n_candidate_pairs, n_near_dup, min_distance,
-       CASE WHEN n_candidate_pairs > 0
-            THEN ((1000000 * sum_distance) // n_candidate_pairs) / 1e6
-       END AS mean_distance
-FROM g ORDER BY lang
+SELECT c.lang, c.n_candidate_pairs, c.n_pairs_evaluated,
+       c.n_blocks_skipped, c.n_pairs_skipped,
+       CAST(coalesce(s.n_near_dup, 0) AS BIGINT) AS n_near_dup,
+       s.min_distance,
+       CASE WHEN c.n_pairs_evaluated > 0
+            THEN ((1000000 * s.sum_distance) // c.n_pairs_evaluated)
+                 / 1e6
+       END AS mean_distance,
+       CAST({dd.EDIT_DIST_BLOCK_CAP} AS BIGINT) AS block_cap
+FROM census c LEFT JOIN stats s ON c.lang = s.lang
+WHERE c.n_candidate_pairs > 0 ORDER BY c.lang
 """)
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # block-keyed Levenshtein near-dup report: candidates only from
-    # (lang, source, n_chars div 8) blocks — never all-pairs; exact
-    # integer distances, mean on the quotient grid
+    # block-keyed Levenshtein near-dup report with a HARD per-block
+    # cap: pair mass of over-cap blocks is counted arithmetically
+    # (C(bsz,2) off the size agg) and audited as skipped — one hot
+    # template-crawl block costs one agg row, never a quadratic join
     docs = load_table(spark, sf_dir, "documents")
     return dd.edit_distance_report(docs)
 

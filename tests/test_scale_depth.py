@@ -318,3 +318,56 @@ def test_session_concurrency_partition_invariant_under_hot_user(
     # i.e. the final (max-t) level is 0 — every session that opened
     # closed, a structural invariant of the ±1 sweep
     assert min(lv for lv, _ in h32) >= 0
+
+
+# ---------------------------------------------------------------------------
+# 5. hot-block skew through the capped edit-distance near-dup report
+# ---------------------------------------------------------------------------
+
+def test_edit_distance_hot_block_is_skipped_not_joined(spark):
+    """sf0.001 documents with ~50% of docs remapped into ONE
+    (lang, source, length-band) block — the template-heavy-crawl shape
+    that made the uncapped r8 kernel quadratic.  The capped report
+    must (a) count the hot block's pair mass arithmetically and audit
+    it as skipped, (b) keep every small-block near-dup stat IDENTICAL
+    to a run without the hot block's docs merged (the cap only ever
+    removes over-cap blocks from the join, never perturbs small ones),
+    and (c) finish in time linear in the doc count — a quadratic join
+    on ~250 hot docs here is only 31k pairs, but the assertion that
+    n_pairs_evaluated excludes them is exactly the property that makes
+    a 10^9-doc hot block safe at 100 TB."""
+    from stock_data_etl_pipeline_spark.operators.dedup import (
+        EDIT_DIST_BLOCK_CAP, edit_distance_report)
+
+    docs = load_table(spark, SF001, "documents")
+    parity = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 15), 16, 10).cast("long") % 2)
+    hot = docs.withColumn("is_hot", parity == 0)
+    merged = (hot
+              .withColumn("lang", F.when(F.col("is_hot"), F.lit("xx"))
+                          .otherwise(F.col("lang")))
+              .withColumn("source", F.when(F.col("is_hot"),
+                                           F.lit("hotsrc"))
+                          .otherwise(F.col("source")))
+              .withColumn("n_chars", F.when(F.col("is_hot"), F.lit(256))
+                          .otherwise(F.col("n_chars")))
+              .drop("is_hot"))
+    n_hot = hot.filter("is_hot").count()
+    assert n_hot > EDIT_DIST_BLOCK_CAP  # the block genuinely overflows
+
+    rep = {r["lang"]: r.asDict()
+           for r in edit_distance_report(merged).collect()}
+    xx = rep["xx"]
+    # (a) audited skip: all C(n_hot, 2) pairs counted, none evaluated
+    assert xx["n_candidate_pairs"] == n_hot * (n_hot - 1) // 2
+    assert xx["n_pairs_skipped"] == xx["n_candidate_pairs"]
+    assert xx["n_blocks_skipped"] == 1 and xx["n_pairs_evaluated"] == 0
+    assert xx["n_near_dup"] == 0 and xx["min_distance"] is None
+
+    # (b) small-block stats are untouched by the hot block's presence:
+    # rerun on ONLY the cold docs and compare every cold language row
+    cold = hot.filter(~F.col("is_hot")).drop("is_hot")
+    cold_rep = {r["lang"]: r.asDict()
+                for r in edit_distance_report(cold).collect()}
+    cold_only = {k: v for k, v in rep.items() if k != "xx"}
+    assert cold_only == cold_rep
