@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -134,17 +134,40 @@ def grouped_exact_quantiles(df: DataFrame, group_col: str,
             .withColumnRenamed("g", group_col))
 
 
-def _grouped_quantiles_from_counts(counts: DataFrame) -> DataFrame:
+def _grouped_quantiles_from_counts(counts: DataFrame,
+                                   bounded_domain: bool = False
+                                   ) -> DataFrame:
     """Per-group exact p50/p90/p99 from a WEIGHTED value-count table
     (g, v, cnt) — the shared kernel of :func:`grouped_exact_quantiles`
     and :func:`robust_outlier_profile`, factored so a caller that
     already holds (or pins) the pre-aggregated counts pays no second
-    scan of the underlying rows. Output: (g, n_rows, q50, q90, q99)."""
-    from .windows import grouped_running_total
-    run = grouped_running_total(counts, ["g"], [F.col("v")], "cnt",
-                                out="cum")
-    n = counts.groupBy("g").agg(F.sum("cnt").cast("long").alias("n_rows"))
-    j = run.join(F.broadcast(n), "g")
+    scan of the underlying rows. Output: (g, n_rows, q50, q90, q99).
+
+    ``bounded_domain=True`` asserts the VALUE DOMAIN (not the row
+    count) bounds each group's slice of the count table — e.g. a
+    cents-grid price column has ≤ ~10⁵ distinct values per group no
+    matter how many events exist. Then a plain per-group running
+    window over the counts IS scale-safe (the partition is
+    domain-sized), and it replaces the distributed prefix-sum
+    kernel's eager checkpoint + driver offset collect with one
+    window sort — the right trade exactly when the domain cap holds.
+    Leave False for unbounded-domain integers (timestamps, lags),
+    where a hot group's distinct values grow with the data."""
+    if bounded_domain:
+        wrun = (Window.partitionBy("g").orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, 0))
+        wall = Window.partitionBy("g")
+        j = counts.select(
+            "g", "v",
+            F.sum("cnt").over(wrun).cast("long").alias("cum"),
+            F.sum("cnt").over(wall).cast("long").alias("n_rows"))
+    else:
+        from .windows import grouped_running_total
+        run = grouped_running_total(counts, ["g"], [F.col("v")], "cnt",
+                                    out="cum")
+        n = (counts.groupBy("g")
+             .agg(F.sum("cnt").cast("long").alias("n_rows")))
+        j = run.join(F.broadcast(n), "g")
     rk = lambda num, den: F.expr(  # noqa: E731 — ceil(num·n/den) exactly
         f"({num} * n_rows + {den} - 1) div {den}")
     pick = lambda r: F.min(F.when(F.col("cum") >= r, F.col("v")))  # noqa: E731
@@ -156,7 +179,8 @@ def _grouped_quantiles_from_counts(counts: DataFrame) -> DataFrame:
 
 
 def robust_outlier_profile(df: DataFrame, group_col: str,
-                           value_col: str, k: int = 3) -> DataFrame:
+                           value_col: str, k: int = 3,
+                           bounded_domain: bool = False) -> DataFrame:
     """Median/MAD robust outlier census per group: flag rows whose
     absolute deviation from the group median exceeds ``k``·MAD — the
     z-score's heavy-tail-safe cousin, composed from TWO passes of
@@ -183,7 +207,7 @@ def robust_outlier_profile(df: DataFrame, group_col: str,
          .filter(F.col("v").isNotNull()))
     vc = pin(v.groupBy("g", "v")
              .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
-    med = (_grouped_quantiles_from_counts(vc)
+    med = (_grouped_quantiles_from_counts(vc, bounded_domain)
            .select("g", F.col("q50").alias("med")))
     dev = (vc.join(F.broadcast(med), "g")
            .withColumn("ad", F.abs(F.col("v") - F.col("med"))))
@@ -191,7 +215,7 @@ def robust_outlier_profile(df: DataFrame, group_col: str,
     # prefix sum (|v - med| is 2-to-1 around the median)
     devc = (dev.groupBy("g", F.col("ad").alias("v"))
             .agg(F.sum("cnt").cast("long").alias("cnt")))
-    mad = (_grouped_quantiles_from_counts(devc)
+    mad = (_grouped_quantiles_from_counts(devc, bounded_domain)
            .select("g", F.col("q50").alias("mad")))
     j = dev.join(F.broadcast(mad), "g")
     out = (j.groupBy("g")

@@ -1054,13 +1054,16 @@ GROUP BY d.g ORDER BY event_type
 """)
 def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # median/MAD outlier census on cents, two grouped-exact-quantile
-    # passes (hot-group-safe prefix sums) — no per-group sort anywhere
+    # passes; the cents grid bounds each group's distinct values
+    # (≤ ~10^5 whatever the row count), so the domain-bounded window
+    # ladder applies — no checkpoint/offset-collect machinery needed
     from ..operators.aggregates import robust_outlier_profile
     ev = load_table(spark, sf_dir, "events")
     v = ev.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("vc"))
-    return robust_outlier_profile(v, "event_type", "vc")
+    return robust_outlier_profile(v, "event_type", "vc",
+                                  bounded_domain=True)
 
 
 @register("customer_k_anonymity", """
