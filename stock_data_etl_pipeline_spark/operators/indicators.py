@@ -2267,3 +2267,240 @@ def return_histogram(daily: DataFrame) -> DataFrame:
                      F.when(F.col("total_days") > 0, sh)
                      .alias("day_share_pct"))
             .orderBy("event_type", "bucket_bp"))
+
+
+# --------------------------------------------------------------------------
+# round 9: volatility-estimator / mean-reversion / cross-series additions
+# --------------------------------------------------------------------------
+
+RS_GRID = 1e12          # Rogers–Satchell per-bar term fixed-point grid
+MOM_RET_GRID = 100      # 1e-2 log-return grid for higher moments: the
+#   synthetic tape's hourly |ln ratio| reaches ~9.2 (ticks are noise,
+#   not a walk), so r_int <= ~920 and r^4 <= 7.2e11/term — Σr⁴ stays
+#   inside int64 through ~10^6 bars/symbol. Skew/kurt are scale-free,
+#   so the coarse grid only quantizes (identically in both engines).
+LL_RET_GRID = 1_000_000  # 1e-6 log-return grid for lead-lag sums
+LL_MAX_LAG = 3           # hours each side of zero
+OU_LN2 = 0.6931471805599453  # ln 2, hardcoded in plan AND oracle
+
+
+def rogers_satchell_vol(bars: DataFrame) -> DataFrame:
+    """Rogers–Satchell range volatility per symbol over the full bar
+    history: sqrt(Σ [ln(h/c)·ln(h/o) + ln(l/c)·ln(l/o)] / n) — the
+    drift-independent OHLC estimator (Parkinson assumes zero drift;
+    RS does not), the natural next rung after
+    :func:`parkinson_vol` / the Garman–Klass term in
+    :func:`realized_vol_daily`.
+
+    Determinism (the parkinson discipline): each bar's RS term is ONE
+    IEEE expression over leaf-cast integer cents, quantized to the
+    exact 1e-12 grid, summed as BIGINT; the final sqrt runs on
+    identical scalars in both engines. The per-bar term can be
+    negative, so the emit guards Σ ≥ 0 explicitly on BOTH sides
+    (DuckDB sqrt(negative) is a hard crash, not NaN). Bars with a
+    nonpositive low or inverted range are dropped. One projection +
+    one hash-agg — no window, no shuffle beyond the group-by.
+    """
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = bars.select("event_type", cents("open").alias("o"),
+                    cents("high").alias("h"), cents("low").alias("l"),
+                    cents("close").alias("c"))
+    b = b.filter((F.col("l") > 0) & (F.col("h") >= F.col("l")))
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    term = (F.log(dbl("h") / dbl("c")) * F.log(dbl("h") / dbl("o"))
+            + F.log(dbl("l") / dbl("c")) * F.log(dbl("l") / dbl("o")))
+    t = F.round(term * F.lit(RS_GRID), 0).cast("long")
+    g = (b.select("event_type", t.alias("t"))
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_bars"),
+              F.sum("t").cast("long").alias("s")))
+    rs = F.round(
+        F.sqrt(F.col("s").cast("double") / F.col("n_bars").cast("double"))
+        / 1e6, 6)
+    return (g.select("event_type", "n_bars",
+                     F.when((F.col("n_bars") > 0) & (F.col("s") >= 0), rs)
+                     .alias("rs_vol"))
+            .orderBy("event_type"))
+
+
+def return_moments(bars: DataFrame) -> DataFrame:
+    """Skewness and excess kurtosis of hourly close-to-close log
+    returns per symbol — the tail-shape screen that decides whether a
+    Gaussian risk model (``stock_var_es``'s parametric tier) is even
+    admissible for a series.
+
+    Returns are quantized to the 1e-2 grid (``MOM_RET_GRID``; skew
+    and kurtosis are scale-free, so the grid factor cancels — the
+    coarse grid buys r⁴ headroom against the synthetic tape's ~9.2
+    max |ln ratio|: Σr⁴ stays under int64 through ~10⁶ bars/symbol).
+    S1..S4 are exact BIGINTs; the
+    final standardized-moment formulas run on leaf-cast doubles with
+    IDENTICAL association both engines and are emitted UNROUNDED
+    (pure functions of exact integers — the kyle-lambda rule: a
+    rounded ratio of exact sums is a knife edge, the raw double is
+    not). Guard: variance > 0.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    b = (bars.filter(F.col("low") > 0)
+         .select("event_type", "hr", "close",
+                 F.lag("close").over(w).alias("pc"))
+         .filter(F.col("pc").isNotNull() & (F.col("pc") > 0)))
+    r = F.round(F.log(F.col("close") / F.col("pc"))
+                * F.lit(float(MOM_RET_GRID)), 0).cast("long")
+    d = b.select("event_type", r.alias("r"))
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("s1"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("s2"),
+        F.sum(F.col("r") * F.col("r") * F.col("r"))
+        .cast("long").alias("s3"),
+        F.sum(F.col("r") * F.col("r") * F.col("r") * F.col("r"))
+        .cast("long").alias("s4"))
+    n = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / n
+    q2 = F.col("s2").cast("double") / n
+    q3 = F.col("s3").cast("double") / n
+    q4 = F.col("s4").cast("double") / n
+    v = q2 - m * m
+    skew = (q3 - F.lit(3.0) * m * q2 + F.lit(2.0) * m * m * m) \
+        / (v * F.sqrt(v))
+    kurt = (q4 - F.lit(4.0) * m * q3 + F.lit(6.0) * m * m * q2
+            - F.lit(3.0) * m * m * m * m) / (v * v) - F.lit(3.0)
+    return (g.select("event_type", "n",
+                     F.when(v > 0, skew).alias("skewness"),
+                     F.when(v > 0, kurt).alias("excess_kurtosis"))
+            .orderBy("event_type"))
+
+
+def lead_lag_corr(bars: DataFrame, sym_x: str, sym_y: str,
+                  max_lag: int = LL_MAX_LAG) -> DataFrame:
+    """Lead–lag cross-correlation between two symbols' hourly log
+    returns: corr(r_x(t), r_y(t+k)) for k in [-max_lag, +max_lag] —
+    does one series anticipate the other? (:func:`rolling_corr` is the
+    k=0 time-varying view; this is the lag profile.)
+
+    Returns on the exact 1e-6 grid keyed by integer epoch-hour
+    (``unix_timestamp div 3600`` — the hour is already truncated, so
+    no sub-second mismatch); the lag shift is integer addition on
+    that key. Per lag: exact BIGINT (n, Σx, Σy, Σx², Σy², Σxy) and
+    ONE unrounded double formula num/sqrt(denx·deny) with the
+    variance factors guarded individually as integers (the product
+    overflows int64 — cast leaves to double inside the sqrt).
+    The 2·max_lag+1 lag rows ride a broadcast join; everything else
+    is one shuffle per series plus a keyed equi-join per lag batch.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    b = (bars.filter(F.col("low") > 0)
+         .select("event_type", "hr", "close",
+                 F.lag("close").over(w).alias("pc"))
+         .filter(F.col("pc").isNotNull() & (F.col("pc") > 0)))
+    r = F.round(F.log(F.col("close") / F.col("pc"))
+                * F.lit(float(LL_RET_GRID)), 0).cast("long")
+    he = F.expr("unix_timestamp(hr) div 3600")
+    d = b.select("event_type", he.alias("he"), r.alias("r"))
+    x = d.filter(F.col("event_type") == sym_x).select(
+        F.col("he").alias("hx"), F.col("r").alias("rx"))
+    y = d.filter(F.col("event_type") == sym_y).select(
+        F.col("he").alias("hy"), F.col("r").alias("ry"))
+    spark = bars.sparkSession
+    lags = spark.createDataFrame(
+        [(k,) for k in range(-max_lag, max_lag + 1)], "lag long")
+    xl = x.crossJoin(F.broadcast(lags))
+    j = xl.join(y, xl.hx + F.col("lag") == y.hy)
+    g = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("rx").cast("long").alias("sx"),
+        F.sum("ry").cast("long").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("long").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("long").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("long").alias("sxy"))
+    num = (F.col("n_pairs") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("long")
+    denx = (F.col("n_pairs") * F.col("sxx")
+            - F.col("sx") * F.col("sx")).cast("long")
+    deny = (F.col("n_pairs") * F.col("syy")
+            - F.col("sy") * F.col("sy")).cast("long")
+    corr = num.cast("double") / F.sqrt(denx.cast("double")
+                                       * deny.cast("double"))
+    return (g.select("lag", "n_pairs",
+                     F.when((denx > 0) & (deny > 0), corr)
+                     .alias("xcorr"))
+            .orderBy("lag"))
+
+
+def ou_halflife(bars: DataFrame) -> DataFrame:
+    """Mean-reversion half-life per symbol via the AR(1) / discrete
+    Ornstein–Uhlenbeck fit: regress Δc_t on c_{t-1}; φ = 1 + β is the
+    hourly persistence and half-life = −ln2 / ln φ (hours). The
+    screen behind every pairs/mean-reversion strategy — which series
+    snap back, and how fast.
+
+    All regression sums are exact BIGINTs on the integer cents grid
+    (headroom: n·Σx² ≈ 1.6e15 at sf0.1's 720 bars of ≤ $560 closes;
+    re-grid to dimes past ~10⁵ bars/symbol). β is emitted UNROUNDED
+    (exact-integer ratio, one division); the half-life quantizes the
+    transcendental to 6 dp (ln output never sits on the grid
+    boundary) with ln2 as a shared literal. Guard: den > 0 and
+    0 < φ < 1 (a non-mean-reverting series has no half-life).
+    """
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    w = Window.partitionBy("event_type").orderBy("hr")
+    b = (bars.select("event_type", "hr", cents("close").alias("c"))
+         .withColumn("x", F.lag("c").over(w))
+         .filter(F.col("x").isNotNull()))
+    d = b.select("event_type", "x", (F.col("c") - F.col("x")).alias("y"))
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("long")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("long")
+    # beta guarded at the division itself: the phi/half-life guards
+    # below EVALUATE phi, and ANSI x/0 raises even double/double —
+    # a NULL beta null-propagates through every downstream predicate
+    beta = F.when(den > 0, num.cast("double") / den.cast("double"))
+    phi = F.lit(1.0) + beta
+    hl = F.round(F.lit(-OU_LN2) / F.log(phi) * 1e6, 0) / 1e6
+    return (g.select(
+        "event_type", "n",
+        beta.alias("beta"),
+        F.when((phi > 0) & (phi < 1), hl)
+        .alias("halflife_hours"))
+        .orderBy("event_type"))
+
+
+def volume_hhi_daily(bars: DataFrame) -> DataFrame:
+    """Daily volume-concentration profile across symbols: per day,
+    each symbol's tick-volume share on the exact (1e6·v) div total
+    quotient grid, the Herfindahl–Hirschman index Σ share² (1 = one
+    symbol took the whole tape, 1/k = perfectly even across k), the
+    top symbol's share, and the symbol count. The venue-concentration
+    audit a surveillance pipeline runs daily.
+
+    Pure integers end to end: volumes are counts, shares are integer
+    quotients, HHI is a BIGINT sum of squared 1e-6-grid shares
+    emitted by ONE division by 1e12. Two hash-aggs on (day, symbol)
+    then (day) — no windows, no joins; day count is calendar-bounded.
+    """
+    day = F.date_trunc("day", F.col("hr"))
+    per = (bars.groupBy(day.alias("day"), F.col("event_type"))
+           .agg(F.sum("volume").cast("long").alias("v")))
+    tot = (per.groupBy("day")
+           .agg(F.sum("v").cast("long").alias("total"),
+                F.count(F.lit(1)).cast("long").alias("n_symbols")))
+    j = per.join(tot, "day")
+    share6 = F.expr("(1000000 * v) div total")
+    g = (j.select("day", "n_symbols", share6.alias("s6"))
+         .groupBy("day")
+         .agg(F.min("n_symbols").cast("long").alias("n_symbols"),
+              F.sum(F.col("s6") * F.col("s6")).cast("long")
+              .alias("hhi12"),
+              F.max("s6").cast("long").alias("top6")))
+    return (g.select("day", "n_symbols",
+                     (F.col("hhi12") / 1e12).alias("hhi"),
+                     (F.col("top6") / 1e6).alias("top_share"))
+            .orderBy("day"))

@@ -21,6 +21,9 @@ from . import catalog_quant  # noqa: F401  (round-7 additions; with the
 # in the rotation, so these land at the head of the round-7 window)
 from . import catalog_round8  # noqa: F401  (round-8 additions; same
 # deal — never-checked first, then greens cycle by staleness)
+from . import catalog_round9  # noqa: F401  (round-9 additions;
+# imports LAST so its never-checked entries rank behind the six
+# round-8 entries still waiting for their first driver window)
 
 # ---------------------------------------------------------------------------
 # Driver verification window rotation. The external correctness gate checks
