@@ -540,11 +540,20 @@ def edit_distance_report(docs: DataFrame, text_col: str = "text",
     (``(1e6·Σd) div n``) over evaluated pairs, and the cap itself so
     downstream readers can interpret the audit columns.
     """
-    d = docs.select(id_col, "lang", "source",
-                    F.expr("n_chars div 8").alias("lb"),
-                    F.col(text_col).alias("t"))
-    sizes = (d.groupBy("lang", "source", "lb")
-             .agg(F.count(F.lit(1)).cast("long").alias("bsz")))
+    # null block keys are excluded up front: the census groupBy would
+    # keep NULL keys while the inner pair join drops them, so leaving
+    # them in would overstate n_pairs_evaluated for null-key docs —
+    # the audit must count exactly what the join can see
+    d = (docs.filter(F.col("lang").isNotNull()
+                     & F.col("source").isNotNull()
+                     & F.col("n_chars").isNotNull())
+         .select(id_col, "lang", "source",
+                 F.expr("n_chars div 8").alias("lb"),
+                 F.col(text_col).alias("t")))
+    # pinned: two consumers (census agg + the cap filter join) would
+    # otherwise each recompute the docs scan + hash-agg
+    sizes = pin(d.groupBy("lang", "source", "lb")
+                .agg(F.count(F.lit(1)).cast("long").alias("bsz")))
     census = sizes.groupBy("lang").agg(
         F.sum(F.expr("bsz * (bsz - 1) div 2"))
         .cast("long").alias("n_candidate_pairs"),

@@ -2295,11 +2295,18 @@ def rogers_satchell_vol(bars: DataFrame) -> DataFrame:
     Determinism (the parkinson discipline): each bar's RS term is ONE
     IEEE expression over leaf-cast integer cents, quantized to the
     exact 1e-12 grid, summed as BIGINT; the final sqrt runs on
-    identical scalars in both engines. The per-bar term can be
-    negative, so the emit guards Σ ≥ 0 explicitly on BOTH sides
-    (DuckDB sqrt(negative) is a hard crash, not NaN). Bars with a
-    nonpositive low or inverted range are dropped. One projection +
-    one hash-agg — no window, no shuffle beyond the group-by.
+    identical scalars in both engines. With the bar invariant
+    l ≤ o,c ≤ h both products are non-negative (ln(h/·) ≥ 0,
+    ln(l/·) ≤ 0), so each term is ≥ 0 and the Σ ≥ 0 emit guard is a
+    pure belt-and-braces defence for malformed bars (DuckDB
+    sqrt(negative) is a hard crash, not NaN). Int64 headroom: an
+    extreme bar's term reaches ~(ln 10⁴)² ·2 ≈ 170 → ~1.7e14 on the
+    1e-12 grid, so Σt overflows int64 only past ~5·10⁴ such bars per
+    symbol (720 bars/symbol at sf0.1 — 70× headroom even if every bar
+    were extreme); re-grid to 1e-10 before running symbols with ≫10⁴
+    pathological-range bars. Bars with a nonpositive low or inverted
+    range are dropped. One projection + one hash-agg — no window, no
+    shuffle beyond the group-by.
     """
     cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
     b = bars.select("event_type", cents("open").alias("o"),

@@ -106,6 +106,53 @@ def _correctness_status(root: str | None = None,
     return latest, status
 
 
+def _query_fingerprint(name: str, catalog=None) -> str:
+    """Stable fingerprint of a catalog entry: sha256-16 over the
+    registered oracle SQL + the builder callable's source. A green
+    CORRECTNESS row attests the (builder, oracle) pair AS OF the
+    driver round that produced it; when either changes afterwards the
+    fingerprint diverges from the one stamped in
+    ``tools/QUERY_FINGERPRINTS.json`` and the rotation ranks the query
+    just after the reds (the r9 gap: ``dedup_edit_distance``'s schema
+    and ``events_robust_outliers``' plan changed, but their stale r8
+    green rows kept them out of the window). Limitation (documented):
+    a change buried in a helper the builder calls does not move the
+    fingerprint — invalidate those by hand
+    (``python tools/stamp_fingerprints.py --invalidate <name>``)."""
+    import hashlib
+    import inspect
+
+    fn, oracle = (catalog or CATALOG)[name]
+    target = inspect.unwrap(fn)
+    try:
+        src = inspect.getsource(target)
+    except (OSError, TypeError):  # builder without retrievable source
+        src = repr(target)
+    payload = (oracle or "") + "\n" + src
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _fingerprint_manifest(root: str | None = None) -> dict[str, str]:
+    """name -> stamped fingerprint from tools/QUERY_FINGERPRINTS.json
+    (written by tools/stamp_fingerprints.py at each round start, after
+    the driver's CORRECTNESS artifact lands and BEFORE any code edit).
+    Missing/unreadable manifest -> {} (tier disabled, never a crash at
+    import time)."""
+    import json
+    import os
+
+    root = root or os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    path = os.path.join(root, "tools", "QUERY_FINGERPRINTS.json")
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except Exception:  # noqa: BLE001 — absent manifest must not break import
+        return {}
+    return {n: row.get("fp") for n, row in data.items()
+            if isinstance(row, dict) and isinstance(row.get("fp"), str)}
+
+
 def _window_order(root: str | None = None) -> list[str]:
     """Catalog ordering for the driver's 50-query window, derived from
     the CORRECTNESS artifacts under ``root`` (default: repo root).
@@ -122,19 +169,30 @@ def _window_order(root: str | None = None) -> list[str]:
         head = list(_ROUND3_WINDOW)
     else:
         # later rounds, self-advancing: queries with a RED driver row
-        # first (prove the fix), then never-driver-checked (in
-        # registration order — earliest families have waited longest),
-        # then green, ranked by the ROUND of their last green row,
-        # oldest-verified first. That last key makes the 50-query
-        # window CYCLE through the whole green catalog across rounds
-        # instead of re-checking the same 50 oldest-registered queries
-        # forever — without it, a testdata regeneration breaking a
-        # late-registered query would never be externally re-caught
-        # (the round-2 failure mode). No manual edit needed per round.
+        # first (prove the fix), then greens whose FINGERPRINT moved
+        # since their last green row (the code the row attests no
+        # longer exists — r10 tier, see _query_fingerprint), then
+        # never-driver-checked (in registration order — earliest
+        # families have waited longest), then green, ranked by the
+        # ROUND of their last green row, oldest-verified first. That
+        # last key makes the 50-query window CYCLE through the whole
+        # green catalog across rounds instead of re-checking the same
+        # 50 oldest-registered queries forever — without it, a
+        # testdata regeneration breaking a late-registered query would
+        # never be externally re-caught (the round-2 failure mode).
+        # No manual edit needed per round.
         reg_index = {n: i for i, n in enumerate(CATALOG)}
+        manifest = _fingerprint_manifest(root)
 
         def rank(n: str) -> tuple[int, int, int]:
-            cls = {"red": 0}.get(status.get(n), 1 if n not in status else 2)
+            if status.get(n) == "red":
+                cls = 0
+            elif n not in status:
+                cls = 2
+            elif n in manifest and manifest[n] != _query_fingerprint(n):
+                cls = 1  # green row attests code that no longer exists
+            else:
+                cls = 3
             return (cls, last_round.get(n, 0), reg_index[n])
 
         head = sorted(CATALOG, key=rank)

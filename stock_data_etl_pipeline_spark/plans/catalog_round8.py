@@ -1152,6 +1152,7 @@ def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_edit_distance", f"""
 WITH d AS (
   SELECT doc_id, lang, source, n_chars // 8 AS lb, text FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL AND n_chars IS NOT NULL
 ), sizes AS (
   SELECT lang, source, lb, CAST(count(*) AS BIGINT) AS bsz
   FROM d GROUP BY lang, source, lb

@@ -1,12 +1,11 @@
 """Round-9 catalog entries.
 
-Volatility-estimator / mean-reversion / cross-series stock additions
-(Rogers–Satchell, return moments, lead–lag cross-correlation, OU
-half-life, daily volume HHI), exact distribution tests over events
-(two-sample KS, dow×hour seasonal decomposition, user-activity Gini),
-embedding-space geometry audits (hubness, two-NN intrinsic dimension,
-Johnson–Lindenstrauss projection distortion), graph closure-by-degree
-and neighbor-degree curves, and corpus sentence/diversity profiles.
+Volatility-estimator / mean-reversion / cross-series stock additions:
+Rogers–Satchell range volatility, return moments (skew/kurtosis),
+lead–lag cross-correlation, OU half-life, and daily volume HHI — the
+five entries this module actually registers. (The distribution tests,
+embedding-geometry audits, graph closure curves and corpus profiles
+originally sketched for this round live in plans/catalog_round10.py.)
 Every entry follows the exact-integer oracle discipline (COVERAGE.md):
 integer-grid summands, single-division emits, shared transcendental
 literals, identical association both engines, unrounded raw-double
@@ -115,7 +114,7 @@ SELECT event_type, n,
 FROM u ORDER BY event_type
 """)
 def stock_return_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # tail-shape screen: exact BIGINT power sums of 1e-4-grid log
+    # tail-shape screen: exact BIGINT power sums of 1e-2-grid log
     # returns (grid cancels in the standardized moments), UNROUNDED
     # double formulas with identical association both engines
     ev = load_table(spark, sf_dir, "events")

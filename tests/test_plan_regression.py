@@ -292,3 +292,20 @@ def test_concurrency_and_pareto_ride_distributed_kernels(spark):
         spark, entrymod.queries()["orders_pareto_deciles"], SF_DIR)
     final = plan.split("== Initial Plan ==")[0]
     assert "_dnt_pid" in final, "pareto deciles lost the ntile kernel"
+
+
+def test_edit_distance_sizes_relation_is_pinned(spark):
+    """The edit-distance block-size relation has TWO consumers (the
+    per-language census aggregate and the cap-filter join); pinned
+    through operators/pinned it must compute its docs-scan + hash-agg
+    ONCE, with both consumers reading the cache — at least two
+    InMemoryTableScans in the executed plan. Reverting the pin makes
+    the documents scan + sizes agg run twice per query (the r9 bench
+    regression on dedup_edit_distance)."""
+    import __spark_entry__ as entrymod
+    props, plan = audit_one(
+        spark, entrymod.queries()["dedup_edit_distance"], SF_DIR)
+    assert props["inmem"] >= 2, (
+        f"sizes relation not read from cache by both consumers "
+        f"(inmem={props['inmem']})\n{plan[:3000]}")
+    assert props["cartesian"] == 0

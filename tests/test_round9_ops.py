@@ -1,7 +1,9 @@
 """Hand-computed fixtures for the round-9 operators: volatility
-estimators, return moments, lead-lag correlation, OU half-life,
-volume concentration, distribution tests, embedding geometry, graph
-closure curves, corpus sentence/diversity profiles."""
+estimators (Rogers–Satchell), return moments, lead-lag correlation,
+OU half-life, and volume concentration (HHI) — the five entries
+catalog_round9 registers. The families originally sketched alongside
+them (distribution tests, embedding geometry, graph closure curves,
+corpus profiles) are covered by tests/test_round10_ops.py."""
 
 from __future__ import annotations
 

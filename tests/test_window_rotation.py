@@ -138,3 +138,67 @@ def test_lexicographic_round_sort_is_not_assumed(tmp_path):
     assert latest == 10
     assert status == {"a": "green"}
     assert rounds == {"a": 10}
+
+
+def test_fingerprint_mismatch_ranks_after_red_before_unchecked(tmp_path):
+    # r10 tier: a green query whose live fingerprint no longer matches
+    # the stamped one (code/oracle changed since the driver attested
+    # it) must rank just after the reds and BEFORE never-checked
+    # queries — its green row describes code that no longer exists.
+    from stock_data_etl_pipeline_spark.plans import _query_fingerprint
+    names = list(CATALOG)
+    red, changed, fresh = names[3], names[7], names[1]
+    (tmp_path / "CORRECTNESS_r05.json").write_text(json.dumps({
+        red: {"rows_match": True, "schema_match": True,
+              "hash_match": False},
+        changed: {"rows_match": True, "schema_match": True,
+                  "hash_match": True},
+        fresh: {"rows_match": True, "schema_match": True,
+                "hash_match": True},
+    }))
+    (tmp_path / "tools").mkdir()
+    (tmp_path / "tools" / "QUERY_FINGERPRINTS.json").write_text(json.dumps({
+        changed: {"fp": "0000deadbeef0000", "round": 5},
+        fresh: {"fp": _query_fingerprint(fresh), "round": 5},
+    }))
+    order = _window_order(str(tmp_path))
+    first_unchecked = next(n for n in order
+                           if n not in (red, changed, fresh))
+    assert order[0] == red                             # reds still lead
+    assert order[1] == changed                         # then stale-attested
+    assert order.index(changed) < order.index(first_unchecked)
+    assert order[-1] == fresh or order.index(fresh) > order.index(
+        first_unchecked)                               # fresh green waits
+    assert sorted(order) == sorted(CATALOG)
+
+
+def test_query_fingerprint_moves_with_oracle_and_source():
+    # the fingerprint must change when EITHER the oracle SQL or the
+    # builder source changes, and be stable across calls
+    from stock_data_etl_pipeline_spark.plans import _query_fingerprint
+
+    def build_a(spark, sf_dir):
+        return None
+
+    def build_b(spark, sf_dir):
+        return 1
+
+    cat1 = {"x": (build_a, "SELECT 1")}
+    cat2 = {"x": (build_a, "SELECT 2")}
+    cat3 = {"x": (build_b, "SELECT 1")}
+    f1 = _query_fingerprint("x", cat1)
+    assert f1 == _query_fingerprint("x", cat1)
+    assert f1 != _query_fingerprint("x", cat2)
+    assert f1 != _query_fingerprint("x", cat3)
+
+
+def test_fingerprint_manifest_reader_survives_bad_file(tmp_path):
+    from stock_data_etl_pipeline_spark.plans import _fingerprint_manifest
+    assert _fingerprint_manifest(str(tmp_path)) == {}  # absent
+    (tmp_path / "tools").mkdir()
+    mf = tmp_path / "tools" / "QUERY_FINGERPRINTS.json"
+    mf.write_text("{not json")
+    assert _fingerprint_manifest(str(tmp_path)) == {}  # unreadable
+    mf.write_text(json.dumps({"a": {"fp": "abc", "round": 3},
+                              "b": "junk", "c": {"round": 4}}))
+    assert _fingerprint_manifest(str(tmp_path)) == {"a": "abc"}
