@@ -94,6 +94,12 @@ HEADLINE = [
     "dedup_edit_distance",
     "corpus_bigram_pmi",
     "orders_pareto_deciles",
+    # round 10: exact distribution tests, closure curve, lexical
+    # diversity (the KS matrix window, the per-node triangle credit)
+    "events_ks_weekend",
+    "events_user_gini",
+    "graph_closure_by_degree",
+    "corpus_diversity_profile",
 ]
 
 
@@ -135,6 +141,14 @@ def main() -> None:
     per_query: dict[str, float] = {}
     cold: dict[str, float] = {}
     rows: dict[str, int] = {}
+    spreads: dict[str, list[float]] = {}
+    # machine-load self-diagnosis (r9 postmortem: a uniformly loaded
+    # bench machine inflated 53 byte-identical queries 10-30% and cost
+    # a round of comparability) — record the 1/5/15-min load averages
+    # around the timed loop plus every attempt's raw time per query,
+    # so the next uniform inflation is readable off the artifact
+    # (high load + wide spreads = co-tenant noise, not regression)
+    loadavg_start = list(os.getloadavg())
     from stock_data_etl_pipeline_spark.operators.pinned import release_pinned
     for name in HEADLINE:
         # release pinned caches BETWEEN queries (the memory-hygiene
@@ -157,6 +171,7 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
             rows[name] = n
         cold[name] = round(times[0], 3)
+        spreads[name] = [round(t, 3) for t in times]
         times.sort()
         per_query[name] = round(times[len(times) // 2], 3)
 
@@ -169,7 +184,10 @@ def main() -> None:
               "unit": "sec", "queries": per_query, "sf": sf,
               "rows": rows, "attempts": attempts,
               "cold_first_attempt": cold,
-              "cold_total": round(sum(cold.values()), 3)}
+              "cold_total": round(sum(cold.values()), 3),
+              "attempt_times": spreads,
+              "loadavg_start": [round(x, 2) for x in loadavg_start],
+              "loadavg_end": [round(x, 2) for x in os.getloadavg()]}
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

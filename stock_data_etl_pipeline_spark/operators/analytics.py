@@ -1893,3 +1893,243 @@ def degree_gini(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
     gini = F.col("num").cast("double") / F.col("den").cast("double")
     return g.select("n", F.col("sx").alias("sum_degree"),
                     F.when(F.col("den") > 0, gini).alias("gini"))
+
+
+def ks_two_sample(events: DataFrame, value_col: str = "value",
+                  group_col: str = "event_type") -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per group between
+    the weekday and weekend distributions of ``value_col`` — the
+    distribution-drift test a pipeline runs before trusting that a
+    slice (new source, new day-of-week mix, post-deploy traffic) still
+    follows the reference distribution.
+
+    Exact, not sampled: values ride the cents grid, so the pooled
+    support per group is DOMAIN-BOUNDED (≤ ~56k distinct cents values)
+    and the ECDF difference is a window over the per-group count
+    MATRIX (the bounded-domain ladder admissibility condition,
+    operators/aggregates.py) — never a sort of the raw stream. One
+    hash-agg over (group, value, side), one matrix window, one final
+    aggregate. Cumulative counts are exact BIGINTs; each candidate
+    D(v) = |cum_we/n_we − cum_wd/n_wd| is ONE pair of IEEE divisions
+    of exact integers (identical association in the DuckDB oracle) and
+    the max over v is order-independent, so the emit is deterministic.
+    Weekend = Saturday/Sunday (Spark dayofweek ∈ {1, 7} ≡ DuckDB
+    dayofweek ∈ {0, 6}).
+    """
+    v = F.round(F.col(value_col) * 100, 0).cast("long")
+    we = F.dayofweek("ts").isin(1, 7).cast("long")
+    m = (events.select(F.col(group_col).alias("g"), v.alias("v"),
+                       we.alias("we"))
+         .groupBy("g", "v")
+         .agg(F.sum("we").cast("long").alias("cwe"),
+              F.sum(F.lit(1) - F.col("we")).cast("long").alias("cwd")))
+    cum = (Window.partitionBy("g").orderBy("v")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = Window.partitionBy("g")
+    c = m.select(
+        "g",
+        F.sum("cwe").over(cum).cast("long").alias("awe"),
+        F.sum("cwd").over(cum).cast("long").alias("awd"),
+        F.sum("cwe").over(tot).cast("long").alias("nwe"),
+        F.sum("cwd").over(tot).cast("long").alias("nwd"))
+    d = F.abs(F.col("awe").cast("double") / F.col("nwe").cast("double")
+              - F.col("awd").cast("double") / F.col("nwd").cast("double"))
+    return (c.groupBy("g")
+            .agg(F.max("nwe").alias("n_weekend"),
+                 F.max("nwd").alias("n_weekday"),
+                 F.max(F.when((F.col("nwe") > 0) & (F.col("nwd") > 0), d))
+                 .alias("ks_stat"))
+            .select(F.col("g").alias(group_col), "n_weekend",
+                    "n_weekday", "ks_stat")
+            .orderBy(group_col))
+
+
+def dow_hour_decomposition(events: DataFrame) -> DataFrame:
+    """Two-way additive seasonal decomposition of the event-count
+    matrix over (day-of-week × hour-of-day): for each of the 168
+    cells, expected = row_effect + col_effect − grand_mean and
+    residual = n − expected — the classic means-model seasonality
+    split that separates "Mondays are busy" from "9am is busy" and
+    flags cells that break both patterns.
+
+    The full 7×24 domain is zero-filled from a 168-row local relation
+    (cells absent from the data would otherwise bias every marginal
+    mean), counts are exact BIGINTs, and all three effects are single
+    divisions of exact integer sums by exact literal cell counts —
+    emitted UNROUNDED with identical association in the oracle (pure
+    functions of exact integers, the kyle-lambda rule). dow is 0=Sun
+    … 6=Sat (Spark ``dayofweek − 1`` ≡ DuckDB ``dayofweek``). Scale:
+    one hash-agg over the stream; every window is over the 168-row
+    matrix.
+    """
+    spark = events.sparkSession
+    dom = spark.createDataFrame(
+        [(d, h) for d in range(7) for h in range(24)],
+        "dow long, hr long")
+    cnt = (events.select((F.dayofweek("ts") - 1).cast("long").alias("dow"),
+                         F.hour("ts").cast("long").alias("hr"))
+           .groupBy("dow", "hr")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    filled = (dom.join(cnt, ["dow", "hr"], "left")
+              .select("dow", "hr",
+                      F.coalesce(F.col("c"), F.lit(0)).cast("long")
+                      .alias("n")))
+    rs = F.sum("n").over(Window.partitionBy("dow")).cast("long")
+    cs = F.sum("n").over(Window.partitionBy("hr")).cast("long")
+    g = F.sum("n").over(Window.partitionBy()).cast("long")
+    e = filled.select("dow", "hr", "n", rs.alias("rs"), cs.alias("cs"),
+                      g.alias("g"))
+    expected = (F.col("rs").cast("double") / 24.0
+                + F.col("cs").cast("double") / 7.0
+                - F.col("g").cast("double") / 168.0)
+    return (e.select("dow", "hr", "n", expected.alias("expected"),
+                     (F.col("n").cast("double")
+                      - (F.col("rs").cast("double") / 24.0
+                         + F.col("cs").cast("double") / 7.0
+                         - F.col("g").cast("double") / 168.0))
+                     .alias("residual"))
+            .orderBy("dow", "hr"))
+
+
+def grouped_count_gini(df: DataFrame, group_col: str,
+                       entity_col: str) -> DataFrame:
+    """Gini coefficient of per-entity activity within each group —
+    "how concentrated is this event type across users": 0 = everyone
+    contributes equally, →1 = a handful of entities dominate. The
+    per-group twin of :func:`degree_gini`, same histogram algebra.
+
+    Never sorts entities: the rank formula
+    G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) is evaluated on the
+    count-of-counts HISTOGRAM (for a run of w equal values x after c
+    predecessors, Σ i over the run is c·w + w(w+1)/2), so the only
+    window is a prefix sum over the per-group distinct-count matrix —
+    domain-bounded (distinct activity levels, not entities). All terms
+    exact BIGINTs (headroom: S1 ≲ x_max·n² — re-grid above ~1e9
+    entities/group); the emit is ONE double division of exact
+    integers, ties need no ordering (equal values commute in Σi·x_i).
+    """
+    x = (df.groupBy(F.col(group_col).alias("g"),
+                    F.col(entity_col).alias("e"))
+         .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    h = x.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("w"))
+    cum = (Window.partitionBy("g").orderBy("x")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    h = h.withColumn("c", (F.sum("w").over(cum) - F.col("w")).cast("long"))
+    s1_term = (F.col("x") * (F.col("c") * F.col("w")
+                             + F.expr("w * (w + 1) div 2"))).cast("long")
+    g = h.groupBy("g").agg(
+        F.sum("w").cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("w")).cast("long").alias("sx"),
+        F.sum(s1_term).cast("long").alias("s1"))
+    g = (g.withColumn("num", (F.lit(2) * F.col("s1")
+                              - (F.col("n") + 1) * F.col("sx"))
+                      .cast("long"))
+         .withColumn("den", (F.col("n") * F.col("sx")).cast("long")))
+    gini = F.col("num").cast("double") / F.col("den").cast("double")
+    return (g.select(F.col("g").alias(group_col),
+                     F.col("n").alias("n_entities"),
+                     F.col("sx").alias("n_rows"),
+                     F.when(F.col("den") > 0, gini).alias("gini"))
+            .orderBy(group_col))
+
+
+def _triangle_vertices(e: DataFrame) -> DataFrame:
+    """Triangle list (a, b, c) over a degree-oriented edge list — the
+    per-edge adjacency intersection of :func:`_triangle_count` with
+    the third vertex EXPLODED instead of counted, for per-node
+    credit. Output is triangle-cardinality (each triangle exactly
+    once, on its base edge), never wedge-cardinality; degree
+    orientation bounds every adjacency array by O(√m) so no explode
+    input row is hub-sized."""
+    adj = (e.groupBy(F.col("a").alias("v"))
+           .agg(F.collect_list("b").alias("nbrs")))
+    na = adj.select(F.col("v").alias("a"), F.col("nbrs").alias("na"))
+    nb = adj.select(F.col("v").alias("b"), F.col("nbrs").alias("nb"))
+    return (e.join(na, "a").join(nb, "b")
+            .select("a", "b",
+                    F.explode(F.array_intersect("na", "nb")).alias("c")))
+
+
+def closure_by_degree(pairs: DataFrame, id_a: str, id_b: str
+                      ) -> DataFrame:
+    """Closure rate (local clustering) as a function of degree: nodes
+    are bucketed by the bit length of their degree (bucket k covers
+    degrees [2^(k−1), 2^k)) and each bucket reports
+    closure = 2·Σ triangles(v) / Σ deg(v)·(deg(v)−1) — the ratio of
+    closed to possible wedges among its nodes. The curve is how one
+    reads hierarchical structure (closure falling with degree =
+    hub-and-spoke; flat = uniform clustering) — the per-degree
+    refinement of :func:`clustering_coefficient`'s single number.
+
+    Per-node triangle counts come from the degree-oriented adjacency
+    intersection (:func:`_triangle_vertices`): the triangle list is
+    output-sized (orientation bounds the intersect arrays by O(√m)),
+    each triangle credits its three vertices via one union + hash-agg,
+    and the bucket rollup is integer-exact — the emit is ONE double
+    division of exact BIGINTs per bucket, guarded on wedge count > 0.
+    Bucketing by ``length(bin(d))`` is pure integer work — no
+    float log2 knife edges at the power-of-two boundaries.
+    """
+    e, deg = _degree_oriented_edges(pairs, id_a, id_b)
+    t = _triangle_vertices(e)
+    tv = (t.select(F.col("a").alias("v"))
+          .unionByName(t.select(F.col("b").alias("v")))
+          .unionByName(t.select(F.col("c").alias("v")))
+          .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("tri")))
+    nodes = (deg.join(tv, deg["v"] == tv["v"], "left")
+             .select(deg["v"].alias("v"), "d",
+                     F.coalesce(F.col("tri"), F.lit(0)).cast("long")
+                     .alias("tri")))
+    bucket = F.length(F.bin(F.col("d"))).cast("long")
+    g = (nodes.groupBy(bucket.alias("degree_bucket"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+              F.sum("tri").cast("long").alias("n_triangles"),
+              F.sum(F.col("d") * (F.col("d") - 1)).cast("long")
+              .alias("w2")))
+    closure = ((F.lit(2) * F.col("n_triangles")).cast("double")
+               / F.col("w2").cast("double"))
+    return (g.select("degree_bucket", "n_nodes", "n_triangles",
+                     F.when(F.col("w2") > 0, closure).alias("closure"))
+            .orderBy("degree_bucket"))
+
+
+def neighbor_degree_curve(pairs: DataFrame, id_a: str, id_b: str
+                          ) -> DataFrame:
+    """Average neighbor degree as a function of degree — the
+    assortativity CURVE (rising = assortative core, falling = hubs
+    feeding leaves) behind :func:`degree_assortativity`'s single
+    coefficient. Buckets by degree bit length like
+    :func:`closure_by_degree`.
+
+    Per bucket: knn(bucket) = Σ_v Σ_{u∼v} deg(u) / Σ_v deg(v) — the
+    degree-weighted mean neighbor degree, a ratio of two exact BIGINT
+    sums emitted as ONE double division. Each edge credits both
+    endpoints via two node-keyed joins on the degree table
+    (node-cardinality, broadcast-joinable); nothing wider than the
+    edge list shuffles.
+    """
+    und = pin(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("x"),
+                           F.greatest(F.col(id_a), F.col(id_b)).alias("y"))
+              .filter(F.col("x") != F.col("y")).distinct())
+    deg = pin(und.select(F.col("x").alias("v"))
+              .unionByName(und.select(F.col("y").alias("v")))
+              .groupBy("v")
+              .agg(F.count(F.lit(1)).cast("long").alias("d")))
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dxv"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dyv"))
+    ed = und.join(dx, "x").join(dy, "y")
+    snd = (ed.select(F.col("x").alias("v"), F.col("dyv").alias("nd"))
+           .unionByName(ed.select(F.col("y").alias("v"),
+                                  F.col("dxv").alias("nd")))
+           .groupBy("v").agg(F.sum("nd").cast("long").alias("snd")))
+    nodes = deg.join(snd, "v")
+    bucket = F.length(F.bin(F.col("d"))).cast("long")
+    g = (nodes.groupBy(bucket.alias("degree_bucket"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"),
+              F.sum("d").cast("long").alias("sum_degree"),
+              F.sum("snd").cast("long").alias("sum_nbr_degree")))
+    knn = F.col("sum_nbr_degree").cast("double") / F.col("sum_degree").cast("double")
+    return (g.select("degree_bucket", "n_nodes", "sum_degree",
+                     F.when(F.col("sum_degree") > 0, knn)
+                     .alias("avg_nbr_degree"))
+            .orderBy("degree_bucket"))

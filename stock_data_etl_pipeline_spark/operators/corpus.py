@@ -1654,3 +1654,83 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text",
     return (j.select("w1", "w2", "c_ab", "c_a", "c_b",
                      F.log(num / den).alias("pmi"))
             .orderBy(F.col("c_ab").desc(), "w1", "w2"))
+
+
+def sentence_profile(docs: DataFrame, text_col: str = "text",
+                     group_col: str = "source") -> DataFrame:
+    """Per-source sentence-structure profile: sentence counts, mean
+    sentences per document, mean sentence length in characters, and
+    the per-source maximum — the readability/segmentation health
+    table a curation pipeline checks before sentence-level chunking
+    (a source whose "sentences" average 800 chars is markup, not
+    prose; one averaging 8 is boilerplate fragments).
+
+    Sentences are ``[.!?]+``-delimited segments, trimmed, empties
+    dropped — the same split both engines express natively (Spark
+    ``split`` / DuckDB ``string_split_regex``). Everything is an
+    exact integer until the two mean emits, each ONE double division
+    of exact BIGINT sums (identical association in the oracle). One
+    projection + one hash-agg; the array work is per-row codegen.
+    """
+    sents = F.filter(
+        F.transform(F.split(F.col(text_col), "[.!?]+"),
+                    lambda s: F.trim(s)),
+        lambda s: s != "")
+    per_doc = docs.select(
+        F.col(group_col).alias("g"),
+        F.size(sents).cast("long").alias("ns"),
+        F.aggregate(sents, F.lit(0).cast("long"),
+                    lambda acc, s: acc + F.length(s)).alias("chars"))
+    g = (per_doc.groupBy("g")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum("ns").cast("long").alias("n_sentences"),
+              F.sum("chars").cast("long").alias("sent_chars"),
+              F.max("ns").cast("long").alias("max_sentences")))
+    mean_per_doc = (F.col("n_sentences").cast("double")
+                    / F.col("n_docs").cast("double"))
+    mean_len = (F.col("sent_chars").cast("double")
+                / F.col("n_sentences").cast("double"))
+    return (g.select(F.col("g").alias(group_col), "n_docs",
+                     "n_sentences", "max_sentences",
+                     mean_per_doc.alias("mean_sentences_per_doc"),
+                     F.when(F.col("n_sentences") > 0, mean_len)
+                     .alias("mean_sentence_chars"))
+            .orderBy(group_col))
+
+
+def diversity_profile(docs: DataFrame, text_col: str = "text",
+                      group_col: str = "source") -> DataFrame:
+    """Per-source lexical-diversity profile: vocabulary size,
+    type-token ratio, and Shannon word entropy — the three numbers
+    that separate a genuinely diverse source from a template farm
+    with a big corpus (high volume, tiny entropy) when deciding
+    mixture weights.
+
+    Entropy is H = ln T − (Σ_w f_w·ln f_w)/T over the per-source word
+    frequency table: each word's f·ln f is quantized to the 1e-6 grid
+    and summed as BIGINT (transcendentals on integer inputs never sit
+    on grid boundaries — the perplexity precedent), T and V are exact
+    counts, and the emit is one identically-associated double
+    expression of exact integers in both engines. The frequency table
+    is one explode + hash-agg on (source, word) — the TF-IDF shuffle
+    shape, no window, no all-pairs anything.
+    """
+    w = (docs.select(F.col(group_col).alias("g"),
+                     F.explode(words(text_col)).alias("wd"))
+         .groupBy("g", "wd")
+         .agg(F.count(F.lit(1)).cast("long").alias("f")))
+    flnf = F.round(F.col("f").cast("double")
+                   * F.log(F.col("f").cast("double")) * 1e6, 0).cast("long")
+    g = (w.groupBy("g")
+         .agg(F.count(F.lit(1)).cast("long").alias("vocab"),
+              F.sum("f").cast("long").alias("n_tokens"),
+              F.sum(flnf).cast("long").alias("sfl")))
+    ttr = F.col("vocab").cast("double") / F.col("n_tokens").cast("double")
+    ent = (F.log(F.col("n_tokens").cast("double"))
+           - F.col("sfl").cast("double") / 1e6
+           / F.col("n_tokens").cast("double"))
+    return (g.select(F.col("g").alias(group_col), "vocab", "n_tokens",
+                     F.when(F.col("n_tokens") > 0, ttr).alias("ttr"),
+                     F.when(F.col("n_tokens") > 0, ent)
+                     .alias("word_entropy"))
+            .orderBy(group_col))

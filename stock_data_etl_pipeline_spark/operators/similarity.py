@@ -949,3 +949,152 @@ def label_centroid_similarity(vecs: DataFrame,
                      F.when((F.col("na") > 0) & (F.col("nb") > 0), cos)
                      .alias("cosine"))
             .orderBy("label_a", "label_b"))
+
+
+def knn_hubness(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
+                id_col: str = "vec_id", block_col: str = "label"
+                ) -> DataFrame:
+    """k-occurrence histogram — the hubness audit for an embedding
+    space: how many vectors appear in exactly ``k_occurrence`` other
+    vectors' k-NN lists. A healthy space is near-binomial around k; a
+    hub-dominated one (the high-dimensional pathology that wrecks
+    retrieval) shows a heavy right tail plus a mass of anti-hubs at
+    zero — this table is how you see it before shipping an index.
+
+    Rides :func:`knn_join` (blocked, Arrow matmul kernel), so the
+    candidate join stays per-block; the in-degree count is one
+    hash-agg on neighbor id, the zero-occurrence class is recovered by
+    a left join from the id universe (anti-hubs are the diagnostic —
+    dropping them would hide the pathology), and the histogram rollup
+    is dashboard-sized. Exact integers end to end.
+    """
+    nn = knn_join(emb, k=k, vec_col=vec_col, id_col=id_col,
+                  block_col=block_col)
+    ind = (nn.groupBy(F.col("neighbor_id").alias("v"))
+           .agg(F.count(F.lit(1)).cast("long").alias("k_occ")))
+    allv = emb.select(F.col(id_col).alias("v"))
+    occ = (allv.join(ind, "v", "left")
+           .select(F.coalesce(F.col("k_occ"), F.lit(0)).cast("long")
+                   .alias("k_occurrence")))
+    return (occ.groupBy("k_occurrence")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+            .orderBy("k_occurrence"))
+
+
+def twonn_intrinsic_dim(emb: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        block_col: str = "label") -> DataFrame:
+    """Two-NN intrinsic-dimension estimate (Facco et al. 2017) per
+    block: ID = n / Σ ln(r2/r1) over each vector's two nearest
+    neighbors — the one-number answer to "how many effective
+    dimensions does this 64-dim embedding actually use", which decides
+    PQ/SQ codebook sizes and whether an IVF index can work at all.
+
+    Distances come from the blocked k-NN scores: for unit vectors
+    r² = 2·(1−s), so ln(r2/r1) = ½·ln((1−s2)/(1−s1)) — evaluated on
+    the 6-dp-rounded scores BOTH engines already agree on
+    (knn_join's contract). Each vector's log term is quantized to the
+    1e-6 grid and summed as BIGINT (the perplexity precedent:
+    transcendentals on rational inputs never sit on grid boundaries);
+    the emit is one double division of exact integers. Vectors whose
+    nearest neighbor is exact (s1 = 1: duplicates, r1 = 0) or with no
+    second neighbor are excluded and reported, since the MLE is
+    undefined there.
+    """
+    nn = knn_join(emb, k=2, vec_col=vec_col, id_col=id_col,
+                  block_col=block_col)
+    s = (nn.groupBy(F.col(id_col).alias("q"))
+         .agg(F.max(F.when(F.col("nn_rank") == 1, F.col("score")))
+              .alias("s1"),
+              F.max(F.when(F.col("nn_rank") == 2, F.col("score")))
+              .alias("s2")))
+    lab = emb.select(F.col(id_col).alias("q"),
+                     F.col(block_col).alias("g"))
+    j = s.join(lab, "q")
+    usable = (F.col("s1").isNotNull() & F.col("s2").isNotNull()
+              & (F.col("s1") < 1.0))
+    q = F.round(F.log((1.0 - F.col("s2")) / (1.0 - F.col("s1")))
+                * 1e6, 0).cast("long")
+    g = (j.groupBy("g")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"),
+              F.sum(usable.cast("long")).cast("long").alias("n_used"),
+              F.sum(F.when(usable, q)).cast("long").alias("slog")))
+    est = (2000000.0 * F.col("n_used").cast("double")
+           / F.col("slog").cast("double"))
+    return (g.select(F.col("g").alias(block_col), "n_vectors", "n_used",
+                     F.when(F.col("slog") > 0, est).alias("twonn_dim"))
+            .orderBy(block_col))
+
+
+def jl_sign_matrix(in_dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic ±1 projection matrix for :func:`jl_distortion`:
+    sign(i, j) = +1 iff the md5 of ``"i_j"`` is even — the same
+    portable md5-parity both engines compute, evaluated ONCE here in
+    Python (hashlib md5 == Spark md5 == DuckDB md5 on identical
+    strings) so the Spark plan carries literals instead of 1024
+    per-row md5 calls. The DuckDB oracle derives the matrix inline
+    from md5 — agreeing outputs prove the derivation, not just the
+    copy."""
+    import hashlib
+
+    def sign(i: int, j: int) -> int:
+        h = int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    return [[sign(i, j) for i in range(in_dim)] for j in range(out_dim)]
+
+
+def jl_distortion(emb: DataFrame, in_dim: int = 64, out_dim: int = 16,
+                  vec_col: str = "embedding", id_col: str = "vec_id"
+                  ) -> DataFrame:
+    """Johnson–Lindenstrauss distortion audit: project vector
+    DIFFERENCES through a deterministic ±1/√k matrix and histogram the
+    squared-norm ratio ‖P(x−y)‖²/k ÷ ‖x−y‖² over a linear-sized pair
+    sample (consecutive ids — one keyed self-join, never all pairs).
+    The table answers "how much does a k-dim sketch distort distances
+    on THIS corpus" before committing an ANN index to the sketch.
+
+    Exactness: per-pair differences are quantized to the 1e-6 grid as
+    BIGINTs (the grid cancels in the ratio), each projected coordinate
+    is an exact integer dot product with the ±1 matrix
+    (:func:`jl_sign_matrix`), and the decile bucket is INTEGER
+    arithmetic — (10·Σp²) div (k·Σq²) — so no float ever decides a
+    bucket boundary. Headroom: |q| ≤ ~2e6 ⇒ p² ≤ ~2.6e16, 10·Σp²
+    ≤ ~4e18 < int64 at 64→16 dims; re-grid to 1e-5 beyond 256 input
+    dims. min/max ratios are order-independent doubles of exact
+    integers.
+    """
+    signs = jl_sign_matrix(in_dim, out_dim)
+    a = emb.select(F.col(id_col).alias("ida"),
+                   as_double(vec_col).alias("va"))
+    b = emb.select((F.col(id_col) - 1).alias("ida"),
+                   as_double(vec_col).alias("vb"))
+    pairs = a.join(b, "ida")
+    q = F.transform(
+        F.zip_with("va", "vb", lambda x, y: x - y),
+        lambda d: F.round(d * 1e6, 0).cast("long"))
+    p = pairs.select("ida", q.alias("q"))
+    sq = F.aggregate("q", F.lit(0).cast("long"),
+                     lambda acc, x: acc + x * x)
+    pjs = [
+        F.aggregate(
+            F.zip_with("q", F.lit(signs[j]),
+                       lambda qi, s: qi * s.cast("long")),
+            F.lit(0).cast("long"), lambda acc, x: acc + x).alias(f"p{j}")
+        for j in range(out_dim)]
+    r = p.select("ida", sq.alias("sq"), *pjs)
+    spj = r.select(
+        "ida", "sq",
+        sum((F.col(f"p{j}") * F.col(f"p{j}") for j in range(out_dim)),
+            start=F.lit(0).cast("long")).alias("spj"))
+    kept = spj.filter(F.col("sq") > 0)
+    ratio = (F.col("spj").cast("double")
+             / (float(out_dim) * F.col("sq").cast("double")))
+    bucket = F.expr(f"(10 * spj) div ({out_dim} * sq)")
+    h = (kept.select(bucket.cast("long").alias("ratio_decile"),
+                     ratio.alias("ratio"))
+         .groupBy("ratio_decile")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+              F.min("ratio").alias("min_ratio"),
+              F.max("ratio").alias("max_ratio")))
+    return h.orderBy("ratio_decile")

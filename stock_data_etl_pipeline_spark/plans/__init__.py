@@ -22,8 +22,12 @@ from . import catalog_quant  # noqa: F401  (round-7 additions; with the
 from . import catalog_round8  # noqa: F401  (round-8 additions; same
 # deal — never-checked first, then greens cycle by staleness)
 from . import catalog_round9  # noqa: F401  (round-9 additions;
-# imports LAST so its never-checked entries rank behind the six
-# round-8 entries still waiting for their first driver window)
+# imports after round 8 so its never-checked entries rank behind the
+# six round-8 entries still waiting for their first driver window)
+from . import catalog_round10  # noqa: F401  (round-10 additions;
+# imports LAST — with the whole catalog green after r9, these
+# never-checked entries head the window right after the two
+# fingerprint-invalidated queries)
 
 # ---------------------------------------------------------------------------
 # Driver verification window rotation. The external correctness gate checks
