@@ -1734,3 +1734,97 @@ def diversity_profile(docs: DataFrame, text_col: str = "text",
                      F.when(F.col("n_tokens") > 0, ent)
                      .alias("word_entropy"))
             .orderBy(group_col))
+
+
+def readability_profile(docs: DataFrame, text_col: str = "text",
+                        group_col: str = "source") -> DataFrame:
+    """Per-source readability: Flesch reading ease and Flesch–Kincaid
+    grade computed on aggregate ratios (Σwords/Σsentences,
+    Σsyllables/Σwords) — the curation-time proxy for "is this source
+    prose a model should learn from, legal boilerplate, or keyword
+    soup". Aggregate-ratio form (not mean-of-per-doc-scores) so short
+    documents don't dominate.
+
+    Syllables are vowel-group counts (``[aeiouy]+`` runs, floor 1 per
+    word) — the standard cheap estimator, expressed identically in
+    both engines (``regexp_extract_all`` over the word array). All
+    three sums are exact BIGINTs; the two scores are
+    identically-associated double expressions of exact integers with
+    shared literal coefficients (206.835/1.015/84.6 and
+    0.39/11.8/15.59), guarded on nonzero sentence/word counts. One
+    projection + one hash-agg — the per-word regex work stays in
+    per-row codegen, nothing wider than (group, 3 sums) shuffles.
+    """
+    ws = words(text_col)
+    sents = F.filter(
+        F.transform(F.split(F.col(text_col), "[.!?]+"),
+                    lambda s: F.trim(s)),
+        lambda s: s != "")
+    syl = F.aggregate(
+        ws, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(
+            F.lit(1).cast("long"),
+            F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"),
+                                        F.lit(0))).cast("long")))
+    per_doc = docs.select(
+        F.col(group_col).alias("g"),
+        F.size(ws).cast("long").alias("nw"),
+        F.size(sents).cast("long").alias("ns"),
+        syl.alias("ny"))
+    g = (per_doc.groupBy("g")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum("nw").cast("long").alias("sw"),
+              F.sum("ns").cast("long").alias("ss"),
+              F.sum("ny").cast("long").alias("sy")))
+    wps = F.col("sw").cast("double") / F.col("ss").cast("double")
+    spw = F.col("sy").cast("double") / F.col("sw").cast("double")
+    ok = (F.col("ss") > 0) & (F.col("sw") > 0)
+    ease = 206.835 - 1.015 * wps - 84.6 * spw
+    grade = 0.39 * wps + 11.8 * spw - 15.59
+    return (g.select(F.col("g").alias(group_col), "n_docs", "sw", "ss",
+                     "sy",
+                     F.when(ok, ease).alias("flesch_ease"),
+                     F.when(ok, grade).alias("fk_grade"))
+            .orderBy(group_col))
+
+
+def word_burstiness(docs: DataFrame, top: int = 20,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Burstiness (variance-to-mean ratio of per-document counts,
+    zeros included) for the corpus's ``top`` most frequent words — the
+    dispersion screen that separates function words (VMR ≈ 1, Poisson
+    -ish) from topical/template words (VMR ≫ 1: absent almost
+    everywhere, stacked where they appear). Template-word lists feed
+    boilerplate filters; a "stopword" with high VMR is a tell that a
+    source is flooding the corpus with one document shape.
+
+    Entirely integer algebra: with N docs, total count T and per-doc
+    squared sum Σc², population VMR = (N·Σc² − T²) / (N·T) — both
+    sides exact BIGINTs, emitted as ONE unrounded double division
+    (kyle-lambda rule). Zeros never materialize: the formula only
+    needs the nonzero (doc, word) counts. Headroom: N·Σc² — at 1e9
+    docs with 1e3-count cells this needs ~1e18, inside int64; re-grid
+    by sharding N beyond that. Top-k is a heap over the vocab-sized
+    aggregate (TakeOrdered, never a full sort), ties on the word.
+    """
+    c = (docs.select(F.col(id_col), F.explode(words(text_col))
+                     .alias("wd"))
+         .groupBy(id_col, "wd")
+         .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    per_word = (c.groupBy("wd")
+                .agg(F.sum("c").cast("long").alias("t"),
+                     F.sum(F.col("c") * F.col("c")).cast("long")
+                     .alias("s2"),
+                     F.count(F.lit(1)).cast("long").alias("df")))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    j = per_word.crossJoin(F.broadcast(n_docs))
+    num = (F.col("n_docs") * F.col("s2") - F.col("t") * F.col("t"))
+    den = (F.col("n_docs") * F.col("t"))
+    out = j.select(
+        F.col("wd").alias("word"), "t", "df", "n_docs",
+        F.when(den > 0, num.cast("double") / den.cast("double"))
+        .alias("vmr"))
+    return (out.orderBy(F.col("t").desc(), "word").limit(top)
+            .select("word", F.col("t").alias("total_count"),
+                    F.col("df").alias("doc_freq"), "n_docs", "vmr"))

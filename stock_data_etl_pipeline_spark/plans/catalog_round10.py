@@ -409,3 +409,76 @@ def corpus_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word entropy on the 1e-6 f·ln f grid — one explode + hash-agg
     d = load_table(spark, sf_dir, "documents")
     return CP.diversity_profile(d)
+
+
+@register("corpus_readability", """
+WITH w AS (
+  SELECT source,
+         list_filter(string_split(text, ' '), x -> x != '') AS ws,
+         list_filter(list_transform(string_split_regex(text, '[.!?]+'),
+                                    x -> trim(x)), x -> x <> '') AS sents
+  FROM documents
+), d AS (
+  SELECT source, CAST(len(ws) AS BIGINT) AS nw,
+         CAST(len(sents) AS BIGINT) AS ns,
+         CAST(CASE WHEN len(ws) = 0 THEN 0 ELSE list_reduce(
+              list_transform(ws, x -> greatest(1,
+                  len(regexp_extract_all(lower(x), '[aeiouy]+')))),
+              (a, b) -> a + b) END AS BIGINT) AS ny
+  FROM w
+), g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nw) AS BIGINT) AS sw, CAST(sum(ns) AS BIGINT) AS ss,
+         CAST(sum(ny) AS BIGINT) AS sy
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, sw, ss, sy,
+       CASE WHEN ss > 0 AND sw > 0
+            THEN 206.835
+                 - 1.015 * (CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE))
+                 - 84.6 * (CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE))
+       END AS flesch_ease,
+       CASE WHEN ss > 0 AND sw > 0
+            THEN 0.39 * (CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE))
+                 + 11.8 * (CAST(sy AS DOUBLE) / CAST(sw AS DOUBLE))
+                 - 15.59
+       END AS fk_grade
+FROM g ORDER BY source
+""")
+def corpus_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flesch ease / FK grade on aggregate ratios per source: vowel-run
+    # syllable counts (floor 1/word), exact BIGINT sums, shared
+    # literal coefficients, identically-associated double emits
+    d = load_table(spark, sf_dir, "documents")
+    return CP.readability_profile(d)
+
+
+@register("corpus_word_burstiness", """
+WITH c AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x != ''))
+           AS wd
+  FROM documents
+), pc AS (
+  SELECT doc_id, wd, CAST(count(*) AS BIGINT) AS c
+  FROM c GROUP BY doc_id, wd
+), pw AS (
+  SELECT wd, CAST(sum(c) AS BIGINT) AS t,
+         CAST(sum(c * c) AS BIGINT) AS s2,
+         CAST(count(*) AS BIGINT) AS df
+  FROM pc GROUP BY wd
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT wd AS word, t AS total_count, df AS doc_freq, n_docs,
+       CASE WHEN n_docs * t > 0
+            THEN CAST(n_docs * s2 - t * t AS DOUBLE)
+                 / CAST(n_docs * t AS DOUBLE)
+       END AS vmr
+FROM pw, n
+ORDER BY t DESC, wd LIMIT 20
+""")
+def corpus_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # variance-to-mean dispersion of the top-20 words, zeros included
+    # via the (N·Σc² − T²)/(N·T) identity — pure BIGINT algebra, one
+    # unrounded double division, top-k off a vocab-sized heap
+    d = load_table(spark, sf_dir, "documents")
+    return CP.word_burstiness(d, top=20)

@@ -193,3 +193,81 @@ def test_diversity_profile_hand_computed(spark):
     assert abs(r["ttr"] - 2.0 / 3.0) < 1e-12
     s = round(1e6 * (2.0 * math.log(2.0)))
     assert abs(r["word_entropy"] - (math.log(3.0) - s / 1e6 / 3.0)) < 1e-12
+
+
+def test_readability_profile_hand_computed(spark):
+    # "Hello world. Bye!": words [Hello, world., Bye!] -> syllables
+    # 2 + 1 + 1 (vowel runs, [aeiouy]); sentences 2
+    d = _docs(spark, [("s1", "Hello world. Bye!")])
+    r = CP.readability_profile(d).collect()[0]
+    assert (r["sw"], r["ss"], r["sy"]) == (3, 2, 4)
+    wps, spw = 3.0 / 2.0, 4.0 / 3.0
+    assert abs(r["flesch_ease"] - (206.835 - 1.015 * wps - 84.6 * spw)) \
+        < 1e-9
+    assert abs(r["fk_grade"] - (0.39 * wps + 11.8 * spw - 15.59)) < 1e-9
+
+
+def test_word_burstiness_hand_computed(spark):
+    # docs "a a b" and "a c": VMR(a) = (2·5−9)/(2·3) = 1/6,
+    # VMR(b) = VMR(c) = (2·1−1)/(2·1) = 1/2
+    d = _docs(spark, [("s1", "a a b"), ("s1", "a c")])
+    out = CP.word_burstiness(d, top=3).collect()
+    assert [r["word"] for r in out] == ["a", "b", "c"]  # t desc, word
+    byw = {r["word"]: r for r in out}
+    assert byw["a"]["total_count"] == 3 and byw["a"]["doc_freq"] == 2
+    assert abs(byw["a"]["vmr"] - 1.0 / 6.0) < 1e-12
+    assert abs(byw["b"]["vmr"] - 0.5) < 1e-12
+
+
+def test_closure_by_degree_star_graph_has_no_triangles(spark):
+    # hub stress: K1,40 — degree orientation must not fan the hub out;
+    # no triangles anywhere, every bucket closure NULL or 0 wedges at
+    # the leaves
+    p = _pairs(spark, [(0, i) for i in range(1, 41)])
+    out = AN.closure_by_degree(p, "pa", "pb").collect()
+    assert sum(r["n_triangles"] for r in out) == 0
+    leaves = [r for r in out if r["degree_bucket"] == 1][0]
+    assert leaves["n_nodes"] == 40 and leaves["closure"] is None
+    hub = [r for r in out if r["degree_bucket"] == 6][0]  # bin(40)=6 bits
+    assert hub["n_nodes"] == 1 and hub["closure"] == 0.0
+
+
+def test_neighbor_degree_star_graph(spark):
+    # leaves' only neighbor is the hub (deg 40); hub's neighbors are
+    # all leaves (deg 1): knn(leaf bucket)=40, knn(hub bucket)=1
+    p = _pairs(spark, [(0, i) for i in range(1, 41)])
+    out = {r["degree_bucket"]: r
+           for r in AN.neighbor_degree_curve(p, "pa", "pb").collect()}
+    assert abs(out[1]["avg_nbr_degree"] - 40.0) < 1e-12
+    assert abs(out[6]["avg_nbr_degree"] - 1.0) < 1e-12
+
+
+def test_grouped_count_gini_matches_bruteforce(spark):
+    # pseudo-random count multiset vs the sorted-rank formula in
+    # plain Python — pins the histogram algebra end to end
+    counts = [((i * 7919) % 13) + 1 for i in range(40)]  # deterministic
+    rows = []
+    for u, c in enumerate(counts):
+        rows += [("a", u, MON, 0.0)] * c
+    ev = _events(spark, rows)
+    r = AN.grouped_count_gini(ev, "event_type", "user_id").collect()[0]
+    xs = sorted(counts)
+    n, sx = len(xs), sum(xs)
+    s1 = sum((i + 1) * x for i, x in enumerate(xs))
+    exp = (2 * s1 - (n + 1) * sx) / (n * sx)
+    assert r["n_entities"] == n and r["n_rows"] == sx
+    assert abs(r["gini"] - exp) < 1e-12
+
+
+def test_ks_disjoint_supports_is_one(spark):
+    # weekday mass entirely below weekend mass -> KS = 1
+    ev = _events(spark, [("a", 1, MON, 1.0), ("a", 1, MON, 2.0),
+                         ("a", 2, SAT, 5.0), ("a", 2, SAT, 6.0)])
+    assert abs(AN.ks_two_sample(ev).collect()[0]["ks_stat"] - 1.0) < 1e-12
+
+
+def test_jl_distortion_requires_consecutive_ids(spark):
+    # non-consecutive ids -> no pairs -> empty histogram (never a
+    # cross join fallback)
+    e = _vecs(spark, [(1, [1.0, 0.0], 0), (5, [0.0, 1.0], 0)])
+    assert SIM.jl_distortion(e, in_dim=2, out_dim=4).collect() == []
