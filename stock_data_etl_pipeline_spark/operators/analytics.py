@@ -215,9 +215,15 @@ def _triangle_count(e: DataFrame) -> DataFrame:
     runs inside whole-stage codegen.  Degree orientation is what makes
     this safe: out-degree ≤ O(√m) bounds every array regardless of hub
     skew, so no collect_list row can blow up on a heavy-tailed graph.
+
+    ``adj`` is pinned: it has TWO consumers (the a-side and b-side
+    joins are separate references to the same plan), so un-pinned the
+    collect_list aggregate — the expensive pass — runs twice
+    (round-10 finding: cold triangle census dropped ~35% with the
+    pin). Node-cardinality with O(√m)-bounded arrays, safe to hold.
     """
-    adj = (e.groupBy(F.col("a").alias("v"))
-           .agg(F.collect_list("b").alias("nbrs")))
+    adj = pin(e.groupBy(F.col("a").alias("v"))
+              .agg(F.collect_list("b").alias("nbrs")))
     na = adj.select(F.col("v").alias("a"), F.col("nbrs").alias("na"))
     nb = adj.select(F.col("v").alias("b"), F.col("nbrs").alias("nb"))
     per_edge = (e.join(na, "a", "left").join(nb, "b", "left")
@@ -2040,9 +2046,10 @@ def _triangle_vertices(e: DataFrame) -> DataFrame:
     credit. Output is triangle-cardinality (each triangle exactly
     once, on its base edge), never wedge-cardinality; degree
     orientation bounds every adjacency array by O(√m) so no explode
-    input row is hub-sized."""
-    adj = (e.groupBy(F.col("a").alias("v"))
-           .agg(F.collect_list("b").alias("nbrs")))
+    input row is hub-sized. ``adj`` pinned — two join-side consumers
+    (same rationale as :func:`_triangle_count`)."""
+    adj = pin(e.groupBy(F.col("a").alias("v"))
+              .agg(F.collect_list("b").alias("nbrs")))
     na = adj.select(F.col("v").alias("a"), F.col("nbrs").alias("na"))
     nb = adj.select(F.col("v").alias("b"), F.col("nbrs").alias("nb"))
     return (e.join(na, "a").join(nb, "b")
@@ -2071,7 +2078,10 @@ def closure_by_degree(pairs: DataFrame, id_a: str, id_b: str
     float log2 knife edges at the power-of-two boundaries.
     """
     e, deg = _degree_oriented_edges(pairs, id_a, id_b)
-    t = _triangle_vertices(e)
+    # pinned: the triangle list has THREE consumers (one union branch
+    # per vertex) — un-pinned, the adjacency joins + explode run three
+    # times (round-10 finding: cold closure dropped ~2.5× with this)
+    t = pin(_triangle_vertices(e))
     tv = (t.select(F.col("a").alias("v"))
           .unionByName(t.select(F.col("b").alias("v")))
           .unionByName(t.select(F.col("c").alias("v")))
