@@ -48,6 +48,15 @@ def register(name: str, oracle: str | None):
     builders by Python name never trigger a mid-build release.
     """
     def deco(fn: Builder) -> Builder:
+        if name in CATALOG:
+            # a silent dict overwrite here cost round 10 a shadowed
+            # query (events_dow_hour_profile collision): the catalog
+            # shrank by one with no error and only the count diff
+            # exposed it — fail loudly at import instead
+            raise ValueError(
+                f"catalog entry {name!r} already registered — "
+                "rename the new query (register() never overwrites)")
+
         @functools.wraps(fn)
         def entry(spark: SparkSession, sf_dir: str) -> DataFrame:
             release_pinned()

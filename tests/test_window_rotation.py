@@ -202,3 +202,16 @@ def test_fingerprint_manifest_reader_survives_bad_file(tmp_path):
     mf.write_text(json.dumps({"a": {"fp": "abc", "round": 3},
                               "b": "junk", "c": {"round": 4}}))
     assert _fingerprint_manifest(str(tmp_path)) == {"a": "abc"}
+
+
+def test_register_rejects_duplicate_names():
+    # a silent overwrite shadowed a query in round 10 — the decorator
+    # must refuse duplicates at import time
+    import pytest
+
+    from stock_data_etl_pipeline_spark.plans.catalog import register
+    existing = next(iter(CATALOG))
+    with pytest.raises(ValueError, match="already registered"):
+        @register(existing, None)
+        def clash(spark, sf_dir):  # pragma: no cover
+            return None
