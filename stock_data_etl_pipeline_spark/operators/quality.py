@@ -170,3 +170,70 @@ def psi_drift(events: DataFrame, bins: int = 10, hi: float = 600.0,
     return (out.select(key_col, "n_first", "n_second", "psi",
                        (F.col("psi") > threshold).alias("drifted"))
             .orderBy(key_col))
+
+
+def daily_value_histogram(events: DataFrame, bins: int = 10,
+                          hi: float = 600.0,
+                          value_col: str = "value",
+                          ts_col: str = "ts") -> DataFrame:
+    """Per-day fixed-width value histogram — the batch twin of the
+    streaming windowed histogram (streaming/events.py:
+    streaming_daily_value_histogram); both feed
+    :func:`psi_from_daily_histogram`. Buckets over [0, hi], top
+    bucket catches overflow (same binning as :func:`psi_drift`)."""
+    width = hi / bins
+    bucket = F.least(F.lit(bins - 1),
+                     F.floor(F.col(value_col) / width)).cast("int")
+    return (events.groupBy(F.date_trunc("day", F.col(ts_col))
+                           .alias("day"), bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+
+
+def psi_from_daily_histogram(h: DataFrame, bins: int = 10,
+                             threshold: float = 0.2) -> DataFrame:
+    """Per-day Population Stability Index against the FIRST day's
+    distribution, from a (day, bucket, c) histogram — the
+    drift-monitor readout over a streaming sink: the expensive pass
+    (the per-day histogram) is the streaming aggregation; this
+    post-processing is matrix-sized arithmetic a monitor runs on the
+    drained table.
+
+    Dense-grid smoothing: every day is filled to the full
+    ``bins``-bucket support and every bucket contributes a
+    Laplace-smoothed term ((c+1)/(n+bins)) — deterministic with no
+    union-of-observed bookkeeping (contrast :func:`psi_drift`'s
+    sparse variant; both are standard). Each term is quantized to the
+    1e-9 grid as BIGINT before the per-day sum (ln on rationals never
+    sits on grid boundaries — the perplexity precedent), so the
+    reported psi is exact S/1e9 and the threshold boolean is a
+    function of the emitted value. Everything after the histogram is
+    O(days × bins).
+    """
+    from .pinned import pin
+    spark = h.sparkSession
+    days = h.select("day").distinct()
+    grid = days.crossJoin(F.broadcast(
+        spark.range(bins).select(F.col("id").cast("int").alias("bucket"))))
+    dense = pin(grid.join(h, ["day", "bucket"], "left")
+                .select("day", "bucket",
+                        F.coalesce(F.col("c"), F.lit(0)).cast("long")
+                        .alias("c")))
+    tot = pin(dense.groupBy("day")
+              .agg(F.sum("c").cast("long").alias("n")))
+    rday = tot.agg(F.min("day").alias("rday"))
+    ref = (dense.join(tot, "day")
+           .join(F.broadcast(rday), F.col("day") == F.col("rday"))
+           .select("bucket", F.col("c").alias("cr"),
+                   F.col("n").alias("nr")))
+    j = dense.join(tot, "day").join(F.broadcast(ref), "bucket")
+    pd_ = (F.col("c") + 1) / (F.col("n") + F.lit(float(bins)))
+    pr_ = (F.col("cr") + 1) / (F.col("nr") + F.lit(float(bins)))
+    term9 = F.round(F.lit(1e9) * ((pd_ - pr_) * F.log(pd_ / pr_)), 0) \
+        .cast("long")
+    s = (j.groupBy("day")
+         .agg(F.max("n").cast("long").alias("n_events"),
+              F.sum(term9).cast("long").alias("s9")))
+    psi = F.col("s9") / 1e9
+    return (s.select("day", "n_events", psi.alias("psi"),
+                     (psi > F.lit(threshold)).alias("drifted"))
+            .orderBy("day"))

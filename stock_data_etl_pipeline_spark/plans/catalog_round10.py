@@ -482,3 +482,63 @@ def corpus_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unrounded double division, top-k off a vocab-sized heap
     d = load_table(spark, sf_dir, "documents")
     return CP.word_burstiness(d, top=20)
+
+
+_DAILY_PSI_ORACLE = """
+WITH h AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         least(9, floor(value / 60.0))::INT AS bucket,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), days AS (SELECT DISTINCT day FROM h),
+grid AS (SELECT d.day, g.bucket::INT AS bucket
+         FROM days d, range(0, 10) g(bucket)),
+dense AS (
+  SELECT grid.day, grid.bucket, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+  FROM grid LEFT JOIN h ON grid.day = h.day AND grid.bucket = h.bucket
+), tot AS (SELECT day, CAST(sum(c) AS BIGINT) AS n
+           FROM dense GROUP BY day),
+r AS (SELECT min(day) AS rday FROM tot),
+ref AS (SELECT d.bucket, d.c AS cr, t.n AS nr
+        FROM dense d JOIN tot t ON d.day = t.day
+        JOIN r ON d.day = r.rday),
+j AS (SELECT d.day, d.bucket, d.c, t.n, ref.cr, ref.nr
+      FROM dense d JOIN tot t ON d.day = t.day
+      JOIN ref ON d.bucket = ref.bucket),
+terms AS (
+  SELECT day, n,
+         CAST(round(1e9 * (((c + 1) / (n + 10.0) - (cr + 1) / (nr + 10.0))
+              * ln(((c + 1) / (n + 10.0)) / ((cr + 1) / (nr + 10.0)))),
+              0) AS BIGINT) AS t9
+  FROM j
+), s AS (SELECT day, CAST(max(n) AS BIGINT) AS n_events,
+                CAST(sum(t9) AS BIGINT) AS s9
+         FROM terms GROUP BY day)
+SELECT day, n_events, s9 / 1e9 AS psi, s9 / 1e9 > 0.2 AS drifted
+FROM s ORDER BY day
+"""
+
+
+@register("events_daily_psi", _DAILY_PSI_ORACLE)
+def events_daily_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # drift monitor, batch twin: per-day value histogram -> dense-grid
+    # Laplace-smoothed PSI vs day 1 on the 1e-9 term grid
+    from ..operators.quality import (daily_value_histogram,
+                                     psi_from_daily_histogram)
+    ev = load_table(spark, sf_dir, "events")
+    return psi_from_daily_histogram(daily_value_histogram(ev))
+
+
+@register("streaming_daily_psi", _DAILY_PSI_ORACLE)
+def streaming_daily_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the same relation with the histogram produced by a REAL
+    # Structured Streaming query (file stream -> watermark -> 1-day
+    # window x bucket count -> memory sink); the PSI readout runs on
+    # the drained sink, which is how a monitor consumes it live
+    import os
+
+    from ..operators.quality import psi_from_daily_histogram
+    from ..streaming.events import streaming_daily_value_histogram
+    h = streaming_daily_value_histogram(
+        spark, os.path.join(sf_dir, "events.parquet"))
+    return psi_from_daily_histogram(h)

@@ -362,3 +362,40 @@ def streaming_hourly_topk(spark: SparkSession, events_parquet: str,
             .select(F.col("w.start").alias("hour"), "event_type", "n",
                     "rnk")
             .orderBy("hour", "rnk"))
+
+
+def streaming_daily_value_histogram(spark: SparkSession,
+                                    events_parquet: str,
+                                    bins: int = 10, hi: float = 600.0,
+                                    watermark: str = "2 days"
+                                    ) -> DataFrame:
+    """Per-day value histogram as a REAL Structured Streaming query:
+    file stream -> watermark -> (1-day tumbling window × fixed-width
+    value bucket) count -> memory sink, drained with availableNow.
+    The streaming half of the drift monitor — the drained table is
+    what operators/quality.psi_from_daily_histogram scores per day
+    against day 1.
+
+    Complete output mode so open windows emit and the drained
+    relation equals the batch twin (operators/quality.
+    daily_value_histogram); on a live source the same query runs in
+    append mode with the 2-day watermark bounding state — each day's
+    histogram row finalizes when the watermark passes, and the PSI
+    readout picks it up from the sink (the monitor reads the sink,
+    never the stream).
+    """
+    stream = event_stream(spark, events_parquet)
+    width = hi / bins
+    bucket = F.least(F.lit(bins - 1),
+                     F.floor(F.col("value") / width)).cast("int")
+    agg = (stream.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", "1 day").alias("w"),
+                    bucket.alias("bucket"))
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    name = f"dailyhist_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+            .select(F.col("w.start").alias("day"), "bucket", "c"))

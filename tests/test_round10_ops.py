@@ -271,3 +271,32 @@ def test_jl_distortion_requires_consecutive_ids(spark):
     # cross join fallback)
     e = _vecs(spark, [(1, [1.0, 0.0], 0), (5, [0.0, 1.0], 0)])
     assert SIM.jl_distortion(e, in_dim=2, out_dim=4).collect() == []
+
+
+def test_psi_from_daily_histogram_hand_computed(spark):
+    import datetime as dt
+
+    from stock_data_etl_pipeline_spark.operators.quality import (
+        psi_from_daily_histogram)
+    d1, d2, d3 = (dt.datetime(2024, 1, i, 0, 0) for i in (1, 2, 3))
+    h = spark.createDataFrame(
+        # day1 == day2 (identical dists -> psi 0); day3 all mass in
+        # bucket 9
+        [(d1, 0, 2), (d1, 1, 2),
+         (d2, 0, 2), (d2, 1, 2),
+         (d3, 9, 4)],
+        "day timestamp, bucket int, c long")
+    out = {r["day"]: r for r in psi_from_daily_histogram(h).collect()}
+    assert len(out) == 3
+    assert out[d1]["psi"] == 0.0 and not out[d1]["drifted"]
+    assert out[d2]["psi"] == 0.0 and not out[d2]["drifted"]
+    # day3 vs day1 across the dense 10-bucket grid, Laplace (c+1)/(n+10)
+    s9 = 0
+    for b in range(10):
+        c3 = 4 if b == 9 else 0
+        c1 = 2 if b in (0, 1) else 0
+        p, q = (c3 + 1) / 14.0, (c1 + 1) / 14.0
+        s9 += round(1e9 * ((p - q) * math.log(p / q)))
+    assert abs(out[d3]["psi"] - s9 / 1e9) < 1e-12
+    assert out[d3]["n_events"] == 4
+    assert out[d3]["drifted"] == (s9 / 1e9 > 0.2)
