@@ -309,3 +309,20 @@ def test_edit_distance_sizes_relation_is_pinned(spark):
         f"sizes relation not read from cache by both consumers "
         f"(inmem={props['inmem']})\n{plan[:3000]}")
     assert props["cartesian"] == 0
+
+
+def test_round10_matrix_windows_stay_group_partitioned(spark):
+    """The KS ECDF and Gini prefix windows run over domain-bounded
+    MATRICES partitioned by the group key — an empty partitionBy
+    here would serialize the whole matrix into one task and, worse,
+    silently change which rows cumulate together."""
+    import __spark_entry__ as entrymod
+    for name in ("events_ks_weekend", "events_user_gini"):
+        props, plan = audit_one(spark, entrymod.queries()[name], SF_DIR)
+        final = plan.split("== Initial Plan ==")[0]
+        for ln in final.splitlines():
+            if "windowspecdefinition(" in ln:
+                assert "windowspecdefinition(g#" in ln, (
+                    f"{name}: window lost its group partitioning:\n"
+                    f"{ln.strip()[:300]}")
+        assert props["cartesian"] == 0

@@ -215,3 +215,56 @@ def test_register_rejects_duplicate_names():
         @register(existing, None)
         def clash(spark, sf_dir):  # pragma: no cover
             return None
+
+
+def test_stamp_fingerprints_modes(tmp_path, monkeypatch):
+    # drive the manifest tool end to end against a tmp manifest and a
+    # synthetic CORRECTNESS history: --init stamps greens at their
+    # last-green round, default mode re-stamps only the latest round's
+    # greens, --invalidate forces an entry stale
+    import importlib
+    import json
+    import sys
+
+    import tools.stamp_fingerprints as sf
+    sf = importlib.reload(sf)
+    manifest = tmp_path / "QUERY_FINGERPRINTS.json"
+    monkeypatch.setattr(sf, "MANIFEST", str(manifest))
+
+    from stock_data_etl_pipeline_spark import plans
+    names = list(CATALOG)
+    g_old, g_new = names[0], names[1]
+
+    def fake_status(with_rounds=False):
+        status = {g_old: "green", g_new: "green"}
+        rounds = {g_old: 3, g_new: 9}
+        return (9, status, rounds) if with_rounds else (9, status)
+
+    monkeypatch.setattr(plans, "_correctness_status", fake_status)
+
+    monkeypatch.setattr(sys, "argv", ["stamp_fingerprints.py", "--init"])
+    assert sf.main() == 0
+    m = json.loads(manifest.read_text())
+    assert m[g_old]["round"] == 3 and m[g_new]["round"] == 9
+    assert m[g_old]["fp"] == plans._query_fingerprint(g_old)
+
+    # default mode: only the latest round's greens are re-stamped
+    m[g_old]["fp"] = "stale"
+    m[g_new]["fp"] = "stale"
+    manifest.write_text(json.dumps(m))
+    monkeypatch.setattr(sys, "argv", ["stamp_fingerprints.py"])
+    assert sf.main() == 0
+    m = json.loads(manifest.read_text())
+    assert m[g_old]["fp"] == "stale"          # r3 green untouched
+    assert m[g_new]["fp"] == plans._query_fingerprint(g_new)
+
+    monkeypatch.setattr(sys, "argv",
+                        ["stamp_fingerprints.py", "--invalidate", g_new])
+    assert sf.main() == 0
+    m = json.loads(manifest.read_text())
+    assert m[g_new]["fp"] == "invalidated"
+
+    # unknown name refuses
+    monkeypatch.setattr(sys, "argv",
+                        ["stamp_fingerprints.py", "--invalidate", "nope"])
+    assert sf.main() == 1
