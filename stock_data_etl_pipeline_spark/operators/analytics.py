@@ -1584,15 +1584,19 @@ def rich_club(pairs: DataFrame, id_a: str, id_b: str,
             .withColumn("n_total",
                         F.sum("cnt").over(Window.partitionBy())))
     # threshold for pct p: the smallest degree whose cumulative count
-    # reaches ceil(p·N/100) — the events_exact_quantiles target form
-    pct_df = None
-    for p in pcts:
-        t = (hist.filter(
-            F.col("cum") >= F.expr(f"({p} * n_total + {p}) div 100"))
-             .agg(F.min("deg").alias("threshold_deg"))
-             .select(F.lit(p).cast("long").alias("pct"),
-                     "threshold_deg"))
-        pct_df = t if pct_df is None else pct_df.unionByName(t)
+    # reaches ceil(p·N/100) — the events_exact_quantiles target form.
+    # All thresholds come out of ONE conditional aggregate over the
+    # histogram matrix (round-10: the per-pct filter+agg loop launched
+    # |pcts| separate jobs, each rescanning the degree cache), then
+    # stack to (pct, threshold_deg) rows driver-side — |pcts| scalars.
+    one = hist.agg(*[
+        F.min(F.when(
+            F.col("cum") >= F.expr(f"({p} * n_total + {p}) div 100"),
+            F.col("deg"))).alias(f"t{p}")
+        for p in pcts])
+    stack = ", ".join(f"{p}L, t{p}" for p in pcts)
+    pct_df = one.selectExpr(
+        f"stack({len(pcts)}, {stack}) AS (pct, threshold_deg)")
     thr = F.broadcast(pct_df)
     members = (deg.crossJoin(thr)
                .filter(F.col("deg") >= F.col("threshold_deg"))
