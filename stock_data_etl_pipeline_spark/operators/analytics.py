@@ -2147,3 +2147,32 @@ def neighbor_degree_curve(pairs: DataFrame, id_a: str, id_b: str
                      F.when(F.col("sum_degree") > 0, knn)
                      .alias("avg_nbr_degree"))
             .orderBy("degree_bucket"))
+
+
+def l_diversity_profile(df: DataFrame, qi_cols: Sequence[str],
+                        sensitive: Column | str,
+                        l_thresh: int = 3) -> DataFrame:
+    """l-diversity census — :func:`k_anonymity_profile`'s companion:
+    k-anonymity alone leaves a release open to homogeneity attacks (a
+    class of 50 rows that all share one sensitive value identifies the
+    attribute, not the person), so the second report a privacy review
+    asks for is the distribution of DISTINCT sensitive values per
+    quasi-identifier class. Classes with l below the threshold are the
+    actionable list.
+
+    Pure integer pipeline: one aggregate per QI class (count +
+    count-distinct of the sensitive attribute), one census over l; the
+    at-risk flag is an integer comparison on the emitted value. Both
+    shuffles key on the QI tuple / l — never wider than the
+    distinct-class count.
+    """
+    s = F.col(sensitive) if isinstance(sensitive, str) else sensitive
+    classes = (df.groupBy(*qi_cols)
+               .agg(F.count(F.lit(1)).cast("long").alias("k"),
+                    F.countDistinct(s).cast("long").alias("l")))
+    return (classes.groupBy("l")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_classes"),
+                 F.sum("k").cast("long").alias("n_rows"))
+            .select("l", "n_classes", "n_rows",
+                    (F.col("l") < l_thresh).alias("at_risk"))
+            .orderBy("l"))

@@ -2511,3 +2511,64 @@ def volume_hhi_daily(bars: DataFrame) -> DataFrame:
                      (F.col("hhi12") / 1e12).alias("hhi"),
                      (F.col("top6") / 1e6).alias("top_share"))
             .orderBy("day"))
+
+
+MINVAR_RET_GRID = 10000  # 1e-4 return grid: n·Σr² < int64 to ~3e6 bars
+
+
+def minvar_pair_weights(bars: DataFrame) -> DataFrame:
+    """Two-asset minimum-variance portfolio weights for every
+    unordered symbol pair, from co-observed hourly log returns:
+    w_a = (σ_b² − σ_ab) / (σ_a² + σ_b² − 2σ_ab), w_b = 1 − w_a — the
+    closed-form risk-parity building block one rung up from
+    :func:`cov_matrix` (which reports the inputs; this reports the
+    decision).
+
+    Exactness: returns ride the 1e-4 grid (``MINVAR_RET_GRID``;
+    weights are scale-free, the grid² factor cancels), the five power
+    sums are exact BIGINTs per pair, and the n-scaled variance forms
+    (n·Σxy − ΣxΣy) stay integer — headroom: with |ln ratio| ≤ ~9.2
+    (the synthetic tape's extreme), n·Σr² < int64 through ~3·10⁶
+    co-observed bars/pair; re-grid to 1e-3 beyond. The emit is ONE
+    identically-associated double division, guarded on the
+    denominator n²·Var(r_a − r_b) > 0 (degenerate pairs whose return
+    difference is constant have no unique min-var point). Pair join
+    keys on the hour — |symbols|²-scaled, linear in bars for a fixed
+    universe, the cov_matrix shuffle shape.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    b = (bars.filter(F.col("low") > 0)
+         .select("event_type", "hr", "close",
+                 F.lag("close").over(w).alias("pc"))
+         .filter(F.col("pc").isNotNull() & (F.col("pc") > 0)))
+    r = b.select("event_type", "hr",
+                 F.round(F.log(F.col("close") / F.col("pc"))
+                         * F.lit(float(MINVAR_RET_GRID)), 0)
+                 .cast("long").alias("r"))
+    a, c = r.alias("a"), r.alias("b")
+    p = (a.join(c, (F.col("a.hr") == F.col("b.hr"))
+                & (F.col("a.event_type") < F.col("b.event_type")))
+         .select(F.col("a.event_type").alias("sym_a"),
+                 F.col("b.event_type").alias("sym_b"),
+                 F.col("a.r").alias("ra"), F.col("b.r").alias("rb")))
+    g = p.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("ra").cast("long").alias("sa"),
+        F.sum("rb").cast("long").alias("sb"),
+        F.sum(F.col("ra") * F.col("ra")).cast("long").alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).cast("long").alias("sbb"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("sab"))
+    va = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")) \
+        .cast("long")
+    vb = (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")) \
+        .cast("long")
+    cab = (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")) \
+        .cast("long")
+    v = g.select("sym_a", "sym_b", F.col("n").alias("n_obs"),
+                 va.alias("va"), vb.alias("vb"), cab.alias("cab"))
+    den = F.col("va") + F.col("vb") - 2 * F.col("cab")
+    wa = (F.col("vb") - F.col("cab")).cast("double") / den.cast("double")
+    return (v.select("sym_a", "sym_b", "n_obs",
+                     F.when(den > 0, wa).alias("w_a"),
+                     F.when(den > 0, 1.0 - wa).alias("w_b"))
+            .orderBy("sym_a", "sym_b"))

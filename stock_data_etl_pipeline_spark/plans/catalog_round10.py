@@ -542,3 +542,75 @@ def streaming_daily_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = streaming_daily_value_histogram(
         spark, os.path.join(sf_dir, "events.parquet"))
     return psi_from_daily_histogram(h)
+
+
+@register("customer_l_diversity", """
+WITH cls AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(count(DISTINCT floor(c_acctbal / 1000.0)) AS BIGINT) AS l
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT l, CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(k) AS BIGINT) AS n_rows,
+       l < 3 AS at_risk
+FROM cls GROUP BY l ORDER BY l
+""")
+def customer_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # homogeneity-attack audit over the (nation, segment) QI pair with
+    # the account-balance thousand-bucket as the sensitive attribute —
+    # all-integer, two keyed aggregates (k-anonymity's companion)
+    from pyspark.sql import functions as F
+    from ..operators.analytics import l_diversity_profile
+    c = load_table(spark, sf_dir, "customer")
+    return l_diversity_profile(
+        c, ["c_nationkey", "c_mktsegment"],
+        F.floor(F.col("c_acctbal") / 1000.0))
+
+
+from .catalog_stock import _BARS_CTE  # noqa: E402
+from ..operators import indicators as ind  # noqa: E402
+
+
+@register("stock_minvar_pairs", _BARS_CTE + f"""
+, lagd AS (
+  SELECT event_type, hr, close,
+         lag(close) OVER (PARTITION BY event_type ORDER BY hr) AS pc
+  FROM bars WHERE low > 0
+), rr AS (
+  SELECT event_type, hr,
+         CAST(round(ln(close / pc) * {ind.MINVAR_RET_GRID}, 0)
+              AS BIGINT) AS r
+  FROM lagd WHERE pc IS NOT NULL AND pc > 0
+), p AS (
+  SELECT a.event_type AS sym_a, b.event_type AS sym_b,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.r) AS BIGINT) AS sa, CAST(sum(b.r) AS BIGINT) AS sb,
+         CAST(sum(a.r * a.r) AS BIGINT) AS saa,
+         CAST(sum(b.r * b.r) AS BIGINT) AS sbb,
+         CAST(sum(a.r * b.r) AS BIGINT) AS sab
+  FROM rr a JOIN rr b ON a.hr = b.hr AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), v AS (
+  SELECT sym_a, sym_b, n AS n_obs,
+         CAST(n * saa - sa * sa AS BIGINT) AS va,
+         CAST(n * sbb - sb * sb AS BIGINT) AS vb,
+         CAST(n * sab - sa * sb AS BIGINT) AS cab
+  FROM p
+)
+SELECT sym_a, sym_b, n_obs,
+       CASE WHEN va + vb - 2 * cab > 0
+            THEN CAST(vb - cab AS DOUBLE)
+                 / CAST(va + vb - 2 * cab AS DOUBLE) END AS w_a,
+       CASE WHEN va + vb - 2 * cab > 0
+            THEN 1.0 - CAST(vb - cab AS DOUBLE)
+                 / CAST(va + vb - 2 * cab AS DOUBLE) END AS w_b
+FROM v ORDER BY sym_a, sym_b
+""")
+def stock_minvar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # closed-form two-asset min-variance weights per symbol pair on
+    # 1e-4-grid co-observed log returns: five exact BIGINT power sums,
+    # integer n-scaled variance forms, one guarded double division
+    # (grid cancels — weights are scale-free)
+    ev = load_table(spark, sf_dir, "events")
+    return ind.minvar_pair_weights(ind.hourly_bars(ev))

@@ -300,3 +300,49 @@ def test_psi_from_daily_histogram_hand_computed(spark):
     assert abs(out[d3]["psi"] - s9 / 1e9) < 1e-12
     assert out[d3]["n_events"] == 4
     assert out[d3]["drifted"] == (s9 / 1e9 > 0.2)
+
+
+def test_l_diversity_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        l_diversity_profile)
+    df = spark.createDataFrame(
+        # class (a,x): 3 rows, 1 distinct sensitive -> l=1 (at risk)
+        # class (a,y): 2 rows, 2 distinct -> l=2 (at risk under l>=3)
+        # class (b,x): 3 rows, 3 distinct -> l=3 (safe)
+        [("a", "x", 1), ("a", "x", 1), ("a", "x", 1),
+         ("a", "y", 1), ("a", "y", 2),
+         ("b", "x", 1), ("b", "x", 2), ("b", "x", 3)],
+        "q1 string, q2 string, s int")
+    out = {r["l"]: r for r in l_diversity_profile(
+        df, ["q1", "q2"], F.col("s")).collect()}
+    assert out[1]["n_classes"] == 1 and out[1]["n_rows"] == 3
+    assert out[1]["at_risk"] and out[2]["at_risk"]
+    assert out[3]["n_classes"] == 1 and not out[3]["at_risk"]
+
+
+def test_minvar_pair_weights_hand_computed(spark):
+    import datetime as dt
+
+    from stock_data_etl_pipeline_spark.operators import indicators as ind
+    T0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h, (ca, cb) in enumerate([(10, 10), (20, 40), (10, 10),
+                                  (20, 40)]):
+        rows.append(("A", T0 + dt.timedelta(hours=h), 1.0, 100.0, 1.0,
+                     float(ca), 1))
+        rows.append(("B", T0 + dt.timedelta(hours=h), 1.0, 100.0, 1.0,
+                     float(cb), 1))
+    bars = spark.createDataFrame(
+        rows, "event_type string, hr timestamp, open double, "
+              "high double, low double, close double, volume long")
+    out = ind.minvar_pair_weights(bars).collect()
+    assert len(out) == 1
+    r = out[0]
+    # A returns ±ln2, B returns ±ln4 on the 1e-4 grid, perfectly
+    # correlated: algebra collapses to w_a = rb/(rb − ra)
+    ra, rb = round(1e4 * math.log(2)), round(1e4 * math.log(4))
+    assert r["n_obs"] == 3
+    assert abs(r["w_a"] - rb / (rb - ra)) < 1e-12
+    assert abs(r["w_a"] + r["w_b"] - 1.0) < 1e-12
