@@ -371,3 +371,62 @@ def test_edit_distance_hot_block_is_skipped_not_joined(spark):
                 for r in edit_distance_report(cold).collect()}
     cold_only = {k: v for k, v in rep.items() if k != "xx"}
     assert cold_only == cold_rep
+
+
+def test_ks_and_gini_matrix_bounded_under_value_skew(spark):
+    """Round-10 scale risk: the KS ECDF and Gini prefix windows run
+    over per-group MATRICES whose row count is bounded by the DISTINCT
+    value domain, never the stream — a hot group with millions of rows
+    but few distinct values must produce a tiny matrix, and the result
+    must be invariant to input partitioning (the window is keyed, so a
+    different shuffle layout cannot change cumulation scope)."""
+    import datetime as dt
+
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        grouped_count_gini, ks_two_sample)
+    sat, mon = dt.datetime(2024, 1, 6), dt.datetime(2024, 1, 8)
+    # hot group: 40k rows, only 3 distinct cents values, 200 users;
+    # each consecutive (sat, mon) pair carries the SAME value, so the
+    # two halves are identical distributions by construction
+    rows = [(i, mon if i % 2 else sat, i % 200, "hot",
+             float((i // 2) % 3)) for i in range(40_000)]
+    rows += [(100_000 + i, mon if i % 2 else sat, i % 5, "cold",
+              float(i)) for i in range(50)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    for parts in (3, 17):
+        out = {r["event_type"]: r for r in
+               ks_two_sample(ev.repartition(parts)).collect()}
+        # hot group: equal per-value weekday/weekend mass -> KS == 0
+        assert out["hot"]["ks_stat"] == 0.0
+        assert out["hot"]["n_weekend"] == 20_000
+        g = {r["event_type"]: r for r in
+             grouped_count_gini(ev.repartition(parts), "event_type",
+                                "user_id").collect()}
+        # 40k rows over 200 equally-active users -> Gini exactly 0
+        assert g["hot"]["n_entities"] == 200 and g["hot"]["gini"] == 0.0
+
+
+def test_word_burstiness_hot_word_and_template_doc(spark):
+    """A template word stacked in one document must surface with a
+    high VMR while a uniformly spread word stays near Poisson — and
+    the integer identity must hold regardless of partitioning."""
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        word_burstiness)
+    docs = [(i, ("spread " + ("filler%d " % i)) * 1, "en", "s", 10)
+            for i in range(100)]
+    docs.append((1000, "burst " * 100, "en", "s", 600))
+    d = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    out = {r["word"]: r for r in
+           word_burstiness(d.repartition(7), top=2).collect()}
+    n = 101
+    # burst: one doc with c=100 -> VMR = (n·100² − 100²)/(n·100)
+    exp_burst = (n * 10_000 - 10_000) / (n * 100)
+    assert abs(out["burst"]["vmr"] - exp_burst) < 1e-12
+    # spread: 100 docs with c=1 -> VMR = (n·100 − 100²)/(n·100)
+    exp_spread = (n * 100 - 10_000) / (n * 100)
+    assert abs(out["spread"]["vmr"] - exp_spread) < 1e-12
+    assert out["burst"]["vmr"] > 10 * out["spread"]["vmr"]
