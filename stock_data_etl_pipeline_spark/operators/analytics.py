@@ -159,6 +159,21 @@ def key_skew_profile(df: DataFrame, key_col: str, top: int = 10) -> DataFrame:
             .limit(top))
 
 
+def _undirected_degrees(pairs: DataFrame, id_a: str, id_b: str
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Canonical undirected edge list (x < y, self-loops dropped,
+    deduped) and node degrees, both pinned — the shared prefix of the
+    graph operators (degree orientation, neighbor-degree curves).
+    Pinned because every caller consumes both frames at least twice."""
+    und = pin(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("x"),
+                           F.greatest(F.col(id_a), F.col(id_b)).alias("y"))
+              .filter(F.col("x") != F.col("y")).distinct())
+    deg = pin(und.select(F.col("x").alias("v"))
+              .unionByName(und.select(F.col("y").alias("v")))
+              .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d")))
+    return und, deg
+
+
 def _degree_oriented_edges(pairs: DataFrame, id_a: str, id_b: str
                            ) -> tuple[DataFrame, DataFrame]:
     """Canonical directed edge list for triangle machinery, oriented by
@@ -182,12 +197,7 @@ def _degree_oriented_edges(pairs: DataFrame, id_a: str, id_b: str
     degree join is keyed on the node id (two shuffles, node-cardinality
     sized) — cheap next to the wedge join it tames.
     """
-    und = pin(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("x"),
-                           F.greatest(F.col(id_a), F.col(id_b)).alias("y"))
-              .filter(F.col("x") != F.col("y")).distinct())
-    deg = pin(und.select(F.col("x").alias("v"))
-              .unionByName(und.select(F.col("y").alias("v")))
-              .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d")))
+    und, deg = _undirected_degrees(pairs, id_a, id_b)
     dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
     x_first = (F.col("dx") < F.col("dy")) | \
@@ -1928,8 +1938,13 @@ def ks_two_sample(events: DataFrame, value_col: str = "value",
     """
     v = F.round(F.col(value_col) * 100, 0).cast("long")
     we = F.dayofweek("ts").isin(1, 7).cast("long")
-    m = (events.select(F.col(group_col).alias("g"), v.alias("v"),
-                       we.alias("we"))
+    # NULL values are excluded explicitly: the engines order NULL keys
+    # differently in the cumulative window (Spark NULLS FIRST, DuckDB
+    # NULLS LAST), so a null row would land in different ECDF prefixes
+    # — the catalog_quant convention (filter, don't pin null order)
+    m = (events.filter(F.col(value_col).isNotNull())
+         .select(F.col(group_col).alias("g"), v.alias("v"),
+                 we.alias("we"))
          .groupBy("g", "v")
          .agg(F.sum("we").cast("long").alias("cwe"),
               F.sum(F.lit(1) - F.col("we")).cast("long").alias("cwd")))
@@ -2122,13 +2137,7 @@ def neighbor_degree_curve(pairs: DataFrame, id_a: str, id_b: str
     (node-cardinality, broadcast-joinable); nothing wider than the
     edge list shuffles.
     """
-    und = pin(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("x"),
-                           F.greatest(F.col(id_a), F.col(id_b)).alias("y"))
-              .filter(F.col("x") != F.col("y")).distinct())
-    deg = pin(und.select(F.col("x").alias("v"))
-              .unionByName(und.select(F.col("y").alias("v")))
-              .groupBy("v")
-              .agg(F.count(F.lit(1)).cast("long").alias("d")))
+    und, deg = _undirected_degrees(pairs, id_a, id_b)
     dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dxv"))
     dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dyv"))
     ed = und.join(dx, "x").join(dy, "y")

@@ -1656,6 +1656,18 @@ def bigram_pmi(docs: DataFrame, text_col: str = "text",
             .orderBy(F.col("c_ab").desc(), "w1", "w2"))
 
 
+def sentences(text_col: str) -> Column:
+    """``[.!?]+``-delimited segments, trimmed, empties dropped — THE
+    sentence segmentation shared by :func:`sentence_profile` and
+    :func:`readability_profile` and mirrored by their DuckDB oracles
+    (``string_split_regex`` twin); one definition so the two profiles
+    can never disagree on what a sentence is."""
+    return F.filter(
+        F.transform(F.split(F.col(text_col), "[.!?]+"),
+                    lambda s: F.trim(s)),
+        lambda s: s != "")
+
+
 def sentence_profile(docs: DataFrame, text_col: str = "text",
                      group_col: str = "source") -> DataFrame:
     """Per-source sentence-structure profile: sentence counts, mean
@@ -1672,10 +1684,7 @@ def sentence_profile(docs: DataFrame, text_col: str = "text",
     of exact BIGINT sums (identical association in the oracle). One
     projection + one hash-agg; the array work is per-row codegen.
     """
-    sents = F.filter(
-        F.transform(F.split(F.col(text_col), "[.!?]+"),
-                    lambda s: F.trim(s)),
-        lambda s: s != "")
+    sents = sentences(text_col)
     per_doc = docs.select(
         F.col(group_col).alias("g"),
         F.size(sents).cast("long").alias("ns"),
@@ -1756,10 +1765,7 @@ def readability_profile(docs: DataFrame, text_col: str = "text",
     per-row codegen, nothing wider than (group, 3 sums) shuffles.
     """
     ws = words(text_col)
-    sents = F.filter(
-        F.transform(F.split(F.col(text_col), "[.!?]+"),
-                    lambda s: F.trim(s)),
-        lambda s: s != "")
+    sents = sentences(text_col)
     syl = F.aggregate(
         ws, F.lit(0).cast("long"),
         lambda acc, w: acc + F.greatest(

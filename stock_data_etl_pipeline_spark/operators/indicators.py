@@ -2513,7 +2513,7 @@ def volume_hhi_daily(bars: DataFrame) -> DataFrame:
             .orderBy("day"))
 
 
-MINVAR_RET_GRID = 10000  # 1e-4 return grid: n·Σr² < int64 to ~3e6 bars
+MINVAR_RET_GRID = 10000  # 1e-4 return grid; headroom depends on |r| — see docstring
 
 
 def minvar_pair_weights(bars: DataFrame) -> DataFrame:
@@ -2527,9 +2527,13 @@ def minvar_pair_weights(bars: DataFrame) -> DataFrame:
     Exactness: returns ride the 1e-4 grid (``MINVAR_RET_GRID``;
     weights are scale-free, the grid² factor cancels), the five power
     sums are exact BIGINTs per pair, and the n-scaled variance forms
-    (n·Σxy − ΣxΣy) stay integer — headroom: with |ln ratio| ≤ ~9.2
-    (the synthetic tape's extreme), n·Σr² < int64 through ~3·10⁶
-    co-observed bars/pair; re-grid to 1e-3 beyond. The emit is ONE
+    (n·Σxy − ΣxΣy) stay integer — headroom scales with the return
+    magnitude: n·Σr² ≤ n²·r²_max, so int64 holds through ~3·10⁶
+    co-observed bars/pair at ordinary hourly magnitudes
+    (|ln ratio| ≤ 0.1) but only ~3.3·10⁴ bars if EVERY bar sat at the
+    synthetic tape's 9.2 extreme; re-grid to 1e-3 (or shard the
+    window) before a pair's bar count approaches
+    9.6e9/max|r|_grid. The emit is ONE
     identically-associated double division, guarded on the
     denominator n²·Var(r_a − r_b) > 0 (degenerate pairs whose return
     difference is constant have no unique min-var point). Pair join

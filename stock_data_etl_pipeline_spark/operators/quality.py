@@ -120,6 +120,19 @@ def dq_check(df: DataFrame,
     return out.orderBy("constraint_name")
 
 
+def value_bucket(value_col: str, bins: int = 10,
+                 hi: float = 600.0) -> Column:
+    """Fixed-width value bucket over [0, hi], top bucket catching
+    overflow — THE binning shared by :func:`psi_drift`,
+    :func:`daily_value_histogram` and the streaming twin
+    (streaming/events.py): the batch/streaming parity contract and the
+    DuckDB oracles all assume this one expression, so it lives in one
+    place."""
+    width = hi / bins
+    return F.least(F.lit(bins - 1),
+                   F.floor(F.col(value_col) / width)).cast("int")
+
+
 def psi_drift(events: DataFrame, bins: int = 10, hi: float = 600.0,
               threshold: float = 0.2, value_col: str = "value",
               key_col: str = "event_type",
@@ -145,9 +158,7 @@ def psi_drift(events: DataFrame, bins: int = 10, hi: float = 600.0,
     arithmetic. Nothing scales past the bucket table."""
     eus = F.unix_micros(F.col(ts_col))
     bounds = events.agg(F.min(eus).alias("_mn"), F.max(eus).alias("_mx"))
-    width = hi / bins
-    bucket = F.least(F.lit(bins - 1),
-                     F.floor(F.col(value_col) / width)).cast("int")
+    bucket = value_bucket(value_col, bins, hi)
     marked = (events.crossJoin(F.broadcast(bounds))
               .select(F.col(key_col), bucket.alias("bucket"),
                       (eus >= (F.col("_mn") + F.col("_mx")) / 2)
@@ -179,11 +190,9 @@ def daily_value_histogram(events: DataFrame, bins: int = 10,
     """Per-day fixed-width value histogram — the batch twin of the
     streaming windowed histogram (streaming/events.py:
     streaming_daily_value_histogram); both feed
-    :func:`psi_from_daily_histogram`. Buckets over [0, hi], top
-    bucket catches overflow (same binning as :func:`psi_drift`)."""
-    width = hi / bins
-    bucket = F.least(F.lit(bins - 1),
-                     F.floor(F.col(value_col) / width)).cast("int")
+    :func:`psi_from_daily_histogram`. Binning shared structurally via
+    :func:`value_bucket`."""
+    bucket = value_bucket(value_col, bins, hi)
     return (events.groupBy(F.date_trunc("day", F.col(ts_col))
                            .alias("day"), bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).cast("long").alias("c")))

@@ -26,8 +26,8 @@ from . import catalog_round9  # noqa: F401  (round-9 additions;
 # six round-8 entries still waiting for their first driver window)
 from . import catalog_round10  # noqa: F401  (round-10 additions;
 # imports LAST — with the whole catalog green after r9, these
-# never-checked entries head the window right after the two
-# fingerprint-invalidated queries)
+# never-checked entries head the window right after the
+# fingerprint-invalidated queries — five by round-10 end)
 
 # ---------------------------------------------------------------------------
 # Driver verification window rotation. The external correctness gate checks

@@ -20,7 +20,9 @@ plans/catalog_round8.py and plans/catalog_round9.py.
 MUST import after the other catalog modules (see plans/__init__) so
 the rotation ranks these never-checked entries behind none — with the
 whole catalog driver-green after r9, they land at the head of the
-round-10 window right after the two fingerprint-invalidated entries.
+round-10 window right after the fingerprint-invalidated entries
+(five by round end: the two r9-stale queries plus the three graph
+queries whose triangle/threshold helpers changed this round).
 """
 
 from __future__ import annotations
@@ -41,7 +43,7 @@ WITH m AS (
               AS BIGINT) AS cwe,
          CAST(sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END)
               AS BIGINT) AS cwd
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ), c AS (
   SELECT g,
          CAST(sum(cwe) OVER w AS BIGINT) AS awe,
@@ -248,6 +250,21 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.jl_distortion(e, in_dim=64, out_dim=16)
 
 
+def _copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase item-pair projection shared by the two graph-curve
+    builders — one definition so both queries provably analyze the
+    same relation (the oracle side shares _COPURCHASE_CTE the same
+    way)."""
+    from pyspark.sql import functions as F
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    return (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                   & (F.col("a.i") < F.col("b.i")))
+            .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+
+
 _COPURCHASE_CTE = """
 WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i
             FROM lineitem),
@@ -290,15 +307,8 @@ def graph_closure_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     # triangles from the degree-oriented adjacency intersection
     # (triangle list is output-sized, orientation-invariant),
     # bit-length degree buckets, integer rollup, one division
-    from pyspark.sql import functions as F
-    li = load_table(spark, sf_dir, "lineitem")
-    oi = li.select(F.col("l_orderkey").alias("bk"),
-                   F.col("l_partkey").alias("i")).distinct()
-    a, b = oi.alias("a"), oi.alias("b")
-    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
-                    & (F.col("a.i") < F.col("b.i")))
-             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
-    return AN.closure_by_degree(pairs, "pa", "pb")
+    return AN.closure_by_degree(_copurchase_pairs(spark, sf_dir),
+                                "pa", "pb")
 
 
 @register("graph_neighbor_degree", _COPURCHASE_CTE + """
@@ -329,15 +339,8 @@ def graph_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assortativity curve: degree-weighted mean neighbor degree per
     # bit-length bucket — two node-keyed degree joins, exact BIGINT
     # sums, one double-division emit
-    from pyspark.sql import functions as F
-    li = load_table(spark, sf_dir, "lineitem")
-    oi = li.select(F.col("l_orderkey").alias("bk"),
-                   F.col("l_partkey").alias("i")).distinct()
-    a, b = oi.alias("a"), oi.alias("b")
-    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
-                    & (F.col("a.i") < F.col("b.i")))
-             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
-    return AN.neighbor_degree_curve(pairs, "pa", "pb")
+    return AN.neighbor_degree_curve(_copurchase_pairs(spark, sf_dir),
+                                    "pa", "pb")
 
 
 @register("corpus_sentence_profile", """

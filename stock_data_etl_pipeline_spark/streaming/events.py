@@ -384,10 +384,9 @@ def streaming_daily_value_histogram(spark: SparkSession,
     readout picks it up from the sink (the monitor reads the sink,
     never the stream).
     """
+    from ..operators.quality import value_bucket
     stream = event_stream(spark, events_parquet)
-    width = hi / bins
-    bucket = F.least(F.lit(bins - 1),
-                     F.floor(F.col("value") / width)).cast("int")
+    bucket = value_bucket("value", bins, hi)
     agg = (stream.withWatermark("ts", watermark)
            .groupBy(F.window("ts", "1 day").alias("w"),
                     bucket.alias("bucket"))
