@@ -2185,3 +2185,54 @@ def l_diversity_profile(df: DataFrame, qi_cols: Sequence[str],
             .select("l", "n_classes", "n_rows",
                     (F.col("l") < l_thresh).alias("at_risk"))
             .orderBy("l"))
+
+
+def dow_hour_anomalies(events: DataFrame) -> DataFrame:
+    """Seasonal-anomaly cells of the (day-of-week × hour) count
+    matrix: flag cells whose additive-decomposition residual exceeds
+    3× the residual RMS — the composition step on top of
+    :func:`dow_hour_decomposition` that turns the decomposition into
+    an alert list ("Tuesday 03:00 is busy in a way neither Tuesdays
+    nor 03:00 explain").
+
+    Integer-exact throughout: residual = R/168 with
+    R = 168·n − 7·rowsum − 24·colsum + total an exact BIGINT, and the
+    3σ test |R/168| > 3·RMS(R/168) reduces to the pure integer
+    comparison 168·R² > 9·ΣR² (the integer-only variance-test trick —
+    no sqrt, no float decides the flag). Headroom: 168·R² needs
+    |R| ≤ ~2.3e8, i.e. cell counts ≲ 1.4e6 — beyond that (continental
+    -scale streams) Spark ANSI RAISES rather than silently wrapping;
+    pre-divide counts by a fixed block factor (the flag is
+    scale-invariant) before calling. All windows are over the 168-row
+    matrix.
+    """
+    spark = events.sparkSession
+    dom = spark.createDataFrame(
+        [(d, h) for d in range(7) for h in range(24)],
+        "dow long, hr long")
+    cnt = (events.select((F.dayofweek("ts") - 1).cast("long").alias("dow"),
+                         F.hour("ts").cast("long").alias("hr"))
+           .groupBy("dow", "hr")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    filled = (dom.join(cnt, ["dow", "hr"], "left")
+              .select("dow", "hr",
+                      F.coalesce(F.col("c"), F.lit(0)).cast("long")
+                      .alias("n")))
+    rs = F.sum("n").over(Window.partitionBy("dow")).cast("long")
+    cs = F.sum("n").over(Window.partitionBy("hr")).cast("long")
+    g = F.sum("n").over(Window.partitionBy()).cast("long")
+    r = (168 * F.col("n") - 7 * F.col("rs") - 24 * F.col("cs")
+         + F.col("g")).cast("long")
+    e = (filled.select("dow", "hr", "n", rs.alias("rs"), cs.alias("cs"),
+                       g.alias("g"))
+         .select("dow", "hr", "n", r.alias("r")))
+    ssq = F.sum(F.col("r") * F.col("r")).over(Window.partitionBy()) \
+        .cast("long")
+    e = e.select("dow", "hr", "n", "r", ssq.alias("ssq"))
+    return (e.select("dow", "hr", "n",
+                     (F.col("r").cast("double") / 168.0)
+                     .alias("residual"),
+                     (168 * F.col("r") * F.col("r")
+                      > 9 * F.col("ssq")).alias("is_anomaly"))
+            .filter(F.col("is_anomaly"))
+            .orderBy("dow", "hr"))

@@ -617,3 +617,38 @@ def stock_minvar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (grid cancels — weights are scale-free)
     ev = load_table(spark, sf_dir, "events")
     return ind.minvar_pair_weights(ind.hourly_bars(ev))
+
+
+@register("events_seasonal_anomalies", """
+WITH dom AS (SELECT d.dow, h.hr FROM range(0, 7) d(dow),
+             range(0, 24) h(hr)),
+cnt AS (
+  SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+         CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), filled AS (
+  SELECT dom.dow, dom.hr, CAST(coalesce(cnt.c, 0) AS BIGINT) AS n
+  FROM dom LEFT JOIN cnt ON dom.dow = cnt.dow AND dom.hr = cnt.hr
+), e AS (
+  SELECT dow, hr, n,
+         CAST(168 * n - 7 * sum(n) OVER (PARTITION BY dow)
+              - 24 * sum(n) OVER (PARTITION BY hr)
+              + sum(n) OVER () AS BIGINT) AS r
+  FROM filled
+), s AS (
+  SELECT dow, hr, n, r,
+         CAST(sum(r * r) OVER () AS BIGINT) AS ssq
+  FROM e
+)
+SELECT dow, hr, n, CAST(r AS DOUBLE) / 168.0 AS residual,
+       168 * r * r > 9 * ssq AS is_anomaly
+FROM s WHERE 168 * r * r > 9 * ssq
+ORDER BY dow, hr
+""")
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # alert-list composition over the dow×hour decomposition: exact
+    # integer residual numerator R = 168n − 7·rowsum − 24·colsum +
+    # total; the 3σ flag is the pure integer test 168·R² > 9·ΣR²
+    ev = load_table(spark, sf_dir, "events")
+    return AN.dow_hour_anomalies(ev)

@@ -346,3 +346,27 @@ def test_minvar_pair_weights_hand_computed(spark):
     assert r["n_obs"] == 3
     assert abs(r["w_a"] - rb / (rb - ra)) < 1e-12
     assert abs(r["w_a"] + r["w_b"] - 1.0) < 1e-12
+
+
+def test_dow_hour_anomalies_integer_flag(spark):
+    # uniform background (1 event per cell) + one hot cell: the hot
+    # cell's residual dominates ΣR² and must be the only flag
+    rows = []
+    base = dt.datetime(2024, 1, 1)  # Monday
+    i = 0
+    for d in range(7):
+        for h in range(24):
+            rows.append(("a", 1, base + dt.timedelta(days=d, hours=h),
+                         0.0))
+            i += 1
+    hot = base + dt.timedelta(days=1, hours=3)
+    rows += [("a", 1, hot, 0.0)] * 80
+    ev = _events(spark, rows)
+    out = AN.dow_hour_anomalies(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    # Monday 2024-01-01 -> dow=1; hot cell is Tuesday (dow=2), hr=3
+    assert (r["dow"], r["hr"], r["n"]) == (2, 3, 81)
+    # exact integer residual numerator: R = 168n − 7rs − 24cs + g
+    R = 168 * 81 - 7 * (24 + 80) - 24 * (7 + 80) + (168 + 80)
+    assert abs(r["residual"] - R / 168.0) < 1e-12
