@@ -1594,7 +1594,9 @@ def rich_club(pairs: DataFrame, id_a: str, id_b: str,
             .withColumn("n_total",
                         F.sum("cnt").over(Window.partitionBy())))
     # threshold for pct p: the smallest degree whose cumulative count
-    # reaches ceil(p·N/100) — the events_exact_quantiles target form.
+    # reaches floor(p·(N+1)/100) — the nearest-rank (N+1) convention,
+    # same form as events_exact_quantiles (NOT ceil(p·N/100): e.g.
+    # p=10, N=11 gives rank 1, where ceil would give 2).
     # All thresholds come out of ONE conditional aggregate over the
     # histogram matrix (round-10: the per-pct filter+agg loop launched
     # |pcts| separate jobs, each rescanning the degree cache), then
@@ -2199,10 +2201,11 @@ def dow_hour_anomalies(events: DataFrame) -> DataFrame:
     R = 168·n − 7·rowsum − 24·colsum + total an exact BIGINT, and the
     3σ test |R/168| > 3·RMS(R/168) reduces to the pure integer
     comparison 168·R² > 9·ΣR² (the integer-only variance-test trick —
-    no sqrt, no float decides the flag). Headroom: 168·R² needs
-    |R| ≤ ~2.3e8, i.e. cell counts ≲ 1.4e6 — beyond that (continental
-    -scale streams) Spark ANSI RAISES rather than silently wrapping;
-    pre-divide counts by a fixed block factor (the flag is
+    no sqrt, no float decides the flag). Headroom: the binding term is
+    9·ΣR² (ΣR² can reach 168·R_max²), so 9·168·R² ≤ 2^63 needs
+    |R| ≤ ~7.8e7, i.e. cell counts ≲ ~5e5 — beyond that
+    (continental-scale streams) Spark ANSI RAISES rather than silently
+    wrapping; pre-divide counts by a fixed block factor (the flag is
     scale-invariant) before calling. All windows are over the 168-row
     matrix.
     """

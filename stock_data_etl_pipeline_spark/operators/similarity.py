@@ -997,9 +997,13 @@ def twonn_intrinsic_dim(emb: DataFrame, vec_col: str = "embedding",
     1e-6 grid and summed as BIGINT (the perplexity precedent:
     transcendentals on rational inputs never sit on grid boundaries);
     the emit is one double division of exact integers. Vectors whose
-    nearest neighbor is exact (s1 = 1: duplicates, r1 = 0) or with no
-    second neighbor are excluded and reported, since the MLE is
-    undefined there.
+    nearest neighbor is exact (s1 = 1: duplicates, r1 = 0) or with
+    only one neighbor are excluded from the MLE but still counted in
+    ``n_vectors`` (the n_used/n_vectors gap reports them). Vectors in
+    SINGLETON blocks never appear in the k-NN output at all and are
+    dropped entirely — they show up in neither n_vectors nor n_used
+    (the DuckDB oracle drops them identically); a block with one
+    vector has no row in the result.
     """
     nn = knn_join(emb, k=2, vec_col=vec_col, id_col=id_col,
                   block_col=block_col)

@@ -122,10 +122,17 @@ def _query_fingerprint(name: str, catalog=None) -> str:
     green rows kept them out of the window). Limitation (documented):
     a change buried in a helper the builder calls does not move the
     fingerprint — invalidate those by hand
-    (``python tools/stamp_fingerprints.py --invalidate <name>``)."""
+    (``python tools/stamp_fingerprints.py --invalidate <name>``).
+
+    Memoized per process on the default catalog (source files do not
+    change under a running session; ~350 inspect.getsource reads per
+    _window_order call otherwise). Explicit ``catalog`` bypasses the
+    cache — the meta-tests pass synthetic catalogs."""
     import hashlib
     import inspect
 
+    if catalog is None and name in _FP_CACHE:
+        return _FP_CACHE[name]
     fn, oracle = (catalog or CATALOG)[name]
     target = inspect.unwrap(fn)
     try:
@@ -133,7 +140,13 @@ def _query_fingerprint(name: str, catalog=None) -> str:
     except (OSError, TypeError):  # builder without retrievable source
         src = repr(target)
     payload = (oracle or "") + "\n" + src
-    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+    fp = hashlib.sha256(payload.encode()).hexdigest()[:16]
+    if catalog is None:
+        _FP_CACHE[name] = fp
+    return fp
+
+
+_FP_CACHE: dict[str, str] = {}
 
 
 def _fingerprint_manifest(root: str | None = None) -> dict[str, str]:
@@ -187,13 +200,18 @@ def _window_order(root: str | None = None) -> list[str]:
         # No manual edit needed per round.
         reg_index = {n: i for i, n in enumerate(CATALOG)}
         manifest = _fingerprint_manifest(root)
+        # one fingerprint pass per call (not per sort comparison, and
+        # not per green query on every call — inspect.getsource reads
+        # ~350 source files otherwise)
+        live_fp = {n: _query_fingerprint(n) for n in manifest
+                   if n in CATALOG}
 
         def rank(n: str) -> tuple[int, int, int]:
             if status.get(n) == "red":
                 cls = 0
             elif n not in status:
                 cls = 2
-            elif n in manifest and manifest[n] != _query_fingerprint(n):
+            elif n in manifest and manifest[n] != live_fp.get(n):
                 cls = 1  # green row attests code that no longer exists
             else:
                 cls = 3
