@@ -2576,3 +2576,251 @@ def minvar_pair_weights(bars: DataFrame) -> DataFrame:
                      F.when(den > 0, wa).alias("w_a"),
                      F.when(den > 0, 1.0 - wa).alias("w_b"))
             .orderBy("sym_a", "sym_b"))
+
+
+GK_2LN2M1 = 0.3862943611198906  # 2·ln2 − 1, hardcoded in plan AND oracle
+YZ_RET_GRID = 1e6   # 1e-6 grid for overnight / open-close log returns
+
+
+def garman_klass_vol(bars: DataFrame) -> DataFrame:
+    """Garman–Klass range volatility per symbol over the full bar
+    history: sqrt(Σ [½·ln(h/l)² − (2ln2−1)·ln(c/o)²] / n) — the
+    minimum-variance unbiased OHLC estimator under zero drift, the
+    third rung of the range-estimator ladder after
+    :func:`parkinson_vol` (range only) and
+    :func:`rogers_satchell_vol` (drift-free).
+
+    Determinism (the parkinson discipline): each bar's GK term is ONE
+    IEEE expression over leaf-cast integer cents with the 2ln2−1
+    constant as a shared literal (``GK_2LN2M1``), quantized to the
+    exact 1e-12 grid, summed as BIGINT; the final sqrt runs on
+    identical scalars both engines. A single bar's term can be
+    negative (close–open swing larger than the range correction), so
+    the emit is guarded Σ ≥ 0 on BOTH sides — DuckDB sqrt(negative)
+    is a hard crash, not NaN. Int64 headroom: an extreme bar's term
+    ≤ ½·(ln 10⁴)² ≈ 42 → 4.2e13 on the grid; ~2·10⁵ such bars/symbol
+    stay inside int64 (720 bars at sf0.1). One projection + one
+    hash-agg — no window, no shuffle beyond the group-by.
+    """
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = bars.select("event_type", cents("open").alias("o"),
+                    cents("high").alias("h"), cents("low").alias("l"),
+                    cents("close").alias("c"))
+    b = b.filter((F.col("l") > 0) & (F.col("h") >= F.col("l")))
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    hl = F.log(dbl("h") / dbl("l"))
+    co = F.log(dbl("c") / dbl("o"))
+    term = F.lit(0.5) * (hl * hl) - F.lit(GK_2LN2M1) * (co * co)
+    t = F.round(term * F.lit(RS_GRID), 0).cast("long")
+    g = (b.select("event_type", t.alias("t"))
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_bars"),
+              F.sum("t").cast("long").alias("s")))
+    gk = F.round(
+        F.sqrt(F.col("s").cast("double") / F.col("n_bars").cast("double"))
+        / 1e6, 6)
+    return (g.select("event_type", "n_bars",
+                     F.when((F.col("n_bars") > 0) & (F.col("s") >= 0), gk)
+                     .alias("gk_vol"))
+            .orderBy("event_type"))
+
+
+def yang_zhang_vol(bars: DataFrame) -> DataFrame:
+    """Yang–Zhang volatility per symbol: the drift-independent,
+    opening-jump-aware estimator σ²_YZ = σ²_overnight + k·σ²_openclose
+    + (1−k)·σ²_RS with k = 0.34 / (1.34 + (n+1)/(n−1)) — the estimator
+    of record when the tape gaps at the open (overnight news), which
+    neither Parkinson nor Rogers–Satchell sees.
+
+    Per symbol, bars are ordered by hr; the first bar (no previous
+    close) is dropped from ALL THREE legs so every leg runs over the
+    same n. Overnight returns ln(o/pc) and open-close returns ln(c/o)
+    are quantized to the 1e-6 grid (``YZ_RET_GRID``) and accumulated
+    as exact BIGINT power sums (s1, s2 per leg); RS terms ride the
+    1e-12 grid of :func:`rogers_satchell_vol`. The n²-scaled variance
+    numerators (n·s2 − s1²) are evaluated on LEAF-CAST DOUBLES with
+    identical association both engines (the rolling_corr rule — n·Σq²
+    exceeds int64 at the extreme-|ln| corner, and parity needs
+    identical IEEE evaluation, not integer exactness). Emit: one sqrt
+    over greatest(0.0, σ²_YZ) guarded n > 1 — every leg is
+    mathematically ≥ 0 under the bar invariant l ≤ o,c ≤ h, the clamp
+    is sqrt-crash defence for malformed bars. One lag window + one
+    hash-agg per symbol.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = (bars.filter((F.col("low") > 0) & (F.col("high") >= F.col("low")))
+         .select("event_type", "hr", cents("open").alias("o"),
+                 cents("high").alias("h"), cents("low").alias("l"),
+                 cents("close").alias("c"))
+         .withColumn("pc", F.lag("c").over(w))
+         .filter(F.col("pc").isNotNull() & (F.col("pc") > 0)))
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    qo = F.round(F.log(dbl("o") / dbl("pc")) * F.lit(YZ_RET_GRID), 0) \
+        .cast("long")
+    qc = F.round(F.log(dbl("c") / dbl("o")) * F.lit(YZ_RET_GRID), 0) \
+        .cast("long")
+    rs = (F.log(dbl("h") / dbl("c")) * F.log(dbl("h") / dbl("o"))
+          + F.log(dbl("l") / dbl("c")) * F.log(dbl("l") / dbl("o")))
+    qrs = F.round(rs * F.lit(RS_GRID), 0).cast("long")
+    d = b.select("event_type", qo.alias("qo"), qc.alias("qc"),
+                 qrs.alias("qrs"))
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("qo").cast("long").alias("so1"),
+        F.sum(F.col("qo") * F.col("qo")).cast("long").alias("so2"),
+        F.sum("qc").cast("long").alias("sc1"),
+        F.sum(F.col("qc") * F.col("qc")).cast("long").alias("sc2"),
+        F.sum("qrs").cast("long").alias("srs"))
+    n = F.col("n").cast("double")
+    # sample variances on the 1e-6 grid: (n·s2 − s1²)/(n·(n−1))/grid²
+    vo = (n * F.col("so2").cast("double")
+          - F.col("so1").cast("double") * F.col("so1").cast("double")) \
+        / (n * (n - F.lit(1.0))) / F.lit(1e12)
+    vc = (n * F.col("sc2").cast("double")
+          - F.col("sc1").cast("double") * F.col("sc1").cast("double")) \
+        / (n * (n - F.lit(1.0))) / F.lit(1e12)
+    vrs = F.col("srs").cast("double") / n / F.lit(RS_GRID)
+    k = F.lit(0.34) / (F.lit(1.34) + (n + F.lit(1.0)) / (n - F.lit(1.0)))
+    yz = F.sqrt(F.greatest(
+        F.lit(0.0), vo + k * vc + (F.lit(1.0) - k) * vrs))
+    return (g.select("event_type", "n",
+                     F.when(F.col("n") > 1, yz).alias("yz_vol"))
+            .orderBy("event_type"))
+
+
+MACD_FAST_DECAY = 0.85   # fast truncated-EWMA weight ratio
+MACD_SLOW_DECAY = 0.93   # slow truncated-EWMA weight ratio
+MACD_SIGNAL_DECAY = 0.8  # signal-line smoothing of the MACD line
+MACD_LOOKBACK = 80       # 0.93^80 ~ 3e-3 of the peak weight: truncation
+#                          below the 6-dp stage rounding for the slow leg
+
+
+def macd(bars: DataFrame,
+         fast: float = MACD_FAST_DECAY,
+         slow: float = MACD_SLOW_DECAY,
+         signal: float = MACD_SIGNAL_DECAY,
+         lookback: int = MACD_LOOKBACK) -> DataFrame:
+    """MACD per symbol on truncated EWMAs: macd = EWMA_fast(close) −
+    EWMA_slow(close); signal = EWMA_sig(macd); histogram = macd −
+    signal — the trend-follower triplet (the reference surface stops
+    at ingest; this extends the engine's quant north star like
+    :func:`trix`).
+
+    Three :func:`_banded_ewma_stage` passes, each O(lookback) probe
+    work per bar via ``banded_rank_join`` (never a rank-range
+    post-probe residual). Each stage emits a 6-dp canonical decimal,
+    so macd = fast − slow is ONE IEEE subtraction of exact decimals
+    and the signal stage consumes a canonical input; histogram is
+    again a subtraction of exact decimals. No rounding knife edges:
+    every emitted value is either a 6-dp stage output or a difference
+    of two of them.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    b = (bars.select("event_type", "hr", F.col("close").alias("v0"))
+         .withColumn("rn", F.row_number().over(w)))
+    ef = _banded_ewma_stage(b, "v0", "ema_fast", fast, lookback)
+    es = _banded_ewma_stage(b, "v0", "ema_slow", slow, lookback)
+    m = (ef.join(es, ["event_type", "hr", "rn"])
+         .select("event_type", "hr", "rn", "ema_fast", "ema_slow",
+                 (F.col("ema_fast") - F.col("ema_slow")).alias("macd")))
+    sig = _banded_ewma_stage(
+        m.select("event_type", "hr", "rn", F.col("macd").alias("vm")),
+        "vm", "signal", signal, lookback)
+    out = m.join(sig.select("event_type", "hr", "signal"),
+                 ["event_type", "hr"])
+    return (out.select("event_type", "hr", "macd", "signal",
+                       (F.col("macd") - F.col("signal")).alias("histogram"))
+            .orderBy("event_type", "hr"))
+
+
+UO_PERIODS = (7, 14, 28)  # classic ultimate-oscillator horizons
+
+
+def ultimate_oscillator(bars: DataFrame,
+                        periods: tuple = UO_PERIODS) -> DataFrame:
+    """Ultimate Oscillator per symbol: 100·(4·A₇ + 2·A₁₄ + A₂₈)/7
+    where A_p = Σ BP / Σ TR over the trailing p bars, BP = close −
+    min(low, prev_close), TR = max(high, prev_close) − min(low,
+    prev_close) — the multi-horizon momentum blend that penalizes
+    one-timeframe divergences.
+
+    Pure integer cents end to end: BP and TR are integer differences,
+    the six rolling sums are exact BIGINTs over rowsBetween windows on
+    ONE (symbol, hr) ordering (one shuffle, six frame aggregates), and
+    the emit is a single IEEE expression of the six leaf-cast sums
+    with identical association both engines, guarded on every ΣTR > 0.
+    Rows without a full longest-period window are dropped (cnt = p₂ₓ)
+    so every emitted value is a complete-window statistic. First bars
+    (no previous close) are excluded identically on both sides.
+    """
+    p1, p2, p3 = periods
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = (bars.select("event_type", "hr", cents("high").alias("h"),
+                     cents("low").alias("l"), cents("close").alias("c"))
+         .withColumn("pc", F.lag("c").over(w))
+         .filter(F.col("pc").isNotNull()))
+    tl = F.least(F.col("l"), F.col("pc"))
+    th = F.greatest(F.col("h"), F.col("pc"))
+    d = b.select("event_type", "hr",
+                 (F.col("c") - tl).cast("long").alias("bp"),
+                 (th - tl).cast("long").alias("tr"))
+    ws = [Window.partitionBy("event_type").orderBy("hr")
+          .rowsBetween(-(p - 1), 0) for p in periods]
+    d = d.select(
+        "event_type", "hr",
+        *[F.sum("bp").over(wp).cast("long").alias(f"bp{p}")
+          for p, wp in zip(periods, ws)],
+        *[F.sum("tr").over(wp).cast("long").alias(f"tr{p}")
+          for p, wp in zip(periods, ws)],
+        F.count(F.lit(1)).over(ws[2]).cast("long").alias("cnt"))
+    d = d.filter(F.col("cnt") == p3)
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    uo = (F.lit(100.0)
+          * (F.lit(4.0) * (dbl(f"bp{p1}") / dbl(f"tr{p1}"))
+             + F.lit(2.0) * (dbl(f"bp{p2}") / dbl(f"tr{p2}"))
+             + dbl(f"bp{p3}") / dbl(f"tr{p3}")) / F.lit(7.0))
+    ok = ((F.col(f"tr{p1}") > 0) & (F.col(f"tr{p2}") > 0)
+          & (F.col(f"tr{p3}") > 0))
+    return (d.select("event_type", "hr", F.when(ok, uo).alias("uo"))
+            .orderBy("event_type", "hr"))
+
+
+PVT_GRID = 1e6  # 1e-6 grid for per-bar return·volume terms
+
+
+def pvt(bars: DataFrame) -> DataFrame:
+    """Price-Volume Trend per symbol: pvt_t = Σ_{i≤t} ((c_i −
+    c_{i−1})/c_{i−1})·vol_i — on-balance volume's proportional
+    cousin, weighting each bar's volume by the size of its move.
+
+    Each term is a ratio of exact integers, which CAN land on any
+    rounding boundary — so the per-term quantization is the
+    half-away-from-zero integer quotient sign·((2·G·|Δc|·vol + pc)
+    div (2·pc)) with non-negative div operands only (Spark ``div``
+    truncates while DuckDB ``//`` floors — they agree only for
+    non-negatives; the sign is re-applied AFTER). The cumulative sum
+    is then an exact BIGINT running total; the emit divides by the
+    grid once. Headroom: |Δc|·vol·2e6 at sf0.1 tops out ~5.6e17 —
+    inside int64; the running total over 720 bars stays far below.
+    First bars (no previous close) contribute 0 identically.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
+    b = (bars.select("event_type", "hr", cents("close").alias("c"),
+                     F.col("volume").cast("long").alias("vol"))
+         .withColumn("pc", F.lag("c").over(w)))
+    term = F.when(
+        F.col("pc").isNotNull() & (F.col("pc") > 0),
+        F.signum((F.col("c") - F.col("pc")).cast("double")).cast("long")
+        * F.expr("(2 * 1000000 * abs(c - pc) * vol + pc) div (2 * pc)")
+    ).otherwise(F.lit(0)).cast("long")
+    wc = Window.partitionBy("event_type").orderBy("hr") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d = (b.select("event_type", "hr", term.alias("t"))
+         .withColumn("cum", F.sum("t").over(wc).cast("long")))
+    return (d.select("event_type", "hr",
+                     (F.col("cum").cast("double") / F.lit(PVT_GRID))
+                     .alias("pvt"))
+            .orderBy("event_type", "hr"))

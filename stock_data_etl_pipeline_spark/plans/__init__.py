@@ -25,9 +25,13 @@ from . import catalog_round9  # noqa: F401  (round-9 additions;
 # imports after round 8 so its never-checked entries rank behind the
 # six round-8 entries still waiting for their first driver window)
 from . import catalog_round10  # noqa: F401  (round-10 additions;
-# imports LAST — with the whole catalog green after r9, these
+# imports after round 9 — with the whole catalog green after r9, these
 # never-checked entries head the window right after the
 # fingerprint-invalidated queries — five by round-10 end)
+from . import catalog_round11  # noqa: F401  (round-11 additions;
+# imports LAST so its never-checked entries rank behind any earlier
+# family still waiting and head the round-11 window after the
+# fingerprint-invalidated queries)
 
 # ---------------------------------------------------------------------------
 # Driver verification window rotation. The external correctness gate checks
