@@ -1834,3 +1834,188 @@ def word_burstiness(docs: DataFrame, top: int = 20,
     return (out.orderBy(F.col("t").desc(), "word").limit(top)
             .select("word", F.col("t").alias("total_count"),
                     F.col("df").alias("doc_freq"), "n_docs", "vmr"))
+
+
+def good_turing_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Good–Turing count-of-counts table over the corpus unigram
+    frequencies: for each observed count r, the number of word types
+    N_r seen exactly r times, the adjusted count r* = (r+1)·N_{r+1}/N_r
+    and the GT probability r*/N — the classic smoothing table (and the
+    unseen-mass estimate N_1/N at r = 1's row) that decides how much
+    probability a tokenizer/LM should reserve for unseen types.
+
+    Everything before the emit is exact integers: word counts, the
+    count-of-counts histogram, the self-join on r+1 (left — a missing
+    N_{r+1} is a genuine 0), and the total mass N = Σ r·N_r. The two
+    emitted ratios are UNROUNDED raw doubles of exact integers (the
+    kyle-lambda rule: round() on a rational is a knife edge) with
+    identical association both engines. Shape at 100 TB: one token
+    aggregate, one histogram over it (|distinct r| rows — hundreds),
+    driver-free scalar via broadcast. Output ordered by r.
+    """
+    tok = docs.select(F.explode(words(text_col)).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    coc = pin(uni.groupBy("r")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_r")))
+    nxt = coc.select((F.col("r") - 1).alias("r"),
+                     F.col("n_r").alias("n_next"))
+    tot = coc.agg(F.sum(F.col("r") * F.col("n_r")).cast("long")
+                  .alias("n_tokens"))
+    j = (coc.join(nxt, "r", "left")
+         .crossJoin(F.broadcast(tot))
+         .select("r", "n_r",
+                 F.coalesce(F.col("n_next"), F.lit(0)).cast("long")
+                 .alias("n_next"), "n_tokens"))
+    r_star = ((F.col("r") + 1) * F.col("n_next")).cast("double") \
+        / F.col("n_r").cast("double")
+    return (j.select("r", "n_r", "n_next",
+                     r_star.alias("r_star"),
+                     (r_star / F.col("n_tokens").cast("double"))
+                     .alias("p_gt"))
+            .orderBy("r"))
+
+
+def tokenizer_fertility(docs: DataFrame, text_col: str = "text",
+                        source_col: str = "source") -> DataFrame:
+    """Per-source tokenizer fertility profile: whitespace words vs the
+    BPE-ish 4-chars-per-token estimate (``subword_token_estimate``) —
+    the subwords-per-word ratio that flags sources a byte-pair
+    tokenizer will inflate (URLs, code, agglutinative text) before
+    anyone pays for the real tokenization pass.
+
+    Pure integer sums (words, estimated subwords, characters) in one
+    hash-agg; the three emitted ratios are UNROUNDED raw doubles of
+    exact integers with identical association, each guarded on its own
+    denominator. One scan, one combiner-friendly group-by — trivially
+    100 TB-safe.
+    """
+    from ..functions.text import subword_token_estimate, token_count
+    d = docs.select(
+        F.col(source_col).alias("source"),
+        token_count(text_col).cast("long").alias("nw"),
+        subword_token_estimate(text_col).alias("ns"),
+        F.length(text_col).cast("long").alias("nc"))
+    g = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("ns").cast("long").alias("n_subwords"),
+        F.sum("nc").cast("long").alias("n_chars"))
+    fert = F.col("n_subwords").cast("double") \
+        / F.col("n_words").cast("double")
+    cpw = F.col("n_chars").cast("double") / F.col("n_words").cast("double")
+    return (g.select("source", "n_docs", "n_words", "n_subwords",
+                     F.when(F.col("n_words") > 0, fert).alias("fertility"),
+                     F.when(F.col("n_words") > 0, cpw)
+                     .alias("chars_per_word"))
+            .orderBy("source"))
+
+
+KN_NLL_GRID = 1e6  # 1e-6 grid for per-position −log2 p quantization
+
+
+def kn_bigram_perplexity(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-doc bigram cross-entropy under interpolated Kneser–Ney with
+    the fixed discount D = 3/4 — the LM-quality signal one rung above
+    :func:`lm_perplexity`'s add-1 model (KN's continuation
+    probabilities are what make "San Francisco"-style collocations
+    score sanely):
+
+        p(w2|w1) = max(c12 − D, 0)/ctx1 + (D·T1/ctx1) · (cont2/B)
+
+    with ctx1 = Σ_w c(w1 w), T1 = |{w : c(w1 w) > 0}|, cont2 =
+    |{w : c(w w2) > 0}|, B = total distinct bigram types. With D = 3/4
+    the probability is the exact integer rational
+
+        num/den = (max(4·c12 − 3, 0)·B + 3·T1·cont2) / (4·ctx1·B)
+
+    so −log2 is ONE transcendental on a ratio of exact integers —
+    quantized to the 1e-6 grid, BIGINT-summed per doc, and the per-doc
+    mean emitted as the UNROUNDED chain s/n/1e6 (a rounded ratio of
+    integers is a knife edge). Docs with < 2 tokens emit NULL. Int64
+    headroom: 4·c12·B and 4·ctx1·B at corpus scale bound the form —
+    past ~10⁹ bigram types × 10⁹-count contexts, evaluate num/den on
+    leaf-cast doubles instead (identical association both sides).
+
+    Shape at 100 TB: the model IS three aggregates over the bigram
+    type table (all map-side combinable) plus equi-joins on token keys
+    — same scale as :func:`lm_perplexity`, no Python anywhere.
+    """
+    base = docs.select(F.col(id_col), words(text_col).alias("_ws"))
+    occ = pin(base
+              .select(F.col(id_col), F.posexplode("_ws").alias("p", "w1"),
+                      F.col("_ws").alias("_ws"))
+              .select(F.col(id_col), "w1",
+                      F.expr("get(_ws, p + 1)").alias("w2"))
+              .filter(F.col("w2").isNotNull()))
+    # bigram type table feeds c12, T1, cont2 AND B — pin it
+    bi = pin(occ.groupBy("w1", "w2")
+             .agg(F.count(F.lit(1)).cast("long").alias("c12")))
+    ctx = occ.groupBy("w1").agg(F.count(F.lit(1)).cast("long")
+                                .alias("ctx1"))
+    t1 = bi.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("t1"))
+    cont = bi.groupBy("w2").agg(F.count(F.lit(1)).cast("long")
+                                .alias("cont2"))
+    btot = bi.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    j = (occ.join(bi, ["w1", "w2"])
+         .join(ctx, "w1").join(t1, "w1").join(cont, "w2")
+         .crossJoin(F.broadcast(btot)))
+    num = (F.greatest(4 * F.col("c12") - 3, F.lit(0)).cast("long")
+           * F.col("b") + 3 * F.col("t1") * F.col("cont2")).cast("long")
+    den = (4 * F.col("ctx1") * F.col("b")).cast("long")
+    nll = F.round(-F.log2(num.cast("double") / den.cast("double"))
+                  * F.lit(KN_NLL_GRID), 0).cast("long")
+    per = (j.select(F.col(id_col), nll.alias("q"))
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                F.sum("q").cast("long").alias("s")))
+    score = F.col("s").cast("double") / F.col("n_bigrams").cast("double") \
+        / F.lit(KN_NLL_GRID)
+    scored = per.select(F.col(id_col), "n_bigrams", score.alias("kn_score"))
+    return (docs.select(id_col).join(scored, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+                    .alias("n_bigrams"), "kn_score")
+            .orderBy(id_col))
+
+
+def rake_word_scores(docs: DataFrame, top_n: int = 100,
+                     text_col: str = "text",
+                     stopwords: tuple = None) -> DataFrame:
+    """Word-level RAKE keyword metrics (Rose et al. 2010): split each
+    doc into candidate phrases at stopword boundaries, then score each
+    content word by freq (occurrences), degree (Σ over its occurrences
+    of the containing phrase's length — co-occurrence incl. self) and
+    degree/freq — the keyword-extraction signal that favors words
+    living in long multiword phrases. Top ``top_n`` by (degree, word).
+
+    Phrase segmentation is the gaps-and-islands identity on the
+    non-stopword token stream: group key = pos − row_number() over
+    (doc, pos-order) is constant exactly within a maximal stopword-free
+    run (engine-portable — the key's absolute value differs per engine
+    base index but only ever serves as a grouping key). freq/degree are
+    exact integers, the emitted ratio an UNROUNDED raw double, and the
+    top-N order (degree DESC, word) is integer-keyed — no float decides
+    placement. Shape: one posexplode, two windows over ONE (doc, pos)
+    ordering, two hash-aggs; token-scale everywhere.
+    """
+    from ..functions.text import ENGLISH_STOPWORDS
+    stop = list(stopwords or ENGLISH_STOPWORDS)
+    tok = (docs.select(F.col("doc_id"),
+                       F.posexplode(words(text_col)).alias("pos", "w"))
+           .filter(~F.col("w").isin(stop)))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    tok = tok.withColumn("grp",
+                         (F.col("pos") - F.row_number().over(w_doc))
+                         .cast("long"))
+    plen = F.count(F.lit(1)).over(Window.partitionBy("doc_id", "grp")) \
+        .cast("long")
+    occ = tok.select("w", plen.alias("plen"))
+    g = occ.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"))
+    rake = F.col("degree").cast("double") / F.col("freq").cast("double")
+    return (g.select(F.col("w").alias("word"), "freq", "degree",
+                     rake.alias("rake_score"))
+            .orderBy(F.col("degree").desc(), "word")
+            .limit(top_n))

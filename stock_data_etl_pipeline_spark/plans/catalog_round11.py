@@ -269,3 +269,135 @@ def stock_pvt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # running total, one grid division at emit
     ev = load_table(spark, sf_dir, "events")
     return ind.pvt(ind.hourly_bars(ev))
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics
+# ---------------------------------------------------------------------------
+
+from ..operators import corpus as CP  # noqa: E402
+from .catalog_text import _STOPS, _WORDS  # noqa: E402
+
+
+@register("corpus_good_turing", f"""
+WITH w AS (SELECT {_WORDS} AS ws FROM documents),
+tok AS (SELECT unnest(ws) AS w FROM w),
+uni AS (SELECT w, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY w),
+coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM uni GROUP BY r),
+tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens FROM coc),
+j AS (SELECT a.r AS r, a.n_r AS n_r,
+             CAST(coalesce(b.n_r, 0) AS BIGINT) AS n_next, t.n_tokens
+      FROM coc a LEFT JOIN coc b ON b.r = a.r + 1 CROSS JOIN tot t)
+SELECT r, n_r, n_next,
+       CAST((r + 1) * n_next AS DOUBLE) / CAST(n_r AS DOUBLE) AS r_star,
+       CAST((r + 1) * n_next AS DOUBLE) / CAST(n_r AS DOUBLE)
+         / CAST(n_tokens AS DOUBLE) AS p_gt
+FROM j ORDER BY r
+""")
+def corpus_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # count-of-counts smoothing table: exact integer histogram +
+    # left self-join on r+1, UNROUNDED raw-double ratio emits
+    d = load_table(spark, sf_dir, "documents")
+    return CP.good_turing_counts(d)
+
+
+@register("corpus_tokenizer_fertility", f"""
+WITH d AS (
+  SELECT source,
+         CAST(len({_WORDS}) AS BIGINT) AS nw,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS ns,
+         CAST(length(text) AS BIGINT) AS nc
+  FROM documents
+), g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nw) AS BIGINT) AS n_words,
+         CAST(sum(ns) AS BIGINT) AS n_subwords,
+         CAST(sum(nc) AS BIGINT) AS n_chars
+  FROM d GROUP BY source
+)
+SELECT source, n_docs, n_words, n_subwords,
+       CASE WHEN n_words > 0
+            THEN CAST(n_subwords AS DOUBLE) / CAST(n_words AS DOUBLE)
+       END AS fertility,
+       CASE WHEN n_words > 0
+            THEN CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+       END AS chars_per_word
+FROM g ORDER BY source
+""")
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # whitespace-vs-BPE-estimate inflation profile per source: integer
+    # sums, UNROUNDED ratio emits guarded per denominator
+    d = load_table(spark, sf_dir, "documents")
+    return CP.tokenizer_fertility(d)
+
+
+@register("corpus_kn_perplexity", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+occ AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                       i -> {{'w1': ws[i], 'w2': ws[i+1]}})) AS p
+        FROM w),
+o2 AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM occ),
+bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+       FROM o2 GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(count(*) AS BIGINT) AS ctx1 FROM o2 GROUP BY w1),
+t1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS t1 FROM bi GROUP BY w1),
+cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS cont2
+         FROM bi GROUP BY w2),
+btot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
+j AS (SELECT o2.doc_id,
+             CAST(CAST(greatest(4 * bi.c12 - 3, 0) AS BIGINT) * bt.b
+                  + 3 * t1.t1 * cont.cont2 AS BIGINT) AS num,
+             CAST(4 * ctx.ctx1 * bt.b AS BIGINT) AS den
+      FROM o2 JOIN bi ON o2.w1 = bi.w1 AND o2.w2 = bi.w2
+              JOIN ctx ON o2.w1 = ctx.w1
+              JOIN t1 ON o2.w1 = t1.w1
+              JOIN cont ON o2.w2 = cont.w2
+              CROSS JOIN btot bt),
+q AS (SELECT doc_id,
+             CAST(round(-log2(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+                        * {CP.KN_NLL_GRID!r}, 0) AS BIGINT) AS q
+      FROM j),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(q) AS BIGINT) AS s
+        FROM q GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(per.s AS DOUBLE) / CAST(per.n_bigrams AS DOUBLE)
+         / {CP.KN_NLL_GRID!r} AS kn_score
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+""")
+def corpus_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interpolated Kneser-Ney with D = 3/4: the probability is the
+    # exact integer rational (max(4c12-3,0)*B + 3*T1*cont2)/(4*ctx1*B),
+    # one -log2 per position on the 1e-6 grid, UNROUNDED s/n/grid emit
+    d = load_table(spark, sf_dir, "documents")
+    return CP.kn_bigram_perplexity(d)
+
+
+@register("corpus_rake_keywords", f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+tk AS (SELECT doc_id, unnest(range(1, len(ws) + 1)) AS pos, ws FROM w),
+tok AS (SELECT doc_id, pos, ws[pos] AS w FROM tk
+        WHERE ws[pos] NOT IN ({_STOPS})),
+g0 AS (SELECT doc_id, pos, w,
+              pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                AS grp
+       FROM tok),
+ph AS (SELECT doc_id, w,
+              CAST(count(*) OVER (PARTITION BY doc_id, grp) AS BIGINT)
+                AS plen
+       FROM g0),
+g AS (SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS degree
+      FROM ph GROUP BY w)
+SELECT word, freq, degree,
+       CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE) AS rake_score
+FROM g ORDER BY degree DESC, word LIMIT 100
+""")
+def corpus_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stopword-boundary phrase segmentation via gaps-and-islands on the
+    # non-stopword token stream; integer freq/degree, integer-keyed
+    # top-N, UNROUNDED degree/freq emit
+    d = load_table(spark, sf_dir, "documents")
+    return CP.rake_word_scores(d, top_n=100)

@@ -128,3 +128,61 @@ def test_pvt_hand_computed(spark):
     vals = [r["pvt"] for r in ind.pvt(b).orderBy("hr").collect()]
     # +10% on vol 20 -> +2.0; -10% on vol 30 -> -3.0 (running: -1.0)
     assert vals == [0.0, 2.0, -1.0]
+
+
+def _docs(spark, texts, sources=None):
+    srcs = sources or ["s0"] * len(texts)
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(zip(texts, srcs))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_good_turing_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators import corpus as CP
+    # counts: a:2, b:2, c:1 -> N_1=1, N_2=2, N=5
+    out = {r["r"]: r for r in
+           CP.good_turing_counts(_docs(spark, ["a a b", "b c"])).collect()}
+    assert set(out) == {1, 2}
+    r1, r2 = out[1], out[2]
+    assert r1["n_r"] == 1 and r1["n_next"] == 2
+    assert r1["r_star"] == 4.0 and abs(r1["p_gt"] - 0.8) < 1e-15
+    assert r2["n_r"] == 2 and r2["n_next"] == 0 and r2["r_star"] == 0.0
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators import corpus as CP
+    out = CP.tokenizer_fertility(_docs(spark, ["ab cd"])).collect()
+    assert len(out) == 1
+    r = out[0]
+    # nw=2, ns=ceil(5/4)=2, nc=5
+    assert r["n_words"] == 2 and r["n_subwords"] == 2
+    assert r["fertility"] == 1.0 and r["chars_per_word"] == 2.5
+
+
+def test_kn_perplexity_hand_computed(spark):
+    import math
+    from stock_data_etl_pipeline_spark.operators import corpus as CP
+    # d0="a b", d1="a b a c": B=3, ctx(a)=3 ctx(b)=1, T1(a)=2 T1(b)=1,
+    # cont(a)=cont(b)=cont(c)=1
+    out = {r["doc_id"]: r for r in CP.kn_bigram_perplexity(
+        _docs(spark, ["a b", "a b a c", "z"])).collect()}
+    q_ab = round(-math.log2(21 / 36) * 1e6)      # (a,b): p = 7/12
+    q_ba = round(-math.log2(6 / 12) * 1e6)       # (b,a): p = 1/2
+    q_ac = round(-math.log2(9 / 36) * 1e6)       # (a,c): p = 1/4
+    assert out[0]["n_bigrams"] == 1
+    assert out[0]["kn_score"] == q_ab / 1 / 1e6
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["kn_score"] == (q_ab + q_ba + q_ac) / 3 / 1e6
+    assert out[2]["n_bigrams"] == 0 and out[2]["kn_score"] is None
+
+
+def test_rake_word_scores_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators import corpus as CP
+    # stopword-delimited phrases: [quick fox], [lazy dog], [park]
+    out = {r["word"]: r for r in CP.rake_word_scores(
+        _docs(spark, ["the quick fox and lazy dog in park"])).collect()}
+    assert set(out) == {"quick", "fox", "lazy", "dog", "park"}
+    for w in ("quick", "fox", "lazy", "dog"):
+        assert out[w]["freq"] == 1 and out[w]["degree"] == 2
+        assert out[w]["rake_score"] == 2.0
+    assert out["park"]["degree"] == 1 and out["park"]["rake_score"] == 1.0
