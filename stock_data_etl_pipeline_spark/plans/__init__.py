@@ -116,35 +116,29 @@ def _correctness_status(root: str | None = None,
 
 def _query_fingerprint(name: str, catalog=None) -> str:
     """Stable fingerprint of a catalog entry: sha256-16 over the
-    registered oracle SQL + the builder callable's source. A green
-    CORRECTNESS row attests the (builder, oracle) pair AS OF the
-    driver round that produced it; when either changes afterwards the
-    fingerprint diverges from the one stamped in
+    registered oracle SQL + the builder's package-local call closure
+    (builder source plus every package function/class transitively
+    reachable from it — see ``plans.fingerprint``). A green
+    CORRECTNESS row attests the (builder, oracle, helpers) triple AS
+    OF the driver round that produced it; when any of them changes
+    afterwards the fingerprint diverges from the one stamped in
     ``tools/QUERY_FINGERPRINTS.json`` and the rotation ranks the query
     just after the reds (the r9 gap: ``dedup_edit_distance``'s schema
     and ``events_robust_outliers``' plan changed, but their stale r8
-    green rows kept them out of the window). Limitation (documented):
-    a change buried in a helper the builder calls does not move the
-    fingerprint — invalidate those by hand
-    (``python tools/stamp_fingerprints.py --invalidate <name>``).
+    green rows kept them out of the window; the r10 residual gap: an
+    edit buried in an operator helper needed a manual ``--invalidate``
+    — closed by the closure walk, round 11).
 
     Memoized per process on the default catalog (source files do not
-    change under a running session; ~350 inspect.getsource reads per
+    change under a running session; ~360 closure walks per
     _window_order call otherwise). Explicit ``catalog`` bypasses the
     cache — the meta-tests pass synthetic catalogs."""
-    import hashlib
-    import inspect
+    from . import fingerprint as _fpmod
 
     if catalog is None and name in _FP_CACHE:
         return _FP_CACHE[name]
     fn, oracle = (catalog or CATALOG)[name]
-    target = inspect.unwrap(fn)
-    try:
-        src = inspect.getsource(target)
-    except (OSError, TypeError):  # builder without retrievable source
-        src = repr(target)
-    payload = (oracle or "") + "\n" + src
-    fp = hashlib.sha256(payload.encode()).hexdigest()[:16]
+    fp = _fpmod.fingerprint(fn, oracle)
     if catalog is None:
         _FP_CACHE[name] = fp
     return fp

@@ -268,3 +268,118 @@ def test_stamp_fingerprints_modes(tmp_path, monkeypatch):
     monkeypatch.setattr(sys, "argv",
                         ["stamp_fingerprints.py", "--invalidate", "nope"])
     assert sf.main() == 1
+
+
+def test_fingerprint_includes_helper_closure(tmp_path, monkeypatch):
+    # r11: the fingerprint must hash the builder's package-local call
+    # closure, so an edit buried in an operator helper the builder
+    # calls (directly or transitively) moves the fingerprint without a
+    # manual --invalidate (the r10 blind spot). Exercised against a
+    # synthetic on-disk package so the file edit is real.
+    import importlib
+    import sys as _sys
+    from stock_data_etl_pipeline_spark.plans import fingerprint as fpm
+
+    pkg = tmp_path / "fp_probe_pkg"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    helper = pkg / "helpers.py"
+    helper.write_text(
+        "def deep():\n    return 1\n\n"
+        "def shallow():\n    return deep()\n")
+    (pkg / "builders.py").write_text(
+        "from .helpers import shallow\n\n"
+        "def build(spark, sf_dir):\n    return shallow()\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setattr(fpm, "PKG_PREFIX", "fp_probe_pkg")
+    builders = importlib.import_module("fp_probe_pkg.builders")
+
+    srcs = fpm.closure_sources(builders.build)
+    names = {qn for (_, qn) in srcs}
+    assert {"build", "shallow", "deep"} <= names  # transitive closure
+    fp1 = fpm.fingerprint(builders.build, "SELECT 1")
+
+    # edit ONLY the transitively-called helper; builder source unchanged
+    helper.write_text(
+        "def deep():\n    return 2  # changed\n\n"
+        "def shallow():\n    return deep()\n")
+    import linecache
+    linecache.clearcache()
+    importlib.reload(_sys.modules["fp_probe_pkg.helpers"])
+    builders = importlib.reload(builders)
+    fp2 = fpm.fingerprint(builders.build, "SELECT 1")
+    assert fp1 != fp2
+
+    # re-editing back restores the original fingerprint (content-based,
+    # not mtime/identity-based)
+    helper.write_text(
+        "def deep():\n    return 1\n\n"
+        "def shallow():\n    return deep()\n")
+    linecache.clearcache()
+    importlib.reload(_sys.modules["fp_probe_pkg.helpers"])
+    builders = importlib.reload(builders)
+    assert fpm.fingerprint(builders.build, "SELECT 1") == fp1
+
+
+def test_fingerprint_includes_module_attr_refs_and_consts(tmp_path,
+                                                          monkeypatch):
+    # module-attribute style (`from . import ops; ops.kernel(...)`) must
+    # resolve per-used-attribute — editing the USED kernel moves the
+    # fingerprint, while appending an UNUSED function to the same module
+    # does not (whole-module hashing would flood the changed tier).
+    # Immutable module-level constants the kernel references are hashed
+    # too; mutable module-level caches are excluded.
+    import importlib
+    import sys as _sys
+    from stock_data_etl_pipeline_spark.plans import fingerprint as fpm
+
+    pkg = tmp_path / "fp_probe_pkg2"
+    pkg.mkdir()
+    (pkg / "__init__.py").write_text("")
+    ops = pkg / "ops.py"
+    ops.write_text(
+        "THRESH = 5\n_CACHE = {}\n\n"
+        "def kernel(x):\n    return x + THRESH\n")
+    (pkg / "builders.py").write_text(
+        "from . import ops\n\n"
+        "def build(spark, sf_dir):\n    return ops.kernel(1)\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    monkeypatch.setattr(fpm, "PKG_PREFIX", "fp_probe_pkg2")
+    builders = importlib.import_module("fp_probe_pkg2.builders")
+
+    srcs = fpm.closure_sources(builders.build)
+    assert ("fp_probe_pkg2.ops", "kernel") in srcs
+    assert ("fp_probe_pkg2.ops", "THRESH=const") in srcs
+    assert not any(qn == "<module>" for (_, qn) in srcs)
+    assert not any("_CACHE" in qn for (_, qn) in srcs)  # mutable cache out
+    fp1 = fpm.fingerprint(builders.build, None)
+
+    def _reload():
+        import linecache
+        linecache.clearcache()
+        importlib.reload(_sys.modules["fp_probe_pkg2.ops"])
+        return importlib.reload(_sys.modules["fp_probe_pkg2.builders"])
+
+    # appending an unused function must NOT move the fingerprint
+    ops.write_text(
+        "THRESH = 5\n_CACHE = {}\n\n"
+        "def kernel(x):\n    return x + THRESH\n\n"
+        "def new_unused():\n    return 99\n")
+    builders = _reload()
+    assert fpm.fingerprint(builders.build, None) == fp1
+
+    # changing the referenced immutable constant MUST move it
+    ops.write_text(
+        "THRESH = 6\n_CACHE = {}\n\n"
+        "def kernel(x):\n    return x + THRESH\n")
+    builders = _reload()
+    assert fpm.fingerprint(builders.build, None) != fp1
+
+
+def test_live_catalog_closures_reach_operator_helpers():
+    # the real catalog: dedup_edit_distance's fingerprint must cover the
+    # dedup operator function it delegates to, not just the thin builder
+    from stock_data_etl_pipeline_spark.plans import fingerprint as fpm
+    fn, _ = CATALOG["dedup_edit_distance"]
+    mods = {m for (m, _qn) in fpm.closure_sources(fn)}
+    assert "stock_data_etl_pipeline_spark.operators.dedup" in mods

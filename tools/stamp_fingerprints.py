@@ -1,9 +1,10 @@
 """Maintain tools/QUERY_FINGERPRINTS.json — the per-query attestation
 manifest behind the rotation's changed-since-last-green tier.
 
-Each entry records the fingerprint (oracle SQL + builder source,
-``plans._query_fingerprint``) a query had when the driver last greened
-it. The rotation compares the stamped fingerprint against the live one
+Each entry records the fingerprint (oracle SQL + the builder's
+package-local call closure — builder source plus transitively reachable
+package helpers, ``plans._query_fingerprint`` / ``plans.fingerprint``)
+a query had when the driver last greened it. The rotation compares the stamped fingerprint against the live one
 and ranks mismatches just after the reds, so a query whose code or
 oracle changed after its last green row is re-attested in the next
 driver window instead of coasting on a row that describes dead code.
