@@ -33,7 +33,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .pinned import pin
+from .pinned import pin, pin_cut
 
 
 def funnel(events: DataFrame, steps: Sequence[str],
@@ -165,9 +165,16 @@ def _undirected_degrees(pairs: DataFrame, id_a: str, id_b: str
     deduped) and node degrees, both pinned — the shared prefix of the
     graph operators (degree orientation, neighbor-degree curves).
     Pinned because every caller consumes both frames at least twice."""
-    und = pin(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("x"),
-                           F.greatest(F.col(id_a), F.col(id_b)).alias("y"))
-              .filter(F.col("x") != F.col("y")).distinct())
+    # pin_cut (round 11): und feeds the degree union (2 refs) AND every
+    # caller's edge-side joins, and deg is referenced twice per caller
+    # with und nested inside — the repetition compounds through
+    # _degree_oriented_edges into the triangle family's plan trees.
+    # Both are ≤ edge-cardinality, deterministic, fully consumed before
+    # release.
+    und = pin_cut(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("x"),
+                               F.greatest(F.col(id_a), F.col(id_b))
+                               .alias("y"))
+                  .filter(F.col("x") != F.col("y")).distinct())
     deg = pin(und.select(F.col("x").alias("v"))
               .unionByName(und.select(F.col("y").alias("v")))
               .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d")))
@@ -202,11 +209,18 @@ def _degree_oriented_edges(pairs: DataFrame, id_a: str, id_b: str
     dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
     x_first = (F.col("dx") < F.col("dy")) | \
         ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
-    e = pin(und.join(dx, "x").join(dy, "y")
-            .select(F.when(x_first, F.col("x")).otherwise(F.col("y"))
-                    .alias("a"),
-                    F.when(x_first, F.col("y")).otherwise(F.col("x"))
-                    .alias("b")))
+    # pin_cut, not pin (round 11): the oriented edge list is the most
+    # deeply shared subtree in the package — adjacency aggregates,
+    # per-edge joins, and triangle-list consumers each repeat it in
+    # the ANALYZED tree, multiplicatively through the nesting
+    # (closure_by_degree compiled 56k plan lines / 6,528 scans with a
+    # plain persist; ~0.3k lines with the leaf). Edge-cardinality,
+    # deterministic, and always fully consumed before release.
+    e = pin_cut(und.join(dx, "x").join(dy, "y")
+                .select(F.when(x_first, F.col("x")).otherwise(F.col("y"))
+                        .alias("a"),
+                        F.when(x_first, F.col("y")).otherwise(F.col("x"))
+                        .alias("b")))
     return e, deg
 
 
@@ -1578,10 +1592,14 @@ def rich_club(pairs: DataFrame, id_a: str, id_b: str,
     N·(N−1) needs N < ~3e9 for int64 headroom (any real graph's rich
     club is far smaller).
     """
-    und = pin(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
-                           F.greatest(F.col(id_a), F.col(id_b))
-                           .alias("b"))
-              .filter(F.col("a") != F.col("b")).distinct())
+    # pin_cut: four downstream references (two degree-union branches,
+    # two edge-degree joins), each repeating the subtree in the
+    # analyzed tree (2.2k plan lines with plain pin, round-11 audit)
+    und = pin_cut(pairs.select(F.least(F.col(id_a), F.col(id_b))
+                               .alias("a"),
+                               F.greatest(F.col(id_a), F.col(id_b))
+                               .alias("b"))
+                  .filter(F.col("a") != F.col("b")).distinct())
     deg = pin(und.select(F.col("a").alias("node"))
               .unionByName(und.select(F.col("b").alias("node")))
               .groupBy("node")
@@ -2099,10 +2117,12 @@ def closure_by_degree(pairs: DataFrame, id_a: str, id_b: str
     float log2 knife edges at the power-of-two boundaries.
     """
     e, deg = _degree_oriented_edges(pairs, id_a, id_b)
-    # pinned: the triangle list has THREE consumers (one union branch
+    # pin_cut: the triangle list has THREE consumers (one union branch
     # per vertex) — un-pinned, the adjacency joins + explode run three
-    # times (round-10 finding: cold closure dropped ~2.5× with this)
-    t = pin(_triangle_vertices(e))
+    # times (round-10 finding: cold closure dropped ~2.5× with this);
+    # and beyond two references the ANALYZED tree repeats the whole
+    # adjacency subtree per branch, so cut it to a leaf (round 11)
+    t = pin_cut(_triangle_vertices(e))
     tv = (t.select(F.col("a").alias("v"))
           .unionByName(t.select(F.col("b").alias("v")))
           .unionByName(t.select(F.col("c").alias("v")))

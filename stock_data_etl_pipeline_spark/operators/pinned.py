@@ -106,6 +106,28 @@ def pin_checkpoint(df: DataFrame) -> DataFrame:
     return cp
 
 
+def pin_cut(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` chosen for PLAN-SIZE bounding, not
+    recompute safety: a deterministic subtree referenced by N downstream
+    branches appears N times in the ANALYZED tree, and when those
+    branches nest (the triangle machinery: edges → adjacency → triangle
+    list → three per-vertex credit unions) the tree grows
+    multiplicatively — `graph_closure_by_degree` compiled a 56k-line /
+    6,528-scan executed plan (round-10 audit) whose Catalyst analysis
+    cost driver CPU on every new consumer, even though EXECUTION was
+    already bounded by :func:`pin`. Checkpointing replaces the subtree
+    with a ``LogicalRDD`` leaf so every downstream reference is one
+    node. Same release discipline as :func:`pin_checkpoint`; recompute
+    of the input would have been harmless (deterministic), so the
+    fail-fast-after-release property is incidental here.
+
+    Use when a pinned subtree has MORE than two downstream references
+    or feeds another multiply-referenced subtree; plain :func:`pin` is
+    cheaper (lazy, no forced job at build time) for the simple
+    two-consumer case."""
+    return pin_checkpoint(df)
+
+
 def _unpersist_checkpoint(df: DataFrame) -> None:
     """Drop a localCheckpoint's blocks via its LogicalRDD leaf.
 

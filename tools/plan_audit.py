@@ -41,6 +41,15 @@ def audit_one(spark, fn, sf_dir: str) -> tuple[dict, str]:
         "reuse": plan.count("ReusedExchange"),
         "cartesian": plan.count("CartesianProduct"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        # plan-TREE size (round 11): execution can be bounded by pins
+        # while the analyzed tree still repeats a shared subtree per
+        # reference, multiplicatively through nesting — Catalyst
+        # analysis on a 56k-line tree costs real driver CPU
+        # (graph_closure_by_degree, round-10 audit). pin_cut turns such
+        # subtrees into ExistingRDD leaves; `rddleaf` counts them so a
+        # scans=0 row reads as "checkpoint-fed", not "scanless".
+        "nodes": plan.count("\n") + 1,
+        "rddleaf": plan.count("Scan ExistingRDD"),
     }
     return props, plan
 
