@@ -125,6 +125,11 @@ def main() -> None:
     headline = ([q for q in only.split(",") if q] if only.strip()
                 else HEADLINE)
 
+    # co-tenant load must be sampled BEFORE this process spins up the
+    # JVM and runs warmup on 32 threads — loadavg_start (below, read
+    # after warmup) mostly measures our own warmup otherwise
+    loadavg_baseline = list(os.getloadavg())
+
     import __spark_entry__ as entrymod
     from stock_data_etl_pipeline_spark.session import get_spark
 
@@ -169,12 +174,12 @@ def main() -> None:
     # refuse (an unattended driver run must still produce an artifact)
     # — stamp the condition into BOTH the artifact and the one-line
     # stdout so a hot-machine number can never be read as a regression.
-    load_warn = loadavg_start[0] > float(
+    load_warn = loadavg_baseline[0] > float(
         os.environ.get("SPARK_GRAFT_BENCH_LOAD_WARN", "2.0"))
     if load_warn:
-        print(f"WARN bench starting under load {loadavg_start[0]:.2f} "
-              f"(1-min avg); timings are not comparable across rounds",
-              file=sys.stderr)
+        print(f"WARN bench started under load {loadavg_baseline[0]:.2f} "
+              f"(1-min avg at process start); timings are not "
+              f"comparable across rounds", file=sys.stderr)
     from stock_data_etl_pipeline_spark.operators.pinned import release_pinned
     for name in headline:
         # release pinned caches BETWEEN queries (the memory-hygiene
@@ -212,6 +217,7 @@ def main() -> None:
               "cold_first_attempt": cold,
               "cold_total": round(sum(cold.values()), 3),
               "attempt_times": spreads,
+              "loadavg_baseline": [round(x, 2) for x in loadavg_baseline],
               "loadavg_start": [round(x, 2) for x in loadavg_start],
               "loadavg_end": [round(x, 2) for x in os.getloadavg()],
               "loadavg_warning": load_warn}
@@ -224,7 +230,7 @@ def main() -> None:
     line_obj = {"metric": "headline_queries_total", "value": total,
                 "unit": "sec", "queries": per_query, "sf": sf}
     if load_warn:
-        line_obj["loadavg_warning"] = round(loadavg_start[0], 2)
+        line_obj["loadavg_warning"] = round(loadavg_baseline[0], 2)
     line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > 1900:  # driver tail buffer is 2000 chars — stay under
         slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1]))

@@ -56,7 +56,8 @@ from pyspark.sql import DataFrame
 
 _log = logging.getLogger(__name__)
 
-# (kind, frame) where kind is "persist" | "checkpoint"
+# (kind, frame-or-path): ("persist", DataFrame) | ("checkpoint",
+# DataFrame) | ("cutfile", str parquet path)
 _PINNED: list[tuple[str, DataFrame]] = []
 
 # one-shot flag so a Spark upgrade that moves the private accessor logs
@@ -107,25 +108,89 @@ def pin_checkpoint(df: DataFrame) -> DataFrame:
 
 
 def pin_cut(df: DataFrame) -> DataFrame:
-    """Eager ``localCheckpoint`` chosen for PLAN-SIZE bounding, not
-    recompute safety: a deterministic subtree referenced by N downstream
-    branches appears N times in the ANALYZED tree, and when those
-    branches nest (the triangle machinery: edges → adjacency → triangle
-    list → three per-vertex credit unions) the tree grows
-    multiplicatively — `graph_closure_by_degree` compiled a 56k-line /
-    6,528-scan executed plan (round-10 audit) whose Catalyst analysis
-    cost driver CPU on every new consumer, even though EXECUTION was
-    already bounded by :func:`pin`. Checkpointing replaces the subtree
-    with a ``LogicalRDD`` leaf so every downstream reference is one
-    node. Same release discipline as :func:`pin_checkpoint`; recompute
-    of the input would have been harmless (deterministic), so the
-    fail-fast-after-release property is incidental here.
+    """Materialize ``df`` to a session-temp PARQUET directory and return
+    a re-read of it — plan-SIZE bounding, not recompute safety: a
+    deterministic subtree referenced by N downstream branches appears N
+    times in the ANALYZED tree, and when those branches nest (the
+    triangle machinery: edges → adjacency → triangle list → three
+    per-vertex credit unions) the tree grows multiplicatively —
+    ``graph_closure_by_degree`` compiled a 56k-line / 6,528-scan
+    executed plan (round-10 audit) whose Catalyst analysis cost driver
+    CPU on every new consumer, even though EXECUTION was already
+    bounded by :func:`pin`. The re-read replaces the subtree with a
+    single vectorized parquet FileScan leaf.
+
+    Why parquet-reread and not eager ``localCheckpoint`` (the first
+    round-11 attempt): a checkpoint leaf is ``Scan ExistingRDD`` over
+    deserialized InternalRows — row-based input that breaks columnar
+    whole-stage input and re-pays deserialization per consumer;
+    at sf0.1 it doubled the whole graph family's wall time
+    (clustering 1.8→4.0 s, rich-club 1.8→3.4 s). The parquet roundtrip
+    costs one write job but every consumer re-reads through the
+    vectorized columnar reader, which is the same executor path the
+    original scan used.
+
+    The re-read carries ``df``'s explicit schema (names and types are
+    never re-inferred; note Spark marks every file-source column
+    nullable on read, so nullability — and only nullability — widens
+    across the cut). Row
+    ORDER across the roundtrip is partition-arbitrary — callers are
+    aggregates/joins, never order-sensitive consumers. The files are
+    deleted by :func:`release_pinned` under the same
+    materialize-before-release contract as every other pin; a consumer
+    re-executed after release fails loudly on the missing path rather
+    than silently recomputing.
+
+    Idempotent across logically-identical plans, like :func:`pin`: a
+    repeated build of the same subtree (a bench re-attempt, two
+    operators sharing a helper on the same inputs) reuses the existing
+    cut via ``sameResult`` on the analyzed plans instead of re-writing
+    — without this every attempt paid the write job again and the warm
+    numbers measured materialization, not the query.
 
     Use when a pinned subtree has MORE than two downstream references
     or feeds another multiply-referenced subtree; plain :func:`pin` is
-    cheaper (lazy, no forced job at build time) for the simple
-    two-consumer case."""
-    return pin_checkpoint(df)
+    cheaper (lazy, no write job) for the simple two-consumer case."""
+    import os
+    import uuid
+
+    try:
+        new_plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        for src, path in _CUTS:
+            if src._jdf.queryExecution().analyzed() \
+                    .sameResult(new_plan):  # noqa: SLF001
+                return df.sparkSession.read.schema(df.schema).parquet(path)
+    except Exception:  # noqa: BLE001 — private accessor moved: write fresh
+        pass
+    path = os.path.join(_cut_root(), f"cut-{uuid.uuid4().hex}")
+    df.write.mode("error").parquet(path)
+    out = df.sparkSession.read.schema(df.schema).parquet(path)
+    _CUTS.append((df, path))
+    _PINNED.append(("cutfile", path))
+    return out
+
+
+# (source frame, parquet path) of live cuts — the sameResult reuse
+# index; cleared alongside _PINNED by release_pinned
+_CUTS: list[tuple[DataFrame, str]] = []
+
+
+def _cut_root() -> str:
+    """Per-process temp root for pin_cut parquet spills, created lazily
+    and removed at interpreter exit (release_pinned deletes individual
+    cuts much earlier in normal operation)."""
+    global _CUT_ROOT
+    if _CUT_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _CUT_ROOT = tempfile.mkdtemp(prefix="spark-pin-cut-")
+        atexit.register(shutil.rmtree, _CUT_ROOT, ignore_errors=True)
+    return _CUT_ROOT
+
+
+_CUT_ROOT: str | None = None
 
 
 def _unpersist_checkpoint(df: DataFrame) -> None:
@@ -153,6 +218,11 @@ def release_pinned() -> int:
         try:
             if kind == "checkpoint":
                 _unpersist_checkpoint(df)
+            elif kind == "cutfile":  # df is the parquet path
+                import shutil
+
+                _CUTS[:] = [(s, p) for s, p in _CUTS if p != df]
+                shutil.rmtree(df, ignore_errors=True)
             else:
                 df.unpersist()
             n += 1

@@ -318,3 +318,50 @@ def test_source_balance_hand_computed(spark):
     hsum = sum(round(c * math.log(c) * 1e6) for _, c in rows)
     assert abs(r["entropy"]
                - round(math.log(8) - hsum / 1e6 / 8, 6)) < 1e-12
+
+
+def test_pin_cut_roundtrip_memoization_and_release(spark):
+    # pin_cut must (1) preserve rows/schema through the parquet
+    # roundtrip, (2) reuse the existing cut for a semantically
+    # identical plan (a bench re-attempt must not pay the write job
+    # again), (3) delete the files and the reuse index on release.
+    import os
+    from pyspark.sql import functions as F
+    from stock_data_etl_pipeline_spark.operators import pinned
+    from stock_data_etl_pipeline_spark.operators.pinned import (
+        pin_cut, release_pinned)
+
+    release_pinned()
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"))
+    cut1 = pin_cut(base)
+    # names and types survive the roundtrip; Spark marks every
+    # file-source column nullable on read, so only nullability widens
+    assert [(f.name, f.dataType) for f in cut1.schema.fields] \
+        == [(f.name, f.dataType) for f in base.schema.fields]
+    assert sorted(r.id for r in cut1.collect()) == list(range(100))
+    n_cuts = len(pinned._CUTS)
+    assert n_cuts == 1
+    path1 = pinned._CUTS[0][1]
+
+    # identical plan, rebuilt from scratch -> no new write
+    again = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k"))
+    cut2 = pin_cut(again)
+    assert len(pinned._CUTS) == 1
+    assert cut2.count() == 100
+
+    # different plan -> its own cut
+    other = pin_cut(spark.range(50))
+    assert len(pinned._CUTS) == 2
+    assert other.count() == 50
+
+    released = release_pinned()
+    assert released >= 2
+    assert pinned._CUTS == []
+    assert not os.path.exists(path1)
+    # a consumer re-executed after release fails loudly, never
+    # silently recomputes (same contract as pin_checkpoint)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        cut1.collect()
