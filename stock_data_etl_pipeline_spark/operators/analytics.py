@@ -2259,3 +2259,174 @@ def dow_hour_anomalies(events: DataFrame) -> DataFrame:
                       > 9 * F.col("ssq")).alias("is_anomaly"))
             .filter(F.col("is_anomaly"))
             .orderBy("dow", "hr"))
+
+
+def t_closeness_profile(df: DataFrame, qi_cols: Sequence[str],
+                        sensitive: Column | str) -> DataFrame:
+    """t-closeness census — the third privacy report after
+    :func:`k_anonymity_profile` and :func:`l_diversity_profile`:
+    l-diversity is still open to similarity attacks (a class whose 3
+    distinct salaries are all "high" leaks the attribute), so
+    t-closeness bounds, per quasi-identifier class, the Earth Mover's
+    Distance between the class's sensitive-value distribution and the
+    GLOBAL one. For an ORDERED sensitive attribute over B buckets the
+    EMD has the closed form (1/(B−1))·Σ_j |CumP_j − CumQ_j| over the
+    B−1 interior prefix sums.
+
+    Exact-integer core: with per-class counts cp over class size m and
+    global counts cq over total n, each |CumP − CumQ| term is
+    |cp_cum·n − cq_cum·m| / (m·n) — the numerators are exact BIGINTs
+    (zero-filled over the shared bucket domain via a broadcast grid,
+    the PSI/dow-hour precedent; prefix sums run inside each class's
+    bounded window), summed exactly, and t is ONE double division
+    t = Σ|…| / (m·n·(B−1)) at emit. Headroom: cp_cum·n ≤ m·n ≤ 2^63
+    needs m·n ≲ 9e18 — with B ≲ 100 buckets the term SUM stays within
+    int64 for any m·n ≲ 9e16 (rows ≲ 3e8 against a 3e8 table); beyond
+    that pre-aggregate the sensitive attribute to coarser buckets.
+    Shape: one class×bucket aggregate, one bucket aggregate, a
+    |classes × buckets| broadcast-grid join, windows partitioned BY
+    CLASS over ≤ B rows — nothing wider than |classes|·B anywhere.
+    """
+    s = F.col(sensitive) if isinstance(sensitive, str) else sensitive
+    base = df.select(*qi_cols, s.cast("long").alias("_b"))
+    cb = pin(base.groupBy(*qi_cols, "_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("cp")))
+    classes = (cb.groupBy(*qi_cols)
+               .agg(F.sum("cp").cast("long").alias("m")))
+    gb = (cb.groupBy("_b").agg(F.sum("cp").cast("long").alias("cq")))
+    tot = gb.agg(F.sum("cq").cast("long").alias("n"),
+                 F.count(F.lit(1)).cast("long").alias("nb"))
+    # zero-filled class × bucket grid (classes and buckets are both
+    # aggregate-bounded; the join is a broadcast of the bucket list)
+    grid = classes.crossJoin(F.broadcast(gb.select("_b")))
+    filled = (grid.join(cb, [*qi_cols, "_b"], "left")
+              .select(*qi_cols, "_b",
+                      F.coalesce(F.col("cp"), F.lit(0)).alias("cp")))
+    w = (Window.partitionBy(*qi_cols).orderBy("_b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (filled.join(F.broadcast(gb), "_b")
+           .join(classes, list(qi_cols))
+           .crossJoin(F.broadcast(tot))
+           .select(*qi_cols, "_b", "m", "n", "nb",
+                   F.sum("cp").over(w).alias("cpc"),
+                   F.sum("cq").over(
+                       Window.partitionBy(*qi_cols).orderBy("_b")
+                       .rowsBetween(Window.unboundedPreceding,
+                                    Window.currentRow)).alias("cqc")))
+    # drop the last (total) prefix — EMD sums the B−1 interior cuts
+    wb = Window.partitionBy(*qi_cols).orderBy(F.col("_b").desc())
+    interior = (cum.withColumn("_rn", F.row_number().over(wb))
+                .filter(F.col("_rn") > 1))
+    num = F.abs(F.col("cpc") * F.col("n") - F.col("cqc") * F.col("m"))
+    g = (interior.groupBy(*qi_cols, "m", "n", "nb")
+         .agg(F.sum(num).cast("long").alias("s")))
+    t = F.col("s").cast("double") / (
+        F.col("m") * F.col("n") * (F.col("nb") - 1)).cast("double")
+    return (g.select(*qi_cols, F.col("m").alias("class_rows"),
+                     F.when(F.col("nb") > 1, t).alias("t_emd"))
+            .orderBy(*qi_cols))
+
+
+HITS_SCALE = 1_000_000_000_000  # 1e-12 fixed-point unit for HITS
+
+
+def hits_bipartite(edges: DataFrame, src: str, dst: str,
+                   iters: int = 2, top: int = 20) -> DataFrame:
+    """HITS hubs/authorities over a DIRECTED bipartite edge list
+    (src → dst; e.g. customer → purchased part), by power iteration in
+    EXACT integer arithmetic: authority(d) = Σ hub(s) over in-edges,
+    hub(s) = Σ authority(d) over out-edges, each half-step L1-renormalized
+    back onto the 1e-12 fixed-point grid with the two-stage integer
+    scale s := s div max(total div SCALE, 1) — every operation is
+    integer, so the result is bit-identical on any engine and
+    partitioning (the pagerank discipline; float HITS drifts with
+    reduction order). The renormalizing floor-div leaks < 1 output
+    quantum per node per half-step — noise at the 1e-12 grain.
+
+    Note HITS on an UNDIRECTED graph degenerates (hubs ≡ authorities);
+    the bipartite purchase graph is the natural directed input and
+    gives the two scores their classical meaning (hub = broad buyer,
+    authority = widely-bought part).
+
+    Output: (kind, node, score_e12) — top ``top`` authorities and top
+    ``top`` hubs, rank-ordered per kind (score desc, node asc).
+
+    Shape at 100 TB: per half-step one keyed join + one groupBy on the
+    edge list (the canonical distributed HITS); the edge list is
+    pinned once; renormalization totals are 1-row broadcast scalars.
+    Overflow headroom: raw scores are ≤ max-degree · SCALE ≲ 1e12·deg
+    before renormalization — int64-safe for degrees to ~9e6; the
+    renormalized grid resets each half-step, so headroom never
+    compounds across iterations.
+    """
+    e = pin(edges.select(F.col(src).alias("s"),
+                         F.col(dst).alias("d")).distinct())
+    hubs0 = e.select("s").distinct()
+    n_hubs = hubs0.count()  # one control-plane scalar
+    h = hubs0.select(F.col("s").alias("node"),
+                     F.lit(HITS_SCALE // n_hubs).cast("long").alias("r"))
+
+    def renorm(scores: DataFrame) -> DataFrame:
+        total = scores.agg(F.sum("r").alias("_t"))
+        return (scores.crossJoin(F.broadcast(total))  # 1-row scalar
+                .select("node", F.expr(
+                    "r div greatest(_t div "
+                    f"{HITS_SCALE}L, 1L)").alias("r")))
+
+    a = None
+    for _ in range(iters):
+        a = renorm(e.join(h.withColumnRenamed("node", "s"), "s")
+                   .groupBy(F.col("d").alias("node"))
+                   .agg(F.sum("r").cast("long").alias("r")))
+        h = renorm(e.join(a.withColumnRenamed("node", "d"), "d")
+                   .groupBy(F.col("s").alias("node"))
+                   .agg(F.sum("r").cast("long").alias("r")))
+    top_a = (a.orderBy(F.desc("r"), "node").limit(top)
+             .select(F.lit("authority").alias("kind"), "node",
+                     F.col("r").alias("score_e12")))
+    top_h = (h.orderBy(F.desc("r"), "node").limit(top)
+             .select(F.lit("hub").alias("kind"), "node",
+                     F.col("r").alias("score_e12")))
+    return (top_a.unionByName(top_h)
+            .orderBy("kind", F.desc("score_e12"), "node"))
+
+
+def label_propagation(pairs: DataFrame, id_a: str, id_b: str,
+                      iters: int = 3, top: int = 20) -> DataFrame:
+    """Synchronous label propagation (LPA) communities over an
+    undirected pair graph, made fully DETERMINISTIC: labels start as
+    the node id; each round every node adopts its neighborhood's
+    modal label with ties broken by the SMALLEST label (classic LPA
+    randomizes both update order and tie-breaks, which no
+    hash-compared oracle could verify); a fixed ``iters`` rounds
+    bounds the work (the fixed-point discipline of
+    :func:`pagerank` / clustering.py's CC).
+
+    Output: the ``top`` largest communities after the final round —
+    (label, n_members), size-desc then label-asc.
+
+    Shape at 100 TB: per round one edge⋈label join, one
+    (node, label)-keyed count, and one per-node modal pick through a
+    window PARTITIONED BY NODE (≤ degree rows per partition — never a
+    global sort). Edges are pinned once; label frames are
+    node-cardinality.
+    """
+    und = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("x"),
+                        F.greatest(F.col(id_a), F.col(id_b)).alias("y"))
+           .filter(F.col("x") != F.col("y")).distinct())
+    e = pin(und.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+            .unionByName(und.select(F.col("y").alias("src"),
+                                    F.col("x").alias("dst"))))
+    lab = e.select(F.col("src").alias("node")).distinct() \
+           .select("node", F.col("node").alias("lab"))
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), "lab")
+    for _ in range(iters):
+        nbr = (e.join(lab.withColumnRenamed("node", "dst"), "dst")
+               .groupBy(F.col("src").alias("node"), "lab")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+        lab = (nbr.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).select("node", "lab"))
+    return (lab.groupBy("lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .orderBy(F.desc("n_members"), "lab").limit(top)
+            .select(F.col("lab").alias("label"), "n_members"))

@@ -246,3 +246,97 @@ def psi_from_daily_histogram(h: DataFrame, bins: int = 10,
     return (s.select("day", "n_events", psi.alias("psi"),
                      (psi > F.lit(threshold)).alias("drifted"))
             .orderBy("day"))
+
+
+def referential_orphan_census(
+        relations: list[tuple[str, DataFrame, str, DataFrame, str]]
+) -> DataFrame:
+    """Referential-integrity orphan census across a whole schema: one
+    row per FK relationship — (relationship, n_child_rows, n_null_keys,
+    n_orphans, orphan_pct). The cross-table companion of
+    :func:`dq_check`'s single-table ``RefRule``: run it on every FK of
+    the warehouse at once and alert on any n_orphans > 0 (the
+    reference enforces FKs in Postgres DDL —
+    services/api/models.py:144-160 Stock.sector/exchange SET_NULL,
+    models.py:327-342 run FKs — this is the engine-side audit for data
+    already landed in the lake, where nothing enforces them).
+
+    ``relations`` rows are (name, child_df, fk_col, parent_df, pk_col).
+    A NULL FK is a "no reference", never an orphan (SET_NULL parity) —
+    counted separately in n_null_keys. Per relation: one left-anti join
+    of the non-null FK projection against the broadcast parent key set
+    plus one count aggregate — parent key sets are dimension-sized by
+    construction (they are the primary keys being referenced), so the
+    anti-join never shuffles the child table at any scale. orphan_pct
+    is the only float: one division of exact counts at emit, over
+    non-null rows, NULL when there are none.
+    """
+    parts: list[DataFrame] = []
+    for name, child, fk, parent, pk in relations:
+        base = child.select(F.col(fk).alias("_k"))
+        keys = parent.select(F.col(pk).alias("_k")).distinct()
+        nn = base.filter(F.col("_k").isNotNull())
+        orphans = nn.join(F.broadcast(keys), "_k", "left_anti")
+        counts = (base.agg(
+            F.count(F.lit(1)).cast("long").alias("n_child_rows"),
+            F.sum(F.when(F.col("_k").isNull(), 1).otherwise(0))
+            .cast("long").alias("n_null_keys"))
+            .crossJoin(orphans.agg(  # 1-row scalar join
+                F.count(F.lit(1)).cast("long").alias("n_orphans"))))
+        parts.append(counts.select(
+            F.lit(name).alias("relationship"),
+            "n_child_rows", "n_null_keys", "n_orphans",
+            F.when(F.col("n_child_rows") > F.col("n_null_keys"),
+                   F.round(100.0 * F.col("n_orphans")
+                           / (F.col("n_child_rows")
+                              - F.col("n_null_keys")), 6))
+            .alias("orphan_pct")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("relationship")
+
+
+SRM_CHI2_MILLI_95 = 3841  # 3.841 = chi-square 95% critical value, df=1
+
+
+def srm_check(events: DataFrame, user_col: str = "user_id",
+              unit_col: str = "event_type") -> DataFrame:
+    """Sample-ratio-mismatch check per experiment unit: each distinct
+    user is deterministically assigned to arm 0/1 by md5 parity (the
+    engine-portable bucketing of corpus.sample_bucket — an assignment
+    never changes across runs/engines), and the observed split is
+    tested against the designed 50/50 with the one-df chi-square
+    statistic chi2 = (n0 − n1)² / (n0 + n1). An SRM flag is the
+    standard pre-gate before reading ANY experiment metric (a skewed
+    split means broken assignment/logging, invalidating downstream
+    CUPED/t-tests — events_ab_test_cuped's companion).
+
+    Exactness: counts are integers; the flag is the pure-integer
+    comparison 1000·(n0 − n1)² > 3841·n — no float decides it (chi2
+    itself is emitted as one double division of exact integers).
+    Headroom: 1000·(n0−n1)² needs |n0−n1| ≤ ~3e6 distinct users per
+    unit at int64 — far beyond any real SRM (which alerts at ~2σ);
+    beyond that ANSI raises rather than wrapping. Two aggregates
+    (distinct users per unit×arm, then per unit), nothing wider than
+    the unit×arm matrix after the dedup.
+    """
+    from .corpus import sample_bucket
+
+    ua = (events.select(F.col(unit_col).alias("unit"),
+                        F.col(user_col).alias("u"))
+          .filter(F.col("u").isNotNull()).distinct()
+          .select("unit", "u",
+                  (sample_bucket(F.col("u")) % 2).alias("arm")))
+    g = (ua.groupBy("unit")
+         .agg(F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+              .cast("long").alias("n_arm0"),
+              F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+              .cast("long").alias("n_arm1")))
+    d = F.col("n_arm0") - F.col("n_arm1")
+    n = F.col("n_arm0") + F.col("n_arm1")
+    chi2 = F.when(n > 0, (d * d).cast("double") / n.cast("double"))
+    flag = (F.lit(1000) * d * d) > (F.lit(SRM_CHI2_MILLI_95) * n)
+    return (g.select("unit", "n_arm0", "n_arm1",
+                     chi2.alias("chi2"), flag.alias("srm_flag"))
+            .orderBy("unit"))

@@ -17,6 +17,8 @@ probe reads only matching partitions (partition pruning does the 'index').
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1102,3 +1104,153 @@ def jl_distortion(emb: DataFrame, in_dim: int = 64, out_dim: int = 16,
               F.min("ratio").alias("min_ratio"),
               F.max("ratio").alias("max_ratio")))
     return h.orderBy("ratio_decile")
+
+
+def isotropy_profile(emb: DataFrame, vec_col: str = "embedding",
+                     grid: int = 10_000) -> DataFrame:
+    """Embedding-space isotropy audit: the min/max per-dimension
+    variance ratio across ALL dimensions (1.0 = perfectly isotropic on
+    the diagonal; a tiny ratio means a few dominant directions carry
+    the space — cosine similarities then collapse toward the dominant
+    axes, the classic anisotropy pathology of contextual embeddings).
+    The whole-space summary on top of
+    :func:`dimension_variance_profile`'s per-dimension top-k.
+
+    One row: (n_vectors, n_dims, dead_dims, min_var_dim, max_var_dim,
+    var_ratio). Exactness: components quantized to the 1/``grid``
+    integer grid, per-dim (n, Σq, Σq²) exact BIGINTs, dimension
+    selection on the INTEGER variance numerator n·Σq² − (Σq)² with
+    ties to the smaller dim (min/max over (numerator, dim) structs —
+    one aggregate, no sort), and var_ratio is ONE double division of
+    the two numerators at emit (the n·(n−1)·grid² denominators
+    cancel). dead_dims counts zero-numerator dimensions. Headroom as
+    dimension_variance_profile: re-grid past ~1e4 vectors.
+
+    Shape: posexplode → one (dim)-keyed aggregate → one 1-row global
+    aggregate. Dims bound everything after the scan.
+    """
+    q = (emb.select(F.posexplode(as_double(vec_col)).alias("dim", "x"))
+         .select("dim", F.round(F.col("x") * grid, 0).cast("long")
+                 .alias("q")))
+    g = (q.groupBy("dim")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("q").cast("long").alias("s"),
+              F.sum(F.col("q") * F.col("q")).cast("long").alias("ss")))
+    # pinned: three consumers (the global aggregate, the max-numerator
+    # scalar, and the max-dim resolve) — un-pinned each would rescan
+    # the embeddings; the frame itself is dims-cardinality
+    d = pin(g.select("dim", "n",
+                     (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+                     .cast("long").alias("vn")))
+    # min side: struct min over (vn, dim) resolves equal numerators to
+    # the smaller dim directly
+    out = d.agg(
+        F.max("n").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.sum(F.when(F.col("vn") == 0, 1).otherwise(0))
+        .cast("long").alias("dead_dims"),
+        F.min(F.struct("vn", "dim")).alias("_mn"))
+    # max side: equal numerators must ALSO pick the smaller dim, and a
+    # struct max on (vn, dim) would pick the larger — resolve the max
+    # dim with a second pass over the (dims-cardinality) table instead
+    mx = d.agg(F.max("vn").alias("_v"))
+    maxdim = (d.join(F.broadcast(mx), d["vn"] == mx["_v"])
+              .agg(F.min("dim").cast("long").alias("max_var_dim"),
+                   F.max("vn").cast("long").alias("_maxvn")))
+    ratio = F.when(F.col("_maxvn") > 0,
+                   F.col("_mn.vn").cast("double")
+                   / F.col("_maxvn").cast("double"))
+    return (out.crossJoin(F.broadcast(maxdim))  # 1-row scalar join
+            .select("n_vectors", "n_dims", "dead_dims",
+                    F.col("_mn.dim").cast("long").alias("min_var_dim"),
+                    "max_var_dim", ratio.alias("var_ratio")))
+
+
+def matryoshka_recall_at_k(vectors: DataFrame,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id", k: int = 10,
+                           query_id: int = 0,
+                           prefixes: Sequence[int] = (4, 8, 16)
+                           ) -> DataFrame:
+    """Matryoshka (truncation) retrieval check: recall@k of brute-force
+    cosine search over the FIRST ``m`` dimensions against the full-dim
+    exact search, one row per prefix length — the measurement behind
+    "can we serve the 16-dim head of this embedding and keep recall".
+    :func:`sq_recall_at_k`'s sibling along the dimension axis instead
+    of the precision axis.
+
+    Both rankings order by (6-dp-rounded cosine, id) — a total order —
+    with TakeOrdered limit-sorts; the truncated side slices the array
+    BEFORE the fold, so the cosine is the genuine m-dim one. One
+    brute-force scan per prefix plus one for the exact baseline, each
+    a codegen'd projection + top-k — no shuffle wider than k rows.
+    """
+    v = vectors.select(F.col(id_col).alias("vid"),
+                       as_double(vec_col).alias("x"))
+
+    def topk(frame: DataFrame) -> DataFrame:
+        q = (frame.filter(F.col("vid") == query_id)
+             .select(F.col("x").alias("qv")))
+        return (frame.crossJoin(F.broadcast(q))  # 1-row scalar join
+                .select("vid", F.round(cosine(F.col("x"), F.col("qv")),
+                                       6).alias("s"))
+                .orderBy(F.col("s").desc(), "vid").limit(k)
+                .select("vid"))
+
+    exact = pin(topk(v))
+    parts = []
+    for m in prefixes:
+        tr = v.select("vid", F.slice("x", 1, int(m)).alias("x"))
+        hits_df = topk(tr).withColumn("h", F.lit(1))
+        hits = F.sum(F.coalesce("h", F.lit(0)))
+        parts.append(
+            exact.join(hits_df, "vid", "left")
+            .agg(F.lit(int(m)).cast("long").alias("prefix_dims"),
+                 F.count(F.lit(1)).cast("long").alias("n_exact"),
+                 hits.cast("long").alias("n_hits"),
+                 F.round(hits / F.count(F.lit(1)), 6).alias("recall")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("prefix_dims")
+
+
+def sign_recall_at_k(vectors: DataFrame, vec_col: str = "embedding",
+                     id_col: str = "vec_id", k: int = 10,
+                     query_id: int = 0) -> DataFrame:
+    """One-bit (sign) quantization retrieval check: rank by Hamming
+    AGREEMENT between sign patterns (component ≥ 0 → 1) and report
+    recall@k against the exact cosine ranking — the cheapest
+    quantization on the ladder (64 dims → 64 bits) and the floor the
+    int8 (:func:`sq_recall_at_k`) and Matryoshka
+    (:func:`matryoshka_recall_at_k`) variants are judged against.
+    Unlike :func:`lsh_topk` (random anchor projections, a candidate
+    FILTER), this scores the full vector's own sign pattern as the
+    similarity itself.
+
+    Agreement counting is pure integer (a zip_with of sign matches
+    summed as BIGINT; ties by id), so the quantized ranking is exact
+    by construction; the baseline cosine rounds to 6 dp as everywhere.
+    One codegen'd projection + two top-k limit-sorts + one k-row join.
+    """
+    v = vectors.select(F.col(id_col).alias("vid"),
+                       as_double(vec_col).alias("x"))
+    q = (v.filter(F.col("vid") == query_id)
+         .select(F.col("x").alias("qv")))
+    va = v.crossJoin(F.broadcast(q))  # 1-row scalar join
+    agree = F.aggregate(
+        F.zip_with("x", "qv",
+                   lambda a, b: ((a >= 0) == (b >= 0)).cast("long")),
+        F.lit(0).cast("long"), lambda acc, e: acc + e)
+    sgn = (va.select("vid", agree.alias("a"))
+           .orderBy(F.col("a").desc(), "vid").limit(k)
+           .select("vid").withColumn("h", F.lit(1)))
+    exact = (va.select("vid", F.round(cosine(F.col("x"), F.col("qv")),
+                                      6).alias("s"))
+             .orderBy(F.col("s").desc(), "vid").limit(k)
+             .select("vid"))
+    hits = F.sum(F.coalesce("h", F.lit(0)))
+    return (exact.join(sgn, "vid", "left")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_exact"),
+                 hits.cast("long").alias("n_sign_hits"),
+                 F.round(hits / F.count(F.lit(1)), 6).alias("recall")))

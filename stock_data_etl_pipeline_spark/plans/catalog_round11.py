@@ -401,3 +401,384 @@ def corpus_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-N, UNROUNDED degree/freq emit
     d = load_table(spark, sf_dir, "documents")
     return CP.rake_word_scores(d, top_n=100)
+
+
+# ---------------------------------------------------------------------------
+# data-quality / experiment / privacy
+# ---------------------------------------------------------------------------
+
+@register("dq_referential_orphans", """
+WITH rel AS (
+  SELECT 'customer.nation' AS relationship,
+         (SELECT count(*) FROM customer) AS n_child_rows,
+         (SELECT count(*) FROM customer WHERE c_nationkey IS NULL)
+           AS n_null_keys,
+         (SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = c.c_nationkey))
+           AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.orders',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL),
+         (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem.part',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+         (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM part p
+                            WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'lineitem.supplier',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL),
+         (SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM supplier s
+                            WHERE s.s_suppkey = l.l_suppkey))
+  UNION ALL
+  SELECT 'orders.customer',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+         (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'supplier.nation',
+         (SELECT count(*) FROM supplier),
+         (SELECT count(*) FROM supplier WHERE s_nationkey IS NULL),
+         (SELECT count(*) FROM supplier s WHERE s.s_nationkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM nation n
+                            WHERE n.n_nationkey = s.s_nationkey))
+)
+SELECT relationship, CAST(n_child_rows AS BIGINT) AS n_child_rows,
+       CAST(n_null_keys AS BIGINT) AS n_null_keys,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       CASE WHEN n_child_rows > n_null_keys
+            THEN round(100.0 * n_orphans / (n_child_rows - n_null_keys), 6)
+       END AS orphan_pct
+FROM rel ORDER BY relationship
+""")
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # whole-schema FK orphan census: one broadcast anti-join per
+    # relationship, NULL FKs counted separately (SET_NULL parity with
+    # the reference's Postgres FKs, models.py:144-160)
+    from ..operators.quality import referential_orphan_census
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return referential_orphan_census([
+        ("customer.nation", c, "c_nationkey", n, "n_nationkey"),
+        ("lineitem.orders", li, "l_orderkey", o, "o_orderkey"),
+        ("lineitem.part", li, "l_partkey", p, "p_partkey"),
+        ("lineitem.supplier", li, "l_suppkey", s, "s_suppkey"),
+        ("orders.customer", o, "o_custkey", c, "c_custkey"),
+        ("supplier.nation", s, "s_nationkey", n, "n_nationkey"),
+    ])
+
+
+@register("events_srm", """
+WITH ua AS (
+  SELECT DISTINCT event_type AS unit, user_id,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 100) % 2
+           AS arm
+  FROM events WHERE user_id IS NOT NULL
+), g AS (
+  SELECT unit,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_arm0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_arm1
+  FROM ua GROUP BY unit
+)
+SELECT unit, n_arm0, n_arm1,
+       CASE WHEN n_arm0 + n_arm1 > 0
+            THEN CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE)
+                 / CAST(n_arm0 + n_arm1 AS DOUBLE)
+       END AS chi2,
+       1000 * (n_arm0 - n_arm1) * (n_arm0 - n_arm1)
+         > 3841 * (n_arm0 + n_arm1) AS srm_flag
+FROM g ORDER BY unit
+""")
+def events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sample-ratio-mismatch pre-gate per experiment unit: md5-parity
+    # arms, chi-square vs 50/50, pure-integer flag at the 95% critical
+    # value (the CUPED query's mandatory precondition)
+    from ..operators.quality import srm_check
+    ev = load_table(spark, sf_dir, "events")
+    return srm_check(ev)
+
+
+@register("customer_t_closeness", """
+WITH base AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b
+  FROM customer
+), cb AS (
+  SELECT c_nationkey, c_mktsegment, b, CAST(count(*) AS BIGINT) AS cp
+  FROM base GROUP BY 1, 2, 3
+), classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(sum(cp) AS BIGINT) AS m
+  FROM cb GROUP BY 1, 2
+), gb AS (
+  SELECT b, CAST(sum(cp) AS BIGINT) AS cq FROM cb GROUP BY b
+), tot AS (
+  SELECT CAST(sum(cq) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS nb
+  FROM gb
+), grid AS (
+  SELECT c.c_nationkey, c.c_mktsegment, c.m, g.b,
+         coalesce(cb.cp, 0) AS cp, g.cq
+  FROM classes c CROSS JOIN gb g
+  LEFT JOIN cb ON cb.c_nationkey = c.c_nationkey
+              AND cb.c_mktsegment = c.c_mktsegment AND cb.b = g.b
+), cum AS (
+  SELECT c_nationkey, c_mktsegment, m, b,
+         CAST(sum(cp) OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY b) AS BIGINT) AS cpc,
+         CAST(sum(cq) OVER (PARTITION BY c_nationkey, c_mktsegment
+                            ORDER BY b) AS BIGINT) AS cqc
+  FROM grid
+), interior AS (
+  SELECT * FROM cum WHERE b < (SELECT max(b) FROM gb)
+), agg AS (
+  SELECT c_nationkey, c_mktsegment, m,
+         CAST(sum(abs(cpc * (SELECT n FROM tot)
+                      - cqc * m)) AS BIGINT) AS s
+  FROM interior GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, m AS class_rows,
+       CASE WHEN (SELECT nb FROM tot) > 1
+            THEN CAST(s AS DOUBLE)
+                 / CAST(m * (SELECT n FROM tot)
+                        * ((SELECT nb FROM tot) - 1) AS DOUBLE)
+       END AS t_emd
+FROM agg ORDER BY c_nationkey, c_mktsegment
+""")
+def customer_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ordered-EMD t-closeness per (nation, segment) QI class over the
+    # acctbal thousand-bucket — the similarity-attack audit that
+    # completes the k-anonymity / l-diversity ladder; exact-integer
+    # prefix-difference numerators, one double division at emit
+    from ..operators.analytics import t_closeness_profile
+    c = load_table(spark, sf_dir, "customer")
+    return t_closeness_profile(
+        c, ["c_nationkey", "c_mktsegment"],
+        F.floor(F.col("c_acctbal") / 1000.0))
+
+
+# ---------------------------------------------------------------------------
+# graph fixed-point: HITS, label propagation
+# ---------------------------------------------------------------------------
+
+@register("graph_hits", """
+WITH e AS (SELECT DISTINCT o.o_custkey AS s, l.l_partkey AS d
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+nh AS (SELECT count(DISTINCT s) AS n FROM e),
+h0 AS (SELECT s AS node, 1000000000000 // n AS r FROM (SELECT DISTINCT s FROM e), nh),
+a1r AS (SELECT e.d AS node, CAST(sum(h.r) AS BIGINT) AS r
+        FROM e JOIN h0 h ON e.s = h.node GROUP BY e.d),
+a1 AS (SELECT node, r // greatest((SELECT sum(r) FROM a1r) // 1000000000000, 1) AS r
+       FROM a1r),
+h1r AS (SELECT e.s AS node, CAST(sum(a.r) AS BIGINT) AS r
+        FROM e JOIN a1 a ON e.d = a.node GROUP BY e.s),
+h1 AS (SELECT node, r // greatest((SELECT sum(r) FROM h1r) // 1000000000000, 1) AS r
+       FROM h1r),
+a2r AS (SELECT e.d AS node, CAST(sum(h.r) AS BIGINT) AS r
+        FROM e JOIN h1 h ON e.s = h.node GROUP BY e.d),
+a2 AS (SELECT node, r // greatest((SELECT sum(r) FROM a2r) // 1000000000000, 1) AS r
+       FROM a2r),
+h2r AS (SELECT e.s AS node, CAST(sum(a.r) AS BIGINT) AS r
+        FROM e JOIN a2 a ON e.d = a.node GROUP BY e.s),
+h2 AS (SELECT node, r // greatest((SELECT sum(r) FROM h2r) // 1000000000000, 1) AS r
+       FROM h2r),
+ta AS (SELECT 'authority' AS kind, node, r AS score_e12 FROM a2
+       ORDER BY r DESC, node LIMIT 20),
+th AS (SELECT 'hub' AS kind, node, r AS score_e12 FROM h2
+       ORDER BY r DESC, node LIMIT 20)
+SELECT kind, node, score_e12 FROM (
+  SELECT * FROM ta UNION ALL SELECT * FROM th)
+ORDER BY kind, score_e12 DESC, node
+""")
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HITS over the directed customer -> purchased-part bipartite
+    # graph: 2 power iterations in exact fixed-point integers with
+    # two-stage L1 renormalization (hub = broad buyer, authority =
+    # widely-bought part); top-20 per kind
+    from ..operators.analytics import hits_bipartite
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+             .select(F.col("o_custkey").alias("cust"),
+                     F.col("l_partkey").alias("part")))
+    return hits_bipartite(edges, "cust", "part", iters=2, top=20)
+
+
+@register("graph_label_prop", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+und AS (SELECT DISTINCT a.i AS x, b.i AS y
+        FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+e AS (SELECT x AS src, y AS dst FROM und
+      UNION ALL SELECT y, x FROM und),
+l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),
+n1 AS (SELECT e.src AS node, l.lab, count(*) AS cnt
+       FROM e JOIN l0 l ON e.dst = l.node GROUP BY 1, 2),
+l1 AS (SELECT node, lab FROM (
+         SELECT node, lab,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY cnt DESC, lab) AS rn
+         FROM n1) WHERE rn = 1),
+n2 AS (SELECT e.src AS node, l.lab, count(*) AS cnt
+       FROM e JOIN l1 l ON e.dst = l.node GROUP BY 1, 2),
+l2 AS (SELECT node, lab FROM (
+         SELECT node, lab,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY cnt DESC, lab) AS rn
+         FROM n2) WHERE rn = 1),
+n3 AS (SELECT e.src AS node, l.lab, count(*) AS cnt
+       FROM e JOIN l2 l ON e.dst = l.node GROUP BY 1, 2),
+l3 AS (SELECT node, lab FROM (
+         SELECT node, lab,
+                row_number() OVER (PARTITION BY node
+                                   ORDER BY cnt DESC, lab) AS rn
+         FROM n3) WHERE rn = 1)
+SELECT lab AS label, CAST(count(*) AS BIGINT) AS n_members
+FROM l3 GROUP BY lab
+ORDER BY n_members DESC, label LIMIT 20
+""")
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic synchronous LPA (modal neighbor label, ties to the
+    # smallest) over the co-purchase part graph, 3 fixed rounds;
+    # top-20 communities by size
+    from ..operators.analytics import label_propagation
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+    return label_propagation(pairs, "pa", "pb", iters=3, top=20)
+
+
+# ---------------------------------------------------------------------------
+# embedding-space audits: isotropy, Matryoshka truncation, sign bits
+# ---------------------------------------------------------------------------
+
+@register("embedding_isotropy", """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+q AS (SELECT t.i - 1 AS dim,
+             CAST(round(x[t.i] * 10000, 0) AS BIGINT) AS q
+      FROM v, (SELECT unnest(generate_series(1, 64)) AS i) t),
+g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS s,
+             CAST(sum(q * q) AS BIGINT) AS ss
+      FROM q GROUP BY dim),
+d AS (SELECT dim, n, CAST(n * ss - s * s AS BIGINT) AS vn FROM g),
+mn AS (SELECT vn, dim FROM d ORDER BY vn, dim LIMIT 1),
+mx AS (SELECT max(vn) AS v FROM d),
+mxd AS (SELECT CAST(min(dim) AS BIGINT) AS max_var_dim,
+               CAST(max(vn) AS BIGINT) AS maxvn
+        FROM d JOIN mx ON d.vn = mx.v)
+SELECT (SELECT CAST(max(n) AS BIGINT) FROM d) AS n_vectors,
+       (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_dims,
+       (SELECT CAST(sum(CASE WHEN vn = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM d) AS dead_dims,
+       (SELECT CAST(dim AS BIGINT) FROM mn) AS min_var_dim,
+       max_var_dim,
+       CASE WHEN maxvn > 0
+            THEN CAST((SELECT vn FROM mn) AS DOUBLE)
+                 / CAST(maxvn AS DOUBLE)
+       END AS var_ratio
+FROM mxd
+""")
+def embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # whole-space anisotropy audit: min/max per-dimension variance
+    # ratio on exact integer numerators (denominators cancel), dead
+    # dims counted, ties to the smaller dim on both ends
+    from ..operators.similarity import isotropy_profile
+    emb = load_table(spark, sf_dir, "embeddings")
+    return isotropy_profile(emb)
+
+
+def _matryoshka_sql(k: int = 10, dims: int = 64,
+                    prefixes: tuple = (4, 8, 16)) -> str:
+    def cos(m: int, xa: str, xb: str) -> str:
+        return (f"round(list_reduce(list_transform(generate_series(1, "
+                f"{m}), i -> {xa}[i] * {xb}[i]), (a, b) -> a + b) / "
+                f"(sqrt(list_reduce(list_transform({xa}[1:{m}], "
+                f"e -> e * e), (a, b) -> a + b)) * "
+                f"sqrt(list_reduce(list_transform({xb}[1:{m}], "
+                f"e -> e * e), (a, b) -> a + b))), 6)")
+
+    blocks = []
+    for m in prefixes:
+        blocks.append(f"""
+SELECT CAST({m} AS BIGINT) AS prefix_dims,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(h) AS BIGINT) AS n_hits,
+       round(sum(h) / count(*)::DOUBLE, 6) AS recall
+FROM (
+  SELECT CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS h
+  FROM te LEFT JOIN (
+    SELECT vec_id FROM (
+      SELECT v.vec_id, {cos(m, 'v.x', 'qe.qv')} AS s FROM v, qe)
+    ORDER BY s DESC, vec_id LIMIT {k}) t USING (vec_id))""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+qe AS (SELECT x AS qv FROM v WHERE vec_id = 0),
+te AS (SELECT vec_id FROM (
+         SELECT v.vec_id, {cos(dims, 'v.x', 'qe.qv')} AS s FROM v, qe)
+       ORDER BY s DESC, vec_id LIMIT {k})
+SELECT * FROM ({body}) ORDER BY prefix_dims
+"""
+
+
+@register("embedding_matryoshka_recall", _matryoshka_sql())
+def embedding_matryoshka_recall(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    # truncation retrieval curve: recall@10 of the first-4/8/16-dim
+    # cosine rankings against the full 64-dim exact ranking
+    from ..operators.similarity import matryoshka_recall_at_k
+    emb = load_table(spark, sf_dir, "embeddings")
+    return matryoshka_recall_at_k(emb, "embedding", "vec_id", k=10,
+                                  query_id=0, prefixes=(4, 8, 16))
+
+
+@register("embedding_sign_recall", """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+qe AS (SELECT x AS qv FROM v WHERE vec_id = 0),
+te AS (SELECT vec_id FROM (
+         SELECT v.vec_id,
+                round(list_reduce(list_transform(generate_series(1, 64),
+                        i -> v.x[i] * qe.qv[i]), (a, b) -> a + b) /
+                      (sqrt(list_reduce(list_transform(v.x, e -> e * e),
+                                        (a, b) -> a + b)) *
+                       sqrt(list_reduce(list_transform(qe.qv, e -> e * e),
+                                        (a, b) -> a + b))), 6) AS s
+         FROM v, qe)
+       ORDER BY s DESC, vec_id LIMIT 10),
+ts AS (SELECT vec_id FROM (
+         SELECT v.vec_id,
+                CAST(list_reduce(list_transform(generate_series(1, 64),
+                       i -> CASE WHEN (v.x[i] >= 0) = (qe.qv[i] >= 0)
+                                 THEN 1 ELSE 0 END),
+                     (a, b) -> a + b) AS BIGINT) AS a
+         FROM v, qe)
+       ORDER BY a DESC, vec_id LIMIT 10)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN ts.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sign_hits,
+       round(sum(CASE WHEN ts.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS recall
+FROM te LEFT JOIN ts USING (vec_id)
+""")
+def embedding_sign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-bit quantization floor: recall@10 of the sign-agreement
+    # (Hamming) ranking against the exact cosine ranking
+    from ..operators.similarity import sign_recall_at_k
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sign_recall_at_k(emb, "embedding", "vec_id", k=10, query_id=0)

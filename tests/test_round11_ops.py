@@ -186,3 +186,154 @@ def test_rake_word_scores_hand_computed(spark):
         assert out[w]["freq"] == 1 and out[w]["degree"] == 2
         assert out[w]["rake_score"] == 2.0
     assert out["park"]["degree"] == 1 and out["park"]["rake_score"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# round-11 session 2: promised families — RI orphans, SRM, t-closeness,
+# HITS, label propagation, isotropy, Matryoshka recall, sign recall
+# ---------------------------------------------------------------------------
+
+def test_referential_orphan_census_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators.quality import (
+        referential_orphan_census)
+    child = spark.createDataFrame(
+        [(1,), (2,), (None,), (5,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    out = referential_orphan_census(
+        [("child.parent", child, "fk", parent, "pk")]).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_child_rows"], r["n_null_keys"], r["n_orphans"]) \
+        == (4, 1, 1)                       # only fk=5 is an orphan
+    assert r["orphan_pct"] == round(100.0 * 1 / 3, 6)
+
+    # all-null FK column: zero orphans, pct NULL (no checkable rows)
+    allnull = spark.createDataFrame([(None,), (None,)], "fk long")
+    r2 = referential_orphan_census(
+        [("x.parent", allnull, "fk", parent, "pk")]).collect()[0]
+    assert (r2["n_null_keys"], r2["n_orphans"]) == (2, 0)
+    assert r2["orphan_pct"] is None
+
+
+def test_srm_check_matches_independent_md5_assignment(spark):
+    import hashlib
+    from stock_data_etl_pipeline_spark.operators.quality import srm_check
+
+    users = list(range(1, 41))
+    rows = [(u, "exp_a") for u in users]
+    # duplicate events for some users must not double-count (distinct)
+    rows += [(u, "exp_a") for u in users[:10]]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = srm_check(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    def arm(u: int) -> int:
+        return (int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+                % 100) % 2
+
+    n0 = sum(1 for u in users if arm(u) == 0)
+    n1 = len(users) - n0
+    assert (r["n_arm0"], r["n_arm1"]) == (n0, n1)
+    assert r["chi2"] == (n0 - n1) ** 2 / (n0 + n1)
+    assert r["srm_flag"] == (1000 * (n0 - n1) ** 2 > 3841 * (n0 + n1))
+
+
+def test_t_closeness_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        t_closeness_profile)
+    from pyspark.sql import functions as F
+    # classes: A = 3 rows in bucket 0; B = 1×b0 + 2×b1; C = 2×b1
+    # global: n=8, cq=(4,4), B buckets nb=2 (one interior cut at b0)
+    rows = ([("A", 0)] * 3 + [("B", 0)] + [("B", 1)] * 2 + [("C", 1)] * 2)
+    df = spark.createDataFrame(rows, "qi string, b long")
+    out = {r["qi"]: r for r in
+           t_closeness_profile(df, ["qi"], F.col("b")).collect()}
+    # t = |cpc·n − cqc·m| / (m·n·(nb−1)) at the single interior cut
+    assert out["A"]["class_rows"] == 3
+    assert out["A"]["t_emd"] == abs(3 * 8 - 4 * 3) / (3 * 8 * 1)  # 0.5
+    assert out["B"]["t_emd"] == abs(1 * 8 - 4 * 3) / (3 * 8 * 1)
+    assert out["C"]["t_emd"] == abs(0 * 8 - 4 * 2) / (2 * 8 * 1)  # 0.5
+    # the class matching the global distribution exactly scores 0
+    balanced = spark.createDataFrame(
+        [("D", 0), ("D", 1), ("E", 0), ("E", 1)], "qi string, b long")
+    for r in t_closeness_profile(balanced, ["qi"], F.col("b")).collect():
+        assert r["t_emd"] == 0.0
+
+
+def test_hits_bipartite_one_iteration_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        HITS_SCALE, hits_bipartite)
+    e = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], "cust long, part long")
+    out = hits_bipartite(e, "cust", "part", iters=1, top=10).collect()
+    scores = {(r["kind"], r["node"]): r["score_e12"] for r in out}
+    h0 = HITS_SCALE // 2
+    # a1 raw: part10 = 2·h0 = SCALE, part11 = h0; total 1.5·SCALE → g=1
+    assert scores[("authority", 10)] == 2 * h0
+    assert scores[("authority", 11)] == h0
+    # h1 raw: cust1 = a(10)+a(11) = 1.5·SCALE, cust2 = SCALE;
+    # total 2.5·SCALE → g=2 → floor-halved
+    assert scores[("hub", 1)] == (2 * h0 + h0) // 2
+    assert scores[("hub", 2)] == (2 * h0) // 2
+    # rank order inside each kind: score desc then node asc
+    kinds = [(r["kind"], r["node"]) for r in out]
+    assert kinds == [("authority", 10), ("authority", 11),
+                     ("hub", 1), ("hub", 2)]
+
+
+def test_label_propagation_two_triangles(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        label_propagation)
+    tri = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+    pairs = spark.createDataFrame(tri, "a long, b long")
+    out = label_propagation(pairs, "a", "b", iters=2).collect()
+    # each triangle converges onto its minimum node id as the label
+    assert [(r["label"], r["n_members"]) for r in out] \
+        == [(1, 3), (4, 3)]
+
+
+def test_isotropy_profile_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        isotropy_profile)
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [-1.0, 0.0, 0.0]),
+         (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    r = isotropy_profile(vecs).collect()[0]
+    assert (r["n_vectors"], r["n_dims"], r["dead_dims"]) == (3, 3, 2)
+    assert r["min_var_dim"] == 1     # vn ties (dims 1,2) -> smaller dim
+    assert r["max_var_dim"] == 0
+    assert r["var_ratio"] == 0.0
+
+
+def test_matryoshka_recall_prefix_inversion(spark):
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        matryoshka_recall_at_k)
+    # vid1's 2-dim prefix is PERFECTLY aligned with the query even
+    # though its full-dim cosine ranks below vid2 — truncation must
+    # cost recall at m=2 and restore it at m=4
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]),
+         (1, [0.7, 0.0, 0.9, 0.0]),
+         (2, [0.8, 0.2, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["prefix_dims"]: r for r in matryoshka_recall_at_k(
+        vecs, k=2, query_id=0, prefixes=(2, 4)).collect()}
+    assert out[2]["n_exact"] == 2
+    assert out[2]["recall"] == 0.5   # m=2 top-2 = {0,1}, exact = {0,2}
+    assert out[4]["recall"] == 1.0
+
+
+def test_sign_recall_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        sign_recall_at_k)
+    vecs = spark.createDataFrame(
+        [(0, [1.0, -1.0, 1.0, -1.0]),
+         (1, [2.0, -3.0, 1.0, -1.0]),   # signs agree 4/4, cos ~0.904
+         (2, [1.0, 1.0, 1.0, 1.0]),     # agree 2/4, cos 0
+         (3, [-1.0, 1.0, -1.0, 1.0])],  # agree 0/4, cos -1
+        "vec_id long, embedding array<float>")
+    r = sign_recall_at_k(vecs, k=2, query_id=0).collect()[0]
+    assert (r["n_exact"], r["n_sign_hits"]) == (2, 2)
+    assert r["recall"] == 1.0
