@@ -2430,3 +2430,95 @@ def label_propagation(pairs: DataFrame, id_a: str, id_b: str,
             .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
             .orderBy(F.desc("n_members"), "lab").limit(top)
             .select(F.col("lab").alias("label"), "n_members"))
+
+
+HILL_LN_GRID = 1_000_000_000  # 1e-9 grid for per-degree ln terms
+
+
+def powerlaw_alpha(pairs: DataFrame, id_a: str, id_b: str,
+                   d_min: int = 2) -> DataFrame:
+    """Hill MLE of the degree-distribution power-law exponent over an
+    undirected pair graph: α = 1 + n_tail / Σ ln(d_i / d_min) over
+    nodes with degree ≥ ``d_min`` — the one-number heavy-tail
+    diagnostic behind every "is this graph scale-free" claim, and the
+    quantitative companion of :func:`rich_club` /
+    :func:`degree_assortativity`.
+
+    Exactness: degrees are integers and REPEAT, so the sum runs over
+    the degree HISTOGRAM, not the node list: per distinct degree d the
+    term is cnt(d) · round(ln(d / d_min) · 1e9) — ln of a ratio of two
+    small integers never lands on the 1e-9 grid boundary (the
+    perplexity precedent) and the identical scalar is computed in both
+    engines; the weighted sum is an exact BIGINT; α is ONE double
+    division 1 + n_tail·1e9 / Σ at emit. NULL when the tail is all at
+    d_min (Σ = 0 — the MLE is undefined). Headroom: terms ≤
+    cnt·ln(dmax)·1e9 ≲ n·3e10 — int64-safe to ~3e8 tail nodes.
+
+    Shape: degree histogram (distinct-degree cardinality) on top of
+    the pinned :func:`_undirected_degrees`; one 1-row aggregate.
+    """
+    _, deg = _undirected_degrees(pairs, id_a, id_b)
+    hist = (deg.groupBy("d")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    term = F.col("cnt") * F.round(
+        F.log(F.col("d").cast("double") / F.lit(float(d_min)))
+        * HILL_LN_GRID, 0).cast("long")
+    g = hist.agg(
+        F.sum("cnt").cast("long").alias("n_nodes"),
+        F.sum(F.when(F.col("d") >= d_min, F.col("cnt")).otherwise(0))
+        .cast("long").alias("n_tail"),
+        F.sum(F.when(F.col("d") >= d_min, term).otherwise(0))
+        .cast("long").alias("s"))
+    alpha = F.when(F.col("s") > 0,
+                   1.0 + F.col("n_tail").cast("double") * HILL_LN_GRID
+                   / F.col("s").cast("double"))
+    return g.select(F.lit(d_min).cast("long").alias("d_min"),
+                    "n_nodes", "n_tail", alpha.alias("alpha"))
+
+
+def session_entropy_profile(events: DataFrame, gap_seconds: int = 1800
+                            ) -> DataFrame:
+    """Event-type entropy per gap-based session, rolled up by session
+    size class — "do longer sessions diversify or loop?" (a
+    behavioral-health profile; degenerate low-entropy long sessions
+    flag bots and scraper loops). Sessions are the standard lag +
+    running-sum-of-breaks construction (streaming/events.sessionize);
+    entropy is the exact-grid Shannon form of corpus.bigram_entropy:
+    H = ln(n) − (Σ round(c·ln c · 1e6)) / 1e6 / n per session, with the
+    per-session H re-quantized to a 1e-6 BIGINT so the per-class MEAN
+    is a ratio of exact integers (a float sum over sessions would be
+    association-dependent across partitions).
+
+    Output: (size_class, n_sessions, mean_entropy), class-ordered.
+    All windows are (user)-partitioned; the rollup keys on the
+    five-bucket size class.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    tagged = events.withColumn(
+        "_new", F.when(gap.isNull() | (gap > gap_seconds), 1)
+        .otherwise(0))
+    s = tagged.withColumn("sid", F.sum("_new").over(run))
+    cnt = (s.groupBy("user_id", "sid", "event_type")
+           .agg(F.count(F.lit(1)).alias("c")))
+    term = F.round(F.col("c") * F.log("c") * 1e6, 0).cast("long")
+    per = (cnt.groupBy("user_id", "sid")
+           .agg(F.sum("c").cast("long").alias("n"),
+                F.sum(term).cast("long").alias("t")))
+    h_q = F.round((F.log(F.col("n").cast("double"))
+                   - (F.col("t") / 1e6) / F.col("n")) * 1e6, 0) \
+        .cast("long")
+    size_class = (F.when(F.col("n") == 1, "1")
+                  .when(F.col("n") == 2, "2")
+                  .when(F.col("n") <= 5, "3-5")
+                  .when(F.col("n") <= 10, "6-10")
+                  .otherwise("11+"))
+    g = (per.select(size_class.alias("size_class"), h_q.alias("hq"))
+         .groupBy("size_class")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
+              F.sum("hq").cast("long").alias("sh")))
+    mean = F.col("sh").cast("double") / F.col("n_sessions").cast("double") / 1e6
+    return (g.select("size_class", "n_sessions",
+                     F.round(mean, 6).alias("mean_entropy"))
+            .orderBy("size_class"))

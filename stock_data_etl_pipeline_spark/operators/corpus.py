@@ -2019,3 +2019,85 @@ def rake_word_scores(docs: DataFrame, top_n: int = 100,
                      rake.alias("rake_score"))
             .orderBy(F.col("degree").desc(), "word")
             .limit(top_n))
+
+
+def vocab_overlap(docs: DataFrame, text_col: str = "text",
+                  source_col: str = "source") -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the mixture-design
+    diagnostic next to :func:`source_profile`: two sources with
+    near-identical vocabularies add volume but not diversity to a
+    training mix, and a near-zero overlap flags a language/domain
+    outlier.
+
+    One distinct (source, word) projection, then a word-keyed self-join
+    (an inverted-index join: each word's source list is tiny — bounded
+    by the source count, never by corpus size), one pair-keyed count,
+    and the per-source vocab sizes broadcast on. Jaccard
+    |A∩B| / (|A| + |B| − |A∩B|) is ONE raw double division of exact
+    integers. Output (source_a, source_b, vocab_a, vocab_b, n_common,
+    jaccard), pair-ordered.
+    """
+    ws = words(text_col)
+    sv = pin(docs.select(F.col(source_col).alias("src"),
+                         F.explode(ws).alias("w")).distinct())
+    sizes = sv.groupBy("src").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("vsz"))
+    a = sv.select(F.col("src").alias("sa"), "w")
+    b = sv.select(F.col("src").alias("sb"), "w")
+    common = (a.join(b, "w").filter(F.col("sa") < F.col("sb"))
+              .groupBy("sa", "sb")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_common")))
+    za = sizes.select(F.col("src").alias("sa"), F.col("vsz").alias("vocab_a"))
+    zb = sizes.select(F.col("src").alias("sb"), F.col("vsz").alias("vocab_b"))
+    j = common.join(F.broadcast(za), "sa").join(F.broadcast(zb), "sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+    ).cast("double")
+    return (j.select(F.col("sa").alias("source_a"),
+                     F.col("sb").alias("source_b"),
+                     "vocab_a", "vocab_b", "n_common",
+                     jac.alias("jaccard"))
+            .orderBy("source_a", "source_b"))
+
+
+def stopword_drift(docs: DataFrame, text_col: str = "text",
+                   source_col: str = "source") -> DataFrame:
+    """Per-source stopword-token ratio against the corpus-wide
+    baseline — the cheapest register/quality drift monitor: a source
+    whose stopword share sits far from the corpus norm is boilerplate,
+    code, or a different language wearing the wrong tag (the
+    per-source counterpart of text.quality_features' per-doc ratio).
+
+    Counts are exact integers (token totals and stopword hits summed
+    per source; the corpus baseline is the integer sum over sources
+    broadcast back — one pass); each ratio is ONE double division and
+    the drift is the difference of the two identically-computed
+    ratios, so every emitted value is a deterministic function of
+    exact integers. Output per source, source-ordered.
+    """
+    from ..functions.text import ENGLISH_STOPWORDS
+
+    ws = words(text_col)
+    stops = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS])
+    per_doc = docs.select(
+        F.col(source_col).alias("src"),
+        F.size(ws).cast("long").alias("nt"),
+        F.size(F.filter(ws, lambda w: F.array_contains(stops, w)))
+        .cast("long").alias("nsw"))
+    g = pin(per_doc.groupBy("src")
+            .agg(F.sum("nt").cast("long").alias("n_tokens"),
+                 F.sum("nsw").cast("long").alias("n_stopwords")))
+    tot = g.agg(F.sum("n_tokens").cast("long").alias("ct"),
+                F.sum("n_stopwords").cast("long").alias("cs"))
+    j = g.crossJoin(F.broadcast(tot))  # 1-row scalar join
+    r_src = F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double")
+    r_corp = F.col("cs").cast("double") / F.col("ct").cast("double")
+    return (j.select(F.col("src").alias("source"), "n_tokens",
+                     "n_stopwords",
+                     F.when(F.col("n_tokens") > 0, r_src)
+                     .alias("stopword_ratio"),
+                     F.when(F.col("ct") > 0, r_corp)
+                     .alias("corpus_ratio"),
+                     F.when((F.col("n_tokens") > 0) & (F.col("ct") > 0),
+                            r_src - r_corp).alias("drift"))
+            .orderBy("source"))

@@ -2824,3 +2824,46 @@ def pvt(bars: DataFrame) -> DataFrame:
                      (F.col("cum").cast("double") / F.lit(PVT_GRID))
                      .alias("pvt"))
             .orderBy("event_type", "hr"))
+
+
+def calmar_ratio(bars: DataFrame) -> DataFrame:
+    """Calmar ratio per symbol: the series' total log return divided by
+    the magnitude of its maximum drawdown — return per unit of
+    worst-case pain, the drawdown-denominated cousin of Sharpe/Sortino
+    (:func:`sharpe_sortino`) that risk committees quote next to
+    :func:`max_drawdown`.
+
+    Determinism: first/last closes are picked on the (hr) total order
+    (row_number, the hourly_bars tie-break idiom), both quantized to
+    exact cent BIGINTs, so total_ret = ln(c_last/c_first) runs on
+    identical integer operands in any engine. The drawdown leg is the
+    max_drawdown form on cents ((c − peak)/peak, exact window max).
+    BOTH legs round to 6 dp before the final division, so calmar is a
+    pure function of the two emitted (hash-checked) values — the
+    bollinger rounded-band discipline. NULL when the series never
+    draws down (a monotone tape has no drawdown denominator).
+    One exchange onto the symbol key; windows all symbol-partitioned.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    wd = Window.partitionBy("event_type").orderBy(F.col("hr").desc())
+    wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    r = (bars.select("event_type", "hr", c.alias("c"))
+         .withColumn("rn_a", F.row_number().over(w))
+         .withColumn("rn_d", F.row_number().over(wd))
+         .withColumn("peak", F.max("c").over(wp)))
+    g = (r.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_bars"),
+              F.max(F.when(F.col("rn_a") == 1, F.col("c"))).alias("c0"),
+              F.max(F.when(F.col("rn_d") == 1, F.col("c"))).alias("c1"),
+              F.round(F.min((F.col("c") - F.col("peak"))
+                            / F.col("peak")), 6).alias("max_drawdown")))
+    tot = F.round(F.log(F.col("c1").cast("double")
+                        / F.col("c0").cast("double")), 6)
+    out = g.select("event_type", "n_bars", tot.alias("total_ret"),
+                   "max_drawdown")
+    calmar = F.when(F.col("max_drawdown") < 0,
+                    F.round(F.col("total_ret")
+                            / -F.col("max_drawdown"), 6))
+    return (out.withColumn("calmar", calmar)
+            .orderBy("event_type"))

@@ -44,6 +44,13 @@ from .catalog_stock import _BARS_CTE
 
 _D = "CAST({} AS DOUBLE)"
 
+# portable tokenization + stopword list for the round-11 corpus oracles
+# (mirrors functions/text.words and ENGLISH_STOPWORDS exactly — the
+# catalog_text idiom)
+_WORDS_R11 = "list_filter(string_split(text, ' '), x -> x != '')"
+from ..functions import text as _TX  # noqa: E402
+_STOPS_R11 = ", ".join(repr(w) for w in _TX.ENGLISH_STOPWORDS)
+
 
 # ---------------------------------------------------------------------------
 # volatility-estimator ladder completion
@@ -782,3 +789,188 @@ def embedding_sign_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import sign_recall_at_k
     emb = load_table(spark, sf_dir, "embeddings")
     return sign_recall_at_k(emb, "embedding", "vec_id", k=10, query_id=0)
+
+
+# ---------------------------------------------------------------------------
+# heavy-tail / liquidity / behavioral / corpus-mix diagnostics
+# ---------------------------------------------------------------------------
+
+@register("graph_powerlaw_alpha", """
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+und AS (SELECT DISTINCT a.i AS x, b.i AS y
+        FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT x AS v FROM und UNION ALL SELECT y FROM und)
+        GROUP BY v),
+hist AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY d),
+g AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_nodes,
+             CAST(sum(CASE WHEN d >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+               AS n_tail,
+             CAST(sum(CASE WHEN d >= 2 THEN cnt *
+                    CAST(round(ln(CAST(d AS DOUBLE) / 2.0)
+                               * 1000000000, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS s
+      FROM hist)
+SELECT CAST(2 AS BIGINT) AS d_min, n_nodes, n_tail,
+       CASE WHEN s > 0
+            THEN 1.0 + CAST(n_tail AS DOUBLE) * 1000000000
+                 / CAST(s AS DOUBLE)
+       END AS alpha
+FROM g
+""")
+def graph_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hill MLE of the co-purchase degree tail exponent on the degree
+    # HISTOGRAM (exact 1e-9 ln grid, one division at emit)
+    from ..operators.analytics import powerlaw_alpha
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+    return powerlaw_alpha(pairs, "pa", "pb", d_min=2)
+
+
+@register("stock_calmar", _BARS_CTE + """
+, cts AS (
+  SELECT event_type, hr,
+         CAST(round(close * 100, 0) AS BIGINT) AS c
+  FROM bars
+), rcal AS (
+  SELECT event_type, hr, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn_a,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY hr DESC) AS rn_d,
+         max(c) OVER (PARTITION BY event_type ORDER BY hr
+                      ROWS UNBOUNDED PRECEDING) AS peak
+  FROM cts
+), g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_bars,
+         max(CASE WHEN rn_a = 1 THEN c END) AS c0,
+         max(CASE WHEN rn_d = 1 THEN c END) AS c1,
+         round(min((c - peak) / peak), 6) AS max_drawdown
+  FROM rcal GROUP BY event_type
+)
+SELECT event_type, n_bars,
+       round(ln(CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)), 6) AS total_ret,
+       max_drawdown,
+       CASE WHEN max_drawdown < 0
+            THEN round(round(ln(CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE)), 6)
+                       / -max_drawdown, 6)
+       END AS calmar
+FROM g ORDER BY event_type
+""")
+def stock_calmar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # total log return / |max drawdown| per symbol, both legs rounded
+    # before the final division (pure function of emitted values)
+    ev = load_table(spark, sf_dir, "events")
+    return ind.calmar_ratio(ind.hourly_bars(ev))
+
+
+@register("corpus_vocab_overlap", f"""
+WITH sv AS (SELECT DISTINCT source AS src, unnest({_WORDS_R11}) AS w
+            FROM documents),
+sizes AS (SELECT src, CAST(count(*) AS BIGINT) AS vsz
+          FROM sv GROUP BY src),
+c AS (SELECT a.src AS source_a, b.src AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM sv a JOIN sv b ON a.w = b.w AND a.src < b.src
+      GROUP BY 1, 2)
+SELECT c.source_a, c.source_b,
+       za.vsz AS vocab_a, zb.vsz AS vocab_b, c.n_common,
+       CAST(c.n_common AS DOUBLE)
+         / CAST(za.vsz + zb.vsz - c.n_common AS DOUBLE) AS jaccard
+FROM c JOIN sizes za ON za.src = c.source_a
+       JOIN sizes zb ON zb.src = c.source_b
+ORDER BY c.source_a, c.source_b
+""")
+def corpus_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairwise source vocabulary Jaccard (mixture-design diagnostic):
+    # inverted-index self-join on the word, integer counts, one
+    # division at emit
+    from ..operators.corpus import vocab_overlap
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_overlap(d)
+
+
+@register("events_session_entropy", """
+WITH o AS (SELECT user_id, ts, event_id, event_type,
+                  lag(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+           FROM events),
+m AS (SELECT user_id, ts, event_id, event_type,
+             CASE WHEN prev IS NULL
+                       OR date_diff('second', prev, ts) > 1800 THEN 1
+                  ELSE 0 END AS is_new
+      FROM o),
+s AS (SELECT user_id, event_type,
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS sid
+      FROM m),
+cnt AS (SELECT user_id, sid, event_type,
+               CAST(count(*) AS BIGINT) AS c
+        FROM s GROUP BY 1, 2, 3),
+per AS (SELECT user_id, sid, CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CAST(round(c * ln(c) * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS t
+        FROM cnt GROUP BY 1, 2),
+hq AS (SELECT CASE WHEN n = 1 THEN '1' WHEN n = 2 THEN '2'
+                   WHEN n <= 5 THEN '3-5' WHEN n <= 10 THEN '6-10'
+                   ELSE '11+' END AS size_class,
+              CAST(round((ln(CAST(n AS DOUBLE))
+                          - (t / 1000000.0) / n) * 1000000.0, 0)
+                   AS BIGINT) AS h
+       FROM per),
+g AS (SELECT size_class, CAST(count(*) AS BIGINT) AS n_sessions,
+             CAST(sum(h) AS BIGINT) AS sh
+      FROM hq GROUP BY size_class)
+SELECT size_class, n_sessions,
+       round(CAST(sh AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+             / 1000000.0, 6) AS mean_entropy
+FROM g ORDER BY size_class
+""")
+def events_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-session event-type Shannon entropy (exact c·ln c grid,
+    # session H re-quantized to 1e-6 BIGINT) rolled up by session size
+    # class — the bot/loop behavioral profile
+    from ..operators.analytics import session_entropy_profile
+    ev = load_table(spark, sf_dir, "events")
+    return session_entropy_profile(ev)
+
+
+@register("corpus_stopword_drift", f"""
+WITH pd AS (SELECT source AS src,
+                   CAST(len({_WORDS_R11}) AS BIGINT) AS nt,
+                   CAST(len(list_filter({_WORDS_R11},
+                                        x -> x IN ({_STOPS_R11})))
+                        AS BIGINT) AS nsw
+            FROM documents),
+g AS (SELECT src, CAST(sum(nt) AS BIGINT) AS n_tokens,
+             CAST(sum(nsw) AS BIGINT) AS n_stopwords
+      FROM pd GROUP BY src),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS ct,
+               CAST(sum(n_stopwords) AS BIGINT) AS cs
+        FROM g)
+SELECT src AS source, n_tokens, n_stopwords,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+       END AS stopword_ratio,
+       CASE WHEN ct > 0
+            THEN CAST(cs AS DOUBLE) / CAST(ct AS DOUBLE)
+       END AS corpus_ratio,
+       CASE WHEN n_tokens > 0 AND ct > 0
+            THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 - CAST(cs AS DOUBLE) / CAST(ct AS DOUBLE)
+       END AS drift
+FROM g, tot ORDER BY source
+""")
+def corpus_stopword_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-source stopword-share drift vs the corpus baseline — the
+    # cheapest register/quality drift monitor; exact integer counts,
+    # ratios as single divisions
+    from ..operators.corpus import stopword_drift
+    d = load_table(spark, sf_dir, "documents")
+    return stopword_drift(d)

@@ -337,3 +337,91 @@ def test_sign_recall_hand_computed(spark):
     r = sign_recall_at_k(vecs, k=2, query_id=0).collect()[0]
     assert (r["n_exact"], r["n_sign_hits"]) == (2, 2)
     assert r["recall"] == 1.0
+
+
+def test_powerlaw_alpha_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        powerlaw_alpha)
+    # triangle {1,2,3} plus leaves 4,5 on node 1:
+    # degrees 1:4, 2:2, 3:2, 4:1, 5:1 -> tail(d>=2) = {1,2,3}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (1, 4), (1, 5)], "a long, b long")
+    r = powerlaw_alpha(pairs, "a", "b", d_min=2).collect()[0]
+    assert (r["d_min"], r["n_nodes"], r["n_tail"]) == (2, 5, 3)
+    s = round(math.log(4 / 2.0) * 1e9)  # d=2 terms are ln(1)=0
+    assert r["alpha"] == 1.0 + 3.0 * 1e9 / s
+
+    # all-tail-at-dmin: MLE undefined -> NULL
+    path = spark.createDataFrame([(1, 2), (2, 3)], "a long, b long")
+    assert powerlaw_alpha(path, "a", "b", d_min=2).collect()[0]["alpha"] \
+        is None
+
+
+def test_calmar_ratio_hand_computed(spark):
+    b = _bars(spark, [("a", 0, 100.0, 100.0, 100.0, 100.0, 1),
+                      ("a", 1, 120.0, 120.0, 120.0, 120.0, 1),
+                      ("a", 2, 90.0, 90.0, 90.0, 90.0, 1),
+                      ("a", 3, 110.0, 110.0, 110.0, 110.0, 1)])
+    r = ind.calmar_ratio(b).collect()[0]
+    assert r["n_bars"] == 4
+    total = round(math.log(11000 / 10000), 6)
+    assert r["total_ret"] == total
+    assert r["max_drawdown"] == -0.25  # trough 90 off the 120 peak
+    assert r["calmar"] == round(total / 0.25, 6)
+
+    # monotone tape: no drawdown -> NULL calmar
+    mono = _bars(spark, [("b", 0, 1.0, 1.0, 1.0, 1.0, 1),
+                         ("b", 1, 2.0, 2.0, 2.0, 2.0, 1)])
+    assert ind.calmar_ratio(mono).collect()[0]["calmar"] is None
+
+
+def test_vocab_overlap_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        vocab_overlap)
+    docs = spark.createDataFrame(
+        [(0, "a b c", "A"), (1, "b c", "A"), (2, "b c d", "B")],
+        "doc_id long, text string, source string")
+    r = vocab_overlap(docs).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["source_a"], row["source_b"]) == ("A", "B")
+    assert (row["vocab_a"], row["vocab_b"], row["n_common"]) == (3, 3, 2)
+    assert row["jaccard"] == 2 / 4
+
+
+def test_session_entropy_hand_computed(spark):
+    import datetime as _dt
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        session_entropy_profile)
+    t0 = _dt.datetime(2024, 1, 8, 10, 0)
+    rows = [
+        # user 1: one 3-event session, types x, x, y
+        (1, t0, 1, "x"), (1, t0 + _dt.timedelta(seconds=60), 2, "x"),
+        (1, t0 + _dt.timedelta(seconds=120), 3, "y"),
+        # user 2: one singleton session (H = 0)
+        (2, t0, 4, "x"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "event_type string")
+    out = {r["size_class"]: r
+           for r in session_entropy_profile(ev).collect()}
+    t = round(2 * math.log(2) * 1e6)  # the c=2 term; c=1 contributes 0
+    hq = round((math.log(3) - (t / 1e6) / 3) * 1e6)
+    assert out["3-5"]["n_sessions"] == 1
+    assert out["3-5"]["mean_entropy"] == round(hq / 1 / 1e6, 6)
+    assert out["1"]["mean_entropy"] == 0.0
+
+
+def test_stopword_drift_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators.corpus import (
+        stopword_drift)
+    docs = spark.createDataFrame(
+        [(0, "the cat", "A"), (1, "cat dog", "B")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r for r in stopword_drift(docs).collect()}
+    assert (out["A"]["n_tokens"], out["A"]["n_stopwords"]) == (2, 1)
+    assert out["A"]["stopword_ratio"] == 0.5
+    assert out["A"]["corpus_ratio"] == 0.25
+    assert out["A"]["drift"] == 0.25
+    assert out["B"]["drift"] == -0.25
