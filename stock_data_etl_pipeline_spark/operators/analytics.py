@@ -2522,3 +2522,118 @@ def session_entropy_profile(events: DataFrame, gap_seconds: int = 1800
     return (g.select("size_class", "n_sessions",
                      F.round(mean, 6).alias("mean_entropy"))
             .orderBy("size_class"))
+
+
+def generalization_ladder(df: DataFrame,
+                          levels: Sequence[tuple[str, Sequence[str]]],
+                          k_thresh: int = 5) -> DataFrame:
+    """k-anonymity across a QI GENERALIZATION ladder: for each
+    progressively coarser quasi-identifier set, the class count,
+    minimum class size, and rows below the re-identification threshold
+    — the utility-vs-privacy trade-off table a release review reads to
+    pick the coarsest level that still clears policy
+    (:func:`k_anonymity_profile` run once per rung, plus the corpus
+    pct at risk).
+
+    ``levels`` is [(level_name, qi_cols)], finest first. Pure integer
+    pipeline per rung (one QI aggregate + one census aggregate);
+    at_risk_pct is ONE double division of exact counts at emit. Each
+    rung shuffles on its own QI tuple — never wider than the
+    distinct-class count; rung outputs are 1-row, unioned.
+    """
+    parts: list[DataFrame] = []
+    for name, qi in levels:
+        classes = (df.groupBy(*qi)
+                   .agg(F.count(F.lit(1)).cast("long").alias("k")))
+        parts.append(classes.agg(
+            F.lit(name).alias("level"),
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("k").cast("long").alias("min_k"),
+            F.sum(F.when(F.col("k") < k_thresh, F.col("k"))
+                  .otherwise(0)).cast("long").alias("rows_at_risk"),
+            F.sum("k").cast("long").alias("n_rows")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    pct = F.when(F.col("n_rows") > 0,
+                 F.round(100.0 * F.col("rows_at_risk")
+                         / F.col("n_rows"), 6))
+    return (out.select("level", "n_classes", "min_k", "rows_at_risk",
+                       pct.alias("at_risk_pct"))
+            .orderBy("level"))
+
+
+def ktruss_peel_census(pairs: DataFrame, id_a: str, id_b: str,
+                       k: int = 4, iters: int = 2) -> DataFrame:
+    """k-truss peeling census: per fixed peel iteration, how many edges
+    survive the "every edge sits in ≥ k−2 triangles" rule and how many
+    triangles the surviving graph has — the cohesion ladder above the
+    plain triangle census (a 4-truss is the classic community-core
+    extractor). Convergence needs data-dependent rounds; this reports
+    a FIXED ``iters`` peels (the pagerank/LPA bounded-iteration
+    discipline) which is itself the standard scalable approximation.
+
+    Per round: per-edge triangle support from the degree-oriented
+    adjacency intersection (:func:`_triangle_vertices` on the current
+    edge set — output-sized, hub-proof via the O(√m) orientation
+    bound), each triangle credited to its three edges through one
+    union + hash-agg on canonical (least, greatest) edge keys, then
+    one anti-filter support < k−2. Every round's edge set is
+    ``pin_cut`` (multiply referenced AND feeding the next round's
+    nested machinery — the plan-tree bound). Output: one row per
+    iteration 0..iters — (iter, n_edges, n_triangles).
+    """
+    und = pin_cut(pairs.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("x"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("y"))
+        .filter(F.col("x") != F.col("y")).distinct())
+
+    def oriented(u: DataFrame) -> DataFrame:
+        deg = (u.select(F.col("x").alias("v"))
+               .unionByName(u.select(F.col("y").alias("v")))
+               .groupBy("v").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("d")))
+        dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
+        dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
+        x_first = (F.col("dx") < F.col("dy")) | \
+            ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        return pin_cut(u.join(dx, "x").join(dy, "y")
+                       .select(F.when(x_first, F.col("x"))
+                               .otherwise(F.col("y")).alias("a"),
+                               F.when(x_first, F.col("y"))
+                               .otherwise(F.col("x")).alias("b")))
+
+    def census_row(it: int, u: DataFrame, tri: DataFrame) -> DataFrame:
+        return (u.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+                .crossJoin(F.broadcast(  # 1-row scalar join
+                    tri.agg(F.count(F.lit(1)).cast("long")
+                            .alias("n_triangles"))))
+                .select(F.lit(it).cast("long").alias("iter"),
+                        "n_edges", "n_triangles"))
+
+    rows: list[DataFrame] = []
+    cur = und
+    for it in range(iters + 1):
+        tri = pin_cut(_triangle_vertices(oriented(cur)))
+        rows.append(census_row(it, cur, tri))
+        if it == iters:
+            break
+        # support per canonical undirected edge: each triangle credits
+        # its three edges
+        e1 = tri.select(F.least("a", "b").alias("x"),
+                        F.greatest("a", "b").alias("y"))
+        e2 = tri.select(F.least("a", "c").alias("x"),
+                        F.greatest("a", "c").alias("y"))
+        e3 = tri.select(F.least("b", "c").alias("x"),
+                        F.greatest("b", "c").alias("y"))
+        support = (e1.unionByName(e2).unionByName(e3)
+                   .groupBy("x", "y")
+                   .agg(F.count(F.lit(1)).cast("long").alias("sup")))
+        cur = pin_cut(cur.join(support, ["x", "y"], "left")
+                      .filter(F.coalesce(F.col("sup"), F.lit(0))
+                              >= k - 2)
+                      .select("x", "y"))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("iter")

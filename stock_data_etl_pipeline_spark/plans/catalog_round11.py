@@ -8,12 +8,17 @@ Families this module registers:
   Ultimate Oscillator, Price-Volume Trend;
 * corpus statistics — Good–Turing frequency smoothing, tokenizer
   fertility, Kneser–Ney bigram perplexity, RAKE keyword scores;
-* embedding-space audits — isotropy score, Matryoshka truncation
-  recall, one-bit (sign) quantization recall;
+* embedding-space audits — isotropy (min/max per-dim variance
+  ratio), Matryoshka truncation recall, one-bit (sign) quantization
+  recall;
 * graph fixed-point — HITS hubs/authorities, label-propagation
-  communities;
+  communities, Hill power-law tail exponent, 4-truss peel census;
 * experiment / privacy / data-quality — sample-ratio-mismatch check,
-  t-closeness, referential-integrity orphan census.
+  t-closeness, QI generalization ladder, referential-integrity orphan
+  census, Benford first-digit forensics;
+* liquidity/behavior/mix — Calmar ratio, per-session event-type
+  entropy by size class, pairwise source vocabulary Jaccard,
+  per-source stopword drift.
 
 Every entry follows the exact-integer oracle discipline (COVERAGE.md):
 integer-grid summands, single-division emits, shared transcendental
@@ -974,3 +979,182 @@ def corpus_stopword_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import stopword_drift
     d = load_table(spark, sf_dir, "documents")
     return stopword_drift(d)
+
+
+# ---------------------------------------------------------------------------
+# privacy generalization ladder, k-truss cohesion, Benford forensics
+# ---------------------------------------------------------------------------
+
+@register("customer_generalization_ladder", """
+WITH cj AS (SELECT c.*, n.n_regionkey FROM customer c
+            JOIN nation n ON n.n_nationkey = c.c_nationkey),
+l1 AS (SELECT CAST(count(*) AS BIGINT) AS k
+       FROM cj GROUP BY c_nationkey, c_mktsegment),
+l2 AS (SELECT CAST(count(*) AS BIGINT) AS k
+       FROM cj GROUP BY n_regionkey, c_mktsegment),
+l3 AS (SELECT CAST(count(*) AS BIGINT) AS k
+       FROM cj GROUP BY c_mktsegment),
+l4 AS (SELECT CAST(count(*) AS BIGINT) AS k
+       FROM cj GROUP BY n_regionkey),
+u AS (
+  SELECT '1_nation_segment' AS level, CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(min(k) AS BIGINT) AS min_k,
+         CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+           AS rows_at_risk,
+         CAST(sum(k) AS BIGINT) AS n_rows
+  FROM l1
+  UNION ALL
+  SELECT '2_region_segment', count(*), min(k),
+         sum(CASE WHEN k < 5 THEN k ELSE 0 END), sum(k) FROM l2
+  UNION ALL
+  SELECT '3_segment', count(*), min(k),
+         sum(CASE WHEN k < 5 THEN k ELSE 0 END), sum(k) FROM l3
+  UNION ALL
+  SELECT '4_region', count(*), min(k),
+         sum(CASE WHEN k < 5 THEN k ELSE 0 END), sum(k) FROM l4
+)
+SELECT level, n_classes, min_k, rows_at_risk,
+       CASE WHEN n_rows > 0
+            THEN round(100.0 * rows_at_risk / n_rows, 6)
+       END AS at_risk_pct
+FROM u ORDER BY level
+""")
+def customer_generalization_ladder(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    # k-anonymity across four QI generalization rungs (nation+segment
+    # -> region+segment -> segment -> region): the utility-vs-privacy
+    # table behind choosing the coarsest level that clears k >= 5
+    from ..operators.analytics import generalization_ladder
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cj = c.join(F.broadcast(n),
+                c["c_nationkey"] == n["n_nationkey"])
+    return generalization_ladder(cj, [
+        ("1_nation_segment", ["c_nationkey", "c_mktsegment"]),
+        ("2_region_segment", ["n_regionkey", "c_mktsegment"]),
+        ("3_segment", ["c_mktsegment"]),
+        ("4_region", ["n_regionkey"]),
+    ])
+
+
+@register("graph_ktruss", """
+WITH oi AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+u0 AS MATERIALIZED (SELECT DISTINCT a.i AS x, b.i AS y
+       FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+d0 AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+         SELECT x AS v FROM u0 UNION ALL SELECT y FROM u0) GROUP BY v),
+o0 AS MATERIALIZED (SELECT CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND u.x < u.y)
+                   THEN u.x ELSE u.y END AS a,
+              CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND u.x < u.y)
+                   THEN u.y ELSE u.x END AS b
+       FROM u0 u JOIN d0 dx ON dx.v = u.x JOIN d0 dy ON dy.v = u.y),
+t0 AS MATERIALIZED (SELECT e1.a, e1.b, e2.b AS c
+       FROM o0 e1 JOIN o0 e2 ON e2.a = e1.b
+       WHERE EXISTS (SELECT 1 FROM o0 e3
+                     WHERE e3.a = e1.a AND e3.b = e2.b)),
+s0 AS MATERIALIZED (SELECT x, y, CAST(count(*) AS BIGINT) AS sup FROM (
+         SELECT least(a, b) AS x, greatest(a, b) AS y FROM t0
+         UNION ALL SELECT least(a, c), greatest(a, c) FROM t0
+         UNION ALL SELECT least(b, c), greatest(b, c) FROM t0)
+       GROUP BY x, y),
+u1 AS MATERIALIZED (SELECT u0.x, u0.y FROM u0 LEFT JOIN s0
+         ON s0.x = u0.x AND s0.y = u0.y
+       WHERE coalesce(s0.sup, 0) >= 2),
+d1 AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+         SELECT x AS v FROM u1 UNION ALL SELECT y FROM u1) GROUP BY v),
+o1 AS MATERIALIZED (SELECT CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND u.x < u.y)
+                   THEN u.x ELSE u.y END AS a,
+              CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND u.x < u.y)
+                   THEN u.y ELSE u.x END AS b
+       FROM u1 u JOIN d1 dx ON dx.v = u.x JOIN d1 dy ON dy.v = u.y),
+t1 AS MATERIALIZED (SELECT e1.a, e1.b, e2.b AS c
+       FROM o1 e1 JOIN o1 e2 ON e2.a = e1.b
+       WHERE EXISTS (SELECT 1 FROM o1 e3
+                     WHERE e3.a = e1.a AND e3.b = e2.b)),
+s1 AS MATERIALIZED (SELECT x, y, CAST(count(*) AS BIGINT) AS sup FROM (
+         SELECT least(a, b) AS x, greatest(a, b) AS y FROM t1
+         UNION ALL SELECT least(a, c), greatest(a, c) FROM t1
+         UNION ALL SELECT least(b, c), greatest(b, c) FROM t1)
+       GROUP BY x, y),
+u2 AS MATERIALIZED (SELECT u1.x, u1.y FROM u1 LEFT JOIN s1
+         ON s1.x = u1.x AND s1.y = u1.y
+       WHERE coalesce(s1.sup, 0) >= 2),
+d2 AS MATERIALIZED (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+         SELECT x AS v FROM u2 UNION ALL SELECT y FROM u2) GROUP BY v),
+o2 AS MATERIALIZED (SELECT CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND u.x < u.y)
+                   THEN u.x ELSE u.y END AS a,
+              CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND u.x < u.y)
+                   THEN u.y ELSE u.x END AS b
+       FROM u2 u JOIN d2 dx ON dx.v = u.x JOIN d2 dy ON dy.v = u.y),
+t2 AS MATERIALIZED (SELECT e1.a, e1.b, e2.b AS c
+       FROM o2 e1 JOIN o2 e2 ON e2.a = e1.b
+       WHERE EXISTS (SELECT 1 FROM o2 e3
+                     WHERE e3.a = e1.a AND e3.b = e2.b))
+SELECT CAST(0 AS BIGINT) AS iter,
+       (SELECT CAST(count(*) AS BIGINT) FROM u0) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM t0) AS n_triangles
+UNION ALL
+SELECT 1, (SELECT count(*) FROM u1), (SELECT count(*) FROM t1)
+UNION ALL
+SELECT 2, (SELECT count(*) FROM u2), (SELECT count(*) FROM t2)
+ORDER BY iter
+""")
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 4-truss peel census over the co-purchase graph: two fixed peels
+    # (edge support from the degree-oriented triangle list, pin_cut
+    # bounded), (iter, n_edges, n_triangles) per round
+    from ..operators.analytics import ktruss_peel_census
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+    return ktruss_peel_census(pairs, "pa", "pb", k=4, iters=2)
+
+
+from ..operators import quality as _Q  # noqa: E402
+
+# ::DOUBLE per element — DuckDB types bare high-precision numeric
+# literals as DECIMAL, whose Python fetch is decimal.Decimal and whose
+# arithmetic would diverge from Spark's double literals
+_BENFORD_SQL_LIST = "[" + ", ".join(
+    f"{p!r}::DOUBLE" for p in _Q.BENFORD_P) + "]"
+
+
+@register("orders_benford", f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), g AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d
+  WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+), dom AS (SELECT unnest(generate_series(1, 9)) AS digit),
+filled AS (
+  SELECT dom.digit, CAST(coalesce(g.n_obs, 0) AS BIGINT) AS n_obs
+  FROM dom LEFT JOIN g ON g.digit = dom.digit
+), tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM filled)
+SELECT digit, n_obs,
+       CASE WHEN n > 0
+            THEN CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+       END AS obs_pct,
+       list_extract({_BENFORD_SQL_LIST}, CAST(digit AS INT)) AS expected_pct,
+       CASE WHEN n > 0
+            THEN (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
+                    * list_extract({_BENFORD_SQL_LIST}, CAST(digit AS INT)))
+                 * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
+                    * list_extract({_BENFORD_SQL_LIST}, CAST(digit AS INT)))
+                 / (CAST(n AS DOUBLE)
+                    * list_extract({_BENFORD_SQL_LIST}, CAST(digit AS INT)))
+       END AS chi2_term
+FROM filled, tot ORDER BY digit
+""")
+def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-digit forensic screen on order totals: per-digit
+    # observed vs log10(1+1/d) expectation with chi-square
+    # contributions (shared double literals, exact integer counts)
+    from ..operators.quality import benford_first_digit
+    o = load_table(spark, sf_dir, "orders")
+    return benford_first_digit(o, "o_totalprice")

@@ -425,3 +425,51 @@ def test_stopword_drift_hand_computed(spark):
     assert out["A"]["corpus_ratio"] == 0.25
     assert out["A"]["drift"] == 0.25
     assert out["B"]["drift"] == -0.25
+
+
+def test_generalization_ladder_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        generalization_ladder)
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "x")],
+        "g1 string, g2 string")
+    out = {r["level"]: r for r in generalization_ladder(
+        df, [("1_fine", ["g1", "g2"]), ("2_coarse", ["g1"])],
+        k_thresh=2).collect()}
+    f = out["1_fine"]
+    assert (f["n_classes"], f["min_k"], f["rows_at_risk"]) == (3, 1, 2)
+    assert f["at_risk_pct"] == 50.0
+    c = out["2_coarse"]
+    assert (c["n_classes"], c["min_k"], c["rows_at_risk"]) == (2, 1, 1)
+    assert c["at_risk_pct"] == 25.0
+
+
+def test_ktruss_peel_census_k4_clique_plus_pendant(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        ktruss_peel_census)
+    # K4 on {1..4} (every edge in 2 triangles -> survives a 4-truss
+    # peel) plus pendant edge 4-5 (support 0 -> peeled in round 1)
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    pairs = spark.createDataFrame(k4, "a long, b long")
+    out = {r["iter"]: r for r in
+           ktruss_peel_census(pairs, "a", "b", k=4, iters=2).collect()}
+    assert (out[0]["n_edges"], out[0]["n_triangles"]) == (7, 4)
+    assert (out[1]["n_edges"], out[1]["n_triangles"]) == (6, 4)
+    assert (out[2]["n_edges"], out[2]["n_triangles"]) == (6, 4)
+
+
+def test_benford_first_digit_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators.quality import (
+        BENFORD_P, benford_first_digit)
+    df = spark.createDataFrame(
+        [(1.00,), (1.50,), (2.00,), (9.99,)], "v double")
+    rows = benford_first_digit(df, "v").collect()
+    assert [r["digit"] for r in rows] == list(range(1, 10))
+    by = {r["digit"]: r for r in rows}
+    assert by[1]["n_obs"] == 2 and by[1]["obs_pct"] == 0.5
+    assert by[2]["n_obs"] == 1 and by[9]["n_obs"] == 1
+    assert by[3]["n_obs"] == 0          # zero-filled absent digit
+    p1 = BENFORD_P[0]
+    assert by[1]["expected_pct"] == p1
+    dev = 2.0 - 4.0 * p1
+    assert by[1]["chi2_term"] == dev * dev / (4.0 * p1)
