@@ -2637,3 +2637,60 @@ def ktruss_peel_census(pairs: DataFrame, id_a: str, id_b: str,
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("iter")
+
+
+MARKOV_SCALE = 1_000_000_000_000  # 1e-12 fixed-point unit for π
+
+
+def markov_steady_state(events: DataFrame, iters: int = 3) -> DataFrame:
+    """Steady-state distribution of the event-type transition chain by
+    fixed power iteration in EXACT integer arithmetic — "where does a
+    user's attention settle": the fixed-point companion of
+    events_markov_transitions' one-step matrix (and the chain analogue
+    of :func:`pagerank`, which this follows operation-for-operation).
+
+    Transitions are consecutive same-user events on the (ts, event_id)
+    total order; each iteration pushes π_i · c_ij div rowsum_i along
+    the (tiny, |states|²) transition matrix and re-sums per target.
+    Floor division leaks < |states| quanta per row per round at the
+    1e-12 grain — determinism over the last ulp, the pagerank rule.
+    States with no INCOMING transition would vanish from a pure
+    contribution sum; a left join from the state list zero-fills them
+    per round so the relation keeps one row per state.
+
+    Headroom: π ≤ 1e12 and c_ij ≤ total transitions T, so π·c needs
+    T ≲ 9e6 per int64 — pre-divide the counts matrix by a fixed block
+    factor beyond that (π is scale-free in c row-proportions).
+    Shape: one user-keyed lag window + one (i, j) aggregate build the
+    matrix ONCE (pinned); each iteration is a broadcast-sized join on
+    the |states|-row π relation.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (events.select("user_id", "ts", "event_id",
+                       F.col("event_type").alias("j"))
+         .withColumn("i", F.lag("j").over(w))
+         .filter(F.col("i").isNotNull()))
+    c = pin(t.groupBy("i", "j")
+            .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    rowsum = c.groupBy("i").agg(F.sum("c").cast("long").alias("rs"))
+    m = pin(c.join(rowsum, "i"))
+    states = pin(m.select(F.col("i").alias("s"))
+                 .unionByName(m.select(F.col("j").alias("s")))
+                 .distinct())
+    n_states = states.count()  # one control-plane scalar
+    pi = states.select(F.col("s").alias("node"),
+                       F.lit(MARKOV_SCALE // n_states).cast("long")
+                       .alias("r"))
+    for _ in range(iters):
+        contrib = (m.join(pi.withColumnRenamed("node", "i"), "i")
+                   .select(F.col("j").alias("node"),
+                           F.expr("(r * c) div rs").alias("x")))
+        agg = contrib.groupBy("node").agg(F.sum("x").cast("long")
+                                          .alias("r"))
+        pi = (states.join(agg, states["s"] == agg["node"], "left")
+              .select(states["s"].alias("node"),
+                      F.coalesce(F.col("r"), F.lit(0)).cast("long")
+                      .alias("r")))
+    return (pi.select(F.col("node").alias("event_type"),
+                      F.col("r").alias("pi_e12"))
+            .orderBy("event_type"))

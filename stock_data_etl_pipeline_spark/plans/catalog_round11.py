@@ -1158,3 +1158,82 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.quality import benford_first_digit
     o = load_table(spark, sf_dir, "orders")
     return benford_first_digit(o, "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# streaming SRM twin + Markov steady state
+# ---------------------------------------------------------------------------
+
+_SRM_ORACLE = """
+WITH ua AS (
+  SELECT DISTINCT event_type AS unit, user_id,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT % 100) % 2
+           AS arm
+  FROM events WHERE user_id IS NOT NULL
+), g AS (
+  SELECT unit,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_arm0,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_arm1
+  FROM ua GROUP BY unit
+)
+SELECT unit, n_arm0, n_arm1,
+       CASE WHEN n_arm0 + n_arm1 > 0
+            THEN CAST((n_arm0 - n_arm1) * (n_arm0 - n_arm1) AS DOUBLE)
+                 / CAST(n_arm0 + n_arm1 AS DOUBLE)
+       END AS chi2,
+       1000 * (n_arm0 - n_arm1) * (n_arm0 - n_arm1)
+         > 3841 * (n_arm0 + n_arm1) AS srm_flag
+FROM g ORDER BY unit
+"""
+
+
+@register("streaming_srm", _SRM_ORACLE)
+def streaming_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the batch SRM check as a REAL streaming query: per-(unit, user)
+    # streaming aggregate (bounded dedup state) drained availableNow,
+    # arms + chi-square literally shared with the batch twin — same
+    # oracle as events_srm
+    import os
+
+    from ..streaming.events import streaming_srm_counts
+    return streaming_srm_counts(
+        spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register("events_markov_steady", """
+WITH t AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS i,
+         event_type AS j
+  FROM events
+), c AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS c FROM t
+  WHERE i IS NOT NULL GROUP BY i, j
+), rs AS (SELECT i, CAST(sum(c) AS BIGINT) AS rs FROM c GROUP BY i),
+m AS (SELECT c.i, c.j, c.c, rs.rs FROM c JOIN rs ON rs.i = c.i),
+states AS (SELECT DISTINCT s FROM (
+             SELECT i AS s FROM m UNION ALL SELECT j FROM m)),
+n AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM states),
+p0 AS (SELECT s AS node, 1000000000000 // ns AS r FROM states, n),
+a1 AS (SELECT m.j AS node, CAST(sum((p.r * m.c) // m.rs) AS BIGINT) AS r
+       FROM m JOIN p0 p ON p.node = m.i GROUP BY m.j),
+p1 AS (SELECT s AS node, coalesce(a1.r, 0) AS r
+       FROM states LEFT JOIN a1 ON a1.node = states.s),
+a2 AS (SELECT m.j AS node, CAST(sum((p.r * m.c) // m.rs) AS BIGINT) AS r
+       FROM m JOIN p1 p ON p.node = m.i GROUP BY m.j),
+p2 AS (SELECT s AS node, coalesce(a2.r, 0) AS r
+       FROM states LEFT JOIN a2 ON a2.node = states.s),
+a3 AS (SELECT m.j AS node, CAST(sum((p.r * m.c) // m.rs) AS BIGINT) AS r
+       FROM m JOIN p2 p ON p.node = m.i GROUP BY m.j),
+p3 AS (SELECT s AS node, coalesce(a3.r, 0) AS r
+       FROM states LEFT JOIN a3 ON a3.node = states.s)
+SELECT node AS event_type, CAST(r AS BIGINT) AS pi_e12
+FROM p3 ORDER BY event_type
+""")
+def events_markov_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # steady-state of the event-type transition chain: 3 exact
+    # fixed-point power iterations over the (tiny) transition matrix —
+    # the chain analogue of graph_pagerank_parts
+    from ..operators.analytics import markov_steady_state
+    ev = load_table(spark, sf_dir, "events")
+    return markov_steady_state(ev)

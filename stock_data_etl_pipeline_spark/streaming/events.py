@@ -398,3 +398,37 @@ def streaming_daily_value_histogram(spark: SparkSession,
     q.awaitTermination()
     return (spark.table(name)
             .select(F.col("w.start").alias("day"), "bucket", "c"))
+
+
+def streaming_srm_counts(spark: SparkSession,
+                         events_parquet: str) -> DataFrame:
+    """Streaming twin of the batch sample-ratio-mismatch check
+    (operators/quality.srm_check): events stream → per-(unit, user)
+    dedup → md5-parity arm counts per unit, drained availableNow in
+    complete mode — the live experiment-health monitor a platform runs
+    beside the assignment service.
+
+    The dedup is an aggregation, not dropDuplicates: complete-mode
+    chaining of a dedup under another agg is unsupported, and a
+    distinct-user count per (unit, arm) is exactly a two-level
+    aggregate — the first level (unit, user) collapses duplicates
+    with bounded state (one row per distinct pair, the same state the
+    batch DISTINCT holds), the second counts per arm. Arms come from
+    the identical md5-parity expression as the batch twin, so the
+    drained sink is hash-equal to the batch/oracle result.
+    """
+    from ..operators.quality import srm_check
+
+    stream = event_stream(spark, events_parquet)
+    pairs = (stream.filter(F.col("user_id").isNotNull())
+             .groupBy("event_type", "user_id")
+             .agg(F.count(F.lit(1)).alias("_dup")))
+    name = f"srm_{uuid.uuid4().hex[:8]}"
+    q = (pairs.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # the drained sink is the distinct (unit, user) relation; the batch
+    # operator's own DISTINCT is a no-op on it, and every arm/chi-square
+    # expression is literally shared with the batch twin
+    return srm_check(spark.table(name))

@@ -473,3 +473,38 @@ def test_benford_first_digit_hand_computed(spark):
     assert by[1]["expected_pct"] == p1
     dev = 2.0 - 4.0 * p1
     assert by[1]["chi2_term"] == dev * dev / (4.0 * p1)
+
+
+def test_markov_steady_state_hand_computed(spark):
+    import datetime as _dt
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        MARKOV_SCALE, markov_steady_state)
+    t0 = _dt.datetime(2024, 1, 8, 10, 0)
+    # user 1 walks a -> b -> a -> b: transitions a->b (2), b->a (1)
+    rows = [(1, t0 + _dt.timedelta(seconds=i), i, ty)
+            for i, ty in enumerate(["a", "b", "a", "b"])]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, "
+              "event_type string")
+    out = {r["event_type"]: r["pi_e12"]
+           for r in markov_steady_state(ev, iters=1).collect()}
+    # rows: a -> b always (rs=2, c=2); b -> a always (rs=1, c=1)
+    p0 = MARKOV_SCALE // 2
+    assert out["b"] == (p0 * 2) // 2   # all of a's mass
+    assert out["a"] == (p0 * 1) // 1   # all of b's mass
+
+    # an absorbing source state keeps a zero-filled row (never vanishes)
+    rows2 = [(1, t0, 1, "x"), (1, t0 + _dt.timedelta(seconds=1), 2, "y")]
+    ev2 = spark.createDataFrame(
+        rows2, "user_id long, ts timestamp, event_id long, "
+               "event_type string")
+    out2 = {r["event_type"]: r["pi_e12"]
+            for r in markov_steady_state(ev2, iters=1).collect()}
+    assert out2["x"] == 0              # no incoming edge, zero-filled
+    assert out2["y"] == MARKOV_SCALE // 2  # holds what x pushed
+    # a second iteration drains y too (no outgoing row = absorbing
+    # leak; the chain is deliberately not made stochastic-complete,
+    # and the oracle mirrors the same semantics)
+    out3 = {r["event_type"]: r["pi_e12"]
+            for r in markov_steady_state(ev2, iters=2).collect()}
+    assert out3 == {"x": 0, "y": 0}
