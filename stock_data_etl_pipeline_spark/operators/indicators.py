@@ -2867,3 +2867,52 @@ def calmar_ratio(bars: DataFrame) -> DataFrame:
                             / -F.col("max_drawdown"), 6))
     return (out.withColumn("calmar", calmar)
             .orderBy("event_type"))
+
+
+def updown_runs_test(bars: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz runs test on the sign sequence of close-to-close
+    moves per symbol — the model-free randomness screen next to
+    :func:`variance_ratio` and the Hurst ladder: too FEW runs means
+    trending, too MANY means mean-reversion, and |z| > 2 is the
+    conventional non-random flag.
+
+    Zero moves are excluded BEFORE the run segmentation (a tie is
+    neither up nor down; exclusion keeps the n₁/n₂ binomial framing
+    exact and is applied identically in the oracle). Counts are exact
+    integers off cent-quantized closes: n_up, n_down, and the run
+    count R = 1 + Σ sign-changes via one lag window on the
+    (symbol, hr) order. The z-statistic's μ = 1 + 2n₁n₂/n and
+    σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)) are fixed-association double
+    expressions of those integers, emitted with
+    z = (R − μ)/√σ² (NULL when σ² = 0 — an all-up or all-down tape).
+    One exchange onto the symbol key, two symbol-partitioned windows.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    c = F.round(F.col("close") * 100, 0).cast("long")
+    d = (bars.select("event_type", "hr", c.alias("c"))
+         .withColumn("diff", F.col("c") - F.lag("c").over(w))
+         .filter(F.col("diff").isNotNull() & (F.col("diff") != 0))
+         .select("event_type", "hr",
+                 F.when(F.col("diff") > 0, F.lit(1)).otherwise(F.lit(-1))
+                 .alias("s")))
+    w2 = Window.partitionBy("event_type").orderBy("hr")
+    seg = d.withColumn(
+        "chg", F.when(F.lag("s").over(w2).isNull()
+                      | (F.lag("s").over(w2) == F.col("s")), 0)
+        .otherwise(1))
+    g = (seg.groupBy("event_type")
+         .agg(F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+              .cast("long").alias("n_up"),
+              F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+              .cast("long").alias("n_down"),
+              (F.sum("chg") + 1).cast("long").alias("n_runs")))
+    n1 = F.col("n_up").cast("double")
+    n2 = F.col("n_down").cast("double")
+    n = n1 + n2
+    mu = 1.0 + 2.0 * n1 * n2 / n
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) / (n * n * (n - 1.0))
+    z = F.when(var > 0, (F.col("n_runs").cast("double") - mu)
+               / F.sqrt(var))
+    return (g.select("event_type", "n_up", "n_down", "n_runs",
+                     z.alias("z"))
+            .orderBy("event_type"))

@@ -396,3 +396,103 @@ def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
                      p.alias("expected_pct"),
                      contrib.alias("chi2_term"))
             .orderBy("digit"))
+
+
+def column_profile_drift(df: DataFrame, ts_col: str,
+                         cols: list[str]) -> DataFrame:
+    """Schema-health drift between the first and second half of the
+    timeline, per column: row counts, null rates, and exact distinct
+    counts — the "did an upstream producer start dropping/defaulting a
+    field" monitor that catches breakage BEFORE value-distribution
+    drift (:func:`psi_drift`) can see it.
+
+    One pass for the null/count side (every column is two conditional
+    sums in a single aggregate, map-side combinable) plus one
+    conditional count-distinct pair per column in the same aggregate;
+    the split point is the integer-microsecond midpoint of the
+    observed range (the psi_drift convention, broadcast). Output one
+    row per column: (column, n_first, n_second, null_pct_first,
+    null_pct_second, null_pct_delta, distinct_first, distinct_second)
+    — every pct is a single division of exact integers and the delta
+    is the difference of the two identically-computed doubles.
+    """
+    eus = F.unix_micros(F.col(ts_col))
+    bounds = df.agg(F.min(eus).alias("_mn"), F.max(eus).alias("_mx"))
+    half = (eus >= (F.col("_mn") + F.col("_mx")) / 2)
+    m = df.crossJoin(F.broadcast(bounds)).withColumn("_h", half)
+    aggs = [F.sum(F.when(~F.col("_h"), 1).otherwise(0)).cast("long")
+            .alias("n_first"),
+            F.sum(F.when(F.col("_h"), 1).otherwise(0)).cast("long")
+            .alias("n_second")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(~F.col("_h") & F.col(c).isNull(), 1)
+                  .otherwise(0)).cast("long").alias(f"{c}__nul1"),
+            F.sum(F.when(F.col("_h") & F.col(c).isNull(), 1)
+                  .otherwise(0)).cast("long").alias(f"{c}__nul2"),
+            F.countDistinct(F.when(~F.col("_h"), F.col(c)))
+            .cast("long").alias(f"{c}__dst1"),
+            F.countDistinct(F.when(F.col("_h"), F.col(c)))
+            .cast("long").alias(f"{c}__dst2")]
+    wide = m.agg(*aggs)
+    parts = []
+    for c in cols:
+        p1 = F.col(f"{c}__nul1").cast("double") / F.col("n_first").cast("double")
+        p2 = F.col(f"{c}__nul2").cast("double") / F.col("n_second").cast("double")
+        parts.append(wide.select(
+            F.lit(c).alias("column"), "n_first", "n_second",
+            F.when(F.col("n_first") > 0, p1).alias("null_pct_first"),
+            F.when(F.col("n_second") > 0, p2).alias("null_pct_second"),
+            F.when((F.col("n_first") > 0) & (F.col("n_second") > 0),
+                   p2 - p1).alias("null_pct_delta"),
+            F.col(f"{c}__dst1").alias("distinct_first"),
+            F.col(f"{c}__dst2").alias("distinct_second")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column")
+
+
+def contingency_chi2(df: DataFrame, row_col: str,
+                     col_col: str) -> DataFrame:
+    """Two-way independence audit: the full contingency table of two
+    categorical columns with per-cell expectations and chi-square
+    contributions — "is order priority independent of order status",
+    the categorical companion of the Benford screen. Per-cell rows on
+    purpose (the Benford rule): each contribution is a deterministic
+    expression of exact integer counts, while the total chi-square
+    would be a float sum the auditor can fold in any order downstream.
+
+    The grid is zero-filled via a broadcast cross join of the two
+    observed margins, so absent combinations emit (n_obs = 0) rows
+    with their full expected mass. expected = n_row·n_col/n is ONE
+    double expression of three exact integers; the cell term is
+    (n_obs − expected)²/expected. One (row, col) aggregate, two margin
+    aggregates, margin-sized broadcast joins.
+    """
+    from .pinned import pin
+
+    base = df.select(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+    cells = base.groupBy("r", "c").agg(F.count(F.lit(1)).cast("long")
+                                       .alias("n_obs"))
+    rm = pin(cells.groupBy("r").agg(F.sum("n_obs").cast("long")
+                                    .alias("n_row")))
+    cm = pin(cells.groupBy("c").agg(F.sum("n_obs").cast("long")
+                                    .alias("n_col")))
+    tot = rm.agg(F.sum("n_row").cast("long").alias("n"))
+    grid = (rm.crossJoin(F.broadcast(cm))
+            .join(cells, ["r", "c"], "left")
+            .crossJoin(F.broadcast(tot))  # 1-row scalar join
+            .select("r", "c", "n_row", "n_col", "n",
+                    F.coalesce(F.col("n_obs"), F.lit(0)).cast("long")
+                    .alias("n_obs")))
+    e = (F.col("n_row").cast("double") * F.col("n_col").cast("double")
+         / F.col("n").cast("double"))
+    dev = F.col("n_obs").cast("double") - e
+    return (grid.select(F.col("r").alias(row_col),
+                        F.col("c").alias(col_col),
+                        "n_obs", "n_row", "n_col",
+                        e.alias("expected"),
+                        F.when(F.col("n") > 0, dev * dev / e)
+                        .alias("chi2_term"))
+            .orderBy(row_col, col_col))

@@ -1237,3 +1237,171 @@ def events_markov_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import markov_steady_state
     ev = load_table(spark, sf_dir, "events")
     return markov_steady_state(ev)
+
+
+# ---------------------------------------------------------------------------
+# schema drift, categorical independence, runs test
+# ---------------------------------------------------------------------------
+
+@register("events_schema_drift", """
+WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+           FROM events),
+m AS (SELECT e.*, epoch_us(e.ts) >= (b.mn + b.mx) / 2 AS h
+      FROM events e, b),
+wide AS (
+  SELECT CAST(sum(CASE WHEN NOT h THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN NOT h AND user_id IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS u_nul1,
+         CAST(sum(CASE WHEN h AND user_id IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS u_nul2,
+         CAST(count(DISTINCT CASE WHEN NOT h THEN user_id END)
+              AS BIGINT) AS u_dst1,
+         CAST(count(DISTINCT CASE WHEN h THEN user_id END)
+              AS BIGINT) AS u_dst2,
+         CAST(sum(CASE WHEN NOT h AND event_type IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS t_nul1,
+         CAST(sum(CASE WHEN h AND event_type IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS t_nul2,
+         CAST(count(DISTINCT CASE WHEN NOT h THEN event_type END)
+              AS BIGINT) AS t_dst1,
+         CAST(count(DISTINCT CASE WHEN h THEN event_type END)
+              AS BIGINT) AS t_dst2,
+         CAST(sum(CASE WHEN NOT h AND value IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_nul1,
+         CAST(sum(CASE WHEN h AND value IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_nul2,
+         CAST(count(DISTINCT CASE WHEN NOT h THEN value END)
+              AS BIGINT) AS v_dst1,
+         CAST(count(DISTINCT CASE WHEN h THEN value END)
+              AS BIGINT) AS v_dst2
+  FROM m)
+SELECT col AS "column", n1 AS n_first, n2 AS n_second,
+       CASE WHEN n1 > 0 THEN CAST(nul1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       END AS null_pct_first,
+       CASE WHEN n2 > 0 THEN CAST(nul2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+       END AS null_pct_second,
+       CASE WHEN n1 > 0 AND n2 > 0
+            THEN CAST(nul2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                 - CAST(nul1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       END AS null_pct_delta,
+       dst1 AS distinct_first, dst2 AS distinct_second
+FROM (
+  SELECT 'event_type' AS col, n1, n2, t_nul1 AS nul1, t_nul2 AS nul2,
+         t_dst1 AS dst1, t_dst2 AS dst2 FROM wide
+  UNION ALL
+  SELECT 'user_id', n1, n2, u_nul1, u_nul2, u_dst1, u_dst2 FROM wide
+  UNION ALL
+  SELECT 'value', n1, n2, v_nul1, v_nul2, v_dst1, v_dst2 FROM wide)
+ORDER BY col
+""")
+def events_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-column null-rate / exact-distinct drift between timeline
+    # halves — the producer-breakage monitor upstream of value drift
+    from ..operators.quality import column_profile_drift
+    ev = load_table(spark, sf_dir, "events")
+    return column_profile_drift(ev, "ts",
+                                ["event_type", "user_id", "value"])
+
+
+@register("orders_priority_status_chi2", """
+WITH cells AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS c,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1, 2
+), rm AS (SELECT r, CAST(sum(n_obs) AS BIGINT) AS n_row
+          FROM cells GROUP BY r),
+cm AS (SELECT c, CAST(sum(n_obs) AS BIGINT) AS n_col
+       FROM cells GROUP BY c),
+tot AS (SELECT CAST(sum(n_row) AS BIGINT) AS n FROM rm),
+grid AS (
+  SELECT rm.r, cm.c, rm.n_row, cm.n_col, tot.n,
+         CAST(coalesce(cells.n_obs, 0) AS BIGINT) AS n_obs
+  FROM rm CROSS JOIN cm
+  LEFT JOIN cells ON cells.r = rm.r AND cells.c = cm.c, tot)
+SELECT r AS o_orderpriority, c AS o_orderstatus, n_obs, n_row, n_col,
+       CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)
+         / CAST(n AS DOUBLE) AS expected,
+       CASE WHEN n > 0
+            THEN (CAST(n_obs AS DOUBLE)
+                  - CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+                 * (CAST(n_obs AS DOUBLE)
+                    - CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                 / (CAST(n_row AS DOUBLE) * CAST(n_col AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+       END AS chi2_term
+FROM grid ORDER BY o_orderpriority, o_orderstatus
+""")
+def orders_priority_status_chi2(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    # priority × status independence audit: zero-filled contingency
+    # grid with per-cell chi-square contributions (the Benford rule:
+    # per-cell rows, no order-dependent float total)
+    from ..operators.quality import contingency_chi2
+    o = load_table(spark, sf_dir, "orders")
+    return contingency_chi2(o, "o_orderpriority", "o_orderstatus")
+
+
+@register("stock_updown_runs", _BARS_CTE + """
+, cts AS (
+  SELECT event_type, hr,
+         CAST(round(close * 100, 0) AS BIGINT) AS c
+  FROM bars
+), d AS (
+  SELECT event_type, hr,
+         c - lag(c) OVER (PARTITION BY event_type ORDER BY hr) AS diff
+  FROM cts
+), s AS (
+  SELECT event_type, hr,
+         CASE WHEN diff > 0 THEN 1 ELSE -1 END AS s
+  FROM d WHERE diff IS NOT NULL AND diff != 0
+), seg AS (
+  SELECT event_type, s,
+         CASE WHEN lag(s) OVER (PARTITION BY event_type ORDER BY hr)
+                   IS NULL
+                   OR lag(s) OVER (PARTITION BY event_type ORDER BY hr)
+                      = s THEN 0
+              ELSE 1 END AS chg
+  FROM s
+), g AS (
+  SELECT event_type,
+         CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+         CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_down,
+         CAST(sum(chg) + 1 AS BIGINT) AS n_runs
+  FROM seg GROUP BY event_type
+)
+SELECT event_type, n_up, n_down, n_runs,
+       CASE WHEN (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                  * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                     - (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))))
+                 / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                    * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                    * (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE)
+                       - 1.0)) > 0
+            THEN (CAST(n_runs AS DOUBLE)
+                  - (1.0 + 2.0 * CAST(n_up AS DOUBLE)
+                       * CAST(n_down AS DOUBLE)
+                       / (CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))))
+                 / sqrt((2.0 * CAST(n_up AS DOUBLE)
+                         * CAST(n_down AS DOUBLE)
+                         * (2.0 * CAST(n_up AS DOUBLE)
+                            * CAST(n_down AS DOUBLE)
+                            - (CAST(n_up AS DOUBLE)
+                               + CAST(n_down AS DOUBLE))))
+                        / ((CAST(n_up AS DOUBLE) + CAST(n_down AS DOUBLE))
+                           * (CAST(n_up AS DOUBLE)
+                              + CAST(n_down AS DOUBLE))
+                           * (CAST(n_up AS DOUBLE)
+                              + CAST(n_down AS DOUBLE) - 1.0)))
+       END AS z
+FROM g ORDER BY event_type
+""")
+def stock_updown_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Wald-Wolfowitz runs test on close-to-close move signs per symbol
+    # (ties excluded identically both sides); z from exact integer
+    # counts with fixed association
+    ev = load_table(spark, sf_dir, "events")
+    return ind.updown_runs_test(ind.hourly_bars(ev))

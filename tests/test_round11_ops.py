@@ -508,3 +508,64 @@ def test_markov_steady_state_hand_computed(spark):
     out3 = {r["event_type"]: r["pi_e12"]
             for r in markov_steady_state(ev2, iters=2).collect()}
     assert out3 == {"x": 0, "y": 0}
+
+
+def test_column_profile_drift_hand_computed(spark):
+    import datetime as _dt
+    from stock_data_etl_pipeline_spark.operators.quality import (
+        column_profile_drift)
+    t0 = _dt.datetime(2024, 1, 8, 0, 0)
+    # first half: rows at t+0h, t+1h; second half: t+9h, t+10h
+    rows = [(t0, "a", 1), (t0 + _dt.timedelta(hours=1), "a", None),
+            (t0 + _dt.timedelta(hours=9), None, 2),
+            (t0 + _dt.timedelta(hours=10), "b", 2)]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v long")
+    out = {r["column"]: r
+           for r in column_profile_drift(df, "ts", ["k", "v"]).collect()}
+    k = out["k"]
+    assert (k["n_first"], k["n_second"]) == (2, 2)
+    assert k["null_pct_first"] == 0.0
+    assert k["null_pct_second"] == 0.5
+    assert k["null_pct_delta"] == 0.5
+    assert (k["distinct_first"], k["distinct_second"]) == (1, 1)
+    v = out["v"]
+    assert v["null_pct_first"] == 0.5 and v["null_pct_second"] == 0.0
+    assert (v["distinct_first"], v["distinct_second"]) == (1, 1)
+
+
+def test_contingency_chi2_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators.quality import (
+        contingency_chi2)
+    rows = [("p1", "A")] * 3 + [("p1", "B")] + [("p2", "A")] * 2
+    df = spark.createDataFrame(rows, "pri string, st string")
+    out = {(r["pri"], r["st"]): r
+           for r in contingency_chi2(df, "pri", "st").collect()}
+    # margins: p1=4, p2=2; A=5, B=1; n=6 — grid zero-fills (p2, B)
+    assert len(out) == 4
+    cell = out[("p1", "A")]
+    e = 4.0 * 5.0 / 6.0
+    assert cell["n_obs"] == 3 and cell["expected"] == e
+    assert cell["chi2_term"] == (3.0 - e) ** 2 / e
+    zf = out[("p2", "B")]
+    assert zf["n_obs"] == 0 and zf["expected"] == 2.0 * 1.0 / 6.0
+
+
+def test_updown_runs_test_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators import indicators as _i
+    # closes 100,101,102,101,101,102: diffs +,+,-,0,+ -> signs
+    # (+,+,-,+) after tie exclusion: n_up=3, n_down=1, runs=3
+    b = _bars(spark, [("a", i, c, c, c, c, 1) for i, c in
+                      enumerate([100.0, 101.0, 102.0, 101.0, 101.0,
+                                 102.0])])
+    r = _i.updown_runs_test(b).collect()[0]
+    assert (r["n_up"], r["n_down"], r["n_runs"]) == (3, 1, 3)
+    n1, n2 = 3.0, 1.0
+    n = n1 + n2
+    mu = 1.0 + 2.0 * n1 * n2 / n
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n)) / (n * n * (n - 1.0))
+    assert r["z"] == (3.0 - mu) / math.sqrt(var)
+
+    # monotone tape: n_down = 0 -> variance 0 -> NULL z
+    mono = _bars(spark, [("b", i, c, c, c, c, 1)
+                         for i, c in enumerate([1.0, 2.0, 3.0])])
+    assert _i.updown_runs_test(mono).collect()[0]["z"] is None
