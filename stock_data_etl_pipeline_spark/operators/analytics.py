@@ -662,10 +662,13 @@ def k_core(pairs: DataFrame, id_a: str, id_b: str, k: int = 2,
     alive = edges.select("src").distinct()
     deg = None
     for _ in range(rounds):
-        # persist each round's survivor set: it is referenced TWICE in
-        # the next round's join (src and dst sides), so an unpersisted
-        # lineage doubles per iteration — 2^rounds recompute blowup
-        alive = pin(alive)
+        # CUT each round's survivor set (node-cardinality): it is
+        # referenced TWICE in the next round's join (src and dst
+        # sides), so the un-cut lineage doubles the plan TREE per
+        # iteration even when a persist bounds execution — the r11
+        # audit caught a 214k-line executed plan for the 5-round peel
+        # (the pin_cut plan-size rationale)
+        alive = pin_cut(alive)
         e2 = (edges.join(alive, "src")
               .join(alive.withColumnRenamed("src", "dst"), "dst"))
         deg = e2.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -955,11 +958,12 @@ def bfs_distance(pairs: DataFrame, id_a: str, id_b: str,
         relaxed = (e.join(d.withColumnRenamed("node", "src"), "src")
                    .select(F.col("dst").alias("node"),
                            (F.col("dist") + 1).alias("dist")))
-        # pin each round: d is referenced TWICE (union + relaxed), so
-        # an unpinned distance relation doubles the plan per hop —
-        # exponential lineage (the k_core per-iteration pin pattern)
-        d = pin(d.unionByName(relaxed)
-                .groupBy("node").agg(F.min("dist").alias("dist")))
+        # CUT each round: d is referenced TWICE (union + relaxed), so
+        # the distance relation's plan doubles per hop even when a
+        # persist bounds execution (26.8k-line plan in the r11 audit —
+        # the k_core per-iteration pattern)
+        d = pin_cut(d.unionByName(relaxed)
+                    .groupBy("node").agg(F.min("dist").alias("dist")))
     return (d.groupBy("dist")
             .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
             .orderBy("dist"))
