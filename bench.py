@@ -122,8 +122,8 @@ def main() -> None:
     # restricts the headline to the named queries (spot re-attestation
     # of rows flagged weak under co-tenant load — r10 verdict item 1)
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
-    headline = ([q for q in only.split(",") if q] if only.strip()
-                else HEADLINE)
+    headline = ([q.strip() for q in only.split(",") if q.strip()]
+                if only.strip() else HEADLINE)
 
     # co-tenant load must be sampled BEFORE this process spins up the
     # JVM and runs warmup on 32 threads — loadavg_start (below, read
@@ -135,6 +135,13 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     queries = entrymod.queries()
+    # fail FAST on a typo'd subset name — warmup's best-effort except
+    # would swallow it and the timed loop would then KeyError after
+    # the JVM spin-up was already paid
+    unknown = [q for q in headline if q not in queries]
+    if unknown:
+        print(f"ERROR: not in queries(): {unknown}", file=sys.stderr)
+        raise SystemExit(2)
 
     # warm the JVM: run every headline query once at the SMALLEST scale
     # factor (different data than the bench SF, so nothing is result-

@@ -205,23 +205,33 @@ def _degree_oriented_edges(pairs: DataFrame, id_a: str, id_b: str
     sized) — cheap next to the wedge join it tames.
     """
     und, deg = _undirected_degrees(pairs, id_a, id_b)
+    return _orient_by_degree(und, deg), deg
+
+
+def _orient_by_degree(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Orient canonical undirected edges (x, y) by (degree, id) rank:
+    one row (a, b) per edge with rank(a) < rank(b) — THE single
+    definition of the triangle family's hub-proofing tie-break
+    (round-11 review: the orientation rule is the family's correctness
+    linchpin; a second copy in the k-truss peel could silently desync
+    on a future fix).
+
+    pin_cut, not pin (round 11): the oriented edge list is the most
+    deeply shared subtree in the package — adjacency aggregates,
+    per-edge joins, and triangle-list consumers each repeat it in the
+    ANALYZED tree, multiplicatively through the nesting
+    (closure_by_degree compiled 56k plan lines / 6,528 scans with a
+    plain persist; ~0.1k lines with the leaf). Edge-cardinality,
+    deterministic, and always fully consumed before release."""
     dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
     dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
     x_first = (F.col("dx") < F.col("dy")) | \
         ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
-    # pin_cut, not pin (round 11): the oriented edge list is the most
-    # deeply shared subtree in the package — adjacency aggregates,
-    # per-edge joins, and triangle-list consumers each repeat it in
-    # the ANALYZED tree, multiplicatively through the nesting
-    # (closure_by_degree compiled 56k plan lines / 6,528 scans with a
-    # plain persist; ~0.3k lines with the leaf). Edge-cardinality,
-    # deterministic, and always fully consumed before release.
-    e = pin_cut(und.join(dx, "x").join(dy, "y")
-                .select(F.when(x_first, F.col("x")).otherwise(F.col("y"))
-                        .alias("a"),
-                        F.when(x_first, F.col("y")).otherwise(F.col("x"))
-                        .alias("b")))
-    return e, deg
+    return pin_cut(und.join(dx, "x").join(dy, "y")
+                   .select(F.when(x_first, F.col("x"))
+                           .otherwise(F.col("y")).alias("a"),
+                           F.when(x_first, F.col("y"))
+                           .otherwise(F.col("x")).alias("b")))
 
 
 def _triangle_count(e: DataFrame) -> DataFrame:
@@ -2292,7 +2302,14 @@ def t_closeness_profile(df: DataFrame, qi_cols: Sequence[str],
     CLASS over ≤ B rows — nothing wider than |classes|·B anywhere.
     """
     s = F.col(sensitive) if isinstance(sensitive, str) else sensitive
-    base = df.select(*qi_cols, s.cast("long").alias("_b"))
+    # NULL sensitive values are excluded from the census ENTIRELY
+    # (class sizes included): a NULL has no position on an ordered
+    # bucket axis, and carried through it would vanish from the
+    # equi-joined grid while still inflating m — and the two engines
+    # order NULL window keys differently (the ks_two_sample rule).
+    # The oracle filters identically.
+    base = (df.select(*qi_cols, s.cast("long").alias("_b"))
+            .filter(F.col("_b").isNotNull()))
     cb = pin(base.groupBy(*qi_cols, "_b")
              .agg(F.count(F.lit(1)).cast("long").alias("cp")))
     classes = (cb.groupBy(*qi_cols)
@@ -2363,10 +2380,16 @@ def hits_bipartite(edges: DataFrame, src: str, dst: str,
     renormalized grid resets each half-step, so headroom never
     compounds across iterations.
     """
+    if iters < 1:
+        raise ValueError("hits_bipartite needs iters >= 1")
     e = pin(edges.select(F.col(src).alias("s"),
                          F.col(dst).alias("d")).distinct())
     hubs0 = e.select("s").distinct()
     n_hubs = hubs0.count()  # one control-plane scalar
+    if n_hubs == 0:  # empty graph: empty result, never a ZeroDivision
+        return e.select(F.lit("authority").alias("kind"),
+                        F.col("d").alias("node"),
+                        F.lit(0).cast("long").alias("score_e12"))
     h = hubs0.select(F.col("s").alias("node"),
                      F.lit(HITS_SCALE // n_hubs).cast("long").alias("r"))
 
@@ -2593,19 +2616,13 @@ def ktruss_peel_census(pairs: DataFrame, id_a: str, id_b: str,
         .filter(F.col("x") != F.col("y")).distinct())
 
     def oriented(u: DataFrame) -> DataFrame:
+        # degrees recomputed against the CURRENT survivors, then the
+        # family's shared orientation rule (one definition)
         deg = (u.select(F.col("x").alias("v"))
                .unionByName(u.select(F.col("y").alias("v")))
                .groupBy("v").agg(F.count(F.lit(1)).cast("long")
                                  .alias("d")))
-        dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
-        dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
-        x_first = (F.col("dx") < F.col("dy")) | \
-            ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
-        return pin_cut(u.join(dx, "x").join(dy, "y")
-                       .select(F.when(x_first, F.col("x"))
-                               .otherwise(F.col("y")).alias("a"),
-                               F.when(x_first, F.col("y"))
-                               .otherwise(F.col("x")).alias("b")))
+        return _orient_by_degree(u, deg)
 
     def census_row(it: int, u: DataFrame, tri: DataFrame) -> DataFrame:
         return (u.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
@@ -2682,6 +2699,9 @@ def markov_steady_state(events: DataFrame, iters: int = 3) -> DataFrame:
                  .unionByName(m.select(F.col("j").alias("s")))
                  .distinct())
     n_states = states.count()  # one control-plane scalar
+    if n_states == 0:  # no same-user transition anywhere: empty result
+        return m.select(F.col("j").alias("event_type"),
+                        F.lit(0).cast("long").alias("pi_e12"))
     pi = states.select(F.col("s").alias("node"),
                        F.lit(MARKOV_SCALE // n_states).cast("long")
                        .alias("r"))

@@ -2649,10 +2649,16 @@ def yang_zhang_vol(bars: DataFrame) -> DataFrame:
     """
     w = Window.partitionBy("event_type").orderBy("hr")
     cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
-    b = (bars.filter((F.col("low") > 0) & (F.col("high") >= F.col("low")))
-         .select("event_type", "hr", cents("open").alias("o"),
-                 cents("high").alias("h"), cents("low").alias("l"),
-                 cents("close").alias("c"))
+    # the survivor filter runs on QUANTIZED cents, like garman_klass
+    # and the oracle's cts4 WHERE l > 0 — filtering the raw double
+    # keeps a low of 0.004 (cents 0) that the oracle drops, and the
+    # ln(0) it feeds then dies loudly on the ANSI cast (round-11
+    # review finding: the two engines must agree on which bars
+    # survive, not just on the arithmetic)
+    b = (bars.select("event_type", "hr", cents("open").alias("o"),
+                     cents("high").alias("h"), cents("low").alias("l"),
+                     cents("close").alias("c"))
+         .filter((F.col("l") > 0) & (F.col("h") >= F.col("l")))
          .withColumn("pc", F.lag("c").over(w))
          .filter(F.col("pc").isNotNull() & (F.col("pc") > 0)))
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731

@@ -342,40 +342,36 @@ def srm_check(events: DataFrame, user_col: str = "user_id",
             .orderBy("unit"))
 
 
-import math as _math
+def benford_chi2_cells(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive money column with
+    PER-CELL chi-square contributions — the goodness-of-fit refinement
+    of ``analytics.benford_first_digit`` (which emits observed-vs-
+    expected deviations over the digits that occur): this variant
+    zero-fills all nine digits via a broadcast domain grid (the
+    dow×hour precedent) and adds each digit's (obs − n·p)²/(n·p) term.
+    Per-digit rows on purpose: the total chi-square would be a 9-term
+    float sum whose value an auditor can fold in any order downstream,
+    while each contribution here is a deterministic expression of the
+    exact integer counts and the shared ``analytics.BENFORD_EXPECTED``
+    literals (ONE constant table for both operators and both oracles).
 
-# Benford expected first-digit probabilities log10(1 + 1/d), d = 1..9 —
-# module-level so the DuckDB oracle injects the IDENTICAL double
-# literals (the GK_2LN2M1 shared-literal discipline)
-BENFORD_P = tuple(_math.log10(1.0 + 1.0 / d) for d in range(1, 10))
-
-
-def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
-    """Benford's-law first-digit audit of a positive money column — the
-    classic forensic screen for fabricated or truncated figures: real
-    multiplicative-process amounts put ~30.1% of leading digits at 1,
-    and a flat or spiky digit histogram flags synthetic data, capped
-    fields, or unit bugs.
-
-    Output: one row per digit 1..9 (zero-filled via a broadcast
-    9-row domain grid, the dow×hour precedent) with the observed
-    count, observed share, Benford expectation, and that digit's
-    chi-square contribution (obs − n·p)²/(n·p). Per-digit rows on
-    purpose: the total chi-square would be a 9-term float sum whose
-    value an auditor can fold in any order downstream, while each
-    contribution here is a deterministic expression of the exact
-    integer counts and the shared ``BENFORD_P`` literals.
-
-    Digit extraction is integer-exact: the value is quantized to cents
-    (2-dp money) and the leading digit read off the decimal string —
-    leading digits are scale-invariant, so cents and dollars agree.
+    Digit extraction is integer-exact and positive-only: the value is
+    quantized to cents (2-dp money) and non-positive amounts are
+    dropped BEFORE the leading digit is read off the decimal string —
+    reading first would feed '-' to an ANSI cast and crash the audit
+    on exactly the malformed rows it exists to screen (the analytics
+    operator's documented rule, mirrored in the oracle's WHERE).
     One digit-keyed aggregate + one 1-row total broadcast.
     """
+    from .analytics import BENFORD_EXPECTED
+
     spark = df.sparkSession
     cents = F.round(F.col(value_col) * 100, 0).cast("long")
-    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
-    base = (df.select(digit.alias("digit"))
-            .filter(F.col("digit").between(1, 9)))
+    digit = F.substring(F.col("_cents").cast("string"), 1, 1) \
+        .cast("long")
+    base = (df.select(cents.alias("_cents"))
+            .filter(F.col("_cents") > 0)
+            .select(digit.alias("digit")))
     g = base.groupBy("digit").agg(F.count(F.lit(1)).cast("long")
                                   .alias("n_obs"))
     dom = spark.createDataFrame([(d,) for d in range(1, 10)],
@@ -385,8 +381,9 @@ def benford_first_digit(df: DataFrame, value_col: str) -> DataFrame:
                       .cast("long").alias("n_obs")))
     tot = filled.agg(F.sum("n_obs").cast("long").alias("n"))
     j = filled.crossJoin(F.broadcast(tot))  # 1-row scalar join
-    p = F.element_at(F.array(*[F.lit(v) for v in BENFORD_P]),
-                     F.col("digit").cast("int"))
+    p = F.element_at(
+        F.array(*[F.lit(BENFORD_EXPECTED[d]) for d in range(1, 10)]),
+        F.col("digit").cast("int"))
     nd = F.col("n").cast("double")
     od = F.col("n_obs").cast("double")
     dev = od - nd * p

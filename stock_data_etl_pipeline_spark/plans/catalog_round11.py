@@ -49,12 +49,12 @@ from .catalog_stock import _BARS_CTE
 
 _D = "CAST({} AS DOUBLE)"
 
-# portable tokenization + stopword list for the round-11 corpus oracles
-# (mirrors functions/text.words and ENGLISH_STOPWORDS exactly — the
-# catalog_text idiom)
-_WORDS_R11 = "list_filter(string_split(text, ' '), x -> x != '')"
-from ..functions import text as _TX  # noqa: E402
-_STOPS_R11 = ", ".join(repr(w) for w in _TX.ENGLISH_STOPWORDS)
+# portable tokenization + stopword list for the round-11 corpus
+# oracles: the ONE definition in catalog_text (a second copy here
+# would silently desync half the corpus family on a tokenizer change
+# — round-11 review finding)
+from .catalog_text import _STOPS as _STOPS_R11  # noqa: E402
+from .catalog_text import _WORDS as _WORDS_R11  # noqa: E402
 
 
 # ---------------------------------------------------------------------------
@@ -528,7 +528,7 @@ def events_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH base AS (
   SELECT c_nationkey, c_mktsegment,
          CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS b
-  FROM customer
+  FROM customer WHERE c_acctbal IS NOT NULL
 ), cb AS (
   SELECT c_nationkey, c_mktsegment, b, CAST(count(*) AS BIGINT) AS cp
   FROM base GROUP BY 1, 2, 3
@@ -1114,23 +1114,26 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ktruss_peel_census(pairs, "pa", "pb", k=4, iters=2)
 
 
-from ..operators import quality as _Q  # noqa: E402
+from ..operators import analytics as _AN  # noqa: E402
 
-# ::DOUBLE per element — DuckDB types bare high-precision numeric
-# literals as DECIMAL, whose Python fetch is decimal.Decimal and whose
-# arithmetic would diverge from Spark's double literals
+# ONE Benford constant table for both operators and both oracles
+# (analytics.BENFORD_EXPECTED, the round-8 literals). ::DOUBLE per
+# element — DuckDB types bare high-precision numeric literals as
+# DECIMAL, whose Python fetch is decimal.Decimal and whose arithmetic
+# would diverge from Spark's double literals
 _BENFORD_SQL_LIST = "[" + ", ".join(
-    f"{p!r}::DOUBLE" for p in _Q.BENFORD_P) + "]"
+    f"{_AN.BENFORD_EXPECTED[d]!r}::DOUBLE" for d in range(1, 10)) + "]"
 
 
 @register("orders_benford", f"""
-WITH d AS (
-  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
-                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+WITH cz AS (
+  SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
   FROM orders
+), d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM cz WHERE cents > 0
 ), g AS (
-  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d
-  WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
 ), dom AS (SELECT unnest(generate_series(1, 9)) AS digit),
 filled AS (
   SELECT dom.digit, CAST(coalesce(g.n_obs, 0) AS BIGINT) AS n_obs
@@ -1154,10 +1157,10 @@ FROM filled, tot ORDER BY digit
 def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Benford first-digit forensic screen on order totals: per-digit
     # observed vs log10(1+1/d) expectation with chi-square
-    # contributions (shared double literals, exact integer counts)
-    from ..operators.quality import benford_first_digit
+    # contributions (the ONE shared constant table, exact counts)
+    from ..operators.quality import benford_chi2_cells
     o = load_table(spark, sf_dir, "orders")
-    return benford_first_digit(o, "o_totalprice")
+    return benford_chi2_cells(o, "o_totalprice")
 
 
 # ---------------------------------------------------------------------------

@@ -458,18 +458,23 @@ def test_ktruss_peel_census_k4_clique_plus_pendant(spark):
     assert (out[2]["n_edges"], out[2]["n_triangles"]) == (6, 4)
 
 
-def test_benford_first_digit_hand_computed(spark):
+def test_benford_chi2_cells_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        BENFORD_EXPECTED)
     from stock_data_etl_pipeline_spark.operators.quality import (
-        BENFORD_P, benford_first_digit)
+        benford_chi2_cells)
+    # negative and zero amounts drop BEFORE digit extraction (an ANSI
+    # cast of '-' would otherwise crash the audit) — round-11 review
     df = spark.createDataFrame(
-        [(1.00,), (1.50,), (2.00,), (9.99,)], "v double")
-    rows = benford_first_digit(df, "v").collect()
+        [(1.00,), (1.50,), (2.00,), (9.99,), (-3.50,), (0.0,)],
+        "v double")
+    rows = benford_chi2_cells(df, "v").collect()
     assert [r["digit"] for r in rows] == list(range(1, 10))
     by = {r["digit"]: r for r in rows}
     assert by[1]["n_obs"] == 2 and by[1]["obs_pct"] == 0.5
     assert by[2]["n_obs"] == 1 and by[9]["n_obs"] == 1
     assert by[3]["n_obs"] == 0          # zero-filled absent digit
-    p1 = BENFORD_P[0]
+    p1 = BENFORD_EXPECTED[1]            # the ONE shared constant table
     assert by[1]["expected_pct"] == p1
     dev = 2.0 - 4.0 * p1
     assert by[1]["chi2_term"] == dev * dev / (4.0 * p1)
@@ -569,3 +574,28 @@ def test_updown_runs_test_hand_computed(spark):
     mono = _bars(spark, [("b", i, c, c, c, c, 1)
                          for i, c in enumerate([1.0, 2.0, 3.0])])
     assert _i.updown_runs_test(mono).collect()[0]["z"] is None
+
+
+def test_hits_and_markov_empty_inputs_return_empty(spark):
+    # round-11 review: an all-filtered-out upstream must yield an
+    # EMPTY relation, never a ZeroDivisionError at plan-build time
+    import pytest as _pytest
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        hits_bipartite, markov_steady_state)
+    empty_e = spark.createDataFrame([], "cust long, part long")
+    out = hits_bipartite(empty_e, "cust", "part")
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] \
+        == ["kind", "node", "score_e12"]
+    with _pytest.raises(ValueError):
+        hits_bipartite(empty_e, "cust", "part", iters=0)
+
+    import datetime as _dt
+    one_per_user = spark.createDataFrame(
+        [(1, _dt.datetime(2024, 1, 8), 1, "a"),
+         (2, _dt.datetime(2024, 1, 8), 2, "b")],
+        "user_id long, ts timestamp, event_id long, event_type string")
+    out2 = markov_steady_state(one_per_user)
+    assert out2.collect() == []
+    assert [f.name for f in out2.schema.fields] \
+        == ["event_type", "pi_e12"]

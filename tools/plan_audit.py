@@ -45,10 +45,15 @@ def audit_one(spark, fn, sf_dir: str) -> tuple[dict, str]:
         # while the analyzed tree still repeats a shared subtree per
         # reference, multiplicatively through nesting — Catalyst
         # analysis on a 56k-line tree costs real driver CPU
-        # (graph_closure_by_degree, round-10 audit). pin_cut turns such
-        # subtrees into ExistingRDD leaves; `rddleaf` counts them so a
-        # scans=0 row reads as "checkpoint-fed", not "scanless".
+        # (graph_closure_by_degree, round-10 audit). pin_cut replaces
+        # such subtrees with a parquet re-read of a session-temp
+        # "spark-pin-cut-*" directory — `cuts` counts those FileScan
+        # leaves so a row's scan count reads correctly ("N of the
+        # scans are cut re-reads, not source rescans"). `rddleaf`
+        # counts Scan ExistingRDD leaves (pin_checkpoint / CC-style
+        # localCheckpoint users).
         "nodes": plan.count("\n") + 1,
+        "cuts": plan.count("spark-pin-cut-"),
         "rddleaf": plan.count("Scan ExistingRDD"),
     }
     return props, plan
