@@ -2718,3 +2718,54 @@ def markov_steady_state(events: DataFrame, iters: int = 3) -> DataFrame:
     return (pi.select(F.col("node").alias("event_type"),
                       F.col("r").alias("pi_e12"))
             .orderBy("event_type"))
+
+
+def poisson_overdispersion(events: DataFrame) -> DataFrame:
+    """Index-of-dispersion audit of hourly arrival counts per event
+    type: D = var/mean over the DENSE hour grid (empty hours count as
+    zeros — dropping them is how dispersion checks silently lie). A
+    Poisson process has D = 1; D ≫ 1 (overdispersion) means bursty
+    arrivals and every Poisson-assuming alert threshold downstream is
+    mis-calibrated — the arrival-process companion of
+    :func:`dow_hour_anomalies`.
+
+    The hour grid is generated from the GLOBAL min/max hour (one 1-row
+    scalar broadcast, a sequence-explode — the timeline is
+    audit-bounded: 30 days = 720 rows) crossed with the event types;
+    counts zero-fill by left join. Everything else is exact BIGINT
+    power sums: with n grid hours, S = Σc and Q = Σc², the sample
+    index of dispersion D = var/mean = (n·Q − S²) / ((n−1)·S) is ONE
+    double division of exact integers, and the conventional D > 1.5
+    investigate flag is the pure-integer comparison
+    2·(n·Q − S²) > 3·(n−1)·S. Headroom: n·Q ≤ n²·c_max² — int64-safe
+    to ~3e6 events/hour over a month; pre-aggregate to coarser bins
+    beyond. NULL D on an empty type (S = 0).
+    """
+    hr = F.date_trunc("hour", F.col("ts"))
+    bounds = events.agg(F.min(hr).alias("_mn"), F.max(hr).alias("_mx"))
+    hours = (bounds.select(F.explode(F.sequence(
+        F.col("_mn"), F.col("_mx"), F.expr("INTERVAL 1 HOUR")))
+        .alias("hr")))
+    types = events.select(F.col("event_type").alias("et")).distinct()
+    grid = types.crossJoin(F.broadcast(hours))
+    cnt = (events.groupBy(F.col("event_type").alias("et"),
+                          hr.alias("hr"))
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    filled = (grid.join(cnt, ["et", "hr"], "left")
+              .select("et", F.coalesce(F.col("c"), F.lit(0)).alias("c")))
+    g = (filled.groupBy("et")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_hours"),
+              F.sum("c").cast("long").alias("s"),
+              F.sum(F.col("c") * F.col("c")).cast("long").alias("q")))
+    varnum = F.col("n_hours") * F.col("q") - F.col("s") * F.col("s")
+    d = F.when((F.col("s") > 0) & (F.col("n_hours") > 1),
+               varnum.cast("double")
+               / ((F.col("n_hours") - 1) * F.col("s")).cast("double"))
+    flag = (F.lit(2) * varnum) > (F.lit(3) * (F.col("n_hours") - 1)
+                                  * F.col("s"))
+    return (g.select(F.col("et").alias("event_type"), "n_hours",
+                     F.col("s").alias("n_events"),
+                     d.alias("dispersion"),
+                     F.when((F.col("s") > 0) & (F.col("n_hours") > 1),
+                            flag).alias("overdispersed"))
+            .orderBy("event_type"))

@@ -374,6 +374,18 @@ def benford_chi2_cells(df: DataFrame, value_col: str) -> DataFrame:
             .select(digit.alias("digit")))
     g = base.groupBy("digit").agg(F.count(F.lit(1)).cast("long")
                                   .alias("n_obs"))
+    return benford_cells_from_counts(spark, g)
+
+
+def benford_cells_from_counts(spark, g: DataFrame) -> DataFrame:
+    """Zero-fill + expectation + chi-square emit over a prepared
+    (digit, n_obs) relation — the shared tail of
+    :func:`benford_chi2_cells`, split out so the STREAMING twin can
+    drain its per-digit streaming aggregate into the identical
+    arithmetic (the srm_check reuse pattern: the batch and streaming
+    queries must differ only in how the counts were produced)."""
+    from .analytics import BENFORD_EXPECTED
+
     dom = spark.createDataFrame([(d,) for d in range(1, 10)],
                                 "digit long")
     filled = (dom.join(g, "digit", "left")

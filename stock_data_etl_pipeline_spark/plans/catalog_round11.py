@@ -1408,3 +1408,87 @@ def stock_updown_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts with fixed association
     ev = load_table(spark, sf_dir, "events")
     return ind.updown_runs_test(ind.hourly_bars(ev))
+
+
+# ---------------------------------------------------------------------------
+# streaming Benford twin, arrival overdispersion, Roll implied spread
+# ---------------------------------------------------------------------------
+
+_BENFORD_EVENTS_ORACLE = f"""
+WITH cz AS (
+  SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents FROM events
+), d AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM cz WHERE cents > 0
+), g AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+), dom AS (SELECT unnest(generate_series(1, 9)) AS digit),
+filled AS (
+  SELECT dom.digit, CAST(coalesce(g.n_obs, 0) AS BIGINT) AS n_obs
+  FROM dom LEFT JOIN g ON g.digit = dom.digit
+), tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM filled)
+SELECT digit, n_obs,
+       CASE WHEN n > 0
+            THEN CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+       END AS obs_pct,
+       list_extract({{lst}}, CAST(digit AS INT)) AS expected_pct,
+       CASE WHEN n > 0
+            THEN (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
+                    * list_extract({{lst}}, CAST(digit AS INT)))
+                 * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE)
+                    * list_extract({{lst}}, CAST(digit AS INT)))
+                 / (CAST(n AS DOUBLE)
+                    * list_extract({{lst}}, CAST(digit AS INT)))
+       END AS chi2_term
+FROM filled, tot ORDER BY digit
+""".format(lst=_BENFORD_SQL_LIST)
+
+
+@register("streaming_benford", _BENFORD_EVENTS_ORACLE)
+def streaming_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Benford money-feed forensic as a REAL streaming query:
+    # nine-row streaming aggregate drained availableNow, the batch
+    # zero-fill/chi-square tail applied unchanged to the drained sink
+    import os
+
+    from ..streaming.events import streaming_benford_digits
+    return streaming_benford_digits(
+        spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register("events_overdispersion", """
+WITH b AS (SELECT min(date_trunc('hour', ts)) AS mn,
+                  max(date_trunc('hour', ts)) AS mx
+           FROM events),
+hours AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+          FROM b),
+types AS (SELECT DISTINCT event_type AS et FROM events),
+grid AS (SELECT t.et, h.hr FROM types t CROSS JOIN hours h),
+cnt AS (SELECT event_type AS et, date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+filled AS (
+  SELECT g.et, coalesce(c.c, 0) AS c
+  FROM grid g LEFT JOIN cnt c ON c.et = g.et AND c.hr = g.hr
+), agg AS (
+  SELECT et, CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS q
+  FROM filled GROUP BY et)
+SELECT et AS event_type, n_hours, s AS n_events,
+       CASE WHEN s > 0 AND n_hours > 1
+            THEN CAST(n_hours * q - s * s AS DOUBLE)
+                 / CAST((n_hours - 1) * s AS DOUBLE)
+       END AS dispersion,
+       CASE WHEN s > 0 AND n_hours > 1
+            THEN 2 * (n_hours * q - s * s) > 3 * (n_hours - 1) * s
+       END AS overdispersed
+FROM agg ORDER BY event_type
+""")
+def events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Poisson index-of-dispersion audit of hourly arrivals per type
+    # over the DENSE hour grid (zeros count); exact integer power
+    # sums, pure-integer D > 1.5 flag
+    from ..operators.analytics import poisson_overdispersion
+    ev = load_table(spark, sf_dir, "events")
+    return poisson_overdispersion(ev)

@@ -432,3 +432,34 @@ def streaming_srm_counts(spark: SparkSession,
     # operator's own DISTINCT is a no-op on it, and every arm/chi-square
     # expression is literally shared with the batch twin
     return srm_check(spark.table(name))
+
+
+def streaming_benford_digits(spark: SparkSession,
+                             events_parquet: str) -> DataFrame:
+    """Streaming twin of the Benford chi-square audit
+    (quality.benford_chi2_cells): the per-digit counting runs as a
+    REAL streaming aggregate (state = at most nine rows) drained
+    availableNow, and the drained counts flow through the IDENTICAL
+    zero-fill/expectation/chi-square tail
+    (quality.benford_cells_from_counts) — the live money-feed
+    forensics a platform keeps beside the ingest path. Non-positive
+    amounts are dropped BEFORE digit extraction, exactly as in the
+    batch twin.
+    """
+    from ..operators.quality import benford_cells_from_counts
+
+    stream = event_stream(spark, events_parquet)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    digit = F.substring(F.col("_cents").cast("string"), 1, 1) \
+        .cast("long")
+    g = (stream.select(cents.alias("_cents"))
+         .filter(F.col("_cents") > 0)
+         .select(digit.alias("digit"))
+         .groupBy("digit")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_obs")))
+    name = f"benford_{uuid.uuid4().hex[:8]}"
+    q = (g.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return benford_cells_from_counts(spark, spark.table(name))

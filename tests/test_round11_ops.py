@@ -599,3 +599,24 @@ def test_hits_and_markov_empty_inputs_return_empty(spark):
     assert out2.collect() == []
     assert [f.name for f in out2.schema.fields] \
         == ["event_type", "pi_e12"]
+
+
+def test_poisson_overdispersion_hand_computed(spark):
+    import datetime as _dt
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        poisson_overdispersion)
+    t0 = _dt.datetime(2024, 1, 8, 0, 0)
+    # global hour span 0..3 (4 grid hours). type "b": bursty — 4
+    # events in hour 0, none elsewhere: counts (4,0,0,0):
+    # n=4, S=4, Q=16 -> D = (4*16-16)/(3*4) = 4.0 -> overdispersed.
+    # type "u": uniform — 1 event/hour: D = 0 (constant counts).
+    rows = ([("b", t0 + _dt.timedelta(minutes=m)) for m in range(4)]
+            + [("u", t0 + _dt.timedelta(hours=h)) for h in range(4)])
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["event_type"]: r
+           for r in poisson_overdispersion(ev).collect()}
+    b = out["b"]
+    assert (b["n_hours"], b["n_events"]) == (4, 4)
+    assert b["dispersion"] == 4.0 and b["overdispersed"]
+    u = out["u"]
+    assert u["dispersion"] == 0.0 and not u["overdispersed"]
