@@ -229,8 +229,16 @@ def main() -> None:
               "loadavg_end": [round(x, 2) for x in os.getloadavg()],
               "loadavg_warning": load_warn}
     # subset runs (BENCH_ONLY) must not clobber the full-headline local
-    # record — they go to BENCH_SPOT.json
-    local_name = "BENCH_SPOT.json" if only.strip() else "BENCH_LOCAL.json"
+    # record — they go to BENCH_SPOT.json.  Likewise a run that started
+    # under load (the round-11 driver run had loadavg 7.87 and overwrote
+    # the quiet 68.49s record) goes to BENCH_LOCAL_LOADED.json so the
+    # quiet BENCH_LOCAL.json record survives hot-machine runs.
+    if only.strip():
+        local_name = "BENCH_SPOT.json"
+    elif load_warn:
+        local_name = "BENCH_LOCAL_LOADED.json"
+    else:
+        local_name = "BENCH_LOCAL.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            local_name), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
