@@ -592,25 +592,29 @@ nh AS (SELECT count(DISTINCT s) AS n FROM e),
 h0 AS (SELECT s AS node, 1000000000000 // n AS r FROM (SELECT DISTINCT s FROM e), nh),
 a1r AS (SELECT e.d AS node, CAST(sum(h.r) AS BIGINT) AS r
         FROM e JOIN h0 h ON e.s = h.node GROUP BY e.d),
-a1 AS (SELECT node, r // greatest((SELECT sum(r) FROM a1r) // 1000000000000, 1) AS r
+a1 AS (SELECT node, r // greatest(CAST((SELECT sum(r) FROM a1r) AS BIGINT)
+                                  // 1000000000000, 1) AS r
        FROM a1r),
 h1r AS (SELECT e.s AS node, CAST(sum(a.r) AS BIGINT) AS r
         FROM e JOIN a1 a ON e.d = a.node GROUP BY e.s),
-h1 AS (SELECT node, r // greatest((SELECT sum(r) FROM h1r) // 1000000000000, 1) AS r
+h1 AS (SELECT node, r // greatest(CAST((SELECT sum(r) FROM h1r) AS BIGINT)
+                                  // 1000000000000, 1) AS r
        FROM h1r),
 a2r AS (SELECT e.d AS node, CAST(sum(h.r) AS BIGINT) AS r
         FROM e JOIN h1 h ON e.s = h.node GROUP BY e.d),
-a2 AS (SELECT node, r // greatest((SELECT sum(r) FROM a2r) // 1000000000000, 1) AS r
+a2 AS (SELECT node, r // greatest(CAST((SELECT sum(r) FROM a2r) AS BIGINT)
+                                  // 1000000000000, 1) AS r
        FROM a2r),
 h2r AS (SELECT e.s AS node, CAST(sum(a.r) AS BIGINT) AS r
         FROM e JOIN a2 a ON e.d = a.node GROUP BY e.s),
-h2 AS (SELECT node, r // greatest((SELECT sum(r) FROM h2r) // 1000000000000, 1) AS r
+h2 AS (SELECT node, r // greatest(CAST((SELECT sum(r) FROM h2r) AS BIGINT)
+                                  // 1000000000000, 1) AS r
        FROM h2r),
 ta AS (SELECT 'authority' AS kind, node, r AS score_e12 FROM a2
        ORDER BY r DESC, node LIMIT 20),
 th AS (SELECT 'hub' AS kind, node, r AS score_e12 FROM h2
        ORDER BY r DESC, node LIMIT 20)
-SELECT kind, node, score_e12 FROM (
+SELECT kind, node, CAST(score_e12 AS BIGINT) AS score_e12 FROM (
   SELECT * FROM ta UNION ALL SELECT * FROM th)
 ORDER BY kind, score_e12 DESC, node
 """)
@@ -1004,14 +1008,17 @@ u AS (
          CAST(sum(k) AS BIGINT) AS n_rows
   FROM l1
   UNION ALL
-  SELECT '2_region_segment', count(*), min(k),
-         sum(CASE WHEN k < 5 THEN k ELSE 0 END), sum(k) FROM l2
+  SELECT '2_region_segment', CAST(count(*) AS BIGINT), CAST(min(k) AS BIGINT),
+         CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT),
+         CAST(sum(k) AS BIGINT) FROM l2
   UNION ALL
-  SELECT '3_segment', count(*), min(k),
-         sum(CASE WHEN k < 5 THEN k ELSE 0 END), sum(k) FROM l3
+  SELECT '3_segment', CAST(count(*) AS BIGINT), CAST(min(k) AS BIGINT),
+         CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT),
+         CAST(sum(k) AS BIGINT) FROM l3
   UNION ALL
-  SELECT '4_region', count(*), min(k),
-         sum(CASE WHEN k < 5 THEN k ELSE 0 END), sum(k) FROM l4
+  SELECT '4_region', CAST(count(*) AS BIGINT), CAST(min(k) AS BIGINT),
+         CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT),
+         CAST(sum(k) AS BIGINT) FROM l4
 )
 SELECT level, n_classes, min_k, rows_at_risk,
        CASE WHEN n_rows > 0

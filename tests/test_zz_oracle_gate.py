@@ -29,3 +29,27 @@ def test_full_catalog_matches_oracle(spark):
     from tools.check_oracle import run_checks
     failures = run_checks(SF_DIR, spark=spark)
     assert failures == [], f"oracle mismatches at sf0.001: {failures}"
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR),
+                    reason="missing testdata")
+def test_oracle_output_types_allowlisted():
+    """Every oracle's DuckDB output column type must be driver-safe.
+
+    The local replica's ``fetchall()`` flattens DuckDB HUGEINT (INT128)
+    and DECIMAL to Python int/float so they hash equal here, but the
+    driver's fetch path canonicalizes them differently — the ONLY two
+    driver-red rows of round 11 (``graph_hits.score_e12``,
+    ``customer_generalization_ladder.rows_at_risk``) were the only two
+    HUGEINT-emitting oracles in the catalog, and round 4's Benford red
+    was the DECIMAL twin. DuckDB silently promotes ``sum(BIGINT)`` to
+    HUGEINT and integer-literal division to DECIMAL, so this pins every
+    oracle projection to the allowlist in tools/audit_oracle_types.py
+    (BIGINT/INTEGER/DOUBLE/VARCHAR/BOOLEAN/TIMESTAMP/DATE/...). Cheap:
+    DuckDB types the projection without executing it fully.
+    """
+    from tools.audit_oracle_types import audit
+    flagged = [f for f in audit(SF_DIR) if not f.startswith("note:")]
+    assert flagged == [], (
+        "oracle output types outside the driver-safe allowlist "
+        f"(CAST them): {flagged}")
