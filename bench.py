@@ -109,6 +109,15 @@ HEADLINE = [
     "scd2_point_in_time_join",
     "stock_yang_zhang",
     "corpus_kn_perplexity",
+    # round 12: the four giant-plan-tree queries the r11 verdict found
+    # invisible to the driver bench (graph_hits was the catalog's
+    # slowest query at ~15 s warm on sf0.01 and nothing would have
+    # caught a regression) — benched after their pin_cut rewrites
+    "graph_hits",
+    "graph_jaccard_linkpred",
+    "events_markov_steady",
+    "embedding_pca_power",
+    "dedup_incremental_batch",
 ]
 
 

@@ -342,10 +342,15 @@ def pagerank(pairs: DataFrame, id_a: str, id_b: str, iters: int = 3,
     und = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
                         F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
            .filter(F.col("a") != F.col("b")).distinct())
-    e = pin(und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .unionByName(und.select(F.col("b").alias("src"),
-                                    F.col("a").alias("dst"))))
-    deg = pin(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
+    # pin_cut, not pin (round 12): e and deg are re-referenced every
+    # iteration and deg embeds e embeds und twice, so the analyzed tree
+    # reached 1,702 nodes / 320 exchanges by round 11's audit; as
+    # parquet leaves the per-iteration growth is a handful of nodes.
+    e = pin_cut(und.select(F.col("a").alias("src"),
+                           F.col("b").alias("dst"))
+                .unionByName(und.select(F.col("b").alias("src"),
+                                        F.col("a").alias("dst"))))
+    deg = pin_cut(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
     n_nodes = deg.count()  # one control-plane scalar
     r0 = PR_SCALE // n_nodes
     base = (PR_SCALE * (100 - damping_pct) // 100) // n_nodes
@@ -1337,20 +1342,26 @@ def jaccard_link_prediction(pairs: DataFrame, id_a: str, id_b: str,
     deterministic. Plan: degree agg → capped center join → pair agg →
     degree joins → anti-join existing edges → TakeOrdered top-k.
     """
-    und = pin(pairs.select(
+    # pin_cut, not pin (round 12): und/adj/deg/adjc each feed 2-4
+    # downstream branches that NEST (adjc self-joins; deg joins the
+    # pair aggregate twice; und anti-joins at the end), so the analyzed
+    # tree multiplied to 6,565 nodes by round 11's audit even though
+    # execution was already bounded by pin. Cutting each shared frame
+    # makes the wedge join a join of two parquet leaves.
+    und = pin_cut(pairs.select(
         F.least(F.col(id_a), F.col(id_b)).alias("ea"),
         F.greatest(F.col(id_a), F.col(id_b)).alias("eb"))
         .filter(F.col("ea") != F.col("eb")).distinct())
-    adj = pin(und.select(F.col("ea").alias("node"),
-                         F.col("eb").alias("nb"))
-              .union(und.select(F.col("eb").alias("node"),
-                                F.col("ea").alias("nb"))))
-    deg = pin(adj.groupBy("node")
-              .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    adj = pin_cut(und.select(F.col("ea").alias("node"),
+                             F.col("eb").alias("nb"))
+                  .union(und.select(F.col("eb").alias("node"),
+                                    F.col("ea").alias("nb"))))
+    deg = pin_cut(adj.groupBy("node")
+                  .agg(F.count(F.lit(1)).cast("long").alias("deg")))
     centers = deg.filter((F.col("deg") >= 2)
                          & (F.col("deg") <= max_center_degree)) \
         .select("node")
-    adjc = pin(adj.join(centers, "node"))
+    adjc = pin_cut(adj.join(centers, "node"))
     ledge = adjc.select("node", F.col("nb").alias("a"))
     redge = adjc.select(F.col("node").alias("node_r"),
                         F.col("nb").alias("b"))
@@ -2394,6 +2405,14 @@ def hits_bipartite(edges: DataFrame, src: str, dst: str,
                      F.lit(HITS_SCALE // n_hubs).cast("long").alias("r"))
 
     def renorm(scores: DataFrame) -> DataFrame:
+        # pin_cut (round 12): each half-step references the previous
+        # half-step's WHOLE subtree twice (the renorm total + the scores
+        # it scales), so the analyzed tree doubled per half-step —
+        # 5,457 nodes / 136 InMemoryRelations / ~15 s warm at sf0.01 by
+        # round 11's audit. Cutting the aggregated node-cardinality
+        # frame ONCE per half-step makes both references (and the next
+        # half-step's join) read a single parquet leaf.
+        scores = pin_cut(scores)
         total = scores.agg(F.sum("r").alias("_t"))
         return (scores.crossJoin(F.broadcast(total))  # 1-row scalar
                 .select("node", F.expr(
@@ -2546,9 +2565,16 @@ def session_entropy_profile(events: DataFrame, gap_seconds: int = 1800
          .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"),
               F.sum("hq").cast("long").alias("sh")))
     mean = F.col("sh").cast("double") / F.col("n_sessions").cast("double") / 1e6
+    # order by the class LOWER BOUND, not the label string — lexical
+    # order would emit 1, 11+, 2, 3-5, 6-10 (round-11 advisory)
+    class_rank = (F.when(F.col("size_class") == "1", 1)
+                  .when(F.col("size_class") == "2", 2)
+                  .when(F.col("size_class") == "3-5", 3)
+                  .when(F.col("size_class") == "6-10", 4)
+                  .otherwise(5))
     return (g.select("size_class", "n_sessions",
                      F.round(mean, 6).alias("mean_entropy"))
-            .orderBy("size_class"))
+            .orderBy(class_rank))
 
 
 def generalization_ladder(df: DataFrame,
@@ -2694,10 +2720,15 @@ def markov_steady_state(events: DataFrame, iters: int = 3) -> DataFrame:
     c = pin(t.groupBy("i", "j")
             .agg(F.count(F.lit(1)).cast("long").alias("c")))
     rowsum = c.groupBy("i").agg(F.sum("c").cast("long").alias("rs"))
-    m = pin(c.join(rowsum, "i"))
-    states = pin(m.select(F.col("i").alias("s"))
-                 .unionByName(m.select(F.col("j").alias("s")))
-                 .distinct())
+    # pin_cut (round 12): m and states are re-referenced every
+    # iteration and each embeds c twice/four times, so the analyzed
+    # tree reached 5,815 nodes by round 11's audit; cutting them (and
+    # each round's |states|-row pi below) bounds the tree at one
+    # iteration's worth of nodes over parquet leaves.
+    m = pin_cut(c.join(rowsum, "i"))
+    states = pin_cut(m.select(F.col("i").alias("s"))
+                     .unionByName(m.select(F.col("j").alias("s")))
+                     .distinct())
     n_states = states.count()  # one control-plane scalar
     if n_states == 0:  # no same-user transition anywhere: empty result
         return m.select(F.col("j").alias("event_type"),
@@ -2711,10 +2742,11 @@ def markov_steady_state(events: DataFrame, iters: int = 3) -> DataFrame:
                            F.expr("(r * c) div rs").alias("x")))
         agg = contrib.groupBy("node").agg(F.sum("x").cast("long")
                                           .alias("r"))
-        pi = (states.join(agg, states["s"] == agg["node"], "left")
-              .select(states["s"].alias("node"),
-                      F.coalesce(F.col("r"), F.lit(0)).cast("long")
-                      .alias("r")))
+        pi = pin_cut(
+            states.join(agg, states["s"] == agg["node"], "left")
+            .select(states["s"].alias("node"),
+                    F.coalesce(F.col("r"), F.lit(0)).cast("long")
+                    .alias("r")))
     return (pi.select(F.col("node").alias("event_type"),
                       F.col("r").alias("pi_e12"))
             .orderBy("event_type"))

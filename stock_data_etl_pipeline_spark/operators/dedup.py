@@ -36,7 +36,7 @@ from ..functions.text import (
     words,
 )
 from ..functions.vectors import as_double, cosine
-from .pinned import pin
+from .pinned import pin, pin_cut
 
 
 # -- exact ------------------------------------------------------------------
@@ -97,7 +97,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float,
     # shingle construction is the expensive projection (interpreted HOFs),
     # so materialize it once — at scale this is the "write the shingle
     # table" step every real dedup pipeline has
-    idx = pin(shingle_index(docs, text_col, id_col, k, max_doc_freq))
+    idx = pin_cut(shingle_index(docs, text_col, id_col, k, max_doc_freq))
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = idx.alias("a"), idx.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -203,7 +203,7 @@ def incremental_lsh_dedup(batch: DataFrame, corpus: DataFrame,
     batch-size work.  Pairs are (id_a < id_b, jaccard >= threshold),
     at least one side in the batch; no false positives survive.
     """
-    nb = pin(lsh_band_table(batch, num_hashes, bands,
+    nb = pin_cut(lsh_band_table(batch, num_hashes, bands,
                             text_col, id_col, k))
     probe = (nb.alias("n")
              .join(index.alias("o"), ["band", "sig"])
@@ -218,7 +218,7 @@ def incremental_lsh_dedup(batch: DataFrame, corpus: DataFrame,
                      & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
               .select(F.col(f"a.{id_col}").alias("id_a"),
                       F.col(f"b.{id_col}").alias("id_b")))
-    cand = pin(probe.unionByName(within).distinct())
+    cand = pin_cut(probe.unionByName(within).distinct())
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
                 .unionByName(cand.select(F.col("id_b").alias(id_col)))
                 .distinct())
@@ -240,7 +240,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     bands * rows = num_hashes; collision prob ~ 1-(1-j^rows)^bands.
     """
     assert num_hashes % bands == 0
-    bands_df = pin(lsh_band_table(docs, num_hashes, bands,
+    bands_df = pin_cut(lsh_band_table(docs, num_hashes, bands,
                                   text_col, id_col, k))
     a, b_ = bands_df.alias("a"), bands_df.alias("b")
     cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
@@ -254,7 +254,7 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     # exact-Jaccard pass never touches non-candidate documents. The pair
     # set is small by construction: persist it so the minhash/band stages
     # run once instead of once per downstream use.
-    cand = pin(cand)
+    cand = pin_cut(cand)
     cand_ids = (cand.select(F.col("id_a").alias(id_col))
                 .unionByName(cand.select(F.col("id_b").alias(id_col)))
                 .distinct())
@@ -422,7 +422,7 @@ def similarity_histogram(docs: DataFrame, text_col: str = "text",
     binning never touches a rounded float. One extra hash-agg over the
     pair list; candidate volume is the cost, shared with any dedup run.
     """
-    idx = pin(shingle_index(docs, text_col, id_col, k, max_doc_freq))
+    idx = pin_cut(shingle_index(docs, text_col, id_col, k, max_doc_freq))
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = idx.alias("a"), idx.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -459,8 +459,7 @@ def containment_pairs(docs: DataFrame, threshold: float = 0.5,
     truncating div == DuckDB ``//``), thresholded as an INTEGER
     comparison and divided once at emit.
     """
-    from .pinned import pin
-    idx = pin(shingle_index(docs, text_col, id_col, k, max_doc_freq))
+    idx = pin_cut(shingle_index(docs, text_col, id_col, k, max_doc_freq))
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a, b = idx.alias("a"), idx.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

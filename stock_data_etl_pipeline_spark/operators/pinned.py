@@ -150,7 +150,22 @@ def pin_cut(df: DataFrame) -> DataFrame:
 
     Use when a pinned subtree has MORE than two downstream references
     or feeds another multiply-referenced subtree; plain :func:`pin` is
-    cheaper (lazy, no write job) for the simple two-consumer case."""
+    cheaper (lazy, no write job) for the simple two-consumer case.
+
+    EAGER: unlike :func:`pin`, calling this runs the parquet write job
+    immediately, at DataFrame-CONSTRUCTION time — an operator built on
+    pin_cut (k_core, bfs_distance, ktruss_peel_census, hits_bipartite,
+    ...) executes one materialization job per cut the moment its
+    builder is called, even if the returned frame is never collected.
+    Callers composing plans without executing them pay that cost up
+    front; it is the price of bounding Catalyst tree size.
+
+    CLUSTER NOTE: the cut directory must be visible to BOTH the driver
+    and every executor. On ``local[*]`` masters a process-temp dir
+    works; on a real cluster set ``spark.stockDataEtl.pinCutDir`` to a
+    shared filesystem path (HDFS/S3/NFS) — :func:`_cut_root` refuses
+    driver-local tmp off-local and falls back to
+    ``spark.sql.warehouse.dir`` (shared in any sane cluster deploy)."""
     import os
     import uuid
 
@@ -162,7 +177,7 @@ def pin_cut(df: DataFrame) -> DataFrame:
                 return df.sparkSession.read.schema(df.schema).parquet(path)
     except Exception:  # noqa: BLE001 — private accessor moved: write fresh
         pass
-    path = os.path.join(_cut_root(), f"cut-{uuid.uuid4().hex}")
+    path = _join_uri(_cut_root(df.sparkSession), f"cut-{uuid.uuid4().hex}")
     df.write.mode("error").parquet(path)
     out = df.sparkSession.read.schema(df.schema).parquet(path)
     _CUTS.append((df, path))
@@ -175,19 +190,85 @@ def pin_cut(df: DataFrame) -> DataFrame:
 _CUTS: list[tuple[DataFrame, str]] = []
 
 
-def _cut_root() -> str:
-    """Per-process temp root for pin_cut parquet spills, created lazily
-    and removed at interpreter exit (release_pinned deletes individual
-    cuts much earlier in normal operation)."""
+def _join_uri(root: str, leaf: str) -> str:
+    """Join a child path onto a root that may be a plain local path or
+    a scheme-qualified URI (hdfs://, s3a://, file:) — os.path.join would
+    mangle the latter on non-POSIX separators."""
+    return root.rstrip("/") + "/" + leaf
+
+
+def _cut_root(spark) -> str:
+    """Root directory for pin_cut parquet spills, resolved once per
+    process and removed at interpreter exit (release_pinned deletes
+    individual cuts much earlier in normal operation).
+
+    A cut is WRITTEN by executors and RE-READ by executors, so the root
+    must live on storage every node sees. Resolution order:
+
+    1. ``spark.stockDataEtl.pinCutDir`` — explicit operator conf; set
+       this to a shared path (HDFS/S3/NFS) on any multi-node deploy.
+    2. ``local[...]`` master — driver and executors share one machine
+       and one filesystem, so a process-temp dir is safe and fastest.
+    3. Any other master — a driver-local tempdir would make executors
+       write partitions to THEIR local disks and every downstream
+       re-read fail or silently read partial data (round-11 advisory),
+       so fall back to ``spark.sql.warehouse.dir`` (cluster-visible in
+       any real deployment) and log the choice once.
+    """
     global _CUT_ROOT
     if _CUT_ROOT is None:
-        import atexit
-        import shutil
-        import tempfile
+        conf_dir = spark.conf.get("spark.stockDataEtl.pinCutDir", None)
+        master = spark.conf.get("spark.master", "local")
+        if conf_dir:
+            import uuid
 
-        _CUT_ROOT = tempfile.mkdtemp(prefix="spark-pin-cut-")
-        atexit.register(shutil.rmtree, _CUT_ROOT, ignore_errors=True)
+            _CUT_ROOT = _join_uri(conf_dir, f"pin-cut-{uuid.uuid4().hex}")
+        elif master.startswith("local"):
+            import atexit
+            import tempfile
+
+            _CUT_ROOT = tempfile.mkdtemp(prefix="spark-pin-cut-")
+            atexit.register(_rm_cut_path, _CUT_ROOT)
+        else:
+            import uuid
+
+            warehouse = spark.conf.get("spark.sql.warehouse.dir")
+            _CUT_ROOT = _join_uri(
+                warehouse, f"_pin_cut/pin-cut-{uuid.uuid4().hex}")
+            _log.warning(
+                "pin_cut on a non-local master without "
+                "spark.stockDataEtl.pinCutDir set — spilling cuts under "
+                "the warehouse dir %s; set the conf to a shared "
+                "filesystem path to control placement.", _CUT_ROOT)
     return _CUT_ROOT
+
+
+def _rm_cut_path(path: str) -> None:
+    """Delete a cut directory wherever it lives: plain/``file:`` paths
+    via shutil, scheme-qualified URIs (hdfs://, s3a://, ...) via the
+    Hadoop FileSystem of the active session. Never raises — cleanup is
+    best-effort; an already-stopped session just leaves the directory
+    for the storage layer's own retention."""
+    try:
+        if "://" not in path or path.startswith("file:"):
+            import shutil
+
+            local = path[5:] if path.startswith("file:") else path
+            if local.startswith("//"):  # file:///tmp/x -> /tmp/x
+                local = "/" + local.lstrip("/")
+            shutil.rmtree(local, ignore_errors=True)
+            return
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return
+        jvm = spark._jvm  # noqa: SLF001
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+        fs.delete(hpath, True)
+    except Exception:  # noqa: BLE001 — best-effort cleanup
+        pass
 
 
 _CUT_ROOT: str | None = None
@@ -219,10 +300,8 @@ def release_pinned() -> int:
             if kind == "checkpoint":
                 _unpersist_checkpoint(df)
             elif kind == "cutfile":  # df is the parquet path
-                import shutil
-
                 _CUTS[:] = [(s, p) for s, p in _CUTS if p != df]
-                shutil.rmtree(df, ignore_errors=True)
+                _rm_cut_path(df)
             else:
                 df.unpersist()
             n += 1

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine
-from .pinned import pin
+from .pinned import pin, pin_cut
 from .windows import top_k_per_group
 
 
@@ -597,15 +597,21 @@ def pca_power_direction(vectors: DataFrame, iters: int = 3,
     v = (x.select("j").distinct()
          .select("j", F.lit(125000).cast("long").alias("v")))
     for _ in range(iters):
-        v = pin(v)
+        # pin_cut (round 12): v embeds the whole previous iteration and
+        # s is referenced twice (the inf-norm agg + the shifted copy),
+        # so the analyzed tree reached 4,799 nodes by round 11's audit.
+        # Both frames are dim-row (64 rows) — the cut write is trivial
+        # and every re-reference becomes a parquet leaf.
+        v = pin_cut(v)
         d = (x.join(F.broadcast(v), "j")
              .groupBy("vid")
              .agg(F.sum(F.col("x") * F.col("v")).alias("d")))
         dk = d.select("vid", _sym_floor_div(F.col("d"), 1 << 20)
                       .alias("dk"))
-        s = (x.join(dk, "vid")
-             .groupBy("j")
-             .agg(F.sum(F.col("x") * F.col("dk")).alias("s")))
+        s = pin_cut(
+            x.join(dk, "vid")
+            .groupBy("j")
+            .agg(F.sum(F.col("x") * F.col("dk")).alias("s")))
         m = s.agg(F.max(F.abs(F.col("s"))).alias("m"))
         sk = s.select("j", _sym_floor_div(F.col("s"), 1 << 20)
                       .alias("sk"))

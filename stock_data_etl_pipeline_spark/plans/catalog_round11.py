@@ -939,7 +939,8 @@ g AS (SELECT size_class, CAST(count(*) AS BIGINT) AS n_sessions,
 SELECT size_class, n_sessions,
        round(CAST(sh AS DOUBLE) / CAST(n_sessions AS DOUBLE)
              / 1000000.0, 6) AS mean_entropy
-FROM g ORDER BY size_class
+FROM g ORDER BY CASE size_class WHEN '1' THEN 1 WHEN '2' THEN 2
+                WHEN '3-5' THEN 3 WHEN '6-10' THEN 4 ELSE 5 END
 """)
 def events_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-session event-type Shannon entropy (exact c·ln c grid,

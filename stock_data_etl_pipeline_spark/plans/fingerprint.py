@@ -331,7 +331,8 @@ def closure_sources(fn) -> dict:
             continue
         visited.add(key)
         in_pkg = _is_pkg(obj)
-        if first or in_pkg:
+        is_root = first
+        if is_root or in_pkg:
             try:
                 seen[key] = inspect.getsource(obj)
             except (OSError, TypeError):
@@ -342,10 +343,14 @@ def closure_sources(fn) -> dict:
                 # so the name alone suffices here.
                 seen[key] = f"<no-source {key[0]}.{key[1]}>"
         first = False
-        if not in_pkg and len(seen) > 1:
+        if not in_pkg and not is_root:
             # outside the package and not the root builder: name alone
             # identifies it (pyspark/stdlib churn must not move our
-            # fingerprints)
+            # fingerprints). Root-ness is tracked explicitly — the old
+            # ``len(seen) > 1`` proxy depended on stack pop order and
+            # could expand a pyspark-internal callable reached before
+            # any package object landed in ``seen``, pulling
+            # third-party module constants into the payload.
             continue
         stack.extend(_referenced(obj, consts))
     for (mod, name), r in consts.items():
