@@ -28,6 +28,7 @@ analytics north star alongside operators/corpus.py.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -2457,12 +2458,28 @@ def label_propagation(pairs: DataFrame, id_a: str, id_b: str,
     global sort). Edges are pinned once; label frames are
     node-cardinality.
     """
-    und = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("x"),
-                        F.greatest(F.col(id_a), F.col(id_b)).alias("y"))
-           .filter(F.col("x") != F.col("y")).distinct())
-    e = pin(und.select(F.col("x").alias("src"), F.col("y").alias("dst"))
-            .unionByName(und.select(F.col("y").alias("src"),
-                                    F.col("x").alias("dst"))))
+    _, _, lab = _lpa_core(pairs, id_a, id_b, iters)
+    return (lab.groupBy("lab")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .orderBy(F.desc("n_members"), "lab").limit(top)
+            .select(F.col("lab").alias("label"), "n_members"))
+
+
+def _lpa_core(pairs: DataFrame, id_a: str, id_b: str,
+              iters: int) -> tuple:
+    """Shared LPA machinery: returns (und, e, lab) — the distinct
+    undirected edge list, its two-way expansion, and the final (node,
+    lab) assignment after ``iters`` synchronous rounds. und/e are
+    pin_cut (re-referenced per round AND by :func:`lpa_modularity`'s
+    intra-edge and degree joins — the pagerank plan-size rationale)."""
+    und = pin_cut(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("x"),
+                               F.greatest(F.col(id_a), F.col(id_b))
+                               .alias("y"))
+                  .filter(F.col("x") != F.col("y")).distinct())
+    e = pin_cut(und.select(F.col("x").alias("src"),
+                           F.col("y").alias("dst"))
+                .unionByName(und.select(F.col("y").alias("src"),
+                                        F.col("x").alias("dst"))))
     lab = e.select(F.col("src").alias("node")).distinct() \
            .select("node", F.col("node").alias("lab"))
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), "lab")
@@ -2472,10 +2489,57 @@ def label_propagation(pairs: DataFrame, id_a: str, id_b: str,
                .agg(F.count(F.lit(1)).alias("cnt")))
         lab = (nbr.withColumn("_rn", F.row_number().over(w))
                .filter(F.col("_rn") == 1).select("node", "lab"))
-    return (lab.groupBy("lab")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
-            .orderBy(F.desc("n_members"), "lab").limit(top)
-            .select(F.col("lab").alias("label"), "n_members"))
+    return und, e, lab
+
+
+def lpa_modularity(pairs: DataFrame, id_a: str, id_b: str,
+                   iters: int = 3) -> DataFrame:
+    """Newman modularity of the LPA partition — the one-number "did
+    label propagation find real structure" check (Q ≈ 0: no better
+    than random; Q ≳ 0.3: strong communities) that turns
+    :func:`label_propagation`'s census into a quality score.
+
+    Exact-integer form: with m undirected edges, e_c intra-community
+    edges and d_c the community degree sum, Q = Σ_c (e_c/m −
+    (d_c/2m)²) is computed as the integer numerator
+    ``Σ_c (4·m·e_c − d_c²)`` over the integer denominator ``4·m²`` —
+    ONE double division at emit, bit-identical on any engine.
+    Headroom: 4·m·e_c ≤ 4m² — int64-safe to m ≈ 1.5e9 edges; beyond
+    that, divide both legs by a common block factor (Q is
+    scale-free). Output: one row (n_nodes, m_edges, n_communities,
+    modularity).
+
+    Shape at 100 TB: LPA's per-round join/agg plus three label joins
+    (two intra-edge sides, one degree rollup) — all equi-keyed on the
+    cut label/edge tables; the per-community term table is
+    |communities| rows and the final rollup is a 1-row aggregate.
+    """
+    und, e, lab = _lpa_core(pairs, id_a, id_b, iters)
+    lab = pin_cut(lab)  # three downstream references below
+    m1 = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    dc = (deg.join(lab.withColumnRenamed("node", "src"), "src")
+          .groupBy("lab").agg(F.sum("d").cast("long").alias("dc")))
+    lx = lab.select(F.col("node").alias("x"), F.col("lab").alias("lx"))
+    ly = lab.select(F.col("node").alias("y"), F.col("lab").alias("ly"))
+    ec = (und.join(lx, "x").join(ly, "y")
+          .filter(F.col("lx") == F.col("ly"))
+          .groupBy(F.col("lx").alias("lab"))
+          .agg(F.count(F.lit(1)).cast("long").alias("ec")))
+    t = (dc.join(ec, "lab", "left")
+         .crossJoin(F.broadcast(m1))  # 1-row scalar
+         .select("lab", (4 * F.col("m") * F.coalesce(F.col("ec"), F.lit(0))
+                         - F.col("dc") * F.col("dc")).alias("t4m2")))
+    n_nodes = lab.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return (t.agg(F.count(F.lit(1)).cast("long").alias("n_communities"),
+                  F.sum("t4m2").cast("long").alias("num"))
+            .crossJoin(F.broadcast(m1))
+            .crossJoin(F.broadcast(n_nodes))
+            .select("n_nodes", F.col("m").alias("m_edges"),
+                    "n_communities",
+                    (F.col("num").cast("double")
+                     / (4.0 * F.col("m").cast("double")
+                        * F.col("m").cast("double"))).alias("modularity")))
 
 
 HILL_LN_GRID = 1_000_000_000  # 1e-9 grid for per-degree ln terms
@@ -2801,3 +2865,233 @@ def poisson_overdispersion(events: DataFrame) -> DataFrame:
                      F.when((F.col("s") > 0) & (F.col("n_hours") > 1),
                             flag).alias("overdispersed"))
             .orderBy("event_type"))
+
+
+ACF_MAX_LAG = 24  # hourly-count autocorrelation horizon
+
+
+def hourly_count_acf(events: DataFrame,
+                     max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Autocorrelation function of the GLOBAL hourly event-count
+    series at lags 1..``max_lag`` — the load-seasonality diagnostic
+    behind capacity planning and anomaly-detector calibration (a
+    24-hour cycle shows as a peak at lag 24; the arrival-process
+    companion of :func:`poisson_overdispersion`, which audits the
+    same series' dispersion).
+
+    The series is the DENSE hour grid (empty hours are zeros —
+    dropping them would fabricate correlation). Each lag's r is the
+    sample correlation of the (c_t, c_{t−k}) overlap, computed from
+    exact BIGINT power sums (n, Σx, Σy, Σx², Σy², Σxy — the
+    rolling_corr discipline) with ONE double expression at emit.
+    Headroom: n·Σxy ≤ n²·c_max² — int64-safe to ~4e6 events/hour over
+    a month of hours; pre-scale counts beyond. NULL r when either
+    side is constant (zero variance).
+
+    Shape at 100 TB: one hash-agg to hourly counts (grid-bounded:
+    |hours| rows), a ≤ max_lag-fan-out self-equi-join on the hour
+    index, one lag-keyed rollup — never touches row-level data twice.
+    """
+    hr = F.date_trunc("hour", F.col("ts"))
+    counts = (events.select(hr.alias("hr"))
+              .groupBy("hr").agg(F.count(F.lit(1)).alias("c")))
+    bounds = counts.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    grid = bounds.select(F.explode(F.sequence(
+        F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))).alias("hr"))
+    dense = pin_cut(grid.join(counts, "hr", "left")
+                    .select((F.unix_timestamp("hr") / 3600).cast("long")
+                            .alias("t"),
+                            F.coalesce(F.col("c"), F.lit(0))
+                            .cast("long").alias("c")))
+    lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
+    cur = dense.select(F.col("t"), F.col("c").alias("x")) \
+               .select("*", lags)
+    prev = dense.select((F.col("t")).alias("tp"), F.col("c").alias("y"))
+    j = cur.join(prev, cur["t"] - cur["lag"] == prev["tp"])
+    g = (j.groupBy("lag")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("x").cast("long").alias("sx"),
+              F.sum("y").cast("long").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+              F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy")))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) \
+        .cast("double")
+    return (g.select(F.col("lag").cast("long").alias("lag"), "n",
+                     F.when((vx > 0) & (vy > 0),
+                            num / F.sqrt(vx * vy)).alias("acf"))
+            .orderBy("lag"))
+
+
+def interarrival_burstiness(events: DataFrame) -> DataFrame:
+    """Goh–Barabási burstiness of per-type inter-arrival times:
+    B = (σ − μ)/(σ + μ) over the gaps between consecutive same-type
+    events — B → −1 periodic, B ≈ 0 Poisson, B → 1 maximally bursty.
+    The inter-arrival-domain twin of :func:`poisson_overdispersion`
+    (which audits the same process in the count domain): together
+    they separate "bursty arrivals" from "heavy-tailed gaps".
+
+    Gaps are exact integer SECONDS (epoch diffs on the (ts, event_id)
+    total order); n, Σd, Σd² are exact BIGINTs; μ, σ and B are ONE
+    double expression of the three leaf-cast sums with identical
+    association both engines. Headroom: Σd² ≤ d_max·Σd ≤ span² —
+    int64-safe to a ~95-year span at 1-second grain. NULL B with < 2
+    gaps or σ + μ = 0.
+
+    Shape at 100 TB: one type-partitioned lag window + one hash-agg —
+    the per-type series never leaves its partition.
+    """
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long"))
+    g = (events.select("event_type", d.alias("d"))
+         .filter(F.col("d").isNotNull())
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum("d").cast("long").alias("s"),
+              F.sum(F.col("d") * F.col("d")).cast("long").alias("q")))
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    q = F.col("q").cast("double")
+    mean = s / n
+    var = (n * q - s * s) / (n * (n - 1.0))
+    sd = F.sqrt(F.when(var > 0, var).otherwise(F.lit(0.0)))
+    b = F.when((F.col("n") >= 2) & (sd + mean > 0),
+               (sd - mean) / (sd + mean))
+    return (g.select("event_type", "n",
+                     mean.alias("mean_gap_s"), b.alias("burstiness"))
+            .orderBy("event_type"))
+
+
+SPRT_LLR_GRID = 1_000_000_000  # 1e-9 grid for per-day LLR terms
+SPRT_ALPHA_BOUND = 19.0        # Wald A = (1-β)/α at α = β = 0.05
+SPRT_LIFT = 1.5                # H1 conversion lift over pooled H0
+
+
+def sprt_conversion_trace(events: DataFrame,
+                          target_type: str = "purchase",
+                          lift: float = SPRT_LIFT) -> DataFrame:
+    """Wald sequential probability ratio test trace per arm (weekend
+    vs weekday, the ks_weekend split): day-by-day cumulative
+    log-likelihood ratio of H1 (conversion = ``lift``·pooled rate)
+    against H0 (pooled rate), with the classic ±ln 19 bounds
+    (α = β = 0.05) — the "could we have stopped early" audit every
+    always-on experimentation stack runs beside its fixed-horizon
+    tests (CUPED/DiD cousins in this module).
+
+    Determinism: p₀ is the pooled conversion share (one double
+    division of exact counts), p₁ = min(lift·p₀, 0.999); each day's
+    LLR increment k·ln(p₁/p₀) + (n−k)·ln((1−p₁)/(1−p₀)) is quantized
+    to the 1e-9 integer grid (the perplexity/Hill-MLE precedent for
+    shared transcendentals), so the cumulative trace is an exact
+    BIGINT running sum and the boundary crossings are integer
+    comparisons. Output per arm: days observed, final LLR (1e-9
+    units), the first crossing day (NULL if censored) and the
+    decision at that day.
+
+    Shape at 100 TB: one day-grain hash-agg, a 1-row pooled-rate
+    broadcast, one arm-partitioned running-sum window over ≤ |days|
+    rows per arm.
+    """
+    day = F.date_trunc("day", F.col("ts"))
+    arm = F.when(F.dayofweek("ts").isin(1, 7), "weekend") \
+        .otherwise("weekday")
+    daily = (events.select(day.alias("day"), arm.alias("arm"),
+                           (F.col("event_type") == target_type)
+                           .cast("long").alias("is_conv"))
+             .groupBy("arm", "day")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("is_conv").cast("long").alias("k")))
+    pooled = daily.agg(
+        (F.sum("k").cast("double") / F.sum("n").cast("double"))
+        .alias("p0"))
+    p0 = F.col("p0")
+    p1 = F.least(p0 * lift, F.lit(0.999))
+    term = (F.col("k") * F.log(p1 / p0)
+            + (F.col("n") - F.col("k")) * F.log((1.0 - p1) / (1.0 - p0)))
+    q = (daily.crossJoin(F.broadcast(pooled))  # 1-row scalar
+         .select("arm", "day", "n", "k",
+                 F.round(term * SPRT_LLR_GRID, 0).cast("long")
+                 .alias("t9")))
+    w = (Window.partitionBy("arm").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    bound9 = int(round(math.log(SPRT_ALPHA_BOUND) * SPRT_LLR_GRID))
+    cum = q.select("arm", "day", F.sum("t9").over(w).alias("llr9"))
+    crossed = cum.filter((F.col("llr9") >= bound9)
+                         | (F.col("llr9") <= -bound9))
+    w_first = Window.partitionBy("arm").orderBy("day")
+    first = (crossed.withColumn("_rn", F.row_number().over(w_first))
+             .filter(F.col("_rn") == 1)
+             # DATE, not the day-truncated timestamp: DuckDB's
+             # date_trunc('day') yields DATE, Spark's a timestamp
+             .select("arm", F.col("day").cast("date")
+                     .alias("crossing_day"),
+                     F.when(F.col("llr9") >= bound9, "accept_h1")
+                     .otherwise("accept_h0").alias("decision")))
+    w_last = Window.partitionBy("arm").orderBy(F.col("day").desc())
+    final = (cum.withColumn("_rn", F.row_number().over(w_last))
+             .filter(F.col("_rn") == 1)
+             .select("arm", F.col("llr9").alias("final_llr9")))
+    days = cum.groupBy("arm").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("n_days"))
+    return (days.join(final, "arm")
+            .join(first, "arm", "left")
+            .select("arm", "n_days", "final_llr9",
+                    "crossing_day",
+                    F.coalesce(F.col("decision"), F.lit("censored"))
+                    .alias("decision"))
+            .orderBy("arm"))
+
+
+IPS_GRID = 1_000_000  # 1e-6 grid for per-event weighted contributions
+
+
+def ips_uniform_policy_value(events: DataFrame) -> DataFrame:
+    """Inverse-propensity-scoring estimate of the average event value
+    under a UNIFORM exploration policy over event types, from logs
+    whose empirical policy is the per-hour-of-day type distribution —
+    the off-policy evaluation primitive behind training-data reweighting
+    and logged-bandit audits (would a uniform collector have seen the
+    same value?). Reports IPS and the self-normalized SNIPS variant
+    (SNIPS divides by Σw instead of N — lower variance, small bias).
+
+    Determinism: the logged propensity of event i is the exact
+    rational c(type, hour)/n(hour); the importance weight w =
+    n_hour/(K·c_th) and the contribution value·w are each quantized to
+    the 1e-6 integer grid per event (value is a 2-dp decimal, the
+    weight a ratio of exact integers), summed exactly, divided ONCE at
+    emit. Headroom: w ≤ n_hour — contributions ≤ 1e6·v·n_hour;
+    int64-safe to ~1e7 events/hour at typical values.
+
+    Shape at 100 TB: one (type, hour) hash-agg joined back on its own
+    group keys (broadcast-sized: |types|·24 rows), then one global
+    rollup — two shuffles total.
+    """
+    hod = F.hour("ts").alias("hod")
+    base = events.select("event_type", hod, F.col("value"))
+    cth = (base.groupBy("event_type", "hod")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    nh = (base.groupBy("hod")
+          .agg(F.count(F.lit(1)).cast("long").alias("nh")))
+    k = base.agg(F.countDistinct("event_type").cast("long").alias("k"))
+    j = (base.join(F.broadcast(cth), ["event_type", "hod"])
+         .join(F.broadcast(nh), "hod")
+         .crossJoin(F.broadcast(k)))  # 1-row scalar
+    w = F.col("nh").cast("double") / (F.col("k") * F.col("c"))
+    contrib6 = F.round(F.col("value") * w * IPS_GRID, 0).cast("long")
+    w6 = F.round(w * IPS_GRID, 0).cast("long")
+    g = j.agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+              F.max("k").alias("n_types"),
+              F.sum(contrib6).cast("long").alias("sc6"),
+              F.sum(w6).cast("long").alias("sw6"))
+    return g.select(
+        "n_events", "n_types",
+        (F.col("sc6").cast("double")
+         / (F.col("n_events").cast("double") * IPS_GRID))
+        .alias("ips_value"),
+        F.when(F.col("sw6") > 0,
+               F.col("sc6").cast("double") / F.col("sw6").cast("double"))
+        .alias("snips_value"))

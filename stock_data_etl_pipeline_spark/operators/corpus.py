@@ -2101,3 +2101,139 @@ def stopword_drift(docs: DataFrame, text_col: str = "text",
                      F.when((F.col("n_tokens") > 0) & (F.col("ct") > 0),
                             r_src - r_corp).alias("drift"))
             .orderBy("source"))
+
+
+TOKEN_BUDGET = 1_000_000  # default training-mix token budget
+
+
+def token_budget_plan(docs: DataFrame, budget: int = TOKEN_BUDGET,
+                      text_col: str = "text",
+                      source_col: str = "source") -> DataFrame:
+    """Hamilton (largest-remainder) apportionment of a training token
+    budget across sources, proportional to each source's token count
+    — the exact version of "mix to N tokens at natural proportions"
+    every pretraining data plan starts from (temperature_mix and
+    mixture_sample handle the non-proportional variants; this is the
+    faithful baseline they're compared against).
+
+    Pure integer arithmetic — the apportionment is EXACTLY the
+    largest-remainder method, not a float approximation: floor quota
+    = budget·tok_s div total, remainders budget·tok_s mod total, the
+    Σfloor shortfall goes one seat each to the largest remainders
+    (ties broken by source name). Σquota == budget by construction.
+    Headroom: budget·tok_s — int64-safe through ~9e18/budget tokens
+    per source.
+
+    Shape at 100 TB: one hash-agg to |sources| rows; the rank window
+    and total broadcast run on that tiny relation.
+    """
+    toks = (docs.select(F.col(source_col).alias("source"),
+                        F.size(words(text_col)).cast("long").alias("nt"))
+            .groupBy("source")
+            .agg(F.sum("nt").cast("long").alias("n_tokens")))
+    tot = toks.agg(F.sum("n_tokens").cast("long").alias("total"))
+    base = (toks.crossJoin(F.broadcast(tot))  # 1-row scalar
+            .select("source", "n_tokens",
+                    F.expr(f"({budget} * n_tokens) div total")
+                    .cast("long").alias("q_floor"),
+                    F.expr(f"({budget} * n_tokens) % total")
+                    .cast("long").alias("rem")))
+    w_short = Window.rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing)
+    w_rank = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    ranked = base.select(
+        "source", "n_tokens", "q_floor",
+        F.row_number().over(w_rank).alias("_rk"),
+        (F.lit(budget) - F.sum("q_floor").over(w_short)).alias("_short"))
+    return (ranked.select(
+        "source", "n_tokens",
+        (F.col("q_floor") + F.when(F.col("_rk") <= F.col("_short"), 1)
+         .otherwise(0)).cast("long").alias("quota"))
+        .orderBy("source"))
+
+
+TEMPLATE_POSITIONS = 8  # leading word positions audited for templates
+
+
+def positional_template_profile(docs: DataFrame,
+                                n_positions: int = TEMPLATE_POSITIONS,
+                                text_col: str = "text",
+                                source_col: str = "source") -> DataFrame:
+    """Per-source positional template profile: for each of the first
+    ``n_positions`` word slots, the modal word and its share of the
+    source's documents — template-generated and boilerplate-opened
+    corpora show near-1.0 shares on early slots while organic text
+    decays fast (the positional complement of prefix_dup_census,
+    which needs the WHOLE prefix to repeat verbatim).
+
+    Exact integer counts; the modal pick is a deterministic window
+    top-1 (count desc, word asc); share = ONE double division per
+    emitted row. Output: (source, pos, top_word, n_docs, share),
+    pos 1-based.
+
+    Shape at 100 TB: explode bounded to ``n_positions`` terms per doc
+    → one (source, pos, word) hash-agg → a window over per-(source,
+    pos) groups (≤ |vocab at slot| rows each) — never a global sort.
+    """
+    ws = words(text_col)
+    ex = (docs.select(F.col(source_col).alias("source"),
+                      F.posexplode(F.slice(ws, 1, n_positions))
+                      .alias("p", "word"))
+          .select("source", (F.col("p") + 1).alias("pos"), "word"))
+    cnt = (ex.groupBy("source", "pos", "word")
+           .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    w_tot = Window.partitionBy("source", "pos")
+    w_top = Window.partitionBy("source", "pos") \
+        .orderBy(F.col("c").desc(), F.col("word").asc())
+    return (cnt.select("source", "pos", "word", "c",
+                       F.sum("c").over(w_tot).alias("n_docs"),
+                       F.row_number().over(w_top).alias("_rn"))
+            .filter(F.col("_rn") == 1)
+            .select("source", F.col("pos").cast("long").alias("pos"),
+                    F.col("word").alias("top_word"),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    (F.col("c").cast("double")
+                     / F.col("n_docs").cast("double")).alias("share"))
+            .orderBy("source", "pos"))
+
+
+SHARD_COUNT = 8  # default output fan-out for the shard plan
+
+
+def shard_plan(docs: DataFrame, n_shards: int = SHARD_COUNT,
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Deterministic hash-shard plan: assign every document to
+    ``md5(doc_id) % n_shards`` and report per-shard document/token
+    counts plus the balance ratio against the ideal share — the
+    pre-flight audit before writing N training shards (a skewed shard
+    becomes the stragglers of every epoch; the doc-level companion of
+    corpus_global_shuffle's position assignment).
+
+    The shard key is the same portable md5-prefix integer the minhash
+    family uses (``int(md5(id)[:15 hex])``) — engine-reproducible, so
+    the plan itself can be recomputed anywhere. Counts are exact
+    BIGINTs; skew = docs·n_shards/total is ONE double division
+    (exactly 1.0 = perfectly balanced).
+
+    Shape at 100 TB: one projection + one ≤ n_shards-group hash-agg.
+    In production the same expression feeds
+    ``df.repartition(n_shards, shard)`` so the plan IS the layout.
+    """
+    shard = F.expr(
+        f"cast(conv(substr(md5(cast({id_col} AS STRING)), 1, 15), 16, 10) "
+        f"AS BIGINT) % {n_shards}")
+    g = (docs.select(shard.alias("shard"),
+                     F.size(words(text_col)).cast("long").alias("nt"))
+         .groupBy("shard")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum("nt").cast("long").alias("n_tokens")))
+    tot = g.agg(F.sum("n_docs").cast("long").alias("td"),
+                F.sum("n_tokens").cast("long").alias("tt"))
+    return (g.crossJoin(F.broadcast(tot))  # 1-row scalar
+            .select("shard", "n_docs", "n_tokens",
+                    (F.col("n_docs").cast("double") * n_shards
+                     / F.col("td").cast("double")).alias("doc_skew"),
+                    (F.col("n_tokens").cast("double") * n_shards
+                     / F.col("tt").cast("double")).alias("token_skew"))
+            .orderBy("shard"))

@@ -2922,3 +2922,72 @@ def updown_runs_test(bars: DataFrame) -> DataFrame:
     return (g.select("event_type", "n_up", "n_down", "n_runs",
                      z.alias("z"))
             .orderBy("event_type"))
+
+
+def dema(bars: DataFrame, decay: float = EWMA_DECAY,
+         lookback: int = EWMA_LOOKBACK) -> DataFrame:
+    """DEMA per symbol: 2·EMA(close) − EMA(EMA(close)) — Mulloy's
+    lag-compensated moving average (the double-smoothing term cancels
+    the single EMA's phase lag; TRIX's triple ladder is its momentum
+    sibling, this is the price-level form).
+
+    Two chained :func:`_banded_ewma_stage` passes (each O(lookback)
+    probe work per bar, each emitting a 6-dp canonical decimal), then
+    ONE IEEE combination ``2·e1 − e2`` of exact decimals — no rounding
+    knife edges, identical association on any engine.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    b = (bars.select("event_type", "hr", F.col("close").alias("v0"))
+         .withColumn("rn", F.row_number().over(w)))
+    e1 = _banded_ewma_stage(b, "v0", "v1", decay, lookback)
+    e2 = _banded_ewma_stage(e1, "v1", "v2", decay, lookback)
+    return (e1.join(e2.select("event_type", "hr", "v2"),
+                    ["event_type", "hr"])
+            .select("event_type", "hr", F.col("v1").alias("ema"),
+                    (2.0 * F.col("v1") - F.col("v2")).alias("dema"))
+            .orderBy("event_type", "hr"))
+
+
+KST_ROCS = (10, 15, 20, 30)   # rate-of-change lags (hours)
+KST_SMAS = (10, 10, 10, 15)   # smoothing window per ROC
+KST_GRID = 1_000_000          # 1e-6 fixed grid for per-bar ROC terms
+
+
+def kst(bars: DataFrame, rocs: tuple = KST_ROCS,
+        smas: tuple = KST_SMAS) -> DataFrame:
+    """Know Sure Thing per symbol: Pring's weighted blend of four
+    smoothed rates of change — KST = 1·SMA(ROC₁₀) + 2·SMA(ROC₁₅) +
+    3·SMA(ROC₂₀) + 4·SMA(ROC₃₀), each SMA over its classic window.
+
+    Exactness contract: each per-bar ROC is quantized to the 1e-6
+    integer grid (``round(1e6·(close/close_lag − 1))`` — a ratio of
+    exact 2-dp decimals never parks on the grid boundary), each SMA is
+    an exact BIGINT frame sum divided ONCE by its non-null frame
+    count, and the final blend is a fixed left-to-right sum of the
+    four doubles — identical association on any engine. Bars missing
+    any ROC (the first ``max(rocs)`` bars of a symbol) emit NULL.
+
+    Shape at 100 TB: four lag references and four frame sums over ONE
+    (symbol, hr) window ordering — a single shuffle per symbol,
+    windows partitioned by symbol (bounded per-partition state).
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cols = {}
+    for i, (lag_n, sma_n) in enumerate(zip(rocs, smas)):
+        prev = F.lag("close", lag_n).over(w)
+        roc6 = F.when(prev.isNotNull(), F.round(
+            (F.col("close") / prev - 1.0) * KST_GRID, 0).cast("long"))
+        cols[f"_r{i}"] = roc6
+    b = bars.select("event_type", "hr",
+                    *[c.alias(n) for n, c in cols.items()])
+    terms = []
+    for i, sma_n in enumerate(smas):
+        f = w.rowsBetween(-(sma_n - 1), 0)
+        s = F.sum(f"_r{i}").over(f)
+        n = F.count(f"_r{i}").over(f)
+        terms.append(F.when(n > 0, (i + 1)
+                            * (s.cast("double") / n.cast("double"))))
+    blend = terms[0] + terms[1] + terms[2] + terms[3]
+    return (b.select("event_type", "hr",
+                     (blend / KST_GRID).alias("kst"))
+            .orderBy("event_type", "hr"))

@@ -505,3 +505,43 @@ def contingency_chi2(df: DataFrame, row_col: str,
                         F.when(F.col("n") > 0, dev * dev / e)
                         .alias("chi2_term"))
             .orderBy(row_col, col_col))
+
+
+def last_digit_uniformity(df: DataFrame, value_col: str) -> DataFrame:
+    """Terminal-two-digit uniformity audit of a 2-dp money column: the
+    cents-pair 00..99 of genuine prices is near-uniform, while
+    fabricated or rounded-by-hand figures pile on 00/50/99 — the
+    complement of the Benford FIRST-digit test (benford_chi2_cells):
+    Benford catches invented magnitudes, last-digit catches invented
+    precision.
+
+    Exact: the bucket is ``round(100·v) % 100`` on integer cents; the
+    zero-filled 100-bucket census is exact BIGINT counts; each χ²
+    term against uniform expected n/100 simplifies to
+    ``(100·obs − n)²/(100·n)`` — ONE double expression of two exact
+    integers per bucket (sum the column for the full statistic, 99
+    df). Output: (digits, n_obs, expected, chi2_term), all 100 rows.
+
+    Shape at 100 TB: one hash-agg to ≤ 100 groups, a sequence-explode
+    zero-fill, a 1-row total broadcast.
+    """
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    obs = (df.select((cents % 100).alias("digits"))
+           .filter(F.col("digits").isNotNull())
+           .groupBy("digits")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_obs")))
+    grid = df.sparkSession.range(100).select(
+        F.col("id").cast("long").alias("digits"))
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    g = (grid.join(obs, "digits", "left")
+         .crossJoin(F.broadcast(tot))  # 1-row scalar
+         .select("digits",
+                 F.coalesce(F.col("n_obs"), F.lit(0)).cast("long")
+                 .alias("n_obs"), "n"))
+    dev = 100.0 * F.col("n_obs").cast("double") - F.col("n").cast("double")
+    return (g.select("digits", "n_obs",
+                     (F.col("n").cast("double") / 100.0).alias("expected"),
+                     F.when(F.col("n") > 0,
+                            dev * dev / (100.0 * F.col("n").cast("double")))
+                     .alias("chi2_term"))
+            .orderBy("digits"))

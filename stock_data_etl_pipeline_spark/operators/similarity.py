@@ -1260,3 +1260,67 @@ def sign_recall_at_k(vectors: DataFrame, vec_col: str = "embedding",
             .agg(F.count(F.lit(1)).cast("long").alias("n_exact"),
                  hits.cast("long").alias("n_sign_hits"),
                  F.round(hits / F.count(F.lit(1)), 6).alias("recall")))
+
+
+SIL_GRID = 1_000_000  # 1e-6 grid for per-vector silhouette terms
+
+
+def simplified_silhouette(vectors: DataFrame,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          label_col: str = "label") -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each
+    vector, a = distance to its OWN label centroid, b = distance to
+    the nearest OTHER centroid, s = (b − a)/max(a, b); report the
+    per-label mean — the clustering-quality number curation reads
+    before trusting label-stratified sampling (full silhouette is
+    O(n²); the centroid form is the standard linear-time surrogate
+    and ranks clusters identically in practice).
+
+    Exactness: centroids are exact integer micro vectors (half-away
+    mean of 1e-6-quantized coordinates — the embedding_outliers
+    kernel); squared distances are exact BIGINT micro² sums; a and b
+    are IEEE sqrt of exact integers (correctly rounded, engine-
+    identical); each s is quantized to the 1e-6 grid and the
+    per-label mean is Σs/n — ONE double division of exact integers.
+    s = 0 when a = b = 0 (a vector ON both centroids). Headroom:
+    d² ≤ dim·(2e6·max|x|)² — int64-safe through |x| ≲ 1e2 at dim 64.
+
+    Shape at 100 TB: explode → one (label, dim) hash-agg for the
+    |labels|·dim centroid table (broadcast), one broadcast join
+    fanning each vector over |labels| centroids, two hash-aggs back
+    down — no pairwise work anywhere.
+    """
+    from .windows import int_mean_half_away
+    x = (vectors.select(F.col(id_col).alias("vid"),
+                        F.col(label_col).alias("lbl"),
+                        F.posexplode(as_double(vec_col))
+                        .alias("j", "xv"))
+         .select("vid", "lbl", "j",
+                 F.round(F.col("xv") * 1e6, 0).cast("long").alias("x")))
+    cent = (x.groupBy(F.col("lbl").alias("clbl"), "j")
+            .agg(F.sum("x").alias("sx"), F.count(F.lit(1)).alias("n"))
+            .select("clbl", "j",
+                    int_mean_half_away(F.col("sx"), F.col("n"))
+                    .alias("c")))
+    d2 = (x.join(F.broadcast(cent), "j")
+          .groupBy("vid", "lbl", "clbl")
+          .agg(F.sum((F.col("x") - F.col("c"))
+                     * (F.col("x") - F.col("c"))).alias("d2")))
+    per = (d2.groupBy("vid", "lbl")
+           .agg(F.max(F.when(F.col("lbl") == F.col("clbl"),
+                             F.col("d2"))).alias("a2"),
+                F.min(F.when(F.col("lbl") != F.col("clbl"),
+                             F.col("d2"))).alias("b2")))
+    a = F.sqrt(F.col("a2").cast("double"))
+    b = F.sqrt(F.col("b2").cast("double"))
+    s6 = (F.when((F.col("a2") == 0) & (F.col("b2") == 0), F.lit(0))
+          .otherwise(F.round((b - a) / F.greatest(a, b) * SIL_GRID, 0))
+          .cast("long"))
+    scored = per.filter(F.col("b2").isNotNull()).select("lbl", s6.alias("s6"))
+    return (scored.groupBy(F.col("lbl").alias(label_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                 (F.sum("s6").cast("double")
+                  / (F.count(F.lit(1)).cast("double") * SIL_GRID))
+                 .alias("mean_silhouette"))
+            .orderBy(label_col))

@@ -29,8 +29,11 @@ from . import catalog_round10  # noqa: F401  (round-10 additions;
 # never-checked entries head the window right after the
 # fingerprint-invalidated queries — five by round-10 end)
 from . import catalog_round11  # noqa: F401  (round-11 additions;
+# imports after round 10 so its never-checked entries rank behind any
+# earlier family still waiting)
+from . import catalog_round12  # noqa: F401  (round-12 additions;
 # imports LAST so its never-checked entries rank behind any earlier
-# family still waiting and head the round-11 window after the
+# family still waiting and head the round-12 window after the
 # fingerprint-invalidated queries)
 
 # ---------------------------------------------------------------------------

@@ -632,7 +632,11 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_bipartite(edges, "cust", "part", iters=2, top=20)
 
 
-@register("graph_label_prop", """
+# shared 3-round deterministic LPA over the co-purchase part graph —
+# the ONE definition used by graph_label_prop here and
+# graph_modularity (catalog_round12): a second copy would silently
+# desync the two on any tie-break change
+_LPA_CTE = """
 WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
 und AS (SELECT DISTINCT a.i AS x, b.i AS y
         FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
@@ -659,7 +663,10 @@ l3 AS (SELECT node, lab FROM (
          SELECT node, lab,
                 row_number() OVER (PARTITION BY node
                                    ORDER BY cnt DESC, lab) AS rn
-         FROM n3) WHERE rn = 1)
+         FROM n3) WHERE rn = 1)"""
+
+
+@register("graph_label_prop", _LPA_CTE + """
 SELECT lab AS label, CAST(count(*) AS BIGINT) AS n_members
 FROM l3 GROUP BY lab
 ORDER BY n_members DESC, label LIMIT 20

@@ -1,0 +1,251 @@
+"""Hand-computed fixtures for the round-12 operators: DEMA, KST,
+hourly-count ACF, inter-arrival burstiness, SPRT trace, IPS off-policy
+value, simplified silhouette, last-digit uniformity, token-budget
+apportionment, positional template profile, shard plan, and LPA
+modularity."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+from stock_data_etl_pipeline_spark.operators import analytics as AN
+from stock_data_etl_pipeline_spark.operators import corpus as CP
+from stock_data_etl_pipeline_spark.operators import indicators as ind
+from stock_data_etl_pipeline_spark.operators import quality as Q
+from stock_data_etl_pipeline_spark.operators import similarity as SIM
+
+SAT = dt.datetime(2024, 1, 6, 10, 0)   # Saturday  -> weekend
+MON = dt.datetime(2024, 1, 8, 10, 0)   # Monday    -> weekday
+H0 = dt.datetime(2024, 1, 8, 10, 0)
+
+
+def _events(spark, rows):
+    # rows: (event_type, user_id, ts, value)
+    return spark.createDataFrame(
+        [(int(i), ts, int(u), t, float(v))
+         for i, (t, u, ts, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double")
+
+
+def _bars(spark, rows):
+    # rows: (event_type, hr_offset, close)
+    return spark.createDataFrame(
+        [(t, H0 + dt.timedelta(hours=i), float(c), float(c), float(c),
+          float(c), 1) for (t, i, c) in rows],
+        "event_type string, hr timestamp, open double, high double, "
+        "low double, close double, volume long")
+
+
+# -- DEMA / KST --------------------------------------------------------------
+
+def test_dema_constant_series_equals_close(spark):
+    b = _bars(spark, [("a", i, 50.0) for i in range(5)])
+    for r in ind.dema(b).collect():
+        assert r["ema"] == 50.0
+        assert r["dema"] == 50.0  # 2*50 - 50
+
+
+def test_dema_rising_series_leads_ema(spark):
+    # on a rising ramp the double-EMA term lags the single EMA, so
+    # dema = 2*e1 - e2 > e1 (the lag-compensation property)
+    b = _bars(spark, [("a", i, 100.0 + i) for i in range(8)])
+    rows = ind.dema(b).collect()
+    for r in rows[2:]:
+        assert r["dema"] > r["ema"]
+
+
+def test_kst_constant_series_is_zero_after_warmup(spark):
+    b = _bars(spark, [("a", i, 50.0) for i in range(40)])
+    rows = ind.kst(b).orderBy("hr").collect()
+    # all four ROCs are exactly 0 once their lags exist; before the
+    # shortest lag (10 bars) every term is NULL
+    assert all(r["kst"] is None for r in rows[:10])
+    assert rows[-1]["kst"] == 0.0
+
+
+def test_kst_rising_series_positive(spark):
+    b = _bars(spark, [("a", i, 100.0 + 2 * i) for i in range(40)])
+    rows = ind.kst(b).orderBy("hr").collect()
+    assert rows[-1]["kst"] > 0
+
+
+# -- hourly ACF / burstiness -------------------------------------------------
+
+def test_hourly_acf_alternating_series(spark):
+    # hourly counts 2,4,2,4,2,4: lag-1 ACF is exactly -1, lag-2 +1
+    rows = []
+    for h in range(6):
+        n = 2 if h % 2 == 0 else 4
+        for k in range(n):
+            rows.append(("a", 1, H0 + dt.timedelta(hours=h, minutes=k), 1.0))
+    out = {r["lag"]: r for r in AN.hourly_count_acf(_events(spark, rows),
+                                                    max_lag=3).collect()}
+    assert out[1]["acf"] == -1.0
+    assert out[2]["acf"] == 1.0
+    assert out[1]["n"] == 5 and out[2]["n"] == 4
+
+
+def test_burstiness_periodic_is_minus_one(spark):
+    # constant 10-second gaps: sigma = 0 -> B = (0-10)/(0+10) = -1
+    rows = [("a", 1, H0 + dt.timedelta(seconds=10 * i), 1.0)
+            for i in range(4)]
+    out = AN.interarrival_burstiness(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 3 and r["mean_gap_s"] == 10.0
+    assert r["burstiness"] == -1.0
+
+
+def test_burstiness_single_gap_null(spark):
+    rows = [("b", 1, H0, 1.0), ("b", 1, H0 + dt.timedelta(seconds=5), 1.0)]
+    out = AN.interarrival_burstiness(_events(spark, rows)).collect()
+    assert out[0]["n"] == 1 and out[0]["burstiness"] is None
+
+
+# -- SPRT / IPS --------------------------------------------------------------
+
+def test_sprt_trace_hand_computed(spark):
+    # one weekday day (4 events, 2 purchases), one weekend day
+    # (4 events, 0 purchases); pooled p0 = 2/8
+    rows = ([("purchase", 1, MON, 1.0)] * 2 + [("view", 1, MON, 1.0)] * 2
+            + [("view", 2, SAT, 1.0)] * 4)
+    out = {r["arm"]: r for r in
+           AN.sprt_conversion_trace(_events(spark, rows)).collect()}
+    p0 = 2 / 8
+    p1 = min(p0 * AN.SPRT_LIFT, 0.999)
+    la, lb = math.log(p1 / p0), math.log((1 - p1) / (1 - p0))
+    wd = round((2 * la + 2 * lb) * AN.SPRT_LLR_GRID)
+    we = round((0 * la + 4 * lb) * AN.SPRT_LLR_GRID)
+    assert out["weekday"]["final_llr9"] == wd
+    assert out["weekend"]["final_llr9"] == we
+    assert out["weekday"]["n_days"] == 1
+    # neither single day crosses ln(19)
+    assert out["weekday"]["decision"] == "censored"
+    assert out["weekend"]["crossing_day"] is None
+
+
+def test_ips_single_type_recovers_mean(spark):
+    # one event type: every weight is exactly 1, IPS == SNIPS == mean
+    rows = [("a", 1, H0 + dt.timedelta(minutes=i), v)
+            for i, v in enumerate([1.0, 2.0, 3.0, 6.0])]
+    out = AN.ips_uniform_policy_value(_events(spark, rows)).collect()[0]
+    assert out["n_events"] == 4 and out["n_types"] == 1
+    assert out["ips_value"] == 3.0
+    assert out["snips_value"] == 3.0
+
+
+def test_ips_two_types_hand_computed(spark):
+    # same hour: type a 3 events value 2, type b 1 event value 8;
+    # n_hour=4, K=2 -> w_a = 4/(2*3) = 2/3, w_b = 4/(2*1) = 2
+    rows = ([("a", 1, H0, 2.0)] * 3 + [("b", 1, H0, 8.0)])
+    out = AN.ips_uniform_policy_value(_events(spark, rows)).collect()[0]
+    c6 = 3 * round(2.0 * (4 / (2 * 3)) * AN.IPS_GRID) \
+        + round(8.0 * 2.0 * AN.IPS_GRID)
+    w6 = 3 * round((4 / (2 * 3)) * AN.IPS_GRID) + 2 * AN.IPS_GRID
+    assert abs(out["ips_value"] - c6 / (4 * AN.IPS_GRID)) < 1e-12
+    assert abs(out["snips_value"] - c6 / w6) < 1e-12
+
+
+# -- silhouette --------------------------------------------------------------
+
+def test_silhouette_separated_clusters(spark):
+    vecs = [(1, [0.0, 0.0], 0), (2, [0.0, 0.0], 0),
+            (3, [10.0, 0.0], 1), (4, [10.0, 0.0], 1)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in SIM.simplified_silhouette(df).collect()}
+    # every vector sits ON its centroid (a=0) and 10 units from the
+    # other centroid (b=10): s = (b-0)/b = 1
+    assert out[0]["mean_silhouette"] == 1.0
+    assert out[1]["mean_silhouette"] == 1.0
+    assert out[0]["n_vecs"] == 2
+
+
+def test_silhouette_degenerate_same_point(spark):
+    # both labels share one point: a = b = 0 -> s = 0 by contract
+    vecs = [(1, [1.0, 1.0], 0), (2, [1.0, 1.0], 1)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int")
+    out = SIM.simplified_silhouette(df).collect()
+    assert all(r["mean_silhouette"] == 0.0 for r in out)
+
+
+# -- last-digit uniformity ---------------------------------------------------
+
+def test_last_digit_uniformity_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(i, 100.00) for i in range(4)], "id long, v double")
+    out = {r["digits"]: r for r in
+           Q.last_digit_uniformity(df, "v").collect()}
+    assert len(out) == 100
+    assert out[0]["n_obs"] == 4
+    assert out[0]["expected"] == 0.04
+    # chi2 term at bucket 0: (100*4 - 4)^2 / (100*4)
+    assert out[0]["chi2_term"] == (396.0 * 396.0) / 400.0
+    assert out[37]["n_obs"] == 0
+    assert out[37]["chi2_term"] == (0.0 - 4.0) ** 2 / 400.0
+
+
+# -- token budget / template / shards ----------------------------------------
+
+def test_token_budget_hamilton_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "w w w", "a"), (2, "w w w", "b"), (3, "w w w", "c")],
+        "doc_id long, text string, source string")
+    out = {r["source"]: r["quota"]
+           for r in CP.token_budget_plan(df, budget=1_000_000).collect()}
+    # 1e6 over three equal sources: floors 333333, remainder seat to
+    # the lexicographically first source
+    assert out == {"a": 333334, "b": 333333, "c": 333333}
+    assert sum(out.values()) == 1_000_000
+
+
+def test_positional_template_modal_share(spark):
+    df = spark.createDataFrame(
+        [(1, "a b", "s"), (2, "a c", "s")],
+        "doc_id long, text string, source string")
+    out = {(r["source"], r["pos"]): r
+           for r in CP.positional_template_profile(df).collect()}
+    assert out[("s", 1)]["top_word"] == "a"
+    assert out[("s", 1)]["share"] == 1.0
+    # tie at pos 2 between b and c -> word-asc tie-break
+    assert out[("s", 2)]["top_word"] == "b"
+    assert out[("s", 2)]["share"] == 0.5
+
+
+def test_shard_plan_matches_md5(spark):
+    df = spark.createDataFrame(
+        [(7, "x y z")], "doc_id long, text string")
+    out = CP.shard_plan(df).collect()
+    assert len(out) == 1
+    exp = int(hashlib.md5(b"7").hexdigest()[:15], 16) % CP.SHARD_COUNT
+    assert out[0]["shard"] == exp
+    assert out[0]["n_docs"] == 1 and out[0]["n_tokens"] == 3
+    assert out[0]["doc_skew"] == float(CP.SHARD_COUNT)
+
+
+# -- LPA modularity ----------------------------------------------------------
+
+def test_lpa_modularity_triangle_single_community(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "pa long, pb long")
+    out = AN.lpa_modularity(pairs, "pa", "pb").collect()[0]
+    # triangle converges to one community: Q = e/m - (d/2m)^2 = 0
+    assert out["n_nodes"] == 3 and out["m_edges"] == 3
+    assert out["n_communities"] == 1
+    assert out["modularity"] == 0.0
+
+
+def test_lpa_modularity_two_disjoint_edges(spark):
+    # a single edge OSCILLATES under synchronous LPA (labels swap each
+    # round), so after 3 rounds every node is a singleton community:
+    # e_c = 0, d_c = 1, m = 2 -> Q = sum(-1)/(4*4) = -0.25
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "pa long, pb long")
+    out = AN.lpa_modularity(pairs, "pa", "pb").collect()[0]
+    assert out["n_nodes"] == 4 and out["m_edges"] == 2
+    assert out["n_communities"] == 4
+    assert out["modularity"] == -0.25
