@@ -596,13 +596,17 @@ def adamic_adar(pairs: DataFrame, id_a: str, id_b: str,
     # scored pairs below are emitted with a < b, so an input oriented
     # id_a > id_b (or carrying both orientations) would otherwise slip
     # existing edges past the non-adjacency anti-join.
-    und = pin(pairs.select(
+    # pin_cut, not pin (round 12): the nested re-references (adjc
+    # self-join, und anti-join) multiplied the analyzed tree to 3,333
+    # nodes — the jaccard_link_prediction fix applied here too.
+    und = pin_cut(pairs.select(
         F.least(F.col(id_a), F.col(id_b)).alias("ea"),
         F.greatest(F.col(id_a), F.col(id_b)).alias("eb"))
         .filter(F.col("ea") != F.col("eb")).distinct())
-    adj = pin(und.select(F.col("ea").alias("node"), F.col("eb").alias("nb"))
-              .union(und.select(F.col("eb").alias("node"),
-                                F.col("ea").alias("nb"))))
+    adj = pin_cut(und.select(F.col("ea").alias("node"),
+                             F.col("eb").alias("nb"))
+                  .union(und.select(F.col("eb").alias("node"),
+                                    F.col("ea").alias("nb"))))
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     centers = (deg.filter((F.col("deg") >= 2)
                           & (F.col("deg") <= max_center_degree))
@@ -610,7 +614,7 @@ def adamic_adar(pairs: DataFrame, id_a: str, id_b: str,
                        F.round(1e6 / F.log(F.col("deg")
                                            .cast("double")), 0)
                        .cast("long").alias("cw")))
-    adjc = pin(adj.join(centers, "node"))
+    adjc = pin_cut(adj.join(centers, "node"))
     ledge = adjc.select("node", F.col("nb").alias("a"), "cw")
     redge = adjc.select(F.col("node").alias("node_r"),
                         F.col("nb").alias("b"))

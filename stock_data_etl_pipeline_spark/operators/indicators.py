@@ -2991,3 +2991,173 @@ def kst(bars: DataFrame, rocs: tuple = KST_ROCS,
     return (b.select("event_type", "hr",
                      (blend / KST_GRID).alias("kst"))
             .orderBy("event_type", "hr"))
+
+
+EMV_GRID = 1_000_000  # 1e-6 grid for per-bar ease-of-movement terms
+EMV_SMA_N = 14
+
+
+def ease_of_movement(bars: DataFrame, n: int = EMV_SMA_N) -> DataFrame:
+    """Arms' Ease of Movement per symbol: per-bar
+    EMV = (mid_t − mid_{t−1}) · (high − low) / volume (how far price
+    travels per unit of traded volume), with the classic ``n``-bar SMA
+    smoothing — the price-volume efficiency gauge beside OBV/PVT
+    (which track direction, not effort).
+
+    Exactness: midpoint moves are integer HALF-cents (2·mid = Hc+Lc
+    — never a fractional cent), ranges integer cents, volume an
+    integer count, so each bar's EMV is ONE double expression of
+    three integers, quantized to the 1e-6 grid; the SMA is an exact
+    BIGINT frame sum over non-null terms divided once. Zero-range or
+    zero-volume bars emit NULL and are skipped by the SMA count.
+    First bars (no previous midpoint) likewise.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    hc = F.round(F.col("high") * 100, 0).cast("long")
+    lc = F.round(F.col("low") * 100, 0).cast("long")
+    b = bars.select("event_type", "hr", "volume",
+                    (hc + lc).alias("hm2"), (hc - lc).alias("rng"))
+    dm2 = F.col("hm2") - F.lag("hm2").over(w)  # 2x mid move, half-cents
+    emv = F.when(dm2.isNotNull() & (F.col("rng") > 0)
+                 & (F.col("volume") > 0),
+                 F.round(dm2.cast("double") * F.col("rng").cast("double")
+                         / (20000.0 * F.col("volume").cast("double"))
+                         * EMV_GRID, 0).cast("long"))
+    q = b.select("event_type", "hr", emv.alias("emv6"))
+    f = w.rowsBetween(-(n - 1), 0)
+    s = F.sum("emv6").over(f)
+    c = F.count("emv6").over(f)
+    return (q.select("event_type", "hr",
+                     (F.col("emv6").cast("double") / EMV_GRID)
+                     .alias("emv"),
+                     F.when(c > 0, s.cast("double")
+                            / (c.cast("double") * EMV_GRID))
+                     .alias("emv_sma"))
+            .orderBy("event_type", "hr"))
+
+
+BOP_SMA_N = 14
+
+
+def balance_of_power(bars: DataFrame, n: int = BOP_SMA_N) -> DataFrame:
+    """Balance of Power per symbol: (close − open)/(high − low) — the
+    fraction of the bar's range the bulls kept — with the usual
+    ``n``-bar SMA. Complements the candlestick-shape flags with a
+    continuous pressure reading.
+
+    Exactness: the per-bar score is the HALF-AWAY integer division
+    ``(1e6·(Cc−Oc)) ÷ rng`` (windows.int_mean_half_away's floor form
+    — a plain round() of the cents ratio CAN park exactly on the grid
+    half and the engines split), so every term is an exact BIGINT and
+    the SMA is an exact sum over non-null terms with one division at
+    emit. Zero-range bars emit NULL.
+    """
+    from .windows import int_mean_half_away
+    w = Window.partitionBy("event_type").orderBy("hr")
+    cc = F.round(F.col("close") * 100, 0).cast("long")
+    oc = F.round(F.col("open") * 100, 0).cast("long")
+    hc = F.round(F.col("high") * 100, 0).cast("long")
+    lc = F.round(F.col("low") * 100, 0).cast("long")
+    rng = hc - lc
+    bop6 = F.when(rng > 0,
+                  int_mean_half_away((cc - oc) * F.lit(1_000_000), rng))
+    q = bars.select("event_type", "hr", bop6.alias("bop6"))
+    f = w.rowsBetween(-(n - 1), 0)
+    s = F.sum("bop6").over(f)
+    c = F.count("bop6").over(f)
+    return (q.select("event_type", "hr",
+                     (F.col("bop6").cast("double") / 1e6).alias("bop"),
+                     F.when(c > 0, s.cast("double")
+                            / (c.cast("double") * 1e6)).alias("bop_sma"))
+            .orderBy("event_type", "hr"))
+
+
+CHAIKIN_VOL_LAG = 10
+
+
+def chaikin_volatility(bars: DataFrame, decay: float = EWMA_DECAY,
+                       lookback: int = EWMA_LOOKBACK,
+                       lag_n: int = CHAIKIN_VOL_LAG) -> DataFrame:
+    """Chaikin Volatility per symbol: the ``lag_n``-bar rate of change
+    of the EWMA-smoothed high−low range, in percent —
+    ``100·(ema_rng_t/ema_rng_{t−lag} − 1)`` — expansion marks
+    climactic moves, contraction marks tops forming. The range-domain
+    sibling of :func:`trix` (same smoothed-ROC shape, range instead
+    of close).
+
+    One :func:`_banded_ewma_stage` pass over integer-cent ranges
+    (6-dp canonical output), one lag, UNROUNDED final ratio — a ratio
+    of exact 6-dp decimals is knife-edge-free raw (the trix rule).
+    Zero-EMA denominators (flat tape) emit NULL.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    hc = F.round(F.col("high") * 100, 0).cast("long")
+    lc = F.round(F.col("low") * 100, 0).cast("long")
+    b = (bars.select("event_type", "hr",
+                     ((hc - lc).cast("double") / 100.0).alias("v0"))
+         .withColumn("rn", F.row_number().over(w)))
+    e1 = _banded_ewma_stage(b, "v0", "erng", decay, lookback)
+    prev = F.lag("erng", lag_n).over(w)
+    return (e1.select("event_type", "hr", F.col("erng").alias("ema_range"),
+                      F.when(prev > 0,
+                             (F.col("erng") / prev - 1.0) * 100.0)
+                      .alias("chaikin_vol"))
+            .orderBy("event_type", "hr"))
+
+
+CS_GRID = 1_000_000_000_000  # 1e-12 grid for squared-log range terms
+
+
+def corwin_schultz_spread(bars: DataFrame) -> DataFrame:
+    """Corwin–Schultz (2012) high-low bid-ask spread estimator per
+    symbol: from each adjacent bar pair, β = Σ ln²(H/L) over the two
+    bars and γ = ln²(maxH/minL) over the joint range give
+    α = (√(2β) − √β)/(3 − 2√2) − √(γ/(3 − 2√2)) and spread
+    S = 2(e^α − 1)/(1 + e^α); negative estimates clamp to 0 (the
+    authors' convention). Completes the microstructure ladder beside
+    Roll's autocovariance spread, Amihud illiquidity and Kyle's λ —
+    this one needs only OHLC, no signed flow.
+
+    Exactness: per-bar ln²(Hc/Lc) terms ride the 1e-12 RS grid (the
+    Garman–Klass precedent), the joint-range term likewise (greatest/
+    least of integer cents before the shared ln), β is an exact
+    two-term integer sum, and each bar-pair's S is ONE double
+    expression of the two integer legs with √2 written as sqrt(2.0)
+    in both engines. The per-symbol MEAN re-quantizes each S to 1e-6
+    before the exact-integer sum (a float mean would be
+    association-dependent). Output: (event_type, n_pairs,
+    mean_spread). Bars with nonpositive low are excluded on both
+    sides.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    hc = F.round(F.col("high") * 100, 0).cast("long")
+    lc = F.round(F.col("low") * 100, 0).cast("long")
+    b = (bars.select("event_type", "hr", hc.alias("h"), lc.alias("l"))
+         .filter((F.col("l") > 0) & (F.col("h") >= F.col("l"))))
+    lnhl = F.log(F.col("h").cast("double") / F.col("l").cast("double"))
+    q = b.select("event_type", "hr", "h", "l",
+                 F.round(lnhl * lnhl * CS_GRID, 0).cast("long").alias("q"))
+    ph, pl, pq = (F.lag(c).over(w) for c in ("h", "l", "q"))
+    hh = F.greatest(F.col("h"), ph).cast("double")
+    ll = F.least(F.col("l"), pl).cast("double")
+    lng = F.log(hh / ll)
+    pair = (q.select("event_type", "hr",
+                     (F.col("q") + pq).alias("beta12"),
+                     F.when(pq.isNotNull(),
+                            F.round(lng * lng * CS_GRID, 0).cast("long"))
+                     .alias("gamma12"))
+            .filter(F.col("gamma12").isNotNull()))
+    beta = F.col("beta12").cast("double") / CS_GRID
+    gamma = F.col("gamma12").cast("double") / CS_GRID
+    denom = 3.0 - 2.0 * F.sqrt(F.lit(2.0))
+    alpha = ((F.sqrt(2.0 * beta) - F.sqrt(beta)) / denom
+             - F.sqrt(gamma / denom))
+    s = 2.0 * (F.exp(alpha) - 1.0) / (1.0 + F.exp(alpha))
+    s6 = F.round(F.greatest(s, F.lit(0.0)) * 1e6, 0).cast("long")
+    return (pair.select("event_type", s6.alias("s6"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 (F.sum("s6").cast("double")
+                  / (F.count(F.lit(1)).cast("double") * 1e6))
+                 .alias("mean_spread"))
+            .orderBy("event_type"))

@@ -530,7 +530,16 @@ def last_digit_uniformity(df: DataFrame, value_col: str) -> DataFrame:
            .filter(F.col("digits").isNotNull())
            .groupBy("digits")
            .agg(F.count(F.lit(1)).cast("long").alias("n_obs")))
-    grid = df.sparkSession.range(100).select(
+    return digit_uniformity_from_counts(df.sparkSession, obs)
+
+
+def digit_uniformity_from_counts(spark, obs: DataFrame) -> DataFrame:
+    """Zero-fill/expectation/χ² tail of :func:`last_digit_uniformity`
+    over a pre-aggregated (digits, n_obs) relation — split out so the
+    streaming twin (streaming/events.streaming_digit_uniformity) can
+    drain its 100-row streaming aggregate through the IDENTICAL tail
+    (the benford_cells_from_counts pattern)."""
+    grid = spark.range(100).select(
         F.col("id").cast("long").alias("digits"))
     tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
     g = (grid.join(obs, "digits", "left")
@@ -545,3 +554,57 @@ def last_digit_uniformity(df: DataFrame, value_col: str) -> DataFrame:
                             dev * dev / (100.0 * F.col("n").cast("double")))
                      .alias("chi2_term"))
             .orderBy("digits"))
+
+
+DUP_INVOICE_WINDOW_DAYS = 7
+DUP_INVOICE_REL_GAP_PCT = 1  # flag pairs within this relative gap
+
+
+def near_duplicate_invoices(orders: DataFrame,
+                            window_days: int = DUP_INVOICE_WINDOW_DAYS,
+                            rel_gap_pct: int = DUP_INVOICE_REL_GAP_PCT
+                            ) -> DataFrame:
+    """Near-duplicate-invoice forensic: pairs of orders by the SAME
+    customer within ``window_days`` whose amounts agree to within
+    ``rel_gap_pct`` percent — the double-billing / replayed-submission
+    audit every AP control suite runs (amount repeats at short range
+    are far likelier fraud or system retry than coincidence on wide
+    price distributions; the relative band also catches resubmissions
+    with a tweaked fee line).
+
+    Exact arithmetic: amounts are integer cents, the band test is the
+    integer cross-multiplication ``(100/pct)·|Δ| ≤ min(amounts)`` (no
+    float ratio), and the reported gap rides the non-negative integer
+    grid ``(1e6·|Δ|) div min``. The earlier order is side A (ties by
+    orderkey), so each pair appears once. Output: (o_custkey, okey_a,
+    okey_b, amount_a, amount_b, days_apart, rel_gap_e6), pair-ordered.
+
+    Shape at 100 TB: a self-equi-join on custkey with the day window
+    as residual — per-bucket work is one customer's orders inside a
+    week, bounded by customer activity, never by table size.
+    """
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = orders.select(F.col("o_orderkey").alias("k"),
+                         F.col("o_custkey").alias("c"),
+                         cents.alias("amt"),
+                         F.col("o_orderdate").alias("d"))
+    a, b = base.alias("a"), base.alias("b")
+    days = F.datediff(F.col("b.d"), F.col("a.d"))
+    earlier = (F.col("a.d") < F.col("b.d")) | (
+        (F.col("a.d") == F.col("b.d")) & (F.col("a.k") < F.col("b.k")))
+    gap = F.abs(F.col("a.amt") - F.col("b.amt"))
+    lo = F.least(F.col("a.amt"), F.col("b.amt"))
+    pairs = a.join(b, (F.col("a.c") == F.col("b.c"))
+                   & earlier
+                   & (days <= window_days)
+                   & ((100 // rel_gap_pct) * gap <= lo))
+    return (pairs.select(F.col("a.c").alias("o_custkey"),
+                         F.col("a.k").alias("okey_a"),
+                         F.col("b.k").alias("okey_b"),
+                         (F.col("a.amt") / 100.0).alias("amount_a"),
+                         (F.col("b.amt") / 100.0).alias("amount_b"),
+                         days.cast("long").alias("days_apart"),
+                         F.expr("(1000000 * abs(a.amt - b.amt)) div "
+                                "least(a.amt, b.amt)").cast("long")
+                         .alias("rel_gap_e6"))
+            .orderBy("o_custkey", "okey_a", "okey_b"))

@@ -534,3 +534,228 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (F.col("a.i") < F.col("b.i")))
              .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
     return lpa_modularity(pairs, "pa", "pb", iters=3)
+
+
+# ---------------------------------------------------------------------------
+# batch 2: price-volume indicators, microstructure, forensics, streaming twin
+# ---------------------------------------------------------------------------
+
+def _emv_sql() -> str:
+    g, n = ind.EMV_GRID, ind.EMV_SMA_N
+    return _BARS_CTE + f"""
+, b AS (SELECT event_type, hr, volume,
+               CAST(round(high * 100, 0) AS BIGINT)
+                 + CAST(round(low * 100, 0) AS BIGINT) AS hm2,
+               CAST(round(high * 100, 0) AS BIGINT)
+                 - CAST(round(low * 100, 0) AS BIGINT) AS rng
+        FROM bars),
+q AS (SELECT event_type, hr,
+             CASE WHEN lag(hm2) OVER w IS NOT NULL AND rng > 0
+                       AND volume > 0
+                  THEN CAST(round(CAST(hm2 - lag(hm2) OVER w AS DOUBLE)
+                                  * CAST(rng AS DOUBLE)
+                                  / (20000.0 * CAST(volume AS DOUBLE))
+                                  * {g}, 0) AS BIGINT)
+             END AS emv6
+      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY hr))
+SELECT event_type, hr, CAST(emv6 AS DOUBLE) / {g} AS emv,
+       CASE WHEN count(emv6) OVER f > 0
+            THEN CAST(sum(emv6) OVER f AS DOUBLE)
+                 / (CAST(count(emv6) OVER f AS DOUBLE) * {g})
+       END AS emv_sma
+FROM q WINDOW f AS (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_type, hr
+"""
+
+
+@register("stock_emv", _emv_sql())
+def stock_emv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arms' Ease of Movement: half-cent midpoint moves x cent ranges /
+    # integer volume, 1e-6 per-bar grid, exact SMA sums
+    ev = load_table(spark, sf_dir, "events")
+    return ind.ease_of_movement(ind.hourly_bars(ev))
+
+
+def _bop_sql() -> str:
+    n = ind.BOP_SMA_N
+    return _BARS_CTE + f"""
+, b AS (SELECT event_type, hr,
+               1000000 * (CAST(round(close * 100, 0) AS BIGINT)
+                          - CAST(round(open * 100, 0) AS BIGINT)) AS s,
+               CAST(round(high * 100, 0) AS BIGINT)
+                 - CAST(round(low * 100, 0) AS BIGINT) AS rng
+        FROM bars),
+q AS (SELECT event_type, hr,
+             CASE WHEN rng > 0 THEN
+               CASE WHEN s >= 0
+                    THEN CAST(floor((2 * s + rng)
+                                    / (2 * rng)) AS BIGINT)
+                    ELSE -CAST(floor((2 * -s + rng)
+                                     / (2 * rng)) AS BIGINT)
+               END
+             END AS bop6
+      FROM b)
+SELECT event_type, hr, CAST(bop6 AS DOUBLE) / 1e6 AS bop,
+       CASE WHEN count(bop6) OVER f > 0
+            THEN CAST(sum(bop6) OVER f AS DOUBLE)
+                 / (CAST(count(bop6) OVER f AS DOUBLE) * 1e6)
+       END AS bop_sma
+FROM q WINDOW f AS (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)
+ORDER BY event_type, hr
+"""
+
+
+@register("stock_bop", _bop_sql())
+def stock_bop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Balance of Power: half-away integer division of cent deltas by
+    # cent ranges (grid-half safe), exact SMA sums
+    ev = load_table(spark, sf_dir, "events")
+    return ind.balance_of_power(ind.hourly_bars(ev))
+
+
+def _chaikin_vol_sql() -> str:
+    lag_n = ind.CHAIKIN_VOL_LAG
+    return _BARS_CTE + """
+, r0 AS (SELECT event_type, hr,
+         CAST(CAST(round(high * 100, 0) AS BIGINT)
+              - CAST(round(low * 100, 0) AS BIGINT) AS DOUBLE) / 100.0
+           AS v0,
+         row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+         FROM bars),""" + _ewma_stage_sql(0, "r0", "v0", "erng") + f"""
+SELECT event_type, hr, erng AS ema_range,
+       CASE WHEN lag(erng, {lag_n}) OVER (PARTITION BY event_type
+                                          ORDER BY hr) > 0
+            THEN (erng / lag(erng, {lag_n})
+                    OVER (PARTITION BY event_type ORDER BY hr) - 1.0)
+                 * 100.0
+       END AS chaikin_vol
+FROM e0 ORDER BY event_type, hr
+"""
+
+
+@register("stock_chaikin_vol", _chaikin_vol_sql())
+def stock_chaikin_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Chaikin Volatility: banded-EWMA of the cent range (6-dp
+    # canonical), 10-bar UNROUNDED rate of change (the trix rule)
+    ev = load_table(spark, sf_dir, "events")
+    return ind.chaikin_volatility(ind.hourly_bars(ev))
+
+
+def _cs_sql() -> str:
+    g = ind.CS_GRID
+    return _BARS_CTE + f"""
+, b AS (SELECT event_type, hr,
+               CAST(round(high * 100, 0) AS BIGINT) AS h,
+               CAST(round(low * 100, 0) AS BIGINT) AS l
+        FROM bars
+        WHERE round(low * 100, 0) > 0
+          AND round(high * 100, 0) >= round(low * 100, 0)),
+q AS (SELECT event_type, hr, h, l,
+             CAST(round(ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+                        * ln(CAST(h AS DOUBLE) / CAST(l AS DOUBLE))
+                        * {g}, 0) AS BIGINT) AS q
+      FROM b),
+pair AS (SELECT event_type,
+                q + lag(q) OVER w AS beta12,
+                CASE WHEN lag(q) OVER w IS NOT NULL
+                     THEN CAST(round(
+                            ln(CAST(greatest(h, lag(h) OVER w) AS DOUBLE)
+                               / CAST(least(l, lag(l) OVER w) AS DOUBLE))
+                            * ln(CAST(greatest(h, lag(h) OVER w) AS DOUBLE)
+                                 / CAST(least(l, lag(l) OVER w) AS DOUBLE))
+                            * {g}, 0) AS BIGINT)
+                END AS gamma12
+         FROM q WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+s AS (SELECT event_type,
+             CAST(round(greatest(
+               2.0 * (exp((sqrt(2.0 * (CAST(beta12 AS DOUBLE) / {g}))
+                           - sqrt(CAST(beta12 AS DOUBLE) / {g}))
+                          / (3.0 - 2.0 * sqrt(2.0))
+                          - sqrt((CAST(gamma12 AS DOUBLE) / {g})
+                                 / (3.0 - 2.0 * sqrt(2.0)))) - 1.0)
+               / (1.0 + exp((sqrt(2.0 * (CAST(beta12 AS DOUBLE) / {g}))
+                             - sqrt(CAST(beta12 AS DOUBLE) / {g}))
+                            / (3.0 - 2.0 * sqrt(2.0))
+                            - sqrt((CAST(gamma12 AS DOUBLE) / {g})
+                                   / (3.0 - 2.0 * sqrt(2.0))))),
+               0.0) * 1e6, 0) AS BIGINT) AS s6
+      FROM pair WHERE gamma12 IS NOT NULL)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(s6) AS BIGINT)
+         / (CAST(count(*) AS DOUBLE) * 1e6) AS mean_spread
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("stock_corwin_schultz", _cs_sql())
+def stock_corwin_schultz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Corwin-Schultz high-low spread estimator: 1e-12-grid squared-log
+    # range terms, one double alpha/spread expression per bar pair,
+    # 1e-6 re-quantized per-symbol mean
+    ev = load_table(spark, sf_dir, "events")
+    return ind.corwin_schultz_spread(ind.hourly_bars(ev))
+
+
+def _dup_invoice_sql() -> str:
+    from ..operators import quality as q
+
+    w = q.DUP_INVOICE_WINDOW_DAYS
+    mult = 100 // q.DUP_INVOICE_REL_GAP_PCT
+    return f"""
+WITH base AS (SELECT o_orderkey AS k, o_custkey AS c,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS amt,
+                     o_orderdate AS d
+              FROM orders)
+SELECT a.c AS o_custkey, a.k AS okey_a, b.k AS okey_b,
+       a.amt / 100.0 AS amount_a, b.amt / 100.0 AS amount_b,
+       CAST(date_diff('day', a.d, b.d) AS BIGINT) AS days_apart,
+       CAST((1000000 * abs(a.amt - b.amt)) // least(a.amt, b.amt)
+            AS BIGINT) AS rel_gap_e6
+FROM base a JOIN base b
+  ON a.c = b.c
+ AND (a.d < b.d OR (a.d = b.d AND a.k < b.k))
+ AND date_diff('day', a.d, b.d) <= {w}
+ AND {mult} * abs(a.amt - b.amt) <= least(a.amt, b.amt)
+ORDER BY o_custkey, okey_a, okey_b
+"""
+
+
+@register("orders_duplicate_invoices", _dup_invoice_sql())
+def orders_duplicate_invoices(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    # double-billing forensic: same customer, amounts within 1%, within
+    # 7 days — custkey self-join, integer cross-multiplied band test
+    from ..operators.quality import near_duplicate_invoices
+    o = load_table(spark, sf_dir, "orders")
+    return near_duplicate_invoices(o)
+
+
+@register("streaming_digit_uniformity", """
+WITH obs AS (SELECT CAST(round(value * 100, 0) AS BIGINT) % 100
+               AS digits,
+             CAST(count(*) AS BIGINT) AS n_obs
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+grid AS (SELECT unnest(generate_series(0, 99)) AS digits),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+g AS (SELECT CAST(grid.digits AS BIGINT) AS digits,
+             coalesce(obs.n_obs, 0) AS n_obs, tot.n
+      FROM grid LEFT JOIN obs ON obs.digits = grid.digits, tot)
+SELECT digits, n_obs, CAST(n AS DOUBLE) / 100.0 AS expected,
+       CASE WHEN n > 0
+            THEN (100.0 * n_obs - CAST(n AS DOUBLE))
+                 * (100.0 * n_obs - CAST(n AS DOUBLE))
+                 / (100.0 * CAST(n AS DOUBLE))
+       END AS chi2_term
+FROM g ORDER BY digits
+""")
+def streaming_digit_uniformity(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    # the last-digit uniformity forensic as a REAL streaming query:
+    # 100-row streaming aggregate drained availableNow, the batch
+    # zero-fill/chi-square tail applied unchanged to the drained sink
+    import os
+
+    from ..streaming.events import streaming_digit_uniformity as sdu
+    return sdu(spark, os.path.join(sf_dir, "events.parquet"))

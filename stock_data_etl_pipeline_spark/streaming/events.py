@@ -463,3 +463,31 @@ def streaming_benford_digits(spark: SparkSession,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return benford_cells_from_counts(spark, spark.table(name))
+
+
+def streaming_digit_uniformity(spark: SparkSession,
+                               events_parquet: str) -> DataFrame:
+    """Streaming twin of the terminal-digit uniformity audit
+    (quality.last_digit_uniformity): the cents-pair 00..99 counting
+    runs as a REAL streaming aggregate (state = at most 100 rows)
+    drained availableNow, and the drained counts flow through the
+    IDENTICAL zero-fill/expectation/chi-square tail
+    (quality.digit_uniformity_from_counts) — the live fabricated-
+    precision monitor beside the Benford first-digit twin
+    (:func:`streaming_benford_digits`). NULL buckets are dropped
+    before counting, exactly as in the batch twin.
+    """
+    from ..operators.quality import digit_uniformity_from_counts
+
+    stream = event_stream(spark, events_parquet)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    g = (stream.select((cents % 100).alias("digits"))
+         .filter(F.col("digits").isNotNull())
+         .groupBy("digits")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_obs")))
+    name = f"digits_{uuid.uuid4().hex[:8]}"
+    q = (g.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return digit_uniformity_from_counts(spark, spark.table(name))

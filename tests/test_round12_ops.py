@@ -249,3 +249,111 @@ def test_lpa_modularity_two_disjoint_edges(spark):
     assert out["n_nodes"] == 4 and out["m_edges"] == 2
     assert out["n_communities"] == 4
     assert out["modularity"] == -0.25
+
+
+# -- batch 2: EMV / BOP / Chaikin volatility / Corwin-Schultz ----------------
+
+def _ohlc(spark, rows):
+    # rows: (event_type, hr_offset, open, high, low, close, volume)
+    return spark.createDataFrame(
+        [(t, H0 + dt.timedelta(hours=i), float(o), float(h), float(l),
+          float(c), int(v)) for (t, i, o, h, l, c, v) in rows],
+        "event_type string, hr timestamp, open double, high double, "
+        "low double, close double, volume long")
+
+
+def test_emv_hand_computed(spark):
+    b = _ohlc(spark, [("a", 0, 9.5, 10.0, 9.0, 9.5, 2),
+                      ("a", 1, 11.5, 12.0, 11.0, 11.5, 4)])
+    rows = ind.ease_of_movement(b).orderBy("hr").collect()
+    assert rows[0]["emv"] is None  # no previous midpoint
+    # dm2 = (1200+1100) - (1000+900) = 400 half-cents; rng = 100 cents
+    # emv = 400*100/(20000*4) = 0.5
+    assert rows[1]["emv"] == 0.5
+    assert rows[1]["emv_sma"] == 0.5  # only one non-null term in frame
+
+
+def test_bop_hand_computed(spark):
+    b = _ohlc(spark, [("a", 0, 9.0, 10.0, 9.0, 9.75, 1)])
+    r = ind.balance_of_power(b).collect()[0]
+    assert r["bop"] == 0.75  # (975-900)/(1000-900)
+    assert r["bop_sma"] == 0.75
+    # zero-range bar -> NULL, excluded from SMA
+    b2 = _ohlc(spark, [("b", 0, 5.0, 5.0, 5.0, 5.0, 1)])
+    r2 = ind.balance_of_power(b2).collect()[0]
+    assert r2["bop"] is None and r2["bop_sma"] is None
+
+
+def test_chaikin_vol_constant_range_zero(spark):
+    b = _ohlc(spark, [("a", i, 10.0, 11.0, 10.0, 10.5, 1)
+                      for i in range(13)])
+    rows = ind.chaikin_volatility(b).orderBy("hr").collect()
+    assert all(r["chaikin_vol"] is None for r in rows[:10])
+    assert rows[-1]["ema_range"] == 1.0
+    assert rows[-1]["chaikin_vol"] == 0.0
+
+
+def test_corwin_schultz_hand_computed(spark):
+    # flat bars (H == L): every log range is 0 -> spread exactly 0
+    flat = _ohlc(spark, [("a", i, 5.0, 5.0, 5.0, 5.0, 1)
+                         for i in range(3)])
+    r = ind.corwin_schultz_spread(flat).collect()[0]
+    assert r["n_pairs"] == 2 and r["mean_spread"] == 0.0
+
+    # one real pair, recomputed independently on the same grids
+    b = _ohlc(spark, [("b", 0, 10.0, 11.0, 10.0, 10.5, 1),
+                      ("b", 1, 10.6, 12.0, 10.4, 11.5, 1)])
+    out = ind.corwin_schultz_spread(b).collect()
+    r = [x for x in out if x["event_type"] == "b"][0]
+    q0 = round(math.log(1100 / 1000) ** 2 * ind.CS_GRID)
+    q1 = round(math.log(1200 / 1040) ** 2 * ind.CS_GRID)
+    g = round(math.log(1200 / 1000) ** 2 * ind.CS_GRID)
+    beta = (q0 + q1) / ind.CS_GRID
+    gamma = g / ind.CS_GRID
+    den = 3.0 - 2.0 * math.sqrt(2.0)
+    alpha = ((math.sqrt(2.0 * beta) - math.sqrt(beta)) / den
+             - math.sqrt(gamma / den))
+    s = 2.0 * (math.exp(alpha) - 1.0) / (1.0 + math.exp(alpha))
+    exp = round(max(s, 0.0) * 1e6) / 1e6
+    assert r["n_pairs"] == 1
+    assert abs(r["mean_spread"] - exp) < 1e-12
+
+
+# -- near-duplicate invoices --------------------------------------------------
+
+def test_near_duplicate_invoices_hand_fixture(spark):
+    d0 = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 10, 100.00, d0),
+         (2, 10, 100.50, d0 + dt.timedelta(days=2)),   # within 1%, 2d
+         (3, 10, 150.00, d0 + dt.timedelta(days=1)),   # amount far off
+         (4, 10, 100.00, d0 + dt.timedelta(days=20)),  # outside window
+         (5, 11, 100.00, d0)],                         # other customer
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp")
+    out = Q.near_duplicate_invoices(orders).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["okey_a"], r["okey_b"]) == (1, 2)
+    assert r["days_apart"] == 2
+    # gap 50 cents over min 10000 cents -> 5000 on the 1e-6 grid
+    assert r["rel_gap_e6"] == 5000
+    assert r["amount_a"] == 100.0 and r["amount_b"] == 100.5
+
+
+# -- streaming digit-uniformity twin ------------------------------------------
+
+def test_streaming_digit_uniformity_matches_batch(spark, tmp_path):
+    rows = [("a", 1, H0 + dt.timedelta(minutes=i), 100.00 + i)
+            for i in range(6)]
+    ev = _events(spark, rows)
+    p = str(tmp_path / "ev.parquet")
+    ev.write.parquet(p)
+    from stock_data_etl_pipeline_spark.streaming.events import (
+        streaming_digit_uniformity)
+    got = {r["digits"]: r["n_obs"]
+           for r in streaming_digit_uniformity(spark, p).collect()}
+    exp = {r["digits"]: r["n_obs"]
+           for r in Q.last_digit_uniformity(ev, "value").collect()}
+    assert got == exp
+    assert sum(got.values()) == 6
