@@ -3099,3 +3099,86 @@ def ips_uniform_policy_value(events: DataFrame) -> DataFrame:
         F.when(F.col("sw6") > 0,
                F.col("sc6").cast("double") / F.col("sw6").cast("double"))
         .alias("snips_value"))
+
+
+EIG_SCALE = 1_000_000  # 1e-6 fixed grid for eigencentrality scores
+
+
+def eigenvector_centrality(pairs: DataFrame, id_a: str, id_b: str,
+                           iters: int = 3, top: int = 20) -> DataFrame:
+    """Eigenvector centrality over an undirected pair graph by power
+    iteration in EXACT integer arithmetic: x ← A·x, renormalized each
+    round to the INFINITY norm on the 1e-6 grid (x ← (1e6·x) div
+    max x) — an integer max is exact and order-independent where an
+    L2 norm would be an order-dependent float sum. Completes the
+    centrality family: degree (local), PageRank (random-walk with
+    damping), HITS (bipartite), this (pure spectral influence — a
+    node is central when its NEIGHBORS are central, undamped).
+
+    Floor division leaks < 1 grid quantum per node per round — the
+    pagerank determinism rule. Headroom: y = Σ_nbr x ≤ deg·1e6 and
+    the renorm multiplies by 1e6 before dividing, so deg ≲ 9e6 is
+    int64-safe; beyond that, renormalize with a coarser grid.
+    Output: top ``top`` nodes, (node, score_e6), score desc / node
+    asc — score 1e6 marks the arg-max node(s).
+
+    Shape at 100 TB: per round one edge⋈score join + one node rollup
+    + a 1-row max broadcast — the canonical distributed power
+    iteration; edges and per-round scores are pin_cut (the HITS
+    plan-size rationale).
+    """
+    if iters < 1:
+        raise ValueError("eigenvector_centrality needs iters >= 1")
+    und = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
+                        F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    e = pin_cut(und.select(F.col("a").alias("src"),
+                           F.col("b").alias("dst"))
+                .unionByName(und.select(F.col("b").alias("src"),
+                                        F.col("a").alias("dst"))))
+    x = e.select(F.col("src").alias("node")).distinct() \
+         .select("node", F.lit(EIG_SCALE).cast("long").alias("r"))
+    for _ in range(iters):
+        y = pin_cut(e.join(x.withColumnRenamed("node", "src"), "src")
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum("r").cast("long").alias("r")))
+        m = y.agg(F.max("r").alias("_m"))
+        x = (y.crossJoin(F.broadcast(m))  # 1-row scalar
+             .select("node", F.expr(
+                 f"({EIG_SCALE}L * r) div greatest(_m, 1L)")
+                 .cast("long").alias("r")))
+    return (x.orderBy(F.desc("r"), "node").limit(top)
+            .select("node", F.col("r").alias("score_e6")))
+
+
+def new_user_share(events: DataFrame) -> DataFrame:
+    """Per-day share of events produced by users whose FIRST-EVER
+    event falls on that day — the acquisition-mix drift monitor (a
+    rising new-user share silently shifts every engagement metric;
+    cohort dashboards assume it is stable). The event-level companion
+    of the weekly retention cohorts.
+
+    Exact: a user's first day is min(ts, event_id) on the total
+    order reduced to the day grain (min over exact timestamps); per
+    day, n_events and n_new_user_events are exact counts and the
+    share is ONE double division. Output: (day DATE, n_events,
+    n_new_user_events, new_share), day-ordered.
+
+    Shape at 100 TB: one per-user min agg (user-keyed), one broadcast-
+    or shuffle-join back on user, one day rollup.
+    """
+    day = F.to_date(F.col("ts"))
+    first = (events.groupBy("user_id")
+             .agg(F.min(day).alias("first_day")))
+    j = (events.select("user_id", day.alias("day"))
+         .join(first, "user_id"))
+    return (j.groupBy("day")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.sum((F.col("day") == F.col("first_day"))
+                       .cast("long")).cast("long")
+                 .alias("n_new_user_events"))
+            .select("day", "n_events", "n_new_user_events",
+                    (F.col("n_new_user_events").cast("double")
+                     / F.col("n_events").cast("double"))
+                    .alias("new_share"))
+            .orderBy("day"))

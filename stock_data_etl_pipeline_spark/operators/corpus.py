@@ -2237,3 +2237,50 @@ def shard_plan(docs: DataFrame, n_shards: int = SHARD_COUNT,
                     (F.col("n_tokens").cast("double") * n_shards
                      / F.col("tt").cast("double")).alias("token_skew"))
             .orderBy("shard"))
+
+
+COVERAGE_CUTOFFS = (100, 1_000, 10_000)
+
+
+def vocab_coverage_curve(docs: DataFrame,
+                         cutoffs: tuple = COVERAGE_CUTOFFS,
+                         text_col: str = "text") -> DataFrame:
+    """Vocabulary coverage curve: for each rank cutoff N, the fraction
+    of ALL corpus tokens covered by the N most frequent words — the
+    number a tokenizer/vocab-size decision reads first (Zipf's law
+    says coverage saturates fast; this measures exactly where).
+
+    Exact: word counts are exact integers, the rank order is
+    deterministic (count desc, word asc), the cumulative covered
+    count is an exact window sum, and each cutoff's coverage is ONE
+    double division. Output: (cutoff, n_vocab, covered_tokens,
+    coverage), cutoff-ordered; n_vocab = min(cutoff, |vocab|).
+
+    Shape at 100 TB: one token hash-agg to |vocab| rows; the rank
+    window and cumulative sum run on the vocab relation (vocabulary
+    scale, not corpus scale) — ordering |vocab| rows is the
+    unavoidable and cheap part of any frequency-rank statistic.
+    """
+    tok = docs.select(F.explode(words(text_col)).alias("w"))
+    vc = (tok.groupBy("w")
+          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    w_rank = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    run = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vc.select(
+        "c", F.row_number().over(w_rank).alias("rk"),
+        F.sum("c").over(run).alias("cum"))
+    tot = ranked.agg(F.max("cum").cast("long").alias("total"),
+                     F.max("rk").cast("long").alias("v"))
+    cuts = ranked.sparkSession.createDataFrame(
+        [(int(c),) for c in cutoffs], "cutoff long")
+    at = (cuts.crossJoin(F.broadcast(tot))
+          .join(ranked,
+                ranked["rk"] == F.least(F.col("cutoff"), F.col("v")),
+                "left"))
+    return (at.select("cutoff",
+                      F.least(F.col("cutoff"), F.col("v")).cast("long")
+                      .alias("n_vocab"),
+                      F.col("cum").cast("long").alias("covered_tokens"),
+                      (F.col("cum").cast("double")
+                       / F.col("total").cast("double")).alias("coverage"))
+            .orderBy("cutoff"))

@@ -218,17 +218,21 @@ def psi_from_daily_histogram(h: DataFrame, bins: int = 10,
     function of the emitted value. Everything after the histogram is
     O(days × bins).
     """
-    from .pinned import pin
+    # pin_cut, not pin (round 12): dense is re-referenced four times
+    # (tot, ref, j twice-nested) and the analyzed tree reached 924
+    # nodes / 32 scalar BNLJs in the round-12 audit; as parquet leaves
+    # the readout plan is days*bins-sized arithmetic, as documented.
+    from .pinned import pin_cut
     spark = h.sparkSession
     days = h.select("day").distinct()
     grid = days.crossJoin(F.broadcast(
         spark.range(bins).select(F.col("id").cast("int").alias("bucket"))))
-    dense = pin(grid.join(h, ["day", "bucket"], "left")
-                .select("day", "bucket",
-                        F.coalesce(F.col("c"), F.lit(0)).cast("long")
-                        .alias("c")))
-    tot = pin(dense.groupBy("day")
-              .agg(F.sum("c").cast("long").alias("n")))
+    dense = pin_cut(grid.join(h, ["day", "bucket"], "left")
+                    .select("day", "bucket",
+                            F.coalesce(F.col("c"), F.lit(0)).cast("long")
+                            .alias("c")))
+    tot = pin_cut(dense.groupBy("day")
+                  .agg(F.sum("c").cast("long").alias("n")))
     rday = tot.agg(F.min("day").alias("rday"))
     ref = (dense.join(tot, "day")
            .join(F.broadcast(rday), F.col("day") == F.col("rday"))

@@ -759,3 +759,146 @@ def streaming_digit_uniformity(spark: SparkSession,
 
     from ..streaming.events import streaming_digit_uniformity as sdu
     return sdu(spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# batch 3: VPIN, eigenvector centrality, coverage curve, new-user mix
+# ---------------------------------------------------------------------------
+
+def _vpin_sql() -> str:
+    b = ind.VPIN_BUCKET
+    return f"""
+WITH t AS (
+  SELECT event_type, ts, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+s0 AS (
+  SELECT event_type, ts, event_id,
+         CASE WHEN cents - lag(cents) OVER w > 0 THEN 1
+              WHEN cents - lag(cents) OVER w < 0 THEN -1
+         END AS raw,
+         row_number() OVER w - 1 AS rn
+  FROM t WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+s1 AS (
+  SELECT event_type, rn,
+         last_value(raw IGNORE NULLS)
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS s
+  FROM s0),
+bk AS (
+  SELECT event_type, rn // {b} AS bkt,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(abs(sum(s)) AS BIGINT) AS imb
+  FROM s1 WHERE s IS NOT NULL GROUP BY 1, 2),
+q AS (SELECT event_type, (1000000 * imb) // {b} AS q6
+      FROM bk WHERE n = {b})
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(q6) AS BIGINT)
+         / (CAST(count(*) AS DOUBLE) * 1e6) AS vpin
+FROM q GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("stock_vpin", _vpin_sql())
+def stock_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VPIN flow toxicity: tick-rule signs with deterministic
+    # carry-forward, 50-tick volume buckets, exact integer imbalance,
+    # complete buckets only
+    ev = load_table(spark, sf_dir, "events")
+    return ind.vpin(ev)
+
+
+def _eig_sql() -> str:
+    from ..operators.analytics import EIG_SCALE as S
+
+    it = """
+y{i} AS (SELECT e.dst AS node, CAST(sum(x.r) AS BIGINT) AS r
+         FROM e JOIN x{p} x ON e.src = x.node GROUP BY e.dst),
+x{i} AS (SELECT node,
+                ({S} * r) // greatest((SELECT max(r) FROM y{i}), 1) AS r
+         FROM y{i})"""
+    rounds = ",".join(it.format(i=i, p=i - 1, S=S) for i in (1, 2, 3))
+    return f"""
+WITH oi AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+und AS (SELECT DISTINCT a.i AS x, b.i AS y
+        FROM oi a JOIN oi b ON a.bk = b.bk AND a.i < b.i),
+e AS (SELECT x AS src, y AS dst FROM und
+      UNION ALL SELECT y, x FROM und),
+x0 AS (SELECT DISTINCT src AS node, CAST({S} AS BIGINT) AS r FROM e),
+{rounds}
+SELECT node, CAST(r AS BIGINT) AS score_e6
+FROM x3 ORDER BY r DESC, node LIMIT 20
+"""
+
+
+@register("graph_eigencentrality", _eig_sql())
+def graph_eigencentrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # undamped spectral centrality over the co-purchase part graph:
+    # 3 integer power iterations, inf-norm renorm on the 1e-6 grid
+    from ..operators.analytics import eigenvector_centrality
+    li = load_table(spark, sf_dir, "lineitem")
+    oi = li.select(F.col("l_orderkey").alias("bk"),
+                   F.col("l_partkey").alias("i")).distinct()
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+    return eigenvector_centrality(pairs, "pa", "pb", iters=3, top=20)
+
+
+def _coverage_sql() -> str:
+    from ..operators import corpus as co
+
+    cuts = ", ".join(f"({c})" for c in co.COVERAGE_CUTOFFS)
+    return f"""
+WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+                                       x -> x != '')) AS w
+             FROM documents),
+vc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w),
+ranked AS (SELECT c,
+                  row_number() OVER (ORDER BY c DESC, w ASC) AS rk,
+                  CAST(sum(c) OVER (ORDER BY c DESC, w ASC
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                    AS cum
+           FROM vc),
+tot AS (SELECT CAST(max(cum) AS BIGINT) AS total,
+               CAST(max(rk) AS BIGINT) AS v FROM ranked),
+cuts(cutoff) AS (VALUES {cuts})
+SELECT CAST(c.cutoff AS BIGINT) AS cutoff,
+       least(c.cutoff, t.v) AS n_vocab,
+       r.cum AS covered_tokens,
+       CAST(r.cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage
+FROM cuts c CROSS JOIN tot t
+LEFT JOIN ranked r ON r.rk = least(c.cutoff, t.v)
+ORDER BY cutoff
+"""
+
+
+@register("corpus_coverage_curve", _coverage_sql())
+def corpus_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-N vocabulary token-coverage curve at N in (100, 1k, 10k):
+    # exact rank/cumsum on the vocab relation, one division per cutoff
+    from ..operators.corpus import vocab_coverage_curve
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_coverage_curve(d)
+
+
+@register("events_new_user_share", """
+WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+           FROM events GROUP BY user_id),
+j AS (SELECT CAST(e.ts AS DATE) AS day,
+             CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events e JOIN f ON f.user_id = e.user_id)
+SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(is_new) AS BIGINT) AS n_new_user_events,
+       CAST(sum(is_new) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS new_share
+FROM j GROUP BY day ORDER BY day
+""")
+def events_new_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-day share of events from first-seen-that-day users — the
+    # acquisition-mix drift monitor behind cohort dashboards
+    from ..operators.analytics import new_user_share
+    ev = load_table(spark, sf_dir, "events")
+    return new_user_share(ev)

@@ -357,3 +357,56 @@ def test_streaming_digit_uniformity_matches_batch(spark, tmp_path):
            for r in Q.last_digit_uniformity(ev, "value").collect()}
     assert got == exp
     assert sum(got.values()) == 6
+
+
+# -- batch 3: VPIN / eigencentrality / coverage curve / new-user share -------
+
+def test_vpin_hand_computed(spark):
+    # rising tape: every tick-rule sign is +1, so each complete
+    # bucket's imbalance is its full size -> vpin exactly 1.0
+    up = [("a", 1, H0 + dt.timedelta(seconds=i), 1.00 + i * 0.01)
+          for i in range(5)]
+    r = ind.vpin(_events(spark, up), bucket_size=2).collect()[0]
+    assert r["vpin"] == 1.0
+    # alternating tail: signs (+1, +1, -1, +1); first tick has no
+    # sign; bucket rn//2 = 1 holds (+1, -1) -> imbalance 0
+    alt = [("b", 1, H0 + dt.timedelta(seconds=i), v)
+           for i, v in enumerate([1.00, 1.01, 1.02, 1.01, 1.02])]
+    r2 = ind.vpin(_events(spark, alt), bucket_size=2).collect()[0]
+    assert r2["n_buckets"] == 1 and r2["vpin"] == 0.0
+
+
+def test_eigencentrality_star_graph(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "pa long, pb long")
+    out = {r["node"]: r["score_e6"] for r in
+           AN.eigenvector_centrality(pairs, "pa", "pb", iters=3).collect()}
+    # after an odd iteration the hub holds the inf-norm max; each leaf
+    # carries (1e6 * 999999) // 3e6 = 333333 (one floor-div quantum
+    # below the exact 1/3)
+    assert out[1] == AN.EIG_SCALE
+    assert out[2] == out[3] == out[4] == 333333
+
+
+def test_coverage_curve_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string")
+    out = {r["cutoff"]: r for r in
+           CP.vocab_coverage_curve(df, cutoffs=(1, 2, 10)).collect()}
+    assert out[1]["covered_tokens"] == 3 and out[1]["coverage"] == 0.5
+    assert out[2]["covered_tokens"] == 5
+    assert out[10]["n_vocab"] == 3  # min(cutoff, |vocab|)
+    assert out[10]["coverage"] == 1.0
+
+
+def test_new_user_share_hand_computed(spark):
+    d0, d1 = MON, MON + dt.timedelta(days=1)
+    rows = [("a", 1, d0, 1.0), ("a", 1, d0, 1.0),
+            ("a", 1, d1, 1.0), ("a", 2, d1, 1.0)]
+    out = {str(r["day"]): r for r in
+           AN.new_user_share(_events(spark, rows)).collect()}
+    assert out["2024-01-08"]["n_events"] == 2
+    assert out["2024-01-08"]["new_share"] == 1.0
+    assert out["2024-01-09"]["n_events"] == 2
+    assert out["2024-01-09"]["n_new_user_events"] == 1
+    assert out["2024-01-09"]["new_share"] == 0.5
