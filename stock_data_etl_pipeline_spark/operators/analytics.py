@@ -172,10 +172,7 @@ def _undirected_degrees(pairs: DataFrame, id_a: str, id_b: str
     # _degree_oriented_edges into the triangle family's plan trees.
     # Both are ≤ edge-cardinality, deterministic, fully consumed before
     # release.
-    und = pin_cut(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("x"),
-                               F.greatest(F.col(id_a), F.col(id_b))
-                               .alias("y"))
-                  .filter(F.col("x") != F.col("y")).distinct())
+    und = pin_cut(_canon_undirected(pairs, id_a, id_b, "x", "y"))
     deg = pin(und.select(F.col("x").alias("v"))
               .unionByName(und.select(F.col("y").alias("v")))
               .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d")))
@@ -319,6 +316,21 @@ def fuzzy_match(df: DataFrame, name_col: str, block_key: Column,
 PR_SCALE = 1_000_000_000_000  # pagerank fixed-point unit (1e-12)
 
 
+def _canon_undirected(pairs: DataFrame, id_a: str, id_b: str,
+                      a: str = "a", b: str = "b") -> DataFrame:
+    """Canonical undirected distinct edge list (``a`` < ``b``,
+    self-loops dropped) — the ONE canonicalization shared by the whole
+    graph family (pagerank, BFS, LPA, link predictors, degree
+    statistics, triangles, eigencentrality). Eleven operators used to
+    inline this block with varying aliases; a fix here (e.g. null-id
+    handling) now reaches every one of them at once (round-12
+    review). Pin/cut policy stays at the call site — it depends on
+    how many consumers the caller fans out to."""
+    return (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias(a),
+                         F.greatest(F.col(id_a), F.col(id_b)).alias(b))
+            .filter(F.col(a) != F.col(b)).distinct())
+
+
 def pagerank(pairs: DataFrame, id_a: str, id_b: str, iters: int = 3,
              damping_pct: int = 85, top: int = 100) -> DataFrame:
     """PageRank over an undirected pair list (each edge walked both
@@ -340,9 +352,7 @@ def pagerank(pairs: DataFrame, id_a: str, id_b: str, iters: int = 3,
     operator in operators/clustering.py shows the pattern). Driver
     traffic is ONE scalar (the node count, control-plane sized).
     """
-    und = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
-                        F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
-           .filter(F.col("a") != F.col("b")).distinct())
+    und = _canon_undirected(pairs, id_a, id_b)
     # pin_cut, not pin (round 12): e and deg are re-referenced every
     # iteration and deg embeds e embeds und twice, so the analyzed tree
     # reached 1,702 nodes / 320 exchanges by round 11's audit; as
@@ -353,6 +363,9 @@ def pagerank(pairs: DataFrame, id_a: str, id_b: str, iters: int = 3,
                                         F.col("a").alias("dst"))))
     deg = pin_cut(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
     n_nodes = deg.count()  # one control-plane scalar
+    if n_nodes == 0:  # edgeless input: empty result, never ZeroDivision
+        return deg.select(F.col("src").alias("node"),
+                          F.lit(0).cast("long").alias("rank_e12"))
     r0 = PR_SCALE // n_nodes
     base = (PR_SCALE * (100 - damping_pct) // 100) // n_nodes
     r = deg.select(F.col("src").alias("node"),
@@ -599,10 +612,7 @@ def adamic_adar(pairs: DataFrame, id_a: str, id_b: str,
     # pin_cut, not pin (round 12): the nested re-references (adjc
     # self-join, und anti-join) multiplied the analyzed tree to 3,333
     # nodes — the jaccard_link_prediction fix applied here too.
-    und = pin_cut(pairs.select(
-        F.least(F.col(id_a), F.col(id_b)).alias("ea"),
-        F.greatest(F.col(id_a), F.col(id_b)).alias("eb"))
-        .filter(F.col("ea") != F.col("eb")).distinct())
+    und = pin_cut(_canon_undirected(pairs, id_a, id_b, "ea", "eb"))
     adj = pin_cut(und.select(F.col("ea").alias("node"),
                              F.col("eb").alias("nb"))
                   .union(und.select(F.col("eb").alias("node"),
@@ -965,9 +975,7 @@ def bfs_distance(pairs: DataFrame, id_a: str, id_b: str,
     unrolled rounds for a loop with periodic localCheckpoint (the CC
     operator in operators/clustering.py shows the pattern).
     """
-    und = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
-                        F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
-           .filter(F.col("a") != F.col("b")).distinct())
+    und = _canon_undirected(pairs, id_a, id_b)
     e = pin(und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
             .unionByName(und.select(F.col("b").alias("src"),
                                     F.col("a").alias("dst"))))
@@ -1306,9 +1314,7 @@ def degree_assortativity(pairs: DataFrame, id_a: str,
     hub-heavy graphs past ~1e9 stub-degree mass, switch the final
     combination to leaf-cast doubles (rolling_corr precedent).
     """
-    und = pin(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("x"),
-                           F.greatest(F.col(id_a), F.col(id_b)).alias("y"))
-              .filter(F.col("x") != F.col("y")).distinct())
+    und = pin(_canon_undirected(pairs, id_a, id_b, "x", "y"))
     deg = (und.select(F.col("x").alias("v"))
            .unionByName(und.select(F.col("y").alias("v")))
            .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d")))
@@ -1353,10 +1359,7 @@ def jaccard_link_prediction(pairs: DataFrame, id_a: str, id_b: str,
     # tree multiplied to 6,565 nodes by round 11's audit even though
     # execution was already bounded by pin. Cutting each shared frame
     # makes the wedge join a join of two parquet leaves.
-    und = pin_cut(pairs.select(
-        F.least(F.col(id_a), F.col(id_b)).alias("ea"),
-        F.greatest(F.col(id_a), F.col(id_b)).alias("eb"))
-        .filter(F.col("ea") != F.col("eb")).distinct())
+    und = pin_cut(_canon_undirected(pairs, id_a, id_b, "ea", "eb"))
     adj = pin_cut(und.select(F.col("ea").alias("node"),
                              F.col("eb").alias("nb"))
                   .union(und.select(F.col("eb").alias("node"),
@@ -1625,11 +1628,7 @@ def rich_club(pairs: DataFrame, id_a: str, id_b: str,
     # pin_cut: four downstream references (two degree-union branches,
     # two edge-degree joins), each repeating the subtree in the
     # analyzed tree (2.2k plan lines with plain pin, round-11 audit)
-    und = pin_cut(pairs.select(F.least(F.col(id_a), F.col(id_b))
-                               .alias("a"),
-                               F.greatest(F.col(id_a), F.col(id_b))
-                               .alias("b"))
-                  .filter(F.col("a") != F.col("b")).distinct())
+    und = pin_cut(_canon_undirected(pairs, id_a, id_b))
     deg = pin(und.select(F.col("a").alias("node"))
               .unionByName(und.select(F.col("b").alias("node")))
               .groupBy("node")
@@ -1939,9 +1938,7 @@ def degree_gini(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
     BIGINTs (headroom: S1 ≲ deg_max·n² — re-grid degrees above ~1e9
     nodes); the emit is ONE double division of exact integers.
     """
-    und = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
-                        F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
-           .filter(F.col("a") != F.col("b")).distinct())
+    und = _canon_undirected(pairs, id_a, id_b)
     deg = (und.select(F.col("a").alias("node"))
            .unionByName(und.select(F.col("b").alias("node")))
            .groupBy("node")
@@ -2476,10 +2473,7 @@ def _lpa_core(pairs: DataFrame, id_a: str, id_b: str,
     lab) assignment after ``iters`` synchronous rounds. und/e are
     pin_cut (re-referenced per round AND by :func:`lpa_modularity`'s
     intra-edge and degree joins — the pagerank plan-size rationale)."""
-    und = pin_cut(pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("x"),
-                               F.greatest(F.col(id_a), F.col(id_b))
-                               .alias("y"))
-                  .filter(F.col("x") != F.col("y")).distinct())
+    und = pin_cut(_canon_undirected(pairs, id_a, id_b, "x", "y"))
     e = pin_cut(und.select(F.col("x").alias("src"),
                            F.col("y").alias("dst"))
                 .unionByName(und.select(F.col("y").alias("src"),
@@ -2704,10 +2698,7 @@ def ktruss_peel_census(pairs: DataFrame, id_a: str, id_b: str,
     nested machinery — the plan-tree bound). Output: one row per
     iteration 0..iters — (iter, n_edges, n_triangles).
     """
-    und = pin_cut(pairs.select(
-        F.least(F.col(id_a), F.col(id_b)).alias("x"),
-        F.greatest(F.col(id_a), F.col(id_b)).alias("y"))
-        .filter(F.col("x") != F.col("y")).distinct())
+    und = pin_cut(_canon_undirected(pairs, id_a, id_b, "x", "y"))
 
     def oriented(u: DataFrame) -> DataFrame:
         # degrees recomputed against the CURRENT survivors, then the
@@ -3129,9 +3120,7 @@ def eigenvector_centrality(pairs: DataFrame, id_a: str, id_b: str,
     """
     if iters < 1:
         raise ValueError("eigenvector_centrality needs iters >= 1")
-    und = (pairs.select(F.least(F.col(id_a), F.col(id_b)).alias("a"),
-                        F.greatest(F.col(id_a), F.col(id_b)).alias("b"))
-           .filter(F.col("a") != F.col("b")).distinct())
+    und = _canon_undirected(pairs, id_a, id_b)
     e = pin_cut(und.select(F.col("a").alias("src"),
                            F.col("b").alias("dst"))
                 .unionByName(und.select(F.col("b").alias("src"),

@@ -2277,10 +2277,18 @@ def vocab_coverage_curve(docs: DataFrame,
           .join(ranked,
                 ranked["rk"] == F.least(F.col("cutoff"), F.col("v")),
                 "left"))
+    # coalesce(v, 0): on an EMPTY corpus ranked is empty and tot's v is
+    # NULL — least(cutoff, NULL) skips the NULL in both engines, which
+    # would fabricate n_vocab = cutoff for a zero-word vocabulary
+    # (round-12 review finding)
     return (at.select("cutoff",
-                      F.least(F.col("cutoff"), F.col("v")).cast("long")
-                      .alias("n_vocab"),
-                      F.col("cum").cast("long").alias("covered_tokens"),
-                      (F.col("cum").cast("double")
-                       / F.col("total").cast("double")).alias("coverage"))
+                      F.least(F.col("cutoff"),
+                              F.coalesce(F.col("v"), F.lit(0)))
+                      .cast("long").alias("n_vocab"),
+                      F.coalesce(F.col("cum"), F.lit(0)).cast("long")
+                      .alias("covered_tokens"),
+                      F.when(F.col("total") > 0,
+                             F.col("cum").cast("double")
+                             / F.col("total").cast("double"))
+                      .alias("coverage"))
             .orderBy("cutoff"))

@@ -217,29 +217,36 @@ def _cut_root(spark) -> str:
     """
     global _CUT_ROOT
     if _CUT_ROOT is None:
+        import atexit
+
+        # every branch keeps the "spark-pin-cut-" marker in the root
+        # name — tools/plan_audit.py counts cut re-reads by that
+        # substring, and every branch registers best-effort exit
+        # cleanup (round-12 review findings: the conf/warehouse
+        # branches previously lost both)
         conf_dir = spark.conf.get("spark.stockDataEtl.pinCutDir", None)
         master = spark.conf.get("spark.master", "local")
         if conf_dir:
             import uuid
 
-            _CUT_ROOT = _join_uri(conf_dir, f"pin-cut-{uuid.uuid4().hex}")
+            _CUT_ROOT = _join_uri(conf_dir,
+                                  f"spark-pin-cut-{uuid.uuid4().hex}")
         elif master.startswith("local"):
-            import atexit
             import tempfile
 
             _CUT_ROOT = tempfile.mkdtemp(prefix="spark-pin-cut-")
-            atexit.register(_rm_cut_path, _CUT_ROOT)
         else:
             import uuid
 
             warehouse = spark.conf.get("spark.sql.warehouse.dir")
             _CUT_ROOT = _join_uri(
-                warehouse, f"_pin_cut/pin-cut-{uuid.uuid4().hex}")
+                warehouse, f"_pin_cut/spark-pin-cut-{uuid.uuid4().hex}")
             _log.warning(
                 "pin_cut on a non-local master without "
                 "spark.stockDataEtl.pinCutDir set — spilling cuts under "
                 "the warehouse dir %s; set the conf to a shared "
                 "filesystem path to control placement.", _CUT_ROOT)
+        atexit.register(_rm_cut_path, _CUT_ROOT)
     return _CUT_ROOT
 
 

@@ -529,8 +529,13 @@ def last_digit_uniformity(df: DataFrame, value_col: str) -> DataFrame:
     Shape at 100 TB: one hash-agg to ≤ 100 groups, a sequence-explode
     zero-fill, a 1-row total broadcast.
     """
+    # ((c % 100) + 100) % 100, NOT c % 100: both engines' % is
+    # dividend-signed, so a refund/credit (negative cents) would land
+    # in a negative bucket the 0..99 grid drops while the total still
+    # counts it — inflating every bucket's expectation (round-12
+    # review finding). The double-mod canonicalizes to 0..99.
     cents = F.round(F.col(value_col) * 100, 0).cast("long")
-    obs = (df.select((cents % 100).alias("digits"))
+    obs = (df.select((((cents % 100) + 100) % 100).alias("digits"))
            .filter(F.col("digits").isNotNull())
            .groupBy("digits")
            .agg(F.count(F.lit(1)).cast("long").alias("n_obs")))
@@ -587,6 +592,13 @@ def near_duplicate_invoices(orders: DataFrame,
     as residual — per-bucket work is one customer's orders inside a
     week, bounded by customer activity, never by table size.
     """
+    if rel_gap_pct <= 0 or 100 % rel_gap_pct != 0:
+        # 100 // pct must be the EXACT reciprocal for the integer
+        # cross-multiplication to encode "within pct percent" (pct=3
+        # would silently test 3.03%, pct>100 would flag everything)
+        raise ValueError(
+            "rel_gap_pct must be a positive divisor of 100, got "
+            f"{rel_gap_pct}")
     cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
     base = orders.select(F.col("o_orderkey").alias("k"),
                          F.col("o_custkey").alias("c"),

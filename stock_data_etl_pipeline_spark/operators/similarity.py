@@ -1283,7 +1283,11 @@ def simplified_silhouette(vectors: DataFrame,
     are IEEE sqrt of exact integers (correctly rounded, engine-
     identical); each s is quantized to the 1e-6 grid and the
     per-label mean is Σs/n — ONE double division of exact integers.
-    s = 0 when a = b = 0 (a vector ON both centroids). Headroom:
+    s = 0 when a = b = 0 (a vector ON both centroids) and for
+    SINGLETON labels (the standard convention: a size-1 cluster has
+    zero cohesion evidence, and its a = 0 would otherwise score a
+    perfect 1 exactly for the noise labels the metric should
+    penalize — round-12 review finding). Headroom:
     d² ≤ dim·(2e6·max|x|)² — int64-safe through |x| ≲ 1e2 at dim 64.
 
     Shape at 100 TB: explode → one (label, dim) hash-agg for the
@@ -1312,9 +1316,13 @@ def simplified_silhouette(vectors: DataFrame,
                              F.col("d2"))).alias("a2"),
                 F.min(F.when(F.col("lbl") != F.col("clbl"),
                              F.col("d2"))).alias("b2")))
+    lsz = (vectors.groupBy(F.col(label_col).alias("lbl"))
+           .agg(F.count(F.lit(1)).cast("long").alias("lsz")))
+    per = per.join(F.broadcast(lsz), "lbl")
     a = F.sqrt(F.col("a2").cast("double"))
     b = F.sqrt(F.col("b2").cast("double"))
-    s6 = (F.when((F.col("a2") == 0) & (F.col("b2") == 0), F.lit(0))
+    s6 = (F.when(F.col("lsz") == 1, F.lit(0))
+          .when((F.col("a2") == 0) & (F.col("b2") == 0), F.lit(0))
           .otherwise(F.round((b - a) / F.greatest(a, b) * SIL_GRID, 0))
           .cast("long"))
     scored = per.filter(F.col("b2").isNotNull()).select("lbl", s6.alias("s6"))

@@ -338,13 +338,16 @@ per AS (SELECT vid, lbl,
                max(CASE WHEN lbl = clbl THEN d2 END) AS a2,
                min(CASE WHEN lbl <> clbl THEN d2 END) AS b2
         FROM d2 GROUP BY vid, lbl),
-s AS (SELECT lbl,
-             CASE WHEN a2 = 0 AND b2 = 0 THEN 0
+lsz AS (SELECT label AS lbl, CAST(count(*) AS BIGINT) AS lsz
+        FROM embeddings GROUP BY label),
+s AS (SELECT p.lbl,
+             CASE WHEN z.lsz = 1 THEN 0
+                  WHEN a2 = 0 AND b2 = 0 THEN 0
                   ELSE CAST(round((sqrt(b2) - sqrt(a2))
                                   / greatest(sqrt(a2), sqrt(b2))
                                   * {grid}, 0) AS BIGINT)
              END AS s6
-      FROM per WHERE b2 IS NOT NULL)
+      FROM per p JOIN lsz z ON z.lbl = p.lbl WHERE b2 IS NOT NULL)
 SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n_vecs,
        CAST(sum(s6) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * {grid})
          AS mean_silhouette
@@ -366,8 +369,8 @@ def embedding_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @register("orders_digit_uniformity", """
-WITH obs AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) % 100
-               AS digits,
+WITH obs AS (SELECT ((CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                      % 100) + 100) % 100 AS digits,
              CAST(count(*) AS BIGINT) AS n_obs
       FROM orders GROUP BY 1),
 grid AS (SELECT unnest(generate_series(0, 99)) AS digits),
@@ -733,8 +736,8 @@ def orders_duplicate_invoices(spark: SparkSession,
 
 
 @register("streaming_digit_uniformity", """
-WITH obs AS (SELECT CAST(round(value * 100, 0) AS BIGINT) % 100
-               AS digits,
+WITH obs AS (SELECT ((CAST(round(value * 100, 0) AS BIGINT)
+                      % 100) + 100) % 100 AS digits,
              CAST(count(*) AS BIGINT) AS n_obs
       FROM events WHERE value IS NOT NULL GROUP BY 1),
 grid AS (SELECT unnest(generate_series(0, 99)) AS digits),
@@ -865,9 +868,11 @@ tot AS (SELECT CAST(max(cum) AS BIGINT) AS total,
                CAST(max(rk) AS BIGINT) AS v FROM ranked),
 cuts(cutoff) AS (VALUES {cuts})
 SELECT CAST(c.cutoff AS BIGINT) AS cutoff,
-       least(c.cutoff, t.v) AS n_vocab,
-       r.cum AS covered_tokens,
-       CAST(r.cum AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage
+       least(c.cutoff, coalesce(t.v, 0)) AS n_vocab,
+       CAST(coalesce(r.cum, 0) AS BIGINT) AS covered_tokens,
+       CASE WHEN t.total > 0
+            THEN CAST(r.cum AS DOUBLE) / CAST(t.total AS DOUBLE)
+       END AS coverage
 FROM cuts c CROSS JOIN tot t
 LEFT JOIN ranked r ON r.rk = least(c.cutoff, t.v)
 ORDER BY cutoff

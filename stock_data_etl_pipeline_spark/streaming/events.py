@@ -481,7 +481,9 @@ def streaming_digit_uniformity(spark: SparkSession,
 
     stream = event_stream(spark, events_parquet)
     cents = F.round(F.col("value") * 100, 0).cast("long")
-    g = (stream.select((cents % 100).alias("digits"))
+    # double-mod: negative cents canonicalize to 0..99 (batch-twin
+    # parity — see quality.last_digit_uniformity)
+    g = (stream.select((((cents % 100) + 100) % 100).alias("digits"))
          .filter(F.col("digits").isNotNull())
          .groupBy("digits")
          .agg(F.count(F.lit(1)).cast("long").alias("n_obs")))

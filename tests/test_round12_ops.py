@@ -410,3 +410,58 @@ def test_new_user_share_hand_computed(spark):
     assert out["2024-01-09"]["n_events"] == 2
     assert out["2024-01-09"]["n_new_user_events"] == 1
     assert out["2024-01-09"]["new_share"] == 0.5
+
+
+# -- round-12 self-review regression fixtures ---------------------------------
+
+def test_last_digit_uniformity_negative_cents(spark):
+    # refunds: -12.34 -> cents -1234 -> canonical bucket 66; the
+    # pre-fix dividend-signed % dropped it from the grid while the
+    # total still counted it
+    df = spark.createDataFrame(
+        [(1, 100.00), (2, -12.34)], "id long, v double")
+    out = {r["digits"]: r for r in
+           Q.last_digit_uniformity(df, "v").collect()}
+    assert out[0]["n_obs"] == 1
+    assert out[66]["n_obs"] == 1
+    assert sum(r["n_obs"] for r in out.values()) == 2
+    assert out[0]["expected"] == 0.02
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    only_loops = spark.createDataFrame([(1, 1)], "pa long, pb long")
+    out = AN.pagerank(only_loops, "pa", "pb")
+    assert out.count() == 0
+    assert out.columns == ["node", "rank_e12"]
+
+
+def test_silhouette_singleton_label_scores_zero(spark):
+    # label 1 is a singleton: a=0 would fake a perfect score; the
+    # convention assigns 0 (no cohesion evidence)
+    vecs = [(1, [0.0, 0.0], 0), (2, [0.2, 0.0], 0),
+            (3, [10.0, 0.0], 1)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>, label int")
+    out = {r["label"]: r for r in SIM.simplified_silhouette(df).collect()}
+    assert out[1]["mean_silhouette"] == 0.0
+    assert out[0]["mean_silhouette"] > 0.9
+
+
+def test_near_duplicate_invoices_rejects_bad_pct(spark):
+    import pytest
+    orders = spark.createDataFrame(
+        [(1, 10, 100.00, MON)],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp")
+    for bad in (0, 3, 101):
+        with pytest.raises(ValueError):
+            Q.near_duplicate_invoices(orders, rel_gap_pct=bad)
+
+
+def test_coverage_curve_empty_corpus(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = {r["cutoff"]: r for r in
+           CP.vocab_coverage_curve(df, cutoffs=(100,)).collect()}
+    assert out[100]["n_vocab"] == 0
+    assert out[100]["covered_tokens"] == 0
+    assert out[100]["coverage"] is None
