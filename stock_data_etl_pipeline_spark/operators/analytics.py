@@ -3171,3 +3171,28 @@ def new_user_share(events: DataFrame) -> DataFrame:
                      / F.col("n_events").cast("double"))
                     .alias("new_share"))
             .orderBy("day"))
+
+
+def new_user_share_from_counts(counts: DataFrame) -> DataFrame:
+    """Tail of :func:`new_user_share` over a pre-aggregated
+    (user_id, day, n) relation — split out so the streaming twin
+    (streaming/events.streaming_user_day_counts) drains its
+    user-day aggregate through the IDENTICAL first-day/share
+    arithmetic. Every count is exact; the share is one division.
+
+    first_day via a user-partitioned window, NOT a self-join: a
+    self-join of a memory-sink view trips Spark's conflicting-
+    reference resolution (INTERNAL_ERROR), and the window is the
+    better plan anyway (one shuffle on user_id, no second scan)."""
+    w = Window.partitionBy("user_id")
+    j = counts.withColumn("first_day", F.min("day").over(w))
+    return (j.groupBy("day")
+            .agg(F.sum("n").cast("long").alias("n_events"),
+                 F.sum(F.when(F.col("day") == F.col("first_day"),
+                              F.col("n")).otherwise(0)).cast("long")
+                 .alias("n_new_user_events"))
+            .select("day", "n_events", "n_new_user_events",
+                    (F.col("n_new_user_events").cast("double")
+                     / F.col("n_events").cast("double"))
+                    .alias("new_share"))
+            .orderBy("day"))

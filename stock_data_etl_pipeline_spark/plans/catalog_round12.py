@@ -907,3 +907,75 @@ def events_new_user_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.analytics import new_user_share
     ev = load_table(spark, sf_dir, "events")
     return new_user_share(ev)
+
+
+# ---------------------------------------------------------------------------
+# batch 4: streaming new-user-mix twin, events DQ suite
+# ---------------------------------------------------------------------------
+
+@register("streaming_new_user_share", """
+WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+           FROM events GROUP BY user_id),
+j AS (SELECT CAST(e.ts AS DATE) AS day,
+             CASE WHEN CAST(e.ts AS DATE) = f.first_day
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events e JOIN f ON f.user_id = e.user_id)
+SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(is_new) AS BIGINT) AS n_new_user_events,
+       CAST(sum(is_new) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS new_share
+FROM j GROUP BY day ORDER BY day
+""")
+def streaming_new_user_share(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    # the acquisition-mix monitor as a REAL streaming query: bounded
+    # (user, day, n) streaming aggregate drained availableNow, the
+    # batch first-day/share tail applied unchanged to the drained sink
+    import os
+
+    from ..operators.analytics import new_user_share_from_counts
+    from ..streaming.events import streaming_user_day_counts
+    counts = streaming_user_day_counts(
+        spark, os.path.join(sf_dir, "events.parquet"))
+    return new_user_share_from_counts(counts)
+
+
+@register("dq_events_constraints", """
+WITH ra AS (SELECT count(*) AS n,
+    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS nn_user,
+    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS nn_ts,
+    CAST(sum(CASE WHEN value IS NOT NULL AND value < 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS rng,
+    CAST(sum(CASE WHEN event_type IS NOT NULL
+                   AND event_type NOT IN ('click', 'error', 'purchase',
+                                          'signup', 'view')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS st
+  FROM events),
+u AS (SELECT CAST(sum(c) AS BIGINT) AS checked,
+             CAST(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+               AS viol
+      FROM (SELECT event_id, count(*) AS c FROM events GROUP BY 1))
+SELECT 'event_id_unique' AS constraint_name, viol AS violations,
+       checked FROM u
+UNION ALL SELECT 'event_type_in_set', st, n FROM ra
+UNION ALL SELECT 'ts_not_null', nn_ts, n FROM ra
+UNION ALL SELECT 'user_id_not_null', nn_user, n FROM ra
+UNION ALL SELECT 'value_in_range', rng, n FROM ra
+ORDER BY constraint_name
+""")
+def dq_events_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the Deequ-lite suite over the events table: one fused row-rule
+    # aggregation + one uniqueness groupBy (operators/quality.dq_check
+    # compiles the whole suite to <= 3 passes whatever the rule count)
+    from ..operators.quality import (UniqueRule, dq_check, in_range,
+                                     in_set, not_null)
+    ev = load_table(spark, sf_dir, "events")
+    return dq_check(ev, [
+        not_null("user_id"), not_null("ts"),
+        in_range("value", lo=0.0),
+        in_set("event_type",
+               ("click", "error", "purchase", "signup", "view")),
+        UniqueRule("event_id_unique", ("event_id",)),
+    ])

@@ -493,3 +493,23 @@ def streaming_digit_uniformity(spark: SparkSession,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return digit_uniformity_from_counts(spark, spark.table(name))
+
+
+def streaming_user_day_counts(spark: SparkSession,
+                              events_parquet: str) -> DataFrame:
+    """(user_id, day, n) counts as a REAL streaming aggregate drained
+    availableNow in complete mode — the bounded-state (one row per
+    active user-day) base relation for the new-user-mix monitor: the
+    batch tail (operators/analytics.new_user_share_from_counts)
+    computes first-seen days and per-day shares on the drained sink,
+    the benford/srm/digit-twin pattern."""
+    stream = event_stream(spark, events_parquet)
+    g = (stream.select("user_id", F.to_date("ts").alias("day"))
+         .groupBy("user_id", "day")
+         .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    name = f"userday_{uuid.uuid4().hex[:8]}"
+    q = (g.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)

@@ -465,3 +465,165 @@ def test_coverage_curve_empty_corpus(spark):
     assert out[100]["n_vocab"] == 0
     assert out[100]["covered_tokens"] == 0
     assert out[100]["coverage"] is None
+
+
+# -- property tests (Hypothesis) for the round-12 math ------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+SLOW = settings(max_examples=6, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@SLOW
+@given(toks=st.lists(st.integers(min_value=1, max_value=500),
+                     min_size=1, max_size=8),
+       budget=st.integers(min_value=1, max_value=100_000))
+def test_token_budget_sums_exactly_and_is_proportional(spark, toks, budget):
+    # Hamilton invariants: quotas sum EXACTLY to the budget and each
+    # quota is within 1 of the real-valued proportional share
+    rows = [(i, " ".join(["w"] * t), f"s{i:02d}")
+            for i, t in enumerate(toks)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    out = {r["source"]: r["quota"]
+           for r in CP.token_budget_plan(df, budget=budget).collect()}
+    assert sum(out.values()) == budget
+    total = sum(toks)
+    for i, t in enumerate(toks):
+        exact = budget * t / total
+        q = out[f"s{i:02d}"]
+        assert exact - 1 < q < exact + 1
+
+
+@SLOW
+@given(gaps=st.lists(st.integers(min_value=1, max_value=10_000),
+                     min_size=2, max_size=12))
+def test_burstiness_stays_in_range(spark, gaps):
+    # B = (sd - m)/(sd + m) with m > 0: always in [-1, 1)
+    t, rows = H0, []
+    rows.append(("a", 1, t, 1.0))
+    for g in gaps:
+        t = t + dt.timedelta(seconds=g)
+        rows.append(("a", 1, t, 1.0))
+    r = AN.interarrival_burstiness(_events(spark, rows)).collect()[0]
+    assert r["n"] == len(gaps)
+    assert -1.0 <= r["burstiness"] < 1.0
+
+
+@SLOW
+@given(vecs=st.lists(
+    st.tuples(st.floats(min_value=-5, max_value=5, allow_nan=False),
+              st.floats(min_value=-5, max_value=5, allow_nan=False),
+              st.integers(min_value=0, max_value=2)),
+    min_size=2, max_size=10).filter(
+        lambda v: len({lbl for _, _, lbl in v}) >= 2))
+def test_silhouette_bounded(spark, vecs):
+    df = spark.createDataFrame(
+        [(i, [float(x), float(y)], int(lbl))
+         for i, (x, y, lbl) in enumerate(vecs)],
+        "vec_id long, embedding array<double>, label int")
+    for r in SIM.simplified_silhouette(df).collect():
+        assert -1.0 <= r["mean_silhouette"] <= 1.0
+
+
+@SLOW
+@given(counts=st.lists(st.integers(min_value=1, max_value=40),
+                       min_size=2, max_size=10))
+def test_coverage_curve_monotone_and_complete(spark, counts):
+    # coverage is monotone in the cutoff and reaches exactly 1.0 at
+    # (or past) the full vocabulary
+    text = " ".join(f"w{i:02d}" for i, c in enumerate(counts)
+                    for _ in range(c))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    cuts = (1, 2, len(counts), len(counts) + 5)
+    rows = CP.vocab_coverage_curve(df, cutoffs=cuts).orderBy("cutoff") \
+        .collect()
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)
+    assert rows[-1]["coverage"] == 1.0
+    assert rows[-1]["n_vocab"] == len(counts)
+
+
+@SLOW
+@given(amts=st.lists(st.floats(min_value=1.0, max_value=1000.0,
+                               allow_nan=False),
+                     min_size=2, max_size=8))
+def test_near_duplicate_invoices_symmetric_band(spark, amts):
+    # the integer cross-multiplication band must agree with the
+    # real-valued 1% test on exact cents
+    d0 = dt.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(i, 1, round(float(a), 2), d0 + dt.timedelta(days=i % 3))
+         for i, a in enumerate(amts)],
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp")
+    got = {(r["okey_a"], r["okey_b"])
+           for r in Q.near_duplicate_invoices(orders).collect()}
+    cents = [round(round(float(a), 2) * 100) for a in amts]
+    exp = set()
+    for i in range(len(amts)):
+        for j in range(len(amts)):
+            if i == j:
+                continue
+            di, dj = i % 3, j % 3
+            a_first = (di < dj) or (di == dj and i < j)
+            if not a_first or abs(dj - di) > 7:
+                continue
+            if 100 * abs(cents[i] - cents[j]) <= min(cents[i], cents[j]):
+                exp.add((i, j))
+    assert got == exp
+
+
+# -- batch 4 fixtures ----------------------------------------------------------
+
+def test_streaming_new_user_share_matches_batch(spark, tmp_path):
+    d0, d1 = MON, MON + dt.timedelta(days=1)
+    rows = [("a", 1, d0, 1.0), ("a", 1, d1, 1.0),
+            ("a", 2, d1, 1.0), ("a", 2, d1, 1.0)]
+    ev = _events(spark, rows)
+    p = str(tmp_path / "ev.parquet")
+    # write ts as TIMESTAMP_MICROS: Spark's INT96 default reads back
+    # as ns through the footer detector and mismatches the us schema
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        ev.write.parquet(p)
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        new_user_share_from_counts)
+    from stock_data_etl_pipeline_spark.streaming.events import (
+        streaming_user_day_counts)
+    got = {str(r["day"]): (r["n_events"], r["n_new_user_events"])
+           for r in new_user_share_from_counts(
+               streaming_user_day_counts(spark, p)).collect()}
+    exp = {str(r["day"]): (r["n_events"], r["n_new_user_events"])
+           for r in AN.new_user_share(ev).collect()}
+    assert got == exp
+    assert got["2024-01-09"] == (3, 2)  # u2's two events are new
+
+
+def test_dq_events_suite_flags_violations(spark):
+    ev = spark.createDataFrame(
+        [(1, H0, 1, "view", 5.0),
+         (1, H0, 2, "view", -1.0),       # dup event_id + negative value
+         (3, None, None, "bogus", 1.0)],  # null ts/user + bad type
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double")
+    from stock_data_etl_pipeline_spark.operators.quality import (
+        UniqueRule, dq_check, in_range, in_set, not_null)
+    out = {r["constraint_name"]: r["violations"]
+           for r in dq_check(ev, [
+               not_null("user_id"), not_null("ts"),
+               in_range("value", lo=0.0),
+               in_set("event_type",
+                      ("click", "error", "purchase", "signup", "view")),
+               UniqueRule("event_id_unique", ("event_id",)),
+           ]).collect()}
+    assert out["user_id_not_null"] == 1
+    assert out["ts_not_null"] == 1
+    assert out["value_in_range"] == 1
+    assert out["event_type_in_set"] == 1
+    assert out["event_id_unique"] == 1
