@@ -430,3 +430,91 @@ def test_word_burstiness_hot_word_and_template_doc(spark):
     exp_spread = (n * 100 - 10_000) / (n * 100)
     assert abs(out["spread"]["vmr"] - exp_spread) < 1e-12
     assert out["burst"]["vmr"] > 10 * out["spread"]["vmr"]
+
+
+# ---------------------------------------------------------------------------
+# round-12 skew/scale depth: VPIN, burstiness/ACF, silhouette, modularity
+# ---------------------------------------------------------------------------
+
+def test_round12_event_ops_partition_invariant_under_skew(
+        spark, skewed_ticks):
+    """VPIN, burstiness and the hourly-count ACF on the hot-symbol
+    fixture must hash-match between 32 and 7 shuffle partitions: the
+    tick-rule carry-forward, the gap power sums and the lag joins ride
+    (symbol/time)-keyed total orders, so skew may move tasks but never
+    values."""
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        hourly_count_acf, interarrival_burstiness)
+
+    def run():
+        return (_hash_rows(ind.vpin(skewed_ticks)),
+                _hash_rows(interarrival_burstiness(skewed_ticks)),
+                _hash_rows(hourly_count_acf(skewed_ticks, max_lag=6)))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        h32 = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        h7 = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert h32 == h7
+
+
+def test_silhouette_giant_label_stays_centroid_bounded(spark):
+    """One label holding ~90% of vectors: the centroid silhouette must
+    stay linear (explode -> |labels|*dim centroid broadcast -> two
+    hash-aggs) — no per-label pairwise work — and remain exact across
+    partition counts."""
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        simplified_silhouette)
+    emb = load_table(spark, SF001, "embeddings")
+    skewed = emb.withColumn(
+        "label",
+        F.when(F.col("vec_id") % 10 != 0, F.lit(0)).otherwise(
+            F.col("label")))
+    plan = simplified_silhouette(skewed)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        h32 = _hash_rows(simplified_silhouette(skewed))
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        h7 = _hash_rows(simplified_silhouette(skewed))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert h32 == h7
+
+
+def test_modularity_hot_basket_graph_exact_under_partitioning(spark):
+    """LPA modularity on a hot-block co-purchase graph (one basket
+    containing many parts -> a dense clique block) must be
+    partition-invariant: every step is integer (counts, degree sums,
+    the 4*m*e_c - d_c^2 numerator) so only the ONE final division is
+    float."""
+    from stock_data_etl_pipeline_spark.operators.analytics import (
+        lpa_modularity)
+    li = load_table(spark, SF001, "lineitem").limit(4000)
+    oi = (li.select(F.col("l_orderkey").alias("bk"),
+                    F.col("l_partkey").alias("i"))
+          # remap ~25% of rows into ONE hot basket -> clique block
+          .withColumn("bk", F.when(F.col("i") % 4 == 0, F.lit(-1))
+                      .otherwise(F.col("bk")))
+          .distinct())
+    a, b = oi.alias("a"), oi.alias("b")
+    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
+                    & (F.col("a.i") < F.col("b.i")))
+             .select(F.col("a.i").alias("pa"), F.col("b.i").alias("pb")))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        r32 = lpa_modularity(pairs, "pa", "pb").collect()[0]
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        r7 = lpa_modularity(pairs, "pa", "pb").collect()[0]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert r32 == r7
+    assert r32["m_edges"] > 0 and -1.0 <= r32["modularity"] <= 1.0
