@@ -3196,3 +3196,31 @@ def new_user_share_from_counts(counts: DataFrame) -> DataFrame:
                      / F.col("n_events").cast("double"))
                     .alias("new_share"))
             .orderBy("day"))
+
+
+def hour_of_day_entropy(events: DataFrame) -> DataFrame:
+    """Shannon entropy of each event type's hour-of-day distribution
+    (0..23) — "is this activity spread around the clock or
+    concentrated": H = ln 24 marks perfectly uniform usage, H → 0 a
+    single-hour spike (bots, batch jobs, one-timezone products). The
+    clock-position companion of :func:`poisson_overdispersion`
+    (dispersion) and :func:`hourly_count_acf` (periodicity).
+
+    The exact-grid Shannon form shared with session_entropy_profile:
+    H = ln n − (Σ round(c·ln c · 1e6)) / 1e6 / n over the 24 hour
+    bins — integer summands, one double expression at emit. Output:
+    (event_type, n_events, n_hours_active, entropy).
+    """
+    g = (events.select("event_type", F.hour("ts").alias("hod"))
+         .groupBy("event_type", "hod")
+         .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    term = F.round(F.col("c") * F.log("c") * 1e6, 0).cast("long")
+    a = (g.groupBy("event_type")
+         .agg(F.sum("c").cast("long").alias("n"),
+              F.count(F.lit(1)).cast("long").alias("n_hours_active"),
+              F.sum(term).cast("long").alias("t")))
+    h = (F.log(F.col("n").cast("double"))
+         - (F.col("t").cast("double") / 1e6) / F.col("n").cast("double"))
+    return (a.select("event_type", F.col("n").alias("n_events"),
+                     "n_hours_active", h.alias("entropy"))
+            .orderBy("event_type"))

@@ -195,3 +195,46 @@ def interleaved_pack(docs, chunk_size: int = 32,
         (F.sum("tokens").over(run) - F.col("tokens")).cast("long")
         .alias("token_offset"))
         .orderBy(id_col, "position"))
+
+
+def shard_modality_balance(docs, n_shards: int = 8,
+                           chunk_size: int = 32,
+                           img_every_chars: int = 100,
+                           patch_tokens: int = 16,
+                           text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """Modality-balanced shard audit for interleaved multimodal packs:
+    assign every document to the deterministic md5 shard (the
+    corpus.shard_plan key, so text and media of one document always
+    land together) and report per-(shard, modality) item/token counts
+    plus each cell's token share of its modality — the pre-flight
+    check before writing N multimodal training shards (a shard
+    starved of images degrades every batch it feeds).
+
+    Composes :func:`interleaved_pack`'s item relation (refs only —
+    pixels never shuffle) with the shard key; counts are exact
+    BIGINTs and the skew ratio is ONE double expression per emitted
+    cell (exactly 1.0 = this shard holds its fair 1/n share of the
+    modality's tokens).
+
+    Shape at 100 TB: the pack relation is token-chunk-cardinality; one
+    (shard, modality) hash-agg plus a modality-total broadcast.
+    """
+    from pyspark.sql import functions as F
+
+    items = interleaved_pack(docs, chunk_size, img_every_chars,
+                             patch_tokens, text_col, id_col)
+    shard = F.expr(
+        f"cast(conv(substr(md5(cast({id_col} AS STRING)), 1, 15), 16, 10) "
+        f"AS BIGINT) % {n_shards}")
+    g = (items.select(shard.alias("shard"), "modality", "tokens")
+         .groupBy("shard", "modality")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+              F.sum("tokens").cast("long").alias("n_tokens")))
+    tot = (g.groupBy("modality")
+           .agg(F.sum("n_tokens").cast("long").alias("mt")))
+    return (g.join(F.broadcast(tot), "modality")
+            .select("shard", "modality", "n_items", "n_tokens",
+                    (F.col("n_tokens").cast("double") * n_shards
+                     / F.col("mt").cast("double")).alias("token_skew"))
+            .orderBy("shard", "modality"))

@@ -822,7 +822,12 @@ def corpus_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CP.cv_fold_assignment(d, k=5)
 
 
-@register("multimodal_interleaved_pack", f"""
+# the interleaved image-text item relation (doc_id, ref, k1, k2,
+# modality, tokens) — the ONE definition shared by
+# multimodal_interleaved_pack here and multimodal_shard_balance
+# (catalog_round12): a second copy would silently desync the two on
+# any chunking change
+_MM_ITEMS_CTE = f"""
 WITH w AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
 b AS (SELECT doc_id, len(ws) AS n FROM w WHERE len(ws) > 0),
 tc AS (SELECT doc_id, n,
@@ -837,7 +842,10 @@ im AS (SELECT doc_id, unnest(range(0, n_chars // 100)) AS ref
 i AS (SELECT doc_id, ref, ref AS k1, 1 AS k2, 'image' AS modality,
              16::BIGINT AS tokens
       FROM im),
-u AS (SELECT * FROM t UNION ALL SELECT * FROM i)
+u AS (SELECT * FROM t UNION ALL SELECT * FROM i)"""
+
+
+@register("multimodal_interleaved_pack", _MM_ITEMS_CTE + """
 SELECT doc_id,
        (row_number() OVER wd - 1)::BIGINT AS position,
        modality, ref, tokens,

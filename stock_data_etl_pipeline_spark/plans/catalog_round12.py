@@ -979,3 +979,104 @@ def dq_events_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
                ("click", "error", "purchase", "signup", "view")),
         UniqueRule("event_id_unique", ("event_id",)),
     ])
+
+
+# ---------------------------------------------------------------------------
+# batch 5: multimodal shard balance, hour-of-day entropy, doc-length Gini
+# ---------------------------------------------------------------------------
+
+def _mm_balance_sql() -> str:
+    from ..operators import corpus as co
+    from .catalog_corpus import _MM_ITEMS_CTE
+
+    n = co.SHARD_COUNT
+    return _MM_ITEMS_CTE + f""",
+g AS (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         ::BIGINT % {n} AS shard,
+       modality,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(tokens) AS BIGINT) AS n_tokens
+      FROM u GROUP BY 1, 2),
+tot AS (SELECT modality, CAST(sum(n_tokens) AS BIGINT) AS mt
+        FROM g GROUP BY modality)
+SELECT g.shard, g.modality, g.n_items, g.n_tokens,
+       CAST(g.n_tokens AS DOUBLE) * {n} / CAST(t.mt AS DOUBLE)
+         AS token_skew
+FROM g JOIN tot t ON t.modality = g.modality
+ORDER BY g.shard, g.modality
+"""
+
+
+@register("multimodal_shard_balance", _mm_balance_sql())
+def multimodal_shard_balance(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    # modality-balanced shard audit for the interleaved multimodal
+    # pack: md5 doc sharding (text+media co-located), per-(shard,
+    # modality) exact counts, token share vs the fair 1/n
+    from ..operators.multimodal import shard_modality_balance
+    d = load_table(spark, sf_dir, "documents")
+    return shard_modality_balance(d)
+
+
+@register("events_hour_entropy", """
+WITH g AS (SELECT event_type, hour(ts) AS hod,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+a AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_hours_active,
+             CAST(sum(CAST(round(c * ln(c) * 1000000.0, 0) AS BIGINT))
+                  AS BIGINT) AS t
+      FROM g GROUP BY event_type)
+SELECT event_type, n AS n_events, n_hours_active,
+       ln(CAST(n AS DOUBLE))
+         - (CAST(t AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)
+         AS entropy
+FROM a ORDER BY event_type
+""")
+def events_hour_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hour-of-day Shannon entropy per type on the exact c·ln c grid —
+    # around-the-clock vs single-spike usage
+    from ..operators.analytics import hour_of_day_entropy
+    ev = load_table(spark, sf_dir, "events")
+    return hour_of_day_entropy(ev)
+
+
+@register("corpus_doc_length_gini", f"""
+WITH x AS (
+  SELECT source AS g, doc_id AS e,
+         CAST(len(list_filter(string_split(text, ' '), t -> t != ''))
+              AS BIGINT) AS x
+  FROM documents
+  WHERE len(list_filter(string_split(text, ' '), t -> t != '')) > 0
+), h AS (SELECT g, x, CAST(count(*) AS BIGINT) AS w FROM x GROUP BY g, x),
+hc AS (
+  SELECT g, x, w,
+         CAST(sum(w) OVER (PARTITION BY g ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w
+              AS BIGINT) AS c
+  FROM h
+), a AS (
+  SELECT g, CAST(sum(w) AS BIGINT) AS n,
+         CAST(sum(x * w) AS BIGINT) AS sx,
+         CAST(sum(x * (c * w + w * (w + 1) // 2)) AS BIGINT) AS s1
+  FROM hc GROUP BY g
+), b AS (
+  SELECT g, n, sx, CAST(2 * s1 - (n + 1) * sx AS BIGINT) AS num,
+         CAST(n * sx AS BIGINT) AS den FROM a
+)
+SELECT g AS source, n AS n_entities, sx AS n_rows,
+       CASE WHEN den > 0
+            THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE) END AS gini
+FROM b ORDER BY source
+""")
+def corpus_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token-length inequality across documents per source (rank-formula
+    # Gini on the length histogram — the grouped_count_gini kernel over
+    # exploded tokens): a high-Gini source mixes stubs with tomes and
+    # skews any per-doc sampling
+    from ..functions.text import words
+    from ..operators.analytics import grouped_count_gini
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", "doc_id",
+                   F.explode(words("text")).alias("_w"))
+    return grouped_count_gini(tok, "source", "doc_id")

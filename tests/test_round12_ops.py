@@ -10,6 +10,8 @@ import datetime as dt
 import hashlib
 import math
 
+from pyspark.sql import functions as F
+
 from stock_data_etl_pipeline_spark.operators import analytics as AN
 from stock_data_etl_pipeline_spark.operators import corpus as CP
 from stock_data_etl_pipeline_spark.operators import indicators as ind
@@ -627,3 +629,47 @@ def test_dq_events_suite_flags_violations(spark):
     assert out["value_in_range"] == 1
     assert out["event_type_in_set"] == 1
     assert out["event_id_unique"] == 1
+
+
+# -- batch 5 fixtures ----------------------------------------------------------
+
+def test_shard_modality_balance_hand_computed(spark):
+    from stock_data_etl_pipeline_spark.operators.multimodal import (
+        shard_modality_balance)
+    # one doc: 3 words (1 text chunk of 3 tokens), 250 chars -> 2
+    # image refs of 16 patch tokens each
+    df = spark.createDataFrame(
+        [(7, "a b c", 250)], "doc_id long, text string, n_chars long")
+    out = {r["modality"]: r for r in
+           shard_modality_balance(df).collect()}
+    exp_shard = int(hashlib.md5(b"7").hexdigest()[:15], 16) % CP.SHARD_COUNT
+    assert out["text"]["shard"] == exp_shard
+    assert out["text"]["n_items"] == 1 and out["text"]["n_tokens"] == 3
+    assert out["image"]["n_items"] == 2 and out["image"]["n_tokens"] == 32
+    # one shard holds everything -> it carries n_shards x the fair share
+    assert out["text"]["token_skew"] == float(CP.SHARD_COUNT)
+
+
+def test_hour_entropy_hand_computed(spark):
+    # type a: 2 events in one hour -> H = ln2 - (2 ln2)/2 = 0
+    # type b: 1 event in each of two hours -> H = ln2 exactly
+    rows = [("a", 1, H0, 1.0), ("a", 1, H0 + dt.timedelta(minutes=5), 1.0),
+            ("b", 1, H0, 1.0), ("b", 1, H0 + dt.timedelta(hours=1), 1.0)]
+    out = {r["event_type"]: r for r in
+           AN.hour_of_day_entropy(_events(spark, rows)).collect()}
+    assert out["a"]["n_hours_active"] == 1
+    # the c*ln(c) grid is 1e-6: |H| <= n_terms/1e6/n
+    assert abs(out["a"]["entropy"]) < 1e-6
+    assert out["b"]["n_hours_active"] == 2
+    assert abs(out["b"]["entropy"] - math.log(2)) < 1e-6
+
+
+def test_doc_length_gini_equal_lengths_zero(spark):
+    from stock_data_etl_pipeline_spark.functions.text import words as W
+    df = spark.createDataFrame(
+        [(1, "a b c", "s"), (2, "d e f", "s")],
+        "doc_id long, text string, source string")
+    tok = df.select("source", "doc_id", F.explode(W("text")).alias("_w"))
+    out = AN.grouped_count_gini(tok, "source", "doc_id").collect()[0]
+    assert out["n_entities"] == 2 and out["n_rows"] == 6
+    assert out["gini"] == 0.0  # equal lengths: perfect equality
