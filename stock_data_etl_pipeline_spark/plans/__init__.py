@@ -187,11 +187,14 @@ def _window_order(root: str | None = None) -> list[str]:
         head = list(_ROUND3_WINDOW)
     else:
         # later rounds, self-advancing: queries with a RED driver row
-        # first (prove the fix), then greens whose FINGERPRINT moved
-        # since their last green row (the code the row attests no
-        # longer exists — r10 tier, see _query_fingerprint), then
-        # never-driver-checked (in registration order — earliest
-        # families have waited longest), then green, ranked by the
+        # first (prove the fix), then a FAIR INTERLEAVE of greens
+        # whose FINGERPRINT moved since their last green row (the
+        # code the row attests no longer exists — r10 tier, see
+        # _query_fingerprint) with never-driver-checked queries (in
+        # registration order — earliest families have waited
+        # longest; interleaved so neither tier can flood the fixed
+        # 50-row window and starve the other, the r13 hazard), then
+        # green, ranked by the
         # ROUND of their last green row, oldest-verified first. That
         # last key makes the 50-query window CYCLE through the whole
         # green catalog across rounds instead of re-checking the same
@@ -207,18 +210,43 @@ def _window_order(root: str | None = None) -> list[str]:
         live_fp = {n: _query_fingerprint(n) for n in manifest
                    if n in CATALOG}
 
-        def rank(n: str) -> tuple[int, int, int]:
+        def cls(n: str) -> int:
             if status.get(n) == "red":
-                cls = 0
-            elif n not in status:
-                cls = 2
-            elif n in manifest and manifest[n] != live_fp.get(n):
-                cls = 1  # green row attests code that no longer exists
-            else:
-                cls = 3
-            return (cls, last_round.get(n, 0), reg_index[n])
+                return 0
+            if n not in status:
+                return 2
+            if n in manifest and manifest[n] != live_fp.get(n):
+                return 1  # green row attests code that no longer exists
+            return 3
 
-        head = sorted(CATALOG, key=rank)
+        def rank(n: str) -> tuple[int, int]:
+            return (last_round.get(n, 0), reg_index[n])
+
+        tiers: dict[int, list[str]] = {0: [], 1: [], 2: [], 3: []}
+        for n in CATALOG:
+            tiers[cls(n)].append(n)
+        for t in tiers.values():
+            t.sort(key=rank)
+        # FAIR INTERLEAVE of the changed-attestation tier (1) and the
+        # never-checked tier (2), changed first — neither may starve
+        # the other out of the driver's fixed 50-row window. Strict
+        # changed-before-never (the r10 ordering) let ONE edit to a
+        # hub helper (round 13: the pin_cut root resolver, reachable
+        # from 39 green queries' closures) flood the window and push
+        # brand-new never-attested queries out for a round; strict
+        # never-before-changed would let a rookie flood (27 new
+        # queries in round 12 alone) starve re-attestation of changed
+        # code the same way. Alternating guarantees each tier at
+        # least ~half the window until exhausted, while every member
+        # of both tiers still outranks every fresh green.
+        mixed: list[str] = []
+        ch, nv = tiers[1], tiers[2]
+        for i in range(max(len(ch), len(nv))):
+            if i < len(ch):
+                mixed.append(ch[i])
+            if i < len(nv):
+                mixed.append(nv[i])
+        head = tiers[0] + mixed + tiers[3]
     return head + [n for n in CATALOG if n not in set(head)]
 
 

@@ -31,7 +31,7 @@ try:  # pragma: no cover - environment-dependent
 except Exception:  # pragma: no cover
     # delta-spark absent: `pip install delta-spark` retried and failed
     # ("no matching distribution" — no package network in the sandbox)
-    # on 2026-08-13; `import delta` re-checked absent 2026-08-16 (r12).
+    # on 2026-08-13; `import delta` re-checked absent 2026-08-16 (r13).
     # merge/CDF/time-travel semantics run on the parquet ManagedTable
     # replica until the package can land.
     configure_spark_with_delta_pip = None

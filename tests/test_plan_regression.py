@@ -217,6 +217,84 @@ def test_committed_plan_audit_is_fresh_and_clean():
             assert cm.group(1) == "0", f"cartesian product: {line}"
 
 
+# Queries ALLOWED a nonzero globalwin count (unpartitioned physical
+# Window nodes) because the window's input relation is bounded by a
+# CONSTANT, never by data size — verified by reading each site
+# (round-12 verdict swept all 11 Window.orderBy-without-partitionBy
+# sources; round 13 bounded the one data-scaled offender,
+# vocab_coverage_curve, to max(cutoffs) rows via TakeOrdered). Any
+# query outside this list with globalwin > 0 is a scale defect: Spark
+# moves the window's entire input to ONE task.
+GLOBALWIN_ALLOWED = {
+    # post-TakeOrdered top-k relations (≤ a constant row count)
+    "corpus_coverage_curve",   # ≤ max(cutoffs)=10k rows after limit
+    "corpus_zipf_fit",         # ≤ top_n=500 rows after limit
+    "corpus_bm25_search",      # ≤ k rows after limit (corpus.py:774)
+    "hybrid_rrf_retrieval",    # ≤ k rows after limit (same site)
+    # fixed-bin histograms / tiny fixed matrices
+    "graph_rich_club",         # ≤64 log2 degree bins (analytics.py:874)
+    "graph_degree_distribution",   # ≤64 log2 degree bins
+    "events_benford_digits",   # 9 leading digits
+    "orders_pareto_deciles",   # 10-row decile matrix
+    "orders_reorder_census",   # gap-day buckets (span-bounded)
+    # calendar-bounded grids (|hours| / |weeks| / 7x24 rows — grow
+    # with observation span, never with data volume)
+    "events_survival_curve",
+    "events_dow_hour_profile",
+    "events_dow_hour_decomposition",
+    "events_seasonal_anomalies",
+    "stock_rolling_corr",
+    "stock_pairs_zscore",
+    "stock_temporal_split",
+    "stock_advance_decline",
+    # |sources|-row relations (groups of a low-cardinality dimension)
+    "corpus_source_balance",
+    "corpus_token_budget",
+    # sub-linear relations: |distinct degree/weight values| ≤ 2*sqrt(2E)
+    # (k distinct values need k(k+1)/2 <= sum(deg)=2E) — ~2e6 tiny rows
+    # through one task even at E=1e12
+    "graph_degree_gini",
+    "graph_copurchase_weights",
+}
+
+
+def test_no_unbounded_global_windows_in_committed_audit():
+    """Every globalwin= count in the newest committed PLAN_AUDIT must be
+    zero unless the query is explicitly allowlisted as constant-bounded
+    (the round-12 vocab_coverage_curve class: an unpartitioned window
+    whose input scales with data runs on ONE task at 100 TB). A new
+    query that plans a data-scaled global window goes red here until it
+    is bounded or consciously allowlisted."""
+    import glob
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tools")
+    audits = []
+    for p in glob.glob(os.path.join(root, "PLAN_AUDIT_r*.txt")):
+        m = re.search(r"PLAN_AUDIT_r(\d+)\.txt$", p)
+        if m:
+            audits.append((int(m.group(1)), p))
+    _, latest = max(audits)
+    text = open(latest).read()
+    assert "globalwin=" in text, (
+        f"{latest} predates the globalwin column — regenerate the audit")
+    offenders = []
+    for line in text.splitlines():
+        gm = re.search(r"^(\S+)\s.*\bglobalwin=(\d+)", line)
+        if gm and int(gm.group(2)) > 0 and gm.group(1) not in GLOBALWIN_ALLOWED:
+            offenders.append(line.split()[0])
+    assert not offenders, (
+        "unallowlisted unpartitioned-window queries (bound the window's "
+        f"input or allowlist with a reading): {offenders}")
+    stale = GLOBALWIN_ALLOWED - {
+        line.split()[0] for line in text.splitlines()
+        if re.search(r"\bglobalwin=[1-9]", line)}
+    assert not stale, (
+        f"allowlist entries with globalwin=0 in the audit — prune: {stale}")
+
+
 def test_triangle_queries_never_materialize_wedges(spark):
     """The r8 triangle formulation: degree-oriented edges + per-edge
     adjacency intersection. The executed plans must carry the

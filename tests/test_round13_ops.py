@@ -1,0 +1,264 @@
+"""Round-13 consolidation tests.
+
+Covers the round-12 verdict/advice closures:
+
+- ``vocab_coverage_curve`` no longer runs an unpartitioned window over
+  the data-scaled vocab relation — the vocab is top-k'd through a
+  distributed ``TakeOrderedAndProject`` and only the ≤ max(cutoffs)-row
+  result is ranked (verdict item 1).
+- ``tools.plan_audit._count_global_windows`` detects unpartitioned
+  physical Window nodes so the plan-regression gate can allowlist the
+  constant-bounded sites and fail on any new data-scaled one
+  (verdict item 2).
+- ``operators.pinned._cut_root`` treats an ABSENT ``spark.master`` as
+  non-local and memoizes per (pinCutDir, master) configuration instead
+  of once per process (round-12 advice).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from stock_data_etl_pipeline_spark.operators import corpus as CP
+from stock_data_etl_pipeline_spark.operators import pinned
+from tools.plan_audit import _count_global_windows, audit_one
+
+
+# ---------------------------------------------------------------- coverage
+
+
+def test_coverage_curve_vocab_never_globally_sorted(spark):
+    """The vocab relation must reach the rank window through a
+    distributed top-k (TakeOrderedAndProject), never a global sort —
+    the round-12 scale defect was the full |vocab| relation moving to
+    one partition."""
+    df = spark.createDataFrame(
+        [(i, "alpha beta beta gamma") for i in range(50)], ["id", "text"])
+    out = CP.vocab_coverage_curve(df, cutoffs=(2, 100))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    # the one remaining global window ranks the ≤ max(cutoffs)-row
+    # top-k relation — bounded by a constant, which is the allowlisted
+    # shape; it must sit ABOVE the TakeOrdered, so the full-vocab sort
+    # never happens
+    assert _count_global_windows(plan) >= 1
+
+
+def test_coverage_curve_values_unchanged_by_bounding(spark):
+    """Bounding the ranked relation must not change any emitted value:
+    hand-computed curve on a corpus where |vocab| straddles the
+    cutoffs (2 < |vocab|=3 < 100)."""
+    df = spark.createDataFrame(
+        [(1, "a a a b b c")], ["id", "text"])
+    rows = {r["cutoff"]: r for r in
+            CP.vocab_coverage_curve(df, cutoffs=(2, 100)).collect()}
+    assert rows[2]["n_vocab"] == 2
+    assert rows[2]["covered_tokens"] == 5          # a:3 + b:2
+    assert rows[2]["coverage"] == pytest.approx(5 / 6)
+    assert rows[100]["n_vocab"] == 3
+    assert rows[100]["covered_tokens"] == 6
+    assert rows[100]["coverage"] == pytest.approx(1.0)
+
+
+def test_coverage_curve_empty_corpus_still_zero(spark):
+    """count()-based totals: an empty corpus yields n_vocab=0 /
+    covered=0 / NULL coverage (the round-12 review finding must stay
+    closed after the rewrite)."""
+    df = spark.createDataFrame([], "id long, text string")
+    rows = CP.vocab_coverage_curve(df, cutoffs=(100,)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_vocab"], r["covered_tokens"], r["coverage"]) == (0, 0, None)
+
+
+# ------------------------------------------------------ global-win counter
+
+
+GLOBAL_LINE = (
+    "+- Window [row_number() windowspecdefinition(v#2L ASC NULLS FIRST, "
+    "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+    "AS r#3], [v#2L ASC NULLS FIRST]")
+PART_LINE = (
+    "+- Window [row_number() windowspecdefinition(k#1L, v#2L ASC NULLS "
+    "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+    "currentrow$())) AS r#5], [k#1L], [v#2L ASC NULLS FIRST]")
+
+
+PART_NO_ORDER_LINE = (
+    "+- Window [sum(v#2L) windowspecdefinition(k#1L, "
+    "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+    "unboundedfollowing$())) AS s#3L], [k#1L]")
+GLOBAL_NO_ORDER_LINE = (
+    "+- Window [sum(v#2L) windowspecdefinition(specifiedwindowframe("
+    "RowFrame, unboundedpreceding$(), unboundedfollowing$())) AS s#5L]")
+
+
+def test_global_window_counter_on_plan_strings():
+    assert _count_global_windows(GLOBAL_LINE) == 1
+    assert _count_global_windows(PART_LINE) == 0
+    # partitionBy WITHOUT orderBy also prints 2 bracket groups but is
+    # NOT global — the last group has no ASC/DESC sort markers
+    assert _count_global_windows(PART_NO_ORDER_LINE) == 0
+    # empty partitionBy and no orderBy: 1 group, global
+    assert _count_global_windows(GLOBAL_NO_ORDER_LINE) == 1
+    assert _count_global_windows(GLOBAL_LINE + "\n" + PART_LINE
+                                 + "\n" + GLOBAL_LINE) == 2
+    # WindowGroupLimit / unrelated lines never match the anchor
+    assert _count_global_windows(
+        "+- WindowGroupLimit [v#2L ASC], rank(v#2L), 5\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS") == 0
+    assert _count_global_windows("") == 0
+
+
+def test_global_window_counter_live_plans(spark):
+    """The counter must agree with Spark's own WindowExec warning on
+    live plans: a partitionBy window counts 0, an empty-partitionBy
+    window counts ≥1."""
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    from pyspark.sql import Window
+    gl = df.select(F.row_number().over(Window.orderBy("v")).alias("r"))
+    gl.collect()
+    assert _count_global_windows(
+        gl._jdf.queryExecution().executedPlan().toString()) >= 1
+    pt = df.select(F.row_number().over(
+        Window.partitionBy("k").orderBy("v")).alias("r"))
+    pt.collect()
+    assert _count_global_windows(
+        pt._jdf.queryExecution().executedPlan().toString()) == 0
+    pno = df.select(F.sum("v").over(Window.partitionBy("k")).alias("s"))
+    pno.collect()
+    assert _count_global_windows(
+        pno._jdf.queryExecution().executedPlan().toString()) == 0
+    gno = df.select(F.sum("v").over(Window.partitionBy()).alias("s"))
+    gno.collect()
+    assert _count_global_windows(
+        gno._jdf.queryExecution().executedPlan().toString()) >= 1
+
+
+def test_audit_one_exports_globalwin(spark, tmp_path):
+    """audit_one must expose the counter so the committed PLAN_AUDIT
+    artifact carries a globalwin= column for the regression gate."""
+    import __spark_entry__ as entrymod
+    props, _ = audit_one(
+        spark, entrymod.queries()["q6_revenue_change"],
+        "/root/testdata/sf0.001")
+    assert "globalwin" in props
+    assert props["globalwin"] == 0
+
+
+# ------------------------------------------------------ window interleave
+
+
+def test_changed_and_never_checked_tiers_interleave(tmp_path):
+    """A hub-helper edit that moves MANY green fingerprints must not
+    flood the driver's fixed 50-row window and starve never-checked
+    rookies (the r13 hazard: one pin_cut-resolver edit moved 39 green
+    closures while 18 rookies awaited their first row) — and a rookie
+    flood must not starve changed-code re-attestation either. The
+    window order must alternate the two tiers."""
+    import json
+
+    from stock_data_etl_pipeline_spark.plans import (CATALOG,
+                                                     _query_fingerprint,
+                                                     _window_order)
+
+    names = list(CATALOG)
+    changed = names[:6]          # green rows whose fingerprint moved
+    rookies = names[6:10]        # never driver-checked
+    greens = names[10:12]        # green, fingerprint current
+    art = {n: {"rows_match": True, "schema_match": True,
+               "hash_match": True} for n in changed + greens}
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps(art))
+    (tmp_path / "tools").mkdir()
+    manifest = {n: {"fp": "feed0000dead0000", "round": 7} for n in changed}
+    manifest.update({n: {"fp": _query_fingerprint(n), "round": 7}
+                     for n in greens})
+    (tmp_path / "tools" / "QUERY_FINGERPRINTS.json").write_text(
+        json.dumps(manifest))
+    order = _window_order(str(tmp_path))
+    # head alternates changed, rookie, changed, rookie ... — after 4
+    # pairs the rookie tier is exhausted and changed continues; the
+    # first 8 slots must contain BOTH whole tiers' fair shares
+    head8 = order[:8]
+    assert sum(n in changed for n in head8) == 4
+    assert sum(n in rookies for n in head8) == 4
+    assert order[0] in changed                   # changed leads the pair
+    # both tiers fully precede every fresh green
+    last_tiered = max(order.index(n) for n in changed + rookies)
+    assert all(order.index(g) > last_tiered for g in greens)
+    assert sorted(order) == sorted(CATALOG)
+
+
+# ------------------------------------------------------------- _cut_root
+
+
+class _FakeConf:
+    def __init__(self, d):
+        self._d = d
+
+    def get(self, k, default=None):
+        return self._d.get(k, default)
+
+
+class _FakeSpark:
+    def __init__(self, **conf):
+        self.conf = _FakeConf(conf)
+
+
+@pytest.fixture()
+def fresh_cut_roots():
+    saved = dict(pinned._CUT_ROOTS)
+    pinned._CUT_ROOTS.clear()
+    yield pinned._CUT_ROOTS
+    pinned._CUT_ROOTS.clear()
+    pinned._CUT_ROOTS.update(saved)
+
+
+def test_cut_root_absent_master_is_not_local(fresh_cut_roots, tmp_path):
+    """No spark.master conf (Spark Connect) must NOT resolve to a
+    driver-local tempdir — it falls to the cluster-visible warehouse
+    branch (round-12 advice)."""
+    wh = str(tmp_path / "warehouse")
+    root = pinned._cut_root(_FakeSpark(**{"spark.sql.warehouse.dir": wh}))
+    assert root.startswith(wh)
+    assert "spark-pin-cut-" in root
+
+
+def test_cut_root_memo_keyed_on_config(fresh_cut_roots, tmp_path):
+    """A later session that sets spark.stockDataEtl.pinCutDir must get
+    a root under THAT dir, not the memoized earlier root; asking twice
+    with the same config reuses the memo."""
+    local = _FakeSpark(**{"spark.master": "local[4]"})
+    r1 = pinned._cut_root(local)
+    assert pinned._cut_root(local) == r1  # memo hit
+    conf_dir = str(tmp_path / "shared")
+    confd = _FakeSpark(**{"spark.master": "local[4]",
+                          "spark.stockDataEtl.pinCutDir": conf_dir})
+    r2 = pinned._cut_root(confd)
+    assert r2 != r1
+    assert r2.startswith(conf_dir)
+    assert "spark-pin-cut-" in r2
+
+
+def test_cut_root_nonlocal_master_uses_warehouse(fresh_cut_roots, tmp_path):
+    wh = str(tmp_path / "wh2")
+    sp = _FakeSpark(**{"spark.master": "spark://host:7077",
+                       "spark.sql.warehouse.dir": wh})
+    root = pinned._cut_root(sp)
+    assert root.startswith(wh)
+    assert "spark-pin-cut-" in root
+
+
+# ----------------------------------------------------------------- bench
+
+
+def test_bench_records_attempt_loadavg():
+    """bench.py must stamp a per-attempt loadavg list next to
+    attempt_times (round-12 verdict item 6) — checked statically so
+    the test doesn't pay a bench run."""
+    src = open("bench.py").read()
+    assert "attempt_loadavg" in src
+    assert "os.getloadavg()[0]" in src

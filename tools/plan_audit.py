@@ -18,6 +18,58 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _count_global_windows(plan: str) -> int:
+    """Count physical ``Window`` nodes with an EMPTY partition spec —
+    the "Moving all data to a single partition" shape. A WindowExec
+    line prints top-level bracket groups as:
+
+    - ``Window [exprs], [partSpec], [orderSpec]`` — partitioned (3)
+    - ``Window [exprs], [partSpec]``   — partitioned, no order (2,
+      last group has NO ASC/DESC sort markers)
+    - ``Window [exprs], [orderSpec]``  — GLOBAL ordered window (2,
+      last group carries ASC/DESC)
+    - ``Window [exprs]``               — GLOBAL unordered window (1)
+
+    Nested brackets inside expressions are handled by depth counting;
+    ``WindowGroupLimit``/``WindowInPandas`` lines don't match the
+    ``"Window ["`` anchor. A nonzero count is only ACCEPTABLE when the
+    window's input relation is bounded by a constant (post-limit
+    top-k, fixed histogram bins, calendar-bounded domains) — the
+    regression gate allowlists exactly those queries; anything else is
+    the round-12 ``vocab_coverage_curve`` defect (a data-scaled
+    relation forced through one task). AQE plan strings repeat nodes
+    (final + initial plan), so counts are typically even — treat the
+    value as a flag, not a site count."""
+    n = 0
+    for line in plan.splitlines():
+        m = re.search(r"\bWindow \[", line)
+        if not m:
+            continue
+        depth = 0
+        groups: list[str] = []
+        buf: list[str] = []
+        for ch in line[m.end() - 1:]:
+            if ch == "[":
+                if depth == 0:
+                    buf = []
+                depth += 1
+                if depth > 1:
+                    buf.append(ch)
+            elif ch == "]" and depth:
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                else:
+                    buf.append(ch)
+            elif depth:
+                buf.append(ch)
+        if len(groups) == 1 or (
+                len(groups) == 2
+                and re.search(r"\b(ASC|DESC)\b", groups[-1])):
+            n += 1
+    return n
+
+
 def audit_one(spark, fn, sf_dir: str) -> tuple[dict, str]:
     """Execute one catalog query and return (plan-properties, plan
     string). Importable so the pytest plan-regression gate asserts the
@@ -55,6 +107,10 @@ def audit_one(spark, fn, sf_dir: str) -> tuple[dict, str]:
         "nodes": plan.count("\n") + 1,
         "cuts": plan.count("spark-pin-cut-"),
         "rddleaf": plan.count("Scan ExistingRDD"),
+        # unpartitioned Window nodes (single-partition sort) — must be
+        # 0 unless the query is in the regression gate's bounded-input
+        # allowlist (see tests/test_plan_regression.py)
+        "globalwin": _count_global_windows(plan),
     }
     return props, plan
 
