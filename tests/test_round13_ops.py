@@ -262,3 +262,8 @@ def test_bench_records_attempt_loadavg():
     src = open("bench.py").read()
     assert "attempt_loadavg" in src
     assert "os.getloadavg()[0]" in src
+    # mid-run contamination must route away from the quiet record: a
+    # quiet-START run whose in-run load ceiling trips goes to
+    # BENCH_LOCAL_LOADED.json (the r13 95s-vs-64s finding)
+    assert "loadavg_inrun_max" in src
+    assert "inrun_loaded" in src and "load_warn or inrun_loaded" in src
