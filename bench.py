@@ -241,15 +241,15 @@ def main() -> None:
               "cold_total": round(sum(cold.values()), 3),
               "attempt_times": spreads,
               "attempt_loadavg": attempt_loads,
-              # max 1-min load observed at ANY attempt: a run can start
-              # quiet (loadavg_warning false) and be contaminated by a
-              # co-tenant arriving mid-run — the r13 finding: a
-              # quiet-start full run recorded 95 s vs the 64 s quiet
-              # record, and an interleaved A/B on the two code trees
-              # proved it was load, not code. Self-load from our own
-              # local[32] bursts lands ~2-4 on this box; sustained
-              # values beyond that with wide attempt_times spreads on
-              # BYTE-IDENTICAL queries read as co-tenant noise.
+              # max 1-min load observed at ANY attempt — INFORMATIONAL
+              # ONLY, never a routing signal: two r13 full runs proved
+              # it does not separate co-tenant contamination from our
+              # own local[32] bursts (a +48%-contaminated run peaked at
+              # 6.95 while a clean +3% run peaked at 8.42). Mid-run
+              # contamination is instead read POST-HOC from
+              # attempt_loadavg next to attempt_times: sustained high
+              # load across LIGHT queries with wide spreads on
+              # byte-identical attempts = co-tenant noise.
               "loadavg_inrun_max": max(
                   (m for ls in attempt_loads.values() for m in ls),
                   default=0.0),
@@ -261,17 +261,16 @@ def main() -> None:
     # record — they go to BENCH_SPOT.json.  Likewise a run that started
     # under load (the round-11 driver run had loadavg 7.87 and overwrote
     # the quiet 68.49s record) goes to BENCH_LOCAL_LOADED.json so the
-    # quiet BENCH_LOCAL.json record survives hot-machine runs. A run
-    # that started quiet but saw heavy MID-RUN load (the r13 finding:
-    # a quiet-start run recorded 95 s vs the 64 s quiet record purely
-    # from a co-tenant arriving mid-run) routes to LOADED too — the
-    # in-run ceiling is generous (default 6.0) because our own
-    # local[32] bursts contribute ~2-4 by themselves.
-    inrun_loaded = detail["loadavg_inrun_max"] > float(
-        os.environ.get("SPARK_GRAFT_BENCH_INRUN_LOAD_MAX", "6.0"))
+    # quiet BENCH_LOCAL.json record survives hot-machine runs. Mid-run
+    # co-tenant arrival can still contaminate a quiet-START run (the
+    # r13 95s-vs-64s incident) — but in-run loadavg CANNOT route it:
+    # our own 32-thread bursts push the same gauge to 8+ on clean runs
+    # (see loadavg_inrun_max note above), so routing keys on the
+    # pre-JVM baseline only and contamination is adjudicated post-hoc
+    # from attempt_loadavg/attempt_times (or an interleaved A/B rerun).
     if only.strip():
         local_name = "BENCH_SPOT.json"
-    elif load_warn or inrun_loaded:
+    elif load_warn:
         local_name = "BENCH_LOCAL_LOADED.json"
     else:
         local_name = "BENCH_LOCAL.json"

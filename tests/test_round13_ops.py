@@ -262,8 +262,9 @@ def test_bench_records_attempt_loadavg():
     src = open("bench.py").read()
     assert "attempt_loadavg" in src
     assert "os.getloadavg()[0]" in src
-    # mid-run contamination must route away from the quiet record: a
-    # quiet-START run whose in-run load ceiling trips goes to
-    # BENCH_LOCAL_LOADED.json (the r13 95s-vs-64s finding)
+    # loadavg_inrun_max is recorded but must stay INFORMATIONAL — two
+    # r13 runs proved it can't separate co-tenant contamination from
+    # our own local[32] bursts (clean run peaked 8.42, contaminated
+    # run 6.95), so routing keys on the pre-JVM baseline only
     assert "loadavg_inrun_max" in src
-    assert "inrun_loaded" in src and "load_warn or inrun_loaded" in src
+    assert "inrun_loaded" not in src
