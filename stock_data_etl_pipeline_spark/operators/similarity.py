@@ -122,6 +122,75 @@ def ivf_topk(emb: DataFrame, centroids: DataFrame, query_vec: list[float],
             .limit(k))
 
 
+def ivf_recall_sweep(emb: DataFrame, centroids: DataFrame,
+                     query_vec: list[float], k: int = 10,
+                     nprobes: Sequence[int] = (1, 2, 4, 8),
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     cent_id: str = "centroid_id",
+                     cent_vec: str = "centroid") -> DataFrame:
+    """Recall@k of the IVF index as a FUNCTION of nprobe — the tuning
+    curve read before choosing the probe budget (recall rises with
+    nprobe, query cost rises linearly; the knee is the operating
+    point). One row per nprobe: (nprobe, k, n_hits, recall), exact
+    against the brute-force ground truth, so the whole curve is a
+    hash-stable oracle, not a statistical bound.
+
+    Assignment and scoring are shared across the sweep (unlike calling
+    :func:`ivf_topk` per nprobe, which would re-assign the corpus
+    |nprobes| times):
+
+    - centroid probe ranks: only the max(nprobes) query-closest
+      centroids matter, so they come from a distributed top-k
+      (TakeOrderedAndProject) and the rank window runs on that
+      ≤ max(nprobes)-row relation — never a data-scaled global window.
+    - per-PRANK top-k: the global top-k of any probed-cell union is a
+      subset of the union of per-cell top-ks, so the pool ranked per
+      nprobe is ≤ max(nprobes)·k rows (constant-bounded).
+    - the candidate relation (vectors in probed cells) is scored ONCE;
+      nprobe membership is a broadcast range join on the cell's rank.
+
+    Shape at 100 TB: one assignment pass (vector×centroid broadcast
+    scores), one probed-cell filter, per-cell windows keyed by prank,
+    then constant-size arithmetic.
+    """
+    q = _query_col(query_vec)
+    max_np = int(max(nprobes))
+    csim = centroids.select(
+        F.col(cent_id),
+        F.round(cosine(as_double(cent_vec), q), 6).alias("csim"))
+    top_c = (csim.orderBy(F.col("csim").desc(), F.col(cent_id))
+             .limit(max_np))
+    w = Window.orderBy(F.col("csim").desc(), F.col(cent_id))
+    pranked = top_c.select(F.col(cent_id),
+                           F.row_number().over(w).alias("prank"))
+    assigned = assign_centroids(emb, centroids, vec_col, id_col,
+                                cent_id, cent_vec)
+    cand = (assigned.join(F.broadcast(pranked), cent_id)
+            .select(F.col(id_col), F.col("prank"),
+                    F.round(cosine(F.col("v"), q), 6).alias("score")))
+    pool = top_k_per_group(cand, ["prank"],
+                           [F.col("score").desc(), F.col(id_col)], k) \
+        .drop("rank")
+    nps = emb.sparkSession.createDataFrame(
+        [(int(n),) for n in sorted(nprobes)], "nprobe long")
+    pooled = pool.join(F.broadcast(nps),
+                       F.col("prank") <= F.col("nprobe"))
+    ivf_top = top_k_per_group(pooled, ["nprobe"],
+                              [F.col("score").desc(), F.col(id_col)], k)
+    exact = brute_force_topk(emb, query_vec, k, vec_col, id_col) \
+        .select(id_col)
+    hits = (ivf_top.join(F.broadcast(exact), id_col)
+            .groupBy("nprobe")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+    return (nps.join(hits, "nprobe", "left")
+            .select("nprobe", F.lit(int(k)).cast("long").alias("k"),
+                    F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+                    .alias("n_hits"),
+                    F.round(F.coalesce(F.col("n_hits"), F.lit(0))
+                            / float(k), 6).alias("recall"))
+            .orderBy("nprobe"))
+
+
 def knn_join(emb: DataFrame, k: int = 3, vec_col: str = "embedding",
              id_col: str = "vec_id", block_col: str = "label",
              impl: str = "arrow") -> DataFrame:

@@ -32,9 +32,11 @@ from . import catalog_round11  # noqa: F401  (round-11 additions;
 # imports after round 10 so its never-checked entries rank behind any
 # earlier family still waiting)
 from . import catalog_round12  # noqa: F401  (round-12 additions;
-# imports LAST so its never-checked entries rank behind any earlier
-# family still waiting and head the round-12 window after the
-# fingerprint-invalidated queries)
+# imports after round 11 so its never-checked entries rank behind any
+# earlier family still waiting)
+from . import catalog_round13  # noqa: F401  (round-13 additions;
+# imports LAST — its two rookies queue at the never-checked tail,
+# interleaved with the changed tier in the next driver window)
 
 # ---------------------------------------------------------------------------
 # Driver verification window rotation. The external correctness gate checks

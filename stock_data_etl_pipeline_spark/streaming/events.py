@@ -139,6 +139,48 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
             .orderBy(user_col, "session_id"))
 
 
+def streaming_interval_join_counts(spark: SparkSession,
+                                   events_parquet: str,
+                                   intervals: DataFrame) -> DataFrame:
+    """Stream-STATIC interval join — the streaming twin of the batch
+    ``events_interval_join`` family: each live event is matched to the
+    static interval containing it (equi on the key + a point-in-interval
+    range residual), then counted per interval.
+
+    The canonical production shape: a landing event stream probed
+    against a reference table of time windows (sessions, campaigns,
+    market-hours, maintenance windows). The static side is re-resolved
+    per micro-batch and broadcast, so the stream never shuffles on the
+    join; state is only the downstream aggregate's (bounded by
+    |intervals|). Driven to completion with availableNow + complete
+    mode, so the drained result equals the batch point-in-interval
+    join aggregated per interval — which is exactly what the DuckDB
+    oracle states.
+
+    Gap-sessionized intervals PARTITION each user's events, so the
+    inner join loses nothing: sum(n_events) == |events|.
+    """
+    stream = event_stream(spark, events_parquet).alias("e")
+    iv = F.broadcast(
+        intervals.select("user_id", "session_id",
+                         "session_start", "session_end")).alias("iv")
+    j = stream.join(
+        iv,
+        (F.col("e.user_id") == F.col("iv.user_id"))
+        & (F.col("e.ts") >= F.col("iv.session_start"))
+        & (F.col("e.ts") <= F.col("iv.session_end")))
+    agg = (j.groupBy(F.col("iv.user_id").alias("user_id"),
+                     F.col("iv.session_id").alias("session_id"),
+                     F.col("iv.session_start").alias("session_start"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_events")))
+    name = f"ivjoin_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "session_id")
+
+
 def streaming_current_state(spark: SparkSession, events_parquet: str) -> DataFrame:
     """Run-state progression as a stream reduced to current state per
     entity (SURVEY §2.10): max_by(event_type, (ts, event_id)) per user —

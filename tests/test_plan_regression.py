@@ -231,6 +231,9 @@ GLOBALWIN_ALLOWED = {
     "corpus_zipf_fit",         # ≤ top_n=500 rows after limit
     "corpus_bm25_search",      # ≤ k rows after limit (corpus.py:774)
     "hybrid_rrf_retrieval",    # ≤ k rows after limit (same site)
+    "ann_recall_vs_nprobe",    # centroid prank over ≤ max(nprobes)=8
+    #                            rows after TakeOrdered (similarity.py
+    #                            ivf_recall_sweep)
     # fixed-bin histograms / tiny fixed matrices
     "graph_rich_club",         # ≤64 log2 degree bins (analytics.py:874)
     "graph_degree_distribution",   # ≤64 log2 degree bins

@@ -252,6 +252,93 @@ def test_cut_root_nonlocal_master_uses_warehouse(fresh_cut_roots, tmp_path):
     assert "spark-pin-cut-" in root
 
 
+# ------------------------------------------------- round-13 rookie fixtures
+
+
+def test_ivf_recall_sweep_hand_computed(spark):
+    """2-D geometry where the curve is hand-checkable: the true top-2
+    split across two cells, so nprobe=1 recalls half and nprobe=2
+    recalls all (recall must be non-decreasing in nprobe)."""
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        ivf_recall_sweep)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]),      # cell c1; cos(q)=0.8
+         (2, [0.0, 1.0]),      # cell c2; cos(q)=0.6
+         (3, [0.6, 0.8]),      # nearest centroid c2; cos(q)=0.96 (best)
+         (4, [-1.0, 0.0])],    # cell c2 (0 > -1); cos(q)=-0.8
+        "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])],
+        "centroid_id long, centroid array<double>")
+    q = [0.8, 0.6]  # probes c1 (cos .8) before c2 (cos .6)
+    rows = {r["nprobe"]: r for r in
+            ivf_recall_sweep(emb, cents, q, k=2, nprobes=(1, 2)).collect()}
+    # exact top-2 = {3 (.96), 1 (.8)}; cell c1 holds only vec 1
+    assert (rows[1]["n_hits"], rows[1]["recall"]) == (1, 0.5)
+    assert (rows[2]["n_hits"], rows[2]["recall"]) == (2, 1.0)
+    assert all(r["k"] == 2 for r in rows.values())
+
+
+def test_ivf_recall_sweep_monotone_on_real_data(spark):
+    """On the sf0.001 embeddings the curve must be non-decreasing in
+    nprobe and hit recall=1.0 once every cell is probed (probing all
+    cells IS the brute-force scan)."""
+    from stock_data_etl_pipeline_spark.operators.similarity import (
+        ivf_recall_sweep)
+    from stock_data_etl_pipeline_spark.sources.registry import load_table
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n_cells = e.filter(F.col("vec_id") % 40 == 0).count()
+    cents = (e.filter(F.col("vec_id") % 40 == 0)
+             .select(F.col("vec_id").alias("centroid_id"),
+                     F.col("embedding").alias("centroid")))
+    qv = list(e.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+    rows = (ivf_recall_sweep(e, cents, qv, k=10,
+                             nprobes=(1, 2, n_cells))
+            .orderBy("nprobe").collect())
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0
+
+
+def test_streaming_interval_counts_matches_batch_sessionize(spark, tmp_path):
+    """Drained stream-static interval join == batch sessionization's
+    per-session counts; inner join loses nothing (sessions partition
+    each user's events)."""
+    import datetime as dt
+
+    from stock_data_etl_pipeline_spark.streaming.events import (
+        sessionize, streaming_interval_join_counts)
+    t0 = dt.datetime(2024, 1, 8, 10, 0)
+    rows = []
+    # user 1: two sessions (31-min gap breaks); user 2: one session
+    for i, (u, mins) in enumerate([(1, 0), (1, 10), (1, 41), (1, 50),
+                                   (2, 0), (2, 29)]):
+        rows.append((i, t0 + dt.timedelta(minutes=mins), u, "view", 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    p = str(tmp_path / "ev.parquet")
+    # TIMESTAMP_MICROS: INT96 reads back as ns through the footer
+    # detector and mismatches the us schema (round-12 pin)
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        ev.write.parquet(p)
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    iv = sessionize(ev.select("event_id", "user_id", "ts"),
+                    gap_seconds=1800)
+    got = {(r["user_id"], r["session_id"]): (r["n_events"],
+                                             r["session_start"])
+           for r in streaming_interval_join_counts(spark, p, iv).collect()}
+    exp = {(r["user_id"], r["session_id"]): (r["n_events"],
+                                             r["session_start"])
+           for r in iv.collect()}
+    assert got == exp
+    assert sum(n for n, _ in got.values()) == 6      # nothing dropped
+    assert got[(1, 1)][0] == 2 and got[(1, 2)][0] == 2
+
+
 # ----------------------------------------------------------------- bench
 
 
