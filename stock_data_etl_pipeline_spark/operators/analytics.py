@@ -2893,10 +2893,14 @@ def hourly_count_acf(events: DataFrame,
     bounds = counts.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
     grid = bounds.select(F.explode(F.sequence(
         F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))).alias("hr"))
-    # floor(x/3600), not cast-truncate: date_trunc-aligned hours make
-    # the division exact, but truncation rounds toward zero pre-1970
-    # while the DuckDB oracle's epoch(hr)//3600 floors — keep the two
-    # engines' hour indexes identical by construction (round-12 advice)
+    # floor(x/3600), not cast-truncate (round-12 advice, refined by the
+    # round-13 review): date_trunc-aligned hours make the division
+    # EXACT, which is the actual parity invariant — DuckDB's `//`
+    # TRUNCATES toward zero (verified live: -4500 // 3600 = -1), so
+    # neither floor nor truncate can diverge here only because the
+    # dividend is always a 3600 multiple. floor() is the defensive
+    # choice should the alignment ever change; an oracle that applies
+    # `//` to a SIGNED NON-ALIGNED dividend is still a parity bug.
     dense = pin_cut(grid.join(counts, "hr", "left")
                     .select(F.floor(F.unix_timestamp("hr") / 3600)
                             .cast("long").alias("t"),

@@ -22,7 +22,9 @@ Every entry follows the exact-integer oracle discipline (COVERAGE.md):
 integer-grid summands, single-division emits, shared transcendental
 literals, identical association both engines, unrounded raw-double
 emits for ratios of exact integers, non-negative-operand integer
-quotients only (Spark ``div`` truncates, DuckDB ``//`` floors).
+quotients only (BOTH Spark ``div`` and DuckDB ``//`` truncate toward
+zero — verified live round 13: ``-4500 // 3600 = -1`` in DuckDB — but
+the non-negative-operand rule stands so the question never matters).
 
 Reference parity: the reference's surface stops at filter/join/
 aggregate over ingested series (SURVEY §2); these extend the engine's

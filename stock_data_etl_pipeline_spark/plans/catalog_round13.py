@@ -33,9 +33,18 @@ from .catalog import register
 from .catalog_text import _query_vec
 
 ANN_SWEEP_NPROBES = (1, 2, 4, 8)
+ANN_SWEEP_K = 10
 
 
-@register("ann_recall_vs_nprobe", """
+def _ann_sweep_sql(nprobes: tuple = ANN_SWEEP_NPROBES,
+                   k: int = ANN_SWEEP_K) -> str:
+    """Oracle for the nprobe sweep, interpolating the SAME constants
+    the Spark builder uses (the repo pattern — _coverage_sql /
+    ACF_MAX_LAG): hardcoding them separately lets a constant tweak
+    desync the two sides silently (round-13 review finding)."""
+    values = ", ".join(f"({int(n)})" for n in sorted(nprobes))
+    max_np = int(max(nprobes))
+    return f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 bf AS (SELECT vec_id FROM (
          SELECT vec_id,
@@ -43,14 +52,14 @@ bf AS (SELECT vec_id FROM (
                     round(list_cosine_similarity(e.embedding::DOUBLE[],
                                                  q.qv), 6) DESC,
                     vec_id) AS rank
-         FROM embeddings e, q) WHERE rank <= 10),
+         FROM embeddings e, q) WHERE rank <= {k}),
 cent AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
          FROM embeddings WHERE vec_id % 40 = 0),
 pranked AS (SELECT cid,
                    row_number() OVER (ORDER BY
                        round(list_cosine_similarity(cv, qv), 6) DESC,
                        cid) AS prank
-            FROM cent, q QUALIFY prank <= 8),
+            FROM cent, q QUALIFY prank <= {max_np}),
 assigned AS (SELECT e.vec_id, c.cid, e.embedding::DOUBLE[] AS v,
                     row_number() OVER (PARTITION BY e.vec_id
                         ORDER BY round(list_cosine_similarity(
@@ -60,18 +69,21 @@ assigned AS (SELECT e.vec_id, c.cid, e.embedding::DOUBLE[] AS v,
 cand AS (SELECT a.vec_id, p.prank,
                 round(list_cosine_similarity(a.v, q.qv), 6) AS score
          FROM assigned a JOIN pranked p USING (cid), q WHERE a.rn = 1),
-np AS (SELECT * FROM (VALUES (1), (2), (4), (8)) AS t(nprobe)),
+np AS (SELECT * FROM (VALUES {values}) AS t(nprobe)),
 ivf AS (SELECT np.nprobe, c.vec_id,
                row_number() OVER (PARTITION BY np.nprobe
                                   ORDER BY c.score DESC, c.vec_id) AS rk
         FROM cand c JOIN np ON c.prank <= np.nprobe),
 hits AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS n_hits
-         FROM ivf JOIN bf USING (vec_id) WHERE rk <= 10 GROUP BY nprobe)
-SELECT CAST(np.nprobe AS BIGINT) AS nprobe, CAST(10 AS BIGINT) AS k,
+         FROM ivf JOIN bf USING (vec_id) WHERE rk <= {k} GROUP BY nprobe)
+SELECT CAST(np.nprobe AS BIGINT) AS nprobe, CAST({k} AS BIGINT) AS k,
        CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-       round(COALESCE(h.n_hits, 0) / 10.0, 6) AS recall
+       round(COALESCE(h.n_hits, 0) / {k}.0, 6) AS recall
 FROM np LEFT JOIN hits h USING (nprobe) ORDER BY nprobe
-""")
+"""
+
+
+@register("ann_recall_vs_nprobe", _ann_sweep_sql())
 def ann_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF recall-vs-nprobe tuning curve: one exact recall@10 row per
     # probe budget, sharing ONE assignment/scoring pass across the
@@ -85,7 +97,7 @@ def ann_recall_vs_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.col("vec_id").alias("centroid_id"),
                          F.col("embedding").alias("centroid")))
     return SIM.ivf_recall_sweep(e, centroids, _query_vec(spark, sf_dir),
-                                k=10, nprobes=ANN_SWEEP_NPROBES)
+                                k=ANN_SWEEP_K, nprobes=ANN_SWEEP_NPROBES)
 
 
 @register("streaming_interval_counts", """

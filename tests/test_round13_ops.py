@@ -86,6 +86,14 @@ PART_LINE = (
     "currentrow$())) AS r#5], [k#1L], [v#2L ASC NULLS FIRST]")
 
 
+ARROW_GLOBAL_LINE = (
+    "+- ArrowWindowPython [pmean(v#2)#3 windowspecdefinition(v#2 ASC "
+    "NULLS FIRST, specifiedwindowframe(RowFrame, -2, currentrow$())) "
+    "AS m#5], [v#2 ASC NULLS FIRST], 203")
+ARROW_PART_LINE = (
+    "+- ArrowWindowPython [pmean(v#2)#3 windowspecdefinition(k#1L, v#2 "
+    "ASC NULLS FIRST, specifiedwindowframe(RowFrame, -2, currentrow$())) "
+    "AS m#5], [k#1L], [v#2 ASC NULLS FIRST], 203")
 PART_NO_ORDER_LINE = (
     "+- Window [sum(v#2L) windowspecdefinition(k#1L, "
     "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
@@ -103,6 +111,11 @@ def test_global_window_counter_on_plan_strings():
     assert _count_global_windows(PART_NO_ORDER_LINE) == 0
     # empty partitionBy and no orderBy: 1 group, global
     assert _count_global_windows(GLOBAL_NO_ORDER_LINE) == 1
+    # pandas/Arrow window nodes plan the SAME single-partition exchange
+    # — the counter must see them (round-13 review finding); the
+    # trailing batch-size argument adds no bracket group
+    assert _count_global_windows(ARROW_GLOBAL_LINE) == 1
+    assert _count_global_windows(ARROW_PART_LINE) == 0
     assert _count_global_windows(GLOBAL_LINE + "\n" + PART_LINE
                                  + "\n" + GLOBAL_LINE) == 2
     # WindowGroupLimit / unrelated lines never match the anchor
@@ -346,7 +359,9 @@ def test_bench_records_attempt_loadavg():
     """bench.py must stamp a per-attempt loadavg list next to
     attempt_times (round-12 verdict item 6) — checked statically so
     the test doesn't pay a bench run."""
-    src = open("bench.py").read()
+    import os
+    src = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")).read()
     assert "attempt_loadavg" in src
     assert "os.getloadavg()[0]" in src
     # loadavg_inrun_max is recorded but must stay INFORMATIONAL — two

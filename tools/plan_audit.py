@@ -30,9 +30,15 @@ def _count_global_windows(plan: str) -> int:
       last group carries ASC/DESC)
     - ``Window [exprs]``               — GLOBAL unordered window (1)
 
-    Nested brackets inside expressions are handled by depth counting;
-    ``WindowGroupLimit``/``WindowInPandas`` lines don't match the
-    ``"Window ["`` anchor. A nonzero count is only ACCEPTABLE when the
+    Python/Arrow window nodes (``ArrowWindowPython`` on this Spark
+    build, ``WindowInPandas`` on older ones) print the same bracket
+    layout plus a trailing batch-size argument and plan the same
+    single-partition exchange, so the anchor matches them too — a
+    pandas-UDF window with an empty partition spec is exactly as much
+    of a scale defect as a JVM one (round-13 review finding). Nested
+    brackets inside expressions are handled by depth counting;
+    ``WindowGroupLimit`` lines don't match any anchor. A nonzero
+    count is only ACCEPTABLE when the
     window's input relation is bounded by a constant (post-limit
     top-k, fixed histogram bins, calendar-bounded domains) — the
     regression gate allowlists exactly those queries; anything else is
@@ -42,7 +48,8 @@ def _count_global_windows(plan: str) -> int:
     value as a flag, not a site count."""
     n = 0
     for line in plan.splitlines():
-        m = re.search(r"\bWindow \[", line)
+        m = re.search(r"\b(?:Window|ArrowWindowPython|WindowInPandas) \[",
+                      line)
         if not m:
             continue
         depth = 0
