@@ -212,15 +212,18 @@ def main() -> None:
         release_pinned()
         fn = getattr(queries[name], "__wrapped__", queries[name])
         times = []
-        loads = []
+        # 1-min loadavg is an EWMA that lags by tens of seconds, so
+        # consecutive sub-second attempts see nearly identical values;
+        # the samples BRACKET each query's window (one pre-sample, one
+        # after every attempt) rather than resolve individual attempts
+        # (round-13 advice). Per-QUERY attribution of a sustained
+        # co-tenant spike is still readable post-hoc; per-attempt is not.
+        loads = [round(os.getloadavg()[0], 2)]
         for _ in range(attempts):
             t0 = time.perf_counter()
             out = fn(spark, sf_dir)
             n = len(out.collect())
             times.append(time.perf_counter() - t0)
-            # 1-min loadavg sampled AT each attempt: a mid-run co-tenant
-            # spike is then attributable per query/attempt instead of
-            # only per run (round-12 verdict item 6)
             loads.append(round(os.getloadavg()[0], 2))
             rows[name] = n
         cold[name] = round(times[0], 3)
@@ -240,6 +243,8 @@ def main() -> None:
               "cold_first_attempt": cold,
               "cold_total": round(sum(cold.values()), 3),
               "attempt_times": spreads,
+              # per query: [pre-sample, after attempt 1, ..., after
+              # attempt N] — length attempts+1, bracketing the window
               "attempt_loadavg": attempt_loads,
               # max 1-min load observed at ANY attempt — INFORMATIONAL
               # ONLY, never a routing signal: two r13 full runs proved

@@ -263,6 +263,94 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float,
     return cand.join(verified, ["id_a", "id_b"], "inner")
 
 
+def lsh_band_sweep(docs: DataFrame, threshold: float = 0.5,
+                   num_hashes: int = 12,
+                   band_counts: tuple[int, ...] = (1, 2, 3, 4, 6),
+                   text_col: str = "text", id_col: str = "doc_id",
+                   k: int = 3) -> DataFrame:
+    """Precision/recall of the banded-LSH candidate generator as a
+    FUNCTION of the band count — the S-curve read before choosing a
+    banding (more bands => steeper candidate growth => higher recall,
+    lower precision; collision prob ~ 1-(1-j^rows)^bands). One row per
+    band count: (bands, rows_per_band, n_cand, n_hit, n_exact,
+    precision, recall), exact against the true shingle-Jaccard pair
+    set — the MinHash twin of similarity.ivf_recall_sweep.
+
+    Shared across the sweep (unlike calling minhash_lsh_pairs per
+    config): ONE minhash signature pass (pin_cut — every config reads
+    the same materialized signature table) and ONE exact-Jaccard
+    ground-truth pass. Per config the only new work is the band
+    hashing (cheap md5 over already-computed minhashes) and the
+    collision self-join, whose size IS the quantity being measured.
+
+    ``rows_per_band = 1`` configs are rejected: a single-minhash band
+    buckets every document sharing one hot min-shingle, which is the
+    quadratic-blowup shape the banding exists to avoid.
+    """
+    band_counts = sorted({int(b) for b in band_counts})
+    if not band_counts:
+        raise ValueError("lsh_band_sweep: band_counts must be non-empty")
+    for b in band_counts:
+        if num_hashes % b != 0:
+            raise ValueError(f"band count {b} does not divide "
+                             f"num_hashes={num_hashes}")
+        if num_hashes // b < 2:
+            raise ValueError(f"band count {b} gives rows_per_band=1 "
+                             "(hot-shingle quadratic blowup)")
+    sig = pin_cut(minhash_signature(docs, num_hashes, text_col, id_col, k))
+    exact = pin_cut(
+        ngram_jaccard_pairs(docs, threshold, text_col, id_col, k)
+        .select("id_a", "id_b"))
+    n_exact = exact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"))
+    per_config = []
+    for b in band_counts:
+        rows = num_hashes // b
+        band_sigs = F.array(*[
+            F.md5(F.concat_ws(
+                "|", *[F.col(f"mh_{i * rows + r}") for r in range(rows)]))
+            for i in range(b)])
+        bt = sig.select(F.col(id_col),
+                        F.posexplode(band_sigs).alias("band", "bsig"))
+        a, c = bt.alias("a"), bt.alias("b")
+        cand = (a.join(c, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bsig") == F.col("b.bsig"))
+                       & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+                .select(F.col(f"a.{id_col}").alias("id_a"),
+                        F.col(f"b.{id_col}").alias("id_b"))
+                .distinct())
+        hit = F.coalesce(F.col("h"), F.lit(0))
+        per_config.append(
+            cand.join(exact.withColumn("h", F.lit(1)),
+                      ["id_a", "id_b"], "left")
+            .agg(F.lit(b).cast("long").alias("bands"),
+                 F.lit(rows).cast("long").alias("rows_per_band"),
+                 F.count(F.lit(1)).cast("long").alias("n_cand"),
+                 F.sum(hit).cast("long").alias("n_hit")))
+    swept = per_config[0]
+    for extra in per_config[1:]:
+        swept = swept.unionByName(extra)
+    # 1-row scalar broadcast (the repo's crossJoin-is-scalar pattern)
+    return (swept.crossJoin(F.broadcast(n_exact))
+            .select("bands", "rows_per_band",
+                    # a config with zero candidates still emits its row:
+                    # a global agg over empty input yields count=0 and
+                    # sum=NULL, hence the n_hit coalesce
+                    "n_cand",
+                    F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+                    .alias("n_hit"),
+                    "n_exact",
+                    F.round(F.when(F.col("n_cand") > 0,
+                                   F.coalesce(F.col("n_hit"), F.lit(0))
+                                   / F.col("n_cand")), 6)
+                    .alias("precision"),
+                    F.round(F.when(F.col("n_exact") > 0,
+                                   F.coalesce(F.col("n_hit"), F.lit(0))
+                                   / F.col("n_exact")), 6)
+                    .alias("recall"))
+            .orderBy("bands"))
+
+
 # -- SimHash ----------------------------------------------------------------
 
 SIMHASH_BITS = 16

@@ -3213,3 +3213,175 @@ def vpin(events: DataFrame, bucket_size: int = VPIN_BUCKET) -> DataFrame:
                   / (F.count(F.lit(1)).cast("double") * 1e6))
                  .alias("vpin"))
             .orderBy("event_type"))
+
+
+# -- adaptive / multi-smoothed daily indicators (round 14) -------------------
+#
+# KAMA's smoothing constant depends on the DATA (the efficiency ratio),
+# so the recurrence can't become a truncated constant-decay join like
+# riskmetrics_vol. On the DAILY grid the series is calendar-bounded
+# (<= 31 rows per symbol regardless of tick volume), so the recursion
+# runs as a SEQUENTIAL FOLD over a per-symbol sorted array:
+# F.aggregate on Spark, list_reduce in the SQL oracle — both fold
+# left-to-right over the identical element sequence, so the float
+# association order (and hence the 6-dp-rounded result) is engine-
+# independent by construction, not by luck. Elements are encoded as
+# double-arrays ([seed_close] first, then [sc_t, close_t]) because a
+# fold without an explicit zero (list_reduce) seeds with element 1 —
+# the accumulator and element types must coincide.
+
+KAMA_N = 10        # efficiency-ratio lookback (Kaufman's default)
+KAMA_FAST = 2      # fast EMA period
+KAMA_SLOW = 30     # slow EMA period
+MASS_EMA_N = 9     # mass index EMA period (Dorsey's default)
+MASS_SUM_N = 25    # mass index summation window
+COPPOCK_ROC_LONG = 14
+COPPOCK_ROC_SHORT = 11
+COPPOCK_WMA_N = 10
+
+
+def _daily_cents(daily: DataFrame) -> DataFrame:
+    """(event_type, hr, rn, c): daily close in integer cents with the
+    per-symbol day rank — the exact-integer base every fold below
+    shares with its SQL oracle."""
+    w = Window.partitionBy("event_type").orderBy("hr")
+    return daily.select(
+        "event_type", "hr",
+        F.round(F.col("close") * 100, 0).cast("long").alias("c"),
+        F.row_number().over(w).alias("rn"))
+
+
+def kama(daily: DataFrame, n: int = KAMA_N, fast: int = KAMA_FAST,
+         slow: int = KAMA_SLOW) -> DataFrame:
+    """Kaufman Adaptive Moving Average on daily closes.
+
+    er_t = |c_t − c_{t−n}| / Σ_{i=t−n+1..t} |Δc_i| (exact integer
+    num/denom in cents; 0 when the volatility denominator is 0),
+    sc_t = (er·(2/(fast+1) − 2/(slow+1)) + 2/(slow+1))²,
+    kama_t = kama_{t−1} + sc_t·(close_t − kama_{t−1}), seeded with the
+    close of the first bar whose er is defined (rn = n+1).
+
+    The fold appends each step's value, so the whole path comes back as
+    one array per symbol and is re-exploded against the (rn, hr) array
+    it was built from — one groupBy per symbol, no window wider than
+    the calendar.
+    """
+    d = _daily_cents(daily)
+    w = Window.partitionBy("event_type").orderBy("hr")
+    wsum = w.rowsBetween(-(n - 1), 0)
+    sf_fast, sf_slow = 2.0 / (fast + 1), 2.0 / (slow + 1)
+    dd = (d.withColumn("ad", F.abs(F.col("c") - F.lag("c").over(w)))
+          .withColumn("vol", F.sum("ad").over(wsum))
+          .withColumn("mom", F.abs(F.col("c") - F.lag("c", n).over(w))))
+    er = F.when(F.col("vol") > 0,
+                F.col("mom") / F.col("vol")).otherwise(F.lit(0.0))
+    sc = F.pow(er * (sf_fast - sf_slow) + sf_slow, F.lit(2.0))
+    scd = (dd.filter(F.col("rn") > n)
+           .select("event_type", "hr", "rn", sc.alias("sc"),
+                   (F.col("c") / 100.0).alias("cd")))
+    grp = (scd.groupBy("event_type")
+           .agg(F.sort_array(
+               F.collect_list(F.struct("rn", "hr", "sc", "cd")))
+               .alias("xs")))
+    xs = F.col("xs")
+    elems = F.concat(
+        F.array(F.array(F.element_at(xs, 1)["cd"])),
+        F.transform(F.slice(xs, 2, F.greatest(F.size(xs) - 1, F.lit(0))),
+                    lambda x: F.array(x["sc"], x["cd"])))
+    folded = F.aggregate(
+        F.slice(F.col("es"), 2, F.greatest(F.size("es") - 1, F.lit(0))),
+        F.element_at(F.col("es"), 1),
+        lambda acc, x: F.concat(acc, F.array(
+            F.element_at(acc, -1)
+            + F.element_at(x, 1)
+            * (F.element_at(x, 2) - F.element_at(acc, -1)))))
+    out = (grp.withColumn("es", elems)
+           .withColumn("path", folded)
+           .select("event_type",
+                   F.posexplode(F.arrays_zip("xs", "path"))
+                   .alias("_i", "z")))
+    return (out.select("event_type", F.col("z.xs.hr").alias("hr"),
+                       F.round(F.col("z.path"), 6).alias("kama"))
+            .orderBy("event_type", "hr"))
+
+
+def mass_index(daily: DataFrame, ema_n: int = MASS_EMA_N,
+               sum_n: int = MASS_SUM_N) -> DataFrame:
+    """Mass index on daily bars: Σ over the trailing ``sum_n`` days of
+    EMA(range)/EMA(EMA(range)) with period ``ema_n`` — Dorsey's
+    range-bulge reversal signal. Both EMAs are seeded with the first
+    value (the standard convention) and run as the same sequential
+    per-symbol fold as :func:`kama`; the trailing sum re-folds a
+    bounded slice per day so its association order is sequential too.
+    Emitted as NULL until ``sum_n`` days of ratio exist.
+    """
+    w = Window.partitionBy("event_type").orderBy("hr")
+    d = daily.select(
+        "event_type", "hr",
+        ((F.round(F.col("high") * 100, 0).cast("long")
+          - F.round(F.col("low") * 100, 0).cast("long")) / 100.0)
+        .alias("rng"),
+        F.row_number().over(w).alias("rn"))
+    alpha = 2.0 / (ema_n + 1)
+    grp = (d.groupBy("event_type")
+           .agg(F.sort_array(F.collect_list(F.struct("rn", "hr", "rng")))
+                .alias("xs")))
+
+    def _ema_fold(values: F.Column) -> F.Column:
+        sl = F.slice(values, 2, F.greatest(F.size(values) - 1, F.lit(0)))
+        return F.aggregate(
+            sl, F.slice(values, 1, 1),
+            lambda acc, x: F.concat(acc, F.array(
+                F.element_at(acc, -1) * (1.0 - alpha) + x * alpha)))
+
+    # stage the raw-range array in its own projection: _ema_fold
+    # references its input three times (two slices + size) and
+    # CollapseProject would otherwise inline the transform per
+    # reference (the minhash_signature staging rule)
+    grp = grp.withColumn(
+        "rv", F.transform(F.col("xs"), lambda x: x["rng"]))
+    t = (grp.withColumn("ema1", _ema_fold(F.col("rv")))
+         .withColumn("ema2", _ema_fold(F.col("ema1")))
+         .withColumn("ratio", F.zip_with(
+             "ema1", "ema2",
+             lambda a, b: F.when(b > 0, a / b).otherwise(F.lit(0.0)))))
+    mass = F.transform(
+        F.sequence(F.lit(1), F.size("ratio")),
+        lambda i: F.when(i >= sum_n, F.aggregate(
+            F.slice(F.col("ratio"), i - F.lit(sum_n - 1), F.lit(sum_n)),
+            F.lit(0.0), lambda a, x: a + x)))
+    out = (t.withColumn("mass", mass)
+           .select("event_type",
+                   F.posexplode(F.arrays_zip("xs", "mass"))
+                   .alias("_i", "z")))
+    return (out.select("event_type", F.col("z.xs.hr").alias("hr"),
+                       F.round(F.col("z.mass"), 6).alias("mass_index"))
+            .orderBy("event_type", "hr"))
+
+
+def coppock(daily: DataFrame, roc_long: int = COPPOCK_ROC_LONG,
+            roc_short: int = COPPOCK_ROC_SHORT,
+            wma_n: int = COPPOCK_WMA_N) -> DataFrame:
+    """Coppock curve on daily closes: WMA_{wma_n}(ROC_{roc_long} +
+    ROC_{roc_short}). The WMA is an EXPLICIT 10-term lag expression
+    (weights wma_n..1 over the trailing days, /Σweights), so the float
+    association order is a fixed expression tree — identical on any
+    engine — rather than a window-aggregate implementation detail.
+    NULL until every lag term exists.
+    """
+    d = _daily_cents(daily)
+    w = Window.partitionBy("event_type").orderBy("hr")
+    roc = (d.withColumn(
+        "s",
+        (F.col("c") - F.lag("c", roc_long).over(w))
+        / F.lag("c", roc_long).over(w)
+        + (F.col("c") - F.lag("c", roc_short).over(w))
+        / F.lag("c", roc_short).over(w)))
+    denom = float(wma_n * (wma_n + 1) / 2)
+    expr = None
+    for j in range(wma_n):
+        term = F.lag("s", j).over(w) * F.lit(float(wma_n - j))
+        expr = term if expr is None else expr + term
+    return (roc.select("event_type", "hr",
+                       F.round(expr / F.lit(denom), 6).alias("coppock"))
+            .orderBy("event_type", "hr"))

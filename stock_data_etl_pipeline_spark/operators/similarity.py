@@ -153,8 +153,14 @@ def ivf_recall_sweep(emb: DataFrame, centroids: DataFrame,
     scores), one probed-cell filter, per-cell windows keyed by prank,
     then constant-size arithmetic.
     """
+    # normalize up front: the contract is ONE row per distinct nprobe,
+    # so duplicates collapse and an empty sweep is a caller error
+    # (round-13 advice)
+    nprobes = sorted({int(n) for n in nprobes})
+    if not nprobes:
+        raise ValueError("ivf_recall_sweep: nprobes must be non-empty")
     q = _query_col(query_vec)
-    max_np = int(max(nprobes))
+    max_np = nprobes[-1]
     csim = centroids.select(
         F.col(cent_id),
         F.round(cosine(as_double(cent_vec), q), 6).alias("csim"))
@@ -172,7 +178,7 @@ def ivf_recall_sweep(emb: DataFrame, centroids: DataFrame,
                            [F.col("score").desc(), F.col(id_col)], k) \
         .drop("rank")
     nps = emb.sparkSession.createDataFrame(
-        [(int(n),) for n in sorted(nprobes)], "nprobe long")
+        [(n,) for n in nprobes], "nprobe long")
     pooled = pool.join(F.broadcast(nps),
                        F.col("prank") <= F.col("nprobe"))
     ivf_top = top_k_per_group(pooled, ["nprobe"],

@@ -42,8 +42,11 @@ def _ann_sweep_sql(nprobes: tuple = ANN_SWEEP_NPROBES,
     the Spark builder uses (the repo pattern — _coverage_sql /
     ACF_MAX_LAG): hardcoding them separately lets a constant tweak
     desync the two sides silently (round-13 review finding)."""
-    values = ", ".join(f"({int(n)})" for n in sorted(nprobes))
-    max_np = int(max(nprobes))
+    # mirror ivf_recall_sweep's entry normalization (dedup + sort) so a
+    # caller passing duplicates keeps both sides on one-row-per-nprobe
+    nprobes = sorted({int(n) for n in nprobes})
+    values = ", ".join(f"({n})" for n in nprobes)
+    max_np = nprobes[-1]
     return f"""
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 bf AS (SELECT vec_id FROM (
