@@ -35,7 +35,10 @@ from . import catalog_round12  # noqa: F401  (round-12 additions;
 # imports after round 11 so its never-checked entries rank behind any
 # earlier family still waiting)
 from . import catalog_round13  # noqa: F401  (round-13 additions;
-# imports LAST — its two rookies queue at the never-checked tail,
+# imports after round 12 so its entries rank behind any earlier
+# family still waiting for a first check)
+from . import catalog_round14  # noqa: F401  (round-14 additions;
+# imports LAST — its rookies queue at the never-checked tail,
 # interleaved with the changed tier in the next driver window)
 
 # ---------------------------------------------------------------------------
