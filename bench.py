@@ -118,6 +118,11 @@ HEADLINE = [
     "events_markov_steady",
     "embedding_pca_power",
     "dedup_incremental_batch",
+    # round 14: the two heaviest new shapes — the 5-config LSH banding
+    # sweep (one signature pass fanned into five collision self-joins)
+    # and the 16x-amplified Poisson-bootstrap aggregation
+    "dedup_lsh_band_sweep",
+    "events_bootstrap_ci",
 ]
 
 

@@ -21,6 +21,7 @@ for data already landed.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
@@ -624,3 +625,82 @@ def near_duplicate_invoices(orders: DataFrame,
                                 "least(a.amt, b.amt)").cast("long")
                          .alias("rel_gap_e6"))
             .orderBy("o_custkey", "okey_a", "okey_b"))
+
+
+# -- Poisson bootstrap -------------------------------------------------------
+#
+# Chamandy-style map-reduce resampling: each row contributes a
+# DETERMINISTIC hash-derived Poisson(1) weight per replicate, so B
+# resamples cost one B-amplified aggregation pass and no resampled copy
+# of the data ever exists. Split into partials + finalize (the
+# benford_cells_from_counts pattern) so the partial aggregation can run
+# as a Structured Streaming query and the finalize on its drained sink.
+
+BOOT_REPS = 16
+BOOT_PRIME = 2147483647
+# Poisson(1) inverse-CDF thresholds on the 31-bit hash: weight = number
+# of thresholds <= h, capping at 7 (P(X>7) ~ 1e-5). Integer thresholds
+# make the comparison exact on any engine.
+BOOT_THRESHOLDS = [
+    int(math.floor(sum(math.exp(-1.0) / math.factorial(j)
+                       for j in range(i + 1)) * BOOT_PRIME))
+    for i in range(7)]
+
+
+def poisson_bootstrap_partials(df: DataFrame, reps: int = BOOT_REPS,
+                               key_col: str = "event_type",
+                               id_col: str = "event_id",
+                               cents_col: str = "cents") -> DataFrame:
+    """(key, rep, s, n, c_all, cnt): per-replicate weighted integer sums.
+
+    The replicate hash multiplier EXCEEDS the modulus so small ids wrap
+    (a multiplier below p leaves h = a*id+b linear — and every weight 0 —
+    for small id ranges); rep is widened before its multiply because a
+    32-bit rep times a 31-bit constant overflows INTEGER under ANSI mode.
+    Stateless projections + one keyed aggregation: runs unchanged as a
+    streaming query (streaming.events.streaming_bootstrap_partials).
+    """
+    x = df.select(
+        F.col(key_col), F.col(id_col), F.col(cents_col),
+        F.explode(F.array(*[F.lit(i) for i in range(reps)])).alias("rep"))
+    h = (F.col(id_col) * 2654435761
+         + F.col("rep").cast("long") * 1103515245 + 12345) % BOOT_PRIME
+    wt = None
+    for t in BOOT_THRESHOLDS:
+        term = F.when(F.col("h") >= t, 1).otherwise(0)
+        wt = term if wt is None else wt + term
+    return (x.withColumn("h", h).withColumn("wt", wt)
+            .groupBy(key_col, "rep")
+            .agg(F.sum(F.col("wt") * F.col(cents_col)).cast("long")
+                 .alias("s"),
+                 F.sum("wt").cast("long").alias("n"),
+                 F.sum(cents_col).cast("long").alias("c_all"),
+                 F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
+def bootstrap_ci_from_partials(g1: DataFrame, reps: int = BOOT_REPS,
+                               key_col: str = "event_type") -> DataFrame:
+    """Finalize: replicate means -> bootstrap SE -> normal CI around the
+    full-sample point estimate (sum(c_all)/sum(cnt) is the original
+    mean exactly — every event appears in all ``reps`` replicates, so
+    the B-fold numerator and denominator cancel)."""
+    m = (g1.filter(F.col("n") > 0)
+         .withColumn("mr", F.col("s") / (100.0 * F.col("n"))))
+    g2 = (m.groupBy(key_col)
+          .agg((F.sum("cnt") / reps).cast("long").alias("n_events"),
+               (F.sum("c_all") / (100.0 * F.sum("cnt")))
+               .alias("point_mean"),
+               F.count(F.lit(1)).cast("long").alias("b_eff"),
+               F.sum("mr").alias("sum_m"),
+               F.sum(F.col("mr") * F.col("mr")).alias("sum_m2")))
+    se = F.sqrt(F.greatest(
+        (F.col("sum_m2") - F.col("sum_m") * F.col("sum_m")
+         / F.col("b_eff")) / (F.col("b_eff") - 1), F.lit(0.0)))
+    return (g2.select(key_col, "n_events",
+                      F.round(F.col("point_mean"), 6).alias("point_mean"),
+                      F.round(se, 6).alias("boot_se"),
+                      F.round(F.col("point_mean") - 1.96 * se, 6)
+                      .alias("ci_lo"),
+                      F.round(F.col("point_mean") + 1.96 * se, 6)
+                      .alias("ci_hi"))
+            .orderBy(key_col))

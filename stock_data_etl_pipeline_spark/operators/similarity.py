@@ -1407,3 +1407,60 @@ def simplified_silhouette(vectors: DataFrame,
                   / (F.count(F.lit(1)).cast("double") * SIL_GRID))
                  .alias("mean_silhouette"))
             .orderBy(label_col))
+
+
+def brute_force_l2_topk(emb: DataFrame, query_vec: list[float],
+                        k: int = 10, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Exact squared-L2 top-k — the ground truth PQ-ADC approximates
+    (ADC estimates L2, not cosine, so the PQ tuning sweep must grade
+    against the same metric). Distance rounded to 6 dp with an id
+    tie-break; distributed top-k (TakeOrderedAndProject)."""
+    q = _query_col(query_vec)
+    d2 = F.aggregate(
+        F.zip_with(as_double(vec_col), q, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (emb.select(F.col(id_col), F.round(d2, 6).alias("l2_dist"))
+            .orderBy("l2_dist", id_col)
+            .limit(k))
+
+
+def pq_m_sweep(emb: DataFrame, query_vec: list[float], k: int = 10,
+               ms: Sequence[int] = (2, 4, 8), dim: int = 64,
+               every: int = 40, vec_col: str = "embedding",
+               id_col: str = "vec_id") -> DataFrame:
+    """Recall@k of PQ-ADC as a FUNCTION of the sub-space count ``m`` —
+    the third tuning sweep beside ivf_recall_sweep (nprobe) and
+    dedup.lsh_band_sweep (bands): more sub-spaces = finer quantization
+    = higher recall but m lookups per scored vector, and the knee is
+    the operating point. One row per m: (m, sub_dim, k, n_hits,
+    recall), exact against the brute-force squared-L2 ground truth.
+
+    Unlike the nprobe sweep, nothing is shareable across m by
+    construction — the codes themselves change with m (that is what is
+    being measured) — so each config pays its own encode pass; the
+    sweep is the OFFLINE index-tuning read, not a serving path.
+    """
+    ms = sorted({int(m) for m in ms})
+    if not ms:
+        raise ValueError("pq_m_sweep: ms must be non-empty")
+    for m in ms:
+        if dim % m != 0:
+            raise ValueError(f"m={m} does not divide dim={dim}")
+    exact = brute_force_l2_topk(emb, query_vec, k, vec_col, id_col) \
+        .select(id_col)
+    rows = []
+    for m in ms:
+        cb = sampled_codebook(emb, m, dim, every, vec_col, id_col)
+        top = pq_adc_topk(emb, cb, query_vec, k, m, dim, vec_col, id_col)
+        rows.append(
+            top.join(F.broadcast(exact), id_col, "left_semi")
+            .agg(F.lit(m).cast("long").alias("m"),
+                 F.lit(dim // m).cast("long").alias("sub_dim"),
+                 F.lit(int(k)).cast("long").alias("k"),
+                 F.count(F.lit(1)).cast("long").alias("n_hits"),
+                 F.round(F.count(F.lit(1)) / float(k), 6).alias("recall")))
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("m")

@@ -1,18 +1,24 @@
 """Round-14 catalog entries.
 
-Three families, all over machinery the engine already ships:
+Four families, all over machinery the engine already ships:
 
 * index tuning sweeps — precision/recall of banded MinHash-LSH as a
   FUNCTION of the band count (`dedup_lsh_band_sweep`): the S-curve read
   before choosing a banding, the MinHash twin of round-13's
   `ann_recall_vs_nprobe` (one shared signature pass, one shared exact
-  ground truth).
+  ground truth); and PQ-ADC recall as a function of the sub-space
+  count (`ann_pq_m_sweep`) — the quantization-granularity knee, graded
+  against exact squared-L2 (the metric ADC approximates).
 * join/scan economics — an explicit Bloom-filter runtime-filter
   (`events_bloom_prune`) reporting the false-positive economics of
   pruning a probe side against a build-side membership sketch, and a
   Poisson-bootstrap standard error (`events_bootstrap_ci`) — the
   resampling scheme that distributes (per-row deterministic replicate
-  weights; no resampled copies of the data ever exist).
+  weights; no resampled copies of the data ever exist), plus its
+  Structured-Streaming twin `streaming_bootstrap_ci` (partials
+  maintained by a live keyed aggregation, CI finalized on the drained
+  sink — order-independent by construction, so the batch oracle is
+  exact).
 * distribution shift / causal reads — 1-Wasserstein weekday-vs-weekend
   shift per event type with an exact integer-arithmetic CDF area
   (`events_wasserstein_shift`), and a stratified treated-vs-control
@@ -37,8 +43,6 @@ for a first driver window.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -189,15 +193,15 @@ def events_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_bootstrap_ci
 # ---------------------------------------------------------------------------
 
-BOOT_REPS = 16
-BOOT_PRIME = 2147483647
-# Poisson(1) inverse-CDF thresholds on the 31-bit hash: weight = number
-# of thresholds <= h, capping at 7 (P(X>7) ~ 1e-5). Integer thresholds
-# make the comparison exact on both engines.
-BOOT_THRESHOLDS = [
-    int(math.floor(sum(math.exp(-1.0) / math.factorial(j)
-                       for j in range(i + 1)) * BOOT_PRIME))
-    for i in range(7)]
+# constants live beside the operator (operators/quality.py) — the SQL
+# template below interpolates the SAME values the Spark builder uses
+from ..operators.quality import (  # noqa: E402
+    BOOT_PRIME,
+    BOOT_REPS,
+    BOOT_THRESHOLDS,
+    bootstrap_ci_from_partials,
+    poisson_bootstrap_partials,
+)
 
 
 def _bootstrap_sql(reps: int = BOOT_REPS) -> str:
@@ -257,42 +261,24 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "event_type", "event_id",
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
-    reps = F.explode(F.array(*[F.lit(i) for i in range(BOOT_REPS)]))
-    x = e.select("event_type", "event_id", "cents", reps.alias("rep"))
-    # rep must be widened before the multiply: a 32-bit rep times a
-    # 31-bit constant overflows int under ANSI mode
-    h = (F.col("event_id") * 2654435761
-         + F.col("rep").cast("long") * 1103515245 + 12345) % BOOT_PRIME
-    wt = None
-    for t in BOOT_THRESHOLDS:
-        term = F.when(F.col("h") >= t, 1).otherwise(0)
-        wt = term if wt is None else wt + term
-    g1 = (x.withColumn("h", h).withColumn("wt", wt)
-          .groupBy("event_type", "rep")
-          .agg(F.sum(F.col("wt") * F.col("cents")).cast("long").alias("s"),
-               F.sum("wt").cast("long").alias("n"),
-               F.sum("cents").cast("long").alias("c_all"),
-               F.count(F.lit(1)).cast("long").alias("cnt")))
-    m = (g1.filter(F.col("n") > 0)
-         .withColumn("mr", F.col("s") / (100.0 * F.col("n"))))
-    g2 = (m.groupBy("event_type")
-          .agg((F.sum("cnt") / BOOT_REPS).cast("long").alias("n_events"),
-               (F.sum("c_all") / (100.0 * F.sum("cnt")))
-               .alias("point_mean"),
-               F.count(F.lit(1)).cast("long").alias("b_eff"),
-               F.sum("mr").alias("sum_m"),
-               F.sum(F.col("mr") * F.col("mr")).alias("sum_m2")))
-    se = F.sqrt(F.greatest(
-        (F.col("sum_m2") - F.col("sum_m") * F.col("sum_m")
-         / F.col("b_eff")) / (F.col("b_eff") - 1), F.lit(0.0)))
-    return (g2.select("event_type", "n_events",
-                      F.round(F.col("point_mean"), 6).alias("point_mean"),
-                      F.round(se, 6).alias("boot_se"),
-                      F.round(F.col("point_mean") - 1.96 * se, 6)
-                      .alias("ci_lo"),
-                      F.round(F.col("point_mean") + 1.96 * se, 6)
-                      .alias("ci_hi"))
-            .orderBy("event_type"))
+    return bootstrap_ci_from_partials(poisson_bootstrap_partials(e))
+
+
+@register("streaming_bootstrap_ci", _bootstrap_sql())
+def streaming_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SAME bootstrap with the per-replicate partial sums maintained
+    # by a REAL Structured Streaming query (file stream -> stateless
+    # weight projection -> keyed agg -> memory sink, drained
+    # availableNow); the CI finalize runs on the drained sink, which is
+    # how a live experiment monitor consumes it. Replicate weights are
+    # per-row deterministic, so arrival order provably can't change the
+    # drained partials — the batch oracle is exact, not approximate.
+    import os
+
+    from ..streaming.events import streaming_bootstrap_partials
+    g1 = streaming_bootstrap_partials(
+        spark, os.path.join(sf_dir, "events.parquet"))
+    return bootstrap_ci_from_partials(g1)
 
 
 # ---------------------------------------------------------------------------
@@ -607,3 +593,86 @@ def stock_coppock(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order is a fixed tree, identical on both engines.
     ev = load_table(spark, sf_dir, "events")
     return ind.coppock(ind.daily_ohlc(ev))
+
+
+# ---------------------------------------------------------------------------
+# ann_pq_m_sweep
+# ---------------------------------------------------------------------------
+
+PQ_SWEEP_MS = (2, 4, 8)
+PQ_SWEEP_K = 10
+PQ_SWEEP_DIM = 64
+PQ_SWEEP_EVERY = 40
+
+
+def _pq_m_sweep_sql(ms: tuple = PQ_SWEEP_MS, k: int = PQ_SWEEP_K,
+                    dim: int = PQ_SWEEP_DIM,
+                    every: int = PQ_SWEEP_EVERY) -> str:
+    """Oracle for the PQ sub-space sweep. The per-dimension squared
+    residual join (d_base) is m-INDEPENDENT — (sub, j) equality is full
+    index equality — so it's shared; only the grouping key i0 // sub_d
+    changes per config (mirrors pq_adc_topk's arithmetic exactly,
+    including the 6-dp rounds before every comparison)."""
+    ms = sorted({int(m) for m in ms})
+    parts = []
+    for m in ms:
+        sd = dim // m
+        parts.append(f"""
+d_{m} AS (SELECT vec_id, i0 // {sd} AS sub, cid,
+                 round(sum(sq), 6) AS d2
+          FROM d_base GROUP BY vec_id, i0 // {sd}, cid),
+codes_{m} AS (SELECT vec_id, sub, cid FROM (
+                SELECT vec_id, sub, cid,
+                       row_number() OVER (PARTITION BY vec_id, sub
+                                          ORDER BY d2, cid) AS rn
+                FROM d_{m}) WHERE rn = 1),
+qtab_{m} AS (SELECT i0 // {sd} AS sub, cid, round(sum(sq), 6) AS qd2
+             FROM d_base WHERE vec_id = 0 GROUP BY i0 // {sd}, cid),
+top_{m} AS (SELECT v.vec_id, round(sum(q.qd2), 6) AS adc_dist
+            FROM codes_{m} v JOIN qtab_{m} q
+              ON q.sub = v.sub AND q.cid = v.cid
+            GROUP BY v.vec_id
+            ORDER BY adc_dist, vec_id LIMIT {k}),
+stat_{m} AS (SELECT CAST({m} AS BIGINT) AS m,
+                    CAST({sd} AS BIGINT) AS sub_dim,
+                    CAST({k} AS BIGINT) AS k,
+                    CAST(count(*) AS BIGINT) AS n_hits,
+                    round(count(*) / CAST({k} AS DOUBLE), 6) AS recall
+             FROM top_{m} t JOIN exact e ON e.vec_id = t.vec_id)""")
+    union = " UNION ALL ".join(f"SELECT * FROM stat_{m}" for m in ms)
+    return f"""
+WITH exbase AS (SELECT vec_id, u.i - 1 AS i0, u.x AS x
+                FROM (SELECT vec_id,
+                             unnest(list_transform(embedding::DOUBLE[],
+                                    (x, i) -> struct_pack(x := x, i := i)))
+                                 AS u
+                      FROM embeddings)),
+cbbase AS (SELECT vec_id AS cid, i0, x FROM exbase
+           WHERE vec_id % {every} = 0),
+d_base AS (SELECT e.vec_id, e.i0, c.cid, (e.x - c.x) * (e.x - c.x) AS sq
+           FROM exbase e JOIN cbbase c ON c.i0 = e.i0),
+q AS (SELECT i0, x AS qx FROM exbase WHERE vec_id = 0),
+exact AS (SELECT vec_id FROM (
+            SELECT e.vec_id,
+                   round(sum((e.x - q.qx) * (e.x - q.qx)), 6) AS l2
+            FROM exbase e JOIN q ON q.i0 = e.i0
+            GROUP BY e.vec_id ORDER BY l2, vec_id LIMIT {k})),
+{", ".join(parts)},
+stats AS ({union})
+SELECT * FROM stats ORDER BY m
+"""
+
+
+@register("ann_pq_m_sweep", _pq_m_sweep_sql())
+def ann_pq_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PQ-ADC recall@10 as a function of the sub-space count m — the
+    # third index-tuning sweep (nprobe r13, LSH bands above): finer
+    # quantization buys recall at m lookups per scored vector. Graded
+    # against the exact squared-L2 top-k (ADC approximates L2, so the
+    # ground-truth metric matches the index metric).
+    from ..operators import similarity as SIM
+    from .catalog_text import _query_vec
+    e = load_table(spark, sf_dir, "embeddings")
+    return SIM.pq_m_sweep(e, _query_vec(spark, sf_dir), k=PQ_SWEEP_K,
+                          ms=PQ_SWEEP_MS, dim=PQ_SWEEP_DIM,
+                          every=PQ_SWEEP_EVERY)

@@ -555,3 +555,32 @@ def streaming_user_day_counts(spark: SparkSession,
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name)
+
+
+def streaming_bootstrap_partials(spark: SparkSession,
+                                 events_parquet: str,
+                                 reps: int | None = None) -> DataFrame:
+    """Poisson-bootstrap per-replicate partial sums as a REAL
+    Structured Streaming query: file stream -> stateless deterministic
+    weight projection -> (event_type, rep) keyed aggregation -> memory
+    sink, drained with availableNow. The drained table is what
+    operators/quality.bootstrap_ci_from_partials finalizes into the
+    SE/CI readout — the live experiment-monitor shape (partials update
+    as data arrives; the monitor reads the sink, never the stream).
+
+    Complete output mode so the drained relation equals the batch twin
+    (operators/quality.poisson_bootstrap_partials on the same file);
+    the weights are pure per-row hash functions, so arrival order and
+    micro-batch boundaries cannot change the aggregated partials.
+    """
+    from ..operators.quality import BOOT_REPS, poisson_bootstrap_partials
+    stream = event_stream(spark, events_parquet).select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    agg = poisson_bootstrap_partials(stream, reps or BOOT_REPS)
+    name = f"bootpart_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)

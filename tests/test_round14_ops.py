@@ -380,3 +380,51 @@ def test_propensity_strata_hand_fixture(spark):
     assert (r["n_treated"], r["n_control"]) == (1, 1)
     assert r["mean_outcome_treated"] == pytest.approx(2.0)
     assert r["mean_outcome_control"] == pytest.approx(1.0)
+
+
+def test_pq_m_sweep_self_codebook_perfect_recall(spark):
+    """With every vector its own codeword (every=1) the quantization is
+    lossless at ANY m, so ADC distances equal exact distances and
+    recall@k is 1.0 across the sweep — the identity the sweep's
+    arithmetic must preserve."""
+    from stock_data_etl_pipeline_spark.operators import similarity as SIM
+    dim = 8
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + j * 7) % 11) + j * 0.125
+              for j in range(dim)]) for i in range(30)],
+        ["vec_id", "embedding"])
+    q = [float(j) for j in range(dim)]
+    out = SIM.pq_m_sweep(emb, q, k=5, ms=(1, 2, 4), dim=dim,
+                         every=1).collect()
+    assert [r["m"] for r in out] == [1, 2, 4]
+    for r in out:
+        assert r["sub_dim"] == dim // r["m"]
+        assert r["n_hits"] == 5 and r["recall"] == pytest.approx(1.0)
+
+
+def test_pq_m_sweep_rejects_bad_configs(spark):
+    from stock_data_etl_pipeline_spark.operators import similarity as SIM
+    emb = spark.createDataFrame([(0, [1.0] * 8)], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="non-empty"):
+        SIM.pq_m_sweep(emb, [0.0] * 8, ms=(), dim=8)
+    with pytest.raises(ValueError, match="does not divide"):
+        SIM.pq_m_sweep(emb, [0.0] * 8, ms=(3,), dim=8)
+
+
+def test_streaming_bootstrap_partials_equal_batch(spark):
+    """The streaming drain must equal the batch partials row-for-row:
+    the replicate weights are pure per-row hash functions, so
+    micro-batch boundaries cannot change the aggregation."""
+    from stock_data_etl_pipeline_spark.operators.quality import (
+        poisson_bootstrap_partials)
+    from stock_data_etl_pipeline_spark.sources.registry import load_table
+    from stock_data_etl_pipeline_spark.streaming.events import (
+        streaming_bootstrap_partials)
+    src = "/root/testdata/sf0.001/events.parquet"
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    batch = {tuple(r) for r in poisson_bootstrap_partials(e).collect()}
+    stream = {tuple(r) for r in
+              streaming_bootstrap_partials(spark, src).collect()}
+    assert batch == stream and len(batch) > 0
