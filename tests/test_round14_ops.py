@@ -287,10 +287,7 @@ def test_bootstrap_ci_matches_python_reference(spark):
 
     from stock_data_etl_pipeline_spark.plans.catalog_round14 import (
         BOOT_PRIME, BOOT_REPS, BOOT_THRESHOLDS)
-    import __spark_entry__ as E
-    import duckdb
-    # reference via the ORACLE on a handmade parquet: the python loop
-    # below recomputes the weights/means; both must agree
+    # independent pure-Python reference on a handmade events table
     rows = [(i, "t", 1.0 + (i % 5)) for i in range(40)]
     df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
     means = {}
@@ -311,9 +308,6 @@ def test_bootstrap_ci_matches_python_reference(spark):
 
     from stock_data_etl_pipeline_spark.plans import catalog_round14 as C14
     out = C14.events_bootstrap_ci  # register() returns the raw builder
-    # rebuild the builder on the fixture frame by monkey-loading is
-    # overkill — instead run the same pipeline inline via the operator
-    # logic exercised through a temp dir parquet
     import tempfile
     with tempfile.TemporaryDirectory() as td:
         import datetime
