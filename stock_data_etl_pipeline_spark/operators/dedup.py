@@ -160,6 +160,20 @@ def minhash_signature(docs: DataFrame, num_hashes: int = 16,
     return hv_df.select(F.col(id_col), *cols)
 
 
+def _band_signature_array(num_hashes: int, bands: int) -> Column:
+    """Banded signature encoding over mh_0..mh_{H-1} columns: one
+    md5('|'-joined rows) per band, as an array for a single posexplode.
+    THE single source of truth for the banding scheme — lsh_band_table
+    (the persisted index), lsh_band_sweep (the tuning curve) and the
+    SQL oracle generator all mirror this exact encoding; change it here
+    and the sweep keeps measuring the index actually served."""
+    rows = num_hashes // bands
+    return F.array(*[
+        F.md5(F.concat_ws(
+            "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
+        for b in range(bands)])
+
+
 def lsh_band_table(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
                    text_col: str = "text", id_col: str = "doc_id",
                    k: int = 3) -> DataFrame:
@@ -173,14 +187,11 @@ def lsh_band_table(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
     bands-way union would recompute the (md5-heavy) minhash signature
     once per band."""
     assert num_hashes % bands == 0
-    rows = num_hashes // bands
     sig = minhash_signature(docs, num_hashes, text_col, id_col, k)
-    band_sigs = F.array(*[
-        F.md5(F.concat_ws(
-            "|", *[F.col(f"mh_{b * rows + r}") for r in range(rows)]))
-        for b in range(bands)])
     return sig.select(
-        F.col(id_col), F.posexplode(band_sigs).alias("band", "sig"))
+        F.col(id_col),
+        F.posexplode(_band_signature_array(num_hashes, bands))
+        .alias("band", "sig"))
 
 
 def incremental_lsh_dedup(batch: DataFrame, corpus: DataFrame,
@@ -306,12 +317,9 @@ def lsh_band_sweep(docs: DataFrame, threshold: float = 0.5,
     per_config = []
     for b in band_counts:
         rows = num_hashes // b
-        band_sigs = F.array(*[
-            F.md5(F.concat_ws(
-                "|", *[F.col(f"mh_{i * rows + r}") for r in range(rows)]))
-            for i in range(b)])
         bt = sig.select(F.col(id_col),
-                        F.posexplode(band_sigs).alias("band", "bsig"))
+                        F.posexplode(_band_signature_array(num_hashes, b))
+                        .alias("band", "bsig"))
         a, c = bt.alias("a"), bt.alias("b")
         cand = (a.join(c, (F.col("a.band") == F.col("b.band"))
                        & (F.col("a.bsig") == F.col("b.bsig"))

@@ -686,16 +686,25 @@ def bootstrap_ci_from_partials(g1: DataFrame, reps: int = BOOT_REPS,
     the B-fold numerator and denominator cancel)."""
     m = (g1.filter(F.col("n") > 0)
          .withColumn("mr", F.col("s") / (100.0 * F.col("n"))))
+    # n_events divides by b_eff (surviving replicates), NOT by reps:
+    # a tiny key can draw weight 0 in some replicates and lose those
+    # g1 rows to the n > 0 filter; cnt is constant across surviving
+    # rows, so sum(cnt)/b_eff recovers the true count EXACTLY (an
+    # exact integer — no truncate-vs-round cast divergence between
+    # engines). The SE is NULL below 2 surviving replicates: the
+    # (b_eff - 1) divisor would be 0 and Spark's ANSI mode turns that
+    # into a query-aborting error, not a NULL.
     g2 = (m.groupBy(key_col)
-          .agg((F.sum("cnt") / reps).cast("long").alias("n_events"),
+          .agg((F.sum("cnt") / F.count(F.lit(1))).cast("long")
+               .alias("n_events"),
                (F.sum("c_all") / (100.0 * F.sum("cnt")))
                .alias("point_mean"),
                F.count(F.lit(1)).cast("long").alias("b_eff"),
                F.sum("mr").alias("sum_m"),
                F.sum(F.col("mr") * F.col("mr")).alias("sum_m2")))
-    se = F.sqrt(F.greatest(
+    se = F.when(F.col("b_eff") > 1, F.sqrt(F.greatest(
         (F.col("sum_m2") - F.col("sum_m") * F.col("sum_m")
-         / F.col("b_eff")) / (F.col("b_eff") - 1), F.lit(0.0)))
+         / F.col("b_eff")) / (F.col("b_eff") - 1), F.lit(0.0))))
     return (g2.select(key_col, "n_events",
                       F.round(F.col("point_mean"), 6).alias("point_mean"),
                       F.round(se, 6).alias("boot_se"),

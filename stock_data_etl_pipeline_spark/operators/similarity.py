@@ -357,30 +357,50 @@ def pq_adc_topk(emb: DataFrame, codebook: DataFrame,
     ADC sum per row. Distances rounded to 6dp before every comparison
     so ranking is engine-stable."""
     sub_d = dim // m
-    ex = emb.select(
-        F.col(id_col),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"))
-    ex = ex.select(id_col, (F.col("i") / sub_d).cast("int").alias("sub"),
-                   (F.col("i") % sub_d).alias("j"), "x")
-    cb = codebook.select(
+    ex = _flat_explode(emb, vec_col, id_col)
+    # flatten the (cid, sub, codeword) form onto the global dimension
+    # index: i0 = sub*sub_d + j — (sub, j) equality IS i0 equality
+    cbex = (codebook.select(
         "cid", "sub",
         F.posexplode(F.col("codeword").cast("array<double>"))
         .alias("j", "c"))
-    # per-(row, sub, cid) squared L2 against every codeword, then argmin
-    d = (ex.join(F.broadcast(cb), ["sub", "j"])
-         .groupBy(id_col, "sub", "cid")
+        .select("cid", (F.col("sub") * sub_d + F.col("j")).alias("i0"),
+                "c"))
+    spark = emb.sparkSession
+    qx = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(query_vec)],
+        "i0 int, x double")
+    return _pq_adc_topk_flat(ex, cbex, qx, k, sub_d, id_col)
+
+
+def _flat_explode(emb: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """(id, i0, x): the vector column posexploded onto its global
+    dimension index — the m-independent base every PQ config derives
+    its (sub, j) split from."""
+    return emb.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>"))
+        .alias("i0", "x"))
+
+
+def _pq_adc_topk_flat(ex: DataFrame, cbex: DataFrame, qx: DataFrame,
+                      k: int, sub_d: int, id_col: str) -> DataFrame:
+    """ADC core on flat-indexed inputs — THE single source of the PQ
+    arithmetic (pq_adc_topk and pq_m_sweep both delegate here; the SQL
+    oracle generator mirrors it): ex (id, i0, x), cbex (cid, i0, c),
+    qx (i0, x). sub = i0 div sub_d; distances rounded to 6 dp before
+    every comparison so ranking is engine-stable."""
+    sub = (F.col("i0") / sub_d).cast("int").alias("sub")
+    d = (ex.join(F.broadcast(cbex), "i0")
+         .groupBy(id_col, sub, F.col("cid"))
          .agg(F.round(F.sum((F.col("x") - F.col("c")) ** 2), 6)
               .alias("d2")))
     codes = (d.groupBy(id_col, "sub")
              .agg(F.min(F.struct("d2", "cid")).alias("_m"))
              .select(id_col, "sub", F.col("_m.cid").alias("cid")))
-    # query distance table: one row per (sub, cid)
-    qx = [(int(i // sub_d), int(i % sub_d), float(x))
-          for i, x in enumerate(query_vec)]
-    spark = emb.sparkSession
-    qdf = spark.createDataFrame(qx, "sub int, j int, x double")
-    qtab = (qdf.join(cb, ["sub", "j"])
-            .groupBy("sub", "cid")
+    qtab = (qx.join(F.broadcast(cbex), "i0")
+            .groupBy(sub, F.col("cid"))
             .agg(F.round(F.sum((F.col("x") - F.col("c")) ** 2), 6)
                  .alias("qd2")))
     adc = (codes.join(F.broadcast(qtab), ["sub", "cid"])
@@ -1436,23 +1456,42 @@ def pq_m_sweep(emb: DataFrame, query_vec: list[float], k: int = 10,
     the operating point. One row per m: (m, sub_dim, k, n_hits,
     recall), exact against the brute-force squared-L2 ground truth.
 
-    Unlike the nprobe sweep, nothing is shareable across m by
-    construction — the codes themselves change with m (that is what is
-    being measured) — so each config pays its own encode pass; the
-    sweep is the OFFLINE index-tuning read, not a serving path.
+    Shared across the sweep: the scan + posexplode of the corpus onto
+    its flat dimension index (pin_cut — every config and the ground
+    truth read the materialized n·dim-row base) and the flat-indexed
+    sampled codebook (m-independent: the (sub, j) split is just
+    i0 div/mod sub_d). What legitimately repeats per m is the
+    residual join + per-(vector, sub) aggregation — each m GROUPS the
+    residuals differently, and materializing the joint per-(vector,
+    dim, codeword) residual table to share it would write
+    |codebook|-times more rows than the source. Offline index-tuning
+    read, not a serving path.
     """
+    from .pinned import pin_cut
     ms = sorted({int(m) for m in ms})
     if not ms:
         raise ValueError("pq_m_sweep: ms must be non-empty")
     for m in ms:
         if dim % m != 0:
             raise ValueError(f"m={m} does not divide dim={dim}")
-    exact = brute_force_l2_topk(emb, query_vec, k, vec_col, id_col) \
-        .select(id_col)
+    ex = pin_cut(_flat_explode(emb, vec_col, id_col))
+    cbex = (ex.filter(F.col(id_col) % every == 0)
+            .select(F.col(id_col).alias("cid"), "i0",
+                    F.col("x").alias("c")))
+    spark = emb.sparkSession
+    qx = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(query_vec)],
+        "i0 int, x double")
+    # exact squared-L2 ground truth from the same pinned base
+    exact = (ex.join(F.broadcast(qx.select("i0",
+                                           F.col("x").alias("qx"))), "i0")
+             .groupBy(id_col)
+             .agg(F.round(F.sum((F.col("x") - F.col("qx")) ** 2), 6)
+                  .alias("l2"))
+             .orderBy("l2", id_col).limit(k).select(id_col))
     rows = []
     for m in ms:
-        cb = sampled_codebook(emb, m, dim, every, vec_col, id_col)
-        top = pq_adc_topk(emb, cb, query_vec, k, m, dim, vec_col, id_col)
+        top = _pq_adc_topk_flat(ex, cbex, qx, k, dim // m, id_col)
         rows.append(
             top.join(F.broadcast(exact), id_col, "left_semi")
             .agg(F.lit(m).cast("long").alias("m"),

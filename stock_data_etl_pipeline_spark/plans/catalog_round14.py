@@ -228,7 +228,7 @@ m AS (SELECT event_type, rep,
              s / (CAST(100 AS DOUBLE) * n) AS mr, c_all, cnt
       FROM g1 WHERE n > 0),
 g2 AS (SELECT event_type,
-              CAST(sum(cnt) / {reps} AS BIGINT) AS n_events,
+              CAST(sum(cnt) / count(*) AS BIGINT) AS n_events,
               CAST(sum(c_all) AS BIGINT)
                   / (CAST(100 AS DOUBLE) * CAST(sum(cnt) AS BIGINT))
                   AS point_mean,
@@ -236,13 +236,14 @@ g2 AS (SELECT event_type,
               sum(mr) AS sum_m, sum(mr * mr) AS sum_m2
        FROM m GROUP BY event_type)
 SELECT event_type, n_events, round(point_mean, 6) AS point_mean,
-       round(sqrt(greatest((sum_m2 - sum_m * sum_m / b_eff)
-                           / (b_eff - 1), 0.0)), 6) AS boot_se,
-       round(point_mean - 1.96 * sqrt(greatest(
-           (sum_m2 - sum_m * sum_m / b_eff) / (b_eff - 1), 0.0)), 6)
+       round(CASE WHEN b_eff > 1 THEN sqrt(greatest(
+           (sum_m2 - sum_m * sum_m / b_eff) / (b_eff - 1), 0.0)) END, 6)
+           AS boot_se,
+       round(point_mean - 1.96 * CASE WHEN b_eff > 1 THEN sqrt(greatest(
+           (sum_m2 - sum_m * sum_m / b_eff) / (b_eff - 1), 0.0)) END, 6)
            AS ci_lo,
-       round(point_mean + 1.96 * sqrt(greatest(
-           (sum_m2 - sum_m * sum_m / b_eff) / (b_eff - 1), 0.0)), 6)
+       round(point_mean + 1.96 * CASE WHEN b_eff > 1 THEN sqrt(greatest(
+           (sum_m2 - sum_m * sum_m / b_eff) / (b_eff - 1), 0.0)) END, 6)
            AS ci_hi
 FROM g2 ORDER BY event_type
 """
@@ -323,6 +324,13 @@ def events_wasserstein_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact and the single division happens at emit. One groupBy onto
     # (type, value) then windows partitioned by type: the distinct-
     # value relation is bounded by the value domain, not event count.
+    # Integer headroom: the area sum is bounded by tot_wd*tot_we*
+    # range_cents < 2^63, i.e. ~10^7 events per (type, side) at this
+    # 49k-cent domain. Beyond that Spark's ANSI mode raises
+    # ARITHMETIC_OVERFLOW (loudly — never a silent wrap) while DuckDB
+    # rides HUGEINT until the final BIGINT cast; scaling further means
+    # quantizing the per-term product (divide both cums by a common
+    # 2^k before the cross-multiply), not widening silently.
     e = load_table(spark, sf_dir, "events").select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("v"),
@@ -464,6 +472,10 @@ WITH e AS (
 
 _KAMA_DIFF = repr(2.0 / (ind.KAMA_FAST + 1) - 2.0 / (ind.KAMA_SLOW + 1))
 _KAMA_SLOW_SC = repr(2.0 / (ind.KAMA_SLOW + 1))
+# mass-index EMA constants, interpolated (not hardcoded) so a
+# MASS_EMA_N tweak can never desync the two engines silently
+_MASS_ALPHA = repr(2.0 / (ind.MASS_EMA_N + 1))
+_MASS_DECAY = repr(1.0 - 2.0 / (ind.MASS_EMA_N + 1))
 
 
 @register("stock_kama", _R14_DAILY + f"""
@@ -527,7 +539,7 @@ def stock_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
          list_reduce(
            list_prepend([xs[1].rng],
                         list_transform(xs[2:], x -> [x.rng])),
-           (acc, x) -> list_append(acc, acc[-1] * 0.8 + x[1] * 0.2))
+           (acc, x) -> list_append(acc, acc[-1] * {_MASS_DECAY} + x[1] * {_MASS_ALPHA}))
              AS ema1
   FROM arr
 ), f2 AS (
@@ -535,7 +547,7 @@ def stock_kama(spark: SparkSession, sf_dir: str) -> DataFrame:
          list_reduce(
            list_prepend([ema1[1]],
                         list_transform(ema1[2:], x -> [x])),
-           (acc, x) -> list_append(acc, acc[-1] * 0.8 + x[1] * 0.2))
+           (acc, x) -> list_append(acc, acc[-1] * {_MASS_DECAY} + x[1] * {_MASS_ALPHA}))
              AS ema2
   FROM f1
 ), f3 AS (

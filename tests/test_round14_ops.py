@@ -99,8 +99,9 @@ def test_bench_loadavg_brackets_each_query():
     attempts+1): the 1-min EWMA lags tens of seconds, so the honest
     claim is a bracket of the query window, not per-attempt
     attribution (round-13 advice)."""
-    import pathlib
-    src = pathlib.Path("bench.py").read_text()
+    import os
+    src = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")).read()
     assert "loads = [round(os.getloadavg()[0], 2)]" in src
     assert "BRACKET" in src
 
@@ -422,3 +423,34 @@ def test_streaming_bootstrap_partials_equal_batch(spark):
     stream = {tuple(r) for r in
               streaming_bootstrap_partials(spark, src).collect()}
     assert batch == stream and len(batch) > 0
+
+
+def test_bootstrap_tiny_key_survives_dropped_replicates(spark):
+    """A 1-event key draws Poisson weight 0 in ~1/e of replicates, so
+    some (key, rep) partials vanish: n_events must still be EXACT
+    (divide by surviving replicates, not by reps) and the SE must be
+    NULL — never an ANSI divide-by-zero — when fewer than 2 replicates
+    survive (round-14 review findings 1-2)."""
+    from stock_data_etl_pipeline_spark.operators.quality import (
+        BOOT_PRIME, BOOT_REPS, BOOT_THRESHOLDS, bootstrap_ci_from_partials,
+        poisson_bootstrap_partials)
+    df = spark.createDataFrame(
+        [(7, "solo", 12300), (100, "pair", 4500), (101, "pair", 500)],
+        ["event_id", "event_type", "cents"])
+    out = {r["event_type"]: r for r in bootstrap_ci_from_partials(
+        poisson_bootstrap_partials(df)).collect()}
+    # python reference for the surviving-replicate count of 'solo'
+    surv = 0
+    for rep in range(BOOT_REPS):
+        h = (7 * 2654435761 + rep * 1103515245 + 12345) % BOOT_PRIME
+        if sum(1 for t in BOOT_THRESHOLDS if h >= t) > 0:
+            surv += 1
+    assert surv < BOOT_REPS  # the fixture genuinely drops replicates
+    assert out["solo"]["n_events"] == 1
+    assert out["solo"]["point_mean"] == pytest.approx(123.0)
+    if surv < 2:
+        assert out["solo"]["boot_se"] is None
+    else:
+        # a single value has zero bootstrap variance across replicates
+        assert out["solo"]["boot_se"] == pytest.approx(0.0)
+    assert out["pair"]["n_events"] == 2
