@@ -18,10 +18,12 @@ plans over the `events` table (`event_type` plays the symbol,
 Scale notes (100 TB): every plan partitions by symbol and shuffles at
 most once onto (symbol) or (symbol, bar) keys; window frames are
 row-bounded so state per partition is O(lookback); the dense grid is
-|symbols| x |hours| — independent of event count. The EWMA uses a
-rank-bounded self-join (40x amplification, linear in bars) instead of
-an unbounded running recurrence so it stays expressible as a pure
-window/join plan — no Python in any hot path.
+|symbols| x |hours| — independent of event count. The truncated EWMA
+family folds a bounded rowsBetween member array (O(lookback)/bar on
+the one symbol exchange — the round-14 window form of the former
+rank-banded self-join) instead of an unbounded running recurrence so
+it stays expressible as a pure window plan — no Python in any hot
+path.
 """
 
 from __future__ import annotations
@@ -74,6 +76,39 @@ def hourly_bars(events: DataFrame) -> DataFrame:
 def _series_window(n: int) -> Window:
     return (Window.partitionBy("event_type").orderBy("hr")
             .rowsBetween(-(n - 1), 0))
+
+
+def _trailing_vals(val_col: str, n: int) -> F.Column:
+    """Ascending array of the trailing ``n`` values of ``val_col`` per
+    (symbol, hr) row — the row's own value LAST. The window-native
+    bounded-history kernel: one frame aggregate on the (event_type)
+    partitioning every indicator already shuffles onto, so a chain of
+    truncated-EWMA / mean-deviation stages costs ONE exchange total
+    where the former ``banded_rank_join`` form paid a join (2 exchanges
+    + an explode) plus a groupBy per stage (guide §2.4: remove shuffles
+    outright). Per-row work is unchanged at O(n); partition memory is
+    the window buffer both forms already needed upstream.
+
+    NULL inputs would be DROPPED from the array (collect_list skips
+    them) — every caller feeds a provably non-null column, matching the
+    former join's prev-side semantics."""
+    return F.collect_list(val_col).over(_series_window(n))
+
+
+def _ewma_fold(xs: F.Column, decay: float) -> F.Column:
+    """Truncated EWMA over an ascending member array: with m = |xs|,
+    Σ decay^(m-1-i)·xs[i] / Σ decay^(m-1-i) — the identical weighted
+    sum the banded-join form aggregated (weight decay^(rn_cur−rn_prev)),
+    folded left-to-right with JVM Math.pow weights. UNROUNDED: each
+    caller applies its own canonical 6-dp round."""
+    m = F.size(xs)
+    num = F.aggregate(
+        F.transform(xs, lambda x, i: x * F.pow(F.lit(decay), m - i - 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    den = F.aggregate(
+        F.transform(xs, lambda x, i: F.pow(F.lit(decay), m - i - 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return num / den
 
 
 def bollinger(bars: DataFrame, n: int = BOLL_N) -> DataFrame:
@@ -129,28 +164,24 @@ def ewma_trend(bars: DataFrame, decay: float = EWMA_DECAY,
     """Truncated exponentially-weighted moving average of close.
 
     ewma_t = Σ_{i=0..L-1} decay^i · close_{t-i} / Σ decay^i, via a
-    BANDED rank self-join (``banded_rank_join``): rank is blocked into
-    width-L bands and each bar equi-joins on (symbol, band ∈ {b, b−1})
-    before the range residual, so every hash-probe bucket holds ≤ L
-    rows — O(L) comparisons per bar, linear in bars at any history
-    length (a plain rank-range join keyed only on symbol probes every
-    same-symbol bar: O(n²) per key). The recurrence form
+    bounded window frame (``_trailing_vals`` + ``_ewma_fold``): one
+    sliding rowsBetween(−(L−1), 0) aggregate on the (symbol)
+    partitioning — O(L) work per bar, one exchange, no self-join.
+    (Round-14 optimization: the former ``banded_rank_join`` form paid
+    the same O(L)/bar arithmetic but through an explode + equi-join +
+    groupBy — 3 exchanges and a 2× row amplification per stage; the
+    window form shuffles the bars exactly once. Values are identical:
+    the same weighted terms, summed per frame.) The recurrence form
     (ewma = α·x + (1−α)·prev) needs an unbounded running state that
     neither SQL window frames nor Catalyst express; truncating at
     decay^L < 1.3e-4 keeps the result identical to 6 dp.
     """
-    from .windows import banded_rank_join
-
-    w = Window.partitionBy("event_type").orderBy("hr")
-    b = bars.select("event_type", "hr", "close",
-                    F.row_number().over(w).alias("rn"))
-    joined = banded_rank_join(b, ["event_type"], "rn", lookback)
-    wgt = F.pow(F.lit(decay), F.col("cur.rn") - F.col("prev.rn"))
-    return (joined.groupBy(F.col("cur.event_type").alias("event_type"),
-                           F.col("cur.hr").alias("hr"),
-                           F.col("cur.close").alias("close"))
-            .agg(F.round(F.sum(F.col("prev.close") * wgt) / F.sum(wgt), 6)
-                 .alias("ewma")))
+    return (bars
+            .select("event_type", "hr", "close")
+            .withColumn("_xs", _trailing_vals("close", lookback))
+            .select("event_type", "hr", "close",
+                    F.round(_ewma_fold(F.col("_xs"), decay), 6)
+                    .alias("ewma")))
 
 
 def locf_fill(bars: DataFrame) -> DataFrame:
@@ -891,9 +922,9 @@ def riskmetrics_vol(bars: DataFrame, decay: float = RM_DECAY,
 
     Returns are quantized to 1e-6 integers; the weighted sum runs on
     exact r² longs × double weights. Nonpositive-low bars drop before
-    the lag window. Join work is O(lookback) per bar by banding.
+    the lag window. Frame work is O(lookback) per bar (the window form
+    of the former banded join — round-14 optimization, one exchange).
     """
-    from .windows import banded_rank_join
     bars = bars.filter(F.col("low") > 0)
     w = Window.partitionBy("event_type").orderBy("hr")
     r_us = (F.round(F.log(F.col("close")
@@ -901,15 +932,18 @@ def riskmetrics_vol(bars: DataFrame, decay: float = RM_DECAY,
             .cast("long"))
     b = (bars.select("event_type", "hr", r_us.alias("r"))
          .filter(F.col("r").isNotNull())
-         .select("event_type", "hr", "r",
-                 F.row_number().over(w).alias("rn")))
-    joined = banded_rank_join(b, ["event_type"], "rn", lookback)
-    wgt = F.pow(F.lit(decay), F.col("cur.rn") - F.col("prev.rn"))
-    return (joined.groupBy(F.col("cur.event_type").alias("event_type"),
-                           F.col("cur.hr").alias("hr"))
-            .agg(F.round(F.sqrt(
-                F.sum(F.col("prev.r") * F.col("prev.r") * wgt)
-                / F.sum(wgt)) / 1e6, 6).alias("rm_vol")))
+         .withColumn("_xs", _trailing_vals("r", lookback)))
+    m = F.size(F.col("_xs"))
+    num = F.aggregate(
+        F.transform(F.col("_xs"),
+                    lambda x, i: x * x * F.pow(F.lit(decay), m - i - 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    den = F.aggregate(
+        F.transform(F.col("_xs"),
+                    lambda x, i: F.pow(F.lit(decay), m - i - 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return b.select("event_type", "hr",
+                    F.round(F.sqrt(num / den) / 1e6, 6).alias("rm_vol"))
 
 
 def candlestick_flags(bars: DataFrame) -> DataFrame:
@@ -1398,31 +1432,29 @@ def cci(bars: DataFrame, n: int = CCI_N) -> DataFrame:
     CCI reduces to ``cnt·(cnt·tp3_i − S) / (0.015·D)`` — the ×3 scale
     cancels. One rounded IEEE division at emit, guarded on D > 0.
 
-    Scale: the per-row window members come from ``banded_rank_join`` —
-    an equi-keyed bounded self-join doing O(n) work per row at any
-    symbol cardinality (never a rank-range post-probe residual).
+    Scale: the per-row window members come from a bounded
+    rowsBetween frame (``_trailing_vals`` — the round-14 window form
+    of the former banded self-join): O(n) integer work per row on the
+    one (symbol) exchange every indicator already pays, and D is an
+    exact integer fold, immune to summation order by construction.
     """
-    from .windows import banded_rank_join
     w = Window.partitionBy("event_type").orderBy("hr")
     cents = lambda c: F.round(F.col(c) * 100, 0).cast("long")  # noqa: E731
     b = bars.select("event_type", "hr", (cents("high") + cents("low")
                     + cents("close")).alias("tp3"))
     wn = w.rowsBetween(-(n - 1), 0)
-    b = (b.withColumn("rn", F.row_number().over(w))
-          .withColumn("s", F.sum("tp3").over(wn))
-          .withColumn("cnt", F.count(F.lit(1)).over(wn)))
-    pairs = banded_rank_join(b, ["event_type"], "rn", n)
-    g = (pairs.groupBy(F.col("cur.event_type").alias("event_type"),
-                       F.col("cur.hr").alias("hr"),
-                       F.col("cur.tp3").alias("tp3"),
-                       F.col("cur.s").alias("s"),
-                       F.col("cur.cnt").alias("cnt"))
-              .agg(F.sum(F.abs(F.col("cur.cnt") * F.col("prev.tp3")
-                               - F.col("cur.s"))).alias("d")))
+    b = (b.withColumn("s", F.sum("tp3").over(wn))
+          .withColumn("cnt", F.count(F.lit(1)).over(wn))
+          .withColumn("_xs", _trailing_vals("tp3", n)))
+    s, cnt = F.col("s"), F.col("cnt")
+    d = F.aggregate(
+        F.transform(F.col("_xs"), lambda x: F.abs(cnt * x - s)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    b = b.withColumn("d", d)
     val = F.round((F.col("cnt") * (F.col("cnt") * F.col("tp3")
                                    - F.col("s"))).cast("double")
                   / (F.lit(0.015) * F.col("d").cast("double")), 6)
-    return g.select("event_type", "hr",
+    return b.select("event_type", "hr",
                     F.when(F.col("d") > 0, val).alias("cci"))
 
 
@@ -1612,27 +1644,31 @@ def keltner(bars: DataFrame, decay: float = EWMA_DECAY,
     """Keltner channels per symbol: center = truncated EWMA of the
     typical price (h+l+c)/3, bands = center ± ``mult``·ATR(``n_atr``).
 
-    Composes the two proven kernels: the EWMA rides
-    ``banded_rank_join`` (O(lookback) probe work per bar — the
-    ewma_trend plan), the ATR the rolling-mean window. Center and ATR
-    are 6-dp-rounded like their parents; the bands are UNROUNDED
+    Composes the two proven kernels IN ONE WINDOW PASS (round-14
+    optimization): the EWMA center rides the bounded-frame fold
+    (``_trailing_vals`` + ``_ewma_fold``, the ewma_trend plan) and the
+    ATR its rolling-mean frame, both on the same (symbol) partitioning
+    — one exchange, no center⋈atr join (the former banded-join +
+    equi-join form paid 5 exchanges for the same values). Center and
+    ATR are 6-dp-rounded like their parents; the bands are UNROUNDED
     center ± mult·atr — pure IEEE ops on bit-identical inputs, so no
     rounding half-rule can ever split the engines on the composite.
     """
-    from .windows import banded_rank_join
-    w = Window.partitionBy("event_type").orderBy("hr")
+    w_lag = Window.partitionBy("event_type").orderBy("hr")
     tp = (F.col("high") + F.col("low") + F.col("close")) / 3.0
-    b = (bars.select("event_type", "hr", tp.alias("tp"))
-         .withColumn("rn", F.row_number().over(w)))
-    joined = banded_rank_join(b, ["event_type"], "rn", lookback)
-    wgt = F.pow(F.lit(decay), F.col("cur.rn") - F.col("prev.rn"))
-    center = (joined.groupBy(F.col("cur.event_type").alias("event_type"),
-                             F.col("cur.hr").alias("hr"))
-              .agg(F.round(F.sum(F.col("prev.tp") * wgt) / F.sum(wgt), 6)
-                   .alias("center")))
-    a = atr(bars, n_atr).select("event_type", "hr", "atr")
-    j = center.join(a, ["event_type", "hr"])
-    return (j.select("event_type", "hr", "center",
+    prev_close = F.lag("close").over(w_lag)
+    tr = F.when(prev_close.isNotNull(), F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - prev_close),
+        F.abs(F.col("low") - prev_close)))
+    b = (bars.select("event_type", "hr", tp.alias("tp"),
+                     tr.alias("true_range"))
+         .withColumn("_xs", _trailing_vals("tp", lookback))
+         .withColumn("atr", F.round(
+             F.avg("true_range").over(_series_window(n_atr)), 6))
+         .withColumn("center",
+                     F.round(_ewma_fold(F.col("_xs"), decay), 6)))
+    return (b.select("event_type", "hr", "center",
                      (F.col("center") + mult * F.col("atr"))
                      .alias("kelt_upper"),
                      (F.col("center") - mult * F.col("atr"))
@@ -1746,25 +1782,23 @@ def force_index(bars: DataFrame, decay: float = EWMA_DECAY,
     truncated-EWMA variant (the :func:`ewma_trend` convention).
 
     The raw per-bar force is the EXACT integer cents-move × volume;
-    first bars (no previous close) are dropped BEFORE ranking so every
-    band-join row carries a defined force and Σweights needs no
-    conditional. The EWMA rides ``banded_rank_join`` (O(lookback) probe
-    work per bar); the emit divides by 100 into dollars·shares and
-    rounds 6 dp in one expression mirrored by the oracle.
+    first bars (no previous close) are dropped BEFORE the frame so
+    every member carries a defined force and Σweights needs no
+    conditional. The EWMA rides the bounded window frame
+    (``_trailing_vals`` + ``_ewma_fold`` — the round-14 window form of
+    the former banded join, one exchange); the emit divides by 100
+    into dollars·shares and rounds 6 dp in one expression mirrored by
+    the oracle.
     """
-    from .windows import banded_rank_join
     w = Window.partitionBy("event_type").orderBy("hr")
     c = F.round(F.col("close") * 100, 0).cast("long")
     fi = ((c - F.lag(c).over(w)) * F.col("volume").cast("long"))
     b = (bars.select("event_type", "hr", fi.alias("fi"))
          .filter(F.col("fi").isNotNull())
-         .withColumn("rn", F.row_number().over(w)))
-    joined = banded_rank_join(b, ["event_type"], "rn", lookback)
-    wgt = F.pow(F.lit(decay), F.col("cur.rn") - F.col("prev.rn"))
-    return (joined.groupBy(F.col("cur.event_type").alias("event_type"),
-                           F.col("cur.hr").alias("hr"))
-            .agg(F.round(F.sum(F.col("prev.fi") * wgt) / F.sum(wgt)
-                         / 100.0, 6).alias("force_index")))
+         .withColumn("_xs", _trailing_vals("fi", lookback)))
+    return b.select("event_type", "hr",
+                    F.round(_ewma_fold(F.col("_xs"), decay) / 100.0, 6)
+                    .alias("force_index"))
 
 
 def pivot_points(daily: DataFrame) -> DataFrame:
@@ -1933,19 +1967,21 @@ def chande_momentum(bars: DataFrame, n: int = CMO_N) -> DataFrame:
 
 def _banded_ewma_stage(b: DataFrame, val_col: str, out: str,
                        decay: float, lookback: int) -> DataFrame:
-    """One truncated-EWMA pass over a (event_type, hr, rn, val) frame
-    via ``banded_rank_join`` — the shared stage of :func:`ewma_trend`,
-    :func:`trix` (three chained stages) and :func:`elder_ray`.
-    Preserves ``rn`` so stages chain without re-ranking. Output is
-    6-dp-rounded like every EWMA in this module."""
-    from .windows import banded_rank_join
-    joined = banded_rank_join(b, ["event_type"], "rn", lookback)
-    wgt = F.pow(F.lit(decay), F.col("cur.rn") - F.col("prev.rn"))
-    return (joined.groupBy(F.col("cur.event_type").alias("event_type"),
-                           F.col("cur.hr").alias("hr"),
-                           F.col("cur.rn").alias("rn"))
-            .agg(F.round(F.sum(F.col(f"prev.{val_col}") * wgt)
-                         / F.sum(wgt), 6).alias(out)))
+    """One truncated-EWMA pass over a (event_type, hr, …, val) frame
+    via the bounded window fold (``_trailing_vals`` + ``_ewma_fold``)
+    — the shared stage of :func:`trix` (three chained stages),
+    :func:`elder_ray`, :func:`macd`, :func:`dema` and
+    :func:`chaikin_volatility`. Because every stage windows on the
+    SAME (event_type, hr) partitioning and order, a chain of stages
+    costs ONE exchange total (round-14: the former banded-join form
+    paid ~3 exchanges per stage). Preserves ``rn`` when present so
+    existing callers chain unchanged. Output is 6-dp-rounded like
+    every EWMA in this module."""
+    keep = ["event_type", "hr"] + (["rn"] if "rn" in b.columns else [])
+    return (b.withColumn("_xs", _trailing_vals(val_col, lookback))
+            .select(*keep,
+                    F.round(_ewma_fold(F.col("_xs"), decay), 6)
+                    .alias(out)))
 
 
 def trix(bars: DataFrame, decay: float = EWMA_DECAY,
@@ -1955,16 +1991,16 @@ def trix(bars: DataFrame, decay: float = EWMA_DECAY,
     ``10000·(ew3_t/ew3_{t−1} − 1)``.
 
     Three chained :func:`_banded_ewma_stage` passes (each O(lookback)
-    probe work per bar, each 6-dp-rounded so every stage hands the
-    next a canonical decimal), then one lag. The emit is UNROUNDED:
+    frame work per bar, each 6-dp-rounded so every stage hands the
+    next a canonical decimal) — all on ONE (symbol) exchange since the
+    round-14 window rewrite — then one lag. The emit is UNROUNDED:
     ew3 values are scaled integers (6-dp decimals), and a ratio of
     exact integers can land on any rounding boundary — the raw IEEE
     ``(ew3/prev − 1)·10000`` with identical association is the
     knife-edge-free form. First bars emit NULL (no previous ew3).
     """
     w = Window.partitionBy("event_type").orderBy("hr")
-    b = (bars.select("event_type", "hr", F.col("close").alias("v0"))
-         .withColumn("rn", F.row_number().over(w)))
+    b = bars.select("event_type", "hr", F.col("close").alias("v0"))
     e1 = _banded_ewma_stage(b, "v0", "v1", decay, lookback)
     e2 = _banded_ewma_stage(e1, "v1", "v2", decay, lookback)
     e3 = _banded_ewma_stage(e2, "v2", "v3", decay, lookback)
@@ -1980,19 +2016,17 @@ def elder_ray(bars: DataFrame, decay: float = EWMA_DECAY,
     bear power = low − EWMA(close) — where the bar's extremes sit
     relative to the consensus trend.
 
-    One :func:`_banded_ewma_stage` pass; the emits are UNROUNDED
-    differences of a 2-dp price and the 6-dp-rounded EWMA — both exact
-    decimals, one IEEE subtraction each, identical on any engine.
+    One :func:`_banded_ewma_stage`-shaped window pass, computed inline
+    so the bars⋈center join disappears (round-14: same values, one
+    exchange); the emits are UNROUNDED differences of a 2-dp price and
+    the 6-dp-rounded EWMA — both exact decimals, one IEEE subtraction
+    each, identical on any engine.
     """
-    w = Window.partitionBy("event_type").orderBy("hr")
     b = (bars.select("event_type", "hr", "high", "low",
                      F.col("close").alias("v0"))
-         .withColumn("rn", F.row_number().over(w)))
-    center = _banded_ewma_stage(b, "v0", "ema", decay, lookback)
-    j = b.select("event_type", "hr", "high", "low") \
-         .join(center.select("event_type", "hr", "ema"),
-               ["event_type", "hr"])
-    return j.select("event_type", "hr", "ema",
+         .withColumn("_xs", _trailing_vals("v0", lookback))
+         .withColumn("ema", F.round(_ewma_fold(F.col("_xs"), decay), 6)))
+    return b.select("event_type", "hr", "ema",
                     (F.col("high") - F.col("ema")).alias("bull_power"),
                     (F.col("low") - F.col("ema")).alias("bear_power"))
 
@@ -2713,28 +2747,28 @@ def macd(bars: DataFrame,
     at ingest; this extends the engine's quant north star like
     :func:`trix`).
 
-    Three :func:`_banded_ewma_stage` passes, each O(lookback) probe
-    work per bar via ``banded_rank_join`` (never a rank-range
-    post-probe residual). Each stage emits a 6-dp canonical decimal,
-    so macd = fast − slow is ONE IEEE subtraction of exact decimals
-    and the signal stage consumes a canonical input; histogram is
-    again a subtraction of exact decimals. No rounding knife edges:
-    every emitted value is either a 6-dp stage output or a difference
-    of two of them.
+    Two EWMA folds over ONE shared member array (fast and slow legs
+    read the same ``_trailing_vals`` column), then the signal stage as
+    a second window on the same partitioning — zero joins and one
+    exchange since the round-14 window rewrite (the banded-join form
+    paid two stage joins plus the fast⋈slow and macd⋈signal
+    equi-joins for identical values). Each stage emits a 6-dp
+    canonical decimal, so macd = fast − slow is ONE IEEE subtraction
+    of exact decimals and the signal stage consumes a canonical input;
+    histogram is again a subtraction of exact decimals. No rounding
+    knife edges: every emitted value is either a 6-dp stage output or
+    a difference of two of them.
     """
-    w = Window.partitionBy("event_type").orderBy("hr")
     b = (bars.select("event_type", "hr", F.col("close").alias("v0"))
-         .withColumn("rn", F.row_number().over(w)))
-    ef = _banded_ewma_stage(b, "v0", "ema_fast", fast, lookback)
-    es = _banded_ewma_stage(b, "v0", "ema_slow", slow, lookback)
-    m = (ef.join(es, ["event_type", "hr", "rn"])
-         .select("event_type", "hr", "rn", "ema_fast", "ema_slow",
-                 (F.col("ema_fast") - F.col("ema_slow")).alias("macd")))
-    sig = _banded_ewma_stage(
-        m.select("event_type", "hr", "rn", F.col("macd").alias("vm")),
-        "vm", "signal", signal, lookback)
-    out = m.join(sig.select("event_type", "hr", "signal"),
-                 ["event_type", "hr"])
+         .withColumn("_xs", _trailing_vals("v0", lookback)))
+    m = (b.select(
+            "event_type", "hr",
+            F.round(_ewma_fold(F.col("_xs"), fast), 6).alias("ema_fast"),
+            F.round(_ewma_fold(F.col("_xs"), slow), 6).alias("ema_slow"))
+         .withColumn("macd", F.col("ema_fast") - F.col("ema_slow")))
+    out = (m.withColumn("_xm", _trailing_vals("macd", lookback))
+           .withColumn("signal",
+                       F.round(_ewma_fold(F.col("_xm"), signal), 6)))
     return (out.select("event_type", "hr", "macd", "signal",
                        (F.col("macd") - F.col("signal")).alias("histogram"))
             .orderBy("event_type", "hr"))
@@ -2931,20 +2965,22 @@ def dema(bars: DataFrame, decay: float = EWMA_DECAY,
     the single EMA's phase lag; TRIX's triple ladder is its momentum
     sibling, this is the price-level form).
 
-    Two chained :func:`_banded_ewma_stage` passes (each O(lookback)
-    probe work per bar, each emitting a 6-dp canonical decimal), then
-    ONE IEEE combination ``2·e1 − e2`` of exact decimals — no rounding
-    knife edges, identical association on any engine.
+    Two chained :func:`_banded_ewma_stage`-shaped window folds (each
+    O(lookback) frame work per bar, each emitting a 6-dp canonical
+    decimal) on one exchange with no e1⋈e2 join (round-14 rewrite),
+    then ONE IEEE combination ``2·e1 − e2`` of exact decimals — no
+    rounding knife edges, identical association on any engine.
     """
-    w = Window.partitionBy("event_type").orderBy("hr")
-    b = (bars.select("event_type", "hr", F.col("close").alias("v0"))
-         .withColumn("rn", F.row_number().over(w)))
-    e1 = _banded_ewma_stage(b, "v0", "v1", decay, lookback)
-    e2 = _banded_ewma_stage(e1, "v1", "v2", decay, lookback)
-    return (e1.join(e2.select("event_type", "hr", "v2"),
-                    ["event_type", "hr"])
-            .select("event_type", "hr", F.col("v1").alias("ema"),
-                    (2.0 * F.col("v1") - F.col("v2")).alias("dema"))
+    e1 = (bars.select("event_type", "hr", F.col("close").alias("v0"))
+          .withColumn("_xs", _trailing_vals("v0", lookback))
+          .select("event_type", "hr",
+                  F.round(_ewma_fold(F.col("_xs"), decay), 6)
+                  .alias("v1")))
+    e2 = (e1.withColumn("_xs", _trailing_vals("v1", lookback))
+          .withColumn("v2",
+                      F.round(_ewma_fold(F.col("_xs"), decay), 6)))
+    return (e2.select("event_type", "hr", F.col("v1").alias("ema"),
+                      (2.0 * F.col("v1") - F.col("v2")).alias("dema"))
             .orderBy("event_type", "hr"))
 
 
@@ -3088,14 +3124,14 @@ def chaikin_volatility(bars: DataFrame, decay: float = EWMA_DECAY,
     One :func:`_banded_ewma_stage` pass over integer-cent ranges
     (6-dp canonical output), one lag, UNROUNDED final ratio — a ratio
     of exact 6-dp decimals is knife-edge-free raw (the trix rule).
-    Zero-EMA denominators (flat tape) emit NULL.
+    Zero-EMA denominators (flat tape) emit NULL. One exchange total
+    since the round-14 window rewrite of the stage.
     """
     w = Window.partitionBy("event_type").orderBy("hr")
     hc = F.round(F.col("high") * 100, 0).cast("long")
     lc = F.round(F.col("low") * 100, 0).cast("long")
-    b = (bars.select("event_type", "hr",
-                     ((hc - lc).cast("double") / 100.0).alias("v0"))
-         .withColumn("rn", F.row_number().over(w)))
+    b = bars.select("event_type", "hr",
+                    ((hc - lc).cast("double") / 100.0).alias("v0"))
     e1 = _banded_ewma_stage(b, "v0", "erng", decay, lookback)
     prev = F.lag("erng", lag_n).over(w)
     return (e1.select("event_type", "hr", F.col("erng").alias("ema_range"),

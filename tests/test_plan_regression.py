@@ -79,17 +79,26 @@ def test_pinned_plan_invariants(audits, name):
             f"plan:\n{plan[:4000]}")
 
 
-def test_ewma_join_keys_on_rank_band(spark):
-    """The EWMA self-join must equi-key on the rank BAND, not just the
-    symbol: keyed only on event_type, the rank-range predicate becomes
-    a post-probe residual and every bar probes every same-symbol bar —
-    O(n²) comparisons per key at scale (the round-4 finding)."""
+def test_ewma_rides_bounded_window_not_self_join(spark):
+    """The truncated EWMA must be a BOUNDED window-frame fold on the
+    symbol partitioning (the round-14 form): one exchange, no self-join
+    — and specifically never a rank-range join keyed only on the symbol
+    (O(n²) probes per key, the round-4 finding). Pinned invariants:
+    a collect_list window frame is present, every window partitions by
+    the symbol, and the plan contains no join at all."""
     import __spark_entry__ as entrymod
     props, plan = audit_one(
         spark, entrymod.queries()["stock_ewma_trend"], SF_DIR)
     final = plan.split("== Initial Plan ==")[0]
-    assert "__probe" in final and "__band" in final, (
-        "banded_rank_join band keys missing from the join\n" + final[:4000])
+    assert "collect_list" in final, (
+        "EWMA window-member frame missing\n" + final[:4000])
+    assert "Join" not in final, (
+        "EWMA must not plan any join\n" + final[:4000])
+    for ln in final.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "event_type" in ln, (
+                "EWMA window not partitioned by symbol:\n"
+                + ln.strip()[:300])
 
 
 @pytest.mark.parametrize(
@@ -138,15 +147,24 @@ def test_no_unkeyed_join_strategies(audits, name):
 
 
 @pytest.mark.parametrize("name", ["stock_cci", "stock_keltner"])
-def test_banded_self_joins_key_on_rank_band(spark, name):
-    """CCI's mean-deviation pairs and Keltner's EWMA center must keep
-    the banded equi-key: keyed only on the symbol, the rank-range
-    predicate is a post-probe residual — O(n²) comparisons per key."""
+def test_banded_members_ride_bounded_window(spark, name):
+    """CCI's mean-deviation members and Keltner's EWMA center must come
+    from a bounded window frame on the symbol partitioning (round-14
+    form): a collect_list frame in the plan, no join anywhere, and
+    every window partitioned by the symbol — never a rank-range
+    self-join keyed only on the symbol (O(n²) probes per key)."""
     import __spark_entry__ as entrymod
     props, plan = audit_one(spark, entrymod.queries()[name], SF_DIR)
     final = plan.split("== Initial Plan ==")[0]
-    assert "__probe" in final and "__band" in final, (
-        f"{name}: banded_rank_join band keys missing\n" + final[:4000])
+    assert "collect_list" in final, (
+        f"{name}: window-member frame missing\n" + final[:4000])
+    assert "Join" not in final, (
+        f"{name}: must not plan any join\n" + final[:4000])
+    for ln in final.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "event_type" in ln, (
+                f"{name}: window not partitioned by symbol:\n"
+                + ln.strip()[:300])
 
 
 def test_open_backlog_rides_distributed_prefix_sum(spark):
