@@ -628,6 +628,18 @@ def edit_distance_report(docs: DataFrame, text_col: str = "text",
     the size relation (hash join on the block key), so a hot block
     never serializes into one task either.
 
+    Round-14 note (measured, kept as-is): a collect_list-per-block +
+    double-explode pair generator (one text shuffle instead of two, one
+    scan fewer) was built and benched — it REGRESSED 3.2 s -> 6.1 s at
+    sf0.1 because the grouped relation's shuffle is only a few MB, AQE
+    coalesces it to ~2 partitions, and the Levenshtein compute (whose
+    cost is invisible to byte-based coalescing) serializes; the
+    self-join spreads pair evaluation across the full hash-partition
+    fan-out. Re-shuffling exploded pair texts to recover parallelism
+    would move bsz-amplified bytes — worse than the 2x doc shuffle at
+    any scale. The join shape stands (guide §1.1: measure, keep the
+    empirical winner).
+
     Per language: total candidate-pair count (arithmetic — exact even
     for skipped blocks), pairs evaluated / blocks skipped / pairs
     skipped (the audit triple), near-dups within ``max_dist`` among
