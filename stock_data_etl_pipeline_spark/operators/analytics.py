@@ -353,15 +353,20 @@ def pagerank(pairs: DataFrame, id_a: str, id_b: str, iters: int = 3,
     traffic is ONE scalar (the node count, control-plane sized).
     """
     und = _canon_undirected(pairs, id_a, id_b)
-    # pin_cut, not pin (round 12): e and deg are re-referenced every
-    # iteration and deg embeds e embeds und twice, so the analyzed tree
-    # reached 1,702 nodes / 320 exchanges by round 11's audit; as
-    # parquet leaves the per-iteration growth is a handful of nodes.
-    e = pin_cut(und.select(F.col("a").alias("src"),
-                           F.col("b").alias("dst"))
-                .unionByName(und.select(F.col("b").alias("src"),
-                                        F.col("a").alias("dst"))))
-    deg = pin_cut(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
+    # pin_cut e (round 12): it is re-referenced every iteration and the
+    # un-cut analyzed tree reached 1,702 nodes / 320 exchanges by round
+    # 11's audit; as a parquet leaf the per-iteration growth is a
+    # handful of nodes. Round-14: both orientations come from ONE
+    # posexplode-style array instead of a self-union, so the expensive
+    # und subtree (pair self-join + distinct) is evaluated once, not
+    # twice, inside the single cut-write job; deg is a plain hash-agg
+    # over the cut leaf — a tiny tree — so a lazy memory pin replaces
+    # the second parquet write job the old code paid at build time.
+    e = pin_cut(und.select(F.explode(F.array(
+        F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+        F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))))
+        .alias("_ed")).select("_ed.src", "_ed.dst"))
+    deg = pin(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")))
     n_nodes = deg.count()  # one control-plane scalar
     if n_nodes == 0:  # edgeless input: empty result, never ZeroDivision
         return deg.select(F.col("src").alias("node"),
