@@ -677,12 +677,27 @@ def edit_distance_report(docs: DataFrame, text_col: str = "text",
         .select("lang", "source", "lb"),
         on=["lang", "source", "lb"], how="inner")
     a, b = small.alias("a"), small.alias("b")
+    # the Levenshtein is computed AFTER a deterministic pair-key
+    # repartition, not on the join output directly: the join's output
+    # partitioning is the block key, and AQE's byte-based coalescing
+    # sees only a few MB of pair rows — at sf0.1 it coalesced ALL
+    # pairs into ONE partition, serializing the entire O(len_a·len_b)
+    # distance compute (measured: 2.9 s -> 0.7 s noop at sf0.1 with
+    # the spread). The explicit partition count (compute-bound, so
+    # sized to task slots, not bytes) keeps AQE from re-coalescing;
+    # the key is the id pair — deterministic under task retry (guide
+    # §2.5: never rand()) and uniform because no id pair repeats.
+    n_spread = 2 * docs.sparkSession.sparkContext.defaultParallelism
     pairs = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
                     & (F.col("a.source") == F.col("b.source"))
                     & (F.col("a.lb") == F.col("b.lb"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .select(F.col("a.lang").alias("lang"),
-                     F.levenshtein(F.col("a.t"), F.col("b.t"))
+                     F.col(f"a.{id_col}").alias("ia"),
+                     F.col(f"b.{id_col}").alias("ib"),
+                     F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+             .repartition(n_spread, F.col("ia"), F.col("ib"))
+             .select("lang", F.levenshtein(F.col("ta"), F.col("tb"))
                      .cast("long").alias("dist")))
     stats = pairs.groupBy("lang").agg(
         F.sum(F.when(F.col("dist") <= max_dist, 1).otherwise(0))

@@ -410,6 +410,23 @@ def test_edit_distance_sizes_relation_is_pinned(spark):
     assert props["cartesian"] == 0
 
 
+def test_edit_distance_levenshtein_is_spread(spark):
+    """The Levenshtein compute must sit above the explicit pair-key
+    repartition (REPARTITION_BY_NUM on the id pair), not directly on
+    the block-key join output: AQE's byte-based coalescing sees only
+    a few MB of pair rows and collapsed them into ONE partition at
+    sf0.1, serializing the whole O(len²) distance pass (r14 measured:
+    2.9 s -> 0.7 s noop with the spread). An explicit partition count
+    is the documented way to keep a compute-bound exchange out of
+    AQE's byte-based coalescing."""
+    import __spark_entry__ as entrymod
+    _, plan = audit_one(
+        spark, entrymod.queries()["dedup_edit_distance"], SF_DIR)
+    assert "REPARTITION_BY_NUM" in plan and "hashpartitioning(ia" in plan, (
+        "pair-key spread repartition missing before the Levenshtein "
+        "compute\n" + plan[:3000])
+
+
 def test_round10_matrix_windows_stay_group_partitioned(spark):
     """The KS ECDF and Gini prefix windows run over domain-bounded
     MATRICES partitioned by the group key — an empty partitionBy
