@@ -1397,7 +1397,14 @@ def heaps_curve(docs: DataFrame, n_deciles: int = 10,
     ``distributed_ntile``. β is ln on a ratio of exact integers —
     transcendental, so the 1e-6 round is knife-edge-free.
     """
-    from .windows import distributed_ntile, distributed_running_total
+    # ONE combined kernel pass (round-14): both cumulative curves and
+    # the decile bucket share the same total order on d, so composing
+    # two running-total kernels + an ntile kernel (each with its own
+    # range sample, eager checkpoint, offsets collect and window) was
+    # 3x the kernel cost plus a d-keyed join to reunite the curves —
+    # distributed_cum_curve does it with one shuffle/checkpoint/
+    # collect/window and identical exact-integer arithmetic.
+    from .windows import distributed_cum_curve
     w = docs.select(F.col(id_col).alias("d"), words(text_col).alias("ws"))
     per_doc = pin(w.select("d", F.size("ws").cast("long").alias("n_tok")))
     first = (w.select("d", F.explode(F.array_distinct("ws")).alias("t"))
@@ -1408,15 +1415,13 @@ def heaps_curve(docs: DataFrame, n_deciles: int = 10,
             .select("d", "n_tok",
                     F.coalesce("new_types", F.lit(0)).cast("long")
                     .alias("new_types")))
-    ct = distributed_running_total(base, ["d"], "n_tok", out="cum_tokens")
-    cv = distributed_running_total(
-        ct.select("d", "new_types"), ["d"], "new_types", out="cum_vocab")
-    cur = (ct.select("d", "cum_tokens")
-           .join(cv.select("d", "cum_vocab"), "d"))
-    dec = distributed_ntile(cur, n_deciles, ["d"], out="decile")
+    dec = distributed_cum_curve(
+        base, ["d"], ["n_tok", "new_types"], ["cum_tokens", "cum_vocab"],
+        n_tiles=n_deciles, tile_out="decile")
     last = (dec.groupBy("decile")
             .agg(F.max("d").alias("d"))
-            .join(dec, ["decile", "d"]))
+            .join(dec.select("decile", "d", "cum_tokens", "cum_vocab"),
+                  ["decile", "d"]))
     anchor = F.broadcast(
         last.filter(F.col("decile") == 1)
         .select(F.col("cum_tokens").alias("n1"),

@@ -101,10 +101,39 @@ def pin_checkpoint(df: DataFrame) -> DataFrame:
     can only FAIL (checkpoint block not found), never recompute with
     fresh range-sample boundaries. Costs one materialization pass at
     build time — the same pass the control-plane collect was about to
-    pay through a plain persist."""
+    pay through a plain persist.
+
+    Idempotent across logically-identical plans, like :func:`pin` and
+    :func:`pin_cut` (round-14): a repeated build of the same subtree
+    (a bench re-attempt, two operators sharing a prefix-sum kernel on
+    the same inputs) returns the EXISTING checkpointed frame via
+    ``sameResult`` on the analyzed source plans instead of sampling,
+    materializing and registering a fresh checkpoint per call — the
+    prefix-sum kernels (``distributed_ntile`` / ``*_running_total``)
+    paid that rebuild on every bench attempt, so their queries never
+    warmed up. Returning the first checkpoint is safe for exactly the
+    reason the checkpoint exists: every downstream decision (offset
+    collects keyed on ``spark_partition_id()``) is derived from the
+    returned frame itself, so any one frozen materialization is
+    self-consistent."""
+    try:
+        new_plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        for src, cp in _CHECKPOINTS:
+            if src._jdf.queryExecution().analyzed() \
+                    .sameResult(new_plan):  # noqa: SLF001
+                return cp
+    except Exception:  # noqa: BLE001 — private accessor moved: no memo
+        pass
     cp = df.localCheckpoint(eager=True)
     _PINNED.append(("checkpoint", cp))
+    _CHECKPOINTS.append((df, cp))
     return cp
+
+
+# (source frame, checkpointed frame) of live checkpoints — the
+# sameResult reuse index; entries drop as release_pinned unpersists
+# their checkpoint
+_CHECKPOINTS: list[tuple[DataFrame, DataFrame]] = []
 
 
 def pin_cut(df: DataFrame) -> DataFrame:
@@ -324,6 +353,8 @@ def release_pinned() -> int:
         kind, df = _PINNED.pop()
         try:
             if kind == "checkpoint":
+                _CHECKPOINTS[:] = [(s, c) for s, c in _CHECKPOINTS
+                                   if c is not df]
                 _unpersist_checkpoint(df)
             elif kind == "cutfile":  # df is the parquet path
                 _CUTS[:] = [(s, p) for s, p in _CUTS if p != df]

@@ -215,6 +215,82 @@ def _running_from_offsets(ranged: DataFrame, totals: dict,
         .drop("_drt_pid"))
 
 
+def distributed_cum_curve(df: DataFrame, order: Sequence[str | Column],
+                          value_cols: Sequence[str],
+                          outs: Sequence[str],
+                          n_tiles: int | None = None,
+                          tile_out: str = "ntile") -> DataFrame:
+    """Exact global prefix sums of SEVERAL integer columns — and,
+    optionally, the exact ``ntile(n)`` bucket — over one total order,
+    from ONE range shuffle, ONE frozen checkpoint, ONE control-plane
+    collect and ONE window sort (round-14).
+
+    Composing :func:`distributed_running_total` per value column plus
+    :func:`distributed_ntile` for the bucket (the original
+    ``heaps_curve`` shape) pays the whole kernel — range-sample pass,
+    eager checkpoint, offsets collect, window — once PER CURVE, plus
+    an order-key join to reunite the curves. All of those share the
+    same range partitioning, so they collapse: the per-partition
+    collect returns every value sum AND the row count in one pass,
+    each cumulative column adds its own offset map to one shared
+    partition-local window, the global rank rides ``row_number`` over
+    the same window spec (one physical sort), and the ntile bucket is
+    the same exact ``divmod`` arithmetic as :func:`distributed_ntile`.
+
+    Same contracts as the component kernels: integer value columns
+    only, ``order`` must be a total order, the ranged slice is
+    checkpoint-pinned so offsets never meet a resampled recompute.
+    """
+    cols = _cols(order)
+    ranged = pin_checkpoint(df.repartitionByRange(*cols).withColumn(
+        "_dcc_pid", F.spark_partition_id()))
+    aggs = [F.sum(v).alias(f"_s{i}") for i, v in enumerate(value_cols)]
+    aggs.append(F.count(F.lit(1)).alias("_c"))
+    rows = ranged.groupBy("_dcc_pid").agg(*aggs).collect()
+    if not rows:
+        out_df = ranged.drop("_dcc_pid")
+        for o in outs:
+            out_df = out_df.withColumn(o, F.lit(None).cast("long"))
+        if n_tiles is not None:
+            out_df = out_df.withColumn(tile_out, F.lit(None).cast("int"))
+        return out_df
+    acc = [0] * len(value_cols)
+    cacc = 0
+    offs: dict[int, tuple[list[int], int]] = {}
+    for r in sorted(rows, key=lambda r: r["_dcc_pid"]):
+        offs[r["_dcc_pid"]] = (list(acc), cacc)
+        for i in range(len(value_cols)):
+            acc[i] += r[f"_s{i}"] or 0
+        cacc += r["_c"]
+    total = cacc
+    w = (Window.partitionBy("_dcc_pid").orderBy(*cols)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out_df = ranged
+    for i, (v, o) in enumerate(zip(value_cols, outs)):
+        off_expr = F.coalesce(
+            F.create_map(*[F.lit(x) for pid, (vo, _) in offs.items()
+                           for x in (pid, vo[i])])[F.col("_dcc_pid")],
+            F.lit(0))
+        out_df = out_df.withColumn(
+            o, (F.sum(v).over(w) + off_expr).cast("long"))
+    if n_tiles is not None:
+        roff = F.coalesce(
+            F.create_map(*[F.lit(x) for pid, (_, co) in offs.items()
+                           for x in (pid, co)])[F.col("_dcc_pid")],
+            F.lit(0))
+        wr = Window.partitionBy("_dcc_pid").orderBy(*cols)
+        rank = F.row_number().over(wr) + roff
+        q, rem = divmod(total, n_tiles)
+        bucket = F.when(
+            rank <= F.lit(rem * (q + 1)),
+            F.floor((rank - 1) / F.lit(q + 1)) + 1,
+        ).otherwise(
+            F.lit(rem) + F.floor((rank - 1 - F.lit(rem * (q + 1)))
+                                 / F.lit(max(q, 1))) + 1)
+        out_df = out_df.withColumn(tile_out, bucket.cast("int"))
+    return out_df.drop("_dcc_pid")
+
+
 def grouped_running_total(df: DataFrame, groups: Sequence[str],
                           order: Sequence[str | Column], value_col: str,
                           out: str = "running") -> DataFrame:

@@ -453,6 +453,34 @@ def test_distributed_running_total_matches_window(spark):
     assert got == want
 
 
+def test_distributed_cum_curve_matches_component_kernels(spark):
+    """The combined multi-column prefix-sum + ntile kernel must equal
+    the composition of F.sum running windows and F.ntile over the same
+    total order — for every column, the rank-derived bucket, and the
+    empty input."""
+    from pyspark.sql import Window
+    from stock_data_etl_pipeline_spark.operators.windows import (
+        distributed_cum_curve)
+    df = spark.createDataFrame(
+        [(i, int((i * 13) % 50), int(i % 7)) for i in range(200)],
+        "id long, a long, b long")
+    order = ["id"]
+    w = (Window.orderBy("id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = {r["id"]: (r["ca"], r["cb"], r["t"]) for r in df.select(
+        "id", F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+        F.ntile(7).over(Window.orderBy("id")).alias("t")).collect()}
+    got = {r["id"]: (r["ca"], r["cb"], r["t"]) for r in
+           distributed_cum_curve(df, order, ["a", "b"], ["ca", "cb"],
+                                 n_tiles=7, tile_out="t").collect()}
+    assert got == want
+    empty = spark.createDataFrame([], "id long, a long, b long")
+    assert distributed_cum_curve(
+        empty, order, ["a", "b"], ["ca", "cb"],
+        n_tiles=4, tile_out="t").count() == 0
+
+
 def test_abc_pareto_hand_classes(spark):
     from stock_data_etl_pipeline_spark.operators.analytics import (
         abc_pareto)
