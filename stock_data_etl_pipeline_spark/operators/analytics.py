@@ -1662,18 +1662,29 @@ def rich_club(pairs: DataFrame, id_a: str, id_b: str,
     pct_df = one.selectExpr(
         f"stack({len(pcts)}, {stack}) AS (pct, threshold_deg)")
     thr = F.broadcast(pct_df)
-    members = (deg.crossJoin(thr)
+    # Threshold counting rides the HISTOGRAMS, not the row-scale
+    # relations (round-14, guide §2.3 "aggregate before you shuffle"):
+    # the old shape crossJoined every node row and every edge row with
+    # all |pcts| thresholds (two BroadcastNestedLoopJoins amplifying
+    # N and E five-fold) before filtering and counting. Membership
+    # counts come straight from the existing degree histogram
+    # (Σ cnt over deg ≥ t), and edge counts from a dmin histogram —
+    # one map-side-partial hash-agg over the edge-degree join, then a
+    # |distinct degrees| × |pcts| crossJoin. Identical counts, edge
+    # rows amplified 1x instead of 5x.
+    members = (hist.crossJoin(thr)
                .filter(F.col("deg") >= F.col("threshold_deg"))
                .groupBy("pct", "threshold_deg")
-               .agg(F.count(F.lit(1)).cast("long").alias("n_nodes")))
+               .agg(F.sum("cnt").cast("long").alias("n_nodes")))
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
     ed = (und.join(da, "a").join(db, "b")
           .select(F.least("da", "db").alias("dmin")))
-    edges = (ed.crossJoin(thr)
+    dh = ed.groupBy("dmin").agg(F.count(F.lit(1)).cast("long").alias("ecnt"))
+    edges = (dh.crossJoin(thr)
              .filter(F.col("dmin") >= F.col("threshold_deg"))
              .groupBy("pct", "threshold_deg")
-             .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+             .agg(F.sum("ecnt").cast("long").alias("n_edges")))
     j = (members.join(edges, ["pct", "threshold_deg"], "left")
          .withColumn("n_edges",
                      F.coalesce(F.col("n_edges"), F.lit(0))
