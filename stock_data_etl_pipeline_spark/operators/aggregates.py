@@ -205,8 +205,19 @@ def robust_outlier_profile(df: DataFrame, group_col: str,
     v = (df.select(F.col(group_col).alias("g"),
                    F.col(value_col).cast("long").alias("v"))
          .filter(F.col("v").isNotNull()))
-    vc = pin(v.groupBy("g", "v")
-             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    vc = v.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    if bounded_domain:
+        # One g-keyed repartition of the DOMAIN-BOUNDED count table
+        # (|g x v| rows, never row-scale) lets every downstream stage
+        # — the median window, the deviation re-count groupBy(g, ad),
+        # the MAD window and the final census groupBy(g) — reuse the
+        # partitioning via the subset rule instead of each planning
+        # its own exchange (round-14, guide §2.4 "two operations keyed
+        # the same way can share one exchange"). The row-scale shuffle
+        # above keeps its (g, v) key for map-side combining; only the
+        # tiny combined table moves again.
+        vc = vc.repartition("g")
+    vc = pin(vc)
     med = (_grouped_quantiles_from_counts(vc, bounded_domain)
            .select("g", F.col("q50").alias("med")))
     dev = (vc.join(F.broadcast(med), "g")
