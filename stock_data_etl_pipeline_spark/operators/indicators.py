@@ -1550,6 +1550,14 @@ def hurst_rs(bars: DataFrame, m_small: int = HURST_M_SMALL,
           .select("event_type", "hr", (F.col("c") - F.col("pc"))
                   .alias("r")))
     r = r.withColumn("rn", F.row_number().over(w))
+    # both block scales consume this same return stream — without the
+    # pin the whole bars-resample + lag + row_number subtree executes
+    # TWICE (once per scale). The cached frame keeps its event_type
+    # hash partitioning, which satisfies every downstream
+    # (event_type, blk) window/groupBy via the subset rule, so each
+    # scale pays only a sort, not an exchange (round-14, guide §2.4).
+    from .pinned import pin
+    r = pin(r)
 
     def per_scale(m: int) -> DataFrame:
         blk = r.select("event_type", "hr", "r",
