@@ -429,10 +429,20 @@ def duplicate_span_stats(docs: DataFrame, n: int = 8,
                      .alias("span")))
     # pre-aggregate to (doc, span, occurrences): compresses within-doc
     # boilerplate repeats before anything shuffles, and is the stage both
-    # downstream aggregations reuse (persisted, like minhash's band table)
+    # downstream aggregations reuse (persisted, like minhash's band table).
+    # Pinned in SPAN-keyed layout (round-14, guide §2.4/§3.1): span
+    # hashes are near-unique, so the per-span totals barely compress
+    # under partial aggregation and their exchange moved almost the
+    # whole table every run — with the cached span partitioning the
+    # totals aggregate needs no exchange at all, and the totals join
+    # runs as a co-partitioned shuffled-hash join (hint) instead of
+    # collecting + broadcasting a span-scale relation. Interleaved noop
+    # A/B at sf0.1: ~2.4 s -> ~1.8 s warm.
     dsc = pin(spans.groupBy(id_col, "span")
-              .agg(F.count(F.lit(1)).alias("cnt")))
-    tot = dsc.groupBy("span").agg(F.sum("cnt").alias("tot"))
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .repartition("span"))
+    tot = (dsc.groupBy("span").agg(F.sum("cnt").alias("tot"))
+           .hint("shuffle_hash"))
     per = (dsc.join(tot, "span")
            .groupBy(id_col)
            .agg(F.sum("cnt").alias("n_spans"),
