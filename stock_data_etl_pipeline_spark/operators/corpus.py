@@ -1296,10 +1296,18 @@ def token_kl_by_source(docs: DataFrame, text_col: str = "text",
     """
     tok = docs.select(F.col(source_col).alias("source"),
                       F.explode(words(text_col)).alias("term"))
+    # pinned in TERM-keyed layout (round-14, guide §2.4/§3.1, same
+    # pattern as duplicate_span_stats): the global term counts then
+    # aggregate with no exchange on the cached partitioning and the
+    # term join runs co-partitioned shuffled-hash instead of broadcast.
+    # The row-scale explode keeps its (source, term) combine key; only
+    # the vocabulary-scale combined table moves again.
     st = (tok.groupBy("source", "term")
-          .agg(F.count(F.lit(1)).cast("long").alias("c_st")))
+          .agg(F.count(F.lit(1)).cast("long").alias("c_st"))
+          .repartition("term"))
     st = pin(st)
-    gt = st.groupBy("term").agg(F.sum("c_st").cast("long").alias("c_t"))
+    gt = (st.groupBy("term").agg(F.sum("c_st").cast("long").alias("c_t"))
+          .hint("shuffle_hash"))
     ns = st.groupBy("source").agg(F.sum("c_st").cast("long").alias("n_s"))
     n_tot = ns.agg(F.sum("n_s").cast("long").alias("n_tot"))
     t6 = F.round((F.col("c_st").cast("double")
