@@ -191,15 +191,32 @@ LEFT JOIN iv ON iv.user_id = e.user_id
 ORDER BY e.event_id, iv_session_id
 """)
 def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # point-in-interval: each event matched back to the session interval
-    # containing it (keyed range join — hash join on user + residual)
-    from ..operators.asof import interval_join
+    # point-in-interval against SELF-derived intervals: gap sessions
+    # PARTITION each user's event timeline (disjoint intervals, every
+    # event inside its own session's [min ts, max ts]), so the
+    # containment join matches each event to exactly the session the
+    # sessionize window already assigned it. The general operator
+    # (operators/asof.py::interval_join — equi on key + range residual)
+    # would re-shuffle the event stream a second time only to rediscover
+    # that assignment; instead carry session_id AND session_start in the
+    # one user-keyed window pass. Fusion equivalence vs the operator
+    # composition is pinned by
+    # tests/test_asof.py::test_interval_join_self_fusion_matches_operator.
+    from pyspark.sql import Window
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts")
-    iv = sessionize(ev, gap_seconds=1800)
-    out = interval_join(ev, iv, on=["user_id"], ts="ts",
-                        start="session_start", end="session_end",
-                        payload=["session_id", "session_start"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    gap = (F.col("ts").cast("long")
+           - F.lag(F.col("ts")).over(w).cast("long"))
+    out = (ev.withColumn(
+               "_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+           .withColumn("iv_session_id", F.sum("_new").over(run))
+           .withColumn("iv_session_start",
+                       F.last(F.when(F.col("_new") == 1, F.col("ts")),
+                              ignorenulls=True).over(run))
+           .select("event_id", "user_id", "ts",
+                   "iv_session_id", "iv_session_start"))
     return out.orderBy("event_id", "iv_session_id")
 
 

@@ -138,3 +138,41 @@ def test_asof_tolerance_none_keeps_all(spark):
                     right_ts="rts", right_payload=["rid"],
                     prefix="m_").collect()
     assert out[0]["m_rid"] == 10  # no tolerance -> any staleness OK
+
+
+def test_interval_join_self_fusion_matches_operator(spark, tmp_path):
+    # pins the events_interval_join catalog fusion: gap sessions partition
+    # each user's timeline, so carrying (session_id, session_start) in the
+    # sessionize window equals interval_join(events, sessionize(events))
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from stock_data_etl_pipeline_spark.operators.asof import interval_join
+    from stock_data_etl_pipeline_spark.plans.catalog_streaming import (
+        events_interval_join)
+    from stock_data_etl_pipeline_spark.streaming.events import sessionize
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [  # two users; session breaks at >30 min gaps; a ts tie
+        (1, 7, t(0)), (2, 7, t(10)), (3, 7, t(10)), (4, 7, t(90)),
+        (5, 7, t(95)), (6, 8, t(0)), (7, 8, t(200)), (8, 8, t(201))]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    # TIMESTAMP_MICROS: INT96 reads back as ns through the footer
+    # detector and mismatches the us schema (round-12 pin)
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+
+    fused = events_interval_join(spark, str(tmp_path)).collect()
+    iv = sessionize(ev, gap_seconds=1800)
+    op = (interval_join(ev, iv, on=["user_id"], ts="ts",
+                        start="session_start", end="session_end",
+                        payload=["session_id", "session_start"])
+          .orderBy("event_id", "iv_session_id").collect())
+    assert [tuple(r) for r in fused] == [tuple(r) for r in op]
+    assert all(r["iv_session_id"] is not None for r in fused)
