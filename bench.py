@@ -126,6 +126,61 @@ HEADLINE = [
 ]
 
 
+# Round-15 measurement-reporting fix (timing methodology UNCHANGED;
+# full 3-dp detail still lands in BENCH_LOCAL.json): the driver
+# captures exactly the LAST 2000 chars of output (measured off
+# BENCH_r14.json's tail field), and a full 76-query line CANNOT fit —
+# the key names alone are 1,430 chars, +4 chars/entry of JSON
+# punctuation and ~3-4 chars/value puts the floor near 2,090 even at
+# 2 decimals (the r14 verdict's "~1500 chars at 2dp" estimate was
+# arithmetic error). What this fixes instead is the r14 finding that
+# the TRUNCATED SET silently churned round-over-round
+# (pop-fastest-by-measured-time re-decided the set every run, so 4
+# queries "disappeared" from the driver's comparison on pure timing
+# jitter). Now: per-query times go out at 2 dp (saves ~75 chars →
+# fewer pops), and pops follow this FIXED sacrifice order — the 13
+# queries the r14 line already omitted, cheapest-first by the r14
+# quiet-box record — so the reported set is deterministic at any
+# given line budget and shrinks/grows only at a stable margin.
+# Time-based popping remains only as the overflow fallback.
+LINE_SACRIFICE_ORDER = [
+    "corpus_global_shuffle", "dedup_exact", "keyset_page2",
+    "corpus_sequence_pack", "events_hourly", "q1_pricing_summary",
+    "graph_bfs_distance", "events_user_gini", "orders_pareto_deciles",
+    "knn_join_blocked", "join_revenue_by_nation",
+    "corpus_diversity_profile", "rollup_revenue_region_nation",
+]
+
+# the driver tail buffer is 2000 chars; the line plus its newline must
+# fit entirely inside it, with margin for stray stderr interleaving
+LINE_BUDGET = 1950
+
+
+def format_stdout_line(per_query: dict[str, float], total: float,
+                       sf: float | None,
+                       loadavg_warning: float | None = None) -> str:
+    """The ONE driver-contract stdout line, truncated deterministically
+    to LINE_BUDGET chars (see LINE_SACRIFICE_ORDER above)."""
+    line_q = {k: round(v, 2) for k, v in per_query.items()}
+    line_obj = {"metric": "headline_queries_total", "value": total,
+                "unit": "sec", "queries": line_q, "sf": sf}
+    if loadavg_warning is not None:
+        line_obj["loadavg_warning"] = loadavg_warning
+    line = json.dumps(line_obj, separators=(",", ":"))
+    if len(line) > LINE_BUDGET:
+        victims = [q for q in LINE_SACRIFICE_ORDER if q in line_q] + \
+            sorted((q for q in line_q if q not in LINE_SACRIFICE_ORDER),
+                   key=lambda q: line_q[q])
+        for victim in victims:
+            if len(line) <= LINE_BUDGET:
+                break
+            line_q.pop(victim)
+            line_obj["queries"] = line_q
+            line_obj["queries_truncated"] = True
+            line = json.dumps(line_obj, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -287,19 +342,9 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            local_name), "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
-    line_obj = {"metric": "headline_queries_total", "value": total,
-                "unit": "sec", "queries": per_query, "sf": sf}
-    if load_warn:
-        line_obj["loadavg_warning"] = round(loadavg_baseline[0], 2)
-    line = json.dumps(line_obj, separators=(",", ":"))
-    if len(line) > 1900:  # driver tail buffer is 2000 chars — stay under
-        slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1]))
-        while len(line) > 1900 and slowest:
-            slowest.popitem()
-            line_obj["queries"] = slowest
-            line_obj["queries_truncated"] = True
-            line = json.dumps(line_obj, separators=(",", ":"))
-    print(line)
+    print(format_stdout_line(
+        per_query, total, sf,
+        round(loadavg_baseline[0], 2) if load_warn else None))
 
 
 if __name__ == "__main__":

@@ -34,7 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .pinned import pin, pin_cut
+from .pinned import pin, pin_checkpoint, pin_cut
 
 
 def funnel(events: DataFrame, steps: Sequence[str],
@@ -173,8 +173,9 @@ def _undirected_degrees(pairs: DataFrame, id_a: str, id_b: str
     # Both are ≤ edge-cardinality, deterministic, fully consumed before
     # release.
     und = pin_cut(_canon_undirected(pairs, id_a, id_b, "x", "y"))
-    deg = pin(und.select(F.col("x").alias("v"))
-              .unionByName(und.select(F.col("y").alias("v")))
+    # both endpoints from one explode — a single pass over the cut
+    # leaf instead of a two-branch self-union (round-15, guide §2.4)
+    deg = pin(und.select(F.explode(F.array("x", "y")).alias("v"))
               .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d")))
     return und, deg
 
@@ -371,13 +372,19 @@ def pagerank(pairs: DataFrame, id_a: str, id_b: str, iters: int = 3,
     if n_nodes == 0:  # edgeless input: empty result, never ZeroDivision
         return deg.select(F.col("src").alias("node"),
                           F.lit(0).cast("long").alias("rank_e12"))
+    # Round-15 (guide §2.4 don't-recompute): e ⋈ deg is LOOP-INVARIANT
+    # — every iteration used to re-join the out-degree onto the edge
+    # list before joining the ranks. Attach outdeg to each edge ONCE
+    # (pinned; materialized by the first iteration's action) so each
+    # iteration is exactly one keyed join + one aggregate — the
+    # theoretical minimum for distributed PageRank.
+    ed = pin(e.join(deg, "src"))
     r0 = PR_SCALE // n_nodes
     base = (PR_SCALE * (100 - damping_pct) // 100) // n_nodes
     r = deg.select(F.col("src").alias("node"),
                    F.lit(r0).cast("long").alias("r"))
     for _ in range(iters):
-        contrib = (e.join(r.withColumnRenamed("node", "src"), "src")
-                   .join(deg, "src")
+        contrib = (ed.join(r.withColumnRenamed("node", "src"), "src")
                    .select(F.col("dst").alias("node"),
                            F.expr("r div outdeg").alias("c")))
         r = (contrib.groupBy("node").agg(F.sum("c").alias("s"))
@@ -606,22 +613,29 @@ def adamic_adar(pairs: DataFrame, id_a: str, id_b: str,
     center join (equi-keyed on the center) → pair agg → anti-join
     existing edges → TakeOrdered top-k.
     """
-    # und feeds both union arms AND the final anti-join; adj feeds the
-    # degree agg and the center join; adjc feeds BOTH wedge sides —
-    # persist the shared subtrees or the lineitem self-join re-runs
-    # up to 5x (the corpus_lm_perplexity round-4 lesson).
-    # Edges are canonicalized to ea < eb HERE, not at the caller: the
-    # scored pairs below are emitted with a < b, so an input oriented
-    # id_a > id_b (or carrying both orientations) would otherwise slip
-    # existing edges past the non-adjacency anti-join.
-    # pin_cut, not pin (round 12): the nested re-references (adjc
-    # self-join, und anti-join) multiplied the analyzed tree to 3,333
-    # nodes — the jaccard_link_prediction fix applied here too.
-    und = pin_cut(_canon_undirected(pairs, id_a, id_b, "ea", "eb"))
-    adj = pin_cut(und.select(F.col("ea").alias("node"),
-                             F.col("eb").alias("nb"))
-                  .union(und.select(F.col("eb").alias("node"),
-                                    F.col("ea").alias("nb"))))
+    # Edges are canonicalized to ea < eb inside the adjacency build,
+    # not at the caller: the scored pairs below are emitted with
+    # a < b, so an input oriented id_a > id_b (or carrying both
+    # orientations) would otherwise slip existing edges past the
+    # non-adjacency anti-join.
+    # Round-15 cut consolidation (guide §2.4/§6): ONE parquet cut —
+    # the full adjacency, built with both orientations exploded from
+    # each canonical edge in a single pass (the pagerank round-14
+    # pattern) — replaces the former THREE cut writes (und, adj
+    # re-read from the und leaf, adjc). The canonical edge list the
+    # anti-join needs is just the node < nb half of the adjacency
+    # leaf (a filter over the cut, no second materialization), and
+    # adjc is a plain lazy pin: its tree is one join of the cut leaf
+    # with a tiny aggregate, so the round-12 plan-size rationale for
+    # cutting it no longer applies (3,333 analyzed nodes came from
+    # adjc NESTING the un-cut und/adj subtrees).
+    und_plan = _canon_undirected(pairs, id_a, id_b, "ea", "eb")
+    adj = pin_cut(und_plan.select(F.explode(F.array(
+        F.struct(F.col("ea").alias("node"), F.col("eb").alias("nb")),
+        F.struct(F.col("eb").alias("node"), F.col("ea").alias("nb"))))
+        .alias("_adj")).select("_adj.node", "_adj.nb"))
+    und = adj.filter(F.col("node") < F.col("nb")).select(
+        F.col("node").alias("ea"), F.col("nb").alias("eb"))
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     centers = (deg.filter((F.col("deg") >= 2)
                           & (F.col("deg") <= max_center_degree))
@@ -629,7 +643,7 @@ def adamic_adar(pairs: DataFrame, id_a: str, id_b: str,
                        F.round(1e6 / F.log(F.col("deg")
                                            .cast("double")), 0)
                        .cast("long").alias("cw")))
-    adjc = pin_cut(adj.join(centers, "node"))
+    adjc = pin(adj.join(centers, "node"))
     ledge = adjc.select("node", F.col("nb").alias("a"), "cw")
     redge = adjc.select(F.col("node").alias("node_r"),
                         F.col("nb").alias("b"))
@@ -690,19 +704,35 @@ def k_core(pairs: DataFrame, id_a: str, id_b: str, k: int = 2,
     """
     und = (pairs.select(F.col(id_a).alias("ea"), F.col(id_b).alias("eb"))
            .distinct())
-    edges = pin(und.select(F.col("ea").alias("src"),
-                           F.col("eb").alias("dst"))
-                .union(und.select(F.col("eb").alias("src"),
-                                  F.col("ea").alias("dst"))))
-    alive = edges.select("src").distinct()
-    deg = None
-    for _ in range(rounds):
+    # both directions from ONE explode instead of a self-union, so the
+    # distinct subtree is evaluated once inside edges' materialization
+    # (the pagerank round-14 pattern)
+    edges = pin(und.select(F.explode(F.array(
+        F.struct(F.col("ea").alias("src"), F.col("eb").alias("dst")),
+        F.struct(F.col("eb").alias("src"), F.col("ea").alias("dst"))))
+        .alias("_ed")).select("_ed.src", "_ed.dst"))
+    # Round 1 peels against the FULL node set, so its two semi-joins
+    # were identities (every src/dst is alive by construction) — the
+    # first degree count comes straight off the edge list, saving one
+    # node-set distinct, one cut write and two joins (round-15,
+    # guide §2.4 don't-compute-what-you-throw-away). Identical counts:
+    # filtering edges by "endpoint ∈ all nodes" drops nothing.
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    alive = deg.filter(F.col("deg") >= k).select("src")
+    for _ in range(rounds - 1):
         # CUT each round's survivor set (node-cardinality): it is
         # referenced TWICE in the next round's join (src and dst
         # sides), so the un-cut lineage doubles the plan TREE per
         # iteration even when a persist bounds execution — the r11
-        # audit caught a 214k-line executed plan for the 5-round peel
-        # (the pin_cut plan-size rationale)
+        # audit caught a 214k-line executed plan for the 5-round peel.
+        # MUST stay a parquet cut, not a localCheckpoint (round-15
+        # measured negative result): a checkpoint's LogicalRDD leaf
+        # carries no usable size statistics, so the two survivor
+        # semi-joins flipped BroadcastHashJoin → SortMergeJoin of the
+        # full edge list per round (plan-verified, 0→2 SMJ) and warm
+        # time regressed ~20%; the parquet leaf's accurate stats keep
+        # the join choice scale-adaptive (broadcast while the survivor
+        # set is small, merge when it isn't).
         alive = pin_cut(alive)
         e2 = (edges.join(alive, "src")
               .join(alive.withColumnRenamed("src", "dst"), "dst"))
@@ -1358,23 +1388,30 @@ def jaccard_link_prediction(pairs: DataFrame, id_a: str, id_b: str,
     deterministic. Plan: degree agg → capped center join → pair agg →
     degree joins → anti-join existing edges → TakeOrdered top-k.
     """
-    # pin_cut, not pin (round 12): und/adj/deg/adjc each feed 2-4
-    # downstream branches that NEST (adjc self-joins; deg joins the
-    # pair aggregate twice; und anti-joins at the end), so the analyzed
-    # tree multiplied to 6,565 nodes by round 11's audit even though
-    # execution was already bounded by pin. Cutting each shared frame
-    # makes the wedge join a join of two parquet leaves.
-    und = pin_cut(_canon_undirected(pairs, id_a, id_b, "ea", "eb"))
-    adj = pin_cut(und.select(F.col("ea").alias("node"),
-                             F.col("eb").alias("nb"))
-                  .union(und.select(F.col("eb").alias("node"),
-                                    F.col("ea").alias("nb"))))
-    deg = pin_cut(adj.groupBy("node")
-                  .agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    # Round-15 cut consolidation (guide §2.4/§6, the adamic_adar
+    # treatment): ONE parquet cut — the full adjacency with both
+    # orientations exploded from each canonical edge in a single pass
+    # — replaces the former FOUR cut writes (und, adj, deg, adjc).
+    # und is the node < nb half of the adjacency leaf (a filter, no
+    # materialization); deg and adjc become lazy pins — their trees
+    # are one aggregate / one join over the cut leaf, so the round-12
+    # plan-size rationale (6,565 analyzed nodes from NESTED un-cut
+    # subtrees) no longer applies.
+    adj = pin_cut(_canon_undirected(pairs, id_a, id_b, "ea", "eb")
+                  .select(F.explode(F.array(
+                      F.struct(F.col("ea").alias("node"),
+                               F.col("eb").alias("nb")),
+                      F.struct(F.col("eb").alias("node"),
+                               F.col("ea").alias("nb"))))
+                      .alias("_adj")).select("_adj.node", "_adj.nb"))
+    und = adj.filter(F.col("node") < F.col("nb")).select(
+        F.col("node").alias("ea"), F.col("nb").alias("eb"))
+    deg = pin(adj.groupBy("node")
+              .agg(F.count(F.lit(1)).cast("long").alias("deg")))
     centers = deg.filter((F.col("deg") >= 2)
                          & (F.col("deg") <= max_center_degree)) \
         .select("node")
-    adjc = pin_cut(adj.join(centers, "node"))
+    adjc = pin(adj.join(centers, "node"))
     ledge = adjc.select("node", F.col("nb").alias("a"))
     redge = adjc.select(F.col("node").alias("node_r"),
                         F.col("nb").alias("b"))
@@ -1662,16 +1699,10 @@ def rich_club(pairs: DataFrame, id_a: str, id_b: str,
     pct_df = one.selectExpr(
         f"stack({len(pcts)}, {stack}) AS (pct, threshold_deg)")
     thr = F.broadcast(pct_df)
-    # Threshold counting rides the HISTOGRAMS, not the row-scale
-    # relations (round-14, guide §2.3 "aggregate before you shuffle"):
-    # the old shape crossJoined every node row and every edge row with
-    # all |pcts| thresholds (two BroadcastNestedLoopJoins amplifying
-    # N and E five-fold) before filtering and counting. Membership
-    # counts come straight from the existing degree histogram
-    # (Σ cnt over deg ≥ t), and edge counts from a dmin histogram —
-    # one map-side-partial hash-agg over the edge-degree join, then a
-    # |distinct degrees| × |pcts| crossJoin. Identical counts, edge
-    # rows amplified 1x instead of 5x.
+    # Membership counts ride the degree HISTOGRAM the thresholds were
+    # already computed from (round-14, guide §2.3): Σ cnt over
+    # deg ≥ t touches |distinct degrees| rows instead of every node —
+    # free (no new relation) and strictly less work at any scale.
     members = (hist.crossJoin(thr)
                .filter(F.col("deg") >= F.col("threshold_deg"))
                .groupBy("pct", "threshold_deg")
@@ -1680,11 +1711,21 @@ def rich_club(pairs: DataFrame, id_a: str, id_b: str,
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
     ed = (und.join(da, "a").join(db, "b")
           .select(F.least("da", "db").alias("dmin")))
-    dh = ed.groupBy("dmin").agg(F.count(F.lit(1)).cast("long").alias("ecnt"))
-    edges = (dh.crossJoin(thr)
+    # Edge counts go straight through the 3-row broadcast crossJoin +
+    # filter + map-side partial agg, all pipelined in the edge-join
+    # stage. Round-14 routed this through an intermediate dmin
+    # histogram (groupBy(dmin) then crossJoin the histogram); that
+    # added one exchange+stage and was measured SLOWER on two boxes
+    # (driver r14: 0.73x at loadavg 5.68; r15 interleaved A/B: min
+    # 3.52s vs 3.94s, tools/ab_rich_club.py) — the |pcts|-fold row
+    # amplification is in-pipeline compute collapsed immediately by
+    # the partial agg, never shuffled, so there is no at-scale data-
+    # movement argument for the extra stage (r15 adjudication of the
+    # r14 perf-weak mark).
+    edges = (ed.crossJoin(thr)
              .filter(F.col("dmin") >= F.col("threshold_deg"))
              .groupBy("pct", "threshold_deg")
-             .agg(F.sum("ecnt").cast("long").alias("n_edges")))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
     j = (members.join(edges, ["pct", "threshold_deg"], "left")
          .withColumn("n_edges",
                      F.coalesce(F.col("n_edges"), F.lit(0))
@@ -2160,15 +2201,16 @@ def closure_by_degree(pairs: DataFrame, id_a: str, id_b: str
     float log2 knife edges at the power-of-two boundaries.
     """
     e, deg = _degree_oriented_edges(pairs, id_a, id_b)
-    # pin_cut: the triangle list has THREE consumers (one union branch
-    # per vertex) — un-pinned, the adjacency joins + explode run three
-    # times (round-10 finding: cold closure dropped ~2.5× with this);
-    # and beyond two references the ANALYZED tree repeats the whole
-    # adjacency subtree per branch, so cut it to a leaf (round 11)
-    t = pin_cut(_triangle_vertices(e))
-    tv = (t.select(F.col("a").alias("v"))
-          .unionByName(t.select(F.col("b").alias("v")))
-          .unionByName(t.select(F.col("c").alias("v")))
+    # Round-15 (guide §2.4): each triangle credits its three vertices
+    # through ONE explode instead of a three-branch self-union — the
+    # triangle list now has a single consumer, so the round-10/11
+    # rationale for pinning/cutting it (3 refs re-running the
+    # adjacency joins, the analyzed tree repeating the subtree per
+    # branch) is gone along with the cut's parquet write of the
+    # triangle-cardinality list. Same credits: one v-row per triangle
+    # vertex, flowing straight into the hash-agg.
+    t = _triangle_vertices(e)
+    tv = (t.select(F.explode(F.array("a", "b", "c")).alias("v"))
           .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("tri")))
     nodes = (deg.join(tv, deg["v"] == tv["v"], "left")
              .select(deg["v"].alias("v"), "d",
@@ -2423,14 +2465,20 @@ def hits_bipartite(edges: DataFrame, src: str, dst: str,
                      F.lit(HITS_SCALE // n_hubs).cast("long").alias("r"))
 
     def renorm(scores: DataFrame) -> DataFrame:
-        # pin_cut (round 12): each half-step references the previous
-        # half-step's WHOLE subtree twice (the renorm total + the scores
-        # it scales), so the analyzed tree doubled per half-step —
-        # 5,457 nodes / 136 InMemoryRelations / ~15 s warm at sf0.01 by
-        # round 11's audit. Cutting the aggregated node-cardinality
-        # frame ONCE per half-step makes both references (and the next
-        # half-step's join) read a single parquet leaf.
-        scores = pin_cut(scores)
+        # Leaf-ify each half-step (round 12): each half-step references
+        # the previous half-step's WHOLE subtree twice (the renorm
+        # total + the scores it scales), so the analyzed tree doubled
+        # per half-step — 5,457 nodes / 136 InMemoryRelations / ~15 s
+        # warm at sf0.01 by round 11's audit. Round-15: the leaf is an
+        # eager localCheckpoint instead of a parquet cut — the frame is
+        # a node-cardinality AGGREGATE (tiny), so the row-based
+        # checkpoint scan that made checkpoints a loser for
+        # edge-cardinality columnar frames (see pin_cut's docstring)
+        # costs nothing here, and each half-step saves a parquet
+        # write+read round trip (4 write jobs per query at iters=2).
+        # Determinism is untouched: the checkpoint freezes exact
+        # integer scores.
+        scores = pin_checkpoint(scores)
         total = scores.agg(F.sum("r").alias("_t"))
         return (scores.crossJoin(F.broadcast(total))  # 1-row scalar
                 .select("node", F.expr(

@@ -70,12 +70,18 @@ def shingle_index(docs: DataFrame, text_col: str = "text",
     # hashes (one md5 per TOKEN), so no shingle strings are built and the
     # self-join shuffles 8-byte keys. Staged projections per the
     # multi-reference alias rule (see minhash_signature).
+    # No .distinct() after the explode (round-15, guide §2.4): the
+    # shingle-hash array is already array_distinct PER DOC (see
+    # shingle_hashes_from_word_hashes), and doc_id differs across
+    # docs, so (doc_id, shingle) rows are unique by construction — the
+    # former distinct was a full index-scale exchange deduping
+    # already-unique rows, paid by every caller (jaccard/containment/
+    # similarity-histogram cut writes, both contamination sides).
     idx = (docs.select(F.col(id_col), words(text_col).alias("_ws"))
            .select(F.col(id_col), word_hashes("_ws").alias("_wh"))
            .select(F.col(id_col),
                    F.explode(shingle_hashes_from_word_hashes("_wh", k))
-                   .alias("shingle"))
-           .distinct())
+                   .alias("shingle")))
     if max_doc_freq is not None:
         hot = (idx.groupBy("shingle").count()
                .filter(F.col("count") > max_doc_freq).select("shingle"))

@@ -916,9 +916,10 @@ def riskmetrics_vol(bars: DataFrame, decay: float = RM_DECAY,
                     lookback: int = RM_LOOKBACK) -> DataFrame:
     """RiskMetrics-style EWMA volatility: σ_t = sqrt(Σ λ^i·r²_{t-i} /
     Σ λ^i) over a truncated lookback — the exponentially-weighted
-    cousin of realized vol, and the second consumer of
-    ``banded_rank_join`` (the helper exists precisely so truncated
-    recurrences never re-introduce the O(n²) rank-range probe).
+    cousin of realized vol, riding the shared ``_trailing_vals``
+    bounded-window kernel (round-14: the former ``banded_rank_join``
+    form paid a join + groupBy per stage; the window form shuffles
+    the bars exactly once).
 
     Returns are quantized to 1e-6 integers; the weighted sum runs on
     exact r² longs × double weights. Nonpositive-low bars drop before

@@ -115,11 +115,26 @@ def pin_checkpoint(df: DataFrame) -> DataFrame:
     reason the checkpoint exists: every downstream decision (offset
     collects keyed on ``spark_partition_id()``) is derived from the
     returned frame itself, so any one frozen materialization is
-    self-consistent."""
+    self-consistent.
+
+    CONTRACT (r14 advice): do not feed plans containing
+    NONDETERMINISTIC expressions (rand/uuid/shuffle) through this memo
+    — sameResult treats two such plans as equal and a caller expecting
+    fresh draws would silently get the first materialization back. The
+    repo-wide no-rand() rule makes this unreachable today; if that rule
+    ever relaxes, route such frames through a plain eager
+    localCheckpoint instead."""
     try:
         new_plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
         for src, cp in _CHECKPOINTS:
-            if src._jdf.queryExecution().analyzed() \
+            # sameResult canonicalization strips aliases, so two
+            # logically-equal plans differing only in OUTPUT NAMES
+            # would hit the same entry and hand the caller a frame
+            # with the wrong column names (r14 advice: the four
+            # prefix-sum kernels differ only in their pid alias) —
+            # guard the hit on the exact column-name list too
+            if src.columns == df.columns and \
+                    src._jdf.queryExecution().analyzed() \
                     .sameResult(new_plan):  # noqa: SLF001
                 return cp
     except Exception:  # noqa: BLE001 — private accessor moved: no memo

@@ -135,6 +135,15 @@ def banded_rank_join(df: DataFrame, keys: Sequence[str], rn: str,
     Returns the join with sides aliased ``cur`` / ``prev`` (select with
     ``F.col("cur.x")`` / ``F.col("prev.x")``); the internal ``__band``/
     ``__probe`` columns are not dropped — project past them.
+
+    KEPT AS LIBRARY API (round-15 review of the round-14 rewrite): the
+    indicator family's truncated-EWMA/mean-deviation stages moved to
+    the ``_trailing_vals`` bounded window frame (confirmed faster by
+    the r15 interleaved A/B, tools/ab_ewma.py), so no query path calls
+    this today — but it remains the correct kernel whenever a bounded
+    rank-range PAIR JOIN (not a frame aggregate) is needed, its
+    equivalence tests pin the historical form, and the A/B harness
+    exercises it as the baseline.
     """
     band = F.floor((F.col(rn) - 1) / width)
     prev = df.withColumn("__band", band).alias("prev")
@@ -241,6 +250,11 @@ def distributed_cum_curve(df: DataFrame, order: Sequence[str | Column],
     only, ``order`` must be a total order, the ranged slice is
     checkpoint-pinned so offsets never meet a resampled recompute.
     """
+    if len(value_cols) != len(outs):
+        # zip() below would silently drop trailing columns (r14 advice)
+        raise ValueError(
+            f"distributed_cum_curve: {len(value_cols)} value_cols vs "
+            f"{len(outs)} outs")
     cols = _cols(order)
     ranged = pin_checkpoint(df.repartitionByRange(*cols).withColumn(
         "_dcc_pid", F.spark_partition_id()))

@@ -869,7 +869,8 @@ def stock_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mean-deviation without ever forming the float mean: with S and
     # cnt exact window integers, D = sum|cnt*tp3_j - S| is integer and
     # CCI = cnt*(cnt*tp3 - S) / (0.015*D); the window members come from
-    # banded_rank_join (O(n) per row at any symbol cardinality)
+    # the _trailing_vals bounded window frame (O(n) per row at any
+    # symbol cardinality; round-14 replaced the banded self-join)
     ev = load_table(spark, sf_dir, "events")
     return ind.cci(ind.hourly_bars(ev)).orderBy("event_type", "hr")
 

@@ -115,8 +115,9 @@ ORDER BY cur.event_type, cur.hr
 """)
 def stock_force_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     # truncated-EWMA force index over exact integer cents-move × volume
-    # terms; the EWMA rides banded_rank_join (O(lookback)/bar) with
-    # first bars dropped BEFORE ranking so Σweights needs no guard
+    # terms; the EWMA rides the _trailing_vals bounded window frame
+    # (O(lookback)/bar; round-14 replaced the banded self-join) with
+    # first bars dropped BEFORE the window so Σweights needs no guard
     ev = load_table(spark, sf_dir, "events")
     return (ind.force_index(ind.hourly_bars(ev))
             .orderBy("event_type", "hr"))

@@ -142,10 +142,12 @@ GROUP BY cur.event_type, cur.hr, cur.close
 ORDER BY cur.event_type, cur.hr
 """)
 def stock_ewma_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Truncated EWMA via a BANDED rank self-join (equi-join on
-    # (symbol, rank-band) + range residual — O(lookback) probe work per
-    # bar, see operators/windows.py banded_rank_join); decay^40 ~ 1e-4
-    # keeps 6-dp identity with the unbounded recurrence.
+    # Truncated EWMA via the _trailing_vals bounded window frame on
+    # the symbol partitioning (round-14: one exchange, no self-join —
+    # adjudicated CONFIRMED faster by the r15 interleaved A/B,
+    # tools/ab_ewma.py); decay^40 ~ 1e-4 keeps 6-dp identity with the
+    # unbounded recurrence. The oracle SQL keeps the banded-join FORM
+    # (DuckDB has no bounded array_agg frame) — same values.
     ev = load_table(spark, sf_dir, "events")
     return (ind.ewma_trend(ind.hourly_bars(ev))
             .orderBy("event_type", "hr"))
