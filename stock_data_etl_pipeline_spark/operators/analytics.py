@@ -1350,8 +1350,9 @@ def degree_assortativity(pairs: DataFrame, id_a: str,
     combination to leaf-cast doubles (rolling_corr precedent).
     """
     und = pin(_canon_undirected(pairs, id_a, id_b, "x", "y"))
-    deg = (und.select(F.col("x").alias("v"))
-           .unionByName(und.select(F.col("y").alias("v")))
+    # both endpoints from one explode — a single pass over the cached
+    # edge set instead of a two-branch self-union (round-15, §2.4)
+    deg = (und.select(F.explode(F.array("x", "y")).alias("v"))
            .groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("d")))
     dx = deg.select(F.col("v").alias("x"), F.col("d").alias("da"))
     dy = deg.select(F.col("v").alias("y"), F.col("d").alias("db"))

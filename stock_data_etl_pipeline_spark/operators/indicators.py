@@ -413,8 +413,14 @@ def beta_alpha(bars: DataFrame) -> DataFrame:
     ri = F.when((F.col("close") > 0) & (lagc > 0),
                 F.round((F.log("close") - F.log(lagc)) * RET_SCALE, 0)
                 .cast("long"))
-    ret = (bars.select("event_type", "hr", ri.alias("ri"))
-           .filter(F.col("ri").isNotNull()))
+    # pin: ret embeds the tick-scale bar resample + the lag window and
+    # is consumed TWICE (the market aggregate below and the join probe
+    # side) — unpinned, the resample executes once per consumer
+    # (round-15, guide §2.4 don't-recompute; bar-scale rows, calendar-
+    # bounded, safe to hold)
+    from .pinned import pin
+    ret = pin(bars.select("event_type", "hr", ri.alias("ri"))
+              .filter(F.col("ri").isNotNull()))
     # per-hour market return: avg of integer-valued summands < 2^53 is
     # exact in either integer or double accumulation — order-free
     mkt = (ret.groupBy("hr")

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine
-from .pinned import pin, pin_cut
+from .pinned import pin, pin_checkpoint, pin_cut
 from .windows import top_k_per_group
 
 
@@ -692,18 +692,26 @@ def pca_power_direction(vectors: DataFrame, iters: int = 3,
     v = (x.select("j").distinct()
          .select("j", F.lit(125000).cast("long").alias("v")))
     for _ in range(iters):
-        # pin_cut (round 12): v embeds the whole previous iteration and
-        # s is referenced twice (the inf-norm agg + the shifted copy),
-        # so the analyzed tree reached 4,799 nodes by round 11's audit.
-        # Both frames are dim-row (64 rows) — the cut write is trivial
-        # and every re-reference becomes a parquet leaf.
-        v = pin_cut(v)
+        # Leaf-ify v each iteration (round 12): v embeds the whole
+        # previous iteration and s is referenced twice (the inf-norm
+        # agg + the shifted copy), so the analyzed tree reached 4,799
+        # nodes by round 11's audit. Round-15: v is an eager
+        # localCheckpoint instead of a parquet cut — it still truncates
+        # the lineage per iteration, but skips a parquet write+read
+        # JOB per round; its ONLY join consumer is explicitly
+        # broadcast-hinted, so the k_core stats-loss hazard (checkpoint
+        # leaves flipping broadcast joins to SMJ) cannot bite. s drops
+        # to a plain pin: with v a leaf its tree is two joins + two
+        # aggs, and both its consumers are aggregates (no join-strategy
+        # dependence) — 6 cut-write jobs per query become 3
+        # checkpoints + 3 persists of dim-row (64-row) frames.
+        v = pin_checkpoint(v)
         d = (x.join(F.broadcast(v), "j")
              .groupBy("vid")
              .agg(F.sum(F.col("x") * F.col("v")).alias("d")))
         dk = d.select("vid", _sym_floor_div(F.col("d"), 1 << 20)
                       .alias("dk"))
-        s = pin_cut(
+        s = pin(
             x.join(dk, "vid")
             .groupBy("j")
             .agg(F.sum(F.col("x") * F.col("dk")).alias("s")))
