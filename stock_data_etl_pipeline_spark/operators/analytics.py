@@ -1011,9 +1011,13 @@ def bfs_distance(pairs: DataFrame, id_a: str, id_b: str,
     operator in operators/clustering.py shows the pattern).
     """
     und = _canon_undirected(pairs, id_a, id_b)
-    e = pin(und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-            .unionByName(und.select(F.col("b").alias("src"),
-                                    F.col("a").alias("dst"))))
+    # both directions from ONE explode instead of a self-union, so the
+    # canonicalization subtree is evaluated once inside the pin's
+    # materialization (the k_core/pagerank round-15 pattern)
+    e = pin(und.select(F.explode(F.array(
+        F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+        F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))))
+        .alias("_ed")).select("_ed.src", "_ed.dst"))
     nodes = e.select(F.col("src").alias("node")).distinct()
     d = pin(nodes.filter(F.col("node") % seed_mod == 0).select(
         "node", F.lit(0).cast("long").alias("dist")))
