@@ -895,8 +895,9 @@ def degree_distribution(pairs: DataFrame, id_a: str, id_b: str
     from .windows import int_mean_half_away
     und = (pairs.select(F.col(id_a).alias("ea"), F.col(id_b).alias("eb"))
            .distinct())
-    adj = (und.select(F.col("ea").alias("node"))
-           .union(und.select(F.col("eb").alias("node"))))
+    # both endpoints from ONE explode — the distinct subtree is
+    # evaluated once, not twice (round-15, guide §2.4)
+    adj = und.select(F.explode(F.array("ea", "eb")).alias("node"))
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     # floor(log2(d)) as the binary-string length minus one — pure
     # integer/string ops; a float log2 could round 2^k to k-epsilon
@@ -2001,8 +2002,9 @@ def degree_gini(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
     nodes); the emit is ONE double division of exact integers.
     """
     und = _canon_undirected(pairs, id_a, id_b)
-    deg = (und.select(F.col("a").alias("node"))
-           .unionByName(und.select(F.col("b").alias("node")))
+    # both endpoints from ONE explode — the canon subtree (pair
+    # self-join + distinct) is evaluated once, not twice (round-15)
+    deg = (und.select(F.explode(F.array("a", "b")).alias("node"))
            .groupBy("node")
            .agg(F.count(F.lit(1)).cast("long").alias("x")))
     h = deg.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("w"))
@@ -2543,10 +2545,12 @@ def _lpa_core(pairs: DataFrame, id_a: str, id_b: str,
     pin_cut (re-referenced per round AND by :func:`lpa_modularity`'s
     intra-edge and degree joins — the pagerank plan-size rationale)."""
     und = pin_cut(_canon_undirected(pairs, id_a, id_b, "x", "y"))
-    e = pin_cut(und.select(F.col("x").alias("src"),
-                           F.col("y").alias("dst"))
-                .unionByName(und.select(F.col("y").alias("src"),
-                                        F.col("x").alias("dst"))))
+    # both directions from ONE explode — a single scan of the und leaf
+    # instead of a two-branch self-union (round-15, guide §2.4)
+    e = pin_cut(und.select(F.explode(F.array(
+        F.struct(F.col("x").alias("src"), F.col("y").alias("dst")),
+        F.struct(F.col("y").alias("src"), F.col("x").alias("dst"))))
+        .alias("_ed")).select("_ed.src", "_ed.dst"))
     lab = e.select(F.col("src").alias("node")).distinct() \
            .select("node", F.col("node").alias("lab"))
     w = Window.partitionBy("node").orderBy(F.desc("cnt"), "lab")
@@ -3198,10 +3202,13 @@ def eigenvector_centrality(pairs: DataFrame, id_a: str, id_b: str,
     if iters < 1:
         raise ValueError("eigenvector_centrality needs iters >= 1")
     und = _canon_undirected(pairs, id_a, id_b)
-    e = pin_cut(und.select(F.col("a").alias("src"),
-                           F.col("b").alias("dst"))
-                .unionByName(und.select(F.col("b").alias("src"),
-                                        F.col("a").alias("dst"))))
+    # both directions from ONE explode, so the expensive canon subtree
+    # (pair self-join + distinct) is evaluated once, not twice, inside
+    # the single cut-write job (round-15; the pagerank r14 pattern)
+    e = pin_cut(und.select(F.explode(F.array(
+        F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+        F.struct(F.col("b").alias("src"), F.col("a").alias("dst"))))
+        .alias("_ed")).select("_ed.src", "_ed.dst"))
     x = e.select(F.col("src").alias("node")).distinct() \
          .select("node", F.lit(EIG_SCALE).cast("long").alias("r"))
     for _ in range(iters):
